@@ -1,0 +1,111 @@
+"""Table registry: the engine's analogue of the reference's schema registry.
+
+The reference validates every DSL query against a static table->columns map
+(/root/reference/internal/files/schema.go:28-179) so that only known
+identifiers reach SQL. Here the registry is dynamic: it loads parquet
+tables, remembers their DataFrames, and exposes the same validation
+surface against the live ``df.schema`` — stronger than a static map
+because it can never drift from the data.
+
+Scale notes: each table is a plain ``spark.read.parquet`` scan, so
+Catalyst's predicate pushdown / column pruning / partition pruning apply
+to everything compiled on top. Nothing is cached eagerly; at 100 TB the
+registry is just a name->path catalog and the optimizer sees the raw
+files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver-generated synthetic tables (TESTDATA.md).
+DEFAULT_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nano_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark cannot map
+    to TimestampType natively (read as long via
+    ``spark.sql.legacy.parquet.nanosAsLong``)."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan that restores TIMESTAMP(NANOS) columns to TimestampType.
+
+    Uses integer division to micros (``x div 1000``) — lossless for the
+    timestamp range and stays JVM-side, so pushdown/pruning on the scan
+    are unaffected for every other column.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    for c in _nano_timestamp_columns(path):
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+class TableRegistry:
+    """Name -> DataFrame catalog with identifier validation."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, DataFrame] = {}
+
+    # -- registration ------------------------------------------------------
+    def register(self, name: str, df: DataFrame) -> None:
+        self._tables[name] = df
+        df.createOrReplaceTempView(name)
+
+    def register_parquet(self, name: str, path: str) -> None:
+        self.register(name, read_parquet(self.spark, path))
+
+    def load_dir(self, sf_dir: str, tables: tuple[str, ...] = DEFAULT_TABLES) -> None:
+        for t in tables:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                self.register_parquet(t, path)
+
+    # -- lookup / validation ----------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        if name not in self._tables:
+            raise KeyError(f"unknown table: {name!r} (known: {sorted(self._tables)})")
+        return self._tables[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._tables
+
+    def tables(self) -> list[str]:
+        return sorted(self._tables)
+
+    def columns(self, name: str) -> list[str]:
+        return self.table(name).columns
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> TableRegistry:
+    reg = TableRegistry(spark)
+    reg.load_dir(sf_dir)
+    return reg
