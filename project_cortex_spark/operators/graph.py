@@ -1,0 +1,257 @@
+"""Graph operators (``cortex_graph`` parity): bounded-depth traversals,
+shortest path, implements-inference, impact analysis.
+
+Reference: all eight operations dispatch from
+/root/reference/internal/graph/searcher_sql.go:56-75 over edge tables
+(function_calls, type_relationships, imports) using recursive CTEs with
+depth clamp (default 3, max 6 engine / 10 tool, searcher_sql.go:43-50);
+results are deterministic via ORDER BY depth, id (searcher_sql.go:425).
+
+Spark-first design: a traversal is a driver-controlled loop of
+frontier-edge equi-joins (≤10 iterations by the same clamp). Each level
+is one shuffle keyed on the join column; the visited set is maintained
+with a left_anti join, which also terminates cycles (the reference's
+in-memory visited set, searcher_sql.go:185-209). At 100 TB the edge
+DataFrame is hash-partitioned by src once up front so every level's join
+reuses the same partitioning without reshuffling the edges; only the
+(small) frontier moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAX_DEPTH = 10  # tool-level clamp (internal/mcp/graph_tool.go:30-55)
+DEFAULT_DEPTH = 3
+
+
+def _clamp_depth(depth: int) -> int:
+    return max(1, min(depth, MAX_DEPTH))
+
+
+def bfs(
+    edges: DataFrame,
+    start: list,
+    *,
+    depth: int = DEFAULT_DEPTH,
+    src: str = "src",
+    dst: str = "dst",
+    reverse: bool = False,
+) -> DataFrame:
+    """Transitive closure to ``depth`` hops: (node, depth) with minimum
+    depth per node, start nodes excluded (callers/callees semantics,
+    searcher_sql.go:373-485). ``reverse=True`` walks dst->src (callers).
+
+    Level-synchronous BFS: a node's first appearance is its minimum
+    depth, so the visited anti-join both dedupes and breaks cycles.
+    """
+    depth = _clamp_depth(depth)
+    if reverse:
+        src, dst = dst, src
+    spark = edges.sparkSession
+    # pre-partition edges once; every level joins on the same key
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).repartition(
+        "_src"
+    )
+
+    frontier = spark.createDataFrame([(s,) for s in start], ["node"])
+    visited = frontier.withColumn("depth", F.lit(0))
+    out = None
+    for level in range(1, depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_src"], "inner")
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(level))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt)
+        out = nxt if out is None else out.union(nxt)
+        frontier = nxt.select("node")
+    if out is None:
+        return visited.filter(F.lit(False)).select("node", "depth")
+    return out.orderBy("depth", "node")
+
+
+def callees(edges: DataFrame, start: list, *, depth: int = DEFAULT_DEPTH, **kw) -> DataFrame:
+    """G2: transitive call targets (caller->callee direction)."""
+    return bfs(edges, start, depth=depth, **kw)
+
+
+def callers(edges: DataFrame, start: list, *, depth: int = DEFAULT_DEPTH, **kw) -> DataFrame:
+    """G1: transitive callers (walk edges in reverse)."""
+    return bfs(edges, start, depth=depth, reverse=True, **kw)
+
+
+def shortest_path(
+    edges: DataFrame,
+    source,
+    target,
+    *,
+    max_depth: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> list:
+    """G7: one shortest path source->target as a node list ([] if none).
+
+    BFS with path accumulation in an array column; cycle-safe via
+    array_contains. Ties broken by lexicographic path order so the result
+    is deterministic (the reference returns its in-memory BFS's first hit,
+    searcher_sql.go:185-209; we pin a total order instead).
+    """
+    max_depth = _clamp_depth(max_depth)
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).repartition(
+        "_src"
+    )
+    frontier = spark.createDataFrame([(source, [source])], ["node", "path"])
+    for _ in range(max_depth):
+        hit = frontier.filter(F.col("node") == F.lit(target)).orderBy("path").take(1)
+        if hit:
+            return list(hit[0]["path"])
+        frontier = (
+            frontier.join(e, frontier["node"] == e["_src"], "inner")
+            .filter(~F.array_contains(F.col("path"), F.col("_dst")))
+            .select(
+                F.col("_dst").alias("node"),
+                F.concat(F.col("path"), F.array(F.col("_dst"))).alias("path"),
+            )
+        )
+        # keep one (lexicographically least) path per node: same-length
+        # paths are interchangeable for shortestness
+        frontier = frontier.groupBy("node").agg(F.min("path").alias("path"))
+        frontier = frontier.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            return []
+    hit = frontier.filter(F.col("node") == F.lit(target)).orderBy("path").take(1)
+    return list(hit[0]["path"]) if hit else []
+
+
+def neighbors(
+    edges: DataFrame,
+    node,
+    *,
+    direction: str = "out",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """G3/G4: depth-1 dependencies ('out') / dependents ('in') — a single
+    filter + distinct (the reference's imports joins,
+    searcher_sql.go:487-513)."""
+    if direction == "out":
+        return edges.filter(F.col(src) == F.lit(node)).select(
+            F.col(dst).alias("node")
+        ).distinct()
+    return edges.filter(F.col(dst) == F.lit(node)).select(
+        F.col(src).alias("node")
+    ).distinct()
+
+
+def infer_implements(
+    iface_methods: DataFrame,
+    struct_methods: DataFrame,
+    *,
+    iface_id: str = "iface_id",
+    struct_id: str = "struct_id",
+    name: str = "name",
+    param_count: str = "param_count",
+    return_count: str = "return_count",
+    interfaces: DataFrame | None = None,
+    structs: DataFrame | None = None,
+) -> DataFrame:
+    """J5/G10: duck-typing inference — struct implements interface iff its
+    method set ⊇ the interface's, matching (name, param_count,
+    return_count); empty interfaces match every struct
+    (/root/reference/internal/storage/inferencer.go:84-173).
+
+    Join formulation of the reference's in-memory hash match: explode
+    method sets -> equi-join on the signature triple -> count matches per
+    (struct, iface) -> keep pairs where matches == interface method
+    count. Distributed hash joins ARE the hash-match, sharded.
+    """
+    sig = [name, param_count, return_count]
+    im = iface_methods.select(iface_id, *sig)
+    sm = struct_methods.select(struct_id, *sig)
+
+    iface_sizes = im.groupBy(iface_id).agg(F.count(F.lit(1)).alias("_need"))
+    matched = (
+        im.join(sm, sig, "inner")
+        .groupBy(iface_id, struct_id)
+        .agg(F.count(F.lit(1)).alias("_have"))
+    )
+    full = matched.join(F.broadcast(iface_sizes), iface_id).filter(
+        F.col("_have") == F.col("_need")
+    )
+    out = full.select(struct_id, iface_id)
+
+    if interfaces is not None and structs is not None:
+        empty_ifaces = interfaces.select(iface_id).join(
+            iface_sizes.select(iface_id), iface_id, "left_anti"
+        )
+        all_pairs = structs.select(struct_id).crossJoin(F.broadcast(empty_ifaces))
+        out = out.unionByName(all_pairs.select(struct_id, iface_id))
+    return out.distinct()
+
+
+def impact(
+    call_edges: DataFrame,
+    implements: DataFrame,
+    target,
+    *,
+    depth: int = DEFAULT_DEPTH,
+    src: str = "src",
+    dst: str = "dst",
+    struct_id: str = "struct_id",
+    iface_id: str = "iface_id",
+) -> DataFrame:
+    """G8: 3-phase composite — implementations + direct callers (depth 1,
+    'must_update') + transitive callers (depth>1, 'review_needed'), each
+    tagged with impact_type/severity (searcher_sql.go:302-371)."""
+    impls = (
+        implements.filter(F.col(iface_id) == F.lit(target))
+        .select(F.col(struct_id).alias("node"))
+        .withColumn("impact_type", F.lit("implementation"))
+        .withColumn("severity", F.lit("must_update"))
+        .withColumn("depth", F.lit(0))
+    )
+    up = callers(call_edges, [target], depth=depth, src=src, dst=dst)
+    tagged = up.withColumn(
+        "impact_type",
+        F.when(F.col("depth") == 1, F.lit("direct_caller")).otherwise(
+            F.lit("transitive_caller")
+        ),
+    ).withColumn(
+        "severity",
+        F.when(F.col("depth") == 1, F.lit("must_update")).otherwise(
+            F.lit("review_needed")
+        ),
+    )
+    # node ids may be heterogeneous (type ids vs function ids): normalize
+    return impls.select(
+        F.col("node").cast("string").alias("node"), "depth", "impact_type", "severity"
+    ).unionByName(
+        tagged.select(
+            F.col("node").cast("string").alias("node"),
+            "depth",
+            "impact_type",
+            "severity",
+        )
+    )
+
+
+def type_usages(
+    functions: DataFrame,
+    params: DataFrame,
+    pattern: str,
+    *,
+    function_id: str = "function_id",
+    param_type: str = "param_type",
+) -> DataFrame:
+    """G5: functions whose parameter types LIKE pattern (supports %User%,
+    generics %[User]%; searcher_sql.go:536-560)."""
+    hits = params.filter(F.col(param_type).like(pattern)).select(function_id).distinct()
+    return functions.join(hits, function_id, "inner")

@@ -1,0 +1,122 @@
+"""FTS/BM25 correctness vs the generated DuckDB oracle — cortex_exact
+parity: boolean queries (AND/OR/NOT), phrase, prefix, ranking order,
+filters, snippet shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_cortex_spark.operators.fts import (
+    FtsQueryError,
+    And,
+    Not,
+    Or,
+    Phrase,
+    Term,
+    build_fts_index,
+    fts_search,
+    parse_fts_query,
+    snippet,
+)
+from project_cortex_spark.oracle import fts_oracle_sql
+
+from .conftest import assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def fts_index(registry):
+    return build_fts_index(
+        registry.table("documents"), id_col="doc_id", text_col="text"
+    )
+
+
+class TestParser:
+    def test_implicit_and(self):
+        n = parse_fts_query("table key")
+        assert isinstance(n, And)
+        assert n.left == Term("table") and n.right == Term("key")
+
+    def test_or_precedence(self):
+        n = parse_fts_query("a b OR c")
+        # (a AND b) OR c
+        assert isinstance(n, Or) and isinstance(n.left, And)
+
+    def test_not_binary(self):
+        n = parse_fts_query("spark NOT window")
+        assert isinstance(n, Not)
+
+    def test_phrase_and_prefix(self):
+        n = parse_fts_query('"key agg" cust*')
+        assert isinstance(n, And)
+        assert n.left == Phrase(["key", "agg"])
+        assert n.right == Term("cust", prefix=True)
+
+    def test_group(self):
+        n = parse_fts_query("(a OR b) c")
+        assert isinstance(n, And) and isinstance(n.left, Or)
+
+    def test_unbalanced(self):
+        with pytest.raises(FtsQueryError):
+            parse_fts_query("(a OR b")
+
+
+def _run(fts_index, duck, query, limit=15):
+    df = fts_search(fts_index, query, limit=limit).withColumn(
+        "score", F.round("score", 6)
+    )
+    assert_matches_oracle(df, duck, fts_oracle_sql(query, limit=limit))
+
+
+class TestSearch:
+    def test_single_term(self, fts_index, duck):
+        _run(fts_index, duck, "spark")
+
+    def test_and(self, fts_index, duck):
+        _run(fts_index, duck, "table key")
+
+    def test_or(self, fts_index, duck):
+        _run(fts_index, duck, "merge OR stream")
+
+    def test_not(self, fts_index, duck):
+        _run(fts_index, duck, "table NOT window")
+
+    def test_phrase(self, fts_index, duck):
+        _run(fts_index, duck, '"key agg"')
+
+    def test_prefix(self, fts_index, duck):
+        _run(fts_index, duck, "cust*")
+
+    def test_composite(self, fts_index, duck):
+        _run(fts_index, duck, '(merge OR stream) "fast sort" NOT error', limit=25)
+
+    def test_filter_pushdown(self, fts_index, registry, duck):
+        df = fts_search(
+            fts_index,
+            "table",
+            limit=10,
+            where=F.col("lang") == "en",
+            payload_cols=["lang"],
+        ).withColumn("score", F.round("score", 6))
+        assert_matches_oracle(
+            df,
+            duck,
+            fts_oracle_sql("table", limit=10, where_sql="lang = 'en'", payload_cols=("lang",)),
+        )
+
+
+class TestSnippet:
+    def test_snippet_marks(self, spark):
+        df = spark.createDataFrame(
+            [("the quick brown fox jumps over the lazy dog",)], ["text"]
+        )
+        out = df.select(
+            snippet(F.col("text"), ["quick", "lazy"]).alias("s")
+        ).first()["s"]
+        assert "<mark>quick</mark>" in out
+        assert "<mark>lazy</mark>" in out
+
+    def test_snippet_no_match(self, spark):
+        df = spark.createDataFrame([("hello world",)], ["text"])
+        out = df.select(snippet(F.col("text"), ["zebra"]).alias("s")).first()["s"]
+        assert "hello world" in out and "<mark>" not in out

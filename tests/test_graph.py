@@ -1,0 +1,213 @@
+"""Graph operator tests: BFS vs DuckDB recursive-CTE oracle on an
+order-chain edge graph, plus fixture-graph unit tests for cycles,
+disconnected components, shortest path, implements inference, impact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from project_cortex_spark.operators.graph import (
+    bfs,
+    callees,
+    callers,
+    impact,
+    infer_implements,
+    neighbors,
+    shortest_path,
+    type_usages,
+)
+
+from .conftest import assert_matches_oracle
+
+# edges: consecutive orders of the same customer (chains ~10 long, acyclic)
+EDGES_SQL = """
+    SELECT src, dst FROM (
+        SELECT o_orderkey AS src,
+               lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS dst
+        FROM orders
+    ) WHERE dst IS NOT NULL
+"""
+
+
+@pytest.fixture(scope="module")
+def order_edges(registry):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        registry.table("orders")
+        .select(
+            F.col("o_orderkey").alias("src"),
+            F.lead("o_orderkey").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+
+
+@pytest.fixture(scope="module")
+def chain_start(duck):
+    return duck.execute(
+        """SELECT min(o_orderkey) FROM orders WHERE o_custkey =
+           (SELECT o_custkey FROM orders GROUP BY 1 ORDER BY count(*) DESC, o_custkey LIMIT 1)"""
+    ).fetchone()[0]
+
+
+def test_callees_depth3_oracle(order_edges, chain_start, duck):
+    df = callees(order_edges, [chain_start], depth=3)
+    sql = f"""
+        WITH RECURSIVE e AS ({EDGES_SQL}),
+        walk(node, depth) AS (
+            SELECT CAST({chain_start} AS BIGINT), 0
+            UNION ALL
+            SELECT e.dst, w.depth + 1 FROM walk w JOIN e ON e.src = w.node
+            WHERE w.depth < 3
+        )
+        SELECT node, min(depth) AS depth FROM walk WHERE depth > 0 GROUP BY node
+    """
+    assert_matches_oracle(df, duck, sql)
+
+
+def test_callers_depth2_oracle(order_edges, chain_start, duck):
+    # walk upstream from the 4th node of the longest chain
+    target = duck.execute(
+        f"""WITH RECURSIVE e AS ({EDGES_SQL}),
+        walk(node, depth) AS (
+            SELECT CAST({chain_start} AS BIGINT), 0
+            UNION ALL SELECT e.dst, depth+1 FROM walk w JOIN e ON e.src = w.node WHERE depth < 3)
+        SELECT node FROM walk WHERE depth = 3"""
+    ).fetchone()[0]
+    df = callers(order_edges, [target], depth=2)
+    sql = f"""
+        WITH RECURSIVE e AS ({EDGES_SQL}),
+        walk(node, depth) AS (
+            SELECT CAST({target} AS BIGINT), 0
+            UNION ALL
+            SELECT e.src, w.depth + 1 FROM walk w JOIN e ON e.dst = w.node
+            WHERE w.depth < 2
+        )
+        SELECT node, min(depth) AS depth FROM walk WHERE depth > 0 GROUP BY node
+    """
+    assert_matches_oracle(df, duck, sql)
+
+
+def test_depth_clamp(order_edges, chain_start):
+    # depth>10 clamps to 10
+    d11 = bfs(order_edges, [chain_start], depth=99)
+    assert d11.agg(F.max("depth")).first()[0] <= 10
+
+
+# ---------------------------------------------------------------------------
+# fixture graph: cycles, branches, disconnected component
+#
+#   1 -> 2 -> 3 -> 4
+#   1 -> 5 -> 6 -> 1   (cycle back to 1)
+#   7 -> 8             (disconnected from 1's component)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fixture_edges(spark):
+    rows = [(1, 2), (2, 3), (3, 4), (1, 5), (5, 6), (6, 1), (7, 8)]
+    return spark.createDataFrame(rows, ["src", "dst"])
+
+
+def test_bfs_cycle_termination(fixture_edges):
+    out = {r["node"]: r["depth"] for r in bfs(fixture_edges, [1], depth=10).collect()}
+    # 1 not revisited (visited set), every reachable node at min depth
+    assert out == {2: 1, 5: 1, 3: 2, 6: 2, 4: 3}
+
+
+def test_shortest_path_known(fixture_edges):
+    assert shortest_path(fixture_edges, 1, 4) == [1, 2, 3, 4]
+    assert shortest_path(fixture_edges, 5, 2) == [5, 6, 1, 2]
+
+
+def test_shortest_path_none(fixture_edges):
+    assert shortest_path(fixture_edges, 1, 8) == []
+
+
+def test_neighbors(fixture_edges):
+    outs = {r["node"] for r in neighbors(fixture_edges, 1, direction="out").collect()}
+    ins = {r["node"] for r in neighbors(fixture_edges, 1, direction="in").collect()}
+    assert outs == {2, 5}
+    assert ins == {6}
+
+
+# ---------------------------------------------------------------------------
+# implements inference (J5/G10 semantics, inferencer.go:84-173)
+# ---------------------------------------------------------------------------
+
+
+def test_infer_implements(spark):
+    iface_methods = spark.createDataFrame(
+        [
+            ("Reader", "read", 1, 2),
+            ("Writer", "write", 1, 2),
+            ("ReadWriter", "read", 1, 2),
+            ("ReadWriter", "write", 1, 2),
+        ],
+        ["iface_id", "name", "param_count", "return_count"],
+    )
+    struct_methods = spark.createDataFrame(
+        [
+            ("File", "read", 1, 2),
+            ("File", "write", 1, 2),
+            ("File", "close", 0, 1),
+            ("Buffer", "read", 1, 2),
+            ("Socket", "read", 2, 2),  # wrong param count: no match
+        ],
+        ["struct_id", "name", "param_count", "return_count"],
+    )
+    interfaces = spark.createDataFrame(
+        [("Reader",), ("Writer",), ("ReadWriter",), ("Any",)], ["iface_id"]
+    )
+    structs = spark.createDataFrame(
+        [("File",), ("Buffer",), ("Socket",)], ["struct_id"]
+    )
+    got = {
+        (r["struct_id"], r["iface_id"])
+        for r in infer_implements(
+            iface_methods, struct_methods, interfaces=interfaces, structs=structs
+        ).collect()
+    }
+    assert got == {
+        ("File", "Reader"),
+        ("File", "Writer"),
+        ("File", "ReadWriter"),
+        ("Buffer", "Reader"),
+        # empty interface matches every struct (inferencer.go:104-110)
+        ("File", "Any"),
+        ("Buffer", "Any"),
+        ("Socket", "Any"),
+    }
+
+
+def test_impact_composite(spark, fixture_edges):
+    implements = spark.createDataFrame(
+        [("StructA", 2), ("StructB", 9)], ["struct_id", "iface_id"]
+    )
+    out = impact(fixture_edges, implements, 2, depth=2).collect()
+    by_node = {(r["node"], r["impact_type"], r["severity"]) for r in out}
+    assert ("StructA", "implementation", "must_update") in by_node
+    assert ("1", "direct_caller", "must_update") in by_node
+    assert ("6", "transitive_caller", "review_needed") in by_node
+
+
+def test_type_usages(spark):
+    functions = spark.createDataFrame(
+        [("f1", "handler"), ("f2", "worker"), ("f3", "main")],
+        ["function_id", "fname"],
+    )
+    params = spark.createDataFrame(
+        [
+            ("f1", "*User"),
+            ("f2", "Repo[User]"),
+            ("f3", "string"),
+        ],
+        ["function_id", "param_type"],
+    )
+    got = {
+        r["function_id"]
+        for r in type_usages(functions, params, "%User%").collect()
+    }
+    assert got == {"f1", "f2"}

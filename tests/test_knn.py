@@ -1,0 +1,98 @@
+"""KNN operator correctness vs DuckDB (list_dot_product oracle) — SURVEY
+§2.11 cortex_search semantics: score = 1 - dist/2, top-k by score with
+deterministic tie-break, min_score post-filter, metadata filters."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project_cortex_spark.operators.knn import knn_join, knn_join_lsh, knn_topk
+
+from .conftest import assert_matches_oracle
+
+# score via the same formula both sides: (1 + cos) / 2, computed in double
+_DUCK_SCORE = (
+    "(1.0 + list_dot_product(embedding, q) /"
+    " (sqrt(list_dot_product(embedding, embedding))"
+    " * sqrt(list_dot_product(q, q)))) / 2.0"
+)
+
+
+def _query_vec(duck):
+    return duck.execute("SELECT embedding FROM embeddings WHERE vec_id = 0").fetchone()[0]
+
+
+def test_knn_topk(registry, duck):
+    qv = [float(x) for x in _query_vec(duck)]
+    df = knn_topk(registry.table("embeddings"), qv, k=10).withColumn(
+        "score", F.round("score", 6)
+    )
+    sql = f"""
+        WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, round({_DUCK_SCORE}, 6) AS score
+        FROM embeddings, q
+        ORDER BY {_DUCK_SCORE} DESC, vec_id LIMIT 10
+    """
+    assert_matches_oracle(df, duck, sql)
+
+
+def test_knn_topk_min_score_and_filter(registry, duck):
+    qv = [float(x) for x in _query_vec(duck)]
+    df = knn_topk(
+        registry.table("embeddings"),
+        qv,
+        k=20,
+        min_score=0.5,
+        where=F.col("label").isin(1, 2, 3),
+        payload_cols=["label"],
+    ).withColumn("score", F.round("score", 6))
+    sql = f"""
+        WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, round({_DUCK_SCORE}, 6) AS score, label
+        FROM embeddings, q
+        WHERE label IN (1,2,3) AND {_DUCK_SCORE} >= 0.5
+        ORDER BY {_DUCK_SCORE} DESC, vec_id LIMIT 20
+    """
+    assert_matches_oracle(df, duck, sql)
+
+
+def test_knn_join_exact(registry, duck):
+    emb = registry.table("embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    df = knn_join(queries, emb, k=5).withColumn("score", F.round("score", 6))
+    sql = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 5)
+        SELECT query_id, vec_id, round({_DUCK_SCORE}, 6) AS score, rank FROM (
+            SELECT q.query_id, e.vec_id, e.embedding, q.q,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY {_DUCK_SCORE} DESC, e.vec_id
+                   ) AS rank
+            FROM embeddings e, q
+        ) WHERE rank <= 5
+    """
+    assert_matches_oracle(df, duck, sql)
+
+
+def test_knn_lsh_recall(registry):
+    """LSH is approximate; assert it returns plausible neighbors: every
+    LSH hit must appear in the exact top-50, and self-match (rank 1,
+    score 1.0) must survive since identical vectors share a bucket."""
+    emb = registry.table("embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_join(queries, emb, k=50).collect()
+    }
+    lsh_rows = knn_join_lsh(queries, emb, k=5, n_planes=4).collect()
+    assert lsh_rows, "LSH returned nothing"
+    self_hits = {r["query_id"] for r in lsh_rows if r["vec_id"] == r["query_id"]}
+    assert self_hits == {0, 1, 2, 3, 4}
+    in_exact = sum(1 for r in lsh_rows if (r["query_id"], r["vec_id"]) in exact)
+    assert in_exact / len(lsh_rows) >= 0.6
