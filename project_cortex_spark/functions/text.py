@@ -42,17 +42,19 @@ def token_count(text: Column) -> Column:
 def estimate_llm_tokens(text: Column) -> Column:
     """The reference's chunk-sizing heuristic: len(text)/4
     (chunker.go:330-333)."""
-    return (F.length(text) / F.lit(4)).cast("long")
+    return F.floor(F.length(text) / F.lit(4)).cast("long")
 
 
 def shingles(text: Column, n: int = 3) -> Column:
     """array<string> of word n-grams ('a b c') over the token stream —
     the unit for MinHash/Jaccard near-dup detection."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    # guard: F.sequence(0, negative) would generate a descending sequence
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
     )
 
 

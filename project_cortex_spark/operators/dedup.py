@@ -1,0 +1,340 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): exact dedup,
+MinHash+LSH near-dup, n-gram Jaccard, SimHash, and embedding-cosine
+near-dup — the standard modalities for 100 TB corpus cleaning.
+
+Scale design:
+  * Exact: one hash-groupBy — map-side partial agg, single shuffle.
+  * MinHash: signatures are K min-aggregations over exploded shingles
+    (one shuffle keyed on doc_id); LSH banding turns the O(n^2) pair
+    space into an equi-join on band keys, so only same-bucket docs meet.
+    Verification (true Jaccard) runs only on surviving candidates.
+  * SimHash: one fingerprint per doc (bit-wise weighted sums in a single
+    groupBy); candidate pairing can reuse LSH-style banding on fingerprint
+    chunks — the all-pairs form here is the exact baseline.
+  * Embedding: exact self-join baseline; `knn.knn_join_lsh` is the
+    sub-quadratic scale path.
+
+Determinism contract: every hash is md5 over explicit strings, so the
+DuckDB oracle (oracle.py builders) reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+from ..functions.vector import similarity_score
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_hash(text: Column, *, normalize: bool = True) -> Column:
+    """md5 of (optionally whitespace/case-normalized) content."""
+    if normalize:
+        text = F.concat_ws(" ", tokens(text))
+    return F.md5(text)
+
+
+def exact_duplicate_groups(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """(doc_id, content_hash, group_size, keep) for docs whose hash
+    collides; keep = doc is the canonical (minimum-id) member."""
+    h = docs.select(
+        F.col(id_col).alias("doc_id"),
+        content_hash(F.col(text_col), normalize=normalize).alias("chash"),
+    )
+    groups = h.groupBy("chash").agg(
+        F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("canonical")
+    )
+    return (
+        h.join(groups, "chash")
+        .filter(F.col("group_size") > 1)
+        .select(
+            "doc_id",
+            "chash",
+            "group_size",
+            (F.col("doc_id") == F.col("canonical")).alias("keep"),
+        )
+    )
+
+
+def dedup_exact(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Corpus with one (minimum-id) row kept per distinct content hash."""
+    h = docs.withColumn("_chash", content_hash(F.col(text_col), normalize=normalize))
+    keep = h.groupBy("_chash").agg(F.min(id_col).alias(id_col))
+    return h.join(keep, [ "_chash", id_col]).drop("_chash")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, h0..h{K-1}): K independent min-hashes of the shingle set.
+
+    Hash family: md5("{i}:" + shingle) compared as hex strings — engine-
+    portable and deterministic. K min-aggs compute in ONE groupBy (one
+    shuffle; partial mins map-side).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, *, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """(a, b) doc pairs agreeing on at least one LSH band (a < b).
+
+    Bands of r = K/bands consecutive signature components; each band is
+    an equi-join key. Probability of candidacy ≈ 1-(1-j^r)^bands.
+    """
+    r = num_hashes // bands
+    assert r * bands == num_hashes, "bands must divide num_hashes"
+    parts = []
+    for b in range(bands):
+        key = F.concat(*[F.col(f"h{b * r + i}") for i in range(r)])
+        parts.append(
+            sigs.select(
+                F.col("doc_id"), F.lit(b).alias("band"), key.alias("bkey")
+            )
+        )
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    left = banded.alias("x")
+    right = banded.alias("y")
+    return (
+        left.join(
+            right,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(a, b, jaccard): exact shingle-set Jaccard for given pairs.
+
+    Set sizes and intersections via two joins keyed on doc id + one on
+    the shingle value — no per-pair recompute of shingle sets.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a_sh = sh.select(F.col("doc_id").alias("a"), F.col("sh"))
+    b_sh = sh.select(F.col("doc_id").alias("b"), F.col("sh"))
+    common = (
+        pairs.join(a_sh, "a")
+        .join(b_sh, ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full pipeline: signatures -> LSH candidates -> exact-Jaccard verify
+    -> (a, b, jaccard) pairs above threshold."""
+    sigs = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
+    )
+    cand = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands)
+    j = jaccard_for_pairs(
+        cand, docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (no LSH: candidates = pairs sharing any shingle)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(a, b, jaccard >= threshold) exact over all pairs sharing >=1
+    shingle. The shared-shingle join prunes the quadratic pair space to
+    co-occurring docs only; at scale, high-df shingles should be capped
+    (df cut) — LSH (`minhash_near_duplicates`) is the production path."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("a"), "sh")
+    b = sh.select(F.col("doc_id").alias("b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """(doc_id, fp): tf-weighted SimHash over tokens.
+
+    Bit j of a token's hash comes from hex digit j//4 of md5(token)
+    (value via strpos on the hex alphabet — portable to the SQL oracle),
+    sub-bit j%4. Fingerprint bit j = sign of Σ tf * (2*bit - 1).
+    One groupBy with `bits` sum-aggregations — single shuffle.
+    """
+    assert bits % 4 == 0 and bits <= 32
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    h = F.md5(F.col("term"))
+    sums = []
+    for j in range(bits):
+        c, s = j // 4 + 1, j % 4
+        v = F.instr(F.lit("0123456789abcdef"), F.substring(h, c, 1)) - 1
+        bit = F.shiftright(v, s).bitwiseAND(F.lit(1))
+        sums.append(F.sum(F.col("tf") * (bit * 2 - 1)).alias(f"s{j}"))
+    per_doc = tf.groupBy("doc_id").agg(*sums)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return per_doc.select("doc_id", fp.cast("bigint").alias("fp"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """(a, b, hamming <= max_hamming): all-pairs XOR-popcount over
+    fingerprints (exact baseline; band the fp chunks for the LSH-style
+    scale path)."""
+    fps = simhash_fingerprints(docs, id_col=id_col, text_col=text_col, bits=bits)
+    a = fps.select(F.col("doc_id").alias("a"), F.col("fp").alias("fa"))
+    b = fps.select(F.col("doc_id").alias("b"), F.col("fp").alias("fb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(a, b, score >= threshold) by the reference's similarity score
+    (1 - cosine_dist/2). Exact self-join baseline; use knn.knn_join_lsh
+    for the sub-quadratic path at corpus scale."""
+    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", similarity_score(F.col("va"), F.col("vb")).alias("score"))
+        .filter(F.col("score") >= threshold)
+    )

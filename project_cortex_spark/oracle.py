@@ -147,6 +147,295 @@ def fts_oracle_sql(
     """
 
 
+# ---------------------------------------------------------------------------
+# dedup oracles (mirror operators/dedup.py formulas exactly)
+# ---------------------------------------------------------------------------
+
+
+def shingles_cte(
+    table: str, id_col: str, text_col: str, n: int = 3
+) -> str:
+    """Word n-gram CTE identical to functions.text.shingles (list
+    comprehension over the token array; docs shorter than n yield none)."""
+    return f"""
+      sh AS (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i+{n - 1}], ' ')
+                       FOR i IN range(1, len(t) - {n - 2})]) AS sh
+        FROM (
+          SELECT {id_col} AS doc_id,
+                 list_filter(regexp_split_to_array(lower({text_col}), '{SEP_SQL}'),
+                             x -> x <> '') AS t
+          FROM {table}
+        )
+        WHERE len(t) >= {n}
+      )"""
+
+
+def exact_duplicate_groups_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """Mirror of dedup.exact_duplicate_groups (normalized content md5)."""
+    return f"""
+    WITH h AS (
+      SELECT {id_col} AS doc_id,
+             md5(array_to_string(
+               list_filter(regexp_split_to_array(lower({text_col}), '{SEP_SQL}'),
+                           x -> x <> ''), ' ')) AS chash
+      FROM {table}
+    ),
+    g AS (SELECT chash, count(*) AS group_size, min(doc_id) AS canonical
+          FROM h GROUP BY chash)
+    SELECT h.doc_id, h.chash, g.group_size, h.doc_id = g.canonical AS keep
+    FROM h JOIN g USING (chash) WHERE g.group_size > 1
+    """
+
+
+def _minhash_ctes(num_hashes: int, bands: int) -> str:
+    r = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, {key} AS bkey FROM sigs".format(
+            b=b, key=" || ".join(f"h{b * r + i}" for i in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+      sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+      bands AS ({band_selects}),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+      )"""
+
+
+_JACCARD_TAIL = """
+      dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+      sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+      common AS (
+        SELECT c.a, c.b, count(*) AS common
+        FROM cand c
+        JOIN dsh p ON p.doc_id = c.a
+        JOIN dsh q ON q.doc_id = c.b AND q.sh = p.sh
+        GROUP BY c.a, c.b
+      )
+    SELECT c.a, c.b,
+           round(c.common::DOUBLE / (sa.n + sb.n - c.common), {digits}) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.a
+    JOIN sizes sb ON sb.doc_id = c.b
+    WHERE c.common::DOUBLE / (sa.n + sb.n - c.common) >= {threshold}
+"""
+
+
+def minhash_near_duplicates_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    round_digits: int = 6,
+) -> str:
+    return (
+        f"WITH {shingles_cte(table, id_col, text_col, shingle_n)},"
+        f"{_minhash_ctes(num_hashes, bands)},"
+        + _JACCARD_TAIL.format(digits=round_digits, threshold=threshold)
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    round_digits: int = 6,
+) -> str:
+    cand = """
+      cand AS (
+        SELECT DISTINCT p.doc_id AS a, q.doc_id AS b
+        FROM (SELECT DISTINCT doc_id, sh FROM sh) p
+        JOIN (SELECT DISTINCT doc_id, sh FROM sh) q
+          ON p.sh = q.sh AND p.doc_id < q.doc_id
+      )"""
+    return (
+        f"WITH {shingles_cte(table, id_col, text_col, shingle_n)},{cand},"
+        + _JACCARD_TAIL.format(digits=round_digits, threshold=threshold)
+    )
+
+
+def simhash_fingerprints_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> str:
+    """Mirror of dedup.simhash_fingerprints (same md5-hex bit extraction)."""
+    sums = []
+    for j in range(bits):
+        c, s = j // 4 + 1, j % 4
+        v = f"(strpos('0123456789abcdef', substr(md5(term), {c}, 1)) - 1)"
+        bit = f"(({v} >> {s}) & 1)"
+        sums.append(f"sum(tf * ({bit} * 2 - 1)) AS s{j}")
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS doc_id,
+             unnest(list_filter(regexp_split_to_array(lower({text_col}), '{SEP_SQL}'),
+                    x -> x <> '')) AS term
+      FROM {table}
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    sums AS (SELECT doc_id, {', '.join(sums)} FROM tf GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM sums
+    """
+
+
+def simhash_near_duplicates_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> str:
+    fps = simhash_fingerprints_sql(
+        table=table, id_col=id_col, text_col=text_col, bits=bits
+    )
+    return f"""
+    WITH fps AS ({fps})
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           bit_count(xor(x.fp, y.fp)) AS hamming
+    FROM fps x JOIN fps y ON x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.fp, y.fp)) <= {max_hamming}
+    """
+
+
+def embedding_near_duplicates_sql(
+    *, threshold: float = 0.95, round_digits: int = 6
+) -> str:
+    score = (
+        "(1.0 + list_dot_product(x.embedding, y.embedding)"
+        " / (sqrt(list_dot_product(x.embedding, x.embedding))"
+        " * sqrt(list_dot_product(y.embedding, y.embedding)))) / 2.0"
+    )
+    return f"""
+    SELECT x.vec_id AS a, y.vec_id AS b, round({score}, {round_digits}) AS score
+    FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+    WHERE {score} >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# text-analysis oracles (mirror operators/textstats.py)
+# ---------------------------------------------------------------------------
+
+_TOKS_EXPR = (
+    "list_filter(regexp_split_to_array(lower({text}), '{sep}'), x -> x <> '')"
+)
+
+
+def token_stats_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    toks = _TOKS_EXPR.format(text=text_col, sep=SEP_SQL)
+    return f"""
+    SELECT {id_col} AS doc_id,
+           length({text_col}) AS n_chars,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_unique_tokens,
+           round(list_sum(list_transform(t, x -> length(x)))::DOUBLE
+                 / greatest(len(t), 1), 6) AS avg_token_len,
+           CAST(floor(length({text_col}) / 4) AS BIGINT) AS est_llm_tokens
+    FROM (SELECT {id_col}, {text_col}, {toks} AS t FROM {table})
+    """
+
+
+def quality_scores_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    from .operators.textstats import EN_STOPWORDS
+
+    toks = _TOKS_EXPR.format(text=text_col, sep=SEP_SQL)
+    stops = ", ".join(_sql_quote(w) for w in EN_STOPWORDS)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc_id, {text_col} AS text, {toks} AS t FROM {table}
+    ),
+    ratios AS (
+      SELECT doc_id,
+             len(list_filter(t, x -> x IN ({stops})))::DOUBLE
+               / greatest(len(t), 1) AS stopword_ratio,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1) AS alpha_ratio,
+             len(list_distinct(t))::DOUBLE / greatest(len(t), 1) AS unique_ratio
+      FROM base
+    )
+    SELECT doc_id,
+           round(stopword_ratio, 6) AS stopword_ratio,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           round(unique_ratio, 6) AS unique_ratio,
+           round(0.4 * stopword_ratio + 0.3 * alpha_ratio + 0.3 * unique_ratio, 6)
+             AS quality
+    FROM ratios
+    """
+
+
+def language_id_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    from .operators.textstats import LANG_MARKERS
+
+    toks = _TOKS_EXPR.format(text=text_col, sep=SEP_SQL)
+    langs = sorted(LANG_MARKERS)
+    hits = ", ".join(
+        "len(list_filter(t, x -> x IN ({m}))) AS _{lang}".format(
+            m=", ".join(_sql_quote(w) for w in LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"_{l}" for l in langs) + ")"
+    pick = " ".join(f"WHEN _{l} = best THEN '{l}'" for l in langs)
+    return f"""
+    WITH base AS (SELECT {id_col} AS doc_id, {toks} AS t FROM {table}),
+    hits AS (SELECT doc_id, {hits} FROM base),
+    scored AS (SELECT *, {best} AS best FROM hits)
+    SELECT doc_id,
+           CASE WHEN best > 0 THEN (CASE {pick} END) ELSE 'und' END AS lang_pred,
+           best AS lang_hits
+    FROM scored
+    """
+
+
+def fingerprints_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+) -> str:
+    toks = _TOKS_EXPR.format(text=text_col, sep=SEP_SQL)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc_id,
+             array_to_string({toks}, ' ') AS norm
+      FROM {table}
+    )
+    SELECT doc_id,
+           list_min(list_transform(
+             [substr(norm, i, {ngram}) FOR i IN range(1, length(norm) - {ngram} + 2)],
+             g -> md5(g))) AS fingerprint
+    FROM base
+    """
+
+
 KNN_SCORE_SQL = (
     "(1.0 + list_dot_product(embedding, q)"
     " / (sqrt(list_dot_product(embedding, embedding))"
