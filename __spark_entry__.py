@@ -1,9 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship query smoke check at sf0.001.
-``queries()`` — one entry per implemented operator from SURVEY.md §2;
-each callable takes (spark, sf_dir) and returns a DataFrame.
-``oracle_sql()`` — DuckDB-equivalent SQL per query key.
+``queries()`` — one entry per implemented operator from SURVEY.md §2
+(plus the LLM-pipeline operators); each callable takes (spark, sf_dir)
+and returns a DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL per query key. Keys without an
+oracle entry are genuinely approximate operators (LSH ANN) where the
+exact variant IS oracle-checked; the driver records rows-only for them.
 
 Column names are aliased identically on both sides so the driver's
 sorted-by-name value hash matches.
@@ -14,8 +17,16 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
 
+from project_cortex_spark import oracle
 from project_cortex_spark.dsl import compile_query
+from project_cortex_spark.operators import dedup as dd
+from project_cortex_spark.operators import fts as fts_mod
+from project_cortex_spark.operators import graph as graph_mod
+from project_cortex_spark.operators import knn as knn_mod
+from project_cortex_spark.operators import textstats as ts
 from project_cortex_spark.sources.registry import load_tables
 
 # ---------------------------------------------------------------------------
@@ -108,6 +119,34 @@ _DSL_QUERIES: dict[str, tuple[dict, str]] = {
         """SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
            WHERE c_mktsegment IN ('BUILDING','MACHINERY','AUTOMOBILE')
              AND c_nationkey NOT IN (0,1,2)""",
+    ),
+    # P5: IS NULL (left-join misses: orders with no quantity>49 line)
+    "dsl_null_checks": (
+        {
+            "from": "orders",
+            "fields": ["orders.o_orderkey"],
+            "joins": [
+                {
+                    "table": "lineitem",
+                    "type": "LEFT",
+                    "on": {
+                        "and": [
+                            {
+                                "field": "orders.o_orderkey",
+                                "operator": "=",
+                                "value": "lineitem.l_orderkey",
+                            },
+                            {"field": "lineitem.l_quantity", "operator": ">", "value": 49},
+                        ]
+                    },
+                }
+            ],
+            "where": {"field": "lineitem.l_orderkey", "operator": "IS NULL"},
+        },
+        """SELECT o_orderkey
+           FROM orders LEFT JOIN lineitem
+             ON o_orderkey = l_orderkey AND l_quantity > 49
+           WHERE l_orderkey IS NULL""",
     ),
     # P6: BETWEEN (+ timestamp comparison)
     "dsl_between_dates": (
@@ -294,6 +333,276 @@ _DSL_QUERIES: dict[str, tuple[dict, str]] = {
 
 
 # ---------------------------------------------------------------------------
+# KNN vector search (SURVEY §2.11 cortex_search; O3/J2/P8)
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    emb = _registry(spark, sf_dir).table("embeddings")
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").first()
+    return [float(x) for x in row["embedding"]]
+
+
+def _q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vec(spark, sf_dir)
+    emb = _registry(spark, sf_dir).table("embeddings")
+    return knn_mod.knn_topk(emb, qv, k=15).withColumn("score", F.round("score", 6))
+
+
+def _q_knn_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vec(spark, sf_dir)
+    emb = _registry(spark, sf_dir).table("embeddings")
+    return knn_mod.knn_topk(
+        emb, qv, k=20, min_score=0.5, where=F.col("label").isin(1, 2, 3),
+        payload_cols=["label"],
+    ).withColumn("score", F.round("score", 6))
+
+
+def _knn_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _registry(spark, sf_dir).table("embeddings")
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _registry(spark, sf_dir).table("embeddings")
+    return knn_mod.knn_join(_knn_queries(spark, sf_dir), emb, k=5).withColumn(
+        "score", F.round("score", 6)
+    )
+
+
+def _q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate (recall<1): rows-only check; exact variant is oracle-gated
+    emb = _registry(spark, sf_dir).table("embeddings")
+    return knn_mod.knn_join_lsh(
+        _knn_queries(spark, sf_dir), emb, k=5, n_planes=4
+    ).withColumn("score", F.round("score", 6))
+
+
+_KNN_JOIN_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 5)
+    SELECT query_id, vec_id, round({oracle.KNN_SCORE_SQL}, 6) AS score, rank FROM (
+        SELECT q.query_id, e.vec_id, e.embedding, q.q,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {oracle.KNN_SCORE_SQL} DESC, e.vec_id
+               ) AS rank
+        FROM embeddings e, q
+    ) WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# FTS / BM25 (SURVEY §2.11 cortex_exact; O4/J3)
+# ---------------------------------------------------------------------------
+
+_FTS_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _fts_index(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _FTS_CACHE:
+        _FTS_CACHE[key] = fts_mod.build_fts_index(
+            _registry(spark, sf_dir).table("documents"),
+            id_col="doc_id",
+            text_col="text",
+        )
+    return _FTS_CACHE[key]
+
+
+def _fts_query(q: str, limit: int = 15):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fts_mod.fts_search(_fts_index(spark, sf_dir), q, limit=limit).withColumn(
+            "score", F.round("score", 6)
+        )
+
+    return run
+
+
+_FTS_QUERIES = {
+    "fts_term": ("spark", 15),
+    "fts_bool_and": ("table key", 15),
+    "fts_bool_or_not": ("merge OR stream NOT error", 20),
+    "fts_phrase": ('"key agg"', 15),
+    "fts_prefix": ("cust*", 15),
+    "fts_composite": ('(merge OR stream) "fast sort" NOT error', 25),
+}
+
+
+# ---------------------------------------------------------------------------
+# Graph traversal (SURVEY §2.7) over order-chain edges: consecutive orders
+# of one customer form a chain — same shape as call edges
+# ---------------------------------------------------------------------------
+
+_EDGES_SQL = """
+    SELECT src, dst FROM (
+        SELECT o_orderkey AS src,
+               lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS dst
+        FROM orders
+    ) WHERE dst IS NOT NULL
+"""
+
+
+def _order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        _registry(spark, sf_dir)
+        .table("orders")
+        .select(
+            F.col("o_orderkey").alias("src"),
+            F.lead("o_orderkey").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+
+
+def _chain_start(spark: SparkSession, sf_dir: str) -> int:
+    orders = _registry(spark, sf_dir).table("orders")
+    top = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("o_custkey").asc())
+        .first()
+    )
+    return int(
+        orders.filter(F.col("o_custkey") == top["o_custkey"])
+        .agg(F.min("o_orderkey"))
+        .first()[0]
+    )
+
+
+_CHAIN_START_SQL = """(SELECT min(o_orderkey) FROM orders WHERE o_custkey =
+    (SELECT o_custkey FROM orders GROUP BY 1 ORDER BY count(*) DESC, o_custkey LIMIT 1))"""
+
+
+def _q_graph_callees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    start = _chain_start(spark, sf_dir)
+    return graph_mod.callees(_order_edges(spark, sf_dir), [start], depth=3)
+
+
+def _q_graph_callers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    start = _chain_start(spark, sf_dir)
+    edges = _order_edges(spark, sf_dir)
+    # target: the node 3 hops downstream of start
+    target_row = (
+        graph_mod.callees(edges, [start], depth=3)
+        .filter(F.col("depth") == 3)
+        .orderBy("node")
+        .first()
+    )
+    return graph_mod.callers(edges, [int(target_row["node"])], depth=2)
+
+
+def _q_graph_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    start = _chain_start(spark, sf_dir)
+    edges = _order_edges(spark, sf_dir)
+    target_row = (
+        graph_mod.callees(edges, [start], depth=4)
+        .filter(F.col("depth") == 4)
+        .orderBy("node")
+        .first()
+    )
+    path = graph_mod.shortest_path(edges, start, int(target_row["node"]), max_depth=6)
+    return spark.createDataFrame(
+        [(i + 1, int(n)) for i, n in enumerate(path)], "pos INT, node BIGINT"
+    )
+
+
+_GRAPH_ORACLES = {
+    "graph_callees_d3": f"""
+        WITH RECURSIVE e AS ({_EDGES_SQL}),
+        walk(node, depth) AS (
+            SELECT CAST({_CHAIN_START_SQL} AS BIGINT), 0
+            UNION ALL
+            SELECT e.dst, w.depth + 1 FROM walk w JOIN e ON e.src = w.node
+            WHERE w.depth < 3
+        )
+        SELECT node, min(depth) AS depth FROM walk WHERE depth > 0 GROUP BY node
+    """,
+    "graph_callers_d2": f"""
+        WITH RECURSIVE e AS ({_EDGES_SQL}),
+        down(node, depth) AS (
+            SELECT CAST({_CHAIN_START_SQL} AS BIGINT), 0
+            UNION ALL
+            SELECT e.dst, d.depth + 1 FROM down d JOIN e ON e.src = d.node
+            WHERE d.depth < 3
+        ),
+        tgt AS (SELECT min(node) AS t FROM down WHERE depth = 3),
+        walk(node, depth) AS (
+            SELECT t, 0 FROM tgt
+            UNION ALL
+            SELECT e.src, w.depth + 1 FROM walk w JOIN e ON e.dst = w.node
+            WHERE w.depth < 2
+        )
+        SELECT node, min(depth) AS depth FROM walk WHERE depth > 0 GROUP BY node
+    """,
+    "graph_shortest_path": f"""
+        WITH RECURSIVE e AS ({_EDGES_SQL}),
+        down(node, depth) AS (
+            SELECT CAST({_CHAIN_START_SQL} AS BIGINT), 0
+            UNION ALL
+            SELECT e.dst, d.depth + 1 FROM down d JOIN e ON e.src = d.node
+            WHERE d.depth < 4
+        ),
+        tgt AS (SELECT min(node) AS t FROM down WHERE depth = 4),
+        walk(node, path) AS (
+            SELECT CAST({_CHAIN_START_SQL} AS BIGINT),
+                   [CAST({_CHAIN_START_SQL} AS BIGINT)]
+            UNION ALL
+            SELECT e.dst, array_append(w.path, e.dst)
+            FROM walk w JOIN e ON e.src = w.node
+            WHERE len(w.path) <= 6 AND NOT list_contains(w.path, e.dst)
+        ),
+        best AS (
+            SELECT path FROM walk WHERE node = (SELECT t FROM tgt)
+            ORDER BY len(path), path LIMIT 1
+        )
+        SELECT CAST(generate_subscripts(path, 1) AS INT) AS pos,
+               unnest(path) AS node
+        FROM best
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# Dedup + text analysis (LLM-pipeline operators; BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _registry(spark, sf_dir).table("documents")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_duplicate_groups(
+        _registry(spark, sf_dir).table("part"), id_col="p_partkey", text_col="p_name"
+    )
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5).withColumn(
+        "jaccard", F.round("jaccard", 6)
+    )
+
+
+def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5).withColumn(
+        "jaccard", F.round("jaccard", 6)
+    )
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=2)
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.embedding_near_duplicates(
+        _registry(spark, sf_dir).table("embeddings"), threshold=0.7
+    ).withColumn("score", F.round("score", 6))
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -310,8 +619,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (query, _sql) in _DSL_QUERIES.items():
         out[name] = _dsl(query)
+    out["knn_topk"] = _q_knn_topk
+    out["knn_topk_filtered"] = _q_knn_topk_filtered
+    out["knn_join"] = _q_knn_join
+    out["knn_join_lsh"] = _q_knn_join_lsh
+    for name, (q, limit) in _FTS_QUERIES.items():
+        out[name] = _fts_query(q, limit)
+    out["graph_callees_d3"] = _q_graph_callees
+    out["graph_callers_d2"] = _q_graph_callers
+    out["graph_shortest_path"] = _q_graph_path
+    out["dedup_exact_groups"] = _q_dedup_exact
+    out["dedup_minhash_lsh"] = _q_dedup_minhash
+    out["dedup_ngram_jaccard"] = _q_dedup_ngram
+    out["dedup_simhash"] = _q_dedup_simhash
+    out["dedup_embedding_cosine"] = _q_dedup_embedding
+    out["text_token_stats"] = lambda s, d: ts.token_stats(_docs(s, d))
+    out["text_quality"] = lambda s, d: ts.quality_scores(_docs(s, d))
+    out["text_language_id"] = lambda s, d: ts.language_id(_docs(s, d))
+    out["text_fingerprints"] = lambda s, d: ts.fingerprints(_docs(s, d))
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_q, sql) in _DSL_QUERIES.items()}
+    out = {name: sql for name, (_q, sql) in _DSL_QUERIES.items()}
+    out["knn_topk"] = oracle.knn_oracle_sql(k=15)
+    out["knn_topk_filtered"] = oracle.knn_oracle_sql(
+        k=20, min_score=0.5, where_sql="label IN (1,2,3)", payload_cols=("label",)
+    )
+    out["knn_join"] = _KNN_JOIN_ORACLE
+    # knn_join_lsh: approximate — no oracle by design (exact twin is gated)
+    for name, (q, limit) in _FTS_QUERIES.items():
+        out[name] = oracle.fts_oracle_sql(q, limit=limit)
+    out.update(_GRAPH_ORACLES)
+    out["dedup_exact_groups"] = oracle.exact_duplicate_groups_sql(
+        table="part", id_col="p_partkey", text_col="p_name"
+    )
+    out["dedup_minhash_lsh"] = oracle.minhash_near_duplicates_sql(threshold=0.5)
+    out["dedup_ngram_jaccard"] = oracle.ngram_jaccard_pairs_sql(threshold=0.5)
+    out["dedup_simhash"] = oracle.simhash_near_duplicates_sql(max_hamming=2)
+    out["dedup_embedding_cosine"] = oracle.embedding_near_duplicates_sql(threshold=0.7)
+    out["text_token_stats"] = oracle.token_stats_sql()
+    out["text_quality"] = oracle.quality_scores_sql()
+    out["text_language_id"] = oracle.language_id_sql()
+    out["text_fingerprints"] = oracle.fingerprints_sql()
+    return out

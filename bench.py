@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is executed twice: a warm-up pass is NOT used (per-query cold
+numbers would mostly measure JVM/codegen warmup, which a long-lived
+cluster amortizes); the reported value is the steady-state run. value =
+sum of per-query seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from project_cortex_spark.session import get_spark
+
+# Headline set: one per operator family (DSL scan/join/agg, KNN point +
+# join, FTS boolean+phrase composite, graph BFS, MinHash dedup, text
+# analysis). Names match queries() keys.
+HEADLINE = [
+    "dsl_filter_bool_tree",
+    "dsl_revenue_by_nation",
+    "dsl_agg_full",
+    "knn_topk",
+    "knn_join",
+    "fts_composite",
+    "graph_callees_d3",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "text_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="cortex-bench")
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        # warm-up: build + run once (JIT/codegen, file listing)
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline-query wall time at sf (steady-state, noop sink)",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
