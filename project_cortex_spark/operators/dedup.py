@@ -80,6 +80,24 @@ def dedup_exact(
 # ---------------------------------------------------------------------------
 
 
+def shingle_frame(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(doc_id, sh) exploded shingle set — the shared input for MinHash
+    signatures AND Jaccard verification. Compute once, persist, reuse:
+    at corpus scale the explode is the dominant cost of the pipeline."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    return sh.distinct() if distinct else sh
+
+
 def minhash_signatures(
     docs: DataFrame,
     *,
@@ -87,16 +105,23 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 8,
     shingle_n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, h0..h{K-1}): K independent min-hashes of the shingle set.
 
     Hash family: md5("{i}:" + shingle) compared as hex strings — engine-
     portable and deterministic. K min-aggs compute in ONE groupBy (one
-    shuffle; partial mins map-side).
+    shuffle; partial mins map-side). Min over the multiset equals min
+    over the set, so a distinct ``shingles_df`` can be shared with the
+    Jaccard stage.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingle_frame(
+            docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+            distinct=False,
+        )
     )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
@@ -147,16 +172,20 @@ def jaccard_for_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(a, b, jaccard): exact shingle-set Jaccard for given pairs.
 
     Set sizes and intersections via two joins keyed on doc id + one on
     the shingle value — no per-pair recompute of shingle sets.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).distinct()
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingle_frame(
+            docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+        )
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a_sh = sh.select(F.col("doc_id").alias("a"), F.col("sh"))
     b_sh = sh.select(F.col("doc_id").alias("b"), F.col("sh"))
@@ -191,15 +220,18 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full pipeline: signatures -> LSH candidates -> exact-Jaccard verify
-    -> (a, b, jaccard) pairs above threshold."""
-    sigs = minhash_signatures(
-        docs, id_col=id_col, text_col=text_col,
-        num_hashes=num_hashes, shingle_n=shingle_n,
-    )
+    -> (a, b, jaccard) pairs above threshold.
+
+    The distinct shingle frame is computed ONCE and cached — it feeds
+    both the signature aggregation and the verification joins (at 100 TB:
+    persist to MEMORY_AND_DISK; the explode dominates the pipeline cost).
+    """
+    sh = shingle_frame(
+        docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    ).cache()
+    sigs = minhash_signatures(docs, num_hashes=num_hashes, shingles_df=sh)
     cand = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands)
-    j = jaccard_for_pairs(
-        cand, docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
-    )
+    j = jaccard_for_pairs(cand, docs, shingles_df=sh)
     return j.filter(F.col("jaccard") >= threshold)
 
 
@@ -220,10 +252,9 @@ def ngram_jaccard_pairs(
     shingle. The shared-shingle join prunes the quadratic pair space to
     co-occurring docs only; at scale, high-df shingles should be capped
     (df cut) — LSH (`minhash_near_duplicates`) is the production path."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).distinct()
+    sh = shingle_frame(
+        docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    ).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("a"), "sh")
     b = sh.select(F.col("doc_id").alias("b"), "sh")
