@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from project_cortex_spark import oracle
 from project_cortex_spark.dsl import compile_query
 from project_cortex_spark.operators import dedup as dd
+from project_cortex_spark.operators import events as ev
 from project_cortex_spark.operators import fts as fts_mod
 from project_cortex_spark.operators import graph as graph_mod
 from project_cortex_spark.operators import knn as knn_mod
@@ -633,6 +634,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_ngram_jaccard"] = _q_dedup_ngram
     out["dedup_simhash"] = _q_dedup_simhash
     out["dedup_embedding_cosine"] = _q_dedup_embedding
+    _events = lambda s, d: _registry(s, d).table("events")  # noqa: E731
+    out["events_windowed_agg"] = lambda s, d: ev.windowed_agg(_events(s, d))
+    out["events_sessionize"] = lambda s, d: ev.sessionize(_events(s, d))
+    out["events_props_extract"] = lambda s, d: ev.props_extract(_events(s, d))
+    out["events_top_users"] = lambda s, d: ev.top_users_per_type(_events(s, d))
     out["text_token_stats"] = lambda s, d: ts.token_stats(_docs(s, d))
     out["text_quality"] = lambda s, d: ts.quality_scores(_docs(s, d))
     out["text_language_id"] = lambda s, d: ts.language_id(_docs(s, d))
@@ -658,6 +664,10 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_ngram_jaccard"] = oracle.ngram_jaccard_pairs_sql(threshold=0.5)
     out["dedup_simhash"] = oracle.simhash_near_duplicates_sql(max_hamming=2)
     out["dedup_embedding_cosine"] = oracle.embedding_near_duplicates_sql(threshold=0.7)
+    out["events_windowed_agg"] = oracle.windowed_agg_sql()
+    out["events_sessionize"] = oracle.sessionize_sql()
+    out["events_props_extract"] = oracle.props_extract_sql()
+    out["events_top_users"] = oracle.top_users_per_type_sql()
     out["text_token_stats"] = oracle.token_stats_sql()
     out["text_quality"] = oracle.quality_scores_sql()
     out["text_language_id"] = oracle.language_id_sql()

@@ -1,0 +1,110 @@
+"""Event-stream analytics operators (batch twins of the streaming ops).
+
+The reference has no event-time processing (SURVEY.md §2.10 — its
+"streaming" is a filesystem watch loop, internal/watcher/file_watcher.go),
+so these are beyond-parity operators for the 100 TB pipeline goal: the
+same windowed/sessionized shapes a training-data ingest needs. Each has
+an exact DuckDB oracle (oracle.py) and a Structured Streaming twin in
+``streaming/`` that reuses the identical column expressions.
+
+Scale notes:
+- ``windowed_agg`` is a single hash aggregate keyed on (window,
+  event_type) — map-side partial aggregation means the shuffle carries
+  only one row per (window, type) per task, not per event.
+- ``sessionize`` shuffles once on ``user_id`` (the window partition key);
+  the follow-up session aggregate reuses the same partitioning, so
+  Catalyst plans exactly one exchange for the whole operator.
+- ``top_users_per_type`` pre-aggregates (event_type, user_id) before the
+  rank window, so the window sort sees |users|x|types| rows, not raw
+  events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def windowed_agg(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Tumbling event-time windows (epoch-aligned, like streaming
+    ``F.window``): per (window, event_type) count / sum / avg."""
+    w = F.window("ts", f"{minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap to
+    the previous event exceeds ``gap_minutes``. One shuffle on user_id;
+    session numbering and the final aggregate share that partitioning.
+
+    Batch twin of ``F.session_window`` / ``applyInPandasWithState``
+    (streaming/stateful.py); microsecond-exact via ``unix_micros``.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = events.withColumn(
+        "prev_us", F.lag(F.unix_micros("ts")).over(w)
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.unix_micros("ts") - F.col("prev_us") > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    numbered = with_gap.withColumn(
+        "session_seq", F.sum("new_session").over(w)
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def props_extract(events: DataFrame) -> DataFrame:
+    """JSON property extraction + bucketed aggregate: pulls ``$.k`` out of
+    the ``props`` JSON string (JVM-side ``get_json_object``, no Python
+    UDF) and aggregates by decade bucket and event_type."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy((F.floor(F.col("k") / 10) * 10).alias("k_bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k users by total value within each event_type. Aggregates
+    before ranking so the window sort input is |users|x|types|, with a
+    deterministic (total DESC, user_id ASC) tie order."""
+    totals = events.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -322,10 +322,12 @@ def simhash_near_duplicates_sql(
 def embedding_near_duplicates_sql(
     *, threshold: float = 0.95, round_digits: int = 6
 ) -> str:
+    # DOUBLE[] casts: DuckDB's list_dot_product on FLOAT[] accumulates in
+    # float32, which disagrees with Spark's double math at the 6th digit
     score = (
-        "(1.0 + list_dot_product(x.embedding, y.embedding)"
-        " / (sqrt(list_dot_product(x.embedding, x.embedding))"
-        " * sqrt(list_dot_product(y.embedding, y.embedding)))) / 2.0"
+        "(1.0 + list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[])))) / 2.0"
     )
     return f"""
     SELECT x.vec_id AS a, y.vec_id AS b, round({score}, {round_digits}) AS score
@@ -436,10 +438,12 @@ def fingerprints_sql(
     """
 
 
+# DOUBLE[] casts keep DuckDB in float64 like Spark (FLOAT[] overloads
+# accumulate in float32 and drift at the 6th rounded digit)
 KNN_SCORE_SQL = (
-    "(1.0 + list_dot_product(embedding, q)"
-    " / (sqrt(list_dot_product(embedding, embedding))"
-    " * sqrt(list_dot_product(q, q)))) / 2.0"
+    "(1.0 + list_dot_product(embedding::DOUBLE[], q::DOUBLE[])"
+    " / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[])))) / 2.0"
 )
 
 
@@ -468,4 +472,83 @@ def knn_oracle_sql(
     {where}
     ORDER BY {KNN_SCORE_SQL} DESC, vec_id
     LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Event analytics oracles (operators/events.py)
+# ---------------------------------------------------------------------------
+
+
+def windowed_agg_sql(table: str = "events", minutes: int = 60) -> str:
+    """time_bucket is epoch-aligned for divisors of a day, matching
+    Spark's tumbling ``F.window`` alignment."""
+    return f"""
+    SELECT time_bucket(INTERVAL '{minutes} minutes', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value,
+           round(avg(value), 6) AS avg_value
+    FROM {table}
+    GROUP BY 1, 2
+    """
+
+
+def sessionize_sql(table: str = "events", gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+      FROM {table}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN gap_us IS NULL OR gap_us > {gap_us}
+                     THEN 1 ELSE 0 END AS new_session
+      FROM gaps
+    ),
+    numbered AS (
+      SELECT *, sum(new_session) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM numbered GROUP BY user_id, session_seq
+    """
+
+
+def props_extract_sql(table: str = "events") -> str:
+    return f"""
+    WITH extracted AS (
+      SELECT CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k,
+             event_type, value
+      FROM {table}
+    )
+    SELECT (k // 10) * 10 AS k_bucket, event_type,
+           count(*) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM extracted WHERE k IS NOT NULL
+    GROUP BY 1, 2
+    """
+
+
+def top_users_per_type_sql(table: str = "events", k: int = 3) -> str:
+    return f"""
+    WITH totals AS (
+      SELECT event_type, user_id,
+             round(sum(value), 6) AS total_value,
+             count(*) AS n_events
+      FROM {table} GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT *, row_number() OVER
+               (PARTITION BY event_type
+                ORDER BY total_value DESC, user_id) AS rank
+      FROM totals
+    ) WHERE rank <= {k}
     """

@@ -1,0 +1,55 @@
+"""Event analytics operators vs generated DuckDB oracles."""
+
+from __future__ import annotations
+
+from project_cortex_spark import oracle
+from project_cortex_spark.operators.events import (
+    props_extract,
+    sessionize,
+    top_users_per_type,
+    windowed_agg,
+)
+
+from .conftest import assert_matches_oracle
+
+
+def test_windowed_agg_hour(registry, duck):
+    df = windowed_agg(registry.table("events"), minutes=60)
+    assert_matches_oracle(df, duck, oracle.windowed_agg_sql(minutes=60))
+
+
+def test_windowed_agg_quarter_hour(registry, duck):
+    df = windowed_agg(registry.table("events"), minutes=15)
+    assert_matches_oracle(df, duck, oracle.windowed_agg_sql(minutes=15))
+
+
+def test_sessionize(registry, duck):
+    df = sessionize(registry.table("events"), gap_minutes=30)
+    assert_matches_oracle(df, duck, oracle.sessionize_sql(gap_minutes=30))
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, 1.0),
+        (2, "2024-01-01 00:10:00", 10, 2.0),  # 10 min gap: same session
+        (3, "2024-01-01 01:00:00", 10, 3.0),  # 50 min gap: new session
+        (4, "2024-01-01 00:00:00", 20, 4.0),  # other user: own session
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "value"]
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "value")
+    got = sessionize(events, gap_minutes=30)
+    sessions = {
+        (r["user_id"], r["session_seq"]): r["n_events"] for r in got.collect()
+    }
+    assert sessions == {(10, 1): 2, (10, 2): 1, (20, 1): 1}
+
+
+def test_props_extract(registry, duck):
+    df = props_extract(registry.table("events"))
+    assert_matches_oracle(df, duck, oracle.props_extract_sql())
+
+
+def test_top_users_per_type(registry, duck):
+    df = top_users_per_type(registry.table("events"), k=3)
+    assert_matches_oracle(df, duck, oracle.top_users_per_type_sql(k=3))
