@@ -28,6 +28,10 @@ from project_cortex_spark.operators import fts as fts_mod
 from project_cortex_spark.operators import graph as graph_mod
 from project_cortex_spark.operators import knn as knn_mod
 from project_cortex_spark.operators import textstats as ts
+from project_cortex_spark.pipeline import change_detection as cd
+from project_cortex_spark.pipeline import chunks as chunks_mod
+from project_cortex_spark.pipeline import embed as embed_mod
+from project_cortex_spark.pipeline import sink as sink_mod
 from project_cortex_spark.sources.registry import load_tables
 
 # ---------------------------------------------------------------------------
@@ -604,6 +608,53 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Build pipeline (SURVEY §2.9) — simulated fs/index states over documents
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_states(spark: SparkSession, sf_dir: str):
+    docs = _docs(spark, sf_dir)
+    return cd.simulated_fs_state(docs), cd.simulated_indexed_state(docs)
+
+
+def _q_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fs, idx = _pipeline_states(spark, sf_dir)
+    return cd.detect_changes(fs, idx)
+
+
+def _q_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fs, idx = _pipeline_states(spark, sf_dir)
+    return sink_mod.apply_changeset(fs, idx)
+
+
+def _q_branch_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fs, idx = _pipeline_states(spark, sf_dir)
+    changed = cd.detect_changes(fs, idx).filter(F.col("status") != "unchanged")
+    return cd.fork_branch(idx, changed)
+
+
+def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunks_mod.chunk_fixed_tokens(_docs(spark, sf_dir), tokens_per_chunk=32)
+
+
+def _q_chunk_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunks_mod.assemble_code_chunks(_docs(spark, sf_dir))
+
+
+def _q_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic hash provider (D7); no SQL oracle — rows-only check
+    chunks = chunks_mod.assemble_code_chunks(_docs(spark, sf_dir))
+    out = embed_mod.embed_chunks(chunks, dim=64)
+    return out.select(
+        "chunk_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("l2_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -643,6 +694,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_quality"] = lambda s, d: ts.quality_scores(_docs(s, d))
     out["text_language_id"] = lambda s, d: ts.language_id(_docs(s, d))
     out["text_fingerprints"] = lambda s, d: ts.fingerprints(_docs(s, d))
+    out["pipeline_change_detection"] = _q_change_detection
+    out["pipeline_apply_changeset"] = _q_apply_changeset
+    out["pipeline_branch_fork"] = _q_branch_fork
+    out["pipeline_chunk_docs"] = _q_chunk_docs
+    out["pipeline_chunk_assembly"] = _q_chunk_assembly
+    out["pipeline_embed_stub"] = _q_embed_stub
     return out
 
 
@@ -672,4 +729,10 @@ def oracle_sql() -> dict[str, str]:
     out["text_quality"] = oracle.quality_scores_sql()
     out["text_language_id"] = oracle.language_id_sql()
     out["text_fingerprints"] = oracle.fingerprints_sql()
+    out["pipeline_change_detection"] = oracle.change_detection_sql()
+    out["pipeline_apply_changeset"] = oracle.apply_changeset_sql()
+    out["pipeline_branch_fork"] = oracle.branch_fork_sql()
+    out["pipeline_chunk_docs"] = oracle.chunk_fixed_tokens_sql(tokens_per_chunk=32)
+    out["pipeline_chunk_assembly"] = oracle.chunk_assembly_sql()
+    # pipeline_embed_stub: deterministic hash provider, no SQL equivalent
     return out

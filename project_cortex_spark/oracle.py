@@ -552,3 +552,99 @@ def top_users_per_type_sql(table: str = "events", k: int = 3) -> str:
       FROM totals
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Build-pipeline oracles (pipeline/: change detection, chunking, sinks)
+# ---------------------------------------------------------------------------
+
+# Shared simulated filesystem/index states over `documents` — must stay
+# in lockstep with pipeline/change_detection.py simulated_*_state.
+_PIPELINE_STATES = """
+    fs AS (
+      SELECT 'doc-' || doc_id AS file_path,
+             doc_id % 1000
+               + (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN doc_id % 11 = 0 THEN 2 ELSE 0 END) AS mtime,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' changed'
+                      ELSE text END) AS content_hash
+      FROM documents WHERE doc_id % 10 != 0
+    ),
+    idx AS (
+      SELECT 'doc-' || doc_id AS file_path,
+             doc_id % 1000 AS mtime,
+             md5(text) AS content_hash
+      FROM documents WHERE doc_id % 13 != 0
+    ),
+    ch AS (
+      SELECT coalesce(fs.file_path, idx.file_path) AS file_path,
+             CASE WHEN idx.file_path IS NULL THEN 'added'
+                  WHEN fs.file_path IS NULL THEN 'deleted'
+                  WHEN fs.mtime = idx.mtime THEN 'unchanged'
+                  WHEN fs.content_hash = idx.content_hash THEN 'touched'
+                  ELSE 'modified' END AS status
+      FROM fs FULL JOIN idx ON fs.file_path = idx.file_path
+    )
+"""
+
+
+def change_detection_sql() -> str:
+    return f"WITH {_PIPELINE_STATES} SELECT file_path, status FROM ch"
+
+
+def apply_changeset_sql() -> str:
+    """After upsert+repair+delete the index state IS the fs state."""
+    return f"WITH {_PIPELINE_STATES} SELECT file_path, mtime, content_hash FROM fs"
+
+
+def branch_fork_sql() -> str:
+    """Rows copied verbatim from the merge-base ancestor DB: the
+    hash-unchanged files (branch_synchronizer.go:198-424)."""
+    return f"""
+    WITH {_PIPELINE_STATES}
+    SELECT i.file_path, i.mtime, i.content_hash FROM idx i
+    WHERE i.file_path IN (SELECT file_path FROM ch WHERE status = 'unchanged')
+    """
+
+
+def chunk_fixed_tokens_sql(
+    table: str = "documents", *, tokens_per_chunk: int = 32
+) -> str:
+    n = tokens_per_chunk
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM {table}
+    ),
+    e AS (
+      SELECT doc_id, words,
+             unnest(range(CAST(ceil(len(words) / {n}.0) AS BIGINT))) AS chunk_idx
+      FROM t WHERE len(words) > 0
+    )
+    SELECT 'doc-' || doc_id || '-s' || chunk_idx AS chunk_id,
+           doc_id,
+           chunk_idx,
+           array_to_string(words[chunk_idx*{n}+1 : chunk_idx*{n}+{n}], ' ')
+             AS chunk_text,
+           len(words[chunk_idx*{n}+1 : chunk_idx*{n}+{n}]) AS n_tokens
+    FROM e
+    """
+
+
+def chunk_assembly_sql(table: str = "documents") -> str:
+    return f"""
+    WITH w AS (
+      SELECT *, string_split_regex(trim(text), '\\s+') AS words FROM {table}
+    )
+    SELECT 'code-symbols-' || doc_id AS chunk_id, doc_id,
+           'symbols' AS chunk_type,
+           'Symbols: ' || array_to_string(words[1:8], ' ') AS chunk_text
+    FROM w
+    UNION ALL
+    SELECT 'code-definitions-' || doc_id, doc_id, 'definitions',
+           printf('Language: %s; source: %s; tokens: %d',
+                  lang, source, len(words))
+    FROM w
+    UNION ALL
+    SELECT 'code-data-' || doc_id, doc_id, 'data', substring(text, 1, 100)
+    FROM w
+    """

@@ -1,0 +1,82 @@
+"""Embedding stage (D7): Arrow-batched pandas_udf with a deterministic
+hash provider.
+
+The reference embeds chunk text via a provider interface
+(internal/embed/provider.go:20-39) whose production impl is an ONNX
+BGE-small model behind a Rust FFI batch API (embeddings-ffi/src/lib.rs:
+215-293: rayon-parallel batches, mean pooling lib.rs:178-182, L2
+normalize lib.rs:87). The Spark shape is identical: a batch map —
+``pandas_udf`` receives Arrow record batches on executors, the model
+loads once per worker, and passage-vs-query mode is a parameter.
+
+The default provider here is a *deterministic* hashed bag-of-tokens
+(crc32 -> bucket, L2-normalized), the test seam SURVEY §7 calls for:
+same text -> same vector on every run/process, no model download, and
+the output distribution is non-degenerate so cosine math downstream is
+meaningful. A real sentence-transformers/ONNX provider drops into the
+same function body (load-once via a module-level cache) without touching
+any caller.
+
+Scale notes: embedding dominates index-build cost; the operator is a
+narrow batch map (no shuffle) and the upstream anti-join on stable chunk
+ids (change_detection.changed_keys) keeps unchanged text from ever
+reaching it. Arrow batch size is governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, FloatType
+
+DEFAULT_DIM = 64
+
+
+def hash_embed_series(
+    texts: pd.Series, *, dim: int = DEFAULT_DIM, mode: str = "passage"
+) -> pd.Series:
+    """Deterministic hashed bag-of-tokens embedding, L2-normalized.
+
+    ``mode`` ('passage' | 'query') seeds the hash differently, mirroring
+    the reference's asymmetric embedding modes (provider.go:25-31).
+    """
+    seed = zlib.crc32(mode.encode())
+    out = []
+    for text in texts:
+        vec = np.zeros(dim, dtype=np.float64)
+        for tok in (text or "").lower().split():
+            h = zlib.crc32(tok.encode(), seed)
+            vec[h % dim] += 1.0 if (h >> 16) % 2 == 0 else -1.0
+        norm = np.linalg.norm(vec)
+        if norm > 0:
+            vec /= norm
+        out.append(vec.astype(np.float32))
+    return pd.Series(out)
+
+
+def embedding_udf(*, dim: int = DEFAULT_DIM, mode: str = "passage"):
+    """Arrow-batched embedding UDF; executor-side, load-once shape."""
+
+    @pandas_udf(ArrayType(FloatType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        return hash_embed_series(texts, dim=dim, mode=mode)
+
+    return embed
+
+
+def embed_chunks(
+    chunks: DataFrame,
+    *,
+    text_col: str = "chunk_text",
+    out_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+    mode: str = "passage",
+) -> DataFrame:
+    """D7: append an ``array<float>`` embedding column (batch map)."""
+    return chunks.withColumn(out_col, embedding_udf(dim=dim, mode=mode)(F.col(text_col)))
