@@ -33,6 +33,8 @@ from project_cortex_spark.pipeline import chunks as chunks_mod
 from project_cortex_spark.pipeline import embed as embed_mod
 from project_cortex_spark.pipeline import sink as sink_mod
 from project_cortex_spark.sources.registry import load_tables
+from project_cortex_spark.streaming import source as stream_source
+from project_cortex_spark.streaming import windows as stream_windows
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -655,6 +657,30 @@ def _q_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Structured Streaming twins (SURVEY §2.10): a finite AvailableNow run of
+# the streaming plan must reproduce the batch operator's oracle result
+# ---------------------------------------------------------------------------
+
+
+def _q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_source.stream_table(spark, sf_dir, "events")
+    return stream_source.run_to_memory(
+        stream_windows.windowed_agg_stream(stream, minutes=60),
+        query_name="q_stream_windowed_agg",
+        output_mode="complete",
+    )
+
+
+def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_source.stream_table(spark, sf_dir, "events")
+    return stream_source.run_to_memory(
+        stream_windows.sessionize_stream(stream, gap_minutes=30),
+        query_name="q_stream_sessionize",
+        output_mode="complete",
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -700,6 +726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_chunk_docs"] = _q_chunk_docs
     out["pipeline_chunk_assembly"] = _q_chunk_assembly
     out["pipeline_embed_stub"] = _q_embed_stub
+    out["stream_windowed_agg"] = _q_stream_windowed_agg
+    out["stream_sessionize"] = _q_stream_sessionize
     return out
 
 
@@ -735,4 +763,6 @@ def oracle_sql() -> dict[str, str]:
     out["pipeline_chunk_docs"] = oracle.chunk_fixed_tokens_sql(tokens_per_chunk=32)
     out["pipeline_chunk_assembly"] = oracle.chunk_assembly_sql()
     # pipeline_embed_stub: deterministic hash provider, no SQL equivalent
+    out["stream_windowed_agg"] = oracle.windowed_agg_sql()
+    out["stream_sessionize"] = oracle.sessionize_stream_sql()
     return out

@@ -648,3 +648,12 @@ def chunk_assembly_sql(table: str = "documents") -> str:
     SELECT 'code-data-' || doc_id, doc_id, 'data', substring(text, 1, 100)
     FROM w
     """
+
+
+def sessionize_stream_sql(table: str = "events", gap_minutes: int = 30) -> str:
+    """The streaming sessionizer's shape: batch sessions without the
+    per-user sequence number (session identity = its start time)."""
+    return f"""
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM ({sessionize_sql(table=table, gap_minutes=gap_minutes)})
+    """

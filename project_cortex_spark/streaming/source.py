@@ -1,0 +1,50 @@
+"""Streaming sources over the synthetic parquet tables.
+
+A streaming scan needs an explicit schema; we take it from a (lazy,
+metadata-only) batch read of the same path so batch and stream can never
+drift, and re-apply the TIMESTAMP(NANOS)->timestamp restore the batch
+registry does (sources/registry.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_cortex_spark.sources.registry import _nano_timestamp_columns
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``readStream`` twin of ``registry.table(name)``."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file stream source requires a directory; scope it to this
+    # table's file with pathGlobFilter
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    for c in _nano_timestamp_columns(path):
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def run_to_memory(stream_df: DataFrame, *, query_name: str, output_mode: str) -> DataFrame:
+    """Execute a finite stream (Trigger.AvailableNow) into a memory sink
+    and return the result as a batch DataFrame. Used to oracle-check
+    streaming operators against the same DuckDB SQL as their batch twins.
+    """
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(query_name)

@@ -1,0 +1,124 @@
+"""Custom stateful operator: gap sessionization via applyInPandasWithState.
+
+``session_window`` covers plain gap sessions; this is the escape hatch
+for session logic the built-in can't express (per-session aggregates
+beyond min/max/sum, custom break predicates, capped session length...).
+It is the Spark idiom SURVEY §2.12 maps the reference's extension
+interfaces onto: an Arrow-batched per-key stateful function.
+
+State model: per user_id we keep the open session's
+(start_us, last_us, n_events, sum_value). An incoming batch's rows are
+sorted by event time, folded into the open session, and a session is
+EMITTED only when it is closed — either by a later event beyond the gap,
+or by event-time timeout once the watermark passes last_us + gap (so the
+output is final, append-mode semantics; state is bounded by the
+watermark exactly like the built-in).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def _session_fn(gap_minutes: int):
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                s0, s1, n, sv = state.get
+                closed.append((user_id, s0, s1, n, sv))
+                state.remove()
+        else:
+            if state.exists:
+                cur = list(state.get)
+            else:
+                cur = None
+            rows = pd.concat(list(pdfs))
+            ts_us = rows["ts"].astype("int64") // 1000  # ns -> us
+            order = ts_us.argsort(kind="stable")
+            for us, val in zip(
+                ts_us.iloc[order], rows["value"].iloc[order].astype(float)
+            ):
+                us = int(us)
+                if cur is None:
+                    cur = [us, us, 0, 0.0]
+                elif us - cur[1] > gap_us:
+                    closed.append((user_id, cur[0], cur[1], cur[2], cur[3]))
+                    cur = [us, us, 0, 0.0]
+                cur[1] = max(cur[1], us)
+                cur[2] += 1
+                cur[3] += val
+            state.update(tuple(cur))
+            # close the open session once the watermark passes its gap
+            state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=["user_id", "start_us", "last_us", "n_events", "sum_value"],
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": out["user_id"],
+                    "session_start": pd.to_datetime(out["start_us"], unit="us"),
+                    "session_end": pd.to_datetime(out["last_us"], unit="us"),
+                    "n_events": out["n_events"],
+                    "sum_value": out["sum_value"].round(6),
+                }
+            )
+
+    return fn
+
+
+def sessionize_with_state(
+    events: DataFrame, *, gap_minutes: int = 30, watermark_minutes: int = 120
+) -> DataFrame:
+    """Append-mode gap sessionization with explicit per-key state."""
+    return (
+        events.withWatermark("ts", f"{watermark_minutes} minutes")
+        .select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_minutes),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,54 @@
+"""Event-time windowed operators — streaming twins of operators/events.py.
+
+Each function is a pure transform on a (streaming or batch) DataFrame;
+the streaming variant only adds the watermark. Because the aggregation
+expressions are THE SAME objects as the batch twin's, a finite stream
+run in complete mode must produce byte-identical results to the batch
+operator — which is exactly what the oracle gate checks.
+
+Scale notes: a watermark bounds state: Spark drops window state older
+than (max event time - watermark), so per-executor state is
+O(active windows x keys), not O(stream length). Sessionization state is
+bounded the same way via session_window merge + watermark eviction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from project_cortex_spark.operators import events as ev
+
+
+def windowed_agg_stream(
+    events: DataFrame, *, minutes: int = 60, watermark_minutes: int = 120
+) -> DataFrame:
+    """Tumbling event-time aggregate with late-data tolerance of
+    ``watermark_minutes`` (the reference has no late-data story at all —
+    SURVEY §2.10 calls this out as new design, not parity)."""
+    return ev.windowed_agg(
+        events.withWatermark("ts", f"{watermark_minutes} minutes"), minutes=minutes
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, *, gap_minutes: int = 30, watermark_minutes: int = 120
+) -> DataFrame:
+    """Gap sessions via the built-in ``session_window`` (merging windows
+    + watermark state eviction). Emits the same (user_id, session_start,
+    session_end, n_events, sum_value) shape as the batch sessionizer;
+    session identity matches the batch twin because both define a break
+    as gap > ``gap_minutes``.
+    """
+    w = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        events.withWatermark("ts", f"{watermark_minutes} minutes")
+        .groupBy(F.col("user_id"), w.alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .drop("w")
+    )

@@ -1,0 +1,144 @@
+"""Structured Streaming twins vs batch operators / DuckDB oracles.
+
+Strategy: run each finite stream with Trigger.AvailableNow into a memory
+sink and require the result to match the batch twin (and hence the same
+DuckDB oracle the batch operator is gated on).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_cortex_spark import oracle
+from project_cortex_spark.operators import events as ev
+from project_cortex_spark.streaming import incremental, source, stateful, windows
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+
+def _events_stream(spark):
+    return source.stream_table(spark, SF_DIR, "events")
+
+
+def test_stream_windowed_agg_matches_oracle(spark, duck):
+    out = source.run_to_memory(
+        windows.windowed_agg_stream(_events_stream(spark), minutes=60),
+        query_name="t_win_agg",
+        output_mode="complete",
+    )
+    assert_matches_oracle(out, duck, oracle.windowed_agg_sql(minutes=60))
+
+
+def test_stream_sessionize_matches_batch(spark, registry):
+    out = source.run_to_memory(
+        windows.sessionize_stream(_events_stream(spark), gap_minutes=30),
+        query_name="t_sessions",
+        output_mode="complete",
+    )
+    batch = ev.sessionize(registry.table("events"), gap_minutes=30).drop("session_seq")
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, batch.select(*out.columns).collect()))
+    assert got == want
+
+
+def _write_events(spark, rows, path):
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "value"]
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "value"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_sessionize_with_state(spark, tmp_path):
+    """applyInPandasWithState sessions close via event-time timeout and
+    match the batch sessionizer on the real (non-sentinel) events."""
+    real = [
+        (1, "2024-01-01 00:00:00", 10, 1.0),
+        (2, "2024-01-01 00:10:00", 10, 2.0),  # same session
+        (3, "2024-01-01 01:00:00", 10, 3.0),  # 50 min gap: new session
+        (4, "2024-01-01 00:05:00", 20, 4.0),
+    ]
+    src = tmp_path / "src"
+    # sentinels advance the watermark in later micro-batches so every
+    # real session times out deterministically before the query drains
+    _write_events(spark, real, str(src / "f0.parquet"))
+    _write_events(spark, [(90, "2024-01-06 00:00:00", -1, 0.0)], str(src / "f1.parquet"))
+    _write_events(spark, [(91, "2024-01-11 00:00:00", -2, 0.0)], str(src / "f2.parquet"))
+
+    stream = (
+        spark.readStream.schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        stateful.sessionize_with_state(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("t_stateful_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    got = {
+        (r["user_id"], r["session_start"].isoformat(), r["session_end"].isoformat()):
+            (r["n_events"], r["sum_value"])
+        for r in spark.table("t_stateful_sessions").collect()
+        if r["user_id"] >= 0  # sentinel users only advance the watermark
+    }
+    batch_df = spark.createDataFrame(
+        real, ["event_id", "ts", "user_id", "value"]
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "value")
+    want = {
+        (r["user_id"], r["session_start"].isoformat(), r["session_end"].isoformat()):
+            (r["n_events"], r["sum_value"])
+        for r in ev.sessionize(batch_df, gap_minutes=30).collect()
+    }
+    assert got == want
+
+
+def test_watch_and_index_incremental(spark, tmp_path):
+    """W1: the checkpointed file source processes each file exactly once
+    across restarts (the fsnotify+journal behavior)."""
+    src = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    seen: list[tuple[int, int]] = []
+
+    def index_batch(df, batch_id):
+        n = df.count()
+        if n:
+            seen.append((batch_id, n))
+
+    schema = "doc_id LONG, text STRING"
+    spark.createDataFrame([(1, "a b"), (2, "c d")], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "batch1.parquet"))
+    q = incremental.watch_and_index(
+        spark, str(src) + "/*/", schema, index_batch, checkpoint_dir=ckpt
+    )
+    q.awaitTermination()
+    assert sum(n for _, n in seen) == 2
+
+    spark.createDataFrame([(3, "e f")], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "batch2.parquet"))
+    q = incremental.watch_and_index(
+        spark, str(src) + "/*/", schema, index_batch, checkpoint_dir=ckpt
+    )
+    q.awaitTermination()
+    # only the new file's rows were processed on restart
+    assert sum(n for _, n in seen) == 3
+
+
+@pytest.mark.parametrize("minutes", [15])
+def test_stream_batch_same_expressions(registry, minutes, spark, duck):
+    """The streaming twin applied to a BATCH frame degrades to exactly
+    the batch operator (shared column expressions, no drift)."""
+    events = registry.table("events")
+    got = windows.windowed_agg_stream(events, minutes=minutes)
+    assert_matches_oracle(got, duck, oracle.windowed_agg_sql(minutes=minutes))
