@@ -516,7 +516,205 @@ def _q_graph_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- implements-inference (J5/G10) over an orders-derived duck-typing
+# shape: struct = customer (method set = priorities it has used), iface =
+# order status (method set = priorities observed with that status); a
+# customer "implements" a status iff its priority set ⊇ the status's.
+
+
+def _q_graph_implements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _registry(spark, sf_dir).table("orders")
+    zero = (F.lit(0).alias("param_count"), F.lit(0).alias("return_count"))
+    structs = orders.select(
+        F.col("o_custkey").alias("struct_id"),
+        F.col("o_orderpriority").alias("name"),
+        *zero,
+    ).distinct()
+    ifaces = orders.select(
+        F.col("o_orderstatus").alias("iface_id"),
+        F.col("o_orderpriority").alias("name"),
+        *zero,
+    ).distinct()
+    return graph_mod.infer_implements(ifaces, structs)
+
+
+_IMPLEMENTS_ORACLE = """
+    WITH sm AS (SELECT DISTINCT o_custkey AS struct_id,
+                                o_orderpriority AS name FROM orders),
+         im AS (SELECT DISTINCT o_orderstatus AS iface_id,
+                                o_orderpriority AS name FROM orders),
+         need AS (SELECT iface_id, count(*) AS n FROM im GROUP BY 1),
+         have AS (SELECT im.iface_id, sm.struct_id, count(*) AS n
+                  FROM im JOIN sm USING(name) GROUP BY 1, 2)
+    SELECT h.struct_id, h.iface_id
+    FROM have h JOIN need USING(iface_id) WHERE h.n = need.n
+"""
+
+# --- impact (G8) on the order-chain graph: iface = an order, implemented
+# by the same customer's later orders; callers = upstream chain nodes.
+
+_TOP_CUST_SQL = (
+    "(SELECT o_custkey FROM orders GROUP BY 1 ORDER BY count(*) DESC,"
+    " o_custkey LIMIT 1)"
+)
+
+
+def _q_graph_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _registry(spark, sf_dir).table("orders")
+    start = _chain_start(spark, sf_dir)
+    cust_row = orders.filter(F.col("o_orderkey") == start).select("o_custkey").first()
+    target = int(
+        orders.filter(
+            (F.col("o_custkey") == cust_row["o_custkey"])
+            & (F.col("o_orderkey") > start)
+        )
+        .agg(F.min("o_orderkey"))
+        .first()[0]
+    )
+    a, b = orders.alias("a"), orders.alias("b")
+    implements = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") > F.col("b.o_orderkey")),
+    ).select(
+        F.col("a.o_orderkey").alias("struct_id"),
+        F.col("b.o_orderkey").alias("iface_id"),
+    )
+    return graph_mod.impact(
+        _order_edges(spark, sf_dir), implements, target, depth=2
+    )
+
+
+_IMPACT_ORACLE = f"""
+    WITH RECURSIVE e AS ({_EDGES_SQL}),
+    tgt AS (
+        SELECT min(o_orderkey) AS t FROM orders
+        WHERE o_custkey = {_TOP_CUST_SQL}
+          AND o_orderkey > {_CHAIN_START_SQL}
+    ),
+    imp AS (
+        SELECT a.o_orderkey AS node FROM orders a, tgt
+        WHERE a.o_custkey = {_TOP_CUST_SQL} AND a.o_orderkey > tgt.t
+    ),
+    walk(node, depth) AS (
+        SELECT t, 0 FROM tgt
+        UNION ALL
+        SELECT e.src, w.depth + 1 FROM walk w JOIN e ON e.dst = w.node
+        WHERE w.depth < 2
+    )
+    SELECT CAST(node AS VARCHAR) AS node, 0 AS depth,
+           'implementation' AS impact_type, 'must_update' AS severity
+    FROM imp
+    UNION ALL
+    SELECT CAST(node AS VARCHAR), depth,
+           CASE WHEN depth = 1 THEN 'direct_caller' ELSE 'transitive_caller' END,
+           CASE WHEN depth = 1 THEN 'must_update' ELSE 'review_needed' END
+    FROM (SELECT node, min(depth) AS depth FROM walk WHERE depth > 0 GROUP BY 1)
+"""
+
+# --- dependencies / dependents (G3/G4): part -> supplying nation edges
+# via lineitem x supplier (the imports-table join shape).
+
+
+def _part_nation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = _registry(spark, sf_dir)
+    return (
+        reg.table("lineitem")
+        .join(
+            reg.table("supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(F.col("l_partkey").alias("src"), F.col("s_nationkey").alias("dst"))
+    )
+
+
+_PART_NATION_EDGES_SQL = """
+    SELECT l_partkey AS src, s_nationkey AS dst
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+# deterministic focus: the part supplied from the most distinct nations
+_TOP_PART_SQL = """(
+    SELECT src FROM (SELECT src, count(DISTINCT dst) AS n
+                     FROM ({edges}) GROUP BY 1)
+    ORDER BY n DESC, src LIMIT 1
+)""".format(edges=_PART_NATION_EDGES_SQL)
+
+
+def _top_part(spark: SparkSession, sf_dir: str) -> int:
+    e = _part_nation_edges(spark, sf_dir)
+    row = (
+        e.groupBy("src")
+        .agg(F.countDistinct("dst").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("src").asc())
+        .first()
+    )
+    return int(row["src"])
+
+
+def _q_graph_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _part_nation_edges(spark, sf_dir)
+    return graph_mod.neighbors(edges, _top_part(spark, sf_dir), direction="out")
+
+
+def _q_graph_dependents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _part_nation_edges(spark, sf_dir)
+    # dependents of the first nation the top part depends on
+    first_nation = (
+        graph_mod.neighbors(edges, _top_part(spark, sf_dir), direction="out")
+        .agg(F.min("node"))
+        .first()[0]
+    )
+    return graph_mod.neighbors(edges, int(first_nation), direction="in")
+
+
+_DEPENDENCIES_ORACLE = f"""
+    SELECT DISTINCT dst AS node FROM ({_PART_NATION_EDGES_SQL})
+    WHERE src = {_TOP_PART_SQL}
+"""
+
+_DEPENDENTS_ORACLE = f"""
+    SELECT DISTINCT src AS node FROM ({_PART_NATION_EDGES_SQL})
+    WHERE dst = (SELECT min(dst) FROM ({_PART_NATION_EDGES_SQL})
+                 WHERE src = {_TOP_PART_SQL})
+"""
+
+# --- type_usages (G5): "functions" = suppliers, "param types" = the part
+# types they have shipped; pattern scoping LIKE the reference's generics
+# patterns (searcher_sql.go:536-560).
+
+
+def _q_graph_type_usages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = _registry(spark, sf_dir)
+    functions = reg.table("supplier").select(
+        F.col("s_suppkey").alias("function_id"), F.col("s_name").alias("name")
+    )
+    params = (
+        reg.table("lineitem")
+        .join(reg.table("part"), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("l_suppkey").alias("function_id"),
+            F.col("p_type").alias("param_type"),
+        )
+    )
+    return graph_mod.type_usages(functions, params, "PROMO%")
+
+
+_TYPE_USAGES_ORACLE = """
+    SELECT s_suppkey AS function_id, s_name AS name FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type LIKE 'PROMO%'
+    )
+"""
+
+
 _GRAPH_ORACLES = {
+    "graph_implements": _IMPLEMENTS_ORACLE,
+    "graph_impact": _IMPACT_ORACLE,
+    "graph_dependencies": _DEPENDENCIES_ORACLE,
+    "graph_dependents": _DEPENDENTS_ORACLE,
+    "graph_type_usages": _TYPE_USAGES_ORACLE,
     "graph_callees_d3": f"""
         WITH RECURSIVE e AS ({_EDGES_SQL}),
         walk(node, depth) AS (
@@ -706,6 +904,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["graph_callees_d3"] = _q_graph_callees
     out["graph_callers_d2"] = _q_graph_callers
     out["graph_shortest_path"] = _q_graph_path
+    out["graph_implements"] = _q_graph_implements
+    out["graph_impact"] = _q_graph_impact
+    out["graph_dependencies"] = _q_graph_dependencies
+    out["graph_dependents"] = _q_graph_dependents
+    out["graph_type_usages"] = _q_graph_type_usages
     out["dedup_exact_groups"] = _q_dedup_exact
     out["dedup_minhash_lsh"] = _q_dedup_minhash
     out["dedup_ngram_jaccard"] = _q_dedup_ngram
