@@ -27,6 +27,7 @@ from project_cortex_spark.operators import events as ev
 from project_cortex_spark.operators import fts as fts_mod
 from project_cortex_spark.operators import graph as graph_mod
 from project_cortex_spark.operators import knn as knn_mod
+from project_cortex_spark.operators import multimodal as mm
 from project_cortex_spark.operators import textstats as ts
 from project_cortex_spark.pipeline import change_detection as cd
 from project_cortex_spark.pipeline import chunks as chunks_mod
@@ -931,6 +932,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_embed_stub"] = _q_embed_stub
     out["stream_windowed_agg"] = _q_stream_windowed_agg
     out["stream_sessionize"] = _q_stream_sessionize
+    _media = lambda s, d: mm.synthesize_media(_docs(s, d))  # noqa: E731
+    out["media_decode_meta"] = lambda s, d: mm.decode_media(_media(s, d)).drop(
+        "mean_byte"
+    )
+    out["media_features"] = lambda s, d: mm.extract_features(_media(s, d), dim=32).select(
+        "media_id",
+        F.size("features").alias("dim"),
+        F.round(
+            F.sqrt(F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("l2_norm"),
+    )
     return out
 
 
@@ -968,4 +980,6 @@ def oracle_sql() -> dict[str, str]:
     # pipeline_embed_stub: deterministic hash provider, no SQL equivalent
     out["stream_windowed_agg"] = oracle.windowed_agg_sql()
     out["stream_sessionize"] = oracle.sessionize_stream_sql()
+    out["media_decode_meta"] = oracle.media_decode_meta_sql()
+    # media_features: byte-histogram features, no SQL equivalent (weak check)
     return out

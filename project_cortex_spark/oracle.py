@@ -657,3 +657,26 @@ def sessionize_stream_sql(table: str = "events", gap_minutes: int = 30) -> str:
     SELECT user_id, session_start, session_end, n_events, sum_value
     FROM ({sessionize_sql(table=table, gap_minutes=gap_minutes)})
     """
+
+
+# ---------------------------------------------------------------------------
+# Multimodal oracles (operators/multimodal.py — stub codec, real plumbing)
+# ---------------------------------------------------------------------------
+
+
+def media_decode_meta_sql(table: str = "documents") -> str:
+    """Metadata of the synthesized fake-container media: header parse +
+    byte length are SQL-expressible; byte statistics are not (checked
+    rows-only / in unit tests)."""
+    return f"""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           (doc_id % 16 + 1) * 16 AS width,
+           (doc_id % 8 + 1) * 16 AS height,
+           octet_length(encode('IMG:' || ((doc_id % 16 + 1) * 16) || 'x'
+                               || ((doc_id % 8 + 1) * 16) || ';' || text))
+             AS n_bytes
+    FROM {table}
+    """
