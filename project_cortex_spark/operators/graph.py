@@ -8,13 +8,16 @@ depth clamp (default 3, max 6 engine / 10 tool, searcher_sql.go:43-50);
 results are deterministic via ORDER BY depth, id (searcher_sql.go:425).
 
 Spark-first design: a traversal is a driver-controlled loop of
-frontier-edge equi-joins (≤10 iterations by the same clamp). Each level
-is one shuffle keyed on the join column; the visited set is maintained
-with a left_anti join, which also terminates cycles (the reference's
-in-memory visited set, searcher_sql.go:185-209). At 100 TB the edge
-DataFrame is hash-partitioned by src once up front so every level's join
-reuses the same partitioning without reshuffling the edges; only the
-(small) frontier moves.
+frontier-edge equi-joins (≤10 iterations by the same clamp). The
+frontier is broadcast (it is bounded by branching factor x depth), so
+the edge DataFrame is never shuffled — each level is a map-side hash
+join over the in-place edges. The visited set is maintained with a
+left_anti join, which also terminates cycles (the reference's in-memory
+visited set, searcher_sql.go:185-209). If a use case ever produces a
+frontier too large to broadcast (transitive closure over a dense
+graph), switch to hash-partitioning both sides on the join key once and
+iterating shuffle-free; for the reference's bounded code-graph queries
+the broadcast plan is strictly better.
 """
 
 from __future__ import annotations
@@ -50,28 +53,35 @@ def bfs(
     if reverse:
         src, dst = dst, src
     spark = edges.sparkSession
-    # pre-partition edges once; every level joins on the same key
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).repartition(
-        "_src"
-    )
+    # the frontier is tiny (bounded by branching factor); broadcasting it
+    # means the edge frame is NEVER shuffled — each level is a map-side
+    # hash join over the in-place edges
+    # cache the (possibly expensively derived) edge frame for the loop:
+    # each level is its own job and would otherwise recompute the lineage
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).cache()
 
     frontier = spark.createDataFrame([(s,) for s in start], ["node"])
     visited = frontier.withColumn("depth", F.lit(0))
     out = None
-    for level in range(1, depth + 1):
-        nxt = (
-            frontier.join(e, frontier["node"] == e["_src"], "inner")
-            .select(F.col("_dst").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("depth", F.lit(level))
-        )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        visited = visited.union(nxt)
-        out = nxt if out is None else out.union(nxt)
-        frontier = nxt.select("node")
+    try:
+        for level in range(1, depth + 1):
+            nxt = (
+                e.join(F.broadcast(frontier), frontier["node"] == e["_src"], "inner")
+                .select(F.col("_dst").alias("node"))
+                .distinct()
+                .join(F.broadcast(visited.select("node")), "node", "left_anti")
+                .withColumn("depth", F.lit(level))
+            )
+            # materialize the level; later levels and the result depend
+            # only on checkpointed data, never on `e`'s lineage
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            visited = visited.union(nxt)
+            out = nxt if out is None else out.union(nxt)
+            frontier = nxt.select("node")
+    finally:
+        e.unpersist()
     if out is None:
         return visited.filter(F.lit(False)).select("node", "depth")
     return out.orderBy("depth", "node")
@@ -105,30 +115,33 @@ def shortest_path(
     """
     max_depth = _clamp_depth(max_depth)
     spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).repartition(
-        "_src"
-    )
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).cache()
     frontier = spark.createDataFrame([(source, [source])], ["node", "path"])
-    for _ in range(max_depth):
-        hit = frontier.filter(F.col("node") == F.lit(target)).orderBy("path").take(1)
-        if hit:
-            return list(hit[0]["path"])
-        frontier = (
-            frontier.join(e, frontier["node"] == e["_src"], "inner")
-            .filter(~F.array_contains(F.col("path"), F.col("_dst")))
-            .select(
-                F.col("_dst").alias("node"),
-                F.concat(F.col("path"), F.array(F.col("_dst"))).alias("path"),
+    try:
+        for _ in range(max_depth):
+            hit = (
+                frontier.filter(F.col("node") == F.lit(target)).orderBy("path").take(1)
             )
-        )
-        # keep one (lexicographically least) path per node: same-length
-        # paths are interchangeable for shortestness
-        frontier = frontier.groupBy("node").agg(F.min("path").alias("path"))
-        frontier = frontier.localCheckpoint(eager=True)
-        if frontier.isEmpty():
-            return []
-    hit = frontier.filter(F.col("node") == F.lit(target)).orderBy("path").take(1)
-    return list(hit[0]["path"]) if hit else []
+            if hit:
+                return list(hit[0]["path"])
+            frontier = (
+                e.join(F.broadcast(frontier), frontier["node"] == e["_src"], "inner")
+                .filter(~F.array_contains(F.col("path"), F.col("_dst")))
+                .select(
+                    F.col("_dst").alias("node"),
+                    F.concat(F.col("path"), F.array(F.col("_dst"))).alias("path"),
+                )
+            )
+            # keep one (lexicographically least) path per node: same-length
+            # paths are interchangeable for shortestness
+            frontier = frontier.groupBy("node").agg(F.min("path").alias("path"))
+            frontier = frontier.localCheckpoint(eager=True)
+            if frontier.isEmpty():
+                return []
+        hit = frontier.filter(F.col("node") == F.lit(target)).orderBy("path").take(1)
+        return list(hit[0]["path"]) if hit else []
+    finally:
+        e.unpersist()
 
 
 def neighbors(

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from project_cortex_spark.operators import knn
 from project_cortex_spark.operators.knn import knn_join, knn_join_lsh, knn_topk
 
 from .conftest import assert_matches_oracle
@@ -96,3 +97,53 @@ def test_knn_lsh_recall(registry):
     assert self_hits == {0, 1, 2, 3, 4}
     in_exact = sum(1 for r in lsh_rows if (r["query_id"], r["vec_id"]) in exact)
     assert in_exact / len(lsh_rows) >= 0.6
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+
+def _queries_frame(registry):
+    emb = registry.table("embeddings")
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_ivf_full_probe_equals_exact(registry):
+    """nprobe == n_centroids degrades IVF to the exact join."""
+    emb = registry.table("embeddings")
+    q = _queries_frame(registry)
+    exact = knn.knn_join(q, emb, k=5)
+    ivf = knn.knn_join_ivf(q, emb, k=5, n_centroids=8, nprobe=8)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    e = {key(r): (r["vec_id"], round(r["score"], 9)) for r in exact.collect()}
+    i = {key(r): (r["vec_id"], round(r["score"], 9)) for r in ivf.collect()}
+    assert e == i
+
+
+def test_ivf_partial_probe_recall(registry):
+    emb = registry.table("embeddings")
+    q = _queries_frame(registry)
+    exact = knn.knn_join(q, emb, k=10)
+    ivf = knn.knn_join_ivf(q, emb, k=10, n_centroids=8, nprobe=3)
+    truth = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_candidate_pruning(registry):
+    """Partial probes must score strictly fewer candidates than brute
+    force (the point of the inverted file)."""
+    emb = registry.table("embeddings")
+    q = _queries_frame(registry)
+    cent = knn.train_centroids(emb, n_centroids=8)
+    assigned = knn.assign_clusters(emb, cent)
+    sizes = {r["cluster_id"]: r["count"] for r in assigned.groupBy("cluster_id").count().collect()}
+    n_corpus = emb.count()
+    assert len(sizes) > 1  # clustering actually split the corpus
+    # every query scores at most the 3 largest clusters' rows
+    worst = sum(sorted(sizes.values(), reverse=True)[:3])
+    assert worst < n_corpus
