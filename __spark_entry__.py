@@ -33,6 +33,7 @@ from project_cortex_spark.pipeline import change_detection as cd
 from project_cortex_spark.pipeline import chunks as chunks_mod
 from project_cortex_spark.pipeline import embed as embed_mod
 from project_cortex_spark.pipeline import sink as sink_mod
+from project_cortex_spark.sources import files as files_src
 from project_cortex_spark.sources.registry import load_tables
 from project_cortex_spark.streaming import source as stream_source
 from project_cortex_spark.streaming import windows as stream_windows
@@ -896,6 +897,58 @@ def _q_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Discovery scan (S1/S2) over this package's own sources, and
+# exceed-parity aggregates (SURVEY §2.4 note: rollup/cube for free)
+# ---------------------------------------------------------------------------
+
+_SRC_DIR = "/root/repo/project_cortex_spark"
+
+
+def _q_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # independent of sf_dir: scans this package's own source files
+    return files_src.file_stats(
+        files_src.discover_files(spark, _SRC_DIR, glob="*.py")
+    ).drop("is_text")
+
+
+def _q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _registry(spark, sf_dir)
+        .table("lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+def _q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _registry(spark, sf_dir)
+        .table("orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+_ROLLUP_ORACLE = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+_CUBE_ORACLE = """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Structured Streaming twins (SURVEY §2.10): a finite AvailableNow run of
 # the streaming plan must reproduce the batch operator's oracle result
 # ---------------------------------------------------------------------------
@@ -971,6 +1024,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_chunk_docs"] = _q_chunk_docs
     out["pipeline_chunk_assembly"] = _q_chunk_assembly
     out["pipeline_embed_stub"] = _q_embed_stub
+    out["source_file_stats"] = _q_file_stats
+    out["agg_rollup"] = _q_agg_rollup
+    out["agg_cube"] = _q_agg_cube
     out["stream_windowed_agg"] = _q_stream_windowed_agg
     out["stream_sessionize"] = _q_stream_sessionize
     _media = lambda s, d: mm.synthesize_media(_docs(s, d))  # noqa: E731
@@ -1019,6 +1075,9 @@ def oracle_sql() -> dict[str, str]:
     out["pipeline_chunk_docs"] = oracle.chunk_fixed_tokens_sql(tokens_per_chunk=32)
     out["pipeline_chunk_assembly"] = oracle.chunk_assembly_sql()
     # pipeline_embed_stub: deterministic hash provider, no SQL equivalent
+    out["source_file_stats"] = oracle.file_stats_sql(f"{_SRC_DIR}/*.py")
+    out["agg_rollup"] = _ROLLUP_ORACLE
+    out["agg_cube"] = _CUBE_ORACLE
     out["stream_windowed_agg"] = oracle.windowed_agg_sql()
     out["stream_sessionize"] = oracle.sessionize_stream_sql()
     out["media_decode_meta"] = oracle.media_decode_meta_sql()

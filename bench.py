@@ -21,21 +21,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from project_cortex_spark.session import get_spark
 
-# Headline set: one per operator family (DSL scan/join/agg, KNN point +
-# join, FTS boolean+phrase composite, graph BFS, MinHash dedup, text
-# analysis). Names match queries() keys.
+# Headline set: one per operator family (DSL scan/join/agg incl. rollup,
+# KNN exact + IVF ANN, FTS boolean+phrase composite, graph BFS +
+# implements-inference, MinHash dedup, text analysis, event windows +
+# sessions, build pipeline end-to-end). Names match queries() keys.
 HEADLINE = [
     "dsl_filter_bool_tree",
     "dsl_revenue_by_nation",
     "dsl_agg_full",
+    "agg_rollup",
     "knn_topk",
     "knn_join",
+    "knn_join_ivf",
     "fts_composite",
     "graph_callees_d3",
+    "graph_implements",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_quality",
     "text_token_stats",
+    "events_windowed_agg",
+    "events_sessionize",
+    "pipeline_apply_changeset",
 ]
 
 

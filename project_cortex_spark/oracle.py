@@ -680,3 +680,34 @@ def media_decode_meta_sql(table: str = "documents") -> str:
              AS n_bytes
     FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# File-discovery oracles (sources/files.py — S1/S2)
+# ---------------------------------------------------------------------------
+
+
+def file_stats_sql(glob: str) -> str:
+    """DuckDB twin of discover_files+file_stats over a text glob
+    (read_text is text-only, so is_text/size_bytes are derived from the
+    decoded content on both sides)."""
+    return f"""
+    WITH f AS (
+      SELECT filename AS file_path, content,
+             string_split(content, chr(10)) AS lines
+      FROM read_text('{glob}')
+      -- Hadoop sources treat '_'/'.'-prefixed files as hidden; mirror it
+      WHERE regexp_extract(filename, '([^/]+)$', 1) NOT SIMILAR TO '[_.].*'
+    )
+    SELECT file_path,
+           octet_length(encode(content)) AS size_bytes,
+           sha256(content) AS content_hash,
+           length(content) AS n_chars,
+           len(lines) AS n_lines,
+           len(list_filter(lines, x -> trim(x) = '')) AS n_blank,
+           len(list_filter(lines, x -> starts_with(trim(x), '#'))) AS n_comment,
+           len(lines) - len(list_filter(lines, x -> trim(x) = ''))
+                      - len(list_filter(lines, x -> starts_with(trim(x), '#')))
+             AS n_code
+    FROM f
+    """

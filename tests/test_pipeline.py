@@ -144,3 +144,35 @@ def test_embed_chunks_udf(registry):
     assert all(len(r["embedding"]) == 16 for r in rows)
     norms = [sum(x * x for x in r["embedding"]) for r in rows]
     assert all(abs(n - 1.0) < 1e-5 for n in norms if n > 0)
+
+
+# ---------------------------------------------------------------------------
+# Discovery scan (S1/S2) — over this package's own source files
+# ---------------------------------------------------------------------------
+
+SRC_DIR = "/root/repo/project_cortex_spark"
+
+
+def test_discover_file_stats(spark, duck):
+    from project_cortex_spark.sources import files as fsrc
+
+    got = fsrc.file_stats(
+        fsrc.discover_files(spark, SRC_DIR, glob="*.py")
+    ).drop("is_text")
+    assert_matches_oracle(got, duck, oracle.file_stats_sql(f"{SRC_DIR}/*.py"))
+
+
+def test_discover_recursive_and_text_flag(spark):
+    from project_cortex_spark.sources import files as fsrc
+
+    flat = fsrc.discover_files(spark, SRC_DIR, glob="*.py")
+    deep = fsrc.discover_files(spark, SRC_DIR, glob="*.py", recursive=True)
+    assert deep.count() > flat.count()
+    stats = fsrc.file_stats(deep)
+    assert stats.filter(~stats.is_text).count() == 0  # all sources are text
+    # discovery feeds change detection directly
+    from project_cortex_spark.pipeline import change_detection as cdet
+
+    state = stats.select("file_path", F.lit(0).alias("mtime"), "content_hash")
+    changes = cdet.detect_changes(state, state)
+    assert changes.filter(F.col("status") != "unchanged").count() == 0
