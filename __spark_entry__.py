@@ -32,6 +32,7 @@ from project_cortex_spark.operators import textstats as ts
 from project_cortex_spark.pipeline import change_detection as cd
 from project_cortex_spark.pipeline import chunks as chunks_mod
 from project_cortex_spark.pipeline import embed as embed_mod
+from project_cortex_spark.pipeline import parse as parse_mod
 from project_cortex_spark.pipeline import sink as sink_mod
 from project_cortex_spark.sources import files as files_src
 from project_cortex_spark.sources.registry import load_tables
@@ -911,6 +912,19 @@ def _q_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("is_text")
 
 
+def _q_parse_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # python-ast parse UDF over this package's sources (D3/G9); no SQL
+    # parser exists in DuckDB, so this is a rows-only (weak) check —
+    # exact entity extraction is unit-tested (tests/test_parse.py)
+    files = files_src.discover_files(spark, _SRC_DIR, glob="*.py", recursive=True)
+    ents = parse_mod.parse_entities(files)
+    return (
+        ents.groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("file_path").alias("n_files"))
+        .orderBy("kind")
+    )
+
+
 def _q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _registry(spark, sf_dir)
@@ -1025,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_chunk_assembly"] = _q_chunk_assembly
     out["pipeline_embed_stub"] = _q_embed_stub
     out["source_file_stats"] = _q_file_stats
+    out["pipeline_parse_entities"] = _q_parse_entities
     out["agg_rollup"] = _q_agg_rollup
     out["agg_cube"] = _q_agg_cube
     out["stream_windowed_agg"] = _q_stream_windowed_agg
