@@ -1,0 +1,93 @@
+"""Plan-property tests: the scale guarantees, asserted on explain output.
+
+These check what a 1000-executor cluster depends on — shuffles absent
+where layout makes them unnecessary, scans pruned by partition and
+predicate — rather than local timings.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_cortex_spark.sources import layout
+
+from .conftest import SF_DIR
+
+
+def test_partition_pruning(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    path = str(tmp_path / "docs_by_lang")
+    layout.write_partitioned(docs, path, partition_cols=["lang"])
+    back = layout.read_partitioned(spark, path).filter(F.col("lang") == "en")
+    plan = layout.plan_of(back)
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    # non-partition predicate reaches the parquet reader as a pushed filter
+    filtered = layout.read_partitioned(spark, path).filter(F.col("n_chars") > 100)
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]" in (
+        layout.plan_of(filtered)
+    )
+
+
+def test_predicate_pushdown_registry_scan(registry):
+    df = registry.table("orders").filter(F.col("o_custkey") == 42).select(
+        "o_orderkey", "o_custkey"
+    )
+    plan = layout.plan_of(df)
+    assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,42)]" in plan
+    # column pruning: the scan reads only the projected columns
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>" in plan
+
+
+@pytest.fixture()
+def bucketed_pair(spark):
+    suffix = uuid.uuid4().hex[:8]
+    a_name, b_name = f"t_orders_{suffix}", f"t_cust_{suffix}"
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    layout.write_bucketed(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        a_name,
+        bucket_cols=["o_custkey"],
+        n_buckets=8,
+        sort_cols=["o_custkey"],
+    )
+    layout.write_bucketed(
+        customer.select("c_custkey", "c_name"),
+        b_name,
+        bucket_cols=["c_custkey"],
+        n_buckets=8,
+        sort_cols=["c_custkey"],
+    )
+    yield a_name, b_name
+    spark.sql(f"DROP TABLE IF EXISTS {a_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {b_name}")
+
+
+def test_bucketed_join_no_shuffle(spark, bucketed_pair):
+    a_name, b_name = bucketed_pair
+    # force the sort-merge path so the bucket layout (not a broadcast)
+    # is what eliminates the exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(a_name).join(
+            spark.table(b_name),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = layout.plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # correctness unchanged by layout
+        n = joined.count()
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        want = orders.join(
+            customer, F.col("o_custkey") == F.col("c_custkey")
+        ).count()
+        assert n == want
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
