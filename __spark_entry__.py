@@ -28,6 +28,7 @@ from project_cortex_spark.operators import fts as fts_mod
 from project_cortex_spark.operators import graph as graph_mod
 from project_cortex_spark.operators import knn as knn_mod
 from project_cortex_spark.operators import multimodal as mm
+from project_cortex_spark.operators import search as search_mod
 from project_cortex_spark.operators import textstats as ts
 from project_cortex_spark.pipeline import change_detection as cd
 from project_cortex_spark.pipeline import chunks as chunks_mod
@@ -448,6 +449,34 @@ _FTS_QUERIES = {
     "fts_prefix": ("cust*", 15),
     "fts_composite": ('(merge OR stream) "fast sort" NOT error', 25),
 }
+
+
+def _q_fts_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cortex_exact's column filters (language =, path LIKE;
+    # exact_sqlite.go:73-80) riding along with the match + payload join
+    return fts_mod.fts_search(
+        _fts_index(spark, sf_dir),
+        "table OR merge",
+        limit=20,
+        where=(F.col("lang") == "en") & F.col("source").like("src1%"),
+        payload_cols=["lang", "source"],
+    ).withColumn("score", F.round("score", 6))
+
+
+def _q_search_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cortex_search end-to-end (embed query -> KNN -> payload -> tag/type
+    # filters -> min_score -> limit); hash embeddings have no SQL
+    # equivalent, so this is a rows-only check — semantics unit-tested
+    idx = _memo(
+        spark,
+        sf_dir,
+        "search_index",
+        lambda: search_mod.build_search_index(_docs(spark, sf_dir), dim=32).cache(),
+    )
+    return search_mod.semantic_search(
+        idx, "key agg row scan", limit=15, tags=["en", "code"],
+        min_score=0.05, dim=32,
+    ).withColumn("score", F.round("score", 6))
 
 
 # ---------------------------------------------------------------------------
@@ -1010,6 +1039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["knn_join_ivf"] = _q_knn_join_ivf
     for name, (q, limit) in _FTS_QUERIES.items():
         out[name] = _fts_query(q, limit)
+    out["fts_filtered"] = _q_fts_filtered
+    out["search_semantic"] = _q_search_semantic
     out["graph_callees_d3"] = _q_graph_callees
     out["graph_callers_d2"] = _q_graph_callers
     out["graph_shortest_path"] = _q_graph_path
@@ -1068,6 +1099,13 @@ def oracle_sql() -> dict[str, str]:
     # knn_join_lsh: approximate — no oracle by design (exact twin is gated)
     for name, (q, limit) in _FTS_QUERIES.items():
         out[name] = oracle.fts_oracle_sql(q, limit=limit)
+    out["fts_filtered"] = oracle.fts_oracle_sql(
+        "table OR merge",
+        limit=20,
+        where_sql="lang = 'en' AND source LIKE 'src1%'",
+        payload_cols=("lang", "source"),
+    )
+    # search_semantic: hash-embedding composite, no SQL equivalent
     out.update(_GRAPH_ORACLES)
     out["dedup_exact_groups"] = oracle.exact_duplicate_groups_sql(
         table="part", id_col="p_partkey", text_col="p_name"

@@ -1,0 +1,88 @@
+"""The ``cortex_search`` composite: semantic search end to end.
+
+Reference pipeline (internal/mcp/search_sqlite.go:52-212): embed(query,
+mode=query) -> vec0 KNN k=2*limit -> join chunks+files payload ->
+chunk_type OR-filter, tag AND-filter -> score = 1 - dist/2 -> min_score
+-> limit. Tags rewrite to column predicates (search_sqlite.go:104-127):
+a language tag becomes ``files.language = tag``; 'code' becomes
+``chunk_type != 'documentation'``; 'documentation' the equality.
+
+Spark-first differences (SURVEY §3.2): filters are plain Column
+predicates that Catalyst pushes BELOW the scoring projection, so the
+reference's 2x over-fetch headroom (it must post-filter after vec0
+returns) disappears — we score only surviving rows and take an exact
+top-k (TakeOrderedAndProject).
+
+Scale notes: the index frame is chunk rows with an ``array<float>``
+embedding column — scored with a narrow codegen projection; the only
+wide edge is the final top-k, which is a driver-side heap merge of
+per-partition partial top-ks, not a sort.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from project_cortex_spark.operators.knn import knn_topk
+from project_cortex_spark.pipeline.chunks import assemble_code_chunks
+from project_cortex_spark.pipeline.embed import DEFAULT_DIM, embed_chunks, hash_embed_series
+
+
+def build_search_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """Chunk + embed + payload join — the build side that ``cortex_index``
+    maintains and ``cortex_search`` reads (chunks ⋈ files, J2)."""
+    chunks = assemble_code_chunks(docs, id_col=id_col, text_col=text_col)
+    payload = docs.select(id_col, F.col(lang_col).alias("language"))
+    embedded = embed_chunks(chunks, text_col="chunk_text", dim=dim, mode="passage")
+    return embedded.join(payload, id_col)
+
+
+def tag_predicate(tag: str) -> Column:
+    """P9 tag -> column rewrite (search_sqlite.go:235-276)."""
+    if tag == "code":
+        return F.col("chunk_type") != "documentation"
+    if tag == "documentation":
+        return F.col("chunk_type") == "documentation"
+    return F.col("language") == tag
+
+
+def semantic_search(
+    index: DataFrame,
+    query: str,
+    *,
+    limit: int = 15,
+    chunk_types: list[str] | None = None,
+    tags: list[str] | None = None,
+    min_score: float | None = None,
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """Embed the query (query mode, asymmetric to passages) and return the
+    top ``limit`` chunks with payload: (chunk_id, doc_id, chunk_type,
+    language, score). chunk_types OR together; tags AND together."""
+    qv = [float(x) for x in hash_embed_series(pd.Series([query]), dim=dim,
+                                              mode="query")[0]]
+    where = None
+    if chunk_types:
+        where = F.col("chunk_type").isin(*chunk_types)
+    for tag in tags or []:
+        p = tag_predicate(tag)
+        where = p if where is None else (where & p)
+    return knn_topk(
+        index,
+        qv,
+        vec_col="embedding",
+        id_col="chunk_id",
+        k=limit,
+        min_score=min_score,
+        where=where,
+        payload_cols=["doc_id", "chunk_type", "language"],
+    )

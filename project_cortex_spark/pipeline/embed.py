@@ -43,15 +43,18 @@ def hash_embed_series(
 ) -> pd.Series:
     """Deterministic hashed bag-of-tokens embedding, L2-normalized.
 
-    ``mode`` ('passage' | 'query') seeds the hash differently, mirroring
-    the reference's asymmetric embedding modes (provider.go:25-31).
+    ``mode`` ('passage' | 'query') mirrors the reference's asymmetric
+    embedding modes (provider.go:25-31) the way real asymmetric encoders
+    do: both modes share ONE vector space (same token hashing), and the
+    mode contributes a distinguishing component (a virtual mode token).
+    Same text embedded in both modes stays near-identical in cosine, so
+    query->passage retrieval works; the vectors are still distinct.
     """
-    seed = zlib.crc32(mode.encode())
     out = []
     for text in texts:
         vec = np.zeros(dim, dtype=np.float64)
-        for tok in (text or "").lower().split():
-            h = zlib.crc32(tok.encode(), seed)
+        for tok in [f"[{mode}]"] + (text or "").lower().split():
+            h = zlib.crc32(tok.encode())
             vec[h % dim] += 1.0 if (h >> 16) % 2 == 0 else -1.0
         norm = np.linalg.norm(vec)
         if norm > 0:

@@ -1,0 +1,59 @@
+"""cortex_search composite: tag rewrite, filters, asymmetric embedding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_cortex_spark.operators import search as srch
+
+
+@pytest.fixture(scope="module")
+def index(registry):
+    return srch.build_search_index(registry.table("documents"), dim=32).cache()
+
+
+def test_self_retrieval(index, registry):
+    """Querying with a chunk's own text ranks that chunk first (hash
+    embeddings are bag-of-tokens, so exact text = max cosine)."""
+    row = index.filter(F.col("chunk_type") == "data").first()
+    got = srch.semantic_search(index, row["chunk_text"], limit=5, dim=32)
+    top = got.first()
+    assert top["doc_id"] == row["doc_id"]
+    assert top["score"] >= got.collect()[-1]["score"]
+
+
+def test_chunk_type_or_filter(index):
+    got = srch.semantic_search(
+        index, "key agg row", limit=20, chunk_types=["symbols", "data"], dim=32
+    )
+    kinds = {r["chunk_type"] for r in got.collect()}
+    assert kinds <= {"symbols", "data"}
+
+
+def test_tag_and_filter(index):
+    got = srch.semantic_search(
+        index, "key agg row", limit=20, tags=["en", "code"], dim=32
+    )
+    rows = got.collect()
+    assert rows, "tag filter should still match English code chunks"
+    assert all(r["language"] == "en" for r in rows)
+    assert all(r["chunk_type"] != "documentation" for r in rows)
+
+
+def test_min_score_cut(index):
+    all_rows = srch.semantic_search(index, "key agg row", limit=50, dim=32).collect()
+    cut = (all_rows[0]["score"] + all_rows[-1]["score"]) / 2
+    kept = srch.semantic_search(
+        index, "key agg row", limit=50, min_score=cut, dim=32
+    ).collect()
+    assert kept and len(kept) < len(all_rows)
+    assert all(r["score"] >= cut for r in kept)
+
+
+def test_query_mode_is_asymmetric(index):
+    """Query-mode embedding differs from passage-mode: querying the exact
+    passage text still wins (bag overlap), but scores are not 1.0."""
+    row = index.first()
+    got = srch.semantic_search(index, row["chunk_text"], limit=1, dim=32).first()
+    assert got["score"] < 1.0
