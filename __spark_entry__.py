@@ -978,6 +978,78 @@ def _q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _registry(spark, sf_dir)
+        .table("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+def _q_hydrate_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J4 hydration join: parent rows with children nested as a sorted
+    # array (the reference's types⋈type_fields LEFT JOIN + app-side
+    # nesting, query_helpers.go:17-50 — here one join + collect_list)
+    reg = _registry(spark, sf_dir)
+    return (
+        reg.table("orders")
+        .join(reg.table("lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_HYDRATE_ORACLE = """
+    SELECT o_orderkey,
+           list_sort(list(l_linenumber)) AS line_numbers,
+           count(*) AS n_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey
+"""
+
+
+_PERCENTILES_ORACLE = """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderstatus
+"""
+
+
+def _q_events_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _registry(spark, sf_dir)
+        .table("events")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.sum("value").over(w), 6).alias("cum_value"),
+        )
+    )
+
+
+_CUMULATIVE_ORACLE = """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 6) AS cum_value
+    FROM events
+"""
+
+
 _ROLLUP_ORACLE = """
     SELECT l_returnflag, l_linestatus, count(*) AS n,
            round(sum(l_quantity), 4) AS sum_qty
@@ -1073,6 +1145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_parse_entities"] = _q_parse_entities
     out["agg_rollup"] = _q_agg_rollup
     out["agg_cube"] = _q_agg_cube
+    out["agg_percentiles"] = _q_agg_percentiles
+    out["events_cumulative"] = _q_events_cumulative
+    out["join_hydrate_nested"] = _q_hydrate_order_lines
     out["stream_windowed_agg"] = _q_stream_windowed_agg
     out["stream_sessionize"] = _q_stream_sessionize
     _media = lambda s, d: mm.synthesize_media(_docs(s, d))  # noqa: E731
@@ -1131,6 +1206,9 @@ def oracle_sql() -> dict[str, str]:
     out["source_file_stats"] = oracle.file_stats_sql(f"{_SRC_DIR}/*.py")
     out["agg_rollup"] = _ROLLUP_ORACLE
     out["agg_cube"] = _CUBE_ORACLE
+    out["agg_percentiles"] = _PERCENTILES_ORACLE
+    out["events_cumulative"] = _CUMULATIVE_ORACLE
+    out["join_hydrate_nested"] = _HYDRATE_ORACLE
     out["stream_windowed_agg"] = oracle.windowed_agg_sql()
     out["stream_sessionize"] = oracle.sessionize_stream_sql()
     out["media_decode_meta"] = oracle.media_decode_meta_sql()
