@@ -80,6 +80,16 @@ def dedup_exact(
 # ---------------------------------------------------------------------------
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the input arrives
+    under-split (one small file = one task) — a no-op at real scale,
+    where the scan itself is well-partitioned."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_frame(
     docs: DataFrame,
     *,
@@ -90,7 +100,14 @@ def shingle_frame(
 ) -> DataFrame:
     """(doc_id, sh) exploded shingle set — the shared input for MinHash
     signatures AND Jaccard verification. Compute once, persist, reuse:
-    at corpus scale the explode is the dominant cost of the pipeline."""
+    at corpus scale the explode is the dominant cost of the pipeline.
+
+    Under-partitioned inputs (one small parquet file = one task) are
+    repartitioned up to the session's parallelism first, so the CPU-bound
+    tokenize+shingle projection uses every core; at real scale the scan
+    arrives well-split and this is a no-op.
+    """
+    docs = ensure_parallelism(docs)
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
@@ -229,7 +246,12 @@ def minhash_near_duplicates(
     sh = shingle_frame(
         docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
     ).cache()
-    sigs = minhash_signatures(docs, num_hashes=num_hashes, shingles_df=sh)
+    # cache the (tiny: one row per doc) signature frame too — the banded
+    # self-join references it on both sides and would otherwise run the
+    # min-hash aggregation twice
+    sigs = minhash_signatures(
+        docs, num_hashes=num_hashes, shingles_df=sh
+    ).cache()
     cand = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands)
     j = jaccard_for_pairs(cand, docs, shingles_df=sh)
     return j.filter(F.col("jaccard") >= threshold)
@@ -298,6 +320,8 @@ def simhash_fingerprints(
     sub-bit j%4. Fingerprint bit j = sign of Σ tf * (2*bit - 1).
     One groupBy with `bits` sum-aggregations — single shuffle.
     """
+    # (no ensure_parallelism here: the plain token explode is cheap
+    # enough that an extra repartition pass costs more than it saves)
     assert bits % 4 == 0 and bits <= 32
     tf = (
         docs.select(
