@@ -954,6 +954,16 @@ def _q_parse_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cortex_pattern's signature-strictness tier over parsed entities
+    # (rows-only check; extraction itself is unit-tested)
+    files = files_src.discover_files(spark, _SRC_DIR, glob="*.py", recursive=True)
+    ents = parse_mod.parse_entities(files)
+    return graph_mod.pattern_search(
+        ents, kind="function", name_like="%search%", limit=50
+    )
+
+
 def _q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _registry(spark, sf_dir)
@@ -1143,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_embed_stub"] = _q_embed_stub
     out["source_file_stats"] = _q_file_stats
     out["pipeline_parse_entities"] = _q_parse_entities
+    out["graph_pattern_search"] = _q_pattern_search
     out["agg_rollup"] = _q_agg_rollup
     out["agg_cube"] = _q_agg_cube
     out["agg_percentiles"] = _q_agg_percentiles

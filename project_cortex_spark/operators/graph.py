@@ -268,3 +268,87 @@ def type_usages(
     generics %[User]%; searcher_sql.go:536-560)."""
     hits = params.filter(F.col(param_type).like(pattern)).select(function_id).distinct()
     return functions.join(hits, function_id, "inner")
+
+
+def resolve_type_refs(
+    refs: DataFrame,
+    types: DataFrame,
+    *,
+    ref_col: str = "type_name",
+    type_id: str = "type_id",
+    type_name: str = "name",
+    module_col: str | None = "module",
+) -> DataFrame:
+    """G11: embedded-type resolution — rewrite raw type references to
+    type ids by stripping pointer/slice/map decoration and applying
+    module-prefix rules (query_helpers.go:93-113,385-473).
+
+    ``*pkg.Foo`` / ``[]Foo`` / ``map[k]Foo`` -> ``Foo`` (+ module), then a
+    broadcast join against the (small) type catalog; unresolved refs keep
+    a NULL id, like the reference's NULL callee ids.
+    """
+    base = F.regexp_replace(F.col(ref_col), r"^[\*\[\]]+|^map\[[^\]]*\]", "")
+    base = F.regexp_replace(base, r"^[\*\[\]]+", "")
+    qualified = refs.withColumn("_base", base).withColumn(
+        "_name",
+        F.when(
+            F.instr(F.col("_base"), ".") > 0,
+            F.substring_index(F.col("_base"), ".", -1),
+        ).otherwise(F.col("_base")),
+    ).withColumn(
+        "_module",
+        F.when(
+            F.instr(F.col("_base"), ".") > 0,
+            F.substring_index(F.col("_base"), ".", 1),
+        ).otherwise(F.lit(None).cast("string")),
+    )
+    t = types.select(
+        F.col(type_id).alias("_tid"),
+        F.col(type_name).alias("_tname"),
+        *([F.col(module_col).alias("_tmod")] if module_col else []),
+    )
+    cond = qualified["_name"] == t["_tname"]
+    if module_col:
+        cond = cond & (
+            qualified["_module"].isNull() | (qualified["_module"] == t["_tmod"])
+        )
+    return (
+        qualified.join(F.broadcast(t), cond, "left")
+        .withColumn("resolved_type_id", F.col("_tid"))
+        .drop("_base", "_name", "_module", "_tid", "_tname",
+              *(["_tmod"] if module_col else []))
+    )
+
+
+def pattern_search(
+    entities: DataFrame,
+    *,
+    kind: str | None = None,
+    name_like: str | None = None,
+    parent_like: str | None = None,
+    min_params: int | None = None,
+    max_params: int | None = None,
+    methods_only: bool = False,
+    limit: int = 50,
+) -> DataFrame:
+    """``cortex_pattern``'s engine-level analogue: structural matching
+    over the parsed entity frame (signature strictness — name glob,
+    receiver, arity) instead of shelling out to ast-grep
+    (internal/pattern/executor.go:36-100; limit default 50 per
+    tools_pattern.go:20-45). Textual/CST strictness levels stay a
+    non-goal (SURVEY §7); this covers the signature tier.
+    """
+    df = entities
+    if kind:
+        df = df.filter(F.col("kind") == kind)
+    if name_like:
+        df = df.filter(F.col("name").like(name_like))
+    if parent_like:
+        df = df.filter(F.col("parent").like(parent_like))
+    if min_params is not None:
+        df = df.filter(F.col("n_params") >= min_params)
+    if max_params is not None:
+        df = df.filter(F.col("n_params") <= max_params)
+    if methods_only:
+        df = df.filter(F.col("is_method"))
+    return df.orderBy("file_path", "start_line").limit(limit)

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Window
+
+from project_cortex_spark.operators import graph
 from pyspark.sql import functions as F
 
 from project_cortex_spark.operators.graph import (
@@ -211,3 +213,45 @@ def test_type_usages(spark):
         for r in type_usages(functions, params, "%User%").collect()
     }
     assert got == {"f1", "f2"}
+
+
+def test_resolve_type_refs(spark):
+    refs = spark.createDataFrame(
+        [("r1", "*pkg.Foo"), ("r2", "[]Bar"), ("r3", "map[string]Foo"),
+         ("r4", "other.Foo"), ("r5", "Missing")],
+        ["ref_id", "type_name"],
+    )
+    types = spark.createDataFrame(
+        [("t-foo", "Foo", "pkg"), ("t-bar", "Bar", "lib"), ("t-foo2", "Foo", "other")],
+        ["type_id", "name", "module"],
+    )
+    got = {
+        r["ref_id"]: r["resolved_type_id"]
+        for r in graph.resolve_type_refs(refs, types).collect()
+        if r["resolved_type_id"] is not None or r["ref_id"] == "r5"
+    }
+    assert got["r1"] == "t-foo"          # pointer + module-qualified
+    assert got["r2"] == "t-bar"          # slice stripped, unqualified
+    assert got["r4"] == "t-foo2"         # module prefix disambiguates
+    assert got["r5"] is None             # unresolved stays NULL
+    # unqualified ambiguous ref (r3) matches both Foo types: one row each
+    rows = graph.resolve_type_refs(refs, types).filter(F.col("ref_id") == "r3").collect()
+    assert {r["resolved_type_id"] for r in rows} == {"t-foo", "t-foo2"}
+
+
+def test_pattern_search_signature(spark):
+    from project_cortex_spark.pipeline import parse as ps
+    from project_cortex_spark.sources import files as fsrc
+
+    files = fsrc.discover_files(
+        spark, "/root/repo/project_cortex_spark", glob="*.py", recursive=True
+    )
+    ents = ps.parse_entities(files)
+    # all public two-plus-arg functions named like the traversals
+    hits = graph.pattern_search(
+        ents, kind="function", name_like="call%", min_params=2, limit=10
+    ).collect()
+    names = {r["name"] for r in hits}
+    assert {"callees", "callers"} <= names
+    methods = graph.pattern_search(ents, kind="function", methods_only=True, limit=50)
+    assert methods.filter(~F.col("is_method")).count() == 0
