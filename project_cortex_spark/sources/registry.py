@@ -62,8 +62,13 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    nano_cols = _nano_timestamp_columns(path)
+    if nano_cols:
+        # defensive: a caller-supplied session (the driver harness) may
+        # not carry this conf; without it the TIMESTAMP(NANOS) read fails
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for c in _nano_timestamp_columns(path):
+    for c in nano_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     return df
 
