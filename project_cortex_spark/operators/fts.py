@@ -56,7 +56,16 @@ class FtsIndex:
 
 def build_fts_index(docs: DataFrame, *, id_col: str, text_col: str) -> FtsIndex:
     """Tokenize + aggregate postings. One shuffle (groupBy term, doc_id);
-    tf computed map-side by exploding pre-counted token arrays."""
+    tf computed map-side by exploding pre-counted token arrays.
+
+    Deliberately NOT ``.cache()``d: a query filters postings on its few
+    terms, and Catalyst pushes that filter below the shuffle — the
+    repeated subplan is then deduped by ReuseExchange, so every consumer
+    reads the tiny filtered shuffle output. A cached full posting list
+    would force each consumer to scan all of it instead (measured ~2x
+    slower per query). The persistent-index analogue of files_fts at
+    100 TB is a posting table bucketed/sorted by term — file-skipping
+    does the term filter — not an executor-memory cache."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
     )
