@@ -873,6 +873,11 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=2)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dd.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    return dd.duplicate_clusters(pairs.select("a", "b"))
+
+
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_near_duplicates(
         _registry(spark, sf_dir).table("embeddings"), threshold=0.7
@@ -1135,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_minhash_lsh"] = _q_dedup_minhash
     out["dedup_ngram_jaccard"] = _q_dedup_ngram
     out["dedup_simhash"] = _q_dedup_simhash
+    out["dedup_clusters"] = _q_dedup_clusters
     out["dedup_embedding_cosine"] = _q_dedup_embedding
     _events = lambda s, d: _registry(s, d).table("events")  # noqa: E731
     out["events_windowed_agg"] = lambda s, d: ev.windowed_agg(_events(s, d))
@@ -1199,6 +1205,9 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_minhash_lsh"] = oracle.minhash_near_duplicates_sql(threshold=0.5)
     out["dedup_ngram_jaccard"] = oracle.ngram_jaccard_pairs_sql(threshold=0.5)
     out["dedup_simhash"] = oracle.simhash_near_duplicates_sql(max_hamming=2)
+    out["dedup_clusters"] = oracle.duplicate_clusters_sql(
+        oracle.minhash_near_duplicates_sql(threshold=0.5)
+    )
     out["dedup_embedding_cosine"] = oracle.embedding_near_duplicates_sql(threshold=0.7)
     out["events_windowed_agg"] = oracle.windowed_agg_sql()
     out["events_sessionize"] = oracle.sessionize_sql()

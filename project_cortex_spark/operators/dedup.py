@@ -393,3 +393,71 @@ def embedding_near_duplicates(
         .select("a", "b", similarity_score(F.col("va"), F.col("vb")).alias("score"))
         .filter(F.col("score") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering: pairs -> groups -> canonical selection
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(pairs: DataFrame, *, a: str = "a", b: str = "b") -> DataFrame:
+    """Connected components over near-duplicate pairs:
+    (doc_id, cluster_id, keep) with cluster_id = the component's minimum
+    doc id and keep = canonical membership.
+
+    Iterative min-label propagation (each step: every node adopts the
+    smallest label among itself and its neighbors) — converges in
+    O(component diameter) rounds; near-dup clusters are shallow, and the
+    loop exits as soon as a round changes nothing. Each round is one
+    shuffle keyed on the node; the edge frame is cached once. This is the
+    step that turns pairwise dedup output into delete lists at corpus
+    scale (pick one survivor per cluster, drop the rest).
+    """
+    # materialize the (possibly expensive) pair pipeline once — the
+    # symmetrizing union would otherwise recompute it for each branch
+    p = pairs.select(F.col(a).alias("a"), F.col(b).alias("b")).localCheckpoint(
+        eager=True
+    )
+    sym = (
+        p.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionByName(p.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        sym.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
+    try:
+        while True:
+            neighbor_min = (
+                sym.join(labels, sym["y"] == labels["node"])
+                .groupBy("x")
+                .agg(F.min("label").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels["node"] == neighbor_min["x"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                )
+            ).localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .isEmpty()
+            )
+            labels = new_labels
+            if changed:  # isEmpty() True = fixpoint reached
+                break
+    finally:
+        sym.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )

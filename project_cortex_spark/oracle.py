@@ -711,3 +711,26 @@ def file_stats_sql(glob: str) -> str:
              AS n_code
     FROM f
     """
+
+
+def duplicate_clusters_sql(pairs_sql: str) -> str:
+    """Connected components over a (a, b) pair query: transitive
+    reachability closure (recursive CTE, UNION dedup handles cycles),
+    then component id = min reachable node."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    sym AS (
+      SELECT a AS x, b AS y FROM pairs
+      UNION
+      SELECT b AS x, a AS y FROM pairs
+    ),
+    reach(x, y) AS (
+      SELECT x, y FROM sym
+      UNION
+      SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x
+    )
+    SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM (
+      SELECT x AS doc_id, least(x, min(y)) AS cluster_id
+      FROM reach GROUP BY x
+    )
+    """

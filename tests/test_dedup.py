@@ -15,6 +15,7 @@ from project_cortex_spark.operators.dedup import (
     simhash_near_duplicates,
 )
 from project_cortex_spark import oracle
+from project_cortex_spark.operators import dedup
 
 from .conftest import assert_matches_oracle
 
@@ -71,3 +72,31 @@ def test_embedding_near_duplicates(registry, duck):
         "score", F.round("score", 6)
     )
     assert_matches_oracle(df, duck, oracle.embedding_near_duplicates_sql(threshold=0.9))
+
+
+def test_duplicate_clusters_semantics(spark):
+    # two chains (1-2-3 via pairs, 7-8) and an isolated pair (5,6)
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (5, 6), (8, 7)], ["a", "b"]
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        5: (5, True), 6: (5, False),
+        7: (7, True), 8: (7, False),
+    }
+
+
+def test_duplicate_clusters_oracle(registry, duck):
+    pairs = dedup.minhash_near_duplicates(registry.table("documents"), threshold=0.5)
+    got = dedup.duplicate_clusters(pairs.select("a", "b"))
+    assert_matches_oracle(
+        got,
+        duck,
+        oracle.duplicate_clusters_sql(
+            oracle.minhash_near_duplicates_sql(threshold=0.5)
+        ),
+    )
