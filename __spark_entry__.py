@@ -5,8 +5,15 @@
 (plus the LLM-pipeline operators); each callable takes (spark, sf_dir)
 and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key. Keys without an
-oracle entry are genuinely approximate operators (LSH ANN) where the
-exact variant IS oracle-checked; the driver records rows-only for them.
+oracle entry (rows-only check by design):
+  * knn_join_lsh / knn_join_ivf — approximate by construction; their
+    exact twin (knn_join) is oracle-gated and full-probe IVF == exact is
+    unit-tested.
+  * search_semantic — hash-embedding composite (semantics unit-tested in
+    tests/test_search.py).
+  * pipeline_parse_entities / graph_pattern_search — python-ast parse
+    output; no SQL parser exists (exact extraction unit-tested in
+    tests/test_parse.py).
 
 Column names are aliased identically on both sides so the driver's
 sorted-by-name value hash matches.
@@ -919,7 +926,9 @@ def _q_chunk_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # deterministic hash provider (D7); no SQL oracle — rows-only check
+    # deterministic hash provider (D7); the VALUES are not SQL-expressible
+    # but the contract is: one embedding per chunk, fixed dim, unit norm —
+    # which the oracle below verifies through the hash compare
     chunks = chunks_mod.assemble_code_chunks(_docs(spark, sf_dir))
     out = embed_mod.embed_chunks(chunks, dim=64)
     return out.select(
@@ -1222,7 +1231,12 @@ def oracle_sql() -> dict[str, str]:
     out["pipeline_branch_fork"] = oracle.branch_fork_sql()
     out["pipeline_chunk_docs"] = oracle.chunk_fixed_tokens_sql(tokens_per_chunk=32)
     out["pipeline_chunk_assembly"] = oracle.chunk_assembly_sql()
-    # pipeline_embed_stub: deterministic hash provider, no SQL equivalent
+    out["pipeline_embed_stub"] = """
+        SELECT chunk_id, 64 AS dim, 1.0 AS l2_norm
+        FROM (SELECT 'code-symbols-' || doc_id AS chunk_id FROM documents
+              UNION ALL SELECT 'code-definitions-' || doc_id FROM documents
+              UNION ALL SELECT 'code-data-' || doc_id FROM documents)
+    """
     out["source_file_stats"] = oracle.file_stats_sql(f"{_SRC_DIR}/*.py")
     out["agg_rollup"] = _ROLLUP_ORACLE
     out["agg_cube"] = _CUBE_ORACLE
@@ -1232,5 +1246,7 @@ def oracle_sql() -> dict[str, str]:
     out["stream_windowed_agg"] = oracle.windowed_agg_sql()
     out["stream_sessionize"] = oracle.sessionize_stream_sql()
     out["media_decode_meta"] = oracle.media_decode_meta_sql()
-    # media_features: byte-histogram features, no SQL equivalent (weak check)
+    out["media_features"] = """
+        SELECT doc_id AS media_id, 32 AS dim, 1.0 AS l2_norm FROM documents
+    """
     return out
