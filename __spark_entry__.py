@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from project_cortex_spark import oracle
 from project_cortex_spark.dsl import compile_query
+from project_cortex_spark.operators import asof as asof_mod
 from project_cortex_spark.operators import dedup as dd
 from project_cortex_spark.operators import events as ev
 from project_cortex_spark.operators import fts as fts_mod
@@ -1015,6 +1016,49 @@ def _q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of join (beyond parity — Spark lacks it; DuckDB oracle uses its
+    # native ASOF JOIN): each event matched to the user's latest
+    # checkpoint event at-or-before its timestamp
+    events = _registry(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    ckpt = (
+        events.filter(F.col("event_id") % 10 == 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    return asof_mod.as_of_join(
+        events.select("event_id", "user_id", "ts", "value"),
+        ckpt,
+        on="user_id",
+        right_payload=["value"],
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("value"),
+        F.round("right_value", 6).alias("ckpt_value"),
+    )
+
+
+_ASOF_ORACLE = """
+    WITH ckpt AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id % 10 = 0
+      ) WHERE rn = 1
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           round(l.value, 6) AS value,
+           round(r.value, 6) AS ckpt_value
+    FROM events l
+    ASOF LEFT JOIN ckpt r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def _q_hydrate_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J4 hydration join: parent rows with children nested as a sorted
     # array (the reference's types⋈type_fields LEFT JOIN + app-side
@@ -1174,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["agg_percentiles"] = _q_agg_percentiles
     out["events_cumulative"] = _q_events_cumulative
     out["join_hydrate_nested"] = _q_hydrate_order_lines
+    out["join_asof"] = _q_asof_join
     out["stream_windowed_agg"] = _q_stream_windowed_agg
     out["stream_sessionize"] = _q_stream_sessionize
     _media = lambda s, d: mm.synthesize_media(_docs(s, d))  # noqa: E731
@@ -1243,6 +1288,7 @@ def oracle_sql() -> dict[str, str]:
     out["agg_percentiles"] = _PERCENTILES_ORACLE
     out["events_cumulative"] = _CUMULATIVE_ORACLE
     out["join_hydrate_nested"] = _HYDRATE_ORACLE
+    out["join_asof"] = _ASOF_ORACLE
     out["stream_windowed_agg"] = oracle.windowed_agg_sql()
     out["stream_sessionize"] = oracle.sessionize_stream_sql()
     out["media_decode_meta"] = oracle.media_decode_meta_sql()

@@ -1,0 +1,82 @@
+"""As-of join vs DuckDB's native ASOF JOIN + strictness semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project_cortex_spark.operators.asof import as_of_join
+
+from .conftest import assert_matches_oracle
+
+
+def _checkpoints(events):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    return (
+        events.filter(F.col("event_id") % 10 == 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+
+
+ASOF_ORACLE = """
+    WITH ckpt AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id % 10 = 0
+      ) WHERE rn = 1
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           round(l.value, 6) AS value,
+           round(r.value, 6) AS ckpt_value
+    FROM events l
+    ASOF LEFT JOIN ckpt r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def test_asof_join_matches_duckdb(registry, duck):
+    events = registry.table("events")
+    got = as_of_join(
+        events.select("event_id", "user_id", "ts", "value"),
+        _checkpoints(events),
+        on="user_id",
+        right_payload=["value"],
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("value"),
+        F.round("right_value", 6).alias("ckpt_value"),
+    )
+    assert_matches_oracle(got, duck, ASOF_ORACLE)
+
+
+def test_asof_strictness(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00"), (2, "2024-01-01 00:20:00"),
+         (3, "2024-01-01 00:05:00")],
+        ["id", "ts"],
+    ).selectExpr("id", "CAST(ts AS TIMESTAMP) ts", "1 AS k")
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00"), ("b", "2024-01-01 00:15:00")],
+        ["tag", "ts"],
+    ).selectExpr("tag", "CAST(ts AS TIMESTAMP) ts", "1 AS k")
+
+    inclusive = {
+        r["id"]: r["right_tag"]
+        for r in as_of_join(left, right, on="k", right_payload=["tag"]).collect()
+    }
+    assert inclusive == {1: "a", 2: "b", 3: None}
+
+    strict = {
+        r["id"]: r["right_tag"]
+        for r in as_of_join(
+            left, right, on="k", right_payload=["tag"], strict=True
+        ).collect()
+    }
+    # id 1 sits exactly on checkpoint 'a': strictly-before excludes it
+    assert strict == {1: None, 2: "b", 3: None}
