@@ -1016,6 +1016,34 @@ def _q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus vocabulary statistics: term frequency + document frequency,
+    # top 100 — one explode + one hash aggregate (map-side partial)
+    from project_cortex_spark.functions.text import tokens as _tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.col("doc_id"), F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(100)
+    )
+
+
+_TOP_TERMS_ORACLE = f"""
+    WITH {{tokens_cte}}
+    SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM toks GROUP BY term
+    ORDER BY tf DESC, term LIMIT 100
+"""
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as-of join (beyond parity — Spark lacks it; DuckDB oracle uses its
     # native ASOF JOIN): each event matched to the user's latest
@@ -1204,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_quality"] = lambda s, d: ts.quality_scores(_docs(s, d))
     out["text_language_id"] = lambda s, d: ts.language_id(_docs(s, d))
     out["text_fingerprints"] = lambda s, d: ts.fingerprints(_docs(s, d))
+    out["text_top_terms"] = _q_text_top_terms
     out["pipeline_change_detection"] = _q_change_detection
     out["pipeline_apply_changeset"] = _q_apply_changeset
     out["pipeline_branch_fork"] = _q_branch_fork
@@ -1271,6 +1300,9 @@ def oracle_sql() -> dict[str, str]:
     out["text_quality"] = oracle.quality_scores_sql()
     out["text_language_id"] = oracle.language_id_sql()
     out["text_fingerprints"] = oracle.fingerprints_sql()
+    out["text_top_terms"] = _TOP_TERMS_ORACLE.format(
+        tokens_cte=oracle.fts_tokens_cte("documents", "doc_id", "text")
+    )
     out["pipeline_change_detection"] = oracle.change_detection_sql()
     out["pipeline_apply_changeset"] = oracle.apply_changeset_sql()
     out["pipeline_branch_fork"] = oracle.branch_fork_sql()
