@@ -1087,6 +1087,30 @@ _ASOF_ORACLE = """
 """
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # keyed range join (beyond parity): events assigned to their session
+    # interval — hash join on user_id + residual containment predicate
+    events = _registry(spark, sf_dir).table("events")
+    sessions = ev.sessionize(events, gap_minutes=30)
+    return asof_mod.range_join(
+        events.select("event_id", "user_id", "ts"),
+        sessions.select("user_id", "session_seq", "session_start", "session_end"),
+        on="user_id",
+        point="ts",
+        start="session_start",
+        end="session_end",
+    ).select("event_id", "user_id", "session_seq")
+
+
+def _range_join_oracle() -> str:
+    return f"""
+    WITH s AS ({oracle.sessionize_sql(gap_minutes=30)})
+    SELECT e.event_id, e.user_id, s.session_seq
+    FROM events e JOIN s ON e.user_id = s.user_id
+     AND e.ts BETWEEN s.session_start AND s.session_end
+    """
+
+
 def _q_hydrate_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J4 hydration join: parent rows with children nested as a sorted
     # array (the reference's types⋈type_fields LEFT JOIN + app-side
@@ -1248,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_cumulative"] = _q_events_cumulative
     out["join_hydrate_nested"] = _q_hydrate_order_lines
     out["join_asof"] = _q_asof_join
+    out["join_range"] = _q_range_join
     out["stream_windowed_agg"] = _q_stream_windowed_agg
     out["stream_sessionize"] = _q_stream_sessionize
     _media = lambda s, d: mm.synthesize_media(_docs(s, d))  # noqa: E731
@@ -1321,6 +1346,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_cumulative"] = _CUMULATIVE_ORACLE
     out["join_hydrate_nested"] = _HYDRATE_ORACLE
     out["join_asof"] = _ASOF_ORACLE
+    out["join_range"] = _range_join_oracle()
     out["stream_windowed_agg"] = oracle.windowed_agg_sql()
     out["stream_sessionize"] = oracle.sessionize_stream_sql()
     out["media_decode_meta"] = oracle.media_decode_meta_sql()

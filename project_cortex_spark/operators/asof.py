@@ -77,3 +77,75 @@ def as_of_join(
         *[F.col(f"_f_{c}").alias(f"right_{c}") for c in right_payload],
     )
     return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    on: str,
+    point: str,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Keyed interval containment: point rows joined to the interval rows
+    of the same key that contain them (start <= point <= end).
+
+    With an equi key this is just a hash join plus a residual range
+    predicate — Catalyst plans the shuffle on ``on`` and evaluates the
+    range filter during the probe, so no special machinery is needed.
+    The hard case is the KEYLESS range join; see
+    :func:`range_join_bucketed`.
+    """
+    p, iv = points.alias("p"), intervals.alias("iv")
+    cond = (
+        (F.col(f"p.{on}") == F.col(f"iv.{on}"))
+        & (F.col(f"p.{point}") >= F.col(f"iv.{start}"))
+        & (F.col(f"p.{point}") <= F.col(f"iv.{end}"))
+    )
+    return p.join(iv, cond).select(
+        "p.*", *[F.col(f"iv.{c}") for c in intervals.columns if c != on]
+    )
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point: str,
+    start: str,
+    end: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Keyless interval containment without the cross product: both sides
+    map to coarse buckets of ``bucket_width`` (intervals explode into
+    every bucket they overlap), candidates meet in an equi-join on the
+    bucket id, and the exact containment predicate filters the survivors.
+
+    Cost: |points| + sum(interval_width/bucket_width) rows shuffled on
+    the bucket key instead of |points| x |intervals| comparisons — the
+    standard bucketing trick Spark's optimizer doesn't apply on its own.
+    Pick ``bucket_width`` near the median interval width: much smaller
+    explodes the interval side, much bigger fans candidates per bucket.
+    """
+    pb = points.withColumn(
+        "_bucket", F.floor(F.col(point) / F.lit(bucket_width)).cast("long")
+    )
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(end) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    p, iv = pb.alias("p"), ib.alias("iv")
+    out = p.join(iv, F.col("p._bucket") == F.col("iv._bucket")).filter(
+        (F.col(f"p.{point}") >= F.col(f"iv.{start}"))
+        & (F.col(f"p.{point}") <= F.col(f"iv.{end}"))
+    )
+    return out.select(
+        *[F.col(f"p.{c}") for c in points.columns],
+        *[F.col(f"iv.{c}") for c in intervals.columns],
+    )

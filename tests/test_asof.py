@@ -80,3 +80,63 @@ def test_asof_strictness(spark):
     }
     # id 1 sits exactly on checkpoint 'a': strictly-before excludes it
     assert strict == {1: None, 2: "b", 3: None}
+
+
+# ---------------------------------------------------------------------------
+# range joins
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_events_to_sessions(registry, duck):
+    """Assigning events to their session interval is a keyed range join;
+    every event lands in exactly one of its user's sessions."""
+    from project_cortex_spark import oracle
+    from project_cortex_spark.operators import events as ev
+    from project_cortex_spark.operators.asof import range_join
+
+    events = registry.table("events")
+    sessions = ev.sessionize(events, gap_minutes=30)
+    got = range_join(
+        events.select("event_id", "user_id", "ts"),
+        sessions.select("user_id", "session_seq", "session_start", "session_end"),
+        on="user_id",
+        point="ts",
+        start="session_start",
+        end="session_end",
+    ).select("event_id", "user_id", "session_seq")
+    assert got.count() == events.count()
+    assert_matches_oracle(
+        got,
+        duck,
+        f"""
+        WITH s AS ({oracle.sessionize_sql(gap_minutes=30)})
+        SELECT e.event_id, e.user_id, s.session_seq
+        FROM events e JOIN s ON e.user_id = s.user_id
+         AND e.ts BETWEEN s.session_start AND s.session_end
+        """,
+    )
+
+
+def test_range_join_bucketed_equals_naive(spark):
+    from project_cortex_spark.operators.asof import range_join_bucketed
+
+    points = spark.createDataFrame(
+        [(i, float(i * 7 % 100)) for i in range(200)], ["pid", "x"]
+    )
+    intervals = spark.createDataFrame(
+        [(j, float(j * 13 % 90), float(j * 13 % 90 + j % 17)) for j in range(40)],
+        ["iid", "lo", "hi"],
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_bucketed(
+            points, intervals, point="x", start="lo", end="hi", bucket_width=8.0
+        ).collect()
+    }
+    naive = {
+        (r["pid"], r["iid"])
+        for r in points.crossJoin(intervals)
+        .filter((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+        .collect()
+    }
+    assert got == naive and got
