@@ -613,7 +613,7 @@ def chunk_fixed_tokens_sql(
     n = tokens_per_chunk
     return f"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM {table}
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words FROM {table}
     ),
     e AS (
       SELECT doc_id, words,
@@ -633,7 +633,7 @@ def chunk_fixed_tokens_sql(
 def chunk_assembly_sql(table: str = "documents") -> str:
     return f"""
     WITH w AS (
-      SELECT *, string_split_regex(trim(text), '\\s+') AS words FROM {table}
+      SELECT *, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words FROM {table}
     )
     SELECT 'code-symbols-' || doc_id AS chunk_id, doc_id,
            'symbols' AS chunk_type,

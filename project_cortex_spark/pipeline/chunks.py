@@ -54,7 +54,12 @@ def chunk_fixed_tokens(
     re-aggregation, and the chunk text is reassembled identically on the
     DuckDB side (array_to_string over the same slice).
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # split on whitespace, dropping empties: trim() strips only spaces,
+    # so leading/trailing \n or \t would otherwise yield "" tokens
+    # (caught by the chunker property test)
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
     n_chunks = F.ceil(F.size(words) / F.lit(tokens_per_chunk)).cast("int")
     per_doc = docs.select(
         F.col(id_col), words.alias("_words"), n_chunks.alias("_n")
@@ -89,7 +94,9 @@ def assemble_code_chunks(
     emit: symbols = leading tokens, definitions = a prose metadata line,
     data = a content excerpt.
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
 
     def tier(name: str, text_expr) -> DataFrame:
         return docs.select(

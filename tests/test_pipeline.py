@@ -97,7 +97,10 @@ def test_chunk_ids_stable_and_spanning(registry):
         .agg(F.sum("n_tokens").alias("total"))
         .join(
             docs.select(
-                "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_words")
+                "doc_id",
+                F.size(
+                    F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+                ).alias("n_words"),
             ),
             "doc_id",
         )

@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis) — beyond the reference's strategy
+(SURVEY §5: it has no randomized testing).
+
+Each example batches all generated rows into ONE Spark job, so the suite
+stays fast despite per-job overhead. Deadlines are disabled (job
+startup noise) and example counts kept small; the properties, not the
+volume, carry the value.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from project_cortex_spark.functions.text import tokens
+from project_cortex_spark.operators.asof import as_of_join
+from project_cortex_spark.operators.events import sessionize
+from project_cortex_spark.pipeline.chunks import chunk_fixed_tokens
+
+# latin-ish alphabet: enough variety to exercise the tokenizer without
+# tripping locale-dependent case-folding differences between engines
+TEXT = st.text(
+    alphabet="abcXYZ0189 ._-!?\náüß\t",
+    min_size=0,
+    max_size=120,
+)
+
+COMMON = settings(max_examples=15, deadline=None)
+
+
+@COMMON
+@given(st.lists(TEXT, min_size=1, max_size=30))
+def test_tokenizer_parity_with_duckdb(spark, duck, texts):
+    """Spark's tokenizer and the oracle CTE's regexp split agree on
+    arbitrary text — the property every FTS/dedup oracle rests on."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r["i"]: list(r["toks"])
+        for r in df.select("i", tokens(F.col("t")).alias("toks")).collect()
+    }
+    duck.execute(
+        "CREATE OR REPLACE TABLE _prop_t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") AS v(i, t)",
+        list(texts),
+    )
+    want = {
+        i: toks
+        for i, toks in duck.execute(
+            r"""SELECT i, list_filter(
+                  regexp_split_to_array(lower(t), '[^\p{L}\p{N}]+'),
+                  x -> x <> '') FROM _prop_t"""
+        ).fetchall()
+    }
+    assert got == want
+
+
+@COMMON
+@given(st.lists(TEXT, min_size=1, max_size=20), st.integers(2, 16))
+def test_chunker_preserves_tokens(spark, texts, n):
+    """Concatenating a doc's chunk texts reproduces its token stream
+    exactly (no loss, no duplication, order kept)."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    chunks = chunk_fixed_tokens(df, tokens_per_chunk=n).orderBy("doc_id", "chunk_idx")
+    rebuilt: dict[int, list[str]] = {}
+    for r in chunks.collect():
+        rebuilt.setdefault(r["doc_id"], []).extend(r["chunk_text"].split(" "))
+    for i, t in enumerate(texts):
+        words = t.strip().split()
+        if words and words != [""]:
+            expect = " ".join(words).split(" ")
+            assert rebuilt.get(i, []) == expect
+
+
+def _brute_sessions(events, gap_s):
+    """Reference sessionizer: plain python over (user, ts) pairs."""
+    out = {}
+    by_user: dict[int, list[int]] = {}
+    for u, t in events:
+        by_user.setdefault(u, []).append(t)
+    for u, ts in by_user.items():
+        ts.sort()
+        sessions = []
+        for t in ts:
+            if not sessions or t - sessions[-1][-1] > gap_s:
+                sessions.append([t])
+            else:
+                sessions[-1].append(t)
+        out[u] = [len(s) for s in sessions]
+    return out
+
+
+@COMMON
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50_000)),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    st.integers(60, 3600),
+)
+def test_sessionize_matches_bruteforce(spark, events, gap_s):
+    df = spark.createDataFrame(
+        [(i, u, t, float(i)) for i, (u, t) in enumerate(events)],
+        ["event_id", "user_id", "epoch", "value"],
+    ).withColumn("ts", F.timestamp_seconds("epoch"))
+    got = sessionize(df, gap_minutes=gap_s / 60.0)
+    got_counts: dict[int, list[int]] = {}
+    for r in got.orderBy("user_id", "session_seq").collect():
+        got_counts.setdefault(r["user_id"], []).append(r["n_events"])
+    assert got_counts == _brute_sessions(events, gap_s)
+
+
+@COMMON
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=40, unique=True),
+    st.lists(st.integers(0, 1000), min_size=1, max_size=15, unique=True),
+)
+def test_asof_matches_bruteforce(spark, left_ts, right_ts):
+    left = spark.createDataFrame(
+        [(i, 1, t) for i, t in enumerate(left_ts)], ["id", "k", "t"]
+    )
+    right = spark.createDataFrame(
+        [(1, t, f"r{t}") for t in right_ts], ["k", "t", "tag"]
+    )
+    got = {
+        r["id"]: r["right_tag"]
+        for r in as_of_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_payload=["tag"],
+        ).collect()
+    }
+    for i, lt in enumerate(left_ts):
+        candidates = [rt for rt in right_ts if rt <= lt]
+        want = f"r{max(candidates)}" if candidates else None
+        assert got[i] == want
