@@ -63,3 +63,36 @@ def plan_of(df: DataFrame) -> str:
             "formatted"
         )
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: the (large, skewed) left side gets a
+    random salt in [0, n_salts); the right side is replicated once per
+    salt; the join key becomes (key, salt), splitting each hot key's
+    rows across ``n_salts`` reducers.
+
+    Result set is identical to ``left.join(right, key, how)`` for inner/
+    left joins (each left row still meets every matching right row,
+    exactly once). Use when AQE's skew-join splitting can't apply —
+    broadcast-ineligible sides, or persisted pre-partitioned layouts.
+    Cost: right side scanned/shuffled n_salts times — size n_salts by
+    hot-key row count / target partition size.
+    """
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salted_l = left.withColumn(
+        "_salt", (F.rand(42) * n_salts).cast("int")
+    )
+    salted_r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_l.join(salted_r, [key, "_salt"], how).drop("_salt")

@@ -91,3 +91,23 @@ def test_bucketed_join_no_shuffle(spark, bucketed_pair):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_salted_join_equivalence(spark):
+    """Salting must not change the join result — only how it shards."""
+    from project_cortex_spark.sources.layout import salted_join
+
+    # 90% of left rows share one hot key
+    left = spark.createDataFrame(
+        [(i, 1 if i % 10 else i) for i in range(2000)], ["row_id", "k"]
+    ).select("row_id", F.col("k").alias("key"))
+    right = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(0, 2000, 7)], ["key", "val"]
+    )
+    got = sorted(
+        map(tuple, salted_join(left, right, "key", n_salts=4).collect())
+    )
+    want = sorted(map(tuple, left.join(right, "key", "inner").collect()))
+    assert got == want and got
+    got_left = salted_join(left, right, "key", n_salts=4, how="left").count()
+    assert got_left == left.count()
