@@ -135,3 +135,92 @@ def test_asof_matches_bruteforce(spark, left_ts, right_ts):
         candidates = [rt for rt in right_ts if rt <= lt]
         want = f"r{max(candidates)}" if candidates else None
         assert got[i] == want
+
+
+# ---------------------------------------------------------------------------
+# DSL compiler fuzz: random filter trees vs DuckDB (P2-P7 semantics,
+# including SQL three-valued logic under NOT/OR nesting)
+# ---------------------------------------------------------------------------
+
+_INT_OPS = ["=", "!=", ">", ">=", "<", "<="]
+
+
+def _leaf_int():
+    return st.builds(
+        lambda op, v: {"field": "p_partkey", "operator": op, "value": v},
+        st.sampled_from(_INT_OPS),
+        st.integers(0, 300),
+    )
+
+
+def _leaf_between():
+    return st.builds(
+        lambda a, b: {
+            "field": "p_partkey", "operator": "BETWEEN", "value": [min(a, b), max(a, b)]
+        },
+        st.integers(0, 300),
+        st.integers(0, 300),
+    )
+
+
+def _leaf_str():
+    words = st.sampled_from(["bolt", "nut", "spring", "zzz"])
+    return st.one_of(
+        st.builds(
+            lambda w: {"field": "p_name", "operator": "LIKE", "value": f"%{w}%"},
+            words,
+        ),
+        st.builds(
+            lambda ws: {"field": "p_type", "operator": "IN", "value": ws},
+            st.lists(
+                st.sampled_from(["SMALL", "LARGE", "PROMO", "NOPE"]),
+                min_size=1, max_size=3, unique=True,
+            ),
+        ),
+    )
+
+
+_FILTER = st.recursive(
+    st.one_of(_leaf_int(), _leaf_between(), _leaf_str()),
+    lambda children: st.one_of(
+        st.builds(lambda cs: {"and": cs}, st.lists(children, min_size=1, max_size=3)),
+        st.builds(lambda cs: {"or": cs}, st.lists(children, min_size=1, max_size=3)),
+        st.builds(lambda c: {"not": c}, children),
+    ),
+    max_leaves=6,
+)
+
+
+def _to_sql(node) -> str:
+    if "and" in node:
+        return "(" + " AND ".join(_to_sql(c) for c in node["and"]) + ")"
+    if "or" in node:
+        return "(" + " OR ".join(_to_sql(c) for c in node["or"]) + ")"
+    if "not" in node:
+        return "NOT (" + _to_sql(node["not"]) + ")"
+    f, op, v = node["field"], node["operator"], node.get("value")
+    if op == "BETWEEN":
+        return f"({f} BETWEEN {v[0]} AND {v[1]})"
+    if op == "IN":
+        vals = ", ".join(f"'{x}'" for x in v)
+        return f"({f} IN ({vals}))"
+    if op == "LIKE":
+        return f"({f} LIKE '{v}')"
+    if op == "!=":
+        op = "<>"
+    lit = v if isinstance(v, int) else f"'{v}'"
+    return f"({f} {op} {lit})"
+
+
+@settings(max_examples=25, deadline=None)
+@given(_FILTER)
+def test_dsl_filter_fuzz_vs_duckdb(registry, duck, where):
+    from project_cortex_spark.dsl import compile_query
+
+    got = compile_query(
+        registry, {"from": "part", "fields": ["p_partkey"], "where": where}
+    )
+    want = duck.execute(
+        f"SELECT p_partkey FROM part WHERE {_to_sql(where)}"
+    ).fetchall()
+    assert sorted(r[0] for r in got.collect()) == sorted(r[0] for r in want)
