@@ -250,6 +250,26 @@ _DSL_QUERIES: dict[str, tuple[dict, str]] = {
         """SELECT s_suppkey, n_nationkey, n_name
            FROM supplier FULL JOIN nation ON s_nationkey = n_nationkey""",
     ),
+    # J1 RIGHT
+    "dsl_join_right": (
+        {
+            "from": "orders",
+            "fields": ["orders.o_orderkey", "customer.c_custkey", "customer.c_name"],
+            "joins": [
+                {
+                    "table": "customer",
+                    "type": "RIGHT",
+                    "on": {
+                        "field": "orders.o_custkey",
+                        "operator": "=",
+                        "value": "customer.c_custkey",
+                    },
+                }
+            ],
+        },
+        """SELECT o_orderkey, c_custkey, c_name
+           FROM orders RIGHT JOIN customer ON o_custkey = c_custkey""",
+    ),
     # A1-A7: every aggregate ± DISTINCT, multi-col groupBy
     "dsl_agg_full": (
         {
@@ -1111,6 +1131,28 @@ def _range_join_oracle() -> str:
     """
 
 
+def _q_events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lead/lag windows: per-user value delta between consecutive events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _registry(spark, sf_dir)
+        .table("events")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        )
+    )
+
+
+_LAG_DELTA_ORACLE = """
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 6) AS delta
+    FROM events
+"""
+
+
 def _q_hydrate_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J4 hydration join: parent rows with children nested as a sorted
     # array (the reference's types⋈type_fields LEFT JOIN + app-side
@@ -1270,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["agg_cube"] = _q_agg_cube
     out["agg_percentiles"] = _q_agg_percentiles
     out["events_cumulative"] = _q_events_cumulative
+    out["events_lag_delta"] = _q_events_lag_delta
     out["join_hydrate_nested"] = _q_hydrate_order_lines
     out["join_asof"] = _q_asof_join
     out["join_range"] = _q_range_join
@@ -1344,6 +1387,7 @@ def oracle_sql() -> dict[str, str]:
     out["agg_cube"] = _CUBE_ORACLE
     out["agg_percentiles"] = _PERCENTILES_ORACLE
     out["events_cumulative"] = _CUMULATIVE_ORACLE
+    out["events_lag_delta"] = _LAG_DELTA_ORACLE
     out["join_hydrate_nested"] = _HYDRATE_ORACLE
     out["join_asof"] = _ASOF_ORACLE
     out["join_range"] = _range_join_oracle()
