@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from project_cortex_spark import oracle
 from project_cortex_spark.dsl import compile_query
 from project_cortex_spark.operators import asof as asof_mod
+from project_cortex_spark.operators import corpus as corpus_mod
 from project_cortex_spark.operators import dedup as dd
 from project_cortex_spark.operators import events as ev
 from project_cortex_spark.operators import fts as fts_mod
@@ -901,6 +902,25 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=2)
 
 
+_MIX_KEEP = (("src0", 0.5), ("src1", 0.25))
+
+
+def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_mod.hash_split(_docs(spark, sf_dir))
+
+
+def _q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_mod.weighted_mix(
+        _docs(spark, sf_dir), keep_fractions=dict(_MIX_KEEP)
+    )
+
+
+def _q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return corpus_mod.decontaminate(docs, bench, ngram=8)
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
     return dd.duplicate_clusters(pairs.select("a", "b"))
@@ -1289,6 +1309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_simhash"] = _q_dedup_simhash
     out["dedup_clusters"] = _q_dedup_clusters
     out["dedup_embedding_cosine"] = _q_dedup_embedding
+    out["corpus_split"] = _q_corpus_split
+    out["corpus_mix"] = _q_corpus_mix
+    out["corpus_decontaminate"] = _q_corpus_decontaminate
     _events = lambda s, d: _registry(s, d).table("events")  # noqa: E731
     out["events_windowed_agg"] = lambda s, d: ev.windowed_agg(_events(s, d))
     out["events_sessionize"] = lambda s, d: ev.sessionize(_events(s, d))
@@ -1360,6 +1383,11 @@ def oracle_sql() -> dict[str, str]:
         oracle.minhash_near_duplicates_sql(threshold=0.5)
     )
     out["dedup_embedding_cosine"] = oracle.embedding_near_duplicates_sql(threshold=0.7)
+    out["corpus_split"] = oracle.hash_split_sql()
+    out["corpus_mix"] = oracle.weighted_mix_sql(_MIX_KEEP)
+    out["corpus_decontaminate"] = oracle.decontaminate_sql(
+        bench_filter="doc_id % 97 = 0", ngram=8
+    )
     out["events_windowed_agg"] = oracle.windowed_agg_sql()
     out["events_sessionize"] = oracle.sessionize_sql()
     out["events_props_extract"] = oracle.props_extract_sql()

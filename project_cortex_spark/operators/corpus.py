@@ -1,0 +1,115 @@
+"""Corpus management operators for training-data pipelines.
+
+Beyond the reference (BASELINE.json north star): the operations that sit
+between "indexed corpus" and "training run" at 100 TB —
+
+- ``hash_split``: deterministic, stable train/val/test assignment. The
+  split is a pure function of the document id (md5 bucket), so re-runs,
+  incremental additions, and different engines agree forever; no state,
+  no sampling drift. This is why it is md5-based and not ``rand()``.
+- ``weighted_mix``: up/down-sample sources to target proportions with
+  the same deterministic hash ordering (take the lowest-hash fraction
+  per source) — reproducible corpus mixing without a global sort.
+- ``decontaminate``: drop documents sharing any word n-gram with a
+  benchmark set — the standard eval-contamination guard. One shingle
+  explode per side and one equi-join on the shingle; no pairwise
+  comparison.
+
+All three are oracle-checked against DuckDB (md5 and the tokenizer are
+engine-portable by construction).
+
+Scale notes: hash_split/weighted_mix are narrow projections + one
+filter — no shuffle at all (the hash IS the randomness). decontaminate
+shuffles on the shingle value once; benchmark sides are typically small
+enough that the matched-ids frame broadcasts back for the anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles
+
+
+def _hash_bucket(id_col: Column, *, buckets: int = 10_000, salt: str = "split") -> Column:
+    """Deterministic bucket in [0, buckets): integer value of the first 8
+    hex digits of md5(salt || ':' || id) — identical in DuckDB via
+    ``('0x' || substr(md5(...), 1, 8))::BIGINT % buckets``."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets
+
+
+def hash_split(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Append ``split`` ∈ fractions.keys() assigned by hash bucket.
+
+    Default 98/1/1 train/val/test. Assignment is stable under corpus
+    growth: a document's split never changes when other documents are
+    added or removed.
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(fractions.values())
+    bucket = _hash_bucket(F.col(id_col), salt=salt)
+    expr = None
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        bound = int(round(acc / total * 10_000))
+        cond = bucket < bound
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return docs.withColumn("split", expr)
+
+
+def weighted_mix(
+    sources: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    keep_fractions: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Keep a deterministic ``keep_fractions[source]`` share of each
+    source's rows (the lowest hash buckets), giving reproducible
+    down-sampling for corpus mixing. Sources not listed are dropped."""
+    bucket = _hash_bucket(F.col(id_col), salt=salt)
+    expr = None
+    for name, frac in keep_fractions.items():
+        bound = int(round(frac * 10_000))
+        cond = (F.col(source_col) == name) & (bucket < bound)
+        expr = cond if expr is None else (expr | cond)
+    return sources.filter(expr)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    ngram: int = 8,
+) -> DataFrame:
+    """Remove docs sharing ANY word ``ngram``-gram with the benchmark.
+
+    Returns the surviving docs frame. The contaminated-id set is derived
+    with one equi-join on the shingle value; at scale persist the
+    benchmark shingle set (it is small and reused across corpus drops).
+    """
+    bench_text = bench_text_col or text_col
+    doc_sh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), ngram)).alias("sh"),
+    )
+    bench_sh = benchmark.select(
+        F.explode(shingles(F.col(bench_text), ngram)).alias("sh")
+    ).distinct()
+    contaminated = (
+        doc_sh.join(bench_sh, "sh").select(F.col("_id").alias(id_col)).distinct()
+    )
+    return docs.join(contaminated, id_col, "left_anti")

@@ -734,3 +734,78 @@ def duplicate_clusters_sql(pairs_sql: str) -> str:
       FROM reach GROUP BY x
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-management oracles (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_sql(id_col: str, salt: str) -> str:
+    return (
+        f"('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % 10000"
+    )
+
+
+def hash_split_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.98), ("val", 0.01), ("test", 0.01),
+    ),
+    salt: str = "split",
+) -> str:
+    total = sum(f for _, f in fractions)
+    acc, cases = 0.0, []
+    for name, frac in fractions:
+        acc += frac
+        cases.append(f"WHEN bkt < {int(round(acc / total * 10_000))} THEN '{name}'")
+    return f"""
+    SELECT * EXCLUDE (bkt), CASE {' '.join(cases)} END AS split
+    FROM (SELECT *, {_bucket_sql(id_col, salt)} AS bkt FROM {table})
+    """
+
+
+def weighted_mix_sql(
+    keep_fractions: tuple[tuple[str, float], ...],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix",
+) -> str:
+    conds = " OR ".join(
+        f"({source_col} = '{name}' AND bkt < {int(round(frac * 10_000))})"
+        for name, frac in keep_fractions
+    )
+    return f"""
+    SELECT * EXCLUDE (bkt)
+    FROM (SELECT *, {_bucket_sql(id_col, salt)} AS bkt FROM {table})
+    WHERE {conds}
+    """
+
+
+def decontaminate_sql(
+    *, table: str = "documents", id_col: str = "doc_id",
+    text_col: str = "text", bench_filter: str, ngram: int = 8,
+) -> str:
+    """Survivors after removing docs sharing any word n-gram with the
+    benchmark subset (``bench_filter`` selects it from the same table)."""
+    return f"""
+    WITH dsh AS (
+      SELECT {id_col} AS doc_id,
+             unnest([array_to_string(t[i:i+{ngram - 1}], ' ')
+                     FOR i IN range(1, len(t) - {ngram - 2})]) AS sh
+      FROM (
+        SELECT {id_col},
+               list_filter(regexp_split_to_array(lower({text_col}), '{SEP_SQL}'),
+                           x -> x <> '') AS t
+        FROM {table}
+      )
+      WHERE len(t) >= {ngram}
+    ),
+    bsh AS (SELECT DISTINCT sh FROM dsh WHERE {bench_filter}),
+    bad AS (SELECT DISTINCT d.doc_id FROM dsh d JOIN bsh USING (sh))
+    SELECT * FROM {table}
+    WHERE {id_col} NOT IN (SELECT doc_id FROM bad)
+    """
