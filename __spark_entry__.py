@@ -1104,7 +1104,8 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_id",
         "user_id",
-        "ts",
+        # integer micros: precision-proof against any ns/µs restore skew
+        F.unix_micros("ts").alias("ts_us"),
         F.round("value", 6).alias("value"),
         F.round("right_value", 6).alias("ckpt_value"),
     )
@@ -1119,7 +1120,7 @@ _ASOF_ORACLE = """
         FROM events WHERE event_id % 10 = 0
       ) WHERE rn = 1
     )
-    SELECT l.event_id, l.user_id, l.ts,
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
            round(l.value, 6) AS value,
            round(r.value, 6) AS ckpt_value
     FROM events l
@@ -1266,6 +1267,12 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_windows.sessionize_stream(stream, gap_minutes=30),
         query_name="q_stream_sessionize",
         output_mode="complete",
+    ).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        "sum_value_e4",
     )
 
 
@@ -1314,7 +1321,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corpus_decontaminate"] = _q_corpus_decontaminate
     _events = lambda s, d: _registry(s, d).table("events")  # noqa: E731
     out["events_windowed_agg"] = lambda s, d: ev.windowed_agg(_events(s, d))
-    out["events_sessionize"] = lambda s, d: ev.sessionize(_events(s, d))
+    # contract form: integer epoch-micros bounds + exact scaled-int sum —
+    # hash-deterministic by construction (round-1's one red driver row was
+    # this query's float-sum rounding drift)
+    out["events_sessionize"] = lambda s, d: ev.sessionize(_events(s, d)).select(
+        "user_id",
+        "session_seq",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        "sum_value_e4",
+    )
     out["events_props_extract"] = lambda s, d: ev.props_extract(_events(s, d))
     out["events_top_users"] = lambda s, d: ev.top_users_per_type(_events(s, d))
     out["text_token_stats"] = lambda s, d: ts.token_stats(_docs(s, d))
@@ -1389,7 +1406,7 @@ def oracle_sql() -> dict[str, str]:
         bench_filter="doc_id % 97 = 0", ngram=8
     )
     out["events_windowed_agg"] = oracle.windowed_agg_sql()
-    out["events_sessionize"] = oracle.sessionize_sql()
+    out["events_sessionize"] = oracle.sessionize_contract_sql()
     out["events_props_extract"] = oracle.props_extract_sql()
     out["events_top_users"] = oracle.top_users_per_type_sql()
     out["text_token_stats"] = oracle.token_stats_sql()

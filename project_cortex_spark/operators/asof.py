@@ -42,20 +42,26 @@ def as_of_join(
     every engine's as-of pick arbitrary.
     """
     lt, rt = F.col(left_time), F.col(right_time)
+    # The right payload rides as ONE struct column, so a single
+    # last(ignorenulls) propagates the whole matched row atomically — a
+    # per-column fill would back-fill a NULL payload field from an OLDER
+    # right row, fabricating a row that never existed (DuckDB's native
+    # ASOF JOIN returns the matched row's NULL, and so do we).
+    r_struct = F.struct(*[F.col(c).alias(c) for c in right_payload])
+    r_struct_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
     l_tag = left.select(
         F.col(on).alias("_k"),
         lt.alias("_t"),
         F.lit(1).alias("_side"),
         F.struct(*left.columns).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in right_payload],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_tag = right.select(
         F.col(on).alias("_k"),
         rt.alias("_t"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_payload],
+        r_struct.alias("_r"),
     )
     # at equal time: side 0 (right) sorts first => left sees it (<=).
     # strict mode flips the tags so a left row precedes its own-time right.
@@ -66,15 +72,11 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_tag.unionByName(r_tag).select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in right_payload
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_f")
     )
     out = filled.filter(F.col("_side") == 1).select(
         *[F.col("_lrow")[c].alias(c) for c in left.columns],
-        *[F.col(f"_f_{c}").alias(f"right_{c}") for c in right_payload],
+        *[F.col("_f")[c].alias(f"right_{c}") for c in right_payload],
     )
     return out
 

@@ -53,6 +53,14 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     Batch twin of ``F.session_window`` / ``applyInPandasWithState``
     (streaming/stateful.py); microsecond-exact via ``unix_micros``.
+
+    ``sum_value_e4`` is the per-session value total as an exact scaled
+    integer (each value rounded to 4 decimals and scaled by 10^4 BEFORE
+    summing). Integer addition is associative, so the result is
+    bit-identical regardless of partitioning / aggregation order — a
+    float sum rounded after aggregation drifts at the rounding boundary
+    between engines (~1 session in 10^4 at round-6), which is exactly
+    what broke the round-1 driver hash for this operator.
     """
     gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -73,7 +81,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sum_value_e4"),
     )
 
 

@@ -517,8 +517,21 @@ def sessionize_sql(table: str = "events", gap_minutes: int = 30) -> str:
            min(ts) AS session_start,
            max(ts) AS session_end,
            count(*) AS n_events,
-           round(sum(value), 6) AS sum_value
+           sum(CAST(round(value * 10000, 0) AS BIGINT)) AS sum_value_e4
     FROM numbered GROUP BY user_id, session_seq
+    """
+
+
+def sessionize_contract_sql(table: str = "events", gap_minutes: int = 30) -> str:
+    """Hash-proof contract form: session bounds as integer epoch-micros
+    (timestamps serialize identically on both sides today, but integers
+    are precision-proof by construction) + the exact scaled-integer sum."""
+    return f"""
+    SELECT user_id, session_seq,
+           epoch_us(session_start) AS session_start_us,
+           epoch_us(session_end) AS session_end_us,
+           n_events, sum_value_e4
+    FROM ({sessionize_sql(table=table, gap_minutes=gap_minutes)})
     """
 
 
@@ -652,9 +665,13 @@ def chunk_assembly_sql(table: str = "documents") -> str:
 
 def sessionize_stream_sql(table: str = "events", gap_minutes: int = 30) -> str:
     """The streaming sessionizer's shape: batch sessions without the
-    per-user sequence number (session identity = its start time)."""
+    per-user sequence number (session identity = its start time), with
+    the same integer-micros/scaled-sum hardening as the batch contract."""
     return f"""
-    SELECT user_id, session_start, session_end, n_events, sum_value
+    SELECT user_id,
+           epoch_us(session_start) AS session_start_us,
+           epoch_us(session_end) AS session_end_us,
+           n_events, sum_value_e4
     FROM ({sessionize_sql(table=table, gap_minutes=gap_minutes)})
     """
 

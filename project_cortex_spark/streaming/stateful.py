@@ -23,7 +23,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -36,7 +35,7 @@ OUTPUT_SCHEMA = StructType(
         StructField("session_start", TimestampType()),
         StructField("session_end", TimestampType()),
         StructField("n_events", LongType()),
-        StructField("sum_value", DoubleType()),
+        StructField("sum_value_e4", LongType()),
     ]
 )
 
@@ -45,7 +44,7 @@ STATE_SCHEMA = StructType(
         StructField("start_us", LongType()),
         StructField("last_us", LongType()),
         StructField("n_events", LongType()),
-        StructField("sum_value", DoubleType()),
+        StructField("sum_value_e4", LongType()),
     ]
 )
 
@@ -76,14 +75,24 @@ def _session_fn(gap_minutes: int):
                 ts_us.iloc[order], rows["value"].iloc[order].astype(float)
             ):
                 us = int(us)
+                v_e4 = int(round(val * 10000))
                 if cur is None:
-                    cur = [us, us, 0, 0.0]
+                    cur = [us, us, 0, 0]
+                elif us < cur[0] - gap_us:
+                    # cross-batch late event older than the open session
+                    # by more than the gap: it is its own (already
+                    # closed) session — the open session's start proves
+                    # a later event exists within one gap of it.
+                    closed.append((user_id, us, us, 1, v_e4))
+                    continue
                 elif us - cur[1] > gap_us:
                     closed.append((user_id, cur[0], cur[1], cur[2], cur[3]))
-                    cur = [us, us, 0, 0.0]
+                    cur = [us, us, 0, 0]
+                # late-but-in-gap events may lower the session start
+                cur[0] = min(cur[0], us)
                 cur[1] = max(cur[1], us)
                 cur[2] += 1
-                cur[3] += val
+                cur[3] += v_e4
             state.update(tuple(cur))
             # close the open session once the watermark passes its gap
             state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
@@ -91,7 +100,7 @@ def _session_fn(gap_minutes: int):
         if closed:
             out = pd.DataFrame(
                 closed,
-                columns=["user_id", "start_us", "last_us", "n_events", "sum_value"],
+                columns=["user_id", "start_us", "last_us", "n_events", "sum_value_e4"],
             )
             yield pd.DataFrame(
                 {
@@ -99,7 +108,7 @@ def _session_fn(gap_minutes: int):
                     "session_start": pd.to_datetime(out["start_us"], unit="us"),
                     "session_end": pd.to_datetime(out["last_us"], unit="us"),
                     "n_events": out["n_events"],
-                    "sum_value": out["sum_value"].round(6),
+                    "sum_value_e4": out["sum_value_e4"],
                 }
             )
 

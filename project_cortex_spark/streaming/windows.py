@@ -36,9 +36,11 @@ def sessionize_stream(
 ) -> DataFrame:
     """Gap sessions via the built-in ``session_window`` (merging windows
     + watermark state eviction). Emits the same (user_id, session_start,
-    session_end, n_events, sum_value) shape as the batch sessionizer;
+    session_end, n_events, sum_value_e4) shape as the batch sessionizer;
     session identity matches the batch twin because both define a break
-    as gap > ``gap_minutes``.
+    as gap > ``gap_minutes``. The sum is an exact scaled integer
+    (see operators/events.py sessionize) so batch and stream results are
+    bit-identical, not merely close.
     """
     w = F.session_window("ts", f"{gap_minutes} minutes")
     return (
@@ -48,7 +50,9 @@ def sessionize_stream(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias(
+                "sum_value_e4"
+            ),
         )
         .drop("w")
     )

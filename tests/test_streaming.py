@@ -86,7 +86,7 @@ def test_sessionize_with_state(spark, tmp_path):
     q.stop()
     got = {
         (r["user_id"], r["session_start"].isoformat(), r["session_end"].isoformat()):
-            (r["n_events"], r["sum_value"])
+            (r["n_events"], r["sum_value_e4"])
         for r in spark.table("t_stateful_sessions").collect()
         if r["user_id"] >= 0  # sentinel users only advance the watermark
     }
@@ -95,7 +95,7 @@ def test_sessionize_with_state(spark, tmp_path):
     ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "value")
     want = {
         (r["user_id"], r["session_start"].isoformat(), r["session_end"].isoformat()):
-            (r["n_events"], r["sum_value"])
+            (r["n_events"], r["sum_value_e4"])
         for r in ev.sessionize(batch_df, gap_minutes=30).collect()
     }
     assert got == want
