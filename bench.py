@@ -37,7 +37,8 @@ HEADLINE = [
     "graph_callees_d3",
     "graph_implements",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_simhash_banded",  # scale path: pigeonhole equi-join, not O(n^2)
+    "dedup_embedding_lsh",  # scale path: multi-table sign-LSH + exact verify
     "text_quality",
     "text_token_stats",
     "events_windowed_agg",

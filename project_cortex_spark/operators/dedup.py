@@ -269,14 +269,31 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(a, b, jaccard >= threshold) exact over all pairs sharing >=1
     shingle. The shared-shingle join prunes the quadratic pair space to
-    co-occurring docs only; at scale, high-df shingles should be capped
-    (df cut) — LSH (`minhash_near_duplicates`) is the production path."""
+    co-occurring docs only.
+
+    ``max_df`` is the document-frequency cut that makes this survive
+    skew at corpus scale: a stop-shingle shared by 1M docs is a
+    quadratic hot key in the co-occurrence join (10^12 pairs from ONE
+    key). Shingles appearing in more than ``max_df`` docs are dropped
+    from the universe — candidates, intersections, AND set sizes — so
+    the jaccard stays a true set similarity over the capped vocabulary.
+    The DuckDB oracle applies the identical cut."""
     sh = shingle_frame(
         docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
-    ).cache()
+    )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh")
+    sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("a"), "sh")
     b = sh.select(F.col("doc_id").alias("b"), "sh")
@@ -355,8 +372,9 @@ def simhash_near_duplicates(
     max_hamming: int = 2,
 ) -> DataFrame:
     """(a, b, hamming <= max_hamming): all-pairs XOR-popcount over
-    fingerprints (exact baseline; band the fp chunks for the LSH-style
-    scale path)."""
+    fingerprints. EXACT BASELINE ONLY — the pairing is a broadcast
+    nested-loop O(n^2); :func:`simhash_near_duplicates_banded` computes
+    the identical result with an equi-join and is the production path."""
     fps = simhash_fingerprints(docs, id_col=id_col, text_col=text_col, bits=bits)
     a = fps.select(F.col("doc_id").alias("a"), F.col("fp").alias("fa"))
     b = fps.select(F.col("doc_id").alias("b"), F.col("fp").alias("fb"))
@@ -369,6 +387,74 @@ def simhash_near_duplicates(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_band_pairs(
+    fps: DataFrame, *, bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """(a, b, fa, fb) candidate pairs via fingerprint banding.
+
+    Pigeonhole guarantee: split the ``bits``-bit fingerprint into
+    ``max_hamming + 1`` disjoint bands — any pair within hamming
+    distance ``max_hamming`` has fewer differing bits than bands, so it
+    agrees EXACTLY on at least one band. Candidates meet in an equi-join
+    on (band, band_value): shuffle keyed on band values instead of the
+    all-pairs nested loop, with zero recall loss (this is exact, unlike
+    probabilistic LSH)."""
+    nb = max_hamming + 1
+    assert nb <= bits
+    widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
+    parts = []
+    off = 0
+    for i, wdt in enumerate(widths):
+        val = F.shiftright(F.col("fp"), off).bitwiseAND(F.lit((1 << wdt) - 1))
+        parts.append(
+            fps.select(
+                "doc_id", "fp", F.lit(i).alias("band"), val.alias("bval")
+            )
+        )
+        off += wdt
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.fp").alias("fa"),
+            F.col("y.fp").alias("fb"),
+        )
+        .distinct()
+    )
+
+
+def simhash_near_duplicates_banded(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Scale path for SimHash near-dup: identical output to
+    :func:`simhash_near_duplicates` (same oracle gates both), but the
+    pair space is pruned by exact banding instead of an O(n^2) join."""
+    fps = simhash_fingerprints(
+        docs, id_col=id_col, text_col=text_col, bits=bits
+    ).cache()  # one row per doc; referenced max_hamming+1 times
+    cand = simhash_band_pairs(fps, bits=bits, max_hamming=max_hamming)
+    return cand.select(
+        "a",
+        "b",
+        F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 # ---------------------------------------------------------------------------
@@ -393,6 +479,79 @@ def embedding_near_duplicates(
         .select("a", "b", similarity_score(F.col("va"), F.col("vb")).alias("score"))
         .filter(F.col("score") >= threshold)
     )
+
+
+def embedding_near_duplicates_lsh(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Sub-quadratic embedding near-dup: multi-table sign-LSH candidates,
+    exact cosine verify. The production path at corpus scale — the
+    all-pairs :func:`embedding_near_duplicates` is the exact oracle twin.
+
+    ``n_tables`` independent ``n_planes``-bit signatures; a pair is a
+    candidate if it collides in ANY table (pairs meet in an equi-join on
+    (table, signature) — shuffle keyed on bucket values, never a cross
+    product). Every candidate is then exactly verified, so precision is
+    1.0; recall ≈ 1-(1-(1-θ/π)^p)^T — at a true near-dup threshold
+    (score 0.95 ⇒ cos 0.9 ⇒ per-bit agreement ~0.86) the 6×6 default
+    gives ~95% recall. Grow ``n_planes`` with corpus size to keep bucket
+    populations (and Σ bucket² candidate volume) bounded; each extra
+    plane halves expected bucket size.
+    """
+    from .knn import _hyperplane
+
+    planes = [
+        [_hyperplane(dim, seed + t * n_planes + p) for p in range(n_planes)]
+        for t in range(n_tables)
+    ]
+
+    def signature(vec: Column, t: int) -> Column:
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(vec, F.lit(pl).cast("array<double>"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for pl in planes[t]
+        ]
+        return F.concat(*bits)
+
+    base = emb.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
+    parts = [
+        base.select(
+            "doc_id", "v", F.lit(t).alias("tbl"), signature(F.col("v"), t).alias("sig")
+        )
+        for t in range(n_tables)
+    ]
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = x.join(
+        y,
+        (F.col("x.tbl") == F.col("y.tbl"))
+        & (F.col("x.sig") == F.col("y.sig"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("a"),
+        F.col("y.doc_id").alias("b"),
+        similarity_score(F.col("x.v"), F.col("y.v")).alias("score"),
+    )
+    # dedupe AFTER scoring so the distinct shuffles (a, b, score) scalars,
+    # not the vectors themselves (score is deterministic per pair)
+    return cand.filter(F.col("score") >= threshold).distinct()
 
 
 # ---------------------------------------------------------------------------

@@ -111,6 +111,7 @@ def knn_join_lsh(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate KNN join via random-hyperplane (sign) LSH.
 
@@ -119,8 +120,13 @@ def knn_join_lsh(
     key instead of a cross product). Recall < 1 by design — the scale
     path when brute force is too expensive; `knn_join` is the exact
     baseline the oracle checks.
+
+    Pass ``dim`` (the vector dimensionality) when known — it is schema
+    metadata in any real deployment; the ``.first()`` probe is only a
+    convenience fallback for ad-hoc use.
     """
-    dim = int(corpus.select(F.size(F.col(corpus_vec)).alias("d")).first()["d"])
+    if dim is None:
+        dim = int(corpus.select(F.size(F.col(corpus_vec)).alias("d")).first()["d"])
     planes = [_hyperplane(dim, seed + p) for p in range(n_planes)]
 
     def signature(vec: str) -> Column:

@@ -257,17 +257,33 @@ def ngram_jaccard_pairs_sql(
     shingle_n: int = 3,
     threshold: float = 0.5,
     round_digits: int = 6,
+    max_df: int | None = None,
 ) -> str:
-    cand = """
+    # mirror dedup.ngram_jaccard_pairs' document-frequency cut: shingles
+    # in more than max_df docs leave the universe entirely (candidates,
+    # intersections, and set sizes), so the capped jaccard matches
+    df_cut = ""
+    if max_df is not None:
+        df_cut = f"""
+      kept AS (
+        SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sh)
+        GROUP BY sh HAVING count(*) <= {max_df}
+      ),
+      sh2 AS (SELECT s.doc_id, s.sh FROM sh s JOIN kept k ON s.sh = k.sh),"""
+    src = "sh2" if max_df is not None else "sh"
+    cand = f"""
       cand AS (
         SELECT DISTINCT p.doc_id AS a, q.doc_id AS b
-        FROM (SELECT DISTINCT doc_id, sh FROM sh) p
-        JOIN (SELECT DISTINCT doc_id, sh FROM sh) q
+        FROM (SELECT DISTINCT doc_id, sh FROM {src}) p
+        JOIN (SELECT DISTINCT doc_id, sh FROM {src}) q
           ON p.sh = q.sh AND p.doc_id < q.doc_id
       )"""
+    tail = _JACCARD_TAIL.format(digits=round_digits, threshold=threshold)
+    if max_df is not None:
+        tail = tail.replace("FROM sh)", "FROM sh2)")
     return (
-        f"WITH {shingles_cte(table, id_col, text_col, shingle_n)},{cand},"
-        + _JACCARD_TAIL.format(digits=round_digits, threshold=threshold)
+        f"WITH {shingles_cte(table, id_col, text_col, shingle_n)},{df_cut}{cand},"
+        + tail
     )
 
 

@@ -57,6 +57,34 @@ def test_ngram_jaccard_pairs(registry, duck):
     assert_matches_oracle(df, duck, sql)
 
 
+def test_ngram_jaccard_max_df(registry, duck):
+    # the df cut changes the shingle universe on BOTH sides identically
+    df = ngram_jaccard_pairs(
+        registry.table("documents"), threshold=0.5, max_df=20
+    ).withColumn("jaccard", F.round("jaccard", 6))
+    sql = oracle.ngram_jaccard_pairs_sql(threshold=0.5, max_df=20)
+    assert_matches_oracle(df, duck, sql)
+
+
+def test_ngram_jaccard_max_df_drops_hot_shingle(spark):
+    # 3 docs share one stop-shingle; docs 1/2 also share a rare one.
+    # With max_df=2 the stop-shingle leaves the universe: the 1-3/2-3
+    # candidate pairs vanish and 1-2's jaccard is computed over the
+    # capped sets (1 common rare shingle / union).
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown unique alpha beta"),
+            (2, "the quick brown unique alpha gamma"),
+            (3, "the quick brown zeta eta theta"),
+        ],
+        ["doc_id", "text"],
+    )
+    capped = ngram_jaccard_pairs(docs, threshold=0.0, max_df=2).collect()
+    got = {(r["a"], r["b"]) for r in capped}
+    assert (1, 3) not in got and (2, 3) not in got
+    assert (1, 2) in got
+
+
 def test_simhash_fingerprints(registry, duck):
     df = simhash_fingerprints(registry.table("documents"))
     assert_matches_oracle(df, duck, oracle.simhash_fingerprints_sql())
@@ -72,6 +100,73 @@ def test_embedding_near_duplicates(registry, duck):
         "score", F.round("score", 6)
     )
     assert_matches_oracle(df, duck, oracle.embedding_near_duplicates_sql(threshold=0.9))
+
+
+def test_simhash_banded_equals_exact(registry):
+    # pigeonhole banding is EXACT: identical pair set to the O(n^2) join
+    docs = registry.table("documents")
+    exact = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_near_duplicates(docs, max_hamming=2).collect()
+    }
+    banded = {
+        (r["a"], r["b"], r["hamming"])
+        for r in dedup.simhash_near_duplicates_banded(docs, max_hamming=2).collect()
+    }
+    assert banded == exact and len(exact) > 0
+
+
+def test_simhash_banded_plan_has_no_nested_loop(registry):
+    plan = dedup.simhash_near_duplicates_banded(
+        registry.table("documents"), max_hamming=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_embedding_lsh_precision_and_recall(spark):
+    # plant TRUE near-dups (cosine >= ~0.95): 40 base vectors, each with a
+    # small-perturbation twin, plus 120 unrelated vectors. Precision is 1.0
+    # by construction (exact verify); recall must be high at near-dup
+    # angles — that is the regime the operator exists for.
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for _ in range(40):
+        base = rng.randn(64)
+        base /= np.linalg.norm(base)
+        # noise norm ≈ 0.04·√64 ≈ 0.32 ⇒ cosine ≈ 0.95, score ≈ 0.98
+        twin = base + 0.04 * rng.randn(64)
+        twin /= np.linalg.norm(twin)
+        rows.append((vid, [float(x) for x in base])); vid += 1
+        rows.append((vid, [float(x) for x in twin])); vid += 1
+    for _ in range(120):
+        v = rng.randn(64)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v])); vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {
+        (r["a"], r["b"])
+        for r in embedding_near_duplicates(emb, threshold=0.95).collect()
+    }
+    approx = {
+        (r["a"], r["b"])
+        for r in dedup.embedding_near_duplicates_lsh(
+            emb, threshold=0.95, dim=64
+        ).collect()
+    }
+    assert approx <= exact  # precision 1.0
+    assert len(exact) >= 30  # the planted twins are found by brute force
+    assert len(approx) >= 0.85 * len(exact), (len(approx), len(exact))
+
+
+def test_embedding_lsh_plan_has_no_nested_loop(registry):
+    plan = dedup.embedding_near_duplicates_lsh(
+        registry.table("embeddings"), threshold=0.9, dim=64
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
 def test_duplicate_clusters_semantics(spark):
