@@ -53,11 +53,19 @@ from project_cortex_spark.streaming import windows as stream_windows
 # helpers
 # ---------------------------------------------------------------------------
 
-_REGISTRY_CACHE: dict[tuple[int, str], object] = {}
+_REGISTRY_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Stable identity for a live session: applicationId + startTime.
+    (id(spark) can be REUSED by a new session after the old one is
+    garbage-collected, handing out DataFrames bound to a dead context.)"""
+    sc = spark.sparkContext
+    return f"{sc.applicationId}:{sc.startTime}"
 
 
 def _registry(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _REGISTRY_CACHE:
         _REGISTRY_CACHE[key] = load_tables(spark, sf_dir)
     return _REGISTRY_CACHE[key]
@@ -447,11 +455,11 @@ _KNN_JOIN_ORACLE = f"""
 # FTS / BM25 (SURVEY §2.11 cortex_exact; O4/J3)
 # ---------------------------------------------------------------------------
 
-_FTS_CACHE: dict[tuple[int, str], object] = {}
+_FTS_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _fts_index(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _FTS_CACHE:
         _FTS_CACHE[key] = fts_mod.build_fts_index(
             _registry(spark, sf_dir).table("documents"),
@@ -542,7 +550,7 @@ _SCALAR_MEMO: dict = {}
 
 
 def _memo(spark: SparkSession, sf_dir: str, tag: str, fn):
-    key = (id(spark), sf_dir, tag)
+    key = (_session_key(spark), sf_dir, tag)
     if key not in _SCALAR_MEMO:
         _SCALAR_MEMO[key] = fn()
     return _SCALAR_MEMO[key]
@@ -834,7 +842,15 @@ _GRAPH_ORACLES = {
             SELECT e.dst, d.depth + 1 FROM down d JOIN e ON e.src = d.node
             WHERE d.depth < 3
         ),
-        tgt AS (SELECT min(node) AS t FROM down WHERE depth = 3),
+        -- target = min over nodes whose MINIMUM depth is 3, mirroring the
+        -- Spark BFS min-depth semantics (a node reachable at depth <3 can
+        -- reappear at depth 3 via a longer path on converging graphs)
+        tgt AS (
+            SELECT min(node) AS t
+            FROM (SELECT node, min(depth) AS d FROM down WHERE depth > 0
+                  GROUP BY node)
+            WHERE d = 3
+        ),
         walk(node, depth) AS (
             SELECT t, 0 FROM tgt
             UNION ALL
@@ -851,7 +867,12 @@ _GRAPH_ORACLES = {
             SELECT e.dst, d.depth + 1 FROM down d JOIN e ON e.src = d.node
             WHERE d.depth < 4
         ),
-        tgt AS (SELECT min(node) AS t FROM down WHERE depth = 4),
+        tgt AS (
+            SELECT min(node) AS t
+            FROM (SELECT node, min(depth) AS d FROM down WHERE depth > 0
+                  GROUP BY node)
+            WHERE d = 4
+        ),
         walk(node, path) AS (
             SELECT CAST({_CHAIN_START_SQL} AS BIGINT),
                    [CAST({_CHAIN_START_SQL} AS BIGINT)]

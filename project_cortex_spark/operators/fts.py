@@ -43,18 +43,50 @@ B = 0.75
 
 @dataclass
 class FtsIndex:
-    """Derived index DataFrames (the Spark analogue of files_fts)."""
+    """Derived index DataFrames (the Spark analogue of files_fts).
+
+    Corpus stats (``n_docs``/``avg_dl``) are LAZY: nothing runs a Spark
+    job at index-construction time. They resolve on first access — once
+    per index, memoized — or can be supplied up front (a persisted index
+    at scale stores them as table properties alongside the postings).
+    """
 
     postings: DataFrame  # term, doc_id, tf
     doc_stats: DataFrame  # doc_id, dl (token count)
-    n_docs: int
-    avg_dl: float
     docs: DataFrame  # original doc frame (payload joins)
     id_col: str
     text_col: str
+    _n_docs: int | None = None
+    _avg_dl: float | None = None
+
+    def _resolve_stats(self) -> None:
+        stats = self.doc_stats.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avg_dl")
+        ).first()
+        self._n_docs = int(stats["n"])
+        self._avg_dl = float(stats["avg_dl"])
+
+    @property
+    def n_docs(self) -> int:
+        if self._n_docs is None:
+            self._resolve_stats()
+        return self._n_docs
+
+    @property
+    def avg_dl(self) -> float:
+        if self._avg_dl is None:
+            self._resolve_stats()
+        return self._avg_dl
 
 
-def build_fts_index(docs: DataFrame, *, id_col: str, text_col: str) -> FtsIndex:
+def build_fts_index(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n_docs: int | None = None,
+    avg_dl: float | None = None,
+) -> FtsIndex:
     """Tokenize + aggregate postings. One shuffle (groupBy term, doc_id);
     tf computed map-side by exploding pre-counted token arrays.
 
@@ -73,17 +105,14 @@ def build_fts_index(docs: DataFrame, *, id_col: str, text_col: str) -> FtsIndex:
     doc_stats = docs.select(
         F.col(id_col).alias("doc_id"), F.size(tokens(F.col(text_col))).alias("dl")
     )
-    stats = doc_stats.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avg_dl")
-    ).first()
     return FtsIndex(
         postings=postings,
         doc_stats=doc_stats,
-        n_docs=int(stats["n"]),
-        avg_dl=float(stats["avg_dl"]),
         docs=docs,
         id_col=id_col,
         text_col=text_col,
+        _n_docs=n_docs,
+        _avg_dl=avg_dl,
     )
 
 
@@ -143,6 +172,10 @@ def parse_fts_query(q: str) -> Node:
     while pos < len(q):
         m = _TOKEN_RE.match(q, pos)
         if not m:
+            # nothing lexable at pos (e.g. an unterminated quote): FTS5
+            # errors rather than silently truncating the query
+            if q[pos:].strip():
+                raise FtsQueryError(f"cannot lex {q[pos:]!r} in {q!r}")
             break
         pos = m.end()
         toks.append(m.group(0).strip())
@@ -185,6 +218,10 @@ def parse_fts_query(q: str) -> Node:
         t = peek()
         if t is None:
             raise FtsQueryError(f"unexpected end of query: {q!r}")
+        if t in ("AND", "OR", "NOT"):
+            # an operator where a term is required (leading/doubled
+            # operator) is a syntax error in FTS5, not a literal term
+            raise FtsQueryError(f"misplaced operator {t} in {q!r}")
         if t == "(":
             advance()
             node = parse_or()

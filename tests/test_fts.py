@@ -60,6 +60,21 @@ class TestParser:
         with pytest.raises(FtsQueryError):
             parse_fts_query("(a OR b")
 
+    def test_unterminated_quote_raises(self):
+        # lexing must not silently truncate the rest of the query
+        with pytest.raises(FtsQueryError):
+            parse_fts_query('foo "bar')
+
+    def test_leading_operator_raises(self):
+        for bad in ("NOT a", "OR a", "AND a", "a OR OR b"):
+            with pytest.raises(FtsQueryError):
+                parse_fts_query(bad)
+
+    def test_lowercase_operator_words_are_terms(self):
+        # FTS5 operators are uppercase-only; 'not'/'or' are literal terms
+        n = parse_fts_query("not or")
+        assert isinstance(n, And)
+
 
 def _run(fts_index, duck, query, limit=15):
     df = fts_search(fts_index, query, limit=limit).withColumn(
