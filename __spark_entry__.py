@@ -1046,6 +1046,50 @@ def _q_parse_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multilang_entities(spark: SparkSession) -> DataFrame:
+    from project_cortex_spark.pipeline.fixtures import MULTILANG_FILES
+
+    files = spark.createDataFrame(
+        [(p, bytearray(s.encode())) for p, s in MULTILANG_FILES],
+        "file_path string, content binary",
+    )
+    return parse_mod.parse_entities(files)
+
+
+def _q_parse_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multi-language parse (G9/D3: py via stdlib ast; go/ts/js via the
+    # scanner parsers) over a FIXED corpus — the full extraction output
+    # is deterministic, so the oracle is a golden VALUES table: any
+    # parser drift (spans, params, complexity, receivers) fails the hash
+    return (
+        _multilang_entities(spark)
+        .groupBy("file_path", "kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("start_line").alias("first_line"),
+            F.max("end_line").alias("last_line"),
+            F.sum("n_params").alias("sum_params"),
+            F.sum("complexity").alias("sum_complexity"),
+        )
+    )
+
+
+def _q_type_usages_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # G5 over REAL parsed parameter types (param + return rows), not the
+    # synthetic-table stand-in: functions whose signature mentions the
+    # Item type across the multi-language corpus (searcher_sql.go:536-560)
+    ents = _multilang_entities(spark)
+    fid = F.concat_ws(":", "file_path", "name")
+    functions = ents.filter(F.col("kind") == "function").select(
+        fid.alias("function_id"), "name", "file_path"
+    )
+    params = ents.filter(F.col("kind") == "param").select(
+        F.concat_ws(":", "file_path", "parent").alias("function_id"),
+        "param_type",
+    )
+    return graph_mod.type_usages(functions, params, "%Item%")
+
+
 def _q_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cortex_pattern's signature-strictness tier over parsed entities
     # (rows-only check; extraction itself is unit-tested)
@@ -1386,6 +1430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_embed_stub"] = _q_embed_stub
     out["source_file_stats"] = _q_file_stats
     out["pipeline_parse_entities"] = _q_parse_entities
+    out["pipeline_parse_multilang"] = _q_parse_multilang
+    out["graph_type_usages_params"] = _q_type_usages_params
     out["graph_pattern_search"] = _q_pattern_search
     out["agg_rollup"] = _q_agg_rollup
     out["agg_cube"] = _q_agg_cube
@@ -1447,6 +1493,8 @@ _GATE_FIRST = [
     "dedup_simhash_banded",
     "dedup_embedding_lsh",
     "dedup_ngram_jaccard",  # changed this round: df-capped on both sides
+    "pipeline_parse_multilang",  # go/ts/js/py parse, golden oracle
+    "graph_type_usages_params",  # G5 over real parsed param types
 ] + [
     # re-gate sample of round-1 greens (fills the 50-slot gate with a
     # representative slice of every operator family; keep this section
@@ -1467,13 +1515,11 @@ _GATE_FIRST = [
     "graph_type_usages",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_clusters",
     "dedup_embedding_cosine",
     "corpus_split",
     "corpus_decontaminate",
     "events_windowed_agg",
-    "events_top_users",
 ]
 
 
@@ -1547,6 +1593,36 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'code-data-' || doc_id FROM documents)
     """
     out["source_file_stats"] = oracle.file_stats_sql(f"{_SRC_DIR}/*.py")
+    # golden oracles for the fixed-corpus parse contracts: the extraction
+    # is fully deterministic, so the expected output is a VALUES literal —
+    # any drift in spans/params/complexity/receivers breaks the hash
+    out["pipeline_parse_multilang"] = """
+        SELECT * FROM (VALUES
+          ('demo.py','call',4,7,19,5,0), ('demo.py','const',1,4,4,0,0),
+          ('demo.py','field',1,10,10,0,0), ('demo.py','function',3,6,19,4,5),
+          ('demo.py','import',2,1,2,0,0), ('demo.py','param',6,6,12,0,0),
+          ('demo.py','type',1,9,15,0,0),
+          ('pool.js','call',2,10,16,0,0), ('pool.js','const',1,1,1,0,0),
+          ('pool.js','function',3,5,17,2,5), ('pool.js','param',2,5,15,0,0),
+          ('pool.js','type',1,4,13,0,0), ('pool.js','var',1,2,2,0,0),
+          ('srv.go','call',3,33,46,0,0), ('srv.go','const',3,11,17,0,0),
+          ('srv.go','field',3,20,22,0,0), ('srv.go','function',3,31,47,5,6),
+          ('srv.go','import',3,4,8,0,0), ('srv.go','package',1,1,1,0,0),
+          ('srv.go','param',9,31,45,0,0), ('srv.go','type',3,19,29,0,0),
+          ('srv.go','var',1,15,15,0,0),
+          ('store.ts','call',2,22,28,0,0), ('store.ts','const',1,4,4,0,0),
+          ('store.ts','field',3,10,12,0,0), ('store.ts','function',5,18,38,8,9),
+          ('store.ts','import',2,1,2,0,0), ('store.ts','param',10,18,38,0,0),
+          ('store.ts','type',3,7,25,0,0), ('store.ts','var',1,5,5,0,0)
+        ) AS t(file_path, kind, n, first_line, last_line, sum_params,
+               sum_complexity)
+    """
+    out["graph_type_usages_params"] = """
+        SELECT * FROM (VALUES
+          ('store.ts:add','add','store.ts'),
+          ('store.ts:lookup','lookup','store.ts')
+        ) AS t(function_id, name, file_path)
+    """
     out["agg_rollup"] = _ROLLUP_ORACLE
     out["agg_cube"] = _CUBE_ORACLE
     out["agg_percentiles"] = _PERCENTILES_ORACLE

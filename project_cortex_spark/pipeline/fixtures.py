@@ -1,0 +1,154 @@
+"""Fixed multi-language source fixtures shared by the contract queries
+and the unit tests.
+
+These are the golden inputs for the `pipeline_parse_multilang` and
+`graph_type_usages_params` contract queries: parsing is not
+SQL-expressible, but over a FIXED corpus the full extraction output is
+exact, so the driver's oracle is a golden VALUES table — any drift in
+the parsers (spans, params, complexity, receivers) breaks the hash.
+Shapes mirror the reference's own per-language test files
+(/root/reference/testdata/code/{go,typescript,javascript}/simple.*)
+without copying them.
+"""
+
+GO_SRC = '''\
+package server
+
+import (
+\t"fmt"
+\talias "net/http"
+)
+
+import "strings"
+
+const (
+\tDefaultPort    = 8080
+\tDefaultTimeout = 30
+)
+
+var globalConfig = Config{Port: DefaultPort}
+
+const greeting = "hello // not a comment {"
+
+type Config struct {
+\tPort    int
+\tTimeout int
+\tNames   []string
+}
+
+type Router interface {
+\tRoute(path string) error
+}
+
+type ID = int64
+
+func NewConfig(port, timeout int, opts ...string) (*Config, error) {
+\tif port <= 0 {
+\t\treturn nil, fmt.Errorf("bad port")
+\t}
+\tfor _, o := range opts {
+\t\tvalidate(o)
+\t}
+\treturn &Config{Port: port}, nil
+}
+
+func (c *Config) Addr(host string) string {
+\treturn host
+}
+
+func validate(s string) bool {
+\treturn len(s) > 0 && s != "{"
+}
+'''
+
+TS_SRC = '''\
+import { Logger } from "./log";
+import * as util from "./util";
+
+const LIMIT = 10;
+let counter: number = 0;
+
+type Key = string;
+
+interface Item {
+  id: Key;
+  label?: string;
+  render(depth: number): string;
+}
+
+class Store {
+  private items: Item[] = [];
+
+  constructor(max: number) {}
+
+  add(item: Item, tag = "x"): void {
+    if (this.items.length < LIMIT && item.id) {
+      this.items.push(item);
+    }
+  }
+}
+
+function lookup(id: Key, strict: boolean): Item | undefined {
+  for (const it of cache()) {
+    if (it.id === id) { return it; }
+  }
+  return undefined;
+}
+
+const scale = (x: number, k: number): number => {
+  return x * k;
+};
+
+const inc = x => x + 1;
+'''
+
+JS_SRC = '''\
+const URL = "https://x.example/{}";
+let active = 0;
+
+class Pool {
+  constructor(size) {
+    this.size = size;
+  }
+
+  take() {
+    if (active < this.size) { return open(); }
+    return null;
+  }
+}
+
+function makePool(n) {
+  return new Pool(n || 4);
+}
+
+module.exports = { Pool, makePool };
+'''
+
+PY_SRC = '''\
+import os
+from collections import defaultdict as dd
+
+MAX_DEPTH = 5
+
+def helper(x: str) -> str:
+    return os.path.join(x, "y")
+
+class Greeter:
+    default_punct: str = "!"
+
+    def greet(self, name: str, punct: str) -> str:
+        if name and punct:
+            return helper(name) + punct
+        return name
+
+def main():
+    g = Greeter()
+    return g.greet("hi", "!")
+'''
+
+MULTILANG_FILES = [
+    ("demo.py", PY_SRC),
+    ("srv.go", GO_SRC),
+    ("store.ts", TS_SRC),
+    ("pool.js", JS_SRC),
+]

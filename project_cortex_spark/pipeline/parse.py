@@ -2,22 +2,20 @@
 
 The reference parses Go with go/ast and 8 other languages with
 tree-sitter (internal/indexer/parser.go:49-163, internal/indexer/
-parsers/*.go), emitting types/functions/params/calls/imports per file.
+parsers/*.go), emitting types/functions/params/fields/calls/imports per
+file plus a complexity metric (internal/storage/schema.go:200-249).
 The Spark shape is a per-file parse UDF: ``mapInPandas`` over
 (file_path, content) batches, one parser process per executor core,
-emitting one nested row per entity; ``explode``-free because we emit
-pre-flattened entity rows with a discriminator column.
+emitting one flat row per entity with a discriminator column.
 
-Language routing (parser.go:49-86) maps extension -> parser. This
-container has no tree-sitter wheel, so the ONLY real parser is Python
-via the stdlib ``ast`` module — a genuine parser, not a stub: it
-resolves classes, methods (with receiver = enclosing class, mirroring
-the reference's is_method/receiver_type), parameter counts, best-effort
-call targets (Name / Attribute calls, extractor.go's stated limitations
-— no dynamic dispatch resolution, extractor.go:848-859), and imports
-with their module paths. Other languages raise cleanly through the
-``PARSERS`` registry seam where a tree-sitter-backed parser would drop
-in per language.
+Language routing (parser.go:49-86) maps extension -> parser through the
+``PARSERS`` registry seam. Python parses with the stdlib ``ast`` module
+(a full grammar); Go / TypeScript / JavaScript parse with the scanner
+parsers in :mod:`.parsers` (comment/string masking + brace matching +
+declaration regexes — no tree-sitter wheel exists in this container, so
+the extraction CONTRACT is implemented directly rather than ported).
+All parsers share the reference's stated call-extraction limitation: no
+dynamic dispatch resolution (extractor.go:848-859).
 
 Scale notes: parsing is a narrow batch map (no shuffle); the parse UDF
 is CPU-bound Python, which is exactly the workload Arrow batching
@@ -34,14 +32,61 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import parsers as lang_parsers
+
 # one row per extracted entity; `kind` discriminates the target table
+# (files/types/functions/function_parameters/type_fields/imports/calls
+# in the reference schema, internal/storage/schema.go:160-279)
 ENTITY_SCHEMA = (
     "file_path string, kind string, name string, parent string, "
     "start_line long, end_line long, n_params long, is_method boolean, "
-    "detail string"
+    "detail string, complexity long, position long, param_type string, "
+    "is_return boolean"
 )
 
-KINDS = ("type", "function", "call", "import")
+KINDS = (
+    "package", "type", "function", "call", "import", "const", "var",
+    "param", "field",
+)
+
+
+def _row(
+    path: str,
+    kind: str,
+    name: str,
+    *,
+    parent: str | None = None,
+    start: int = 0,
+    end: int = 0,
+    n_params: int = 0,
+    is_method: bool = False,
+    detail: str | None = None,
+    complexity: int = 0,
+    position: int = 0,
+    param_type: str | None = None,
+    is_return: bool = False,
+) -> tuple:
+    return (path, kind, name, parent, start, end, n_params, is_method,
+            detail, complexity, position, param_type, is_return)
+
+
+def _py_complexity(node) -> int:
+    """McCabe cyclomatic complexity: 1 + decision points (if/elif, loops,
+    except handlers, boolean operators, ternaries, comprehension ifs,
+    match cases, asserts) — mirroring schema.go:226's per-function
+    complexity column."""
+    c = 1
+    for n in pyast.walk(node):
+        if isinstance(n, (pyast.If, pyast.For, pyast.AsyncFor, pyast.While,
+                          pyast.ExceptHandler, pyast.IfExp, pyast.Assert)):
+            c += 1
+        elif isinstance(n, pyast.BoolOp):
+            c += len(n.values) - 1
+        elif isinstance(n, pyast.comprehension):
+            c += len(n.ifs)
+        elif isinstance(n, pyast.match_case):
+            c += 1
+    return c
 
 
 def _parse_python(path: str, source: str) -> list[tuple]:
@@ -49,8 +94,11 @@ def _parse_python(path: str, source: str) -> list[tuple]:
     try:
         tree = pyast.parse(source)
     except SyntaxError as e:
-        return [(path, "error", "SyntaxError", None, e.lineno or 0, e.lineno or 0,
-                 0, False, str(e.msg))]
+        return [_row(path, "error", "SyntaxError",
+                     start=e.lineno or 0, end=e.lineno or 0, detail=str(e.msg))]
+
+    def ann(a) -> str | None:
+        return pyast.unparse(a) if a is not None else None
 
     class V(pyast.NodeVisitor):
         def __init__(self):
@@ -62,17 +110,68 @@ def _parse_python(path: str, source: str) -> list[tuple]:
                 b.id if isinstance(b, pyast.Name) else pyast.unparse(b)
                 for b in node.bases
             )
-            out.append((path, "type", node.name, self.klass[-1] if self.klass else None,
-                        node.lineno, node.end_lineno, 0, False, bases))
+            out.append(_row(path, "type", node.name,
+                            parent=self.klass[-1] if self.klass else None,
+                            start=node.lineno, end=node.end_lineno,
+                            detail=bases))
+            # class-body fields (type_fields, schema.go:200-213):
+            # annotated and plain class-level assignments
+            pos = 0
+            for stmt in node.body:
+                if isinstance(stmt, pyast.AnnAssign) and isinstance(
+                    stmt.target, pyast.Name
+                ):
+                    out.append(_row(path, "field", stmt.target.id,
+                                    parent=node.name, start=stmt.lineno,
+                                    end=stmt.end_lineno, position=pos,
+                                    param_type=ann(stmt.annotation)))
+                    pos += 1
+                elif isinstance(stmt, pyast.Assign):
+                    for t in stmt.targets:
+                        if isinstance(t, pyast.Name):
+                            out.append(_row(path, "field", t.id,
+                                            parent=node.name,
+                                            start=stmt.lineno,
+                                            end=stmt.end_lineno, position=pos))
+                            pos += 1
             self.klass.append(node.name)
             self.generic_visit(node)
             self.klass.pop()
 
         def _func(self, node):
             receiver = self.klass[-1] if self.klass else None
-            out.append((path, "function", node.name, receiver,
-                        node.lineno, node.end_lineno, len(node.args.args),
-                        receiver is not None, None))
+            args = node.args
+            all_args = args.posonlyargs + args.args + args.kwonlyargs
+            out.append(_row(path, "function", node.name, parent=receiver,
+                            start=node.lineno, end=node.end_lineno,
+                            n_params=len(args.args),
+                            is_method=receiver is not None,
+                            complexity=_py_complexity(node)))
+            # function_parameters rows (schema.go:238-249): position,
+            # declared type, varargs flagged, return type as is_return
+            for i, a in enumerate(all_args):
+                out.append(_row(path, "param", a.arg, parent=node.name,
+                                start=node.lineno, end=node.lineno,
+                                position=i, param_type=ann(a.annotation)))
+            base = len(all_args)
+            if args.vararg is not None:
+                out.append(_row(path, "param", args.vararg.arg,
+                                parent=node.name, start=node.lineno,
+                                end=node.lineno, position=base,
+                                param_type=ann(args.vararg.annotation),
+                                detail="variadic"))
+                base += 1
+            if args.kwarg is not None:
+                out.append(_row(path, "param", args.kwarg.arg,
+                                parent=node.name, start=node.lineno,
+                                end=node.lineno, position=base,
+                                param_type=ann(args.kwarg.annotation),
+                                detail="variadic"))
+            if node.returns is not None:
+                out.append(_row(path, "param", "", parent=node.name,
+                                start=node.lineno, end=node.lineno,
+                                position=0, param_type=ann(node.returns),
+                                is_return=True))
             self.func.append(node.name)
             self.generic_visit(node)
             self.func.pop()
@@ -88,26 +187,61 @@ def _parse_python(path: str, source: str) -> list[tuple]:
                 callee = node.func.attr
             if callee:
                 caller = self.func[-1] if self.func else "<module>"
-                out.append((path, "call", callee, caller, node.lineno,
-                            node.end_lineno, len(node.args), False, None))
+                out.append(_row(path, "call", callee, parent=caller,
+                                start=node.lineno, end=node.end_lineno,
+                                n_params=len(node.args)))
             self.generic_visit(node)
 
         def visit_Import(self, node):
             for a in node.names:
-                out.append((path, "import", a.name, None, node.lineno,
-                            node.end_lineno, 0, False, a.asname))
+                out.append(_row(path, "import", a.name, start=node.lineno,
+                                end=node.end_lineno, detail=a.asname))
 
         def visit_ImportFrom(self, node):
             for a in node.names:
-                out.append((path, "import", f"{node.module or ''}.{a.name}",
-                            None, node.lineno, node.end_lineno, 0, False,
-                            a.asname))
+                out.append(_row(path, "import",
+                                f"{node.module or ''}.{a.name}",
+                                start=node.lineno, end=node.end_lineno,
+                                detail=a.asname))
 
     V().visit(tree)
+    # module-level data tier (python.go:99-103 extracts top-level
+    # assignments): UPPERCASE names are constants, others variables
+    for stmt in tree.body:
+        targets = []
+        if isinstance(stmt, pyast.Assign):
+            targets = [t.id for t in stmt.targets if isinstance(t, pyast.Name)]
+            typ = None
+        elif isinstance(stmt, pyast.AnnAssign) and isinstance(
+            stmt.target, pyast.Name
+        ):
+            targets = [stmt.target.id]
+            typ = pyast.unparse(stmt.annotation)
+        for t in targets:
+            out.append(_row(path, "const" if t.isupper() else "var", t,
+                            start=stmt.lineno, end=stmt.end_lineno,
+                            param_type=typ if isinstance(stmt, pyast.AnnAssign)
+                            else None))
     return out
 
 
-PARSERS = {"py": _parse_python}
+def _parse_go(path: str, source: str) -> list[tuple]:
+    return lang_parsers.parse_go(path, source, _row)
+
+
+def _parse_ts(path: str, source: str) -> list[tuple]:
+    return lang_parsers.parse_ts(path, source, _row)
+
+
+PARSERS = {
+    "py": _parse_python,
+    "go": _parse_go,
+    "ts": _parse_ts,
+    "tsx": _parse_ts,
+    "js": _parse_ts,  # same grammar family (typescript.go:374-385)
+    "jsx": _parse_ts,
+    "mjs": _parse_ts,
+}
 
 
 def _language(path: str) -> str:
@@ -123,15 +257,16 @@ def parse_entities(files: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["file_path", "kind", "name", "parent", "start_line",
-                "end_line", "n_params", "is_method", "detail"]
+                "end_line", "n_params", "is_method", "detail", "complexity",
+                "position", "param_type", "is_return"]
         for pdf in batches:
             rows: list[tuple] = []
             for path, content in zip(pdf["file_path"], pdf["content"]):
                 lang = _language(path)
                 parser = PARSERS.get(lang)
                 if parser is None:
-                    rows.append((path, "error", "UnsupportedLanguage", None,
-                                 0, 0, 0, False, lang))
+                    rows.append(_row(path, "error", "UnsupportedLanguage",
+                                     detail=lang))
                     continue
                 text = bytes(content).decode("utf-8", errors="replace")
                 rows.extend(parser(path, text))
@@ -167,7 +302,9 @@ def format_entities(entities: DataFrame) -> DataFrame:
     of its types / functions / imports — pure aggregation + concat
     expressions (embeddings prefer prose, CLAUDE.md:793)."""
     per_kind = (
-        entities.filter(F.col("kind").isin("type", "function", "import"))
+        entities.filter(
+            F.col("kind").isin("type", "function", "import", "const", "var")
+        )
         .groupBy("file_path", "kind")
         .agg(F.sort_array(F.collect_set("name")).alias("names"))
     )
