@@ -1090,6 +1090,21 @@ def _q_type_usages_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_mod.type_usages(functions, params, "%Item%")
 
 
+def _q_chunk_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D6 structure-aware chunking (header/paragraph/fence/sentence
+    # cascade, chunker.go:31-333 semantics) over a FIXED doc; the output
+    # is deterministic, so the oracle is a golden VALUES table — chunk
+    # text is verified through md5 to keep the literal compact
+    from project_cortex_spark.pipeline.fixtures import MD_SRC
+
+    files = spark.createDataFrame([("guide.md", MD_SRC)], "file_path string, text string")
+    return chunks_mod.chunk_markdown(files, target_tokens=80).select(
+        "chunk_id", "section_idx", "chunk_idx",
+        F.md5("chunk_text").alias("text_md5"),
+        "start_line", "end_line", "n_tokens", "is_split",
+    )
+
+
 def _q_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cortex_pattern's signature-strictness tier over parsed entities
     # (rows-only check; extraction itself is unit-tested)
@@ -1430,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_embed_stub"] = _q_embed_stub
     out["source_file_stats"] = _q_file_stats
     out["pipeline_parse_entities"] = _q_parse_entities
+    out["pipeline_chunk_markdown"] = _q_chunk_markdown
     out["pipeline_parse_multilang"] = _q_parse_multilang
     out["graph_type_usages_params"] = _q_type_usages_params
     out["graph_pattern_search"] = _q_pattern_search
@@ -1495,6 +1511,7 @@ _GATE_FIRST = [
     "dedup_ngram_jaccard",  # changed this round: df-capped on both sides
     "pipeline_parse_multilang",  # go/ts/js/py parse, golden oracle
     "graph_type_usages_params",  # G5 over real parsed param types
+    "pipeline_chunk_markdown",  # D6 structure-aware cascade, golden oracle
 ] + [
     # re-gate sample of round-1 greens (fills the 50-slot gate with a
     # representative slice of every operator family; keep this section
@@ -1515,7 +1532,6 @@ _GATE_FIRST = [
     "graph_type_usages",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
-    "dedup_clusters",
     "dedup_embedding_cosine",
     "corpus_split",
     "corpus_decontaminate",
@@ -1622,6 +1638,23 @@ def oracle_sql() -> dict[str, str]:
           ('store.ts:add','add','store.ts'),
           ('store.ts:lookup','lookup','store.ts')
         ) AS t(function_id, name, file_path)
+    """
+    out["pipeline_chunk_markdown"] = """
+        SELECT * FROM (VALUES
+          ('doc-guide.md-s0-c0',0,0,'8b57f1a362f286639b49589f0b5bf018',1,5,34,false),
+          ('doc-guide.md-s1-c0',1,0,'bda731dec84b5da34145477db68c8ce8',6,18,76,false),
+          ('doc-guide.md-s2-c0',2,0,'69d02017322af4c8c98d84ebe7ac3d72',19,19,3,false),
+          ('doc-guide.md-s2-c1',2,1,'5267b249766a3c644e0a513890150c56',21,21,78,true),
+          ('doc-guide.md-s2-c2',2,2,'128af989be8c5821dc9946d3ecb88b1c',21,21,78,true),
+          ('doc-guide.md-s2-c3',2,3,'6327deb7f4656c90d869922817f97c3a',21,21,78,true),
+          ('doc-guide.md-s2-c4',2,4,'49ba3cd073173c58655dfd5174fa130f',21,21,78,true),
+          ('doc-guide.md-s2-c5',2,5,'5267b249766a3c644e0a513890150c56',21,21,78,true),
+          ('doc-guide.md-s2-c6',2,6,'128af989be8c5821dc9946d3ecb88b1c',21,21,78,true),
+          ('doc-guide.md-s2-c7',2,7,'6327deb7f4656c90d869922817f97c3a',21,21,78,true),
+          ('doc-guide.md-s2-c8',2,8,'11b20ec40c81d18225b75b6cf23b78f9',21,21,78,true),
+          ('doc-guide.md-s3-c0',3,0,'81dce4479e0d0a8cc7708ef986ced3bd',23,26,6,false)
+        ) AS t(chunk_id, section_idx, chunk_idx, text_md5, start_line,
+               end_line, n_tokens, is_split)
     """
     out["agg_rollup"] = _ROLLUP_ORACLE
     out["agg_cube"] = _CUBE_ORACLE

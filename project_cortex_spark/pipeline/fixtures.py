@@ -146,6 +146,39 @@ def main():
     return g.greet("hi", "!")
 '''
 
+MD_SRC = '''\
+# Engine Guide
+
+This preamble paragraph introduces the engine and sits before the first
+level-two header, so it forms its own section zero.
+
+## Install
+
+Grab a release and unpack it somewhere on your PATH. The installer
+verifies checksums before it writes anything.
+
+```bash
+engine install --verify
+## a fence-internal line that must NOT start a new section
+engine doctor {check}
+```
+
+A short post-install note confirms the doctor command passed.
+
+## Query Model
+
+''' + (
+    "Queries compile to a logical plan before any execution happens. "
+    "The optimizer prunes columns and pushes filters toward the scan. "
+    "Partitions only shuffle when a join or aggregation requires it. "
+    "Broadcast joins replicate the small side to every worker node. "
+) * 10 + '''
+
+## FAQ
+
+Short answers only.
+'''
+
 MULTILANG_FILES = [
     ("demo.py", PY_SRC),
     ("srv.go", GO_SRC),
