@@ -1105,6 +1105,76 @@ def _q_chunk_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # graph context extraction (searcher_sql.go:662-707): every function
+    # result carries a ±2-line source snippet. The snippet computation is
+    # REAL on both sides — Spark split/slice/array_join vs DuckDB
+    # string_split/list slice — over the same fixture file contents.
+    from project_cortex_spark.pipeline.fixtures import MULTILANG_FILES
+
+    ents = _multilang_entities(spark)
+    fns = ents.filter(F.col("kind") == "function").select(
+        F.concat_ws(":", "file_path", "name").alias("function_id"),
+        "file_path",
+        "start_line",
+        "end_line",
+    )
+    files = spark.createDataFrame(
+        MULTILANG_FILES, "file_path string, content string"
+    )
+    return graph_mod.with_context(fns, files, context_lines=2).select(
+        "function_id", "file_path", "start_line", "end_line", "context"
+    )
+
+
+_GRAPH_CTX_SPANS = """\
+          ('demo.py:greet','demo.py',12,15),
+          ('demo.py:helper','demo.py',6,7),
+          ('demo.py:main','demo.py',17,19),
+          ('pool.js:constructor','pool.js',5,7),
+          ('pool.js:makePool','pool.js',15,17),
+          ('pool.js:take','pool.js',9,12),
+          ('srv.go:Addr','srv.go',41,43),
+          ('srv.go:NewConfig','srv.go',31,39),
+          ('srv.go:validate','srv.go',45,47),
+          ('store.ts:add','store.ts',20,24),
+          ('store.ts:constructor','store.ts',18,18),
+          ('store.ts:inc','store.ts',38,38),
+          ('store.ts:lookup','store.ts',27,32),
+          ('store.ts:scale','store.ts',34,36)"""
+
+
+def _graph_context_oracle() -> str:
+    # the file contents ride into DuckDB as VALUES; the snippet logic is
+    # genuine SQL string ops (only the function SPANS are golden — they
+    # are independently gated by pipeline_parse_multilang)
+    from project_cortex_spark.pipeline.fixtures import MULTILANG_FILES
+
+    files_values = ",\n".join(
+        "('{}', '{}')".format(p, s.replace("'", "''"))
+        for p, s in MULTILANG_FILES
+    )
+    return f"""
+        WITH files(file_path, content) AS (VALUES {files_values}),
+        fns(function_id, file_path, start_line, end_line) AS (VALUES
+          {_GRAPH_CTX_SPANS}),
+        x AS (
+          SELECT function_id, f.file_path, start_line, end_line,
+                 string_split(content, chr(10)) AS ls
+          FROM fns JOIN files f USING (file_path)
+        ),
+        y AS (
+          SELECT *, greatest(1, start_line - 2) AS a,
+                 least(len(ls), end_line + 2) AS b
+          FROM x
+        )
+        SELECT function_id, file_path, start_line, end_line,
+               '// Lines ' || a || '-' || b || chr(10) ||
+               array_to_string(ls[a:b], chr(10)) AS context
+        FROM y
+    """
+
+
 def _q_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cortex_pattern's signature-strictness tier over parsed entities
     # (rows-only check; extraction itself is unit-tested)
@@ -1448,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_chunk_markdown"] = _q_chunk_markdown
     out["pipeline_parse_multilang"] = _q_parse_multilang
     out["graph_type_usages_params"] = _q_type_usages_params
+    out["graph_context_snippets"] = _q_graph_context
     out["graph_pattern_search"] = _q_pattern_search
     out["agg_rollup"] = _q_agg_rollup
     out["agg_cube"] = _q_agg_cube
@@ -1512,6 +1583,7 @@ _GATE_FIRST = [
     "pipeline_parse_multilang",  # go/ts/js/py parse, golden oracle
     "graph_type_usages_params",  # G5 over real parsed param types
     "pipeline_chunk_markdown",  # D6 structure-aware cascade, golden oracle
+    "graph_context_snippets",  # ±N-line snippets, real string-ops oracle
 ] + [
     # re-gate sample of round-1 greens (fills the 50-slot gate with a
     # representative slice of every operator family; keep this section
@@ -1523,7 +1595,6 @@ _GATE_FIRST = [
     "knn_topk",
     "knn_join",
     "fts_composite",
-    "fts_filtered",
     "graph_callees_d3",
     "graph_callers_d2",
     "graph_implements",
@@ -1639,6 +1710,7 @@ def oracle_sql() -> dict[str, str]:
           ('store.ts:lookup','lookup','store.ts')
         ) AS t(function_id, name, file_path)
     """
+    out["graph_context_snippets"] = _graph_context_oracle()
     out["pipeline_chunk_markdown"] = """
         SELECT * FROM (VALUES
           ('doc-guide.md-s0-c0',0,0,'8b57f1a362f286639b49589f0b5bf018',1,5,34,false),

@@ -270,6 +270,50 @@ def type_usages(
     return functions.join(hits, function_id, "inner")
 
 
+def with_context(
+    results: DataFrame,
+    files: DataFrame,
+    *,
+    file_col: str = "file_path",
+    start_col: str = "start_line",
+    end_col: str = "end_line",
+    content_col: str = "content",
+    context_lines: int = 3,
+) -> DataFrame:
+    """Attach a ±``context_lines`` source snippet to graph results
+    (searcher_sql.go:662-707 + context.go:43-96 semantics): lines
+    ``[start-N, end+N]`` clamped to the file, prefixed ``// Lines a-b``.
+
+    Plan shape: one equi-join on the file path, then pure codegen string
+    ops (split / slice / array_join). The results side is a query result
+    page (tiny); the left-outer keeps rows whose file is missing with a
+    NULL context, mirroring the reference's graceful skip — for that
+    join order Spark must broadcast the FILES side, so pre-filter files
+    with a semi-join when the catalog is corpus-sized (at 100 TB you
+    never stream the whole files table into a context lookup).
+    ``context_lines`` is capped at 20 like the MCP tool
+    (graph_tool.go:30-55).
+    """
+    context_lines = min(context_lines, 20)
+    needed = files.join(
+        F.broadcast(results.select(file_col).distinct()), file_col, "semi"
+    )
+    lines = F.split(F.col(content_col), "\n")
+    a = F.greatest(F.lit(1), (F.col(start_col) - context_lines).cast("int"))
+    b = F.least(F.size(lines), (F.col(end_col) + context_lines).cast("int"))
+    snippet = F.concat(
+        F.format_string("// Lines %d-%d\n", a, b),
+        F.array_join(F.slice(lines, a, b - a + 1), "\n"),
+    )
+    return (
+        results.join(
+            F.broadcast(needed.select(file_col, content_col)), file_col, "left"
+        )
+        .withColumn("context", snippet)
+        .drop(content_col)
+    )
+
+
 def resolve_type_refs(
     refs: DataFrame,
     types: DataFrame,

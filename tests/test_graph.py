@@ -255,3 +255,32 @@ def test_pattern_search_signature(spark):
     assert {"callees", "callers"} <= names
     methods = graph.pattern_search(ents, kind="function", methods_only=True, limit=50)
     assert methods.filter(~F.col("is_method")).count() == 0
+
+
+def test_with_context_snippets(spark):
+    # 10-line file; context clamps at both edges and prefixes the span
+    content = "\n".join(f"L{i}" for i in range(1, 11))
+    files = spark.createDataFrame([("f.go", content)], ["file_path", "content"])
+    results = spark.createDataFrame(
+        [("top", "f.go", 1, 2), ("mid", "f.go", 5, 6), ("end", "f.go", 9, 10),
+         ("gone", "missing.go", 3, 3)],
+        ["id", "file_path", "start_line", "end_line"],
+    )
+    got = {
+        r["id"]: r["context"]
+        for r in graph.with_context(results, files, context_lines=2).collect()
+    }
+    assert got["top"] == "// Lines 1-4\nL1\nL2\nL3\nL4"
+    assert got["mid"] == "// Lines 3-8\nL3\nL4\nL5\nL6\nL7\nL8"
+    assert got["end"] == "// Lines 7-10\nL7\nL8\nL9\nL10"
+    assert got["gone"] is None  # graceful skip, like the reference
+
+
+def test_with_context_caps_at_20_lines(spark):
+    content = "\n".join(f"L{i}" for i in range(1, 101))
+    files = spark.createDataFrame([("f.go", content)], ["file_path", "content"])
+    results = spark.createDataFrame(
+        [("x", "f.go", 50, 50)], ["id", "file_path", "start_line", "end_line"]
+    )
+    row = graph.with_context(results, files, context_lines=99).first()
+    assert row["context"].startswith("// Lines 30-70\n")  # 50 ± 20
