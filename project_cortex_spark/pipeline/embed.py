@@ -63,12 +63,41 @@ def hash_embed_series(
     return pd.Series(out)
 
 
-def embedding_udf(*, dim: int = DEFAULT_DIM, mode: str = "passage"):
+def _onnx_embed_series(
+    texts: pd.Series, *, dim: int = DEFAULT_DIM, mode: str = "passage"
+) -> pd.Series:
+    """Production provider slot (reference: ONNX BGE-small behind
+    provider.go:20-39). No onnxruntime / sentence-transformers wheel is
+    available in this container; wiring one in means replacing this body
+    with a module-level-cached model call — no caller changes."""
+    raise NotImplementedError(
+        "onnxruntime is not installed; register a provider via "
+        "register_provider() or install a model runtime"
+    )
+
+
+# provider registry (the §2.12 extension seam): providers are
+# (pd.Series, dim=, mode=) -> pd.Series of float32 vectors. Everything
+# downstream — embed_chunks callers, KNN, dedup — is provider-agnostic.
+PROVIDERS = {
+    "hash": hash_embed_series,
+    "onnx": _onnx_embed_series,
+}
+
+
+def register_provider(name: str, fn) -> None:
+    PROVIDERS[name] = fn
+
+
+def embedding_udf(
+    *, dim: int = DEFAULT_DIM, mode: str = "passage", provider: str = "hash"
+):
     """Arrow-batched embedding UDF; executor-side, load-once shape."""
+    fn = PROVIDERS[provider]
 
     @pandas_udf(ArrayType(FloatType()))
     def embed(texts: pd.Series) -> pd.Series:
-        return hash_embed_series(texts, dim=dim, mode=mode)
+        return fn(texts, dim=dim, mode=mode)
 
     return embed
 
@@ -80,6 +109,9 @@ def embed_chunks(
     out_col: str = "embedding",
     dim: int = DEFAULT_DIM,
     mode: str = "passage",
+    provider: str = "hash",
 ) -> DataFrame:
     """D7: append an ``array<float>`` embedding column (batch map)."""
-    return chunks.withColumn(out_col, embedding_udf(dim=dim, mode=mode)(F.col(text_col)))
+    return chunks.withColumn(
+        out_col, embedding_udf(dim=dim, mode=mode, provider=provider)(F.col(text_col))
+    )

@@ -179,3 +179,47 @@ def test_discover_recursive_and_text_flag(spark):
     state = stats.select("file_path", F.lit(0).alias("mtime"), "content_hash")
     changes = cdet.detect_changes(state, state)
     assert changes.filter(F.col("status") != "unchanged").count() == 0
+
+
+def test_embed_provider_swap(spark):
+    """The provider seam: a swapped-in provider changes vectors without
+    touching any embed_chunks caller (VERDICT: swap test for D7)."""
+    import numpy as np
+    import pandas as pd
+
+    from project_cortex_spark.pipeline import embed as em
+
+    def unit_axis(texts: pd.Series, *, dim: int, mode: str) -> pd.Series:
+        # trivially-verifiable provider: one-hot on text length % dim
+        out = []
+        for t in texts:
+            v = np.zeros(dim, dtype=np.float32)
+            v[len(t or "") % dim] = 1.0
+            out.append(v)
+        return pd.Series(out)
+
+    em.register_provider("unit-axis", unit_axis)
+    df = spark.createDataFrame([("c1", "abc"), ("c2", "abcd")],
+                               ["chunk_id", "chunk_text"])
+    rows = {
+        r["chunk_id"]: r["embedding"]
+        for r in em.embed_chunks(df, dim=8, provider="unit-axis").collect()
+    }
+    assert rows["c1"][3] == 1.0 and sum(rows["c1"]) == 1.0
+    assert rows["c2"][4] == 1.0
+    # default provider unchanged
+    base = {
+        r["chunk_id"]: r["embedding"]
+        for r in em.embed_chunks(df, dim=8).collect()
+    }
+    assert base["c1"] != rows["c1"]
+
+
+def test_onnx_provider_slot_raises_cleanly(spark):
+    import pytest as pt
+
+    from project_cortex_spark.pipeline import embed as em
+
+    df = spark.createDataFrame([("c1", "abc")], ["chunk_id", "chunk_text"])
+    with pt.raises(Exception, match="onnxruntime|NotImplemented"):
+        em.embed_chunks(df, provider="onnx").collect()
