@@ -1113,8 +1113,10 @@ def _q_graph_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_cortex_spark.pipeline.fixtures import MULTILANG_FILES
 
     ents = _multilang_entities(spark)
+    # start_line in the id disambiguates same-named functions (a trait
+    # signature and its impl, an interface method and its class override)
     fns = ents.filter(F.col("kind") == "function").select(
-        F.concat_ws(":", "file_path", "name").alias("function_id"),
+        F.concat_ws(":", "file_path", "name", "start_line").alias("function_id"),
         "file_path",
         "start_line",
         "end_line",
@@ -1128,20 +1130,31 @@ def _q_graph_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GRAPH_CTX_SPANS = """\
-          ('demo.py:greet','demo.py',12,15),
-          ('demo.py:helper','demo.py',6,7),
-          ('demo.py:main','demo.py',17,19),
-          ('pool.js:constructor','pool.js',5,7),
-          ('pool.js:makePool','pool.js',15,17),
-          ('pool.js:take','pool.js',9,12),
-          ('srv.go:Addr','srv.go',41,43),
-          ('srv.go:NewConfig','srv.go',31,39),
-          ('srv.go:validate','srv.go',45,47),
-          ('store.ts:add','store.ts',20,24),
-          ('store.ts:constructor','store.ts',18,18),
-          ('store.ts:inc','store.ts',38,38),
-          ('store.ts:lookup','store.ts',27,32),
-          ('store.ts:scale','store.ts',34,36)"""
+          ('cache.rs:evict:10','cache.rs',10,10),
+          ('cache.rs:evict:23','cache.rs',23,25),
+          ('cache.rs:insert:14','cache.rs',14,19),
+          ('cursor.rb:advance:11','cursor.rb',11,14),
+          ('cursor.rb:initialize:7','cursor.rb',7,9),
+          ('cursor.rb:make_cursor:18','cursor.rb',18,20),
+          ('demo.py:greet:12','demo.py',12,15),
+          ('demo.py:helper:6','demo.py',6,7),
+          ('demo.py:main:17','demo.py',17,19),
+          ('ledger.java:Ledger:9','ledger.java',9,11),
+          ('ledger.java:credit:13','ledger.java',13,18),
+          ('ledger.java:record:22','ledger.java',22,22),
+          ('memstore.php:put:13','memstore.php',13,20),
+          ('pool.js:constructor:5','pool.js',5,7),
+          ('pool.js:makePool:15','pool.js',15,17),
+          ('pool.js:take:9','pool.js',9,12),
+          ('slot.c:probe:12','slot.c',12,19),
+          ('srv.go:Addr:41','srv.go',41,43),
+          ('srv.go:NewConfig:31','srv.go',31,39),
+          ('srv.go:validate:45','srv.go',45,47),
+          ('store.ts:add:20','store.ts',20,24),
+          ('store.ts:constructor:18','store.ts',18,18),
+          ('store.ts:inc:38','store.ts',38,38),
+          ('store.ts:lookup:27','store.ts',27,32),
+          ('store.ts:scale:34','store.ts',34,36)"""
 
 
 def _graph_context_oracle() -> str:
@@ -1685,13 +1698,37 @@ def oracle_sql() -> dict[str, str]:
     # any drift in spans/params/complexity/receivers breaks the hash
     out["pipeline_parse_multilang"] = """
         SELECT * FROM (VALUES
+          ('cache.rs','call',5,15,24,0,0), ('cache.rs','const',1,3,3,0,0),
+          ('cache.rs','field',1,6,6,0,0), ('cache.rs','function',3,10,25,7,5),
+          ('cache.rs','import',1,1,1,0,0), ('cache.rs','param',10,10,23,0,0),
+          ('cache.rs','type',2,5,11,0,0),
+          ('cursor.rb','const',1,3,3,0,0), ('cursor.rb','function',3,7,20,3,3),
+          ('cursor.rb','import',1,1,1,0,0), ('cursor.rb','param',3,7,18,0,0),
+          ('cursor.rb','type',2,5,16,0,0),
           ('demo.py','call',4,7,19,5,0), ('demo.py','const',1,4,4,0,0),
           ('demo.py','field',1,10,10,0,0), ('demo.py','function',3,6,19,4,5),
           ('demo.py','import',2,1,2,0,0), ('demo.py','param',6,6,12,0,0),
           ('demo.py','type',1,9,15,0,0),
+          ('ledger.java','call',2,14,15,0,0), ('ledger.java','const',1,6,6,0,0),
+          ('ledger.java','function',3,9,22,3,5),
+          ('ledger.java','import',1,3,3,0,0),
+          ('ledger.java','package',1,1,1,0,0),
+          ('ledger.java','param',4,13,22,0,0),
+          ('ledger.java','type',2,5,23,0,0),
+          ('memstore.php','const',1,7,7,0,0),
+          ('memstore.php','field',1,11,11,0,0),
+          ('memstore.php','function',1,13,20,2,2),
+          ('memstore.php','import',1,5,5,0,0),
+          ('memstore.php','package',1,3,3,0,0),
+          ('memstore.php','param',3,13,13,0,0),
+          ('memstore.php','type',1,9,21,0,0),
           ('pool.js','call',2,10,16,0,0), ('pool.js','const',1,1,1,0,0),
           ('pool.js','function',3,5,17,2,5), ('pool.js','param',2,5,15,0,0),
           ('pool.js','type',1,4,13,0,0), ('pool.js','var',1,2,2,0,0),
+          ('slot.c','const',1,3,3,0,0), ('slot.c','field',2,8,9,0,0),
+          ('slot.c','function',1,12,19,2,3), ('slot.c','import',1,1,1,0,0),
+          ('slot.c','param',3,12,12,0,0), ('slot.c','type',1,7,10,0,0),
+          ('slot.c','var',1,5,5,0,0),
           ('srv.go','call',3,33,46,0,0), ('srv.go','const',3,11,17,0,0),
           ('srv.go','field',3,20,22,0,0), ('srv.go','function',3,31,47,5,6),
           ('srv.go','import',3,4,8,0,0), ('srv.go','package',1,1,1,0,0),

@@ -179,9 +179,138 @@ A short post-install note confirms the doctor command passed.
 Short answers only.
 '''
 
+RS_SRC = '''\
+use std::collections::BTreeMap;
+
+pub const RETRY_LIMIT: u32 = 4;
+
+pub struct Cache {
+    entries: BTreeMap<String, String>,
+}
+
+pub trait Evict {
+    fn evict(&mut self, key: &str) -> bool;
+}
+
+impl Cache {
+    pub fn insert(&mut self, key: String, val: String) -> Option<String> {
+        if key.is_empty() {
+            return None;
+        }
+        self.entries.insert(key, val)
+    }
+}
+
+impl Evict for Cache {
+    fn evict(&mut self, key: &str) -> bool {
+        self.entries.remove(key).is_some() && !key.is_empty()
+    }
+}
+'''
+
+JAVA_SRC = '''\
+package app.core;
+
+import java.util.HashMap;
+
+public class Ledger {
+    private static final int MAX_SLOTS = 64;
+    private HashMap<String, Long> balances;
+
+    public Ledger() {
+        this.balances = new HashMap<>();
+    }
+
+    public long credit(String account, long amount) {
+        if (amount > 0 && balances.containsKey(account)) {
+            return balances.merge(account, amount, Long::sum);
+        }
+        return 0;
+    }
+}
+
+interface Audited {
+    void record(String event);
+}
+'''
+
+C_SRC = '''\
+#include <stdlib.h>
+
+#define SLOT_COUNT 16
+
+static int hits = 0;
+
+struct Slot {
+    int key;
+    int value;
+};
+
+int probe(struct Slot* table, int key) {
+    for (int i = 0; i < SLOT_COUNT; i++) {
+        if (table[i].key == key) {
+            return table[i].value;
+        }
+    }
+    return -1;
+}
+'''
+
+PHP_SRC = '''\
+<?php
+
+namespace App\\Cache;
+
+use App\\Contracts\\Store;
+
+const TTL_SECONDS = 300;
+
+class MemoryStore
+{
+    private array $items = [];
+
+    public function put(string $key, mixed $value): bool
+    {
+        if ($key !== '') {
+            $this->items[$key] = $value;
+            return true;
+        }
+        return false;
+    }
+}
+'''
+
+RB_SRC = '''\
+require 'set'
+
+PAGE_SIZE = 25
+
+module Paging
+  class Cursor
+    def initialize(offset)
+      @offset = offset
+    end
+
+    def advance(step)
+      @offset += step if step > 0
+      @offset
+    end
+  end
+end
+
+def make_cursor(offset)
+  Paging::Cursor.new(offset)
+end
+'''
+
 MULTILANG_FILES = [
     ("demo.py", PY_SRC),
     ("srv.go", GO_SRC),
     ("store.ts", TS_SRC),
     ("pool.js", JS_SRC),
+    ("cache.rs", RS_SRC),
+    ("ledger.java", JAVA_SRC),
+    ("slot.c", C_SRC),
+    ("memstore.php", PHP_SRC),
+    ("cursor.rb", RB_SRC),
 ]

@@ -225,22 +225,31 @@ def _parse_python(path: str, source: str) -> list[tuple]:
     return out
 
 
-def _parse_go(path: str, source: str) -> list[tuple]:
-    return lang_parsers.parse_go(path, source, _row)
+def _lang(fn):
+    def parse(path: str, source: str) -> list[tuple]:
+        return fn(path, source, _row)
+
+    return parse
 
 
-def _parse_ts(path: str, source: str) -> list[tuple]:
-    return lang_parsers.parse_ts(path, source, _row)
-
-
+# extension routing (parser.go:331-358): all 9 reference languages
 PARSERS = {
     "py": _parse_python,
-    "go": _parse_go,
-    "ts": _parse_ts,
-    "tsx": _parse_ts,
-    "js": _parse_ts,  # same grammar family (typescript.go:374-385)
-    "jsx": _parse_ts,
-    "mjs": _parse_ts,
+    "go": _lang(lang_parsers.parse_go),
+    "ts": _lang(lang_parsers.parse_ts),
+    "tsx": _lang(lang_parsers.parse_ts),
+    "js": _lang(lang_parsers.parse_ts),  # same grammar family
+    "jsx": _lang(lang_parsers.parse_ts),
+    "mjs": _lang(lang_parsers.parse_ts),
+    "rs": _lang(lang_parsers.parse_rust),
+    "java": _lang(lang_parsers.parse_java),
+    "c": _lang(lang_parsers.parse_c),
+    "h": _lang(lang_parsers.parse_c),
+    "cpp": _lang(lang_parsers.parse_cpp),
+    "cc": _lang(lang_parsers.parse_cpp),
+    "hpp": _lang(lang_parsers.parse_cpp),
+    "php": _lang(lang_parsers.parse_php),
+    "rb": _lang(lang_parsers.parse_ruby),
 }
 
 

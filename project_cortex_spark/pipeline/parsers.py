@@ -640,3 +640,786 @@ def parse_ts(path: str, source: str, row) -> list[tuple]:
 
 
 parse_js = parse_ts  # same grammar family (typescript.go:374-385)
+
+
+# ---------------------------------------------------------------------------
+# Rust  (contract: parsers/rust.go:90-107 — struct/enum/trait/impl/fn/
+# const/static items)
+# ---------------------------------------------------------------------------
+
+_RUST_KEYWORDS = frozenset(
+    "if for while match loop return fn let mut impl struct enum trait use "
+    "pub mod const static else break continue move ref where unsafe async "
+    "await dyn Box Some None Ok Err".split()
+)
+_RUST_BRANCH_RE = re.compile(r"\b(?:if|for|while|match)\b")
+_RUST_TYPE_RE = re.compile(
+    r"^\s*(?:pub(?:\([\w:]+\))?\s+)?(struct|enum|trait|union)\s+(\w+)", re.M
+)
+_RUST_IMPL_RE = re.compile(
+    r"^\s*impl(?:<[^>{]*>)?\s+(?:([\w:]+)(?:<[^>{]*>)?\s+for\s+)?([\w:]+)", re.M
+)
+_RUST_FN_RE = re.compile(
+    r"^\s*(?:pub(?:\([\w:]+\))?\s+)?(?:async\s+)?(?:unsafe\s+)?(?:extern\s+\S+\s+)?"
+    r"fn\s+(\w+)\s*(?:<[^>(]*>)?\s*\(",
+    re.M,
+)
+_RUST_USE_RE = re.compile(r"^\s*(?:pub\s+)?use\s+([^;]+);", re.M)
+_RUST_VALUE_RE = re.compile(
+    r"^\s*(?:pub(?:\([\w:]+\))?\s+)?(const|static)\s+(?:mut\s+)?(\w+)\s*:\s*([^=;]+)",
+    re.M,
+)
+_RUST_FIELD_RE = re.compile(r"^\s*(?:pub(?:\([\w:]+\))?\s+)?(\w+)\s*:\s*(.+?),?\s*$")
+
+
+def parse_rust(path: str, source: str, row) -> list[tuple]:
+    """Rust extraction: struct/enum/trait/union types (+ struct fields),
+    impl-block methods with the impl target as receiver, free functions,
+    use imports, const/static data, calls, complexity. `'` is NOT a
+    string delimiter here (lifetimes); char literals are short enough
+    that masking only double-quoted strings keeps structure intact."""
+    masked = mask_code(source, strings='"')
+    starts = line_starts(source)
+    out: list[tuple] = []
+    func_spans: list[tuple[int, int, str]] = []
+
+    for m in _RUST_USE_RE.finditer(masked):
+        ln = line_of(starts, m.start(1))
+        out.append(row(path, "import", source[m.start(1):m.end(1)].strip(),
+                       start=ln, end=ln))
+
+    for m in _RUST_VALUE_RE.finditer(masked):
+        ln = line_of(starts, m.start(2))
+        raw_line = source[starts[ln - 1]: starts[ln] - 1 if ln < len(starts) else len(source)]
+        value = raw_line.split("=", 1)[1].strip().rstrip(";") if "=" in raw_line else None
+        out.append(row(path, "const" if m.group(1) == "const" else "var",
+                       m.group(2), start=ln, end=ln,
+                       param_type=m.group(3).strip(), detail=value))
+
+    for m in _RUST_TYPE_RE.finditer(masked):
+        kind, name = m.group(1), m.group(2)
+        ln = line_of(starts, m.start(2))
+        b_open = masked.find("{", m.end())
+        semi = masked.find(";", m.end())
+        end_ln = ln
+        if b_open != -1 and (semi == -1 or b_open < semi):
+            b_close = match_brace(masked, b_open)
+            end_ln = line_of(starts, b_close)
+            if kind == "struct":
+                pos = 0
+                for ln0 in range(ln, end_ln - 1):
+                    raw_line = source[starts[ln0]: starts[ln0 + 1] - 1]
+                    fm = _RUST_FIELD_RE.match(raw_line)
+                    if fm and fm.group(1) not in _RUST_KEYWORDS:
+                        out.append(row(path, "field", fm.group(1), parent=name,
+                                       start=ln0 + 1, end=ln0 + 1, position=pos,
+                                       param_type=fm.group(2).strip().rstrip(",")))
+                        pos += 1
+        out.append(row(path, "type", name, start=ln, end=end_ln,
+                       detail="interface" if kind == "trait" else kind))
+
+    # impl blocks give their target as the receiver for contained fns
+    impl_spans: list[tuple[int, int, str, str | None]] = []
+    for m in _RUST_IMPL_RE.finditer(masked):
+        b_open = masked.find("{", m.end())
+        if b_open == -1:
+            continue
+        b_close = match_brace(masked, b_open)
+        target = m.group(2).split("::")[-1]
+        trait = m.group(1).split("::")[-1] if m.group(1) else None
+        impl_spans.append((b_open, b_close, target, trait))
+
+    # trait bodies: methods there belong to the trait (interface methods)
+    trait_spans: list[tuple[int, int, str]] = []
+    for m in _RUST_TYPE_RE.finditer(masked):
+        if m.group(1) == "trait":
+            b_open = masked.find("{", m.end())
+            if b_open != -1:
+                trait_spans.append((b_open, match_brace(masked, b_open), m.group(2)))
+
+    for m in _RUST_FN_RE.finditer(masked):
+        fname = m.group(1)
+        ln = line_of(starts, m.start(1))
+        p_open = masked.find("(", m.end() - 1)
+        p_close = match_paren(masked, p_open)
+        items = split_top_level(source[p_open + 1: p_close])
+        parent = None
+        for s, e, target, trait in impl_spans:
+            if s <= m.start() <= e:
+                parent = target
+        if parent is None:
+            for s, e, tname in trait_spans:
+                if s <= m.start() <= e:
+                    parent = tname
+        b_open = masked.find("{", p_close)
+        semi = masked.find(";", p_close)
+        ret = ""
+        sig_end = b_open if b_open != -1 and (semi == -1 or b_open < semi) else semi
+        if sig_end != -1:
+            between = source[p_close + 1: sig_end].strip()
+            if between.startswith("->"):
+                ret = between[2:].strip()
+        end_ln, body = ln, ""
+        if b_open != -1 and (semi == -1 or b_open < semi):
+            b_close = match_brace(masked, b_open)
+            end_ln = line_of(starts, b_close)
+            body = masked[b_open:b_close]
+            func_spans.append((b_open, b_close, fname))
+        out.append(row(path, "function", fname, parent=parent, start=ln,
+                       end=end_ln, n_params=len(items),
+                       is_method=parent is not None,
+                       complexity=cyclomatic(body, _RUST_BRANCH_RE)))
+        for i, item in enumerate(items):
+            name_part, _, typ = item.partition(":")
+            out.append(row(path, "param", name_part.strip().lstrip("&").replace("mut ", "").strip(),
+                           parent=fname, start=ln, end=ln, position=i,
+                           param_type=typ.strip() or None))
+        if ret:
+            out.append(row(path, "param", "", parent=fname, start=ln, end=ln,
+                           position=0, param_type=ret, is_return=True))
+
+    for parent, name, ln in extract_calls(masked, source, starts, func_spans,
+                                          _RUST_KEYWORDS):
+        out.append(row(path, "call", name, parent=parent, start=ln, end=ln))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Java  (contract: parsers/java.go:110-121 — class/interface/enum/fields)
+# ---------------------------------------------------------------------------
+
+_JAVA_KEYWORDS = frozenset(
+    "if for while switch catch return new else do try synchronized throw "
+    "this super class interface enum import package public private protected "
+    "static final abstract void case break continue instanceof assert".split()
+)
+_JAVA_BRANCH_RE = re.compile(r"\b(?:if|for|while|case|catch)\b")
+_JAVA_TYPE_RE = re.compile(
+    r"^\s*(?:(?:public|private|protected|static|final|abstract)\s+)*"
+    r"(class|interface|enum)\s+(\w+)",
+    re.M,
+)
+_JAVA_IMPORT_RE = re.compile(r"^\s*import\s+(?:static\s+)?([\w.\*]+);", re.M)
+_JAVA_MEMBER_RE = re.compile(
+    r"^\s*(?:(?:public|private|protected|static|final|abstract|synchronized|"
+    r"native|default|transient|volatile)\s+)*"
+    r"(?:([\w<>\[\],\.\s]+?)\s+)?(\w+)\s*\(",
+    re.M,
+)
+_JAVA_FIELD_RE = re.compile(
+    r"^\s*((?:(?:public|private|protected|static|final|transient|volatile)\s+)*)"
+    r"([\w<>\[\],\.]+)\s+(\w+)\s*(?:=\s*(.+?))?;\s*$",
+)
+
+
+def parse_java(path: str, source: str, row) -> list[tuple]:
+    """Java extraction: class/interface/enum types, member methods (ctor =
+    method named like its class), fields (static final => const), package
+    + imports, calls, complexity."""
+    masked = mask_code(source)
+    starts = line_starts(source)
+    out: list[tuple] = []
+    func_spans: list[tuple[int, int, str]] = []
+
+    m = re.search(r"^\s*package\s+([\w.]+);", masked, re.M)
+    if m:
+        ln = line_of(starts, m.start(1))
+        out.append(row(path, "package", m.group(1), start=ln, end=ln))
+
+    for m in _JAVA_IMPORT_RE.finditer(masked):
+        ln = line_of(starts, m.start(1))
+        out.append(row(path, "import", m.group(1), start=ln, end=ln))
+
+    type_spans: list[tuple[int, int, str]] = []
+    for m in _JAVA_TYPE_RE.finditer(masked):
+        kind, name = m.group(1), m.group(2)
+        ln = line_of(starts, m.start(2))
+        b_open = masked.find("{", m.end())
+        end_ln = ln
+        if b_open != -1:
+            b_close = match_brace(masked, b_open)
+            end_ln = line_of(starts, b_close)
+            type_spans.append((b_open, b_close, name))
+        out.append(row(path, "type", name, start=ln, end=end_ln, detail=kind))
+
+    for c_open, c_close, cname in type_spans:
+        # member depth scan (same shape as the TS class scan)
+        depth_at, seen_at, i = 0, set(), c_open + 1
+        field_pos = 0
+        while i < c_close:
+            ch = masked[i]
+            if ch == "{":
+                depth_at += 1
+            elif ch == "}":
+                depth_at -= 1
+            elif ch == "\n" and depth_at == 0:
+                nl_end = masked.find("\n", i + 1)
+                nl_end = c_close if nl_end == -1 else min(nl_end, c_close)
+                mline = masked[i + 1: nl_end]
+                raw_line = source[i + 1: nl_end]
+                fm = _JAVA_FIELD_RE.match(mline)
+                if fm and fm.group(3) not in _JAVA_KEYWORDS and fm.group(2) not in (
+                    "return", "throw"
+                ):
+                    ln0 = line_of(starts, i + 1)
+                    mods = fm.group(1)
+                    value = (raw_line.split("=", 1)[1].strip().rstrip(";")
+                             if "=" in raw_line else None)
+                    kind = ("const" if "static" in mods and "final" in mods
+                            else "field")
+                    out.append(row(path, kind, fm.group(3), parent=cname,
+                                   start=ln0, end=ln0, position=field_pos,
+                                   param_type=fm.group(2), detail=value))
+                    field_pos += 1
+                else:
+                    mm = _JAVA_MEMBER_RE.match(masked, i + 1)
+                    if (mm and mm.end() <= c_close and mm.start(2) not in seen_at
+                            and mm.group(2) not in _JAVA_KEYWORDS):
+                        seen_at.add(mm.start(2))
+                        fname = mm.group(2)
+                        ln0 = line_of(starts, mm.start(2))
+                        p_open = masked.find("(", mm.end() - 1)
+                        p_close = match_paren(masked, p_open)
+                        items = split_top_level(source[p_open + 1: p_close])
+                        b_open = masked.find("{", p_close)
+                        semi = masked.find(";", p_close)
+                        end_ln, body = ln0, ""
+                        if b_open != -1 and (semi == -1 or b_open < semi):
+                            b_close = match_brace(masked, b_open)
+                            end_ln = line_of(starts, b_close)
+                            body = masked[b_open:b_close]
+                            func_spans.append((b_open, b_close, fname))
+                        ret = (mm.group(1) or "").strip() or None
+                        out.append(row(path, "function", fname, parent=cname,
+                                       start=ln0, end=end_ln,
+                                       n_params=len(items), is_method=True,
+                                       complexity=cyclomatic(body, _JAVA_BRANCH_RE)))
+                        for pi, item in enumerate(items):
+                            toks = item.rsplit(None, 1)
+                            pname = toks[-1] if toks else f"arg{pi}"
+                            ptype = toks[0] if len(toks) == 2 else None
+                            out.append(row(path, "param", pname, parent=fname,
+                                           start=ln0, end=ln0, position=pi,
+                                           param_type=ptype))
+                        if ret and ret != "void" and fname != cname:
+                            out.append(row(path, "param", "", parent=fname,
+                                           start=ln0, end=ln0, position=0,
+                                           param_type=ret, is_return=True))
+            i += 1
+
+    for parent, name, ln in extract_calls(masked, source, starts, func_spans,
+                                          _JAVA_KEYWORDS):
+        out.append(row(path, "call", name, parent=parent, start=ln, end=ln))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# C / C++  (contract: parsers/c.go:98-108 — struct/union/enum,
+# function_definition, declaration)
+# ---------------------------------------------------------------------------
+
+_C_KEYWORDS = frozenset(
+    "if for while switch return sizeof else do case break continue goto "
+    "struct union enum typedef static const extern inline void defined "
+    "include define ifdef ifndef endif pragma".split()
+)
+_C_BRANCH_RE = re.compile(r"\b(?:if|for|while|case)\b")
+_C_INCLUDE_RE = re.compile(r'^\s*#\s*include\s+[<"]([^>"]+)[>"]', re.M)
+_C_DEFINE_RE = re.compile(r"^\s*#\s*define\s+(\w+)(?:\s+(.+?))?\s*$", re.M)
+_C_TYPE_RE = re.compile(r"^\s*(?:typedef\s+)?(struct|union|enum)\s+(\w+)\s*\{", re.M)
+_C_TYPEDEF_RE = re.compile(r"^\s*typedef\s+(.+?)\s+(\w+)\s*;", re.M)
+_C_GLOBAL_RE = re.compile(
+    r"^\s*((?:static\s+|const\s+|extern\s+)*)([\w\*]+(?:\s+[\w\*]+)*?)\s+"
+    r"\**(\w+)\s*=\s*",
+    re.M,
+)
+_C_FUNC_RE = re.compile(
+    r"^([\w\*]+(?:\s+[\w\*]+)*?)\s*\**\s*(\w+)\s*\(", re.M
+)
+_C_FIELD_RE = re.compile(r"^\s*((?:struct\s+|unsigned\s+|const\s+)?[\w\*]+)\s+"
+                         r"\**(\w+)(?:\[[^\]]*\])?\s*;")
+
+
+def parse_c(path: str, source: str, row) -> list[tuple]:
+    """C/C++ extraction: #include imports, #define + global consts,
+    struct/union/enum types (+ struct fields), typedef aliases, top-level
+    function DEFINITIONS (body present), calls, complexity."""
+    masked = mask_code(source)
+    starts = line_starts(source)
+    out: list[tuple] = []
+    func_spans: list[tuple[int, int, str]] = []
+
+    for m in _C_INCLUDE_RE.finditer(masked):
+        ln = line_of(starts, m.start(1))
+        out.append(row(path, "import", m.group(1), start=ln, end=ln))
+    for m in _C_DEFINE_RE.finditer(source):
+        ln = line_of(starts, m.start(1))
+        out.append(row(path, "const", m.group(1), start=ln, end=ln,
+                       detail=(m.group(2) or "").strip() or None))
+    for m in _C_GLOBAL_RE.finditer(masked):
+        if m.group(2).strip() in ("return",):
+            continue
+        ln = line_of(starts, m.start(3))
+        # only top-level globals: crude but effective — must start at col 0
+        if source[starts[ln - 1]] in " \t":
+            continue
+        raw_line = source[starts[ln - 1]: starts[ln] - 1 if ln < len(starts) else len(source)]
+        value = raw_line.split("=", 1)[1].strip().rstrip(";") if "=" in raw_line else None
+        kind = "const" if "const" in m.group(1) else "var"
+        out.append(row(path, kind, m.group(3), start=ln, end=ln,
+                       param_type=m.group(2).strip(), detail=value))
+
+    for m in _C_TYPE_RE.finditer(masked):
+        kind, name = m.group(1), m.group(2)
+        ln = line_of(starts, m.start(2))
+        b_open = masked.find("{", m.start())
+        b_close = match_brace(masked, b_open)
+        end_ln = line_of(starts, b_close)
+        if kind in ("struct", "union"):
+            pos = 0
+            for ln0 in range(ln, end_ln - 1):
+                fm = _C_FIELD_RE.match(source[starts[ln0]: starts[ln0 + 1] - 1])
+                if fm:
+                    out.append(row(path, "field", fm.group(2), parent=name,
+                                   start=ln0 + 1, end=ln0 + 1, position=pos,
+                                   param_type=fm.group(1).strip()))
+                    pos += 1
+        out.append(row(path, "type", name, start=ln, end=end_ln, detail=kind))
+
+    for m in _C_TYPEDEF_RE.finditer(masked):
+        ln = line_of(starts, m.start(2))
+        out.append(row(path, "type", m.group(2), start=ln, end=ln,
+                       detail="alias", param_type=m.group(1).strip()))
+
+    for m in _C_FUNC_RE.finditer(masked):
+        ret_t, fname = m.group(1).strip(), m.group(2)
+        first_tok = ret_t.split()[0] if ret_t else ""
+        # reject statement keywords masquerading as return types
+        # ("return foo(...)", "typedef ..."), but keep real type keywords
+        # (void/struct/unsigned/...)
+        if fname in _C_KEYWORDS or first_tok in (
+            "typedef", "return", "else", "do", "goto", "case", "sizeof"
+        ):
+            continue
+        p_open = masked.find("(", m.end() - 1)
+        p_close = match_paren(masked, p_open)
+        b_open = masked.find("{", p_close)
+        semi = masked.find(";", p_close)
+        if b_open == -1 or (semi != -1 and semi < b_open):
+            continue  # prototype, not a definition
+        between = masked[p_close + 1: b_open].strip()
+        if between:
+            continue  # not a function header (e.g. struct init)
+        ln = line_of(starts, m.start(2))
+        items = [
+            it for it in split_top_level(source[p_open + 1: p_close])
+            if it != "void"
+        ]
+        b_close = match_brace(masked, b_open)
+        end_ln = line_of(starts, b_close)
+        body = masked[b_open:b_close]
+        func_spans.append((b_open, b_close, fname))
+        out.append(row(path, "function", fname, start=ln, end=end_ln,
+                       n_params=len(items),
+                       complexity=cyclomatic(body, _C_BRANCH_RE)))
+        for i, item in enumerate(items):
+            toks = item.replace("*", " ").rsplit(None, 1)
+            pname = toks[-1] if toks else f"arg{i}"
+            ptype = item[: item.rfind(pname)].strip() if pname in item else None
+            out.append(row(path, "param", pname, parent=fname, start=ln,
+                           end=ln, position=i, param_type=ptype or None))
+        if ret_t and ret_t != "void":
+            out.append(row(path, "param", "", parent=fname, start=ln, end=ln,
+                           position=0, param_type=ret_t, is_return=True))
+
+    for parent, name, ln in extract_calls(masked, source, starts, func_spans,
+                                          _C_KEYWORDS):
+        out.append(row(path, "call", name, parent=parent, start=ln, end=ln))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PHP  (contract: parsers/php.go:107-119 — class/interface/trait,
+# function_definition, const_declaration)
+# ---------------------------------------------------------------------------
+
+_PHP_KEYWORDS = frozenset(
+    "if for foreach while switch catch return new else do try function "
+    "echo print isset unset empty array list require include use namespace "
+    "public private protected static final abstract const class interface "
+    "trait case break continue throw match".split()
+)
+_PHP_BRANCH_RE = re.compile(r"\b(?:if|for|foreach|while|case|catch)\b")
+_PHP_TYPE_RE = re.compile(
+    r"^\s*(?:(?:final|abstract|readonly)\s+)*(class|interface|trait)\s+(\w+)",
+    re.M,
+)
+_PHP_USE_RE = re.compile(r"^\s*use\s+([\w\\]+)(?:\s+as\s+(\w+))?\s*;", re.M)
+_PHP_CONST_RE = re.compile(
+    r"^\s*(?:(?:public|private|protected)\s+)?const\s+(\w+)\s*=", re.M
+)
+_PHP_FUNC_RE = re.compile(
+    r"^\s*(?:(?:public|private|protected|static|final|abstract)\s+)*"
+    r"function\s+(\w+)\s*\(",
+    re.M,
+)
+_PHP_PROP_RE = re.compile(
+    r"^\s*(?:(?:public|private|protected|static|readonly)\s+)+"
+    r"([\?\w\\\[\]]+\s+)?\$(\w+)\s*[=;]",
+)
+
+
+def parse_php(path: str, source: str, row) -> list[tuple]:
+    """PHP extraction: class/interface/trait types (+ typed properties as
+    fields), methods/functions with typed params and return types, use
+    imports, const rows, calls, complexity."""
+    masked = mask_code(source)
+    starts = line_starts(source)
+    out: list[tuple] = []
+    func_spans: list[tuple[int, int, str]] = []
+
+    m = re.search(r"^\s*namespace\s+([\w\\]+);", masked, re.M)
+    if m:
+        ln = line_of(starts, m.start(1))
+        out.append(row(path, "package", m.group(1), start=ln, end=ln))
+
+    for m in _PHP_USE_RE.finditer(masked):
+        # class-body `use TraitName;` lines also match; keep both — trait
+        # mixins ARE imports of behavior
+        ln = line_of(starts, m.start(1))
+        out.append(row(path, "import", m.group(1), start=ln, end=ln,
+                       detail=m.group(2)))
+
+    for m in _PHP_CONST_RE.finditer(masked):
+        ln = line_of(starts, m.start(1))
+        raw_line = source[starts[ln - 1]: starts[ln] - 1 if ln < len(starts) else len(source)]
+        value = raw_line.split("=", 1)[1].strip().rstrip(";") if "=" in raw_line else None
+        out.append(row(path, "const", m.group(1), start=ln, end=ln, detail=value))
+
+    type_spans: list[tuple[int, int, str]] = []
+    for m in _PHP_TYPE_RE.finditer(masked):
+        kind, name = m.group(1), m.group(2)
+        ln = line_of(starts, m.start(2))
+        b_open = masked.find("{", m.end())
+        end_ln = ln
+        if b_open != -1:
+            b_close = match_brace(masked, b_open)
+            end_ln = line_of(starts, b_close)
+            type_spans.append((b_open, b_close, name))
+        out.append(row(path, "type", name, start=ln, end=end_ln, detail=kind))
+
+    # typed properties as field rows
+    for c_open, c_close, cname in type_spans:
+        pos = 0
+        for ln0 in range(line_of(starts, c_open), line_of(starts, c_close) - 1):
+            fm = _PHP_PROP_RE.match(masked[starts[ln0]: starts[ln0 + 1] - 1])
+            if fm:
+                out.append(row(path, "field", fm.group(2), parent=cname,
+                               start=ln0 + 1, end=ln0 + 1, position=pos,
+                               param_type=(fm.group(1) or "").strip() or None))
+                pos += 1
+
+    for m in _PHP_FUNC_RE.finditer(masked):
+        fname = m.group(1)
+        ln = line_of(starts, m.start(1))
+        parent = None
+        for s, e, cname in type_spans:
+            if s <= m.start() <= e:
+                parent = cname
+        p_open = masked.find("(", m.end() - 1)
+        p_close = match_paren(masked, p_open)
+        items = split_top_level(source[p_open + 1: p_close])
+        b_open = masked.find("{", p_close)
+        semi = masked.find(";", p_close)
+        ret = ""
+        sig_end = b_open if b_open != -1 and (semi == -1 or b_open < semi) else semi
+        if sig_end != -1:
+            between = source[p_close + 1: sig_end].strip()
+            if between.startswith(":"):
+                ret = between[1:].strip()
+        end_ln, body = ln, ""
+        if b_open != -1 and (semi == -1 or b_open < semi):
+            b_close = match_brace(masked, b_open)
+            end_ln = line_of(starts, b_close)
+            body = masked[b_open:b_close]
+            func_spans.append((b_open, b_close, fname))
+        out.append(row(path, "function", fname, parent=parent, start=ln,
+                       end=end_ln, n_params=len(items),
+                       is_method=parent is not None,
+                       complexity=cyclomatic(body, _PHP_BRANCH_RE)))
+        for i, item in enumerate(items):
+            item = item.split("=", 1)[0].strip()
+            pm = re.match(r"(?:([\?\w\\\|\[\]]+)\s+)?[&.]*\$(\w+)", item)
+            if pm:
+                out.append(row(path, "param", pm.group(2), parent=fname,
+                               start=ln, end=ln, position=i,
+                               param_type=pm.group(1)))
+        if ret:
+            out.append(row(path, "param", "", parent=fname, start=ln, end=ln,
+                           position=0, param_type=ret, is_return=True))
+
+    for parent, name, ln in extract_calls(masked, source, starts, func_spans,
+                                          _PHP_KEYWORDS):
+        out.append(row(path, "call", name, parent=parent, start=ln, end=ln))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Ruby  (contract: parsers/ruby.go:96-108 — class/module/method/assignment;
+# block structure is keyword...end, not braces)
+# ---------------------------------------------------------------------------
+
+_RUBY_KEYWORDS = frozenset(
+    "if unless while until case begin do end def class module return puts "
+    "print require require_relative attr_reader attr_writer attr_accessor "
+    "new raise yield lambda proc loop then else elsif when rescue ensure "
+    "include extend".split()
+)
+_RUBY_BRANCH_RE = re.compile(r"^\s*(?:if|unless|while|until|when|elsif|rescue)\b", re.M)
+_RUBY_OPENER_RE = re.compile(
+    r"^\s*(?:(class|module)\s+([A-Z]\w*)|(def)\s+(?:self\.)?([\w?!=\[\]<>+\-*\/%]+)"
+    r"|(if|unless|while|until|case|begin)\b)"
+)
+_RUBY_REQUIRE_RE = re.compile(r"""^\s*require(?:_relative)?\s+['"]([^'"]+)['"]""", re.M)
+
+
+def parse_ruby(path: str, source: str, row) -> list[tuple]:
+    """Ruby extraction via keyword...end block tracking (no braces):
+    class/module types, def methods with their enclosing class as
+    receiver, require imports, UPPERCASE constants and $globals,
+    paren-call sites, complexity. Modifier-position if/unless (trailing)
+    do not open blocks; `do` blocks and one-line `{ }` blocks close on
+    the same structure they opened on."""
+    masked = mask_code(source, line_comment="#", block_comment=None)
+    starts = line_starts(source)
+    lines_m = masked.split("\n")
+    lines_r = source.split("\n")
+    out: list[tuple] = []
+    # stack of (kind, name, start_line) — kind in class/module/def/other
+    stack: list[tuple[str, str | None, int]] = []
+    func_lines: dict[str, tuple[int, int]] = {}
+    spans: list[tuple[int, int, str]] = []  # line spans for defs
+    type_rows: list[tuple] = []
+
+    for m in _RUBY_REQUIRE_RE.finditer(source):
+        ln = line_of(starts, m.start(1))
+        out.append(row(path, "import", m.group(1), start=ln, end=ln))
+
+    for i, (ml, rl) in enumerate(zip(lines_m, lines_r)):
+        ln = i + 1
+        stripped = ml.strip()
+        if stripped == "end" or stripped.startswith("end "):
+            if stack:
+                kind, name, s_ln = stack.pop()
+                if kind == "def":
+                    spans.append((s_ln, ln, name))
+                elif kind in ("class", "module"):
+                    parent = next(
+                        (n for k, n, _ in reversed(stack) if k in ("class", "module")),
+                        None,
+                    )
+                    type_rows.append(row(
+                        path, "type", name, parent=parent, start=s_ln, end=ln,
+                        detail=kind,
+                    ))
+            continue
+        om = _RUBY_OPENER_RE.match(ml)
+        if om:
+            if om.group(1):  # class/module
+                stack.append((om.group(1), om.group(2), ln))
+            elif om.group(3):  # def
+                stack.append(("def", om.group(4), ln))
+                n_params = 0
+                params = []
+                pm = re.search(r"\(([^)]*)\)", ml)
+                if pm:
+                    params = split_top_level(pm.group(1))
+                elif ml.strip().startswith("def") and " " in ml.strip():
+                    rest = ml.split(om.group(4), 1)[-1].strip()
+                    if rest and not rest.startswith("#"):
+                        params = split_top_level(rest)
+                parent = next(
+                    (n for k, n, _ in reversed(stack[:-1]) if k == "class"), None
+                )
+                func_lines[f"{ln}"] = (ln, len(params))
+                # emitted at close (spans) — record params now
+                for pi, p in enumerate(params):
+                    pname = p.split("=", 1)[0].strip().lstrip("*&")
+                    out.append(row(path, "param", pname, parent=om.group(4),
+                                   start=ln, end=ln, position=pi))
+            else:  # control-flow opener (statement position only)
+                stack.append(("other", None, ln))
+        # `do` block opener at line end (e.g. `items.each do |x|`)
+        elif re.search(r"\bdo\s*(\|[^|]*\|)?\s*$", ml):
+            stack.append(("other", None, ln))
+        # constants / globals at top or class level (not inside def)
+        if not any(k == "def" for k, _, _ in stack):
+            cm = re.match(r"^\s*([A-Z][A-Z0-9_]*)\s*=\s*(.+)$", rl)
+            gm = re.match(r"^\s*\$(\w+)\s*=\s*(.+)$", rl)
+            if cm:
+                out.append(row(path, "const", cm.group(1), start=ln, end=ln,
+                               detail=cm.group(2).strip()))
+            elif gm:
+                out.append(row(path, "var", "$" + gm.group(1), start=ln,
+                               end=ln, detail=gm.group(2).strip()))
+
+    # close any unterminated blocks at EOF (malformed input tolerance)
+    while stack:
+        kind, name, s_ln = stack.pop()
+        if kind == "def":
+            spans.append((s_ln, len(lines_r), name))
+        elif kind in ("class", "module"):
+            type_rows.append(row(path, "type", name, start=s_ln,
+                                 end=len(lines_r), detail=kind))
+    out.extend(type_rows)
+
+    # function rows: receiver = innermost class containing the def line
+    class_spans = [
+        (r_[4], r_[5], r_[2]) for r_ in type_rows if r_[8] == "class"
+    ]
+    for s_ln, e_ln, fname in spans:
+        parent = None
+        for cs, ce, cname in class_spans:
+            if cs <= s_ln <= ce:
+                parent = cname
+        n_params = sum(
+            1 for r_ in out
+            if r_[1] == "param" and r_[3] == fname and r_[4] == s_ln
+        )
+        body = "\n".join(lines_m[s_ln - 1: e_ln])
+        cx = 1 + len(_RUBY_BRANCH_RE.findall(body)) + body.count("&&") + body.count("||")
+        out.append(row(path, "function", fname, parent=parent, start=s_ln,
+                       end=e_ln, n_params=n_params, is_method=parent is not None,
+                       complexity=cx))
+
+    # paren-style calls attributed to the enclosing def
+    def_spans_sorted = sorted(spans)
+    for m in _CALL_RE.finditer(masked):
+        name = m.group(1)
+        if name in _RUBY_KEYWORDS:
+            continue
+        ln = line_of(starts, m.start())
+        parent = None
+        for s_ln, e_ln, fname in def_spans_sorted:
+            if s_ln <= ln <= e_ln:
+                parent = fname
+        if parent and name != parent:
+            out.append(row(path, "call", name, parent=parent, start=ln, end=ln))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# C++  (reference routes .cpp to the C parser, parser.go:67-68; this layer
+# adds what C lacks: classes with const-qualified methods + initializer
+# lists, namespaced types)
+# ---------------------------------------------------------------------------
+
+_CPP_CLASS_RE = re.compile(
+    r"^\s*(?:template\s*<[^>]*>\s*)?(class)\s+(\w+)[^;{]*\{", re.M
+)
+_CPP_MEMBER_RE = re.compile(
+    r"^\s*(?:virtual\s+|static\s+|inline\s+|explicit\s+|constexpr\s+)*"
+    r"(?:([\w:<>,&\*\s]+?)\s+)?([\w~]+)\s*\(",
+    re.M,
+)
+_CPP_FIELD_RE = re.compile(
+    r"^\s*(?:mutable\s+|static\s+|const\s+)*([\w:<>,\*&]+(?:\s*<[^;]*>)?)\s+"
+    r"[&\*]*(\w+)\s*(?:=[^;]*)?;\s*$"
+)
+_CPP_KEYWORDS = _C_KEYWORDS | frozenset(
+    "class public private protected virtual override template typename "
+    "namespace new delete this nullptr try catch throw operator".split()
+)
+
+
+def parse_cpp(path: str, source: str, row) -> list[tuple]:
+    """C++ extraction: everything the C parser finds (includes, defines,
+    globals, structs, typedefs, free functions) plus classes with their
+    methods (const qualifiers / initializer lists tolerated) and typed
+    member fields."""
+    out = parse_c(path, source, row)
+    masked = mask_code(source)
+    starts = line_starts(source)
+    func_spans: list[tuple[int, int, str]] = []
+    have = {(r[1], r[2], r[4]) for r in out}
+
+    for m in _CPP_CLASS_RE.finditer(masked):
+        name = m.group(2)
+        ln = line_of(starts, m.start(2))
+        b_open = masked.find("{", m.start())
+        b_close = match_brace(masked, b_open)
+        end_ln = line_of(starts, b_close)
+        if ("type", name, ln) not in have:
+            out.append(row(path, "type", name, start=ln, end=end_ln,
+                           detail="class"))
+        # member scan at class depth
+        depth_at, seen_at, i = 0, set(), b_open + 1
+        field_pos = 0
+        while i < b_close:
+            ch = masked[i]
+            if ch == "{":
+                depth_at += 1
+            elif ch == "}":
+                depth_at -= 1
+            elif ch == "\n" and depth_at == 0:
+                nl_end = masked.find("\n", i + 1)
+                nl_end = b_close if nl_end == -1 else min(nl_end, b_close)
+                mline = masked[i + 1: nl_end]
+                if re.match(r"^\s*(?:public|private|protected)\s*:", mline) or (
+                    mline.lstrip().startswith((":", ","))
+                ):
+                    # access specifiers and constructor initializer-list
+                    # continuation lines are not members
+                    i += 1
+                    continue
+                fm = _CPP_FIELD_RE.match(mline)
+                mm = _CPP_MEMBER_RE.match(masked, i + 1)
+                if fm and fm.group(2) not in _CPP_KEYWORDS:
+                    ln0 = line_of(starts, i + 1)
+                    out.append(row(path, "field", fm.group(2), parent=name,
+                                   start=ln0, end=ln0, position=field_pos,
+                                   param_type=fm.group(1)))
+                    field_pos += 1
+                elif (mm and mm.end() <= b_close and mm.start(2) not in seen_at
+                      and mm.group(2).lstrip("~") not in _CPP_KEYWORDS):
+                    seen_at.add(mm.start(2))
+                    fname = mm.group(2)
+                    ln0 = line_of(starts, mm.start(2))
+                    p_open = masked.find("(", mm.end() - 1)
+                    p_close = match_paren(masked, p_open)
+                    items = [
+                        it for it in split_top_level(source[p_open + 1: p_close])
+                        if it != "void"
+                    ]
+                    # tolerate `const`, `override`, `noexcept`, `: init(...)`
+                    j = p_close + 1
+                    while j < b_close:
+                        rest = masked[j: j + 40].lstrip()
+                        if rest.startswith(("{", ";")):
+                            break
+                        j += 1
+                    end_ln0, body = ln0, ""
+                    if j < b_close and masked[j: j + 1] != ";" and "{" in masked[j: j + 2]:
+                        mb_open = masked.find("{", p_close)
+                        mb_close = match_brace(masked, mb_open)
+                        end_ln0 = line_of(starts, mb_close)
+                        body = masked[mb_open:mb_close]
+                        func_spans.append((mb_open, mb_close, fname))
+                    out.append(row(path, "function", fname, parent=name,
+                                   start=ln0, end=end_ln0, n_params=len(items),
+                                   is_method=True,
+                                   complexity=cyclomatic(body, _C_BRANCH_RE)))
+                    for pi, item in enumerate(items):
+                        item = item.split("=", 1)[0].strip()
+                        toks = item.replace("*", " ").replace("&", " ").rsplit(None, 1)
+                        pname = toks[-1] if len(toks) == 2 else f"arg{pi}"
+                        ptype = item[: item.rfind(pname)].strip() if len(toks) == 2 else item
+                        out.append(row(path, "param", pname, parent=fname,
+                                       start=ln0, end=ln0, position=pi,
+                                       param_type=ptype or None))
+            i += 1
+
+    for parent, cname, ln in extract_calls(masked, source, starts, func_spans,
+                                           _CPP_KEYWORDS):
+        out.append(row(path, "call", cname, parent=parent, start=ln, end=ln))
+    return out

@@ -195,3 +195,206 @@ class TestMasking:
         assert {r[2] for r in by["function"]} == {
             "UserService", "addUser", "getUser", "validateEmail", "constructor",
         } - {"UserService"}
+
+
+REF = "/root/reference/testdata/code"
+
+
+class TestRustParser:
+    def setup_method(self):
+        self.by = _by_kind(
+            _rows("rs", "simple.rs", open(f"{REF}/rust/simple.rs").read())
+        )
+
+    def test_types(self):
+        types = {r[2]: r[8] for r in self.by["type"]}
+        assert types == {
+            "User": "struct", "UserRepository": "struct",
+            "Repository": "interface", "Status": "enum",
+        }
+
+    def test_impl_methods_carry_receiver(self):
+        funcs = {(r[2], r[3]) for r in self.by["function"]}
+        assert ("new", "User") in funcs
+        assert ("validate", "User") in funcs
+        assert ("add", "UserRepository") in funcs  # trait impl for target
+        assert ("create_user", None) in funcs
+
+    def test_trait_signatures_are_methods(self):
+        trait_fns = [r for r in self.by["function"] if r[3] == "Repository"]
+        assert {r[2] for r in trait_fns} == {"add", "get", "remove"}
+        assert all(r[4] == r[5] for r in trait_fns)  # no body: 1-line span
+
+    def test_consts_statics_imports_fields(self):
+        assert {r[2] for r in self.by["const"]} == {"MAX_USERS", "DEFAULT_TIMEOUT"}
+        assert [r[2] for r in self.by["var"]] == ["GLOBAL_COUNTER"]
+        assert {r[2] for r in self.by["import"]} == {
+            "std::collections::HashMap", "std::fmt",
+        }
+        fields = {(r[3], r[2]) for r in self.by["field"]}
+        assert ("User", "email") in fields and ("UserRepository", "users") in fields
+
+    def test_returns_and_complexity(self):
+        rets = {r[3]: r[11] for r in self.by["param"] if r[12]}
+        assert rets["create_user"] == "User"
+        funcs = {r[2:4]: r for r in self.by["function"]}
+        add_impl = next(r for r in self.by["function"]
+                        if r[2] == "add" and r[3] == "UserRepository")
+        assert add_impl[9] == 2  # 1 + if
+
+
+class TestJavaParser:
+    def setup_method(self):
+        self.by = _by_kind(
+            _rows("java", "simple.java", open(f"{REF}/java/simple.java").read())
+        )
+
+    def test_package_imports_types(self):
+        assert [r[2] for r in self.by["package"]] == ["com.example.app"]
+        assert {r[2] for r in self.by["import"]} == {
+            "java.util.ArrayList", "java.util.List", "java.util.Optional",
+        }
+        types = {r[2]: r[8] for r in self.by["type"]}
+        assert types == {
+            "UserService": "class", "User": "class",
+            "Repository": "interface", "UserStatus": "enum",
+        }
+
+    def test_methods_and_constructor(self):
+        funcs = {(r[2], r[3]): r for r in self.by["function"]}
+        assert ("UserService", "UserService") in funcs  # ctor
+        assert funcs[("addUser", "UserService")][6] == 1
+        assert funcs[("addUser", "UserService")][9] == 2  # 1 + if
+        assert funcs[("validate", "User")][9] == 2  # 1 + &&
+        assert ("add", "Repository") in funcs  # interface signature
+
+    def test_static_final_is_const(self):
+        consts = {r[2] for r in self.by["const"]}
+        assert consts == {"API_KEY", "MAX_RETRIES"}
+        fields = {r[2] for r in self.by["field"]}
+        assert "globalCounter" in fields and "users" in fields
+
+
+class TestCParser:
+    def setup_method(self):
+        self.by = _by_kind(
+            _rows("c", "simple.c", open(f"{REF}/c/simple.c").read())
+        )
+
+    def test_includes_defines_globals(self):
+        assert {r[2] for r in self.by["import"]} == {
+            "stdio.h", "stdlib.h", "string.h",
+        }
+        consts = {r[2]: r[8] for r in self.by["const"]}
+        assert consts["MAX_USERS"] == "100"
+        assert "DEFAULT_PORT" in consts
+        assert [r[2] for r in self.by["var"]] == ["connection_count"]
+
+    def test_structs_typedefs_functions(self):
+        types = {(r[2], r[8]) for r in self.by["type"]}
+        assert ("User", "struct") in types and ("User", "alias") in types
+        funcs = {r[2]: r for r in self.by["function"]}
+        assert set(funcs) == {
+            "create_repository", "add_user", "find_user", "free_repository",
+        }
+        assert funcs["add_user"][6] == 2
+        assert funcs["find_user"][9] == 3  # 1 + for + if
+        fields = {(r[3], r[2]) for r in self.by["field"]}
+        assert ("User", "id") in fields and ("UserRepository", "count") in fields
+
+
+class TestCppParser:
+    def setup_method(self):
+        self.by = _by_kind(
+            _rows("cpp", "simple.cpp", open(f"{REF}/cpp/simple.cpp").read())
+        )
+
+    def test_classes_and_methods(self):
+        types = {r[2]: r[8] for r in self.by["type"]}
+        assert types["User"] == "class" and types["Repository"] == "class"
+        assert types["Point"] == "struct" and types["UserRepository"] == "alias"
+        funcs = {(r[2], r[3]) for r in self.by["function"]}
+        assert ("validate", "User") in funcs
+        assert ("add", "Repository") in funcs
+        assert ("User", "User") in funcs  # constructor
+        # initializer-list lines are not methods
+        assert not any(r[2] in ("id", "name", "email")
+                       for r in self.by["function"])
+
+    def test_typed_member_fields(self):
+        fields = {(r[3], r[2]): r[11] for r in self.by["field"]}
+        assert fields[("User", "email")] == "std::string"
+        assert fields[("Repository", "items")] == "std::vector<T>"
+
+
+class TestPhpParser:
+    def setup_method(self):
+        self.by = _by_kind(
+            _rows("php", "simple.php", open(f"{REF}/php/simple.php").read())
+        )
+
+    def test_namespace_uses_types(self):
+        assert [r[2] for r in self.by["package"]] == ["App\\Service"]
+        assert {r[2] for r in self.by["import"]} == {
+            "App\\Model\\User", "App\\Repository\\RepositoryInterface",
+        }
+        types = {r[2]: r[8] for r in self.by["type"]}
+        assert types == {
+            "UserService": "class", "User": "class",
+            "RepositoryInterface": "interface", "Timestampable": "trait",
+        }
+
+    def test_methods_params_returns(self):
+        funcs = {(r[2], r[3]): r for r in self.by["function"]}
+        assert funcs[("addUser", "UserService")][6] == 1
+        assert funcs[("findById", "UserService")][9] == 3  # 1 + foreach + if
+        params = {(r[3], r[2]): r[11] for r in self.by["param"] if not r[12]}
+        assert params[("addUser", "user")] == "User"
+        # findById exists on the class (?User) AND the interface (mixed)
+        fid_rets = {r[11] for r in self.by["param"]
+                    if r[12] and r[3] == "findById"}
+        assert fid_rets == {"?User", "mixed"}
+        rets = {r[3]: r[11] for r in self.by["param"] if r[12]}
+        assert rets["validate"] == "bool"
+
+    def test_consts_and_properties(self):
+        assert {r[2] for r in self.by["const"]} == {
+            "API_KEY", "MAX_RETRIES", "DEFAULT_LIMIT",
+        }
+        fields = {(r[3], r[2]) for r in self.by["field"]}
+        assert ("UserService", "users") in fields
+        assert ("Timestampable", "createdAt") in fields
+
+
+class TestRubyParser:
+    def setup_method(self):
+        self.by = _by_kind(
+            _rows("rb", "simple.rb", open(f"{REF}/ruby/simple.rb").read())
+        )
+
+    def test_modules_classes_nesting(self):
+        types = {r[2]: (r[8], r[3]) for r in self.by["type"]}
+        assert types["UserManagement"] == ("module", None)
+        assert types["User"] == ("class", "UserManagement")
+        assert types["UserRepository"] == ("class", "UserManagement")
+
+    def test_methods_with_receivers(self):
+        funcs = {(r[2], r[3]): r for r in self.by["function"]}
+        assert funcs[("initialize", "User")][6] == 3
+        assert ("validate", "User") in funcs
+        assert ("find_by_id", "UserRepository") in funcs
+        assert ("create_user", None) in funcs
+        assert ("validate_email", None) in funcs
+
+    def test_consts_globals_requires(self):
+        assert {r[2] for r in self.by["const"]} == {
+            "API_KEY", "MAX_RETRIES", "DEBUG_MODE",
+        }
+        assert [r[2] for r in self.by["var"]] == ["$global_counter"]
+        assert {r[2] for r in self.by["import"]} == {"json", "net/http"}
+
+    def test_end_matching_spans(self):
+        funcs = {r[2]: (r[4], r[5]) for r in self.by["function"]
+                 if r[3] == "User"}
+        assert funcs["initialize"] == (14, 18)
+        assert funcs["to_hash"] == (24, 30)
