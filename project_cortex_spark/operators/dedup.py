@@ -22,6 +22,8 @@ DuckDB oracle (oracle.py builders) reproduces results bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -506,52 +508,80 @@ def embedding_near_duplicates_lsh(
     populations (and Σ bucket² candidate volume) bounded; each extra
     plane halves expected bucket size.
     """
+    from pyspark.sql.functions import pandas_udf
+
     from .knn import _hyperplane
 
-    planes = [
-        [_hyperplane(dim, seed + t * n_planes + p) for p in range(n_planes)]
-        for t in range(n_tables)
-    ]
+    # ALL table signatures in ONE Arrow pass: a (dim, T*p) matmul per
+    # batch instead of T*p interpreted higher-order-function dot products
+    # per row per join side (the naive expression form measured ~10x
+    # slower at sf0.1 — HOF aggregates don't enter whole-stage codegen)
+    pm = np.array(
+        [
+            _hyperplane(dim, seed + t * n_planes + p)
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    ).T  # (dim, T*p)
 
-    def signature(vec: Column, t: int) -> Column:
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(vec, F.lit(pl).cast("array<double>"), lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for pl in planes[t]
-        ]
-        return F.concat(*bits)
+    @pandas_udf("array<string>")
+    def signatures(vecs: pd.Series) -> pd.Series:
+        mat = np.array(list(vecs), dtype=np.float64)
+        bits = (mat @ pm) >= 0  # (n, T*p)
+        chars = np.where(bits, "1", "0")
+        return pd.Series(
+            [
+                ["".join(r[t * n_planes : (t + 1) * n_planes])
+                 for t in range(n_tables)]
+                for r in chars
+            ]
+        )
 
     base = emb.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
-    parts = [
-        base.select(
-            "doc_id", "v", F.lit(t).alias("tbl"), signature(F.col("v"), t).alias("sig")
-        )
-        for t in range(n_tables)
-    ]
-    banded = parts[0]
-    for p in parts[1:]:
-        banded = banded.unionByName(p)
+    # cached: the self-join references it on both sides — without this the
+    # signature UDF and scan run twice
+    banded = base.select(
+        "doc_id", F.posexplode(signatures(F.col("v"))).alias("tbl", "sig")
+    ).cache()
     x, y = banded.alias("x"), banded.alias("y")
-    cand = x.join(
-        y,
-        (F.col("x.tbl") == F.col("y.tbl"))
-        & (F.col("x.sig") == F.col("y.sig"))
-        & (F.col("x.doc_id") < F.col("y.doc_id")),
-    ).select(
-        F.col("x.doc_id").alias("a"),
-        F.col("y.doc_id").alias("b"),
-        similarity_score(F.col("x.v"), F.col("y.v")).alias("score"),
+    # dedupe (a, b) BEFORE the exact verify: a pair colliding in several
+    # tables is verified once, and the distinct shuffles two ids, never
+    # vectors — then vectors join back only for surviving candidates
+    # (at corpus scale `base` is bucketed by doc_id, so these are
+    # co-partitioned joins)
+    cand = (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
     )
-    # dedupe AFTER scoring so the distinct shuffles (a, b, score) scalars,
-    # not the vectors themselves (score is deterministic per pair)
-    return cand.filter(F.col("score") >= threshold).distinct()
+    # vectorized verify: one Arrow batch matvec per partition instead of
+    # an interpreted HOF cosine per pair (at sf0.1 the candidate set is
+    # ~10^5-10^6 pairs; HOF verify measured ~7 s vs <1 s vectorized).
+    # Same double-precision math as functions.vector.similarity_score.
+    @pandas_udf("double")
+    def pair_scores(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma = np.array(list(va), dtype=np.float64)
+        mb = np.array(list(vb), dtype=np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        cos = dots / np.clip(na * nb, 1e-300, None)
+        return pd.Series(1.0 - (1.0 - cos) / 2.0)
+
+    va = base.select(F.col("doc_id").alias("a"), F.col("v").alias("va"))
+    vb = base.select(F.col("doc_id").alias("b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", pair_scores(F.col("va"), F.col("vb")).alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------
