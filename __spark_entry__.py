@@ -1188,6 +1188,21 @@ def _graph_context_oracle() -> str:
     """
 
 
+def _q_pattern_ast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cortex_pattern's STRUCTURAL tier (metavariable AST matching, not
+    # just the signature tier) over the fixed corpus; deterministic
+    # output -> golden oracle
+    from project_cortex_spark.operators import astpattern
+    from project_cortex_spark.pipeline.fixtures import MULTILANG_FILES
+
+    files = spark.createDataFrame(
+        MULTILANG_FILES, "file_path string, content string"
+    )
+    return astpattern.pattern_search_ast(
+        files, "$F($X) + $Y", strictness="smart"
+    ).select("file_path", "start_line", "end_line", "n_bindings")
+
+
 def _q_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cortex_pattern's signature-strictness tier over parsed entities
     # (rows-only check; extraction itself is unit-tested)
@@ -1533,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["graph_type_usages_params"] = _q_type_usages_params
     out["graph_context_snippets"] = _q_graph_context
     out["graph_pattern_search"] = _q_pattern_search
+    out["graph_pattern_ast"] = _q_pattern_ast
     out["agg_rollup"] = _q_agg_rollup
     out["agg_cube"] = _q_agg_cube
     out["agg_percentiles"] = _q_agg_percentiles
@@ -1597,6 +1613,7 @@ _GATE_FIRST = [
     "graph_type_usages_params",  # G5 over real parsed param types
     "pipeline_chunk_markdown",  # D6 structure-aware cascade, golden oracle
     "graph_context_snippets",  # ±N-line snippets, real string-ops oracle
+    "graph_pattern_ast",  # structural metavariable tier, golden oracle
 ] + [
     # re-gate sample of round-1 greens (fills the 50-slot gate with a
     # representative slice of every operator family; keep this section
@@ -1604,7 +1621,6 @@ _GATE_FIRST = [
     "dsl_revenue_by_nation",
     "dsl_filter_bool_tree",
     "dsl_join_full",
-    "dsl_agg_having",
     "knn_topk",
     "knn_join",
     "fts_composite",
@@ -1748,6 +1764,10 @@ def oracle_sql() -> dict[str, str]:
         ) AS t(function_id, name, file_path)
     """
     out["graph_context_snippets"] = _graph_context_oracle()
+    out["graph_pattern_ast"] = """
+        SELECT * FROM (VALUES ('demo.py', 14, 14, 3))
+        AS t(file_path, start_line, end_line, n_bindings)
+    """
     out["pipeline_chunk_markdown"] = """
         SELECT * FROM (VALUES
           ('doc-guide.md-s0-c0',0,0,'8b57f1a362f286639b49589f0b5bf018',1,5,34,false),
