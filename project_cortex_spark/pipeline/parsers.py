@@ -96,6 +96,14 @@ def line_of(starts: list[int], pos: int) -> int:
     return bisect_right(starts, pos)
 
 
+def line_text(src: str, starts: list[int], ln: int) -> str:
+    """Raw text of 1-indexed line ``ln`` (safe on the last line)."""
+    if ln < 1 or ln > len(starts):
+        return ""
+    end = starts[ln] - 1 if ln < len(starts) else len(src)
+    return src[starts[ln - 1]: end]
+
+
 def match_brace(masked: str, open_pos: int) -> int:
     """Index of the ``}`` matching the ``{`` at ``open_pos`` (masked text:
     literals are already blanked). Returns len(masked)-1 if unbalanced."""
@@ -245,9 +253,7 @@ def parse_go(path: str, source: str, row) -> list[tuple]:
     for m in _GO_IMPORT_BLOCK_RE.finditer(masked):
         close = match_paren(masked, masked.find("(", m.start()))
         for ln0 in range(line_of(starts, m.start()), line_of(starts, close)):
-            raw_line = source[starts[ln0] : starts[ln0 + 1] - 1] if ln0 < len(
-                starts
-            ) else ""
+            raw_line = line_text(source, starts, ln0 + 1)
             im = _GO_IMPORT_ITEM_RE.match(raw_line)
             if im:
                 out.append(
@@ -274,7 +280,7 @@ def parse_go(path: str, source: str, row) -> list[tuple]:
             if kind == "struct":
                 pos = 0
                 for ln0 in range(ln, end_ln - 1):
-                    raw_line = source[starts[ln0] : starts[ln0 + 1] - 1]
+                    raw_line = line_text(source, starts, ln0 + 1)
                     fm = _GO_FIELD_RE.match(raw_line)
                     if fm and fm.group(1) not in ("struct", "interface"):
                         for fname in re.split(r"\s*,\s*", fm.group(1)):
@@ -300,20 +306,20 @@ def parse_go(path: str, source: str, row) -> list[tuple]:
         typ = (m.group(3) or "").strip() or None
         out.append(
             row(path, m.group(1), m.group(2), start=ln, end=ln, param_type=typ,
-                detail=_value_of(source[starts[ln - 1] : starts[ln] - 1]))
+                detail=_value_of(line_text(source, starts, ln)))
         )
     for m in _GO_VALUE_BLOCK_RE.finditer(masked):
         kind = m.group(1)
         close = match_paren(masked, masked.find("(", m.start()))
         for ln0 in range(line_of(starts, m.start()), line_of(starts, close)):
-            mline = masked[starts[ln0] : starts[ln0 + 1] - 1]
+            mline = line_text(masked, starts, ln0 + 1)
             vm = re.match(r"^\s*(\w+)(?:\s+([^=\n]+?))?\s*(?:=|$)", mline)
             if vm and vm.group(1) not in ("struct", "interface"):
                 typ = (vm.group(2) or "").strip() or None
                 out.append(
                     row(path, kind, vm.group(1), start=ln0 + 1, end=ln0 + 1,
                         param_type=typ,
-                        detail=_value_of(source[starts[ln0] : starts[ln0 + 1] - 1]))
+                        detail=_value_of(line_text(source, starts, ln0 + 1)))
                 )
 
     # functions / methods
@@ -510,7 +516,7 @@ def parse_ts(path: str, source: str, row) -> list[tuple]:
                        detail=f"interface{' ' + ext if ext else ''}"))
         pos = 0
         for ln0 in range(ln, end_ln - 1):
-            raw_line = source[starts[ln0] : starts[ln0 + 1] - 1]
+            raw_line = line_text(source, starts, ln0 + 1)
             fm = _TS_IFACE_MEMBER_RE.match(raw_line)
             if fm:
                 ftype = raw_line.split(":", 1)[1].strip().rstrip(";") if ":" in raw_line else None
@@ -690,7 +696,7 @@ def parse_rust(path: str, source: str, row) -> list[tuple]:
 
     for m in _RUST_VALUE_RE.finditer(masked):
         ln = line_of(starts, m.start(2))
-        raw_line = source[starts[ln - 1]: starts[ln] - 1 if ln < len(starts) else len(source)]
+        raw_line = line_text(source, starts, ln)
         value = raw_line.split("=", 1)[1].strip().rstrip(";") if "=" in raw_line else None
         out.append(row(path, "const" if m.group(1) == "const" else "var",
                        m.group(2), start=ln, end=ln,
@@ -708,7 +714,7 @@ def parse_rust(path: str, source: str, row) -> list[tuple]:
             if kind == "struct":
                 pos = 0
                 for ln0 in range(ln, end_ln - 1):
-                    raw_line = source[starts[ln0]: starts[ln0 + 1] - 1]
+                    raw_line = line_text(source, starts, ln0 + 1)
                     fm = _RUST_FIELD_RE.match(raw_line)
                     if fm and fm.group(1) not in _RUST_KEYWORDS:
                         out.append(row(path, "field", fm.group(1), parent=name,
@@ -963,7 +969,7 @@ def parse_c(path: str, source: str, row) -> list[tuple]:
         # only top-level globals: crude but effective — must start at col 0
         if source[starts[ln - 1]] in " \t":
             continue
-        raw_line = source[starts[ln - 1]: starts[ln] - 1 if ln < len(starts) else len(source)]
+        raw_line = line_text(source, starts, ln)
         value = raw_line.split("=", 1)[1].strip().rstrip(";") if "=" in raw_line else None
         kind = "const" if "const" in m.group(1) else "var"
         out.append(row(path, kind, m.group(3), start=ln, end=ln,
@@ -978,7 +984,7 @@ def parse_c(path: str, source: str, row) -> list[tuple]:
         if kind in ("struct", "union"):
             pos = 0
             for ln0 in range(ln, end_ln - 1):
-                fm = _C_FIELD_RE.match(source[starts[ln0]: starts[ln0 + 1] - 1])
+                fm = _C_FIELD_RE.match(line_text(source, starts, ln0 + 1))
                 if fm:
                     out.append(row(path, "field", fm.group(2), parent=name,
                                    start=ln0 + 1, end=ln0 + 1, position=pos,
@@ -1092,7 +1098,7 @@ def parse_php(path: str, source: str, row) -> list[tuple]:
 
     for m in _PHP_CONST_RE.finditer(masked):
         ln = line_of(starts, m.start(1))
-        raw_line = source[starts[ln - 1]: starts[ln] - 1 if ln < len(starts) else len(source)]
+        raw_line = line_text(source, starts, ln)
         value = raw_line.split("=", 1)[1].strip().rstrip(";") if "=" in raw_line else None
         out.append(row(path, "const", m.group(1), start=ln, end=ln, detail=value))
 
@@ -1112,7 +1118,7 @@ def parse_php(path: str, source: str, row) -> list[tuple]:
     for c_open, c_close, cname in type_spans:
         pos = 0
         for ln0 in range(line_of(starts, c_open), line_of(starts, c_close) - 1):
-            fm = _PHP_PROP_RE.match(masked[starts[ln0]: starts[ln0 + 1] - 1])
+            fm = _PHP_PROP_RE.match(line_text(masked, starts, ln0 + 1))
             if fm:
                 out.append(row(path, "field", fm.group(2), parent=cname,
                                start=ln0 + 1, end=ln0 + 1, position=pos,

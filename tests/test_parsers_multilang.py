@@ -398,3 +398,56 @@ class TestRubyParser:
                  if r[3] == "User"}
         assert funcs["initialize"] == (14, 18)
         assert funcs["to_hash"] == (24, 30)
+
+
+class TestParserRobustness:
+    """Parsers must never crash on arbitrary input — the reference
+    logs-and-skips unparseable files; we degrade to missed entities."""
+
+    LANGS = ["go", "ts", "js", "rs", "java", "c", "cpp", "php", "rb", "py"]
+
+    def _check_invariants(self, lang, text):
+        from project_cortex_spark.pipeline.parse import KINDS, PARSERS
+
+        rows = PARSERS[lang](f"f.{lang}", text)
+        n_lines = text.count("\n") + 1
+        for r in rows:
+            assert r[1] in KINDS + ("error",), r
+            assert 0 <= r[4] <= n_lines + 1, ("start_line", r)
+            assert r[4] <= r[5] or r[5] == 0, ("span", r)
+            assert isinstance(r[6], int) and r[6] >= 0
+        # determinism
+        assert rows == PARSERS[lang](f"f.{lang}", text)
+
+    def test_fuzz_structured_fragments(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        fragments = st.lists(
+            st.sampled_from([
+                "func f(a int) {", "}", "{", "def f(x):", "class X:",
+                "fn main() {", "public class Y {", "impl X {", "end",
+                "def g", "type T struct {", "x := y(", '"unterminated',
+                "/* open comment", "// line", "# hash", "```", "($a, $b)",
+                "const X = 1;", "'quote", "`backtick", "\t\t", "",
+                "interface I {", "trait T {", "module M", "require 'x'",
+                "λ unicode ♥", "a(b(c(d(", "))))", "-> int:", "=> {",
+            ]),
+            min_size=0, max_size=25,
+        )
+
+        @settings(max_examples=40, deadline=None)
+        @given(fragments)
+        def run(lines):
+            text = "\n".join(lines)
+            for lang in self.LANGS:
+                self._check_invariants(lang, text)
+
+        run()
+
+    def test_empty_and_binaryish(self):
+        for lang in self.LANGS:
+            self._check_invariants(lang, "")
+            self._check_invariants(lang, "\x00\x01\x02 binary ish \xff")
+            self._check_invariants(lang, "{" * 2000)
+            self._check_invariants(lang, "(" * 2000)
