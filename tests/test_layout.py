@@ -111,3 +111,64 @@ def test_salted_join_equivalence(spark):
     assert got == want and got
     got_left = salted_join(left, right, "key", n_salts=4, how="left").count()
     assert got_left == left.count()
+
+
+def test_ivf_partitioned_corpus_prunes_probes(spark, tmp_path, registry):
+    """The SCALE.md claim for IVF: persist assign_clusters output
+    partitioned by cluster_id and a probe's cluster filter prunes file
+    listings (PartitionFilters), not just rows."""
+    from project_cortex_spark.operators import knn
+
+    emb = registry.table("embeddings")
+    cent = knn.train_centroids(emb, n_centroids=4, seed=42)
+    assigned = knn.assign_clusters(emb, cent)
+    path = str(tmp_path / "emb_by_cluster")
+    layout.write_partitioned(assigned, path, partition_cols=["cluster_id"])
+    probe = layout.read_partitioned(spark, path).filter(
+        F.col("cluster_id").isin(1, 2)
+    )
+    plan = layout.plan_of(probe)
+    assert "PartitionFilters" in plan and "cluster_id" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+
+
+def test_context_snippets_broadcast_not_streamed(spark):
+    """with_context must broadcast the (pruned) files side — the files
+    table is never on the streamed side of the join."""
+    from project_cortex_spark.operators import graph
+
+    files = spark.createDataFrame(
+        [(f"f{i}.go", "L1\nL2\nL3") for i in range(100)],
+        ["file_path", "content"],
+    )
+    results = spark.createDataFrame(
+        [("x", "f1.go", 1, 2)], ["id", "file_path", "start_line", "end_line"]
+    )
+    plan = graph.with_context(results, files)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_markdown_chunker_plan_is_narrow(spark):
+    """Chunking is embarrassingly parallel: no Exchange in the plan."""
+    from project_cortex_spark.pipeline import chunks
+
+    files = spark.createDataFrame(
+        [("a.md", "## H\n\ntext")], ["file_path", "text"]
+    )
+    plan = chunks.chunk_markdown(files)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_parse_entities_plan_is_narrow(spark):
+    from project_cortex_spark.pipeline import parse
+
+    files = spark.createDataFrame(
+        [("a.py", bytearray(b"x = 1"))], "file_path string, content binary"
+    )
+    plan = parse.parse_entities(files)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
