@@ -53,6 +53,12 @@ def bfs(
     if reverse:
         src, dst = dst, src
     spark = edges.sparkSession
+    if depth <= 4:
+        # small fixed depth: ONE fused lazy plan (a chain of ≤4 joins +
+        # a min-depth aggregate) instead of one driver-synchronized job
+        # per level — the per-level isEmpty/checkpoint round-trips cost
+        # more than the wasted work of skipping early exit at this depth
+        return _bfs_fused(edges, start, depth=depth, src=src, dst=dst)
     # the frontier is tiny (bounded by branching factor); broadcasting it
     # means the edge frame is NEVER shuffled — each level is a map-side
     # hash join over the in-place edges
@@ -85,6 +91,39 @@ def bfs(
     if out is None:
         return visited.filter(F.lit(False)).select("node", "depth")
     return out.orderBy("depth", "node")
+
+
+def _bfs_fused(
+    edges: DataFrame, start: list, *, depth: int, src: str, dst: str
+) -> DataFrame:
+    """Depth-unrolled BFS as one declarative plan: level k = distinct
+    successors of level k-1 (broadcast frontier, edges stationary), all
+    levels unioned, min(depth) per node, start nodes anti-joined out.
+    Identical output to the loop form — a node revisited on a longer
+    path or via a cycle is collapsed by the min-depth aggregate instead
+    of the per-level visited set. No driver actions, so Spark schedules
+    the whole traversal as one job."""
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    start_df = spark.createDataFrame([(s,) for s in start], ["node"])
+    frontier = start_df
+    levels = []
+    for level in range(1, depth + 1):
+        frontier = (
+            e.join(F.broadcast(frontier), frontier["node"] == e["_src"])
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+        )
+        levels.append(frontier.withColumn("depth", F.lit(level)))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return (
+        out.groupBy("node")
+        .agg(F.min("depth").alias("depth"))
+        .join(F.broadcast(start_df), "node", "left_anti")
+        .orderBy("depth", "node")
+    )
 
 
 def callees(edges: DataFrame, start: list, *, depth: int = DEFAULT_DEPTH, **kw) -> DataFrame:
