@@ -1,0 +1,58 @@
+"""Regenerate PLANS.md: formatted physical plans of representative
+headline queries with what-to-look-for annotations.
+
+Usage: python scripts/gen_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from project_cortex_spark.session import get_spark
+
+PICKS = {
+    "dsl_revenue_by_nation": "3-table join + agg: broadcast dims, partial aggs, pushed filters",
+    "knn_topk": "exact KNN: narrow scan + codegen scoring + TakeOrderedAndProject (no global sort)",
+    "dedup_simhash_banded": "exact pigeonhole banding: equi-join on band values, no nested loop",
+    "graph_callees_d3": "fused depth-3 BFS: one declarative plan, edges never shuffled",
+    "join_asof": "as-of join: ONE shuffle (union + window), no range probe",
+    "events_sessionize": "gap sessions: single shuffle on user_id, window assembly",
+    "pipeline_chunk_markdown": "structure-aware chunking: zero Exchange (narrow Arrow map)",
+    "fts_composite": "FTS bool+phrase: term filters pushed below the shuffle, ReuseExchange dedupes postings subplan",
+}
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="gen-plans")
+    qs = entrymod.queries()
+    out = [
+        "# PLANS — physical plans of representative headline queries",
+        "",
+        'Generated from `.explain("formatted")` at sf0.01. What to look for',
+        "per plan is annotated; regenerate with `python scripts/gen_plans.py`.",
+        "",
+    ]
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    for name, note in PICKS.items():
+        df = qs[name](spark, sf)
+        plan = df._jdf.queryExecution().explainString(mode)
+        lines = plan.split("\n")
+        tree_end = next(
+            (i for i, l in enumerate(lines) if not l.strip()), len(lines)
+        )
+        tree = "\n".join(lines[:tree_end])
+        out.append(f"## {name}\n\n*{note}*\n\n```\n{tree}\n```\n")
+    with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md regenerated")
+
+
+if __name__ == "__main__":
+    main()
