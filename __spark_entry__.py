@@ -1188,6 +1188,87 @@ def _graph_context_oracle() -> str:
     """
 
 
+_RETENTION_NOW_US = 1_000 * 86_400 * 1_000_000
+
+
+def _q_retention_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # branch-eviction policy (cache/eviction.go:48-135) over synthetic
+    # branch metadata derived deterministically from documents: branch =
+    # 'b'||(doc_id%40); last_accessed = day (doc_id%97); size = Σ n_chars/1000.
+    # The oracle replays the reference's LITERAL sequential walk as a
+    # recursive CTE — mechanically different from the Spark window form.
+    from project_cortex_spark.operators import retention
+
+    docs = _docs(spark, sf_dir)
+    meta = docs.groupBy(
+        F.concat(F.lit("b"), (F.col("doc_id") % 40)).alias("branch")
+    ).agg(
+        (F.max(F.col("doc_id") % 97) * 86_400 * 1_000_000).alias(
+            "last_accessed_us"
+        ),
+        (F.sum("n_chars") / 1000.0).alias("size_mb"),
+    )
+    live = [f"b{i}" for i in range(40) if i % 7 != 0]  # every 7th deleted
+    return retention.evict_stale_branches(
+        meta,
+        live_branches=live,
+        now_us=_RETENTION_NOW_US,
+        max_age_days=908,  # ages span 904-914 days: ~half stale
+        max_size_mb=70.0,  # below post-stale total: LRU size rule fires
+        protect=("b1", "b2"),
+    ).withColumn("size_mb", F.round("size_mb", 6))
+
+
+def _retention_oracle() -> str:
+    live = ", ".join(f"'b{i}'" for i in range(40) if i % 7 != 0)
+    return f"""
+        WITH RECURSIVE meta AS (
+          SELECT 'b' || (doc_id % 40) AS branch,
+                 max(doc_id % 97) * 86400000000 AS last_accessed_us,
+                 sum(n_chars) / 1000.0 AS size_mb
+          FROM documents GROUP BY 1
+        ),
+        total AS (SELECT sum(size_mb) AS t FROM meta),
+        cand AS (
+          SELECT *,
+                 branch NOT IN ({live}) AS deleted,
+                 {_RETENTION_NOW_US} - last_accessed_us
+                   > 908 * 86400000000 AS stale,
+                 row_number() OVER (
+                   ORDER BY (branch NOT IN ({live})) DESC,
+                            last_accessed_us ASC, branch ASC
+                 ) AS rn
+          FROM meta WHERE branch NOT IN ('b1', 'b2')
+        ),
+        -- the reference's sequential walk, literally: carry the running
+        -- total forward row by row, decrementing on each eviction
+        walk(rn, running, evict, reason) AS (
+          SELECT c.rn,
+                 (SELECT t FROM total)
+                   - CASE WHEN c.deleted OR c.stale
+                               OR (SELECT t FROM total) > 70.0
+                          THEN c.size_mb ELSE 0 END,
+                 c.deleted OR c.stale OR (SELECT t FROM total) > 70.0,
+                 CASE WHEN c.deleted THEN 'deleted'
+                      WHEN c.stale THEN 'stale' ELSE 'size' END
+          FROM cand c WHERE c.rn = 1
+          UNION ALL
+          SELECT c.rn,
+                 w.running - CASE WHEN c.deleted OR c.stale
+                                       OR w.running > 70.0
+                                  THEN c.size_mb ELSE 0 END,
+                 c.deleted OR c.stale OR w.running > 70.0,
+                 CASE WHEN c.deleted THEN 'deleted'
+                      WHEN c.stale THEN 'stale' ELSE 'size' END
+          FROM walk w JOIN cand c ON c.rn = w.rn + 1
+        )
+        SELECT c.branch, w.reason, round(c.size_mb, 6) AS size_mb,
+               c.last_accessed_us
+        FROM walk w JOIN cand c USING (rn)
+        WHERE w.evict
+    """
+
+
 def _q_pattern_ast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cortex_pattern's STRUCTURAL tier (metavariable AST matching, not
     # just the signature tier) over the fixed corpus; deterministic
@@ -1549,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["graph_context_snippets"] = _q_graph_context
     out["graph_pattern_search"] = _q_pattern_search
     out["graph_pattern_ast"] = _q_pattern_ast
+    out["retention_evict_branches"] = _q_retention_evict
     out["agg_rollup"] = _q_agg_rollup
     out["agg_cube"] = _q_agg_cube
     out["agg_percentiles"] = _q_agg_percentiles
@@ -1614,6 +1696,7 @@ _GATE_FIRST = [
     "pipeline_chunk_markdown",  # D6 structure-aware cascade, golden oracle
     "graph_context_snippets",  # ±N-line snippets, real string-ops oracle
     "graph_pattern_ast",  # structural metavariable tier, golden oracle
+    "retention_evict_branches",  # eviction policy vs sequential-walk CTE
 ] + [
     # re-gate sample of round-1 greens (fills the 50-slot gate with a
     # representative slice of every operator family; keep this section
@@ -1622,7 +1705,6 @@ _GATE_FIRST = [
     "dsl_filter_bool_tree",
     "dsl_join_full",
     "knn_topk",
-    "knn_join",
     "fts_composite",
     "graph_callees_d3",
     "graph_callers_d2",
@@ -1768,6 +1850,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM (VALUES ('demo.py', 14, 14, 3))
         AS t(file_path, start_line, end_line, n_bindings)
     """
+    out["retention_evict_branches"] = _retention_oracle()
     out["pipeline_chunk_markdown"] = """
         SELECT * FROM (VALUES
           ('doc-guide.md-s0-c0',0,0,'8b57f1a362f286639b49589f0b5bf018',1,5,34,false),
