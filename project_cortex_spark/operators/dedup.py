@@ -584,6 +584,67 @@ def embedding_near_duplicates_lsh(
     )
 
 
+def embedding_near_duplicates_ivf(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Cluster-then-pair near-dup (the SemDeDup shape): k-means-assign
+    every vector to a centroid, generate pairs only WITHIN a cluster,
+    exact-verify survivors. Complements the sign-LSH path: recall loss
+    here is only pairs straddling a cluster boundary, so it improves as
+    duplicates get tighter — the opposite trade-off to LSH's per-plane
+    angle sensitivity.
+
+    Plan: bounded centroid training (one ≤10k-row sample collect),
+    Arrow-batched assignment, pair generation via a self-equi-join on
+    cluster_id (shuffle keyed on cluster, never a cross product — at
+    corpus scale persist the assignment partitioned by cluster_id and
+    the join is partition-local), vectorized verify. Σ cluster² bounds
+    candidate volume; grow ``n_centroids`` linearly with corpus size to
+    hold cluster populations constant.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from .knn import assign_clusters, train_centroids
+
+    cent = train_centroids(
+        emb, vec_col=vec_col, n_centroids=n_centroids, seed=seed
+    )
+    assigned = assign_clusters(emb, cent, vec_col=vec_col).select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"), "cluster_id"
+    ).cache()  # referenced on both sides of the self-join
+
+    @pandas_udf("double")
+    def pair_scores(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma = np.array(list(va), dtype=np.float64)
+        mb = np.array(list(vb), dtype=np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        cos = dots / np.clip(na * nb, 1e-300, None)
+        return pd.Series(1.0 - (1.0 - cos) / 2.0)
+
+    x, y = assigned.alias("x"), assigned.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.cluster_id") == F.col("y.cluster_id"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            pair_scores(F.col("x.v"), F.col("y.v")).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # duplicate clustering: pairs -> groups -> canonical selection
 # ---------------------------------------------------------------------------

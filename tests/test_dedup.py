@@ -195,3 +195,37 @@ def test_duplicate_clusters_oracle(registry, duck):
             oracle.minhash_near_duplicates_sql(threshold=0.5)
         ),
     )
+
+
+def test_embedding_ivf_precision_and_recall(spark):
+    # same planted-twin corpus shape as the LSH test: precision 1.0 by
+    # construction; recall = 1 - (pairs straddling a cluster boundary)
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    rows, vid = [], 0
+    for _ in range(40):
+        base = rng.randn(64); base /= np.linalg.norm(base)
+        twin = base + 0.04 * rng.randn(64); twin /= np.linalg.norm(twin)
+        rows.append((vid, [float(x) for x in base])); vid += 1
+        rows.append((vid, [float(x) for x in twin])); vid += 1
+    for _ in range(120):
+        v = rng.randn(64); v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v])); vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {(r["a"], r["b"]) for r in
+             embedding_near_duplicates(emb, threshold=0.95).collect()}
+    approx = {(r["a"], r["b"]) for r in
+              dedup.embedding_near_duplicates_ivf(
+                  emb, threshold=0.95, n_centroids=8).collect()}
+    assert approx <= exact
+    assert len(exact) >= 30
+    assert len(approx) >= 0.85 * len(exact), (len(approx), len(exact))
+
+
+def test_embedding_ivf_plan_has_no_nested_loop(registry):
+    plan = dedup.embedding_near_duplicates_ivf(
+        registry.table("embeddings"), threshold=0.9
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
