@@ -966,6 +966,39 @@ def _q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_mod.decontaminate(docs, bench, ngram=8)
 
 
+def _q_corpus_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_mod.sample_per_key(_docs(spark, sf_dir), key_col="lang", k=25)
+
+
+# PII-redaction contract: the synthetic docs contain no PII, so the
+# contract enriches each row with a deterministic email / IPv4 / phone /
+# SSN-shaped suffix derived from doc_id — IDENTICAL expression on both
+# sides — and the operator must find and redact exactly those.
+_PII_SUFFIX_SQL = (
+    "text || ' contact user' || doc_id || '@mail' || (doc_id % 7) "
+    "|| '.example.com from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) "
+    "|| ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' "
+    "|| lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') "
+    "|| ' ref 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+)
+
+
+def _q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@mail"), (d % 7).cast("string"),
+        F.lit(".example.com from 10."), (d % 256).cast("string"),
+        F.lit(".0."), (d % 100).cast("string"),
+        F.lit(" call 555-"), F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad(((d * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" ref 123-45-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    return ts.redact_pii(docs.withColumn("text", enriched))
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
     return dd.duplicate_clusters(pairs.select("a", "b"))
@@ -1625,6 +1658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_language_id"] = lambda s, d: ts.language_id(_docs(s, d))
     out["text_fingerprints"] = lambda s, d: ts.fingerprints(_docs(s, d))
     out["text_top_terms"] = _q_text_top_terms
+    out["text_repetition"] = lambda s, d: ts.repetition_stats(_docs(s, d))
+    out["text_redact_pii"] = _q_text_redact_pii
+    out["corpus_sample_per_key"] = _q_corpus_sample_per_key
     out["pipeline_change_detection"] = _q_change_detection
     out["pipeline_apply_changeset"] = _q_apply_changeset
     out["pipeline_branch_fork"] = _q_branch_fork
@@ -1707,13 +1743,13 @@ _GATE_FIRST = [
     "graph_pattern_ast",  # structural metavariable tier, golden oracle
     "retention_evict_branches",  # eviction policy vs sequential-walk CTE
     "dedup_embedding_ivf",  # cluster-then-pair approx twin (weak)
+    "text_repetition",  # Gopher repetition signals, zero-shuffle folds
+    "text_redact_pii",  # ordered count+replace chain, synthetic PII
+    "corpus_sample_per_key",  # count-based stratified sample
 ] + [
     # re-gate sample of round-1 greens (fills the 50-slot gate with a
     # representative slice of every operator family; keep this section
     # trimmed from the TOP as new round-2 contracts are appended above)
-    "dsl_revenue_by_nation",
-    "dsl_filter_bool_tree",
-    "dsl_join_full",
     "knn_topk",
     "fts_composite",
     "graph_callees_d3",
@@ -1785,6 +1821,9 @@ def oracle_sql() -> dict[str, str]:
     out["text_quality"] = oracle.quality_scores_sql()
     out["text_language_id"] = oracle.language_id_sql()
     out["text_fingerprints"] = oracle.fingerprints_sql()
+    out["text_repetition"] = oracle.repetition_stats_sql()
+    out["text_redact_pii"] = oracle.redact_pii_sql(text_expr=_PII_SUFFIX_SQL)
+    out["corpus_sample_per_key"] = oracle.sample_per_key_sql(k=25)
     out["text_top_terms"] = _TOP_TERMS_ORACLE.format(
         tokens_cte=oracle.fts_tokens_cte("documents", "doc_id", "text")
     )

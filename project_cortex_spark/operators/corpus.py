@@ -86,6 +86,38 @@ def weighted_mix(
     return sources.filter(expr)
 
 
+def sample_per_key(
+    docs: DataFrame,
+    *,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 25,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic exactly-min(k, |stratum|) sample per key: rank rows
+    within each stratum by md5(salt:id) and keep the k lowest.
+
+    Unlike ``weighted_mix`` (fraction-based), this yields a COUNT-based
+    stratified sample — the shape eval-set carving and per-language
+    inspection samples need. The hash order makes it reproducible across
+    engines and stable per row under corpus growth within a stratum's
+    top-k (a new doc can displace at most the current rank-k row).
+
+    Scale: one window shuffle on ``key_col``. With heavily skewed strata
+    (one language = 80 % of 100 TB) pre-filter with a hash threshold
+    ≈ C·k/|stratum| before the window so only a sliver of each stratum
+    shuffles; the window then ranks thousands of rows, not billions.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(key_col).orderBy(h, F.col(id_col))
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

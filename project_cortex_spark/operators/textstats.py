@@ -104,6 +104,115 @@ def language_id(
     )
 
 
+def repetition_stats(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", Appendix A1.1: repetitious documents are
+    low-quality training data).
+
+    (doc_id, n_tokens, n_dup_tokens, top_bigram_count, dup_token_frac_e4,
+    top_bigram_frac_e4) — fractions as floor(1e4*x) ints so the contract
+    hash is precision-proof.
+
+    Scale: token-level metrics are collection expressions over one row
+    (no shuffle). The top-bigram multiplicity is explode → two hash
+    aggregates keyed on doc_id — all whole-stage codegen, with map-side
+    partial aggregation so the shuffle carries (doc, bigram, count)
+    partials, not raw tokens. (A zero-shuffle array_sort+aggregate fold
+    computes the same number but HOF folds never enter codegen and
+    measure ~20× slower per row; at petabyte scale, hash the bigram to
+    xxhash64 before the shuffle to move 8-byte keys instead of strings.)
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    # zip_with over two slices, NOT transform+element_at: element_at(toks, i)
+    # inlines the whole tokenizer expression into the lambda body, which
+    # interpreted HOF evaluation re-runs PER ELEMENT — an O(n²-regex-splits)
+    # blowup. zip_with's lambda touches only its own arguments, so the
+    # tokenizer runs O(1) times per row.
+    n_bg = F.greatest(n_tok - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_bg),
+        F.slice(toks, 2, n_bg),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        (n_tok - F.size(F.array_distinct(toks))).alias("n_dup_tokens"),
+        bigrams.alias("_bgs"),
+    )
+    tops = (
+        base.select("doc_id", F.explode("_bgs").alias("_g"))
+        .groupBy("doc_id", "_g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("_top"))
+    )
+    top = F.coalesce(F.col("_top"), F.lit(0))
+    return (
+        base.join(tops, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_tokens",
+            top.cast("bigint").alias("top_bigram_count"),
+            F.floor(
+                F.lit(10_000) * F.col("n_dup_tokens")
+                / F.greatest(F.col("n_tokens"), F.lit(1))
+            )
+            .cast("bigint")
+            .alias("dup_token_frac_e4"),
+            F.floor(
+                F.lit(10_000) * top / F.greatest(F.size("_bgs"), F.lit(1))
+            )
+            .cast("bigint")
+            .alias("top_bigram_frac_e4"),
+        )
+    )
+
+
+# PII patterns: applied IN ORDER (SSN before phone — both are digit runs
+# with dashes; email before IP so user@10.0.0.1-style hosts redact as one
+# email). Each regex parses identically in Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, and \b only.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails / SSNs / phone numbers / IPv4s; count each kind.
+
+    (doc_id, n_email, n_ssn, n_phone, n_ip, redacted) — counts are taken
+    against the text as it stands when that pattern is applied (pattern
+    order is part of the contract), so overlapping matches are never
+    double-counted.
+
+    Scale: a chain of regexp_count/regexp_replace over one column —
+    narrow, zero-shuffle, whole-stage codegen; the standard first pass of
+    any web-scale training-data scrub.
+    """
+    text = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
+        text = F.regexp_replace(text, pat, repl)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *counts, text.alias("redacted")
+    )
+
+
 def fingerprints(
     docs: DataFrame,
     *,

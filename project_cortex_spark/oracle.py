@@ -433,6 +433,89 @@ def language_id_sql(
     """
 
 
+def repetition_stats_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """Oracle for textstats.repetition_stats: relational formulation
+    (unnest bigrams → group → max) of the same per-doc numbers the Spark
+    side computes with zero-shuffle array folds."""
+    toks = _TOKS_EXPR.format(text=text_col, sep=SEP_SQL)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
+    ),
+    bg AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             len(t) - len(list_distinct(t)) AS n_dup_tokens,
+             list_transform(range(1, greatest(len(t), 1)),
+                            i -> t[i] || ' ' || t[i + 1]) AS bgs
+      FROM base
+    ),
+    tops AS (
+      SELECT doc_id, max(c) AS top FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(bgs) AS g FROM bg)
+        GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens, b.n_dup_tokens,
+           coalesce(tp.top, 0) AS top_bigram_count,
+           CAST(floor(10000 * b.n_dup_tokens / greatest(b.n_tokens, 1))
+                AS BIGINT) AS dup_token_frac_e4,
+           CAST(floor(10000 * coalesce(tp.top, 0) / greatest(len(b.bgs), 1))
+                AS BIGINT) AS top_bigram_frac_e4
+    FROM bg b LEFT JOIN tops tp USING (doc_id)
+    """
+
+
+def redact_pii_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """Oracle for textstats.redact_pii: the same ordered count+replace
+    chain (PII_PATTERNS is the shared contract) as sequential CTEs."""
+    from .operators.textstats import PII_PATTERNS
+
+    prev = "s0"
+    ctes = [f"s0 AS (SELECT {id_col} AS doc_id, {text_expr} AS t FROM {table})"]
+    count_cols = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS, start=1):
+        count_cols.append(f"n_{name}")
+        carried = ", ".join(count_cols[:-1])
+        carried = carried + ", " if carried else ""
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, {carried}"
+            f"len(regexp_extract_all(t, '{pat}')) AS n_{name}, "
+            f"regexp_replace(t, '{pat}', '{repl}', 'g') AS t FROM {prev})"
+        )
+        prev = f"s{i}"
+    cols = ", ".join(count_cols)
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT doc_id, {cols}, t AS redacted FROM {prev}
+    """
+
+
+def sample_per_key_sql(
+    table: str = "documents",
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 25,
+    salt: str = "sample",
+) -> str:
+    """Oracle for corpus.sample_per_key: identical md5-ordered window."""
+    return f"""
+    SELECT * FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY {key_col}
+        ORDER BY md5('{salt}:' || {id_col}::VARCHAR), {id_col}
+      ) AS sample_rank FROM {table}
+    ) WHERE sample_rank <= {k}
+    """
+
+
 def fingerprints_sql(
     table: str = "documents",
     id_col: str = "doc_id",

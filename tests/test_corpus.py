@@ -63,3 +63,25 @@ def test_decontaminate_semantics(spark):
     kept = {r["doc_id"] for r in corpus.decontaminate(docs, bench, ngram=8).collect()}
     # doc 1 shares an 8-gram with the benchmark; doc 3 is too short to shingle
     assert kept == {2, 3}
+
+
+def test_sample_per_key_matches_oracle(registry, duck):
+    got = corpus.sample_per_key(registry.table("documents"), key_col="lang", k=25)
+    assert_matches_oracle(got, duck, oracle.sample_per_key_sql(k=25))
+
+
+def test_sample_per_key_semantics(spark):
+    rows = [(i, "s" if i < 3 else "b") for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    got = corpus.sample_per_key(docs, key_col="lang", k=5).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["lang"], []).append(r)
+    # exactly min(k, |stratum|) rows per key, ranks 1..n
+    assert len(by_key["s"]) == 3 and len(by_key["b"]) == 5
+    assert sorted(r["sample_rank"] for r in by_key["b"]) == [1, 2, 3, 4, 5]
+    # deterministic: a second run picks the identical sample
+    again = corpus.sample_per_key(docs, key_col="lang", k=5).collect()
+    assert {(r["doc_id"], r["sample_rank"]) for r in got} == {
+        (r["doc_id"], r["sample_rank"]) for r in again
+    }

@@ -7,6 +7,8 @@ from project_cortex_spark.operators.textstats import (
     fingerprints,
     language_id,
     quality_scores,
+    redact_pii,
+    repetition_stats,
     token_stats,
 )
 
@@ -44,6 +46,55 @@ def test_language_id_markers(spark):
 def test_fingerprints(registry, duck):
     df = fingerprints(registry.table("documents"))
     assert_matches_oracle(df, duck, oracle.fingerprints_sql())
+
+
+def test_repetition_stats_matches_oracle(registry, duck):
+    df = repetition_stats(registry.table("documents"))
+    assert_matches_oracle(df, duck, oracle.repetition_stats_sql())
+
+
+def test_repetition_stats_known_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),  # dup: two extra 'a'; bigrams: "a a"×2, "a b"
+            (2, "x"),  # single token: no bigrams
+            (3, ""),  # empty: no tokens at all
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["n_dup_tokens"] == 2
+    assert got[1]["top_bigram_count"] == 2
+    assert got[1]["dup_token_frac_e4"] == 5000  # 2/4
+    assert got[1]["top_bigram_frac_e4"] == 6666  # floor(1e4*2/3)
+    assert got[2]["n_tokens"] == 1 and got[2]["top_bigram_count"] == 0
+    assert got[3]["n_tokens"] == 0 and got[3]["dup_token_frac_e4"] == 0
+
+
+def test_redact_pii_known_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "mail bob.smith+x@corp.example.org or 192.168.1.10 "
+                "tel 415-555-0199 ssn 219-09-9999",
+            ),
+            (2, "no pii here"),
+            # IP-shaped host inside an email: the email pattern (applied
+            # first) consumes it, so it must NOT also count as an IP
+            (3, "root@10.0.0.1.net end"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(docs).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_ip"] == 1
+    assert got[1]["n_phone"] == 1 and got[1]["n_ssn"] == 1
+    assert got[1]["redacted"] == "mail <EMAIL> or <IP> tel <PHONE> ssn <SSN>"
+    assert got[2]["redacted"] == "no pii here"
+    assert got[2]["n_email"] == 0
+    assert got[3]["n_email"] == 1 and got[3]["n_ip"] == 0
+    assert got[3]["redacted"] == "<EMAIL> end"
 
 
 def test_fingerprint_stability(spark):
