@@ -46,6 +46,7 @@ from project_cortex_spark.pipeline import parse as parse_mod
 from project_cortex_spark.pipeline import sink as sink_mod
 from project_cortex_spark.sources import files as files_src
 from project_cortex_spark.sources.registry import load_tables
+from project_cortex_spark.streaming import dedup as stream_dedup
 from project_cortex_spark.streaming import source as stream_source
 from project_cortex_spark.streaming import windows as stream_windows
 
@@ -1577,6 +1578,25 @@ def _q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # simulated at-least-once transport: the SAME source unioned with
+    # itself (every event delivered twice); exactly-once dedup must
+    # reproduce the original table precisely
+    stream = stream_source.stream_table(spark, sf_dir, "events")
+    doubled = stream.union(stream)
+    return stream_source.run_to_memory(
+        stream_dedup.dedup_stream(doubled).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            F.round(F.col("value") * 10000).cast("long").alias("value_e4"),
+        ),
+        query_name="q_stream_dedup",
+        output_mode="append",
+    )
+
+
 def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_source.stream_table(spark, sf_dir, "events")
     return stream_source.run_to_memory(
@@ -1686,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["join_range"] = _q_range_join
     out["stream_windowed_agg"] = _q_stream_windowed_agg
     out["stream_sessionize"] = _q_stream_sessionize
+    out["stream_dedup"] = _q_stream_dedup
     _media = lambda s, d: mm.synthesize_media(_docs(s, d))  # noqa: E731
     out["media_decode_meta"] = lambda s, d: mm.decode_media(_media(s, d)).drop(
         "mean_byte"
@@ -1746,11 +1767,11 @@ _GATE_FIRST = [
     "text_repetition",  # Gopher repetition signals, zero-shuffle folds
     "text_redact_pii",  # ordered count+replace chain, synthetic PII
     "corpus_sample_per_key",  # count-based stratified sample
+    "stream_dedup",  # exactly-once ingestion over at-least-once delivery
 ] + [
     # re-gate sample of round-1 greens (fills the 50-slot gate with a
     # representative slice of every operator family; keep this section
     # trimmed from the TOP as new round-2 contracts are appended above)
-    "knn_topk",
     "fts_composite",
     "graph_callees_d3",
     "graph_callers_d2",  # oracle changed this round (min-depth target fix)
@@ -1926,6 +1947,12 @@ def oracle_sql() -> dict[str, str]:
     out["join_range"] = _range_join_oracle()
     out["stream_windowed_agg"] = oracle.windowed_agg_sql()
     out["stream_sessionize"] = oracle.sessionize_stream_sql()
+    # exactly-once dedup of a doubled delivery == the original table
+    out["stream_dedup"] = """
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+               CAST(round(value * 10000) AS BIGINT) AS value_e4
+        FROM events
+    """
     out["media_decode_meta"] = oracle.media_decode_meta_sql()
     out["media_features"] = """
         SELECT doc_id AS media_id, 32 AS dim, 1.0 AS l2_norm FROM documents

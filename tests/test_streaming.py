@@ -142,3 +142,21 @@ def test_stream_batch_same_expressions(registry, minutes, spark, duck):
     events = registry.table("events")
     got = windows.windowed_agg_stream(events, minutes=minutes)
     assert_matches_oracle(got, duck, oracle.windowed_agg_sql(minutes=minutes))
+
+
+def test_stream_dedup_exactly_once(spark, registry):
+    # at-least-once transport simulated by a self-union: every event
+    # arrives twice; dedup must reproduce the original table exactly
+    from project_cortex_spark.streaming import dedup as sdedup
+
+    s = _events_stream(spark)
+    out = source.run_to_memory(
+        sdedup.dedup_stream(s.union(s)).select("event_id"),
+        query_name="t_stream_dedup",
+        output_mode="append",
+    )
+    got = sorted(r["event_id"] for r in out.collect())
+    want = sorted(
+        r["event_id"] for r in registry.table("events").select("event_id").collect()
+    )
+    assert got == want
