@@ -21,6 +21,7 @@ sorted-by-name value hash matches.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +48,7 @@ from project_cortex_spark.pipeline import sink as sink_mod
 from project_cortex_spark.sources import files as files_src
 from project_cortex_spark.sources.registry import load_tables
 from project_cortex_spark.streaming import dedup as stream_dedup
+from project_cortex_spark.streaming import rollup as stream_rollup
 from project_cortex_spark.streaming import source as stream_source
 from project_cortex_spark.streaming import windows as stream_windows
 
@@ -1597,6 +1599,48 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # continuous-aggregate contract: deliver the events table in TWO
+    # increments (even ids, then odd — arrival order != event-time
+    # order), maintain the rollup incrementally, and require the merged
+    # result to hash-match the one-shot batch aggregate (the oracle).
+    import shutil
+    import tempfile
+
+    events = _registry(spark, sf_dir).table("events")
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="rollup_", dir=scratch)
+    in_dir = os.path.join(base, "incoming")
+    parts = os.path.join(base, "partials")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        for parity in (0, 1):  # two deliveries, one stream run each
+            events.filter(F.col("event_id") % 2 == parity).write.mode(
+                "append"
+            ).parquet(in_dir)
+            q = stream_rollup.continuous_rollup(
+                spark,
+                in_dir,
+                events.schema,
+                partials_dir=parts,
+                checkpoint_dir=ckpt,
+                minutes=60,
+            )
+            q.awaitTermination()
+        out = stream_rollup.read_rollup(spark, parts).select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value_e4",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_source.stream_table(spark, sf_dir, "events")
     return stream_source.run_to_memory(
@@ -1707,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_windowed_agg"] = _q_stream_windowed_agg
     out["stream_sessionize"] = _q_stream_sessionize
     out["stream_dedup"] = _q_stream_dedup
+    out["stream_rollup"] = _q_stream_rollup
     _media = lambda s, d: mm.synthesize_media(_docs(s, d))  # noqa: E731
     out["media_decode_meta"] = lambda s, d: mm.decode_media(_media(s, d)).drop(
         "mean_byte"
@@ -1768,6 +1813,7 @@ _GATE_FIRST = [
     "text_redact_pii",  # ordered count+replace chain, synthetic PII
     "corpus_sample_per_key",  # count-based stratified sample
     "stream_dedup",  # exactly-once ingestion over at-least-once delivery
+    "stream_rollup",  # continuous aggregate: incremental == batch
 ] + [
     # re-gate sample of round-1 greens (fills the 50-slot gate with a
     # representative slice of every operator family; keep this section
@@ -1778,7 +1824,6 @@ _GATE_FIRST = [
     "graph_implements",
     "graph_impact",
     "graph_shortest_path",
-    "graph_type_usages",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "corpus_split",
@@ -1952,6 +1997,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
                CAST(round(value * 10000) AS BIGINT) AS value_e4
         FROM events
+    """
+    # incremental rollup over two deliveries == one-shot batch aggregate
+    out["stream_rollup"] = """
+        SELECT epoch_us(time_bucket(INTERVAL '60 minutes', ts)) AS window_start_us,
+               event_type, count(*) AS n_events,
+               sum(CAST(round(value * 10000) AS BIGINT)) AS sum_value_e4
+        FROM events GROUP BY 1, 2
     """
     out["media_decode_meta"] = oracle.media_decode_meta_sql()
     out["media_features"] = """

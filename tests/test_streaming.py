@@ -160,3 +160,37 @@ def test_stream_dedup_exactly_once(spark, registry):
         r["event_id"] for r in registry.table("events").select("event_id").collect()
     )
     assert got == want
+
+
+def test_continuous_rollup_incremental_equals_batch(spark, registry, tmp_path):
+    from project_cortex_spark.streaming import rollup
+
+    events = registry.table("events")
+    in_dir = str(tmp_path / "incoming")
+    parts = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+    for parity in (0, 1):
+        events.filter(F.col("event_id") % 2 == parity).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q = rollup.continuous_rollup(
+            spark, in_dir, events.schema, partials_dir=parts,
+            checkpoint_dir=ckpt, minutes=60,
+        )
+        q.awaitTermination()
+    # drain again with NO new input: checkpoint must prevent recounting
+    q = rollup.continuous_rollup(
+        spark, in_dir, events.schema, partials_dir=parts,
+        checkpoint_dir=ckpt, minutes=60,
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value_e4"])
+        for r in rollup.read_rollup(spark, parts).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value_e4"])
+        for r in rollup.rollup_partial(events, minutes=60).collect()
+    }
+    assert got == want
