@@ -441,6 +441,28 @@ def _q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("score", F.round("score", 6))
 
 
+def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _registry(spark, sf_dir).table("embeddings")
+    return knn_mod.quantize_embeddings(emb)
+
+
+def _q_knn_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # self-measurement: recall@5 of the sign-LSH join vs the exact join.
+    # No oracle by design (grades an approximate structure); the exact
+    # side is itself the oracle-gated knn_join.
+    emb = _registry(spark, sf_dir).table("embeddings")
+    q = _knn_queries(spark, sf_dir)
+    exact = knn_mod.knn_join(q, emb, k=5)
+    approx = knn_mod.knn_join_lsh(q, emb, k=5, n_planes=4)
+    return knn_mod.ann_recall(approx, exact)
+
+
+def _q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_mod.pack_sequences(
+        _docs(spark, sf_dir), seq_tokens=256, writers=16
+    )
+
+
 _KNN_JOIN_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 5)
     SELECT query_id, vec_id, round({oracle.KNN_SCORE_SQL}, 6) AS score, rank FROM (
@@ -1724,7 +1746,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_top_terms"] = _q_text_top_terms
     out["text_repetition"] = lambda s, d: ts.repetition_stats(_docs(s, d))
     out["text_redact_pii"] = _q_text_redact_pii
+    out["text_lm_score"] = lambda s, d: ts.bigram_lm_score(_docs(s, d))
+    out["text_tfidf_terms"] = lambda s, d: ts.tfidf_top_terms(_docs(s, d))
     out["corpus_sample_per_key"] = _q_corpus_sample_per_key
+    out["corpus_pack_sequences"] = _q_corpus_pack
+    out["embed_quantize"] = _q_embed_quantize
+    out["knn_recall_lsh"] = _q_knn_recall_lsh
     out["pipeline_change_detection"] = _q_change_detection
     out["pipeline_apply_changeset"] = _q_apply_changeset
     out["pipeline_branch_fork"] = _q_branch_fork
@@ -1814,6 +1841,11 @@ _GATE_FIRST = [
     "corpus_sample_per_key",  # count-based stratified sample
     "stream_dedup",  # exactly-once ingestion over at-least-once delivery
     "stream_rollup",  # continuous aggregate: incremental == batch
+    "text_lm_score",  # self-trained bigram-LM quality filter
+    "text_tfidf_terms",  # per-doc top-k TF-IDF keywords
+    "corpus_pack_sequences",  # concat-then-split training-sequence layout
+    "embed_quantize",  # int8 embedding quantization + recon error
+    "knn_recall_lsh",  # recall@k self-measurement of the ANN path (weak)
 ] + [
     # re-gate sample of round-1 greens (fills the 50-slot gate with a
     # representative slice of every operator family; keep this section
@@ -1890,6 +1922,13 @@ def oracle_sql() -> dict[str, str]:
     out["text_repetition"] = oracle.repetition_stats_sql()
     out["text_redact_pii"] = oracle.redact_pii_sql(text_expr=_PII_SUFFIX_SQL)
     out["corpus_sample_per_key"] = oracle.sample_per_key_sql(k=25)
+    out["text_lm_score"] = oracle.bigram_lm_sql()
+    out["text_tfidf_terms"] = oracle.tfidf_top_terms_sql(k=5)
+    out["corpus_pack_sequences"] = oracle.pack_sequences_sql(
+        seq_tokens=256, writers=16
+    )
+    out["embed_quantize"] = oracle.quantize_embeddings_sql()
+    # knn_recall_lsh: grades an approximate structure — no oracle by design
     out["text_top_terms"] = _TOP_TERMS_ORACLE.format(
         tokens_cte=oracle.fts_tokens_cte("documents", "doc_id", "text")
     )

@@ -118,6 +118,63 @@ def sample_per_key(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_tokens: int = 2048,
+    writers: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign each document a position in a packed training sequence:
+    concat-then-split packing (the GPT-style pretraining layout — docs are
+    concatenated in a deterministic order and the byte stream is cut every
+    ``seq_tokens`` tokens, so a document may straddle two sequences).
+
+    Output: (doc_id, writer, start_offset, n_tokens, seq_id) where
+    ``writer`` is a deterministic hash shard, ``start_offset`` is the
+    token offset of the doc inside its writer's stream, and
+    ``seq_id = floor(start_offset / seq_tokens)`` is the training sequence
+    holding the document's first token. Token counts use the reference's
+    len/4 sizing heuristic (internal/indexer/chunker.go:330-333).
+
+    Determinism: the order within a writer is (md5(salt:id), id) — the
+    same order every run on every engine, so the packing layout is a pure
+    function of the corpus.
+
+    Scale: ONE shuffle, on ``writer`` (the running-sum window). There is
+    no global sort — each of the ``writers`` shards packs independently,
+    which is exactly how N parallel tokenizer-writer tasks lay out a
+    100 TB corpus. Raise ``writers`` until a shard's rows fit one task.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import estimate_llm_tokens
+
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    writer = _hash_bucket(F.col(id_col), buckets=writers, salt=salt)
+    n_tok = estimate_llm_tokens(F.col(text_col))
+    w = (
+        Window.partitionBy("writer")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            writer.alias("writer"),
+            h.alias("_h"),
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .withColumn(
+            "seq_id", F.floor(F.col("start_offset") / F.lit(seq_tokens)).cast("bigint")
+        )
+        .drop("_h")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -153,6 +153,75 @@ def knn_join_lsh(
     )
 
 
+def quantize_embeddings(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Int8-quantize the embedding column (see functions.vector.
+    quantize_int8 for the storage rationale). Output per vector:
+    (id, dim, scale_e9, qnorm_sq, recon_err) where scale_e9 =
+    floor(scale*1e9) and qnorm_sq = Σ q_i² are exact integers (the
+    hash-proof part of the contract) and recon_err is the L2
+    reconstruction error, round 6.
+
+    Scale: one narrow projection, zero shuffle, all codegen — runs at
+    parquet-scan bandwidth, which is the point: re-encoding 100 TB of
+    float32 embeddings down to int8 is a single pass.
+    """
+    from ..functions.vector import dequantize_error, quantize_int8
+
+    scale, q = quantize_int8(F.col(vec_col))
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.size(F.col(vec_col)).alias("dim"),
+        F.floor(scale * F.lit(1e9)).cast("bigint").alias("scale_e9"),
+        F.aggregate(
+            q, F.lit(0).cast("bigint"), lambda acc, x: acc + x.cast("bigint") * x
+        ).alias("qnorm_sq"),
+        F.round(dequantize_error(F.col(vec_col), scale, q), 6).alias("recon_err"),
+    )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an ANN result against the exact top-k: the
+    self-measurement every approximate index needs before it replaces
+    the brute-force path at scale.
+
+    Output (query_id, n_exact, n_hit, recall_e4) — recall as an exact
+    scaled integer. One equi-join on (query, neighbor) + one aggregate;
+    both inputs are top-k frames (tiny relative to the corpus), so this
+    costs nothing next to the searches it grades.
+    """
+    e = exact.select(
+        F.col(query_id).alias("query_id"), F.col(corpus_id).alias("nbr")
+    )
+    a = approx.select(
+        F.col(query_id).alias("query_id"),
+        F.col(corpus_id).alias("nbr"),
+        F.lit(1).alias("_hit"),
+    )
+    return (
+        e.join(a, ["query_id", "nbr"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .withColumn(
+            "recall_e4",
+            F.floor(F.lit(10_000) * F.col("n_hit") / F.col("n_exact")).cast("bigint"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: the partition-pruning scale path
 # ---------------------------------------------------------------------------

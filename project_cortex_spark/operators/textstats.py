@@ -213,6 +213,135 @@ def redact_pii(
     )
 
 
+def _bigram_frame(
+    docs: DataFrame, *, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent token pair. Same zip_with
+    slicing as repetition_stats (see the O(n²) note there)."""
+    toks = tokens(F.col(text_col))
+    n_bg = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n_bg),
+        F.slice(toks, 2, n_bg),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("_p")
+    ).select("doc_id", "_p.w1", "_p.w2")
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document under a bigram language model trained on the
+    corpus itself — the classic perplexity-style quality filter (CCNet /
+    Wenzek et al. 2020 use a KenLM for this; a self-trained bigram model
+    is the engine-portable, dependency-free form of the same signal).
+    Low avg log-probability ⇒ text unlike the rest of the corpus
+    (boilerplate, garbled encodings, word salad).
+
+    Model: add-one-smoothed bigram MLE.
+      P(w2 | w1) = (c(w1,w2) + 1) / (c(w1,·) + V)
+    with V = corpus vocabulary size. Output (doc_id, n_bigrams,
+    avg_logprob) where avg_logprob = round(avg ln P, 6), 0.0 for docs
+    with fewer than two tokens.
+
+    Scale: bigram explode → one hash aggregate for c(w1,w2) (map-side
+    partials), a second over w1 for c(w1,·), V as a 1-row broadcast.
+    Scoring re-joins the doc bigrams to the count tables on their natural
+    keys — shuffles on (w1,w2) then w1, no collect, no UDF. At 100 TB,
+    df-cap the count tables (drop hapax bigrams) to shrink the join's
+    build side by ~half with no visible score shift.
+    """
+    bg = _bigram_frame(docs, id_col=id_col, text_col=text_col)
+    pair_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    prefix_counts = pair_counts.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    scored = (
+        bg.join(pair_counts, ["w1", "w2"])
+        .join(prefix_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("c2") + F.lit(1.0))
+                        / (F.col("c1") + F.col("v").cast("double"))
+                    )
+                ),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-``k`` keywords by TF-IDF (the per-doc complement
+    of the corpus-level text_top_terms vocabulary view).
+
+    score = tf * ln(1 + N/df)  (smooth idf, pinned), ties broken by term
+    ascending. Output (doc_id, term, tf, score, rank).
+
+    Scale: postings aggregate (map-side partials) → df aggregate (one row
+    per distinct term) equi-joined back on term → per-doc window top-k
+    partitioned on doc_id. The term join reuses the postings exchange;
+    N is a 1-row broadcast; the window partitions on high-cardinality
+    doc_id so no skew.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    postings = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        postings.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(F.lit(1.0) + F.col("n") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )
+
+
 def fingerprints(
     docs: DataFrame,
     *,

@@ -901,6 +901,141 @@ def weighted_mix_sql(
     """
 
 
+def pack_sequences_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_tokens: int = 2048,
+    writers: int = 64,
+    salt: str = "pack",
+) -> str:
+    """Oracle for corpus.pack_sequences: identical hash shard + md5
+    ordering + running token sum + floor-division sequence id."""
+    bucket = (
+        f"('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {writers}"
+    )
+    return f"""
+    SELECT doc_id, writer, n_tokens, start_offset,
+           CAST(floor(start_offset / {seq_tokens}.0) AS BIGINT) AS seq_id
+    FROM (
+      SELECT doc_id, writer, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY writer ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS BIGINT) AS start_offset
+      FROM (
+        SELECT {id_col} AS doc_id,
+               {bucket} AS writer,
+               md5('{salt}:' || CAST({id_col} AS VARCHAR)) AS h,
+               CAST(floor(length({text_col}) / 4) AS BIGINT) AS n_tokens
+        FROM {table}
+      )
+    )
+    """
+
+
+def bigram_lm_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """Oracle for textstats.bigram_lm_score: same tokenizer, same add-one
+    bigram MLE, same ln/avg in float64."""
+    toks = _TOKS_EXPR.format(text=text_col, sep=SEP_SQL)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM base
+            WHERE len(t) >= 2)
+    ),
+    pair_counts AS (
+      SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+    ),
+    prefix_counts AS (
+      SELECT w1, sum(c2) AS c1 FROM pair_counts GROUP BY w1
+    ),
+    vocab AS (
+      SELECT count(DISTINCT x) AS v
+      FROM (SELECT unnest(t) AS x FROM base)
+    ),
+    scored AS (
+      SELECT bg.doc_id, count(*) AS n_bigrams,
+             round(avg(ln((c2 + 1.0) / (c1 + (SELECT v FROM vocab)::DOUBLE))), 6)
+               AS avg_logprob
+      FROM bg JOIN pair_counts USING (w1, w2)
+              JOIN prefix_counts USING (w1)
+      GROUP BY bg.doc_id
+    )
+    SELECT d.{id_col} AS doc_id,
+           coalesce(s.n_bigrams, 0) AS n_bigrams,
+           coalesce(s.avg_logprob, 0.0) AS avg_logprob
+    FROM {table} d LEFT JOIN scored s ON s.doc_id = d.{id_col}
+    """
+
+
+def tfidf_top_terms_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> str:
+    """Oracle for textstats.tfidf_top_terms: tf * ln(1 + N/df), rounded
+    BEFORE ranking (both engines rank the rounded score, so ordering is
+    precision-proof)."""
+    return f"""
+    WITH {fts_tokens_cte(table, id_col, text_col)},
+    dfreq AS (
+      SELECT term, count(*) AS df FROM postings GROUP BY term
+    ),
+    scored AS (
+      SELECT p.doc_id, p.term, p.tf,
+             round(p.tf * ln(1.0 + (SELECT n FROM corpus) / f.df::DOUBLE), 6)
+               AS score
+      FROM postings p JOIN dfreq f USING (term)
+    )
+    SELECT doc_id, term, tf, score, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def quantize_embeddings_sql(
+    table: str = "embeddings", id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    """Oracle for knn.quantize_embeddings: same floor(x/scale + 0.5)
+    quantizer (floor, not round — negative-half rounding differs between
+    engines), same in-order error fold."""
+    return f"""
+    WITH q AS (
+      SELECT {id_col} AS vec_id,
+             len(e) AS dim,
+             list_max(list_transform(e, x -> abs(x::DOUBLE))) / 127.0 AS scale,
+             e
+      FROM (SELECT {id_col}, {vec_col} AS e FROM {table})
+    )
+    SELECT vec_id, dim,
+           CAST(floor(scale * 1e9) AS BIGINT) AS scale_e9,
+           CAST(CASE WHEN scale = 0 THEN 0 ELSE
+             list_sum(list_transform(e,
+               x -> CAST(floor(x::DOUBLE / scale + 0.5) AS BIGINT)
+                    * CAST(floor(x::DOUBLE / scale + 0.5) AS BIGINT)))
+           END AS BIGINT) AS qnorm_sq,
+           round(CASE WHEN scale = 0 THEN
+             sqrt(list_sum(list_transform(e, x -> x::DOUBLE * x::DOUBLE)))
+           ELSE
+             sqrt(list_sum(list_transform(e,
+               x -> (x::DOUBLE - floor(x::DOUBLE / scale + 0.5) * scale)
+                    * (x::DOUBLE - floor(x::DOUBLE / scale + 0.5) * scale))))
+           END, 6) AS recon_err
+    FROM q
+    """
+
+
 def decontaminate_sql(
     *, table: str = "documents", id_col: str = "doc_id",
     text_col: str = "text", bench_filter: str, ngram: int = 8,
