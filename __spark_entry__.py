@@ -608,6 +608,29 @@ def _q_graph_callees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_mod.callees(_order_edges(spark, sf_dir), [start], depth=3)
 
 
+def _q_graph_callees_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the reference's literal formulation (recursive CTE over call edges,
+    # searcher_sql.go:430-485) expressed natively: Spark 4 supports
+    # WITH RECURSIVE, so the driver-loop BFS (graph_mod.bfs) and this
+    # declarative twin are both offered; both hash-match the same DuckDB
+    # recursive-CTE oracle. The BFS form stays the default: its fused
+    # ≤4-depth plan broadcasts the frontier, while UnionLoopExec re-runs
+    # the edge subquery per iteration (fine at bounded depth ≤6).
+    start = _chain_start(spark, sf_dir)
+    _order_edges(spark, sf_dir).createOrReplaceTempView("_cortex_rec_edges")
+    return spark.sql(f"""
+        WITH RECURSIVE walk(node, depth) AS (
+          SELECT CAST({start} AS BIGINT) AS node, 0 AS depth
+          UNION ALL
+          SELECT e.dst, w.depth + 1
+          FROM walk w JOIN _cortex_rec_edges e ON e.src = w.node
+          WHERE w.depth < 3
+        )
+        SELECT node, min(depth) AS depth FROM walk
+        WHERE depth > 0 AND node <> {start} GROUP BY node
+    """)
+
+
 def _downstream_node(spark: SparkSession, sf_dir: str, hops: int) -> int:
     def compute() -> int:
         start = _chain_start(spark, sf_dir)
@@ -1705,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fts_filtered"] = _q_fts_filtered
     out["search_semantic"] = _q_search_semantic
     out["graph_callees_d3"] = _q_graph_callees
+    out["graph_callees_cte"] = _q_graph_callees_cte
     out["graph_callers_d2"] = _q_graph_callers
     out["graph_shortest_path"] = _q_graph_path
     out["graph_implements"] = _q_graph_implements
@@ -1846,6 +1870,7 @@ _GATE_FIRST = [
     "corpus_pack_sequences",  # concat-then-split training-sequence layout
     "embed_quantize",  # int8 embedding quantization + recon error
     "knn_recall_lsh",  # recall@k self-measurement of the ANN path (weak)
+    "graph_callees_cte",  # native WITH RECURSIVE twin of the BFS walk
 ] + [
     # re-gate sample of round-1 greens (fills the 50-slot gate with a
     # representative slice of every operator family; keep this section
@@ -1890,6 +1915,8 @@ def oracle_sql() -> dict[str, str]:
     )
     # search_semantic: hash-embedding composite, no SQL equivalent
     out.update(_GRAPH_ORACLES)
+    # the recursive-CTE twin computes the identical min-depth closure
+    out["graph_callees_cte"] = _GRAPH_ORACLES["graph_callees_d3"]
     out["dedup_exact_groups"] = oracle.exact_duplicate_groups_sql(
         table="part", id_col="p_partkey", text_col="p_name"
     )

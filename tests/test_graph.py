@@ -284,3 +284,38 @@ def test_with_context_caps_at_20_lines(spark):
     )
     row = graph.with_context(results, files, context_lines=99).first()
     assert row["context"].startswith("// Lines 30-70\n")  # 50 ± 20
+
+
+def test_recursive_cte_matches_bfs(spark):
+    """Spark 4's WITH RECURSIVE computes the same min-depth closure as
+    the driver-loop BFS (SURVEY §2.7: 'or SQL recursive CTE where
+    available') — including on converging paths and cycles."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 1), (4, 5)], ["src", "dst"]
+    ).withColumn("src", F.col("src").cast("bigint")).withColumn(
+        "dst", F.col("dst").cast("bigint")
+    )
+    bfs = {
+        (r["node"], r["depth"])
+        for r in graph.callees(edges, [1], depth=3).collect()
+    }
+    edges.createOrReplaceTempView("_t_rec_edges")
+    cte = {
+        (r["node"], r["depth"])
+        for r in spark.sql(
+            """
+            WITH RECURSIVE walk(node, depth) AS (
+              SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+              UNION ALL
+              SELECT e.dst, w.depth + 1
+              FROM walk w JOIN _t_rec_edges e ON e.src = w.node
+              WHERE w.depth < 3
+            )
+            SELECT node, min(depth) AS depth FROM walk
+            WHERE depth > 0 AND node <> 1 GROUP BY node
+            """
+        ).collect()
+    }
+    # start-node exclusion (node <> 1) mirrors the BFS visited-set
+    # semantics: a cycle back to the start is not a "callee of the start"
+    assert bfs == cte == {(2, 1), (3, 1), (4, 2), (5, 3)}
