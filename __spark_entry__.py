@@ -1047,6 +1047,37 @@ def _q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.redact_pii(docs.withColumn("text", enriched))
 
 
+# The synthetic documents are single-line prose with no terminal
+# punctuation, so the C4 contract synthesizes a deterministic 5-line
+# page per doc — IDENTICAL expression on both sides: a keepable header
+# sentence, a javascript/cookie boilerplate line, a too-short line, a
+# tail line whose terminal punctuation depends on doc_id parity, and a
+# code-brace line. The operator must keep exactly {header} (+ {tail}
+# for even ids), so the document-level verdict alternates by parity.
+_C4_PAGE_SQL = (
+    "substr(text, 1, 80) || ' end.' || chr(10) "
+    "|| 'please enable javascript and cookies.' || chr(10) "
+    "|| 'too short.' || chr(10) "
+    "|| substr(text, 81, 60) || ' tail words added here' "
+    "|| CASE WHEN doc_id % 2 = 0 THEN '!' ELSE '' END || chr(10) "
+    "|| '{ \"k\": ' || doc_id || ' }'"
+)
+
+
+def _q_text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    page = F.concat(
+        F.substring(F.col("text"), 1, 80), F.lit(" end.\n"),
+        F.lit("please enable javascript and cookies.\n"),
+        F.lit("too short.\n"),
+        F.substring(F.col("text"), 81, 60), F.lit(" tail words added here"),
+        F.when(d % 2 == 0, F.lit("!")).otherwise(F.lit("")),
+        F.lit('\n{ "k": '), d.cast("string"), F.lit(" }"),
+    )
+    return ts.c4_clean(docs.withColumn("text", page))
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
     return dd.duplicate_clusters(pairs.select("a", "b"))
@@ -1771,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_repetition"] = lambda s, d: ts.repetition_stats(_docs(s, d))
     out["text_redact_pii"] = _q_text_redact_pii
     out["text_lm_score"] = lambda s, d: ts.bigram_lm_score(_docs(s, d))
+    out["text_c4_clean"] = _q_text_c4_clean
     out["text_tfidf_terms"] = lambda s, d: ts.tfidf_top_terms(_docs(s, d))
     out["corpus_sample_per_key"] = _q_corpus_sample_per_key
     out["corpus_pack_sequences"] = _q_corpus_pack
@@ -1866,6 +1898,7 @@ _GATE_FIRST = [
     "stream_dedup",  # exactly-once ingestion over at-least-once delivery
     "stream_rollup",  # continuous aggregate: incremental == batch
     "text_lm_score",  # self-trained bigram-LM quality filter
+    "text_c4_clean",  # C4 heuristic line/document cleaning rules
     "text_tfidf_terms",  # per-doc top-k TF-IDF keywords
     "corpus_pack_sequences",  # concat-then-split training-sequence layout
     "embed_quantize",  # int8 embedding quantization + recon error
@@ -1950,6 +1983,7 @@ def oracle_sql() -> dict[str, str]:
     out["text_redact_pii"] = oracle.redact_pii_sql(text_expr=_PII_SUFFIX_SQL)
     out["corpus_sample_per_key"] = oracle.sample_per_key_sql(k=25)
     out["text_lm_score"] = oracle.bigram_lm_sql()
+    out["text_c4_clean"] = oracle.c4_clean_sql(text_expr=_C4_PAGE_SQL)
     out["text_tfidf_terms"] = oracle.tfidf_top_terms_sql(k=5)
     out["corpus_pack_sequences"] = oracle.pack_sequences_sql(
         seq_tokens=256, writers=16

@@ -41,6 +41,8 @@ HEADLINE = [
     "dedup_embedding_lsh",  # scale path: multi-table sign-LSH + exact verify
     "text_quality",
     "text_token_stats",
+    "text_lm_score",  # corpus-trained bigram LM: count joins at scale
+    "corpus_pack_sequences",  # single-shuffle training-sequence layout
     "events_windowed_agg",
     "events_sessionize",
     "pipeline_apply_changeset",

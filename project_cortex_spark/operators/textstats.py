@@ -342,6 +342,59 @@ def tfidf_top_terms(
     )
 
 
+# C4-style line filters (Raffel et al. 2020 §2.2, "Colossal Clean
+# Crawled Corpus"): pinned, engine-portable forms of the published
+# rules. A line survives iff it ends in terminal punctuation, has >=
+# MIN_LINE_WORDS words, and matches no blocklist phrase; a document
+# survives iff >= MIN_KEPT_LINES lines survive. (The original also
+# drops pages with "{" — kept here as a line rule so code-bearing docs
+# lose the code lines, not the prose.)
+C4_MIN_LINE_WORDS = 4
+C4_MIN_KEPT_LINES = 2
+C4_TERMINAL_RE = r'[.!?"]$'
+C4_BLOCKLIST: tuple[str, ...] = ("javascript", "cookie", "lorem ipsum", "{")
+
+
+def c4_clean(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style heuristic cleaning: per-line keep/drop + document gate.
+
+    Output (doc_id, n_lines, n_kept, kept, cleaned) — ``kept`` is the
+    document-level verdict, ``cleaned`` the surviving lines re-joined
+    (empty string when the document is dropped, so the column is
+    non-null and hash-stable).
+
+    Scale: pure line-level collection expressions over one column —
+    zero shuffle, whole-stage codegen; this is the first pass of a
+    web-corpus scrub and must run at scan bandwidth, which it does
+    (same plan family as redact_pii).
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def line_ok(line: Column) -> Column:
+        trimmed = F.trim(line)
+        lower = F.lower(trimmed)
+        n_words = F.size(F.filter(F.split(trimmed, " +"), lambda w: w != ""))
+        ok = trimmed.rlike(C4_TERMINAL_RE) & (n_words >= C4_MIN_LINE_WORDS)
+        for phrase in C4_BLOCKLIST:
+            ok = ok & ~lower.contains(phrase)
+        return ok
+
+    kept_lines = F.filter(lines, line_ok)
+    n_kept = F.size(kept_lines)
+    kept = n_kept >= C4_MIN_KEPT_LINES
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        n_kept.alias("n_kept"),
+        kept.alias("kept"),
+        F.when(kept, F.array_join(kept_lines, "\n"))
+        .otherwise(F.lit(""))
+        .alias("cleaned"),
+    )
+
+
 def fingerprints(
     docs: DataFrame,
     *,

@@ -901,6 +901,46 @@ def weighted_mix_sql(
     """
 
 
+def c4_clean_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """Oracle for textstats.c4_clean: identical line rules (terminal
+    punctuation, min words, blocklist phrases) over ``text_expr``."""
+    from .operators.textstats import (
+        C4_BLOCKLIST,
+        C4_MIN_KEPT_LINES,
+        C4_MIN_LINE_WORDS,
+        C4_TERMINAL_RE,
+    )
+
+    blocks = " AND ".join(
+        f"NOT contains(lower(trim(l)), {_sql_quote(p)})" for p in C4_BLOCKLIST
+    )
+    line_ok = (
+        f"l -> regexp_matches(trim(l), '{C4_TERMINAL_RE}') "
+        f"AND len(list_filter(regexp_split_to_array(trim(l), ' +'), "
+        f"w -> w <> '')) >= {C4_MIN_LINE_WORDS} AND {blocks}"
+    )
+    return f"""
+    SELECT {id_col} AS doc_id,
+           len(lines) AS n_lines,
+           len(kept_lines) AS n_kept,
+           len(kept_lines) >= {C4_MIN_KEPT_LINES} AS kept,
+           CASE WHEN len(kept_lines) >= {C4_MIN_KEPT_LINES}
+                THEN array_to_string(kept_lines, chr(10)) ELSE '' END AS cleaned
+    FROM (
+      SELECT {id_col},
+             string_split({text_expr}, chr(10)) AS lines,
+             list_filter(string_split({text_expr}, chr(10)), {line_ok})
+               AS kept_lines
+      FROM {table}
+    )
+    """
+
+
 def pack_sequences_sql(
     table: str = "documents",
     id_col: str = "doc_id",

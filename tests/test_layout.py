@@ -172,3 +172,26 @@ def test_parse_entities_plan_is_narrow(spark):
     plan = parse.parse_entities(files)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing shuffles exactly once — on the writer shard for the
+    running-sum window; no global sort, no second exchange."""
+    from project_cortex_spark.operators import corpus
+
+    docs = spark.createDataFrame([(1, "abcd" * 30)], ["doc_id", "text"])
+    plan = corpus.pack_sequences(docs, writers=4)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan  # a global sort would be this
+
+
+def test_quantize_plan_is_narrow(spark):
+    """Int8 re-encoding is a pure projection: zero Exchange, so a 100 TB
+    re-encode runs at scan bandwidth."""
+    from project_cortex_spark.operators import knn
+
+    emb = spark.createDataFrame([(1, [0.1, 0.2])], ["vec_id", "embedding"])
+    plan = knn.quantize_embeddings(emb)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan

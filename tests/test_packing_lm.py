@@ -187,3 +187,41 @@ def test_ann_recall_partial(spark):
     )
     r = knn.ann_recall(approx, exact).collect()[0]
     assert r["n_exact"] == 5 and r["n_hit"] == 3 and r["recall_e4"] == 6000
+
+
+# ---------------------------------------------------------------------------
+# c4_clean
+# ---------------------------------------------------------------------------
+
+
+def test_c4_clean_semantics(spark):
+    page = "\n".join(
+        [
+            "This is a perfectly good sentence.",  # kept
+            "Please enable JavaScript to continue.",  # blocklist
+            "We use cookie tracking on this site.",  # blocklist
+            "short line.",  # < 4 words
+            "No terminal punctuation on this line",  # no punct
+            'He said "stop right there."',  # kept (quote terminal)
+            "if (x) { return 1; }",  # brace
+        ]
+    )
+    docs = spark.createDataFrame(
+        [(1, page), (2, "one good sentence stands alone.")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in textstats.c4_clean(docs).collect()}
+    assert got[1]["n_lines"] == 7 and got[1]["n_kept"] == 2
+    assert got[1]["kept"] is True
+    assert got[1]["cleaned"].split("\n") == [
+        "This is a perfectly good sentence.",
+        'He said "stop right there."',
+    ]
+    # one surviving line < MIN_KEPT_LINES -> document dropped, empty text
+    assert got[2]["kept"] is False and got[2]["cleaned"] == ""
+
+
+def test_c4_clean_plan_is_narrow(spark):
+    docs = spark.createDataFrame([(1, "a good line here.")], ["doc_id", "text"])
+    plan = textstats.c4_clean(docs)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
