@@ -1806,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_tfidf_terms"] = lambda s, d: ts.tfidf_top_terms(_docs(s, d))
     out["corpus_sample_per_key"] = _q_corpus_sample_per_key
     out["corpus_pack_sequences"] = _q_corpus_pack
+    out["corpus_profile"] = lambda s, d: corpus_mod.profile(_docs(s, d))
     out["embed_quantize"] = _q_embed_quantize
     out["knn_recall_lsh"] = _q_knn_recall_lsh
     out["pipeline_change_detection"] = _q_change_detection
@@ -1901,6 +1902,7 @@ _GATE_FIRST = [
     "text_c4_clean",  # C4 heuristic line/document cleaning rules
     "text_tfidf_terms",  # per-doc top-k TF-IDF keywords
     "corpus_pack_sequences",  # concat-then-split training-sequence layout
+    "corpus_profile",  # dataset-card statistics panel, exact-int contract
     "embed_quantize",  # int8 embedding quantization + recon error
     "knn_recall_lsh",  # recall@k self-measurement of the ANN path (weak)
     "graph_callees_cte",  # native WITH RECURSIVE twin of the BFS walk
@@ -1988,6 +1990,7 @@ def oracle_sql() -> dict[str, str]:
     out["corpus_pack_sequences"] = oracle.pack_sequences_sql(
         seq_tokens=256, writers=16
     )
+    out["corpus_profile"] = oracle.corpus_profile_sql()
     out["embed_quantize"] = oracle.quantize_embeddings_sql()
     # knn_recall_lsh: grades an approximate structure — no oracle by design
     out["text_top_terms"] = _TOP_TERMS_ORACLE.format(

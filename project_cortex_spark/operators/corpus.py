@@ -175,6 +175,84 @@ def pack_sequences(
     )
 
 
+def profile(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Dataset-card statistics panel: one long-format (metric, value)
+    frame with the numbers every corpus release documents — size,
+    token mass, vocabulary, language mix, exact-duplicate rate.
+
+    Values are exact integers (counts, or *_e4 scaled ratios) so the
+    contract hash is precision-proof.
+
+    Scale: one pass over the scan feeding a handful of tiny aggregates
+    (each with map-side partials) unioned into a ~10-row result. The
+    vocabulary count is the only wide shuffle (distinct over exploded
+    tokens — at 100 TB substitute approx_count_distinct, documented
+    here rather than silently switched, since the oracle checks the
+    exact form).
+    """
+    from ..functions.text import estimate_llm_tokens, tokens
+
+    text = F.col(text_col)
+    n_tok = F.size(tokens(text))
+
+    def metric(name: str, value) -> DataFrame:
+        return value.select(
+            F.lit(name).alias("metric"), F.col("value").cast("bigint").alias("value")
+        )
+
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        text.alias("_text"),
+        F.col(lang_col).alias("_lang"),
+        n_tok.alias("_ntok"),
+        estimate_llm_tokens(text).alias("_est"),
+    )
+    rows = [
+        metric("n_docs", base.agg(F.count(F.lit(1)).alias("value"))),
+        metric("total_tokens", base.agg(F.sum("_ntok").alias("value"))),
+        metric("total_est_llm_tokens", base.agg(F.sum("_est").alias("value"))),
+        # sum/count instead of avg(): integer sums are exact in float64,
+        # so the floor is deterministic across engines; avg()'s internal
+        # accumulation order is not part of either engine's contract
+        metric(
+            "avg_doc_tokens_e4",
+            base.agg(
+                F.floor(
+                    F.lit(10_000) * F.sum("_ntok") / F.count(F.lit(1))
+                ).alias("value")
+            ),
+        ),
+        metric(
+            "vocab_size",
+            base.select(F.explode(tokens(F.col("_text"))).alias("t"))
+            .agg(F.countDistinct("t").alias("value")),
+        ),
+        metric(
+            "n_langs", base.agg(F.countDistinct("_lang").alias("value"))
+        ),
+        metric(
+            "exact_dup_docs",
+            base.groupBy(F.md5(F.col("_text")))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("n") > 1, F.col("n") - 1)), F.lit(0)
+                ).alias("value")
+            ),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -941,6 +941,44 @@ def c4_clean_sql(
     """
 
 
+def corpus_profile_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> str:
+    """Oracle for corpus.profile: same tokenizer, exact-integer metrics,
+    long (metric, value) format."""
+    toks = _TOKS_EXPR.format(text=text_col, sep=SEP_SQL)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS id, {text_col} AS text, {lang_col} AS lang,
+             len({toks}) AS ntok,
+             CAST(floor(length({text_col}) / 4) AS BIGINT) AS est,
+             {toks} AS t
+      FROM {table}
+    )
+    SELECT 'n_docs' AS metric, count(*)::BIGINT AS value FROM base
+    UNION ALL
+    SELECT 'total_tokens', CAST(sum(ntok) AS BIGINT) FROM base
+    UNION ALL
+    SELECT 'total_est_llm_tokens', CAST(sum(est) AS BIGINT) FROM base
+    UNION ALL
+    SELECT 'avg_doc_tokens_e4',
+           CAST(floor(10000 * sum(ntok)::DOUBLE / count(*)) AS BIGINT)
+    FROM base
+    UNION ALL
+    SELECT 'vocab_size', count(DISTINCT x)::BIGINT
+    FROM (SELECT unnest(t) AS x FROM base)
+    UNION ALL
+    SELECT 'n_langs', count(DISTINCT lang)::BIGINT FROM base
+    UNION ALL
+    SELECT 'exact_dup_docs',
+           CAST(coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0) AS BIGINT)
+    FROM (SELECT md5(text) AS h, count(*) AS n FROM base GROUP BY 1)
+    """
+
+
 def pack_sequences_sql(
     table: str = "documents",
     id_col: str = "doc_id",

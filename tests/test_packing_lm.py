@@ -225,3 +225,31 @@ def test_c4_clean_plan_is_narrow(spark):
     plan = textstats.c4_clean(docs)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# corpus profile
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_profile_matches_oracle(registry, duck):
+    got = corpus.profile(registry.table("documents"))
+    assert_matches_oracle(got, duck, oracle.corpus_profile_sql())
+
+
+def test_corpus_profile_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en"),
+            (2, "alpha beta gamma", "en"),  # exact dup of 1
+            (3, "alpha delta", "fr"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    got = {r["metric"]: r["value"] for r in corpus.profile(docs).collect()}
+    assert got["n_docs"] == 3
+    assert got["total_tokens"] == 8
+    assert got["vocab_size"] == 4  # alpha beta gamma delta
+    assert got["n_langs"] == 2
+    assert got["exact_dup_docs"] == 1  # one redundant copy
+    assert got["avg_doc_tokens_e4"] == 10_000 * 8 // 3
