@@ -9,6 +9,8 @@ oracle entry (rows-only check by design):
   * knn_join_lsh / knn_join_ivf — approximate by construction; their
     exact twin (knn_join) is oracle-gated and full-probe IVF == exact is
     unit-tested.
+  * knn_recall_lsh — grades an approximate structure against the
+    oracle-gated exact join; its output depends on LSH recall.
   * search_semantic — hash-embedding composite (semantics unit-tested in
     tests/test_search.py).
   * pipeline_parse_entities / graph_pattern_search — python-ast parse

@@ -23,6 +23,11 @@ PICKS = {
     "events_sessionize": "gap sessions: single shuffle on user_id, window assembly",
     "pipeline_chunk_markdown": "structure-aware chunking: zero Exchange (narrow Arrow map)",
     "fts_composite": "FTS bool+phrase: term filters pushed below the shuffle, ReuseExchange dedupes postings subplan",
+    "corpus_pack_sequences": "sequence packing: EXACTLY ONE hash Exchange (writer shard) — no global sort",
+    "text_lm_score": "bigram LM: two count aggregates with map-side partials, natural-key joins, 1-row broadcast vocab",
+    "text_c4_clean": "C4 cleaning: zero Exchange — line rules are collection expressions at scan bandwidth",
+    "embed_quantize": "int8 re-encode: zero Exchange, pure codegen projection",
+    "graph_callees_cte": "native WITH RECURSIVE (UnionLoop): the declarative twin of the fused BFS",
 }
 
 
