@@ -459,6 +459,15 @@ def _q_knn_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_mod.ann_recall(approx, exact)
 
 
+def _q_knn_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same self-measurement for the IVF path at its contract nprobe
+    emb = _registry(spark, sf_dir).table("embeddings")
+    q = _knn_queries(spark, sf_dir)
+    exact = knn_mod.knn_join(q, emb, k=5)
+    approx = knn_mod.knn_join_ivf(q, emb, k=5, n_centroids=16, nprobe=4)
+    return knn_mod.ann_recall(approx, exact)
+
+
 def _q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_mod.pack_sequences(
         _docs(spark, sf_dir), seq_tokens=256, writers=16
@@ -1811,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corpus_profile"] = lambda s, d: corpus_mod.profile(_docs(s, d))
     out["embed_quantize"] = _q_embed_quantize
     out["knn_recall_lsh"] = _q_knn_recall_lsh
+    out["knn_recall_ivf"] = _q_knn_recall_ivf
     out["pipeline_change_detection"] = _q_change_detection
     out["pipeline_apply_changeset"] = _q_apply_changeset
     out["pipeline_branch_fork"] = _q_branch_fork
@@ -1907,6 +1917,7 @@ _GATE_FIRST = [
     "corpus_profile",  # dataset-card statistics panel, exact-int contract
     "embed_quantize",  # int8 embedding quantization + recon error
     "knn_recall_lsh",  # recall@k self-measurement of the ANN path (weak)
+    "knn_recall_ivf",  # same self-measurement for the IVF path (weak)
     "graph_callees_cte",  # native WITH RECURSIVE twin of the BFS walk
 ] + [
     # re-gate sample of round-1 greens (fills the 50-slot gate with a

@@ -224,3 +224,71 @@ def test_dsl_filter_fuzz_vs_duckdb(registry, duck, where):
         f"SELECT p_partkey FROM part WHERE {_to_sql(where)}"
     ).fetchall()
     assert sorted(r[0] for r in got.collect()) == sorted(r[0] for r in want)
+
+
+@COMMON
+@given(st.lists(TEXT, min_size=1, max_size=25), st.integers(1, 4))
+def test_pack_sequences_tiles_each_writer(spark, texts, writers):
+    """Per writer, sorted start_offsets tile the token stream exactly:
+    offset[0] == 0 and offset[k] == offset[k-1] + n_tokens[k-1] — no
+    gaps, no overlap, for arbitrary documents and shard counts."""
+    from project_cortex_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rows = pack_sequences(docs, seq_tokens=32, writers=writers).collect()
+    assert len(rows) == len(texts)
+    by_writer: dict = {}
+    for r in rows:
+        by_writer.setdefault(r["writer"], []).append(r)
+    for grp in by_writer.values():
+        grp.sort(key=lambda r: r["start_offset"])
+        expect = 0
+        for r in grp:
+            assert r["start_offset"] == expect
+            assert r["seq_id"] == r["start_offset"] // 32
+            expect += r["n_tokens"]
+
+
+@COMMON
+@given(st.lists(TEXT, min_size=1, max_size=20))
+def test_c4_clean_matches_python_reference(spark, texts):
+    """The Spark line rules agree with a direct python re-implementation
+    on arbitrary multi-line documents."""
+    import re
+
+    from project_cortex_spark.operators.textstats import (
+        C4_BLOCKLIST,
+        C4_MIN_KEPT_LINES,
+        C4_MIN_LINE_WORDS,
+        c4_clean,
+    )
+
+    # stitch generated fragments into multi-line docs
+    docs_py = {}
+    for i in range(0, len(texts), 4):
+        docs_py[i] = "\n".join(texts[i : i + 4])
+
+    def ref(text: str):
+        lines = text.split("\n")
+        kept = []
+        for line in lines:
+            t = line.strip(" ")  # Spark/DuckDB trim() is space-only
+            words = [w for w in re.split(" +", t) if w]
+            ok = (
+                bool(re.search(r'[.!?"]$', t))
+                and len(words) >= C4_MIN_LINE_WORDS
+                and all(p not in t.lower() for p in C4_BLOCKLIST)
+            )
+            if ok:
+                kept.append(line)
+        is_kept = len(kept) >= C4_MIN_KEPT_LINES
+        return (len(lines), len(kept), is_kept, "\n".join(kept) if is_kept else "")
+
+    df = spark.createDataFrame(list(docs_py.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept"], r["cleaned"])
+        for r in c4_clean(df).collect()
+    }
+    assert got == {i: ref(t) for i, t in docs_py.items()}
