@@ -1814,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_redact_pii"] = _q_text_redact_pii
     out["text_lm_score"] = lambda s, d: ts.bigram_lm_score(_docs(s, d))
     out["text_c4_clean"] = _q_text_c4_clean
+    out["text_bpe_tokens"] = lambda s, d: ts.bpe_token_stats(_docs(s, d))
     out["text_tfidf_terms"] = lambda s, d: ts.tfidf_top_terms(_docs(s, d))
     out["corpus_sample_per_key"] = _q_corpus_sample_per_key
     out["corpus_pack_sequences"] = _q_corpus_pack
@@ -1912,6 +1913,7 @@ _GATE_FIRST = [
     "stream_rollup",  # continuous aggregate: incremental == batch
     "text_lm_score",  # self-trained bigram-LM quality filter
     "text_c4_clean",  # C4 heuristic line/document cleaning rules
+    "text_bpe_tokens",  # GPT-2-style pre-tokenizer piece counts
     "text_tfidf_terms",  # per-doc top-k TF-IDF keywords
     "corpus_pack_sequences",  # concat-then-split training-sequence layout
     "corpus_profile",  # dataset-card statistics panel, exact-int contract
@@ -1999,6 +2001,7 @@ def oracle_sql() -> dict[str, str]:
     out["corpus_sample_per_key"] = oracle.sample_per_key_sql(k=25)
     out["text_lm_score"] = oracle.bigram_lm_sql()
     out["text_c4_clean"] = oracle.c4_clean_sql(text_expr=_C4_PAGE_SQL)
+    out["text_bpe_tokens"] = oracle.bpe_token_stats_sql()
     out["text_tfidf_terms"] = oracle.tfidf_top_terms_sql(k=5)
     out["corpus_pack_sequences"] = oracle.pack_sequences_sql(
         seq_tokens=256, writers=16

@@ -342,6 +342,48 @@ def tfidf_top_terms(
     )
 
 
+# GPT-2-style pre-tokenization pattern (Radford et al. 2019 — the
+# published regex, simplified to the RE2-compatible subset so Spark
+# (java.util.regex) and DuckDB (RE2) parse it identically: no lookahead,
+# no \s inside classes mixed with unicode properties). Pieces are
+# contractions, space-prefixed letter runs, digit runs, punctuation
+# runs, and whitespace runs; whitespace pieces are excluded from the
+# count, matching how BPE vocabularies absorb the leading space.
+BPE_PIECE_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^ \p{L}\p{N}]+"
+    r"| +"
+)
+
+
+def bpe_token_stats(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Pre-tokenizer piece counts: the sizing signal actual LLM training
+    uses (a BPE vocab merges WITHIN these pieces, so the piece count is
+    a tight lower bound on the real token count, where len/4 is only a
+    calibration heuristic).
+
+    (doc_id, n_bpe_pieces, est_llm_tokens, pieces_per_est_e4) — all
+    exact integers. Scale: one regexp_extract_all projection, zero
+    shuffle, codegen.
+    """
+    text = F.lower(F.col(text_col))
+    pieces = F.regexp_extract_all(text, F.lit(BPE_PIECE_RE), F.lit(0))
+    n_pieces = F.size(F.filter(pieces, lambda p: ~p.rlike(r"^ +$")))
+    est = estimate_llm_tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_pieces.cast("bigint").alias("n_bpe_pieces"),
+        est.alias("est_llm_tokens"),
+        F.floor(
+            F.lit(10_000) * n_pieces / F.greatest(est, F.lit(1))
+        ).cast("bigint").alias("pieces_per_est_e4"),
+    )
+
+
 # C4-style line filters (Raffel et al. 2020 §2.2, "Colossal Clean
 # Crawled Corpus"): pinned, engine-portable forms of the published
 # rules. A line survives iff it ends in terminal punctuation, has >=

@@ -901,6 +901,27 @@ def weighted_mix_sql(
     """
 
 
+def bpe_token_stats_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """Oracle for textstats.bpe_token_stats: identical RE2-safe pattern."""
+    from .operators.textstats import BPE_PIECE_RE
+
+    pat = BPE_PIECE_RE.replace("'", "''")
+    return f"""
+    SELECT {id_col} AS doc_id,
+           len(list_filter(regexp_extract_all(lower({text_col}), '{pat}'),
+               p -> NOT regexp_matches(p, '^ +$')))::BIGINT AS n_bpe_pieces,
+           CAST(floor(length({text_col}) / 4) AS BIGINT) AS est_llm_tokens,
+           CAST(floor(10000.0 *
+             len(list_filter(regexp_extract_all(lower({text_col}), '{pat}'),
+                 p -> NOT regexp_matches(p, '^ +$')))
+             / greatest(CAST(floor(length({text_col}) / 4) AS BIGINT), 1))
+           AS BIGINT) AS pieces_per_est_e4
+    FROM {table}
+    """
+
+
 def c4_clean_sql(
     *,
     table: str = "documents",

@@ -253,3 +253,27 @@ def test_corpus_profile_semantics(spark):
     assert got["n_langs"] == 2
     assert got["exact_dup_docs"] == 1  # one redundant copy
     assert got["avg_doc_tokens_e4"] == 10_000 * 8 // 3
+
+
+# ---------------------------------------------------------------------------
+# bpe_token_stats
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_tokens_matches_oracle(registry, duck):
+    got = textstats.bpe_token_stats(registry.table("documents"))
+    assert_matches_oracle(got, duck, oracle.bpe_token_stats_sql())
+
+
+def test_bpe_tokens_semantics(spark):
+    docs = spark.createDataFrame(
+        [(1, "It's 2024, isn't it?"), (2, "    ")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in textstats.bpe_token_stats(docs).collect()}
+    # pieces of "it's 2024, isn't it?" (lowered):
+    # [it]['s][ 2024][,][ isn]['t][ it][?] = 8 non-space pieces
+    assert got[1]["n_bpe_pieces"] == 8
+    assert got[1]["est_llm_tokens"] == 5  # len 20 // 4
+    assert got[1]["pieces_per_est_e4"] == 16_000
+    # whitespace-only doc: zero pieces
+    assert got[2]["n_bpe_pieces"] == 0

@@ -292,3 +292,37 @@ def test_c4_clean_matches_python_reference(spark, texts):
         for r in c4_clean(df).collect()
     }
     assert got == {i: ref(t) for i, t in docs_py.items()}
+
+
+@COMMON
+@given(st.lists(TEXT, min_size=1, max_size=25))
+def test_bpe_pattern_parity_with_duckdb(spark, duck, texts):
+    """The GPT-2-style piece pattern extracts identical pieces in Java
+    regex and RE2 on arbitrary text — the property the text_bpe_tokens
+    oracle rests on."""
+    from project_cortex_spark.operators.textstats import BPE_PIECE_RE
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r["i"]: list(r["p"])
+        for r in df.select(
+            "i",
+            F.regexp_extract_all(
+                F.lower(F.col("t")), F.lit(BPE_PIECE_RE), F.lit(0)
+            ).alias("p"),
+        ).collect()
+    }
+    duck.execute(
+        "CREATE OR REPLACE TABLE _prop_bpe AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") AS v(i, t)",
+        list(texts),
+    )
+    pat = BPE_PIECE_RE.replace("'", "''")
+    want = {
+        i: p
+        for i, p in duck.execute(
+            f"SELECT i, regexp_extract_all(lower(t), '{pat}') FROM _prop_bpe"
+        ).fetchall()
+    }
+    assert got == want
