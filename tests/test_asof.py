@@ -140,3 +140,25 @@ def test_range_join_bucketed_equals_naive(spark):
         .collect()
     }
     assert got == naive and got
+
+
+def test_asof_null_payload_stays_atomic(spark):
+    """A matched right row with NULL in one payload column must deliver
+    that NULL — never back-fill the column from an older right row
+    (the matched row travels as ONE struct through the window fill)."""
+    left = spark.createDataFrame(
+        [(1, 10), (2, 20)], ["id", "t"]
+    ).withColumn("k", F.lit(1))
+    right = spark.createDataFrame(
+        [(5, "x1", "y1"), (15, None, "y2")], ["t", "a", "b"]
+    ).withColumn("k", F.lit(1))
+    got = {
+        r["id"]: (r["right_a"], r["right_b"])
+        for r in as_of_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_payload=["a", "b"],
+        ).collect()
+    }
+    assert got[1] == ("x1", "y1")
+    # matched row is (15, NULL, y2): 'a' must be NULL, not "x1"
+    assert got[2] == (None, "y2")
