@@ -46,8 +46,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
-        # testdata writes TIMESTAMP(NANOS); read as long then the registry
-        # converts back to TimestampType (micros) losslessly via `div 1000`
+        # testdata timestamps are naive (no UTC adjustment); read them as
+        # TimestampType in the UTC session so values match the DuckDB oracle
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # older testdata wrote TIMESTAMP(NANOS); read as long then the
+        # registry converts to TimestampType (micros) via `div 1000`
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -62,10 +62,13 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    # defensive: a caller-supplied session (the driver harness) may not
+    # carry this conf; naive parquet timestamps must land as TimestampType
+    # (UTC session) — TIMESTAMP_NTZ breaks unix_micros and oracle parity
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     nano_cols = _nano_timestamp_columns(path)
     if nano_cols:
-        # defensive: a caller-supplied session (the driver harness) may
-        # not carry this conf; without it the TIMESTAMP(NANOS) read fails
+        # same defensive posture for TIMESTAMP(NANOS) testdata
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nano_cols:

@@ -19,6 +19,7 @@ from project_cortex_spark.sources.registry import _nano_timestamp_columns
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``readStream`` twin of ``registry.table(name)``."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(path).schema
     # the file stream source requires a directory; scope it to this
     # table's file with pathGlobFilter
