@@ -3,10 +3,12 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-Each query is executed twice: a warm-up pass is NOT used (per-query cold
-numbers would mostly measure JVM/codegen warmup, which a long-lived
-cluster amortizes); the reported value is the steady-state run. value =
-sum of per-query seconds.
+Each query runs once as warm-up (JVM/codegen warmup, file listing —
+costs a long-lived cluster amortizes), then ``BENCH_RUNS`` timed runs;
+the reported value is the MINIMUM of the timed runs. Min-of-N is the
+right estimator here: the container shares a host, and wall-clock noise
+(steal, IO contention) only ever adds time — the min is the closest
+observable to the true plan cost. value = sum of per-query minima.
 """
 
 from __future__ import annotations
@@ -54,15 +56,19 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="cortex-bench")
 
+    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
     qs = entrymod.queries()
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         # warm-up: build + run once (JIT/codegen, file listing)
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     out = {
         "metric": "headline-query wall time at sf (steady-state, noop sink)",
