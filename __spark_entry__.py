@@ -1590,7 +1590,12 @@ def _q_hydrate_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(reg.table("lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey")
         .agg(
-            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            # serialized as a CSV string: the driver's pandas canonicalizer
+            # cannot hash/sort an array<int> column (unhashable list), so the
+            # nested result is emitted in a scalar, hash-stable form
+            F.array_join(F.sort_array(F.collect_list("l_linenumber")), ",").alias(
+                "line_numbers"
+            ),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -1598,7 +1603,7 @@ def _q_hydrate_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HYDRATE_ORACLE = """
     SELECT o_orderkey,
-           list_sort(list(l_linenumber)) AS line_numbers,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
            count(*) AS n_lines
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderkey
@@ -2121,7 +2126,7 @@ def oracle_sql() -> dict[str, str]:
     out["stream_rollup"] = """
         SELECT epoch_us(time_bucket(INTERVAL '60 minutes', ts)) AS window_start_us,
                event_type, count(*) AS n_events,
-               sum(CAST(round(value * 10000) AS BIGINT)) AS sum_value_e4
+               CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4
         FROM events GROUP BY 1, 2
     """
     out["media_decode_meta"] = oracle.media_decode_meta_sql()

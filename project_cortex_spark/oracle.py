@@ -608,15 +608,17 @@ def sessionize_sql(table: str = "events", gap_minutes: int = 30) -> str:
       FROM gaps
     ),
     numbered AS (
-      SELECT *, sum(new_session) OVER
-               (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+      -- CAST: DuckDB sum(INTEGER) yields HUGEINT, which pandas coerces to
+      -- float64 and the driver hash then sees 3.0 vs Spark's 3.
+      SELECT *, CAST(sum(new_session) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
       FROM flagged
     )
     SELECT user_id, session_seq,
            min(ts) AS session_start,
            max(ts) AS session_end,
            count(*) AS n_events,
-           sum(CAST(round(value * 10000, 0) AS BIGINT)) AS sum_value_e4
+           CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_value_e4
     FROM numbered GROUP BY user_id, session_seq
     """
 
