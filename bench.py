@@ -56,7 +56,7 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="cortex-bench")
 
-    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
+    n_runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
     qs = entrymod.queries()
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -71,11 +71,13 @@ def main() -> None:
         times[name] = round(best, 3)
 
     out = {
-        "metric": "headline-query wall time at sf (steady-state, noop sink)",
+        "metric": "headline-query wall time at sf (min of N warm runs, noop sink)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "runs": n_runs,
+        "estimator": "min",
     }
     print(json.dumps(out))
 

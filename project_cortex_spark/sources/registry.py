@@ -53,6 +53,17 @@ def _nano_timestamp_columns(path: str) -> list[str]:
         return []
 
 
+def _ensure_conf(spark: SparkSession, key: str, value: str) -> None:
+    """Set a session conf only if it differs — a write (even of the same
+    value) can churn derived session state, and this runs per table read."""
+    try:
+        current = spark.conf.get(key)
+    except Exception:
+        current = None
+    if current != value:
+        spark.conf.set(key, value)
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan that restores TIMESTAMP(NANOS) columns to TimestampType.
 
@@ -63,13 +74,15 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     # defensive: a caller-supplied session (the driver harness) may not
-    # carry this conf; naive parquet timestamps must land as TimestampType
-    # (UTC session) — TIMESTAMP_NTZ breaks unix_micros and oracle parity
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # carry these confs; naive parquet timestamps must land as TimestampType
+    # in a UTC session — TIMESTAMP_NTZ breaks unix_micros, and a non-UTC
+    # session timezone shifts the epoch micros the oracles compare against
+    _ensure_conf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    _ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
     nano_cols = _nano_timestamp_columns(path)
     if nano_cols:
         # same defensive posture for TIMESTAMP(NANOS) testdata
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nano_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))

@@ -13,13 +13,21 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from project_cortex_spark.sources.registry import _nano_timestamp_columns
+from project_cortex_spark.sources.registry import _ensure_conf, _nano_timestamp_columns
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``readStream`` twin of ``registry.table(name)``."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # same defensive confs as registry.read_parquet, BEFORE the schema
+    # probe: on a bare caller session the probe itself fails on legacy
+    # TIMESTAMP(NANOS) data without nanosAsLong. The probe must keep the
+    # raw on-disk schema (nanos as long) — the restore happens below —
+    # so read_parquet().schema (already converted) is not reusable here.
+    _ensure_conf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    _ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
+    if _nano_timestamp_columns(path):
+        _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     # the file stream source requires a directory; scope it to this
     # table's file with pathGlobFilter
