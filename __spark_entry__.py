@@ -1874,73 +1874,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # remaining slots re-gate a representative sample of the round-1 greens.
 # Everything still runs locally via scripts/check_entry.py regardless.
 _GATE_FIRST = [
-    # red in round 1 (fixed: integer-micros emission) — must re-gate
-    "events_sessionize",
-    # 23 queries with no round-1 driver row
-    "pipeline_change_detection",
-    "pipeline_apply_changeset",
-    "pipeline_branch_fork",
-    "pipeline_chunk_docs",
-    "pipeline_chunk_assembly",
-    "pipeline_embed_stub",
-    "pipeline_parse_entities",
-    "source_file_stats",
-    "graph_pattern_search",
-    "agg_rollup",
-    "agg_cube",
-    "agg_percentiles",
-    "events_cumulative",
-    "events_lag_delta",
-    "join_hydrate_nested",
-    "join_asof",
-    "join_range",
-    "stream_windowed_agg",
-    "stream_sessionize",
-    "media_decode_meta",
-    "media_features",
-    "text_fingerprints",
-    "text_top_terms",
-    # new round-2 contracts
-    "dedup_simhash_banded",
-    "dedup_embedding_lsh",
-    "dedup_ngram_jaccard",  # changed this round: df-capped on both sides
-    "pipeline_parse_multilang",  # go/ts/js/py parse, golden oracle
-    "graph_type_usages_params",  # G5 over real parsed param types
-    "pipeline_chunk_markdown",  # D6 structure-aware cascade, golden oracle
-    "graph_context_snippets",  # ±N-line snippets, real string-ops oracle
-    "graph_pattern_ast",  # structural metavariable tier, golden oracle
-    "retention_evict_branches",  # eviction policy vs sequential-walk CTE
-    "dedup_embedding_ivf",  # cluster-then-pair approx twin (weak)
-    "text_repetition",  # Gopher repetition signals, zero-shuffle folds
-    "text_redact_pii",  # ordered count+replace chain, synthetic PII
-    "corpus_sample_per_key",  # count-based stratified sample
-    "stream_dedup",  # exactly-once ingestion over at-least-once delivery
-    "stream_rollup",  # continuous aggregate: incremental == batch
-    "text_lm_score",  # self-trained bigram-LM quality filter
-    "text_c4_clean",  # C4 heuristic line/document cleaning rules
-    "text_bpe_tokens",  # GPT-2-style pre-tokenizer piece counts
-    "text_tfidf_terms",  # per-doc top-k TF-IDF keywords
-    "corpus_pack_sequences",  # concat-then-split training-sequence layout
-    "corpus_profile",  # dataset-card statistics panel, exact-int contract
-    "embed_quantize",  # int8 embedding quantization + recon error
-    "knn_recall_lsh",  # recall@k self-measurement of the ANN path (weak)
-    "knn_recall_ivf",  # same self-measurement for the IVF path (weak)
-    "graph_callees_cte",  # native WITH RECURSIVE twin of the BFS walk
-] + [
-    # re-gate sample of round-1 greens (fills the 50-slot gate with a
-    # representative slice of every operator family; keep this section
-    # trimmed from the TOP as new round-2 contracts are appended above)
-    "fts_composite",
+    # Round-3 gate plan (VERDICT r2 item 4): the driver gates the FIRST 50
+    # registered queries per round. Rounds 1+2 rotated coverage; this round
+    # closes the evidence gap — the 5 round-2 reds (contract-serialization
+    # fixes landed this round) re-gate first, then the 44 oracle-gated
+    # queries whose only green row is from round 1 (two engine revisions
+    # ago), then one weak-by-design headline query fills slot 50. Round-2
+    # greens keep their r2 rows. Everything still runs locally via
+    # scripts/check_entry.py regardless.
+    #
+    # -- the 5 round-2 reds, fixed this round --
+    "events_sessionize",  # oracle session_seq HUGEINT -> CAST AS BIGINT
+    "join_hydrate_nested",  # array<int> column -> comma-joined string
+    "join_range",  # inherits the sessionize oracle cast fix
+    "stream_sessionize",  # same
+    "stream_rollup",  # sum_value_e4 HUGEINT -> CAST AS BIGINT
+    # -- 44 oracle-gated queries whose only green row is round 1 --
+    "dsl_filter_bool_tree",
+    "dsl_like",
+    "dsl_in",
+    "dsl_null_checks",
+    "dsl_between_dates",
+    "dsl_order_limit_offset",
+    "dsl_join_inner",
+    "dsl_join_left",
+    "dsl_join_right",
+    "dsl_join_full",
+    "dsl_agg_full",
+    "dsl_agg_having",
+    "dsl_revenue_by_nation",
+    "knn_topk",
+    "knn_topk_filtered",
+    "knn_join",
+    "fts_term",
+    "fts_phrase",
+    "fts_prefix",
+    "fts_bool_and",
+    "fts_bool_or_not",
+    "fts_filtered",
+    "graph_callers_d2",
     "graph_callees_d3",
-    "graph_callers_d2",  # oracle changed this round (min-depth target fix)
+    "graph_dependencies",
+    "graph_dependents",
+    "graph_type_usages",
     "graph_implements",
-    "graph_impact",
     "graph_shortest_path",
+    "graph_impact",
+    "dedup_exact_groups",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
     "dedup_embedding_cosine",
-    "corpus_split",
-    "corpus_decontaminate",
     "events_windowed_agg",
+    "events_top_users",
+    "events_props_extract",
+    "text_token_stats",
+    "text_quality",
+    "text_language_id",
+    "corpus_split",
+    "corpus_mix",
+    "corpus_decontaminate",
+    # -- slot 50: weak-by-design (rows-only) but in the bench headline --
+    "knn_join_ivf",
 ]
 
 
