@@ -552,6 +552,27 @@ def _q_search_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("score", F.round("score", 6))
 
 
+def _q_search_semantic_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cortex_search over the RANDOM-INDEXING lexical provider (the
+    # no-model-runtime stand-in for the reference's ONNX BGE-small,
+    # provider.go:20-39): cosine tracks weighted token overlap, so this
+    # smoke-checks real retrieval behavior through the unchanged provider
+    # seam. Embedding values are not SQL-expressible -> rows-only check;
+    # ranking quality is unit-tested in tests/test_search.py.
+    idx = _memo(
+        spark,
+        sf_dir,
+        "search_index_lexical",
+        lambda: search_mod.build_search_index(
+            _docs(spark, sf_dir), dim=32, provider="lexical"
+        ).cache(),
+    )
+    return search_mod.semantic_search(
+        idx, "key agg row scan", limit=15, tags=["en", "code"],
+        min_score=0.05, dim=32, provider="lexical",
+    ).withColumn("score", F.round("score", 6))
+
+
 # ---------------------------------------------------------------------------
 # Graph traversal (SURVEY §2.7) over order-chain edges: consecutive orders
 # of one customer form a chain — same shape as call edges
@@ -1774,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _fts_query(q, limit)
     out["fts_filtered"] = _q_fts_filtered
     out["search_semantic"] = _q_search_semantic
+    out["search_semantic_lexical"] = _q_search_semantic_lexical
     out["graph_callees_d3"] = _q_graph_callees
     out["graph_callees_cte"] = _q_graph_callees_cte
     out["graph_callers_d2"] = _q_graph_callers

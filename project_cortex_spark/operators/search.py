@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from project_cortex_spark.operators.knn import knn_topk
 from project_cortex_spark.pipeline.chunks import assemble_code_chunks
-from project_cortex_spark.pipeline.embed import DEFAULT_DIM, embed_chunks, hash_embed_series
+from project_cortex_spark.pipeline.embed import DEFAULT_DIM, PROVIDERS, embed_chunks
 
 
 def build_search_index(
@@ -37,12 +37,15 @@ def build_search_index(
     text_col: str = "text",
     lang_col: str = "lang",
     dim: int = DEFAULT_DIM,
+    provider: str = "hash",
 ) -> DataFrame:
     """Chunk + embed + payload join — the build side that ``cortex_index``
     maintains and ``cortex_search`` reads (chunks ⋈ files, J2)."""
     chunks = assemble_code_chunks(docs, id_col=id_col, text_col=text_col)
     payload = docs.select(id_col, F.col(lang_col).alias("language"))
-    embedded = embed_chunks(chunks, text_col="chunk_text", dim=dim, mode="passage")
+    embedded = embed_chunks(
+        chunks, text_col="chunk_text", dim=dim, mode="passage", provider=provider
+    )
     return embedded.join(payload, id_col)
 
 
@@ -64,12 +67,14 @@ def semantic_search(
     tags: list[str] | None = None,
     min_score: float | None = None,
     dim: int = DEFAULT_DIM,
+    provider: str = "hash",
 ) -> DataFrame:
     """Embed the query (query mode, asymmetric to passages) and return the
     top ``limit`` chunks with payload: (chunk_id, doc_id, chunk_type,
-    language, score). chunk_types OR together; tags AND together."""
-    qv = [float(x) for x in hash_embed_series(pd.Series([query]), dim=dim,
-                                              mode="query")[0]]
+    language, score). chunk_types OR together; tags AND together.
+    ``provider`` must match the one the index was built with."""
+    embed = PROVIDERS[provider]
+    qv = [float(x) for x in embed(pd.Series([query]), dim=dim, mode="query")[0]]
     where = None
     if chunk_types:
         where = F.col("chunk_type").isin(*chunk_types)

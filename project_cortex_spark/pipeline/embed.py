@@ -63,6 +63,68 @@ def hash_embed_series(
     return pd.Series(out)
 
 
+# Executor-local model cache (the W4 "embed daemon" shape: load-once per
+# worker process, shared across Arrow batches).
+_TOKEN_DIRS: dict[tuple[str, int], np.ndarray] = {}
+
+
+def _token_direction(tok: str, dim: int) -> np.ndarray:
+    """Deterministic unit direction for a token (random indexing).
+
+    Each token maps to a pseudo-random Gaussian direction seeded by its
+    crc32, so the mapping is stable across processes/executors with no
+    trained artifact to ship. Documents sharing tokens land near each
+    other in cosine — a real distributional embedding (Kanerva-style
+    random indexing), unlike the bucketed hash provider whose collisions
+    are structureless.
+    """
+    key = (tok, dim)
+    v = _TOKEN_DIRS.get(key)
+    if v is None:
+        rng = np.random.default_rng(zlib.crc32(tok.encode()))
+        v = rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        _TOKEN_DIRS[key] = v
+    return v
+
+
+_TOKEN_RE = None
+
+
+def lexical_embed_series(
+    texts: pd.Series, *, dim: int = DEFAULT_DIM, mode: str = "passage"
+) -> pd.Series:
+    """Random-indexing lexical embedding: sublinear-tf-weighted sum of
+    per-token deterministic Gaussian directions, L2-normalized.
+
+    The closest no-model-runtime stand-in for the reference's BGE-small
+    provider (internal/embed/provider.go:20-39): cosine similarity is
+    monotone in weighted token overlap, so retrieval quality tracks
+    lexical relatedness rather than hash-bucket coincidence. Asymmetric
+    ``mode`` adds a virtual mode token exactly like the hash provider.
+    """
+    global _TOKEN_RE
+    if _TOKEN_RE is None:
+        import re
+
+        _TOKEN_RE = re.compile(r"[^0-9a-z]+")
+    out = []
+    for text in texts:
+        toks = [t for t in _TOKEN_RE.split((text or "").lower()) if t]
+        vec = _token_direction(f"[{mode}]", dim).copy()
+        if toks:
+            counts: dict[str, int] = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            for t, c in counts.items():
+                vec += (1.0 + np.log(c)) * _token_direction(t, dim)
+        norm = np.linalg.norm(vec)
+        if norm > 0:
+            vec /= norm
+        out.append(vec.astype(np.float32))
+    return pd.Series(out)
+
+
 def _onnx_embed_series(
     texts: pd.Series, *, dim: int = DEFAULT_DIM, mode: str = "passage"
 ) -> pd.Series:
@@ -81,6 +143,7 @@ def _onnx_embed_series(
 # downstream — embed_chunks callers, KNN, dedup — is provider-agnostic.
 PROVIDERS = {
     "hash": hash_embed_series,
+    "lexical": lexical_embed_series,
     "onnx": _onnx_embed_series,
 }
 

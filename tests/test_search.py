@@ -57,3 +57,59 @@ def test_query_mode_is_asymmetric(index):
     row = index.first()
     got = srch.semantic_search(index, row["chunk_text"], limit=1, dim=32).first()
     assert got["score"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Lexical (random-indexing) provider: real distributional behavior
+# ---------------------------------------------------------------------------
+
+
+def test_lexical_provider_deterministic_unit_norm():
+    import numpy as np
+    import pandas as pd
+
+    from project_cortex_spark.pipeline.embed import lexical_embed_series
+
+    texts = pd.Series(["select key from table", "", "SELECT key FROM table"])
+    a = lexical_embed_series(texts, dim=32)
+    b = lexical_embed_series(texts, dim=32)
+    for va, vb in zip(a, b):
+        assert np.allclose(va, vb)
+        assert abs(np.linalg.norm(va) - 1.0) < 1e-5
+    # case-insensitive tokenization: same tokens -> same vector
+    assert np.allclose(a[0], a[2])
+
+
+def test_lexical_cosine_tracks_token_overlap():
+    """The point of the provider: sharing more tokens -> higher cosine.
+    (The hash provider cannot promise this — bucket collisions are
+    structureless.)"""
+    import numpy as np
+    import pandas as pd
+
+    from project_cortex_spark.pipeline.embed import lexical_embed_series
+
+    vecs = lexical_embed_series(
+        pd.Series(
+            [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox sleeps all day",
+                "orbital mechanics of jupiter trojan asteroids",
+            ]
+        ),
+        dim=64,
+    )
+    base, related, unrelated = (np.asarray(v, dtype=float) for v in vecs)
+    assert float(base @ related) > float(base @ unrelated) + 0.1
+
+
+def test_lexical_semantic_search_end_to_end(spark, registry):
+    """cortex_search through the lexical provider retrieves the chunk whose
+    text the query was drawn from."""
+    docs = registry.table("documents")
+    index = srch.build_search_index(docs, dim=32, provider="lexical")
+    row = index.first()
+    got = srch.semantic_search(
+        index, row["chunk_text"], limit=5, dim=32, provider="lexical"
+    ).first()
+    assert got["doc_id"] == row["doc_id"]
