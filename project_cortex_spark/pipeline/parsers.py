@@ -83,6 +83,34 @@ def mask_code(
     return "".join(out)
 
 
+_CHAR_LIT_RE = re.compile(r"'(?:\\.|[^'\\\n])'")
+
+
+def mask_char_literals(src: str) -> str:
+    """Blank closed single-quote char literals (``'}'``, ``'\\n'``) to
+    spaces, length-preserving. Unlike treating ``'`` as a string
+    delimiter, this leaves Rust lifetimes (``&'a str`` — no closing
+    quote) untouched, while a brace/paren inside a char literal can no
+    longer unbalance structural matching."""
+    return _CHAR_LIT_RE.sub(lambda m: " " * len(m.group(0)), src)
+
+
+_PHP_HEREDOC_RE = re.compile(
+    r"<<<\s*(['\"]?)(\w+)\1\r?\n.*?\r?\n\s*\2", re.S
+)
+
+
+def mask_php_heredocs(src: str) -> str:
+    """Blank PHP heredoc/nowdoc bodies (``<<<EOT ... EOT``), preserving
+    newlines/offsets, so declaration-shaped text inside them cannot emit
+    phantom entities or unbalance braces."""
+
+    def blank(m: re.Match) -> str:
+        return "".join(c if c == "\n" else " " for c in m.group(0))
+
+    return _PHP_HEREDOC_RE.sub(blank, src)
+
+
 def line_starts(src: str) -> list[int]:
     starts = [0]
     for i, c in enumerate(src):
@@ -385,9 +413,14 @@ _TS_KEYWORDS = frozenset(
     "constructor import export default class interface type const let var".split()
 )
 _TS_BRANCH_RE = re.compile(r"\b(?:if|for|while|case|catch)\b")
+# optional generic parameter list between a name and `(`/`extends`,
+# balanced to three nesting levels (Map<string, Array<number>> etc.;
+# deeper nesting degrades to a missed match, never a wrong span)
+_TS_GENERIC = r"(?:\s*<(?:[^<>]|<(?:[^<>]|<[^<>]*>)*>)*>)?"
 _TS_CLASS_RE = re.compile(
     r"^\s*(?:export\s+)?(?:default\s+)?(?:abstract\s+)?class\s+(\w+)"
-    r"(\s+extends\s+[\w.]+)?(\s+implements\s+[\w,\s.]+)?",
+    + _TS_GENERIC
+    + r"(\s+extends\s+[\w.]+" + _TS_GENERIC + r")?(\s+implements\s+[\w,\s.]+)?",
     re.M,
 )
 _TS_IFACE_RE = re.compile(
@@ -395,7 +428,9 @@ _TS_IFACE_RE = re.compile(
 )
 _TS_ALIAS_RE = re.compile(r"^\s*(?:export\s+)?type\s+(\w+)\s*=", re.M)
 _TS_FUNC_RE = re.compile(
-    r"^\s*(?:export\s+)?(?:default\s+)?(?:async\s+)?function\s*\*?\s*(\w+)\s*\(",
+    r"^\s*(?:export\s+)?(?:default\s+)?(?:async\s+)?function\s*\*?\s*(\w+)"
+    + _TS_GENERIC
+    + r"\s*\(",
     re.M,
 )
 _TS_IMPORT_RE = re.compile(
@@ -409,7 +444,7 @@ _TS_VALUE_RE = re.compile(
 )
 _TS_METHOD_RE = re.compile(
     r"^\s*(?:public\s+|private\s+|protected\s+|static\s+|readonly\s+|async\s+"
-    r"|get\s+|set\s+|\*\s*)*(\w+)\s*\(",
+    r"|get\s+|set\s+|\*\s*)*(\w+)" + _TS_GENERIC + r"\s*\(",
     re.M,
 )
 _TS_IFACE_MEMBER_RE = re.compile(r"^\s*(?:readonly\s+)?(\w+)\s*(\??)\s*[:(]")
@@ -682,9 +717,10 @@ def parse_rust(path: str, source: str, row) -> list[tuple]:
     """Rust extraction: struct/enum/trait/union types (+ struct fields),
     impl-block methods with the impl target as receiver, free functions,
     use imports, const/static data, calls, complexity. `'` is NOT a
-    string delimiter here (lifetimes); char literals are short enough
-    that masking only double-quoted strings keeps structure intact."""
-    masked = mask_code(source, strings='"')
+    string delimiter here (lifetimes have no closing quote); closed char
+    literals are blanked separately so ``'{'``/``'}'`` cannot unbalance
+    brace matching while ``&'a str`` survives."""
+    masked = mask_code(mask_char_literals(source), strings='"')
     starts = line_starts(source)
     out: list[tuple] = []
     func_spans: list[tuple[int, int, str]] = []
@@ -1078,8 +1114,10 @@ _PHP_PROP_RE = re.compile(
 def parse_php(path: str, source: str, row) -> list[tuple]:
     """PHP extraction: class/interface/trait types (+ typed properties as
     fields), methods/functions with typed params and return types, use
-    imports, const rows, calls, complexity."""
-    masked = mask_code(source)
+    imports, const rows, calls, complexity. Heredoc/nowdoc bodies are
+    blanked first — declaration-shaped text inside them must not emit
+    phantom entities."""
+    masked = mask_code(mask_php_heredocs(source))
     starts = line_starts(source)
     out: list[tuple] = []
     func_spans: list[tuple[int, int, str]] = []

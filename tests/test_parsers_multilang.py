@@ -451,3 +451,122 @@ class TestParserRobustness:
             self._check_invariants(lang, "\x00\x01\x02 binary ish \xff")
             self._check_invariants(lang, "{" * 2000)
             self._check_invariants(lang, "(" * 2000)
+
+
+class TestAdversarialFixtures:
+    """VERDICT r2 item 6: syntax the masking scanner is most likely to
+    misread. Each case asserts correct extraction where the scanner can
+    deliver it, and clean degradation (valid spans, no phantom entities)
+    where it cannot."""
+
+    def _spans_valid(self, rows, text):
+        n_lines = text.count("\n") + 1
+        for r in rows:
+            assert 1 <= r[4] <= n_lines, ("start", r)
+            assert r[4] <= r[5] <= n_lines or r[5] == 0, ("end", r)
+
+    def test_ts_nested_generics(self):
+        src = """
+interface Cache<K extends string, V extends Map<string, Array<number>>> {
+    get(key: K): V | undefined;
+}
+
+function transform<T extends Map<string, Array<number>>>(
+    input: Map<string, T>,
+    fn: (v: T) => Promise<Array<T>>,
+): Promise<Map<string, T>> {
+    return Promise.resolve(input);
+}
+"""
+        rows = _rows("ts", "g.ts", src)
+        self._spans_valid(rows, src)
+        by = _by_kind(rows)
+        assert [r[2] for r in by["type"]] == ["Cache"]
+        names = {r[2] for r in by["function"]}
+        assert "transform" in names
+        tf = next(r for r in by["function"] if r[2] == "transform")
+        assert tf[4] == 6 and tf[5] == 11  # generics/arrow-typed params
+        # don't break the brace-matched span
+        params = {r[2] for r in by.get("param", []) if r[3] == "transform"}
+        assert "input" in params and "fn" in params
+
+    def test_ts_arrow_soup(self):
+        src = """
+const curry = (a: number) => (b: number) => (c: number) => a + b + c;
+const handlers = {
+    onClick: async (e: Event) => { await log(e); },
+};
+export const pipe = <T,>(...fns: Array<(x: T) => T>) => (x: T): T =>
+    fns.reduce((acc, f) => f(acc), x);
+
+function plain(n: number): number { return n; }
+"""
+        rows = _rows("ts", "a.ts", src)
+        self._spans_valid(rows, src)
+        by = _by_kind(rows)
+        fnames = {r[2] for r in by["function"]}
+        # declared arrow consts surface as functions; the inner anonymous
+        # arrows must NOT produce phantom named entities
+        assert "curry" in fnames and "plain" in fnames
+        assert not any(n in fnames for n in ("acc", "f", "x", "b", "c"))
+
+    def test_rust_lifetimes_near_char_literals(self):
+        src = """
+const OPEN: char = '{';
+const CLOSE: char = '}';
+
+pub fn longest<'a, 'b: 'a>(x: &'a str, y: &'b str) -> &'a str {
+    let sep = ',';
+    if x.len() > y.len() { x } else { y }
+}
+
+struct Holder<'a> {
+    name: &'a str,
+}
+
+impl<'a> Holder<'a> {
+    fn get(&self) -> &'a str { self.name }
+}
+"""
+        rows = _rows("rs", "l.rs", src)
+        self._spans_valid(rows, src)
+        by = _by_kind(rows)
+        funcs = {r[2]: (r[4], r[5]) for r in by["function"]}
+        # char literals '{'/'}'/',' must not unbalance the spans
+        assert funcs["longest"] == (5, 8)
+        assert funcs["get"] == (15, 15)
+        get = next(r for r in by["function"] if r[2] == "get")
+        assert get[3] == "Holder"  # impl target as receiver
+        types = {r[2] for r in by["type"]}
+        assert "Holder" in types
+        fields = {r[2]: r[11] for r in by.get("field", []) if r[3] == "Holder"}
+        assert fields.get("name") == "&'a str"
+
+    def test_php_heredocs(self):
+        src = """<?php
+namespace App;
+
+$sql = <<<SQL
+SELECT '}' FROM t WHERE x = "{"
+SQL;
+
+$tpl = <<<'HTML'
+function phantom($x) {
+}
+HTML;
+
+class Repo {
+    public function find(int $id): ?Repo {
+        return $this;
+    }
+}
+"""
+        rows = _rows("php", "h.php", src)
+        self._spans_valid(rows, src)
+        by = _by_kind(rows)
+        fnames = {r[2] for r in by["function"]}
+        assert fnames == {"find"}  # no phantom from the nowdoc body
+        find = next(r for r in by["function"] if r[2] == "find")
+        assert find[3] == "Repo"
+        types = {r[2]: (r[4], r[5]) for r in by["type"]}
+        assert types["Repo"] == (13, 17)
