@@ -1050,6 +1050,31 @@ def _q_corpus_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_mod.sample_per_key(_docs(spark, sf_dir), key_col="lang", k=25)
 
 
+def _q_corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quality-weighted soft filter: the weight column is the oracle-gated
+    # quality score, the coin flip a deterministic hash bucket
+    scored = ts.quality_scores(_docs(spark, sf_dir))
+    return corpus_mod.importance_sample(
+        scored, weight_col="quality", scale=1.2
+    ).select("doc_id", "quality")
+
+
+def _q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup train/eval contamination: every 97th doc acts as the
+    # benchmark; graded distinct-shingle containment with a df cap
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return corpus_mod.contamination_pairs(
+        docs, bench, ngram=3, threshold_e4=450, max_df=50
+    ).filter(F.col("doc_id") != F.col("bench_id"))
+
+
+def _q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_mod.shuffle_shards(
+        _docs(spark, sf_dir), seed="epoch0", shards=8
+    ).select("doc_id", "shard", "pos")
+
+
 # PII-redaction contract: the synthetic docs contain no PII, so the
 # contract enriches each row with a deterministic email / IPv4 / phone /
 # SSN-shaped suffix derived from doc_id — IDENTICAL expression on both
@@ -1844,6 +1869,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_bpe_tokens"] = lambda s, d: ts.bpe_token_stats(_docs(s, d))
     out["text_tfidf_terms"] = lambda s, d: ts.tfidf_top_terms(_docs(s, d))
     out["corpus_sample_per_key"] = _q_corpus_sample_per_key
+    out["corpus_importance_sample"] = _q_corpus_importance_sample
+    out["corpus_contamination"] = _q_corpus_contamination
+    out["corpus_shuffle"] = _q_corpus_shuffle
     out["corpus_pack_sequences"] = _q_corpus_pack
     out["corpus_profile"] = lambda s, d: corpus_mod.profile(_docs(s, d))
     out["embed_quantize"] = _q_embed_quantize
@@ -2021,6 +2049,14 @@ def oracle_sql() -> dict[str, str]:
     out["text_repetition"] = oracle.repetition_stats_sql()
     out["text_redact_pii"] = oracle.redact_pii_sql(text_expr=_PII_SUFFIX_SQL)
     out["corpus_sample_per_key"] = oracle.sample_per_key_sql(k=25)
+    out["corpus_importance_sample"] = oracle.importance_sample_sql(scale=1.2)
+    out["corpus_contamination"] = f"""
+        SELECT * FROM ({oracle.contamination_pairs_sql(
+            bench_filter="doc_id % 97 = 0", ngram=3,
+            threshold_e4=450, max_df=50)})
+        WHERE doc_id <> bench_id
+    """
+    out["corpus_shuffle"] = oracle.shuffle_shards_sql(seed="epoch0", shards=8)
     out["text_lm_score"] = oracle.bigram_lm_sql()
     out["text_c4_clean"] = oracle.c4_clean_sql(text_expr=_C4_PAGE_SQL)
     out["text_bpe_tokens"] = oracle.bpe_token_stats_sql()

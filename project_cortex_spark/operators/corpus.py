@@ -253,6 +253,168 @@ def profile(
     return out
 
 
+def importance_sample(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "quality",
+    scale: float = 1.0,
+    salt: str = "imp",
+) -> DataFrame:
+    """Quality-weighted soft filtering: keep each row with probability
+    ``min(weight*scale, 1)`` — the importance-resampling shape of
+    DCLM/FineWeb-style pipelines (a hard threshold throws away all
+    mid-quality text; sampling proportional to the score keeps the
+    distribution while tilting toward quality).
+
+    Deterministic: the coin flip is the document's hash bucket against
+    ``floor(min(weight*scale,1)*10000)``, so membership is reproducible
+    across runs/engines and stable per row under corpus growth — the same
+    contract as :func:`hash_split`/:func:`weighted_mix`, with a per-row
+    bound instead of a per-source constant.
+
+    Scale: one codegen filter over the scan, zero shuffle.
+    """
+    bucket = _hash_bucket(F.col(id_col), salt=salt)
+    bound = F.floor(
+        F.least(F.col(weight_col) * F.lit(float(scale)), F.lit(1.0)) * 10_000
+    ).cast("bigint")
+    return docs.filter(bucket < bound)
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    ngram: int = 3,
+    threshold_e4: int = 5_000,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate train/eval contamination: (doc_id, bench_id,
+    containment_e4) for every corpus document covering ≥ threshold of a
+    benchmark item's distinct word ``ngram``-grams.
+
+    containment = |sh(doc) ∩ sh(bench)| / |sh(bench)| — directional on
+    purpose: a training document that embeds a whole eval item is
+    contaminated no matter how much other text surrounds it (symmetric
+    Jaccard would dilute exactly those cases). Reported as
+    ``floor(1e4*x)`` so the contract hash is precision-proof. Exact
+    :func:`decontaminate` (ANY shared shingle) is the blunt form; this is
+    the graded form that tolerates benign few-gram collisions.
+
+    Scale: one equi-join on the shingle value — the benchmark side is
+    tiny (eval suites are KBs-to-MBs against a 100 TB corpus), so the
+    join broadcasts and the corpus side never shuffles. ``max_df`` drops
+    stop-shingles from BOTH the intersection and the benchmark set sizes
+    (same df-cap contract as dedup.ngram_jaccard_pairs) to kill
+    quadratic hot keys when the benchmark contains boilerplate.
+    """
+    bid = bench_id_col or id_col
+    btext = bench_text_col or text_col
+    doc_sh = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), ngram))).alias("sh"),
+    )
+    bench_sh = benchmark.select(
+        F.col(bid).alias("bid"),
+        F.explode(F.array_distinct(shingles(F.col(btext), ngram))).alias("sh"),
+    )
+    if max_df is not None:
+        keep = (
+            bench_sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("sh")
+        )
+        bench_sh = bench_sh.join(keep, "sh")
+    sizes = bench_sh.groupBy("bid").agg(F.count(F.lit(1)).alias("nb"))
+    common = (
+        doc_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("did", "bid")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(F.broadcast(sizes), "bid")
+        .select(
+            F.col("did").alias("doc_id"),
+            F.col("bid").alias("bench_id"),
+            F.floor(F.lit(10_000) * F.col("common") / F.col("nb"))
+            .cast("bigint")
+            .alias("containment_e4"),
+        )
+        .filter(F.col("containment_e4") >= threshold_e4)
+    )
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    ngram: int = 3,
+    threshold_e4: int = 5_000,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Drop documents flagged by :func:`contamination_pairs` (anti-join
+    on the contaminated id set)."""
+    pairs = contamination_pairs(
+        docs,
+        benchmark,
+        id_col=id_col,
+        text_col=text_col,
+        bench_id_col=bench_id_col,
+        bench_text_col=bench_text_col,
+        ngram=ngram,
+        threshold_e4=threshold_e4,
+        max_df=max_df,
+    )
+    return docs.join(
+        pairs.select(F.col("doc_id").alias(id_col)).distinct(), id_col, "left_anti"
+    )
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    seed: str = "shuffle",
+    shards: int = 8,
+) -> DataFrame:
+    """Deterministic global corpus shuffle laid out as independent
+    shards: (+shard, +pos). Training runs need a reproducible random
+    order; a global ORDER BY rand() is neither reproducible nor
+    shuffle-friendly. Here shard = hash-bucket of the id (size-balanced
+    in expectation) and pos = rank of md5(seed:id) within the shard, so
+    the (shard, pos) order is a seeded permutation any engine reproduces
+    and each shard is written by one task with no global sort.
+
+    Changing ``seed`` yields an independent permutation (fresh data
+    order per epoch without rewriting bytes — readers stream shard k in
+    pos order).
+
+    Scale: ONE shuffle keyed on the shard bucket; within-shard rank is a
+    window over that same partitioning. ``shards`` should be >= the
+    write parallelism you want; there is no skew because md5 buckets are
+    uniform.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    shard = _hash_bucket(F.col(id_col), buckets=shards, salt=f"{seed}-shard")
+    w = Window.partitionBy("shard").orderBy(h, F.col(id_col))
+    return (
+        docs.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

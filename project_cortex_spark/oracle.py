@@ -903,6 +903,86 @@ def weighted_mix_sql(
     """
 
 
+def importance_sample_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: float = 1.0,
+    salt: str = "imp",
+) -> str:
+    """Oracle for corpus.importance_sample over quality_scores weights:
+    identical quality formula, md5 bucket, and floor'd per-row bound."""
+    return f"""
+    WITH q AS ({quality_scores_sql(table, id_col, text_col)})
+    SELECT doc_id, quality
+    FROM q
+    WHERE {_bucket_sql("doc_id", salt)}
+          < CAST(floor(least(quality * {scale}, 1.0) * 10000) AS BIGINT)
+    """
+
+
+def contamination_pairs_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_filter: str,
+    ngram: int = 3,
+    threshold_e4: int = 5_000,
+    max_df: int | None = None,
+) -> str:
+    """Oracle for corpus.contamination_pairs with the benchmark defined
+    as ``SELECT ... FROM table WHERE bench_filter`` (distinct-shingle
+    containment against the benchmark item's capped shingle set)."""
+    df_cut = ""
+    bsrc = "bsh"
+    if max_df is not None:
+        df_cut = f""",
+      kept AS (SELECT sh FROM bsh GROUP BY sh HAVING count(*) <= {max_df}),
+      bsh2 AS (SELECT b.bid, b.sh FROM bsh b JOIN kept k ON b.sh = k.sh)"""
+        bsrc = "bsh2"
+    return f"""
+    WITH {shingles_cte(table, id_col, text_col, ngram)},
+      dsh AS (SELECT DISTINCT doc_id AS did, sh FROM sh),
+      bsh AS (
+        SELECT DISTINCT doc_id AS bid, sh FROM sh
+        WHERE doc_id IN (SELECT {id_col} FROM {table} WHERE {bench_filter})
+      ){df_cut},
+      sizes AS (SELECT bid, count(*) AS nb FROM {bsrc} GROUP BY bid),
+      common AS (
+        SELECT d.did, b.bid, count(*) AS c
+        FROM dsh d JOIN {bsrc} b ON d.sh = b.sh
+        GROUP BY d.did, b.bid
+      )
+    SELECT common.did AS doc_id, common.bid AS bench_id,
+           CAST(floor(10000.0 * c / nb) AS BIGINT) AS containment_e4
+    FROM common JOIN sizes ON common.bid = sizes.bid
+    WHERE floor(10000.0 * c / nb) >= {threshold_e4}
+    """
+
+
+def shuffle_shards_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    seed: str = "shuffle",
+    shards: int = 8,
+) -> str:
+    """Oracle for corpus.shuffle_shards: identical shard bucket and
+    within-shard md5 rank."""
+    shard = (
+        f"('0x' || substr(md5('{seed}-shard:' || CAST({id_col} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {shards}"
+    )
+    return f"""
+    SELECT {id_col} AS doc_id, shard,
+           CAST(row_number() OVER (
+             PARTITION BY shard
+             ORDER BY md5('{seed}:' || CAST({id_col} AS VARCHAR)), {id_col}
+           ) AS BIGINT) AS pos
+    FROM (SELECT {id_col}, {shard} AS shard FROM {table})
+    """
+
+
 def bpe_token_stats_sql(
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
 ) -> str:

@@ -85,3 +85,107 @@ def test_sample_per_key_semantics(spark):
     assert {(r["doc_id"], r["sample_rank"]) for r in got} == {
         (r["doc_id"], r["sample_rank"]) for r in again
     }
+
+
+def test_importance_sample_matches_oracle(registry, duck):
+    from project_cortex_spark.operators.textstats import quality_scores
+
+    scored = quality_scores(registry.table("documents"))
+    got = corpus.importance_sample(scored, weight_col="quality", scale=1.2).select(
+        "doc_id", "quality"
+    )
+    assert_matches_oracle(got, duck, oracle.importance_sample_sql(scale=1.2))
+
+
+def test_importance_sample_semantics(spark):
+    rows = [(i, 1.0 if i < 50 else 0.0) for i in range(100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "w"])
+    kept = corpus.importance_sample(docs, weight_col="w").collect()
+    # weight 1.0 always survives; weight 0.0 never does
+    assert {r["doc_id"] for r in kept} == set(range(50))
+    # scale pushes sub-1.0 weights proportionally: ~30% of 1000 at w=0.3
+    many = spark.createDataFrame([(i, 0.3) for i in range(1000)], ["doc_id", "w"])
+    n = corpus.importance_sample(many, weight_col="w").count()
+    assert 230 <= n <= 370
+
+
+def test_contamination_pairs_matches_oracle(registry, duck):
+    docs = registry.table("documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    got = corpus.contamination_pairs(
+        docs, bench, ngram=3, threshold_e4=450, max_df=50
+    ).filter(F.col("doc_id") != F.col("bench_id"))
+    sql = f"""
+        SELECT * FROM ({oracle.contamination_pairs_sql(
+            bench_filter="doc_id % 97 = 0", ngram=3,
+            threshold_e4=450, max_df=50)})
+        WHERE doc_id <> bench_id
+    """
+    assert_matches_oracle(got, duck, sql)
+
+
+def test_contamination_directional_containment(spark):
+    docs = spark.createDataFrame(
+        [
+            # embeds the whole benchmark item inside unrelated padding
+            (1, "alpha beta gamma delta " + " ".join(f"pad{i}" for i in range(40))),
+            # shares one trigram only
+            (2, "alpha beta gamma nothing else in common here at all"),
+            (3, "totally unrelated text with no overlap whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(9, "alpha beta gamma delta")], ["doc_id", "text"])
+    pairs = {
+        r["doc_id"]: r["containment_e4"]
+        for r in corpus.contamination_pairs(
+            docs, bench, ngram=3, threshold_e4=0
+        ).collect()
+    }
+    # doc 1 covers ALL of the benchmark's trigrams despite the padding
+    assert pairs[1] == 10_000
+    # doc 2 covers exactly 1 of 2 trigrams
+    assert pairs[2] == 5_000
+    assert 3 not in pairs
+    survivors = {
+        r["doc_id"]
+        for r in corpus.fuzzy_decontaminate(
+            docs, bench, ngram=3, threshold_e4=6_000
+        ).collect()
+    }
+    assert survivors == {2, 3}
+
+
+def test_shuffle_shards_matches_oracle(registry, duck):
+    got = corpus.shuffle_shards(
+        registry.table("documents"), seed="epoch0", shards=8
+    ).select("doc_id", "shard", "pos")
+    assert_matches_oracle(
+        got, duck, oracle.shuffle_shards_sql(seed="epoch0", shards=8)
+    )
+
+
+def test_shuffle_shards_is_seeded_permutation(registry):
+    docs = registry.table("documents")
+    a = corpus.shuffle_shards(docs, seed="epoch0", shards=4).select(
+        "doc_id", "shard", "pos"
+    )
+    b = corpus.shuffle_shards(docs, seed="epoch1", shards=4).select(
+        "doc_id", "shard", "pos"
+    )
+    rows_a = {(r["doc_id"]): (r["shard"], r["pos"]) for r in a.collect()}
+    rows_a2 = {(r["doc_id"]): (r["shard"], r["pos"]) for r in a.collect()}
+    rows_b = {(r["doc_id"]): (r["shard"], r["pos"]) for r in b.collect()}
+    # deterministic per seed
+    assert rows_a == rows_a2
+    # every doc appears exactly once; (shard, pos) is a proper layout:
+    # positions within a shard are 1..n with no gaps
+    n_docs = docs.count()
+    assert len(rows_a) == n_docs
+    by_shard = {}
+    for shard, pos in rows_a.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different seed yields a different permutation
+    assert rows_a != rows_b
