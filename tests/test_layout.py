@@ -195,3 +195,38 @@ def test_quantize_plan_is_narrow(spark):
     plan = knn.quantize_embeddings(emb)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_importance_sample_is_shuffle_free(registry):
+    from project_cortex_spark.operators import corpus
+    from project_cortex_spark.operators.textstats import quality_scores
+
+    df = corpus.importance_sample(
+        quality_scores(registry.table("documents")), weight_col="quality"
+    )
+    plan = layout.plan_of(df)
+    assert "Exchange" not in plan
+
+
+def test_contamination_broadcasts_benchmark(registry):
+    from project_cortex_spark.operators import corpus
+
+    docs = registry.table("documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = layout.plan_of(
+        corpus.contamination_pairs(docs, bench, ngram=3, max_df=50)
+    )
+    # the tiny benchmark side must broadcast: the 100 TB corpus side never
+    # shuffles through a sort-merge join
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_shuffle_shards_single_exchange_no_global_sort(registry):
+    from project_cortex_spark.operators import corpus
+
+    plan = layout.plan_of(
+        corpus.shuffle_shards(registry.table("documents"), seed="e0", shards=8)
+    )
+    assert plan.count("hashpartitioning") == 1
+    assert "rangepartitioning" not in plan  # a global sort would show here
