@@ -100,6 +100,20 @@ _PHP_HEREDOC_RE = re.compile(
 )
 
 
+_TEXT_BLOCK_RE = re.compile(r'""".*?"""', re.S)
+
+
+def mask_text_blocks(src: str) -> str:
+    """Blank Java 15+ text blocks (``\"\"\" ... \"\"\"``), preserving
+    newlines/offsets — quote/brace soup inside them must not desync the
+    plain string masker."""
+
+    def blank(m: re.Match) -> str:
+        return "".join(c if c == "\n" else " " for c in m.group(0))
+
+    return _TEXT_BLOCK_RE.sub(blank, src)
+
+
 def mask_php_heredocs(src: str) -> str:
     """Blank PHP heredoc/nowdoc bodies (``<<<EOT ... EOT``), preserving
     newlines/offsets, so declaration-shaped text inside them cannot emit
@@ -857,8 +871,9 @@ _JAVA_FIELD_RE = re.compile(
 def parse_java(path: str, source: str, row) -> list[tuple]:
     """Java extraction: class/interface/enum types, member methods (ctor =
     method named like its class), fields (static final => const), package
-    + imports, calls, complexity."""
-    masked = mask_code(source)
+    + imports, calls, complexity. Text blocks are blanked first so their
+    contents cannot desync string masking."""
+    masked = mask_code(mask_text_blocks(source))
     starts = line_starts(source)
     out: list[tuple] = []
     func_spans: list[tuple[int, int, str]] = []

@@ -570,3 +570,56 @@ class Repo {
         assert find[3] == "Repo"
         types = {r[2]: (r[4], r[5]) for r in by["type"]}
         assert types["Repo"] == (13, 17)
+
+    def test_java_text_blocks(self):
+        src = """
+public class T {
+    static final String SQL = \"\"\"
+        SELECT '}' FROM t WHERE x = "{"
+        \"\"\";
+    public int add(int a, int b) { return a + b; }
+}
+"""
+        rows = _rows("java", "T.java", src)
+        self._spans_valid(rows, src)
+        by = _by_kind(rows)
+        funcs = {r[2]: (r[4], r[5]) for r in by["function"]}
+        # the quote/brace soup inside the text block must not desync
+        # masking and swallow the method that follows it
+        assert funcs["add"] == (6, 6)
+        types = {r[2]: (r[4], r[5]) for r in by["type"]}
+        assert types["T"] == (2, 7)
+
+    def test_ts_nested_template_literals(self):
+        src = """
+const msg = `outer ${fn({a: 1})} tail`;
+function after(x: number): number {
+    return x;
+}
+const nested = `a ${ `inner ${y}` } b`;
+function last(z: string): string { return z; }
+"""
+        rows = _rows("ts", "t.ts", src)
+        self._spans_valid(rows, src)
+        by = _by_kind(rows)
+        funcs = {r[2]: (r[4], r[5]) for r in by["function"]}
+        assert funcs["after"] == (3, 5)
+        assert funcs["last"] == (7, 7)
+
+    def test_ruby_percent_literals(self):
+        src = """
+WORDS = %w[alpha beta gamma]
+BRACES = %q({ not a block })
+class Calc
+  def add(a, b)
+    a + b
+  end
+end
+"""
+        rows = _rows("rb", "c.rb", src)
+        self._spans_valid(rows, src)
+        by = _by_kind(rows)
+        funcs = {r[2]: (r[4], r[5]) for r in by["function"]}
+        assert funcs["add"] == (5, 7)
+        consts = {r[2] for r in by["const"]}
+        assert {"WORDS", "BRACES"} <= consts
