@@ -100,6 +100,47 @@ _PHP_HEREDOC_RE = re.compile(
 )
 
 
+_CPP_RAW_STR_RE = re.compile(r'R"([^()\\\s]{0,16})\(.*?\)\1"', re.S)
+
+
+def mask_cpp_raw_strings(src: str) -> str:
+    """Blank C++11 raw string literals (``R"delim( ... )delim"``),
+    preserving newlines/offsets — their contents are uninterpreted, so
+    quotes and braces inside would desync the plain string masker."""
+
+    def blank(m: re.Match) -> str:
+        return "".join(c if c == "\n" else " " for c in m.group(0))
+
+    return _CPP_RAW_STR_RE.sub(blank, src)
+
+
+_IF0_RE = re.compile(r"^\s*#\s*if\s+0\b")
+_IF_ANY_RE = re.compile(r"^\s*#\s*if(?:def|ndef)?\b")
+_ENDIF_RE = re.compile(r"^\s*#\s*endif\b")
+
+
+def mask_if0_regions(src: str) -> str:
+    """Blank ``#if 0 ... #endif`` regions (the C idiom for commenting
+    out code, which need not be brace-balanced), honoring nested
+    conditionals. Other preprocessor conditions are left alone — both
+    branches are usually real code. An unterminated ``#if 0`` blanks to
+    EOF, matching how a compiler would skip it."""
+    lines = src.split("\n")
+    depth = 0
+    for i, line in enumerate(lines):
+        if depth == 0:
+            if _IF0_RE.match(line):
+                depth = 1
+                lines[i] = " " * len(line)
+        else:
+            if _IF_ANY_RE.match(line):
+                depth += 1
+            elif _ENDIF_RE.match(line):
+                depth -= 1
+            lines[i] = " " * len(line)
+    return "\n".join(lines)
+
+
 _TEXT_BLOCK_RE = re.compile(r'""".*?"""', re.S)
 
 
@@ -1000,8 +1041,10 @@ _C_FIELD_RE = re.compile(r"^\s*((?:struct\s+|unsigned\s+|const\s+)?[\w\*]+)\s+"
 def parse_c(path: str, source: str, row) -> list[tuple]:
     """C/C++ extraction: #include imports, #define + global consts,
     struct/union/enum types (+ struct fields), typedef aliases, top-level
-    function DEFINITIONS (body present), calls, complexity."""
-    masked = mask_code(source)
+    function DEFINITIONS (body present), calls, complexity. ``#if 0``
+    regions and C++ raw strings are blanked first — both may contain
+    unbalanced braces/quotes."""
+    masked = mask_code(mask_cpp_raw_strings(mask_if0_regions(source)))
     starts = line_starts(source)
     out: list[tuple] = []
     func_spans: list[tuple[int, int, str]] = []
@@ -1397,7 +1440,7 @@ def parse_cpp(path: str, source: str, row) -> list[tuple]:
     methods (const qualifiers / initializer lists tolerated) and typed
     member fields."""
     out = parse_c(path, source, row)
-    masked = mask_code(source)
+    masked = mask_code(mask_cpp_raw_strings(mask_if0_regions(source)))
     starts = line_starts(source)
     func_spans: list[tuple[int, int, str]] = []
     have = {(r[1], r[2], r[4]) for r in out}

@@ -623,3 +623,48 @@ end
         assert funcs["add"] == (5, 7)
         consts = {r[2] for r in by["const"]}
         assert {"WORDS", "BRACES"} <= consts
+
+    def test_c_if0_regions(self):
+        src = """
+#if 0
+void disabled(int x) {
+#endif
+
+int live(int a, int b) {
+    return a + b;
+}
+
+#if 0
+#if 1
+int nested_disabled(void) { return 0; }
+#endif
+#endif
+
+int tail(void) { return 1; }
+"""
+        rows = _rows("c", "t.c", src)
+        self._spans_valid(rows, src)
+        by = _by_kind(rows)
+        funcs = {r[2]: (r[4], r[5]) for r in by["function"]}
+        # the unbalanced brace in the #if 0 region (C's comment-out
+        # idiom) must not swallow live code or emit phantom entities
+        assert set(funcs) == {"live", "tail"}
+        assert funcs["live"] == (6, 8)
+        assert funcs["tail"] == (16, 16)
+
+    def test_cpp_raw_strings(self):
+        src = """
+const char* s = R"(raw " with } brace)";
+int after(int v) { return v; }
+const char* d = R"sep(contains )" and }{ soup)sep";
+class K {
+public:
+    int m(int w) { return w; }
+};
+"""
+        rows = _rows("cpp", "t.cpp", src)
+        self._spans_valid(rows, src)
+        by = _by_kind(rows)
+        funcs = {r[2]: (r[4], r[5]) for r in by["function"]}
+        assert funcs["after"] == (3, 3)
+        assert funcs["m"] == (7, 7)
