@@ -11,8 +11,11 @@ oracle entry (rows-only check by design):
     unit-tested.
   * knn_recall_lsh — grades an approximate structure against the
     oracle-gated exact join; its output depends on LSH recall.
-  * search_semantic — hash-embedding composite (semantics unit-tested in
-    tests/test_search.py).
+  * search_semantic / search_semantic_lexical — embedding composites
+    (hash / random-indexing providers); embedding values are not
+    SQL-expressible (semantics unit-tested in tests/test_search.py).
+  * dedup_embedding_lsh / dedup_embedding_ivf — approximate recall by
+    construction; the exact twin dedup_embedding_cosine is oracle-gated.
   * pipeline_parse_entities / graph_pattern_search — python-ast parse
     output; no SQL parser exists (exact extraction unit-tested in
     tests/test_parse.py).
