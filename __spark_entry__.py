@@ -1782,6 +1782,22 @@ def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stream-stream interval join: two live copies of the events stream,
+    # ordered pairs within 60 event-time minutes per user; watermarks on
+    # both sides bound the join state (inner results emit immediately, so
+    # the finite run hash-matches the batch self-join oracle)
+    from project_cortex_spark.streaming import joins as stream_joins
+
+    a = stream_source.stream_table(spark, sf_dir, "events")
+    b = stream_source.stream_table(spark, sf_dir, "events")
+    return stream_source.run_to_memory(
+        stream_joins.interval_join_stream(a, b, minutes=60),
+        query_name="q_stream_interval_join",
+        output_mode="append",
+    )
+
+
 def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_source.stream_table(spark, sf_dir, "events")
     return stream_source.run_to_memory(
@@ -1906,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_windowed_agg"] = _q_stream_windowed_agg
     out["stream_sessionize"] = _q_stream_sessionize
     out["stream_dedup"] = _q_stream_dedup
+    out["stream_interval_join"] = _q_stream_interval_join
     out["stream_rollup"] = _q_stream_rollup
     _media = lambda s, d: mm.synthesize_media(_docs(s, d))  # noqa: E731
     out["media_decode_meta"] = lambda s, d: mm.decode_media(_media(s, d)).drop(
@@ -2171,6 +2188,16 @@ def oracle_sql() -> dict[str, str]:
     out["join_asof"] = _ASOF_ORACLE
     out["join_range"] = _range_join_oracle()
     out["stream_windowed_agg"] = oracle.windowed_agg_sql()
+    out["stream_interval_join"] = """
+        SELECT a.user_id,
+               a.event_id AS a_event_id,
+               b.event_id AS b_event_id,
+               epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTES
+         AND (a.ts < b.ts OR a.event_id < b.event_id)
+    """
     out["stream_sessionize"] = oracle.sessionize_stream_sql()
     # exactly-once dedup of a doubled delivery == the original table
     out["stream_dedup"] = """

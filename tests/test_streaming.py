@@ -194,3 +194,25 @@ def test_continuous_rollup_incremental_equals_batch(spark, registry, tmp_path):
         for r in rollup.rollup_partial(events, minutes=60).collect()
     }
     assert got == want
+
+
+def test_interval_join_stream_equals_batch(spark, registry):
+    """The watermark-bounded stream-stream interval join must emit the
+    complete pair set a finite batch self-join produces (inner-join
+    results do not wait for the watermark)."""
+    from project_cortex_spark.streaming import joins as stream_joins
+    from project_cortex_spark.streaming import source as stream_source
+    from tests.conftest import SF_DIR
+
+    a = stream_source.stream_table(spark, SF_DIR, "events")
+    b = stream_source.stream_table(spark, SF_DIR, "events")
+    streamed = stream_source.run_to_memory(
+        stream_joins.interval_join_stream(a, b, minutes=60),
+        query_name="t_interval_join",
+        output_mode="append",
+    )
+    ev = registry.table("events")
+    batch = stream_joins.interval_join_stream(ev, ev.alias("b"), minutes=60)
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
