@@ -51,6 +51,7 @@ from project_cortex_spark.pipeline import embed as embed_mod
 from project_cortex_spark.pipeline import parse as parse_mod
 from project_cortex_spark.pipeline import sink as sink_mod
 from project_cortex_spark.sources import files as files_src
+from project_cortex_spark.sources import layout as layout_mod
 from project_cortex_spark.sources.registry import load_tables
 from project_cortex_spark.streaming import dedup as stream_dedup
 from project_cortex_spark.streaming import rollup as stream_rollup
@@ -1607,6 +1608,33 @@ def _range_join_oracle() -> str:
     """
 
 
+def _q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # skew-mitigated equi-join (layout.salted_join): the salt must be
+    # invisible in the result — aggregated output hash-matches the plain
+    # join oracle no matter how rows were split across reducers
+    reg = _registry(spark, sf_dir)
+    li = reg.table("lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    orders = reg.table("orders").select("o_orderkey", "o_orderstatus")
+    return (
+        layout_mod.salted_join(li, orders, "o_orderkey", n_salts=8)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+_SALTED_JOIN_ORACLE = """
+    SELECT o_orderstatus, count(*) AS n_lines,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+"""
+
+
 def _q_events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lead/lag windows: per-user value delta between consecutive events
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1919,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["join_hydrate_nested"] = _q_hydrate_order_lines
     out["join_asof"] = _q_asof_join
     out["join_range"] = _q_range_join
+    out["join_salted"] = _q_join_salted
     out["stream_windowed_agg"] = _q_stream_windowed_agg
     out["stream_sessionize"] = _q_stream_sessionize
     out["stream_dedup"] = _q_stream_dedup
@@ -2187,6 +2216,7 @@ def oracle_sql() -> dict[str, str]:
     out["join_hydrate_nested"] = _HYDRATE_ORACLE
     out["join_asof"] = _ASOF_ORACLE
     out["join_range"] = _range_join_oracle()
+    out["join_salted"] = _SALTED_JOIN_ORACLE
     out["stream_windowed_agg"] = oracle.windowed_agg_sql()
     out["stream_interval_join"] = """
         SELECT a.user_id,
