@@ -369,6 +369,151 @@ _DSL_QUERIES: dict[str, tuple[dict, str]] = {
            JOIN nation ON c_nationkey = n_nationkey
            GROUP BY n_name ORDER BY revenue DESC, n_name""",
     ),
+    # TPC-H Q3 shape: 3-way join + selective filters on all three tables
+    # + grouped aggregate + ordered top-k (shipping-priority query)
+    "dsl_tpch_q3": (
+        {
+            "from": "customer",
+            "joins": [
+                {
+                    "table": "orders",
+                    "type": "INNER",
+                    "on": {
+                        "field": "customer.c_custkey",
+                        "operator": "=",
+                        "value": "orders.o_custkey",
+                    },
+                },
+                {
+                    "table": "lineitem",
+                    "type": "INNER",
+                    "on": {
+                        "field": "orders.o_orderkey",
+                        "operator": "=",
+                        "value": "lineitem.l_orderkey",
+                    },
+                },
+            ],
+            "where": {
+                "and": [
+                    {
+                        "field": "c_mktsegment",
+                        "operator": "=",
+                        "value": "BUILDING",
+                    },
+                    {
+                        "field": "o_orderdate",
+                        "operator": "<",
+                        "value": "1996-06-30",
+                    },
+                    {
+                        "field": "l_shipdate",
+                        "operator": ">",
+                        "value": "1996-06-30",
+                    },
+                ]
+            },
+            "groupBy": ["lineitem.l_orderkey", "orders.o_orderdate"],
+            "aggregations": [
+                {"function": "SUM", "field": "l_extendedprice", "alias": "revenue"}
+            ],
+            "orderBy": [
+                {"field": "revenue", "direction": "DESC"},
+                {"field": "l_orderkey", "direction": "ASC"},
+            ],
+            "limit": 10,
+        },
+        """SELECT l_orderkey, o_orderdate, sum(l_extendedprice) AS revenue
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1996-06-30'
+             AND l_shipdate > TIMESTAMP '1996-06-30'
+           GROUP BY l_orderkey, o_orderdate
+           ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    ),
+    # TPC-H Q5 shape: 6-way join (incl. the composite
+    # customer-nation = supplier-nation condition) + region filter
+    "dsl_tpch_q5": (
+        {
+            "from": "customer",
+            "joins": [
+                {
+                    "table": "orders",
+                    "type": "INNER",
+                    "on": {
+                        "field": "customer.c_custkey",
+                        "operator": "=",
+                        "value": "orders.o_custkey",
+                    },
+                },
+                {
+                    "table": "lineitem",
+                    "type": "INNER",
+                    "on": {
+                        "field": "orders.o_orderkey",
+                        "operator": "=",
+                        "value": "lineitem.l_orderkey",
+                    },
+                },
+                {
+                    "table": "supplier",
+                    "type": "INNER",
+                    "on": {
+                        "and": [
+                            {
+                                "field": "lineitem.l_suppkey",
+                                "operator": "=",
+                                "value": "supplier.s_suppkey",
+                            },
+                            {
+                                "field": "customer.c_nationkey",
+                                "operator": "=",
+                                "value": "supplier.s_nationkey",
+                            },
+                        ]
+                    },
+                },
+                {
+                    "table": "nation",
+                    "type": "INNER",
+                    "on": {
+                        "field": "supplier.s_nationkey",
+                        "operator": "=",
+                        "value": "nation.n_nationkey",
+                    },
+                },
+                {
+                    "table": "region",
+                    "type": "INNER",
+                    "on": {
+                        "field": "nation.n_regionkey",
+                        "operator": "=",
+                        "value": "region.r_regionkey",
+                    },
+                },
+            ],
+            "where": {"field": "r_name", "operator": "=", "value": "ASIA"},
+            "groupBy": ["nation.n_name"],
+            "aggregations": [
+                {"function": "SUM", "field": "l_extendedprice", "alias": "revenue"}
+            ],
+            "orderBy": [
+                {"field": "revenue", "direction": "DESC"},
+                {"field": "n_name", "direction": "ASC"},
+            ],
+        },
+        """SELECT n_name, sum(l_extendedprice) AS revenue
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'
+           GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    ),
     # O1/O2: multi-key order + limit + offset
     "dsl_order_limit_offset": (
         {
