@@ -1955,6 +1955,40 @@ def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stream-static as-of: the events STREAM resolved against the static
+    # checkpoint table (same ckpt/payload definition as join_asof, same
+    # oracle) via the stateless broadcast-snapshot mapInPandas — append
+    # mode, no watermark, no join state
+    from project_cortex_spark.streaming import joins as stream_joins
+
+    events = _registry(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    ckpt = (
+        events.filter(F.col("event_id") % 10 == 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    stream = stream_source.stream_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = stream_joins.asof_join_stream(
+        stream, ckpt, on="user_id", right_payload=["value"]
+    )
+    return stream_source.run_to_memory(
+        joined.select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.round("value", 6).alias("value"),
+            F.round("right_value", 6).alias("ckpt_value"),
+        ),
+        query_name="q_stream_asof_join",
+        output_mode="append",
+    )
+
+
 def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream-stream interval join: two live copies of the events stream,
     # ordered pairs within 60 event-time minutes per user; watermarks on
@@ -2097,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_sessionize"] = _q_stream_sessionize
     out["stream_dedup"] = _q_stream_dedup
     out["stream_interval_join"] = _q_stream_interval_join
+    out["stream_asof_join"] = _q_stream_asof_join
     out["stream_rollup"] = _q_stream_rollup
     _media = lambda s, d: mm.synthesize_media(_docs(s, d))  # noqa: E731
     out["media_decode_meta"] = lambda s, d: mm.decode_media(_media(s, d)).drop(
@@ -2363,6 +2398,7 @@ def oracle_sql() -> dict[str, str]:
     out["join_range"] = _range_join_oracle()
     out["join_salted"] = _SALTED_JOIN_ORACLE
     out["stream_windowed_agg"] = oracle.windowed_agg_sql()
+    out["stream_asof_join"] = _ASOF_ORACLE
     out["stream_interval_join"] = """
         SELECT a.user_id,
                a.event_id AS a_event_id,

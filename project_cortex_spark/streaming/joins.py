@@ -25,6 +25,80 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def asof_join_stream(
+    stream: DataFrame,
+    snapshots: DataFrame,
+    *,
+    on: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    right_payload: list[str],
+) -> DataFrame:
+    """Stream-static as-of join: each streaming row matched to the latest
+    static snapshot row at-or-before its event time, per key — LEFT
+    semantics (no prior snapshot ⇒ NULL payload), identical to the batch
+    :func:`operators.asof.as_of_join`.
+
+    Design: the static side is a snapshot/config/rate table — small by
+    contract — so it is collected once, sorted per key, and shipped to
+    executors inside a ``mapInPandas`` closure that binary-searches each
+    Arrow batch. That makes the operator STATELESS in streaming terms:
+    no watermark, no join state, append mode, and every micro-batch row
+    resolves immediately. (The alternative — a stream-static inequality
+    join plus a latest-per-event aggregate — would hold unbounded
+    aggregation state for no benefit, since each output row derives from
+    exactly one input row.) At scale the collected side must stay
+    driver-sized (MBs); for a LARGE right side use the batch union+window
+    as-of inside ``foreachBatch`` instead.
+    """
+    import bisect
+    from collections import defaultdict
+
+    import pandas as pd
+
+    snap_rows = snapshots.select(on, right_time, *right_payload).collect()
+    by_key: dict = defaultdict(list)
+    for r in snap_rows:
+        by_key[r[0]].append((r[1], tuple(r[i + 2] for i in range(len(right_payload)))))
+    table = {}
+    for k, lst in by_key.items():
+        lst.sort(key=lambda x: x[0])
+        table[k] = ([t for t, _ in lst], [p for _, p in lst])
+
+    from pyspark.sql.types import StructField, StructType
+
+    in_cols = stream.columns
+    out_schema = StructType(
+        stream.schema.fields
+        + [
+            StructField(f"right_{c}", snapshots.schema[c].dataType, True)
+            for c in right_payload
+        ]
+    )
+
+    def resolve(batches):
+        for pdf in batches:
+            n = len(pdf)
+            extra = {f"right_{c}": [None] * n for c in right_payload}
+            keys = pdf[on].tolist()
+            times = pd.to_datetime(pdf[left_time]).tolist()
+            for i in range(n):
+                entry = table.get(keys[i])
+                if entry is None:
+                    continue
+                ts_list, payloads = entry
+                j = bisect.bisect_right(ts_list, times[i]) - 1
+                if j >= 0:
+                    p = payloads[j]
+                    for c, v in zip(right_payload, p):
+                        extra[f"right_{c}"][i] = v
+            for c in extra:
+                pdf[c] = extra[c]
+            yield pdf[in_cols + [f"right_{c}" for c in right_payload]]
+
+    return stream.mapInPandas(resolve, out_schema)
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

@@ -216,3 +216,46 @@ def test_interval_join_stream_equals_batch(spark, registry):
     got = {tuple(r) for r in streamed.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_asof_join_stream_equals_batch(spark, registry):
+    """The stateless broadcast-snapshot streaming as-of must reproduce
+    the batch union+window as-of exactly, including NULL payloads for
+    rows with no prior snapshot (LEFT semantics)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from project_cortex_spark.operators import asof as asof_mod
+    from project_cortex_spark.streaming import joins as stream_joins
+    from project_cortex_spark.streaming import source as stream_source
+    from tests.conftest import SF_DIR
+
+    events = registry.table("events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    ckpt = (
+        events.filter(F.col("event_id") % 10 == 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    stream = stream_source.stream_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    streamed = stream_source.run_to_memory(
+        stream_joins.asof_join_stream(
+            stream, ckpt, on="user_id", right_payload=["value"]
+        ).select("event_id", F.round("right_value", 6).alias("ckpt_value")),
+        query_name="t_stream_asof",
+        output_mode="append",
+    )
+    batch = asof_mod.as_of_join(
+        events.select("event_id", "user_id", "ts", "value"),
+        ckpt,
+        on="user_id",
+        right_payload=["value"],
+    ).select("event_id", F.round("right_value", 6).alias("ckpt_value"))
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
+    # LEFT semantics: some rows genuinely have no prior snapshot
+    assert any(v is None for _, v in want)
