@@ -27,6 +27,18 @@ from project_cortex_spark.session import get_spark
 # KNN exact + IVF ANN, FTS boolean+phrase composite, graph BFS +
 # implements-inference, MinHash dedup, text analysis, event windows +
 # sessions, build pipeline end-to-end). Names match queries() keys.
+# Round-3 additions measured separately so HEADLINE stays comparable
+# round-over-round (VERDICT r2 item 7). Batch-only (streaming twins pay
+# a fixed micro-batch setup cost that says nothing about plan quality).
+EXTENDED = [
+    "dsl_tpch_q3",
+    "dsl_tpch_q5",
+    "join_salted",
+    "corpus_importance_sample",
+    "corpus_contamination",
+    "corpus_shuffle",
+]
+
 HEADLINE = [
     "dsl_filter_bool_tree",
     "dsl_revenue_by_nation",
@@ -58,17 +70,23 @@ def main() -> None:
 
     n_runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
     qs = entrymod.queries()
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        # warm-up: build + run once (JIT/codegen, file listing)
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(n_runs):
-            t0 = time.time()
+
+    def run_set(names: list[str]) -> dict[str, float]:
+        times: dict[str, float] = {}
+        for name in names:
+            fn = qs[name]
+            # warm-up: build + run once (JIT/codegen, file listing)
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            best = float("inf")
+            for _ in range(n_runs):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            times[name] = round(best, 3)
+        return times
+
+    times = run_set(HEADLINE)
+    extended = run_set(EXTENDED)
 
     out = {
         "metric": "headline-query wall time at sf (min of N warm runs, noop sink)",
@@ -78,6 +96,9 @@ def main() -> None:
         "sf": sf,
         "runs": n_runs,
         "estimator": "min",
+        # value/queries cover the stable HEADLINE set only; new operators
+        # land here so round-over-round deltas stay attributable
+        "extended_queries": extended,
     }
     print(json.dumps(out))
 

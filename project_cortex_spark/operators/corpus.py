@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles
+from .dedup import ensure_parallelism
 
 
 def _hash_bucket(id_col: Column, *, buckets: int = 10_000, salt: str = "split") -> Column:
@@ -315,7 +316,9 @@ def contamination_pairs(
     """
     bid = bench_id_col or id_col
     btext = bench_text_col or text_col
-    doc_sh = docs.select(
+    # the corpus-side shingle projection is CPU-bound; an under-split
+    # local scan (one file = one task) must fan out first (no-op at scale)
+    doc_sh = ensure_parallelism(docs).select(
         F.col(id_col).alias("did"),
         F.explode(F.array_distinct(shingles(F.col(text_col), ngram))).alias("sh"),
     )
@@ -431,7 +434,7 @@ def decontaminate(
     benchmark shingle set (it is small and reused across corpus drops).
     """
     bench_text = bench_text_col or text_col
-    doc_sh = docs.select(
+    doc_sh = ensure_parallelism(docs).select(
         F.col(id_col).alias("_id"),
         F.explode(shingles(F.col(text_col), ngram)).alias("sh"),
     )
