@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import char_ngrams, estimate_llm_tokens, tokens
+from .dedup import ensure_parallelism
 
 # Marker stopwords per language: deliberately small, pinned lists (the
 # language-ID heuristic is n-gram/marker based, not a trained model).
@@ -225,7 +226,10 @@ def _bigram_frame(
         F.slice(toks, 2, n_bg),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    return docs.select(
+    # CPU-bound tokenize+pair projection: fan out an under-split local
+    # scan first (no-op on well-partitioned scans; the output feeds a
+    # shuffle anyway, so the extra exchange is marginal)
+    return ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(pairs).alias("_p")
     ).select("doc_id", "_p.w1", "_p.w2")
 
@@ -313,7 +317,7 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
+    toks = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
