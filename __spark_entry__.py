@@ -2213,8 +2213,10 @@ _GATE_FIRST = [
     "corpus_split",
     "corpus_mix",
     "corpus_decontaminate",
-    # -- slot 50: weak-by-design (rows-only) but in the bench headline --
-    "knn_join_ivf",
+    # -- slot 50: new this round, oracle-gated (a weak rows-only re-gate
+    # would add no evidence; the TPC-H Q5 shape exercises the DSL's
+    # six-way join path) --
+    "dsl_tpch_q5",
 ]
 
 
