@@ -259,3 +259,57 @@ def test_asof_join_stream_equals_batch(spark, registry):
     assert got == want and len(got) > 0
     # LEFT semantics: some rows genuinely have no prior snapshot
     assert any(v is None for _, v in want)
+
+
+def test_branch_watcher_swap_and_debounce(spark, tmp_path):
+    """W2 (branch_watcher.go:29,66-98): HEAD change swaps the registry to
+    the new branch namespace after the debounce window; rapid checkout
+    chatter collapses; old registries stay readable (immutable files)."""
+    from project_cortex_spark.streaming.branch_watcher import BranchWatcher
+
+    root = tmp_path / "branches"
+    for branch, n in (("main", 3), ("dev", 5)):
+        spark.range(n).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text") \
+            .coalesce(1).write.parquet(str(root / branch / "documents.parquet"))
+    head = tmp_path / "HEAD"
+    head.write_text("ref: refs/heads/main\n")
+
+    t = [0.0]
+    w = BranchWatcher(
+        spark, str(root), str(head),
+        tables=("documents",), debounce_ms=100, clock=lambda: t[0],
+    )
+    assert w.branch == "main" and w.registry.table("documents").count() == 3
+    old_registry = w.registry
+
+    # checkout dev: first poll arms the debounce, no swap yet
+    head.write_text("ref: refs/heads/dev\n")
+    assert w.poll() is False and w.branch == "main"
+    # within the window: still no swap
+    t[0] = 0.05
+    assert w.poll() is False and w.branch == "main"
+    # window elapsed: swap
+    t[0] = 0.2
+    assert w.poll() is True
+    assert w.branch == "dev" and w.registry.table("documents").count() == 5
+
+    # rapid flip to main and back to dev inside one window: no swap at all
+    head.write_text("ref: refs/heads/main\n")
+    t[0] = 0.3
+    assert w.poll() is False
+    head.write_text("ref: refs/heads/dev\n")
+    t[0] = 0.35
+    assert w.poll() is False and w.branch == "dev"
+    t[0] = 1.0
+    assert w.poll() is False  # back on the current branch, pending cleared
+
+    # snapshot isolation: the pre-swap registry still reads main's data
+    assert old_registry.table("documents").count() == 3
+
+    # detached HEAD parses as the literal SHA
+    head.write_text("0123abcd\n")
+    t[0] = 2.0
+    w.poll()
+    t[0] = 3.0
+    from project_cortex_spark.streaming.branch_watcher import read_head
+    assert read_head(str(head)) == "0123abcd"
