@@ -1218,6 +1218,17 @@ def _q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("doc_id") != F.col("bench_id"))
 
 
+def _q_corpus_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the survivor set of the graded near-dup decontamination (benchmark
+    # = every 97th doc; benchmark members themselves are contaminated by
+    # construction at containment 10000)
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return corpus_mod.fuzzy_decontaminate(
+        docs, bench, ngram=3, threshold_e4=450, max_df=50
+    ).select("doc_id")
+
+
 def _q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_mod.shuffle_shards(
         _docs(spark, sf_dir), seed="epoch0", shards=8
@@ -2097,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corpus_sample_per_key"] = _q_corpus_sample_per_key
     out["corpus_importance_sample"] = _q_corpus_importance_sample
     out["corpus_contamination"] = _q_corpus_contamination
+    out["corpus_fuzzy_decontaminate"] = _q_corpus_fuzzy_decontaminate
     out["corpus_shuffle"] = _q_corpus_shuffle
     out["corpus_pack_sequences"] = _q_corpus_pack
     out["corpus_profile"] = lambda s, d: corpus_mod.profile(_docs(s, d))
@@ -2288,6 +2300,14 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id <> bench_id
     """
     out["corpus_shuffle"] = oracle.shuffle_shards_sql(seed="epoch0", shards=8)
+    out["corpus_fuzzy_decontaminate"] = f"""
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (
+            SELECT doc_id FROM ({oracle.contamination_pairs_sql(
+                bench_filter="doc_id % 97 = 0", ngram=3,
+                threshold_e4=450, max_df=50)})
+        )
+    """
     out["text_lm_score"] = oracle.bigram_lm_sql()
     out["text_c4_clean"] = oracle.c4_clean_sql(text_expr=_C4_PAGE_SQL)
     out["text_bpe_tokens"] = oracle.bpe_token_stats_sql()
