@@ -28,6 +28,11 @@ PICKS = {
     "text_c4_clean": "C4 cleaning: zero Exchange — line rules are collection expressions at scan bandwidth",
     "embed_quantize": "int8 re-encode: zero Exchange, pure codegen projection",
     "graph_callees_cte": "native WITH RECURSIVE (UnionLoop): the declarative twin of the fused BFS",
+    "dsl_tpch_q5": "six-way join chain from the JSON DSL: every dim broadcast at this SF (AQE re-plans at scale), no sort-merge",
+    "join_salted": "skew-mitigated join: salt column on the probe side, replicated build side, salt dropped before the aggregate",
+    "corpus_contamination": "near-dup decontamination: fan-out shingle projection, benchmark side broadcast — corpus never shuffles through the join",
+    "corpus_shuffle": "seeded shard shuffle: ONE hash Exchange + within-shard sort, no rangepartitioning (no global sort)",
+    "corpus_importance_sample": "quality-weighted sampling: zero Exchange — md5-bucket filter at scan bandwidth",
 }
 
 
