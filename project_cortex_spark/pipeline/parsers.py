@@ -141,6 +141,24 @@ def mask_if0_regions(src: str) -> str:
     return "\n".join(lines)
 
 
+_RUBY_HEREDOC_RE = re.compile(
+    # uppercase-initial identifier required: `x<<b` is a shift, and an
+    # unclosed false positive simply fails to match (no-op)
+    r"<<[-~]?(['\"]?)([A-Z_]\w*)\1\r?\n.*?\r?\n\s*\2", re.S
+)
+
+
+def mask_ruby_heredocs(src: str) -> str:
+    """Blank Ruby heredoc bodies (``<<~EOT``/``<<-EOT``/``<<EOT``),
+    preserving newlines/offsets — def/end keywords inside them must not
+    emit phantom entities or desync the keyword block tracker."""
+
+    def blank(m: re.Match) -> str:
+        return "".join(c if c == "\n" else " " for c in m.group(0))
+
+    return _RUBY_HEREDOC_RE.sub(blank, src)
+
+
 _TEXT_BLOCK_RE = re.compile(r'""".*?"""', re.S)
 
 
@@ -285,9 +303,14 @@ _GO_KEYWORDS = frozenset(
 )
 _GO_BRANCH_RE = re.compile(r"\b(?:if|for|case)\b")
 _GO_FUNC_RE = re.compile(
-    r"^func\s*(?:\(\s*(?:(\w+)\s+)?\*?([\w]+)\s*\)\s*)?(\w+)\s*\(", re.M
+    # receiver may carry a type-param list (func (b *Box[T]) Get(...));
+    # the function name may carry one too (func Map[T, U any](...)) —
+    # single bracket level; deeper constraint nesting degrades to a miss
+    r"^func\s*(?:\(\s*(?:(\w+)\s+)?\*?([\w]+)\s*(?:\[[^\[\]]*\])?\s*\)\s*)?"
+    r"(\w+)\s*(?:\[[^\[\]]*\])?\s*\(",
+    re.M,
 )
-_GO_TYPE_RE = re.compile(r"^type\s+(\w+)\s+(.+)$", re.M)
+_GO_TYPE_RE = re.compile(r"^type\s+(\w+)(?:\[[^\[\]]*\])?\s+(.+)$", re.M)
 _GO_IMPORT_ONE_RE = re.compile(r'^import\s+(?:(\w+|\.)\s+)?"([^"]+)"', re.M)
 _GO_IMPORT_BLOCK_RE = re.compile(r"^import\s*\(", re.M)
 _GO_IMPORT_ITEM_RE = re.compile(r'^\s*(?:(\w+|\.)\s+)?"([^"]+)"')
@@ -1291,8 +1314,11 @@ def parse_ruby(path: str, source: str, row) -> list[tuple]:
     receiver, require imports, UPPERCASE constants and $globals,
     paren-call sites, complexity. Modifier-position if/unless (trailing)
     do not open blocks; `do` blocks and one-line `{ }` blocks close on
-    the same structure they opened on."""
-    masked = mask_code(source, line_comment="#", block_comment=None)
+    the same structure they opened on. Heredoc bodies are blanked first
+    (keyword-shaped text inside them must not open/close blocks)."""
+    masked = mask_code(
+        mask_ruby_heredocs(source), line_comment="#", block_comment=None
+    )
     starts = line_starts(source)
     lines_m = masked.split("\n")
     lines_r = source.split("\n")

@@ -668,3 +668,59 @@ public:
         funcs = {r[2]: (r[4], r[5]) for r in by["function"]}
         assert funcs["after"] == (3, 3)
         assert funcs["m"] == (7, 7)
+
+    def test_go_generics(self):
+        src = """
+package main
+
+func Map[T any, U any](xs []T, f func(T) U) []U {
+    out := make([]U, 0)
+    return out
+}
+
+type Box[T any] struct {
+    item T
+}
+
+func (b *Box[T]) Get() T {
+    return b.item
+}
+"""
+        rows = _rows("go", "g.go", src)
+        self._spans_valid(rows, src)
+        by = _by_kind(rows)
+        funcs = {r[2]: (r[3], r[4], r[5]) for r in by["function"]}
+        assert funcs["Map"] == (None, 4, 7)
+        # generic receiver resolves to the base type
+        assert funcs["Get"] == ("Box", 13, 15)
+        params = {r[2] for r in by["param"] if r[3] == "Map" and not r[12]}
+        assert params == {"xs", "f"}
+        types = {r[2]: r[8] for r in by["type"]}
+        assert types["Box"] == "struct"
+        fields = {r[2] for r in by["field"] if r[3] == "Box"}
+        assert fields == {"item"}
+
+    def test_ruby_heredocs(self):
+        src = """
+SQL = <<~EOT
+  def phantom(x)
+  end
+EOT
+
+def real(a, b)
+  a + b
+end
+
+x = 1 << 4
+def after_shift(c)
+  c
+end
+"""
+        rows = _rows("rb", "h.rb", src)
+        self._spans_valid(rows, src)
+        by = _by_kind(rows)
+        funcs = {r[2]: (r[4], r[5]) for r in by["function"]}
+        # heredoc body emits nothing; the shift operator is not a heredoc
+        assert set(funcs) == {"real", "after_shift"}
+        assert funcs["real"] == (7, 9)
+        assert funcs["after_shift"] == (12, 14)
