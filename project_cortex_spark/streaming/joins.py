@@ -25,6 +25,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+DEFAULT_MAX_SNAPSHOT_ROWS = 1_000_000
+
+
 def asof_join_stream(
     stream: DataFrame,
     snapshots: DataFrame,
@@ -33,6 +36,7 @@ def asof_join_stream(
     left_time: str = "ts",
     right_time: str = "ts",
     right_payload: list[str],
+    max_snapshot_rows: int = DEFAULT_MAX_SNAPSHOT_ROWS,
 ) -> DataFrame:
     """Stream-static as-of join: each streaming row matched to the latest
     static snapshot row at-or-before its event time, per key — LEFT
@@ -47,16 +51,41 @@ def asof_join_stream(
     resolves immediately. (The alternative — a stream-static inequality
     join plus a latest-per-event aggregate — would hold unbounded
     aggregation state for no benefit, since each output row derives from
-    exactly one input row.) At scale the collected side must stay
-    driver-sized (MBs); for a LARGE right side use the batch union+window
-    as-of inside ``foreachBatch`` instead.
+    exactly one input row.) The driver-sized contract on the collected
+    side is ENFORCED: more than ``max_snapshot_rows`` snapshot rows
+    raises instead of silently risking a driver OOM; for a LARGE right
+    side use the batch union+window as-of inside ``foreachBatch``.
+
+    Timezone posture: all event-time comparison happens on integer epoch
+    micros. The snapshot side is collected as ``unix_micros(right_time)``
+    (computed JVM-side, timezone-free); the stream side's Arrow batches
+    deliver session-timezone-naive timestamps (UTC — the registry forces
+    ``spark.sql.session.timeZone=UTC``) which are cast to int64 micros.
+    No wall-clock ``datetime`` ever enters the bisect, so a non-UTC
+    driver OS timezone cannot shift the as-of matches.
     """
     import bisect
     from collections import defaultdict
 
     import pandas as pd
 
-    snap_rows = snapshots.select(on, right_time, *right_payload).collect()
+    snap_rows = (
+        snapshots.select(
+            F.col(on).alias("_k"),
+            F.unix_micros(right_time).alias("_t_us"),
+            *right_payload,
+        )
+        .limit(max_snapshot_rows + 1)
+        .collect()
+    )
+    if len(snap_rows) > max_snapshot_rows:
+        raise ValueError(
+            f"asof_join_stream: snapshot side exceeds max_snapshot_rows="
+            f"{max_snapshot_rows}; the static side must stay driver-sized. "
+            "For a large right side run the batch as_of_join inside "
+            "foreachBatch instead (operators/asof.py), or raise the bound "
+            "explicitly if the driver has the memory."
+        )
     by_key: dict = defaultdict(list)
     for r in snap_rows:
         by_key[r[0]].append((r[1], tuple(r[i + 2] for i in range(len(right_payload)))))
@@ -81,7 +110,12 @@ def asof_join_stream(
             n = len(pdf)
             extra = {f"right_{c}": [None] * n for c in right_payload}
             keys = pdf[on].tolist()
-            times = pd.to_datetime(pdf[left_time]).tolist()
+            ts = pdf[left_time]
+            if isinstance(ts.dtype, pd.DatetimeTZDtype):
+                ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+            # naive values are session-tz (UTC by registry contract), so
+            # the int64 cast yields true epoch micros
+            times = ts.astype("datetime64[us]").astype("int64").tolist()
             for i in range(n):
                 entry = table.get(keys[i])
                 if entry is None:

@@ -261,6 +261,86 @@ def test_asof_join_stream_equals_batch(spark, registry):
     assert any(v is None for _, v in want)
 
 
+def test_asof_join_stream_non_utc_driver_tz(spark, registry):
+    """Regression for the timezone-mixing hazard: the snapshot side used
+    to be collected as wall-clock datetimes (driver OS timezone) and
+    compared against session-tz (UTC) Arrow timestamps — correct only on
+    a UTC host. All comparison is now integer epoch micros; simulate a
+    non-UTC host by shifting the driver Python timezone (which governs
+    Row's timestamp conversion) and assert batch parity still holds."""
+    import os
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from project_cortex_spark.operators import asof as asof_mod
+    from project_cortex_spark.streaming import joins as stream_joins
+    from project_cortex_spark.streaming import source as stream_source
+    from tests.conftest import SF_DIR
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        events = registry.table("events")
+        w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+        ckpt = (
+            events.filter(F.col("event_id") % 10 == 0)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "ts", "value")
+        )
+        stream = stream_source.stream_table(spark, SF_DIR, "events").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        streamed = stream_source.run_to_memory(
+            stream_joins.asof_join_stream(
+                stream, ckpt, on="user_id", right_payload=["value"]
+            ).select("event_id", F.round("right_value", 6).alias("ckpt_value")),
+            query_name="t_stream_asof_tz",
+            output_mode="append",
+        )
+        batch = asof_mod.as_of_join(
+            events.select("event_id", "user_id", "ts", "value"),
+            ckpt,
+            on="user_id",
+            right_payload=["value"],
+        ).select("event_id", F.round("right_value", 6).alias("ckpt_value"))
+        got = {tuple(r) for r in streamed.collect()}
+        want = {tuple(r) for r in batch.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+
+def test_asof_join_stream_rejects_oversized_snapshot(spark, registry):
+    """The 'driver-sized static side' contract is enforced, not just
+    documented: a snapshot side above max_snapshot_rows fails fast with
+    the foreachBatch alternative in the message instead of risking a
+    silent driver OOM."""
+    import pytest
+
+    from project_cortex_spark.streaming import joins as stream_joins
+    from project_cortex_spark.streaming import source as stream_source
+    from tests.conftest import SF_DIR
+
+    events = registry.table("events")
+    ckpt = events.select("user_id", "ts", "value")  # thousands of rows
+    stream = stream_source.stream_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    with pytest.raises(ValueError, match="foreachBatch"):
+        stream_joins.asof_join_stream(
+            stream, ckpt, on="user_id", right_payload=["value"],
+            max_snapshot_rows=100,
+        )
+
+
 def test_branch_watcher_swap_and_debounce(spark, tmp_path):
     """W2 (branch_watcher.go:29,66-98): HEAD change swaps the registry to
     the new branch namespace after the debounce window; rapid checkout
