@@ -64,8 +64,13 @@ def hash_embed_series(
 
 
 # Executor-local model cache (the W4 "embed daemon" shape: load-once per
-# worker process, shared across Arrow batches).
+# worker process, shared across Arrow batches). Bounded: code-token
+# vocabularies are heavy-tailed and effectively unbounded, so an
+# uncapped cache is an executor-OOM risk over a large corpus. Directions
+# are cheap to regenerate from crc32, so eviction (FIFO — insertion
+# order IS rough recency for a skewed vocab) only costs a recompute.
 _TOKEN_DIRS: dict[tuple[str, int], np.ndarray] = {}
+_TOKEN_DIRS_MAX = 200_000  # ~100 MB at dim=64 float64, the ceiling
 
 
 def _token_direction(tok: str, dim: int) -> np.ndarray:
@@ -84,6 +89,8 @@ def _token_direction(tok: str, dim: int) -> np.ndarray:
         rng = np.random.default_rng(zlib.crc32(tok.encode()))
         v = rng.standard_normal(dim)
         v /= np.linalg.norm(v)
+        while len(_TOKEN_DIRS) >= _TOKEN_DIRS_MAX:
+            _TOKEN_DIRS.pop(next(iter(_TOKEN_DIRS)))
         _TOKEN_DIRS[key] = v
     return v
 

@@ -96,7 +96,11 @@ def mask_char_literals(src: str) -> str:
 
 
 _PHP_HEREDOC_RE = re.compile(
-    r"<<<\s*(['\"]?)(\w+)\1\r?\n.*?\r?\n\s*\2", re.S
+    # terminator: a line whose only content is the label (PHP 7.3+ allows
+    # indentation) followed by ; , ) or end-of-line. The \b keeps a longer
+    # identifier sharing the prefix (EOS vs EOS_TAIL) from closing early,
+    # and [ \t]* (not \s*) keeps the close on a single line.
+    r"<<<\s*(['\"]?)(\w+)\1\r?\n.*?\r?\n[ \t]*\2\b(?=[;,)\s]|\Z)", re.S
 )
 
 
@@ -117,34 +121,54 @@ def mask_cpp_raw_strings(src: str) -> str:
 _IF0_RE = re.compile(r"^\s*#\s*if\s+0\b")
 _IF_ANY_RE = re.compile(r"^\s*#\s*if(?:def|ndef)?\b")
 _ENDIF_RE = re.compile(r"^\s*#\s*endif\b")
+_ELSE_RE = re.compile(r"^\s*#\s*el(?:se\b|if\b)")
 
 
 def mask_if0_regions(src: str) -> str:
     """Blank ``#if 0 ... #endif`` regions (the C idiom for commenting
     out code, which need not be brace-balanced), honoring nested
-    conditionals. Other preprocessor conditions are left alone — both
-    branches are usually real code. An unterminated ``#if 0`` blanks to
-    EOF, matching how a compiler would skip it."""
+    conditionals. An ``#else``/``#elif`` belonging to the opening
+    ``#if 0`` ends the blanking — that branch is the code that actually
+    compiles, so its functions/types must still be extracted (an
+    ``#elif`` condition is assumed live, the conservative choice).
+    Other preprocessor conditions are left alone — both branches are
+    usually real code. An unterminated ``#if 0`` blanks to EOF, matching
+    how a compiler would skip it. Limitation: a nested ``#if 0`` inside
+    the live ``#else`` branch is not re-masked (depth tracking only)."""
     lines = src.split("\n")
     depth = 0
+    blanking = False
     for i, line in enumerate(lines):
         if depth == 0:
             if _IF0_RE.match(line):
                 depth = 1
+                blanking = True
                 lines[i] = " " * len(line)
         else:
             if _IF_ANY_RE.match(line):
                 depth += 1
             elif _ENDIF_RE.match(line):
                 depth -= 1
-            lines[i] = " " * len(line)
+                if depth == 0:
+                    lines[i] = " " * len(line)
+                    blanking = False
+                    continue
+            elif depth == 1 and blanking and _ELSE_RE.match(line):
+                blanking = False
+                lines[i] = " " * len(line)
+                continue
+            if blanking:
+                lines[i] = " " * len(line)
     return "\n".join(lines)
 
 
 _RUBY_HEREDOC_RE = re.compile(
     # uppercase-initial identifier required: `x<<b` is a shift, and an
-    # unclosed false positive simply fails to match (no-op)
-    r"<<[-~]?(['\"]?)([A-Z_]\w*)\1\r?\n.*?\r?\n\s*\2", re.S
+    # unclosed false positive simply fails to match (no-op). The
+    # terminator must be a standalone line — only whitespace around the
+    # label ([ \t]*, not \s*, so the close cannot span lines and a longer
+    # identifier like EOS_TAIL cannot close an EOS heredoc early).
+    r"<<[-~]?(['\"]?)([A-Z_]\w*)\1\r?\n.*?\r?\n[ \t]*\2[ \t]*(?=\r?\n|\Z)", re.S
 )
 
 

@@ -70,6 +70,16 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     Uses integer division to micros (``x div 1000``) — lossless for the
     timestamp range and stays JVM-side, so pushdown/pruning on the scan
     are unaffected for every other column.
+
+    **Session contract (loud, on purpose):** the engine requires a UTC
+    session — every oracle compares epoch micros of naive parquet
+    timestamps, which a non-UTC ``spark.sql.session.timeZone`` would
+    shift. This function therefore SETS the session timezone to UTC
+    (mutating the caller's session) and emits a ``UserWarning`` if it had
+    to overwrite a different value, so callers who deliberately set their
+    own timezone see the change instead of silently altered timestamp
+    formatting/window bucketing. Callers needing a non-UTC timezone must
+    scope it around (not across) engine reads.
     """
     from pyspark.sql import functions as F
 
@@ -78,6 +88,20 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     # in a UTC session — TIMESTAMP_NTZ breaks unix_micros, and a non-UTC
     # session timezone shifts the epoch micros the oracles compare against
     _ensure_conf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    try:
+        prior_tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        prior_tz = None
+    if prior_tz not in (None, "UTC", "Etc/UTC", "GMT"):
+        import warnings
+
+        warnings.warn(
+            f"read_parquet: overwriting session timeZone {prior_tz!r} with "
+            "'UTC' (engine contract — naive timestamps compare as epoch "
+            "micros); scope non-UTC timezones around engine reads",
+            UserWarning,
+            stacklevel=2,
+        )
     _ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
     nano_cols = _nano_timestamp_columns(path)
     if nano_cols:

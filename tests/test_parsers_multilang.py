@@ -724,3 +724,71 @@ end
         assert set(funcs) == {"real", "after_shift"}
         assert funcs["real"] == (7, 9)
         assert funcs["after_shift"] == (12, 14)
+
+    def test_ruby_heredoc_prefix_label_does_not_close(self):
+        # a line starting with the label but continuing (EOS_TAIL) or
+        # mid-text label mentions must NOT terminate the heredoc early —
+        # only a standalone delimiter line closes it
+        src = """
+DOC = <<~EOS
+  EOS_TAIL is mentioned here
+  def phantom(x)
+  end
+EOS
+
+def real(a)
+  a
+end
+"""
+        rows = _rows("rb", "p.rb", src)
+        self._spans_valid(rows, src)
+        by = _by_kind(rows)
+        funcs = {r[2] for r in by["function"]}
+        assert funcs == {"real"}
+
+    def test_php_heredoc_prefix_label_does_not_close(self):
+        src = """<?php
+$doc = <<<EOS
+EOS_TAIL keeps the heredoc open
+function phantom($x) {
+}
+EOS;
+
+function real(int $a): int {
+    return $a;
+}
+"""
+        rows = _rows("php", "p.php", src)
+        self._spans_valid(rows, src)
+        by = _by_kind(rows)
+        funcs = {r[2] for r in by["function"]}
+        assert funcs == {"real"}
+
+    def test_c_if0_else_branch_stays_live(self):
+        # '#if 0 ... #else <live> #endif': the #else branch is the code
+        # that actually compiles and must still be extracted
+        src = """
+#if 0
+void dead(int x) {
+#else
+int live_else(int a) { return a; }
+#endif
+
+#if 0
+#if 1
+int nested_dead(void) { return 0; }
+#endif
+#else
+int live_after_nested(void) { return 2; }
+#endif
+
+int tail(void) { return 1; }
+"""
+        rows = _rows("c", "e.c", src)
+        self._spans_valid(rows, src)
+        by = _by_kind(rows)
+        funcs = {r[2]: (r[4], r[5]) for r in by["function"]}
+        assert set(funcs) == {"live_else", "live_after_nested", "tail"}
+        assert funcs["live_else"] == (5, 5)
+        assert funcs["live_after_nested"] == (13, 13)
+        assert funcs["tail"] == (16, 16)
