@@ -28,8 +28,10 @@ from project_cortex_spark.session import get_spark
 # implements-inference, MinHash dedup, text analysis, event windows +
 # sessions, build pipeline end-to-end). Names match queries() keys.
 # Round-3 additions measured separately so HEADLINE stays comparable
-# round-over-round (VERDICT r2 item 7). Batch-only (streaming twins pay
-# a fixed micro-batch setup cost that says nothing about plan quality).
+# round-over-round (VERDICT r2 item 7). The streaming twins (r4,
+# VERDICT r3 item 4) carry a fixed micro-batch setup cost on top of
+# plan cost — tracked here so state-size/plan regressions show up
+# round-over-round, kept out of HEADLINE so they don't drown it.
 EXTENDED = [
     "dsl_tpch_q3",
     "dsl_tpch_q5",
@@ -37,6 +39,10 @@ EXTENDED = [
     "corpus_importance_sample",
     "corpus_contamination",
     "corpus_shuffle",
+    "stream_interval_join",
+    "stream_asof_join",
+    "stream_dedup",
+    "stream_rollup",
 ]
 
 HEADLINE = [
