@@ -722,6 +722,54 @@ def _q_search_semantic_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("score", F.round("score", 6))
 
 
+def _q_search_lexical_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Retrieval-quality contract for the lexical provider (VERDICT r3
+    # item 6): every 25th document, embedded in query mode from its own
+    # text, must retrieve itself as the top-1 cosine hit over the
+    # passage-embedded corpus. The ORACLE computes the noiseless ranking
+    # — weighted-token-overlap cosine in pure SQL — so the driver (not
+    # just unit tests) grades that the provider's cosine tracks lexical
+    # overlap: recall@1 of lexical KNN vs exact token-overlap ranking.
+    return search_mod.lexical_retrieval_top1(
+        _registry(spark, sf_dir).table("documents"), dim=64, every=25
+    )
+
+
+# Noiseless twin of lexical_retrieval_top1: w = 1 + ln(tf) per token
+# (tokenizer [^0-9a-z]+ on lower(), identical to embed._TOKEN_RE), norms
+# carry the virtual mode token (+1.0 — weight 1, orthogonal to all word
+# tokens so it never enters the dot), rank by overlap-cosine desc with
+# doc id as tie-break (identical token multisets embed identically, so
+# both sides break the tie the same way).
+_LEXICAL_RECALL_ORACLE = """
+WITH tf AS (
+    SELECT doc_id, u.tok AS tok, count(*) AS c
+    FROM documents, unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS u(tok)
+    WHERE u.tok <> ''
+    GROUP BY doc_id, u.tok
+), w AS (
+    SELECT doc_id, tok, 1.0 + ln(c) AS w FROM tf
+), nrm AS (
+    SELECT doc_id, sqrt(1.0 + sum(w * w)) AS nrm FROM w GROUP BY doc_id
+), dots AS (
+    SELECT wq.doc_id AS query_doc_id, wd.doc_id AS did, sum(wq.w * wd.w) AS dot
+    FROM w wq JOIN w wd USING (tok)
+    WHERE wq.doc_id % 25 = 0
+    GROUP BY wq.doc_id, wd.doc_id
+), ranked AS (
+    SELECT d.query_doc_id, d.did,
+           row_number() OVER (
+               PARTITION BY d.query_doc_id
+               ORDER BY d.dot / (nq.nrm * nd.nrm) DESC, d.did ASC
+           ) AS rn
+    FROM dots d
+    JOIN nrm nq ON nq.doc_id = d.query_doc_id
+    JOIN nrm nd ON nd.doc_id = d.did
+)
+SELECT query_doc_id, did AS top_doc_id FROM ranked WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Graph traversal (SURVEY §2.7) over order-chain edges: consecutive orders
 # of one customer form a chain — same shape as call edges
@@ -2058,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fts_filtered"] = _q_fts_filtered
     out["search_semantic"] = _q_search_semantic
     out["search_semantic_lexical"] = _q_search_semantic_lexical
+    out["search_lexical_recall"] = _q_search_lexical_recall
     out["graph_callees_d3"] = _q_graph_callees
     out["graph_callees_cte"] = _q_graph_callees_cte
     out["graph_callers_d2"] = _q_graph_callers
@@ -2257,6 +2306,8 @@ def oracle_sql() -> dict[str, str]:
         payload_cols=("lang", "source"),
     )
     # search_semantic: hash-embedding composite, no SQL equivalent
+    # (search_lexical_recall IS oracle-gated: the noiseless ranking twin)
+    out["search_lexical_recall"] = _LEXICAL_RECALL_ORACLE
     out.update(_GRAPH_ORACLES)
     # the recursive-CTE twin computes the identical min-depth closure
     out["graph_callees_cte"] = _GRAPH_ORACLES["graph_callees_d3"]

@@ -58,6 +58,64 @@ def tag_predicate(tag: str) -> Column:
     return F.col("language") == tag
 
 
+def lexical_retrieval_top1(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = DEFAULT_DIM,
+    every: int = 25,
+    provider: str = "lexical",
+) -> DataFrame:
+    """Retrieval-quality contract for the lexical provider (D7): every
+    ``every``-th document, embedded in QUERY mode from its own text, must
+    retrieve itself from the passage-embedded corpus as the top-1 cosine
+    hit — the driver-gradable form of "cosine tracks weighted token
+    overlap".
+
+    The oracle twin computes the noiseless ranking (what cosine converges
+    to as dim→∞, since E[dir_i·dir_j] = δ_ij for the crc32-seeded random
+    directions): weighted-overlap cosine Σ w_q(t)·w_d(t) / (‖w_q‖·‖w_d‖)
+    with w = 1 + ln(tf) and the virtual mode token contributing only to
+    the norms. A provider whose cosine stopped tracking token overlap
+    (broken tokenization, non-deterministic directions, normalization
+    bugs) diverges from that ranking and reds the gate.
+
+    Returns (query_doc_id, top_doc_id), ties broken by doc id — exact
+    token-multiset duplicates embed identically on both sides, so the
+    tie-break agrees.
+
+    Physical shape: the query side (n/every rows) broadcasts against the
+    corpus scan; the window top-1 runs map-side partial before the
+    shuffle on query_doc_id — same plan family as :func:`knn_join`.
+    """
+    from project_cortex_spark.functions.vector import similarity_score
+
+    base = docs.select(id_col, text_col)
+    passages = embed_chunks(
+        base, text_col=text_col, out_col="p_vec", dim=dim, mode="passage",
+        provider=provider,
+    ).select(F.col(id_col).alias("top_doc_id"), "p_vec")
+    queries = embed_chunks(
+        base.filter(F.col(id_col) % every == 0),
+        text_col=text_col, out_col="q_vec", dim=dim, mode="query",
+        provider=provider,
+    ).select(F.col(id_col).alias("query_doc_id"), "q_vec")
+    from pyspark.sql import Window
+
+    scored = passages.crossJoin(F.broadcast(queries)).withColumn(
+        "score", similarity_score(F.col("p_vec"), F.col("q_vec"))
+    )
+    w = Window.partitionBy("query_doc_id").orderBy(
+        F.col("score").desc(), F.col("top_doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_doc_id", "top_doc_id")
+    )
+
+
 def semantic_search(
     index: DataFrame,
     query: str,

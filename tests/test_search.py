@@ -113,3 +113,14 @@ def test_lexical_semantic_search_end_to_end(spark, registry):
         index, row["chunk_text"], limit=5, dim=32, provider="lexical"
     ).first()
     assert got["doc_id"] == row["doc_id"]
+
+
+def test_lexical_retrieval_top1_self_retrieves(spark, registry):
+    """The driver-gated retrieval contract: query-mode embedding of a
+    document's own text finds that document as the top-1 cosine hit —
+    recall@1 == 1 against the noiseless token-overlap ranking (the
+    DuckDB oracle twin computes the same ranking in SQL)."""
+    docs = registry.table("documents")
+    out = srch.lexical_retrieval_top1(docs, dim=64, every=25).collect()
+    assert len(out) > 0
+    assert all(r["query_doc_id"] == r["top_doc_id"] for r in out)
