@@ -784,7 +784,7 @@ _EDGES_SQL = """
 """
 
 
-def _order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _order_edges_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
     return (
         _registry(spark, sf_dir)
@@ -795,6 +795,29 @@ def _order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dst").isNotNull())
     )
+
+
+def _order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Production edge layout (r4, SCALE.md "edge-layout A/B"): the
+    # reference stores function_calls as a TABLE (schema.go:266-279);
+    # deriving the edge projection per traversal was fixture convenience.
+    # Materializing the narrow (src, dst) parquet once per session cut
+    # graph_callees_d3 39% / graph_callers_d2 30% at sf0.1 — the fused
+    # BFS embeds the derivation once per level otherwise. Bucketing by
+    # src measured at parity with plain parquet (the broadcast-frontier
+    # BFS has no shuffle for buckets to remove) and was NOT adopted.
+    def build() -> DataFrame:
+        import re as _re
+
+        path = os.path.join(
+            "spark-warehouse",
+            "_edges_cache",
+            _re.sub(r"[^0-9A-Za-z.]+", "_", sf_dir.strip("/")),
+        )
+        _order_edges_derived(spark, sf_dir).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    return _memo(spark, sf_dir, "order_edges_stored", build)
 
 
 # scalar focus-point lookups (chain start, BFS targets, top part) are
