@@ -814,6 +814,35 @@ _RUST_VALUE_RE = re.compile(
 )
 _RUST_FIELD_RE = re.compile(r"^\s*(?:pub(?:\([\w:]+\))?\s+)?(\w+)\s*:\s*(.+?),?\s*$")
 
+# Brace-form macros: `macro_rules! name { ... }` definitions and
+# `name! { ... }` invocations (quote!/html!/lazy_static!). `!=` cannot
+# match: the brace must follow `ident!` (plus the name, for
+# macro_rules) modulo whitespace.
+_RUST_MACRO_BRACE_RE = re.compile(r"\b(?:macro_rules!\s*\w+\s*\{|\w+!\s*\{)")
+
+
+def mask_rust_macro_bodies(masked: str) -> str:
+    """Blank the brace-delimited bodies of Rust macros, preserving
+    newlines/offsets. Macro bodies are uninterpreted token trees — a
+    `fn phantom()` inside `macro_rules!` (or `quote!`, `html!`) is not a
+    declaration and must not be extracted; tree-sitter likewise parses
+    them as token-tree nodes, not items (parsers/rust.go:90-107).
+    Documented degrade: branch keywords/call names inside macro bodies no
+    longer count toward complexity/call extraction."""
+    out = list(masked)
+    pos = 0
+    while True:
+        m = _RUST_MACRO_BRACE_RE.search(masked, pos)
+        if not m:
+            break
+        b_open = m.end() - 1
+        b_close = match_brace(masked, b_open)
+        for i in range(b_open + 1, b_close):
+            if out[i] != "\n":
+                out[i] = " "
+        pos = b_close + 1
+    return "".join(out)
+
 
 def parse_rust(path: str, source: str, row) -> list[tuple]:
     """Rust extraction: struct/enum/trait/union types (+ struct fields),
@@ -822,7 +851,9 @@ def parse_rust(path: str, source: str, row) -> list[tuple]:
     string delimiter here (lifetimes have no closing quote); closed char
     literals are blanked separately so ``'{'``/``'}'`` cannot unbalance
     brace matching while ``&'a str`` survives."""
-    masked = mask_code(mask_char_literals(source), strings='"')
+    masked = mask_rust_macro_bodies(
+        mask_code(mask_char_literals(source), strings='"')
+    )
     starts = line_starts(source)
     out: list[tuple] = []
     func_spans: list[tuple[int, int, str]] = []

@@ -792,3 +792,99 @@ int tail(void) { return 1; }
         assert funcs["live_else"] == (5, 5)
         assert funcs["live_after_nested"] == (13, 13)
         assert funcs["tail"] == (16, 16)
+
+    def test_rust_macro_bodies_masked(self):
+        # macro bodies are uninterpreted token trees: a fn-shaped line
+        # inside macro_rules!/quote! must not become a phantom function,
+        # and the brace soup must not desync spans of what follows
+        src = """
+macro_rules! make_helper {
+    ($name:ident) => {
+        fn phantom_inner(x: u32) -> u32 { x + 1 }
+    };
+    () => {};
+}
+
+pub fn real_fn(a: i32) -> i32 {
+    let v = vec![1, 2, 3];
+    let t = quote! {
+        fn phantom_quoted() {}
+    };
+    matches!(a, 1 | 2);
+    a
+}
+
+struct Real { x: i32 }
+"""
+        rows = _rows("rs", "m.rs", src)
+        self._spans_valid(rows, src)
+        by = _by_kind(rows)
+        funcs = {r[2]: (r[4], r[5]) for r in by["function"]}
+        assert set(funcs) == {"real_fn"}
+        assert funcs["real_fn"] == (9, 16)
+        types = {r[2] for r in by["type"]}
+        assert "Real" in types
+
+    def test_ts_decorators_and_satisfies(self):
+        src = """
+@Component({selector: "app", template: "<div>{}</div>"})
+export class Widget {
+  @Input() name: string;
+  @HostListener("click", ["$event"])
+  onClick(ev: Event): void { console.log(ev); }
+  render(): string { return this.name; }
+}
+const cfg = { port: 8080 } satisfies Config;
+function after(n: number): number { return n; }
+"""
+        rows = _rows("ts", "w.ts", src)
+        self._spans_valid(rows, src)
+        by = _by_kind(rows)
+        funcs = {r[2]: (r[3], r[4], r[5]) for r in by["function"]}
+        # decorated methods keep their class parent; the satisfies
+        # expression does not derail the function that follows it
+        assert funcs["onClick"] == ("Widget", 6, 6)
+        assert funcs["render"] == ("Widget", 7, 7)
+        assert funcs["after"] == (None, 10, 10)
+        types = {r[2]: (r[4], r[5]) for r in by["type"]}
+        assert types["Widget"] == (3, 8)
+
+    def test_python_match_statement(self):
+        src = """
+def handle(cmd):
+    match cmd:
+        case {"op": "add", "args": [a, b]}:
+            return a + b
+        case [x, *rest] if x > 0:
+            return rest
+        case _:
+            return None
+
+class Later:
+    def m(self):
+        return 1
+"""
+        rows = _rows("py", "m.py", src)
+        self._spans_valid(rows, src)
+        by = _by_kind(rows)
+        funcs = {r[2]: (r[4], r[5]) for r in by["function"]}
+        assert funcs["handle"] == (2, 9)
+        assert funcs["m"] == (12, 13)
+        assert {r[2] for r in by["type"]} == {"Later"}
+
+    def test_python_pep695_clean_degrade(self):
+        # PEP 695 `type Alias[T] = ...` is a SyntaxError on this
+        # runtime's ast — the contract is the reference's log-and-skip
+        # posture: ONE error row with a valid line, no phantom entities,
+        # no crash (parse.py:96-98). If the runtime gains 3.12 syntax,
+        # this degrades gracefully to real extraction instead.
+        src = "type Alias[T] = list[T]\n\ndef real(x):\n    return x\n"
+        rows = _rows("py", "t.py", src)
+        kinds = {r[1] for r in rows}
+        if "error" in kinds:
+            assert kinds == {"error"}
+            err = rows[0]
+            assert err[2] == "SyntaxError" and err[4] >= 1
+        else:
+            funcs = {r[2] for r in rows if r[1] == "function"}
+            assert "real" in funcs
