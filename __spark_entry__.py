@@ -369,6 +369,53 @@ _DSL_QUERIES: dict[str, tuple[dict, str]] = {
            JOIN nation ON c_nationkey = n_nationkey
            GROUP BY n_name ORDER BY revenue DESC, n_name""",
     ),
+    # TPC-H Q1 shape (pricing summary) within DSL semantics: the
+    # reference DSL aggregates FIELDS only (translator.go:266-294 — no
+    # expression aggregates), so the disc_price/charge computed columns
+    # are out of scope; filter + 2-col groupBy + SUM/AVG/COUNT batteries
+    # + deterministic order are the exercised surface
+    "dsl_tpch_q1": (
+        {
+            "from": "lineitem",
+            "where": {
+                "field": "l_shipdate",
+                "operator": "<=",
+                "value": "1996-09-01",
+            },
+            "groupBy": ["l_returnflag", "l_linestatus"],
+            "aggregations": [
+                {"function": "SUM", "field": "l_quantity", "alias": "sum_qty"},
+                {
+                    "function": "SUM",
+                    "field": "l_extendedprice",
+                    "alias": "sum_base_price",
+                },
+                {"function": "AVG", "field": "l_quantity", "alias": "avg_qty"},
+                {
+                    "function": "AVG",
+                    "field": "l_extendedprice",
+                    "alias": "avg_price",
+                },
+                {"function": "AVG", "field": "l_discount", "alias": "avg_disc"},
+                {"function": "COUNT", "alias": "count_order"},
+            ],
+            "orderBy": [
+                {"field": "l_returnflag", "direction": "ASC"},
+                {"field": "l_linestatus", "direction": "ASC"},
+            ],
+        },
+        """SELECT l_returnflag, l_linestatus,
+                  sum(l_quantity) AS sum_qty,
+                  sum(l_extendedprice) AS sum_base_price,
+                  avg(l_quantity) AS avg_qty,
+                  avg(l_extendedprice) AS avg_price,
+                  avg(l_discount) AS avg_disc,
+                  count(*) AS count_order
+           FROM lineitem
+           WHERE l_shipdate <= TIMESTAMP '1996-09-01'
+           GROUP BY l_returnflag, l_linestatus
+           ORDER BY l_returnflag, l_linestatus""",
+    ),
     # TPC-H Q3 shape: 3-way join + selective filters on all three tables
     # + grouped aggregate + ordered top-k (shipping-priority query)
     "dsl_tpch_q3": (
@@ -2166,6 +2213,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     out["events_props_extract"] = lambda s, d: ev.props_extract(_events(s, d))
     out["events_top_users"] = lambda s, d: ev.top_users_per_type(_events(s, d))
+    # ordered view->click->purchase funnel, 24 h horizon from the anchor
+    out["events_funnel"] = lambda s, d: ev.funnel(
+        _events(s, d), horizon_minutes=1440
+    )
     out["text_token_stats"] = lambda s, d: ts.token_stats(_docs(s, d))
     out["text_quality"] = lambda s, d: ts.quality_scores(_docs(s, d))
     out["text_language_id"] = lambda s, d: ts.language_id(_docs(s, d))
@@ -2237,70 +2288,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # remaining slots re-gate a representative sample of the round-1 greens.
 # Everything still runs locally via scripts/check_entry.py regardless.
 _GATE_FIRST = [
-    # Round-3 gate plan (VERDICT r2 item 4): the driver gates the FIRST 50
-    # registered queries per round. Rounds 1+2 rotated coverage; this round
-    # closes the evidence gap — the 5 round-2 reds (contract-serialization
-    # fixes landed this round) re-gate first, then the 44 oracle-gated
-    # queries whose only green row is from round 1 (two engine revisions
-    # ago), then one weak-by-design headline query fills slot 50. Round-2
-    # greens keep their r2 rows. Everything still runs locally via
-    # scripts/check_entry.py regardless.
+    # Round-4 gate plan (VERDICT r3 item 1): the driver gates the FIRST 50
+    # registered queries per round. R3 went 50/50 green; this round (a)
+    # gates the 8 oracle-gated queries registered in r3 AFTER the gate
+    # filled (driver-row-less, local-sweep-green), (b) gates the 3 new r4
+    # queries, (c) re-gates the 39 oracle-gated queries whose newest green
+    # row is r2 (oldest evidence first). The r3 greens keep their r03
+    # rows. Everything still runs locally via scripts/check_entry.py.
     #
-    # -- the 5 round-2 reds, fixed this round --
-    "events_sessionize",  # oracle session_seq HUGEINT -> CAST AS BIGINT
-    "join_hydrate_nested",  # array<int> column -> comma-joined string
-    "join_range",  # inherits the sessionize oracle cast fix
-    "stream_sessionize",  # same
-    "stream_rollup",  # sum_value_e4 HUGEINT -> CAST AS BIGINT
-    # -- 44 oracle-gated queries whose only green row is round 1 --
-    "dsl_filter_bool_tree",
-    "dsl_like",
-    "dsl_in",
-    "dsl_null_checks",
-    "dsl_between_dates",
-    "dsl_order_limit_offset",
-    "dsl_join_inner",
-    "dsl_join_left",
-    "dsl_join_right",
-    "dsl_join_full",
-    "dsl_agg_full",
-    "dsl_agg_having",
-    "dsl_revenue_by_nation",
-    "knn_topk",
-    "knn_topk_filtered",
-    "knn_join",
-    "fts_term",
-    "fts_phrase",
-    "fts_prefix",
-    "fts_bool_and",
-    "fts_bool_or_not",
-    "fts_filtered",
-    "graph_callers_d2",
-    "graph_callees_d3",
-    "graph_dependencies",
-    "graph_dependents",
-    "graph_type_usages",
-    "graph_implements",
-    "graph_shortest_path",
-    "graph_impact",
-    "dedup_exact_groups",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "events_windowed_agg",
-    "events_top_users",
-    "events_props_extract",
-    "text_token_stats",
-    "text_quality",
-    "text_language_id",
-    "corpus_split",
-    "corpus_mix",
-    "corpus_decontaminate",
-    # -- slot 50: new this round, oracle-gated (a weak rows-only re-gate
-    # would add no evidence; the TPC-H Q5 shape exercises the DSL's
-    # six-way join path) --
-    "dsl_tpch_q5",
+    # -- (a) the 8 r3 registrations without a driver row --
+    "corpus_contamination",
+    "corpus_fuzzy_decontaminate",
+    "corpus_importance_sample",
+    "corpus_shuffle",
+    "dsl_tpch_q3",
+    "join_salted",
+    "stream_asof_join",
+    "stream_interval_join",
+    # -- (b) new in r4, oracle-gated --
+    "search_lexical_recall",  # lexical provider vs noiseless overlap ranking
+    "events_funnel",  # ordered 3-step funnel, 24 h horizon
+    "dsl_tpch_q1",  # pricing-summary shape within DSL semantics
+    # -- (c) the 39 r2-green oracle-gated queries, re-gated under the r4
+    # engine (evidence refresh; weak-by-design entries excluded — a
+    # rows-only re-gate adds no evidence) --
+    "source_file_stats",
+    "pipeline_change_detection",
+    "pipeline_apply_changeset",
+    "pipeline_branch_fork",
+    "pipeline_chunk_docs",
+    "pipeline_chunk_assembly",
+    "pipeline_chunk_markdown",
+    "pipeline_embed_stub",
+    "pipeline_parse_multilang",
+    "agg_rollup",
+    "agg_cube",
+    "agg_percentiles",
+    "events_cumulative",
+    "events_lag_delta",
+    "join_asof",
+    "fts_composite",
+    "graph_callees_cte",
+    "graph_context_snippets",
+    "graph_pattern_ast",
+    "graph_type_usages_params",
+    "retention_evict_branches",
+    "embed_quantize",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_banded",
+    "corpus_pack_sequences",
+    "corpus_profile",
+    "corpus_sample_per_key",
+    "stream_dedup",
+    "stream_windowed_agg",
+    "text_bpe_tokens",
+    "text_c4_clean",
+    "text_fingerprints",
+    "text_lm_score",
+    "text_redact_pii",
+    "text_repetition",
+    "text_tfidf_terms",
+    "text_top_terms",
+    "media_decode_meta",
+    "media_features",
 ]
 
 
@@ -2359,6 +2409,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_sessionize"] = oracle.sessionize_contract_sql()
     out["events_props_extract"] = oracle.props_extract_sql()
     out["events_top_users"] = oracle.top_users_per_type_sql()
+    out["events_funnel"] = oracle.funnel_sql(horizon_minutes=1440)
     out["text_token_stats"] = oracle.token_stats_sql()
     out["text_quality"] = oracle.quality_scores_sql()
     out["text_language_id"] = oracle.language_id_sql()

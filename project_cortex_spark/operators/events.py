@@ -101,6 +101,80 @@ def props_extract(events: DataFrame) -> DataFrame:
     )
 
 
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    *,
+    horizon_minutes: int = 7 * 24 * 60,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered three-step funnel: per user, how far the sequence
+    step1 → step2 → step3 progresses, anchored at the user's FIRST step1
+    event, each later step strictly after the previous one and within
+    ``horizon_minutes`` of the anchor. Returns the funnel report
+    (steps_completed ∈ 0..3, n_users) over every user seen in events.
+
+    Semantics are deterministic and oracle-matchable: stepK's time is the
+    MINIMUM timestamp of a stepK event strictly after step(K-1)'s time
+    (ties at equal timestamps are excluded by strictness, so intra-tie
+    order never matters), all within anchor + horizon.
+
+    Scale notes: ONE shuffle (the groupBy user) — the per-user event
+    sequence is folded with a JVM higher-order ``aggregate`` over the
+    sorted (ts_us, type) array, so no self-joins and nothing leaves
+    codegen; state per user is one (stage, anchor, prev) struct. The
+    collect_list is bounded by funnel-step events per user (the operator
+    pre-filters to the three step types), the usual cardinality contract
+    for per-entity sequence analytics.
+    """
+    s1, s2, s3 = steps
+    horizon_us = horizon_minutes * 60 * 1_000_000
+    seq = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(user_col),
+            F.unix_micros(F.col(ts_col)).alias("ts_us"),
+            F.col(type_col).alias("et"),
+        )
+        .groupBy(user_col)
+        .agg(F.sort_array(F.collect_list(F.struct("ts_us", "et"))).alias("seq"))
+    )
+    init = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        F.lit(None).cast("long").alias("t1"),
+        F.lit(None).cast("long").alias("tp"),
+    )
+
+    def fold(acc, e):
+        in_h = e["ts_us"] <= acc["t1"] + F.lit(horizon_us)
+        adv1 = (acc["stage"] == 0) & (e["et"] == s1)
+        adv2 = (acc["stage"] == 1) & (e["et"] == s2) & (e["ts_us"] > acc["tp"]) & in_h
+        adv3 = (acc["stage"] == 2) & (e["et"] == s3) & (e["ts_us"] > acc["tp"]) & in_h
+        adv = adv1 | adv2 | adv3
+        return F.struct(
+            F.when(adv, acc["stage"] + 1).otherwise(acc["stage"]).alias("stage"),
+            F.when(adv1, e["ts_us"]).otherwise(acc["t1"]).alias("t1"),
+            F.when(adv, e["ts_us"]).otherwise(acc["tp"]).alias("tp"),
+        )
+
+    per_user = seq.select(
+        F.col(user_col),
+        F.aggregate("seq", init, fold)["stage"].alias("steps_completed"),
+    )
+    return (
+        events.select(user_col)
+        .distinct()
+        .join(per_user, user_col, "left")
+        .withColumn(
+            "steps_completed", F.coalesce("steps_completed", F.lit(0)).cast("int")
+        )
+        .groupBy("steps_completed")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
     """Top-k users by total value within each event_type. Aggregates
     before ranking so the window sort input is |users|x|types|, with a

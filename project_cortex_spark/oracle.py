@@ -636,6 +636,47 @@ def sessionize_contract_sql(table: str = "events", gap_minutes: int = 30) -> str
     """
 
 
+def funnel_sql(
+    table: str = "events",
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    horizon_minutes: int = 7 * 24 * 60,
+) -> str:
+    """Noiseless twin of operators.events.funnel: stepK's time is the
+    minimum epoch-micros of a stepK event strictly after step(K-1) and
+    within the horizon of the step1 anchor; the report counts users per
+    completed-step depth (0..3). All comparisons on integer micros."""
+    s1, s2, s3 = steps
+    h_us = horizon_minutes * 60 * 1_000_000
+    return f"""
+    WITH t1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1
+      FROM {table} WHERE event_type = '{s1}' GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM {table} e JOIN t1 USING (user_id)
+      WHERE e.event_type = '{s2}'
+        AND epoch_us(e.ts) > t1.t1 AND epoch_us(e.ts) <= t1.t1 + {h_us}
+      GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM {table} e JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+      WHERE e.event_type = '{s3}'
+        AND epoch_us(e.ts) > t2.t2 AND epoch_us(e.ts) <= t1.t1 + {h_us}
+      GROUP BY e.user_id
+    )
+    SELECT steps_completed, count(*) AS n_users FROM (
+      SELECT CASE WHEN t3.t3 IS NOT NULL THEN 3
+                  WHEN t2.t2 IS NOT NULL THEN 2
+                  WHEN t1.t1 IS NOT NULL THEN 1
+                  ELSE 0 END AS steps_completed
+      FROM (SELECT DISTINCT user_id FROM {table}) u
+      LEFT JOIN t1 USING (user_id)
+      LEFT JOIN t2 USING (user_id)
+      LEFT JOIN t3 USING (user_id)
+    ) GROUP BY steps_completed
+    """
+
+
 def props_extract_sql(table: str = "events") -> str:
     return f"""
     WITH extracted AS (

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from project_cortex_spark import oracle
 from project_cortex_spark.operators.events import (
+    funnel,
     props_extract,
     sessionize,
     top_users_per_type,
@@ -43,6 +44,36 @@ def test_sessionize_gap_semantics(spark):
         (r["user_id"], r["session_seq"]): r["n_events"] for r in got.collect()
     }
     assert sessions == {(10, 1): 2, (10, 2): 1, (20, 1): 1}
+
+
+def test_funnel(registry, duck):
+    df = funnel(registry.table("events"), horizon_minutes=1440)
+    assert_matches_oracle(df, duck, oracle.funnel_sql(horizon_minutes=1440))
+
+
+def test_funnel_semantics(spark):
+    """Anchored-at-first-step1, strictly-after ordering, horizon cutoff:
+    u10 completes all 3; u20's purchase precedes its click (stuck at 2);
+    u30's click is outside the horizon (stuck at 1); u40 has no view (0)."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "view"),
+        (2, "2024-01-01 01:00:00", 10, "click"),
+        (3, "2024-01-01 02:00:00", 10, "purchase"),
+        (4, "2024-01-01 00:00:00", 20, "purchase"),
+        (5, "2024-01-01 01:00:00", 20, "view"),
+        (6, "2024-01-01 02:00:00", 20, "click"),
+        (7, "2024-01-01 00:00:00", 30, "view"),
+        (8, "2024-01-03 00:00:00", 30, "click"),  # > 24 h after anchor
+        (9, "2024-01-01 00:00:00", 40, "click"),
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type")
+    got = {
+        r["steps_completed"]: r["n_users"]
+        for r in funnel(events, horizon_minutes=1440).collect()
+    }
+    assert got == {3: 1, 2: 1, 1: 1, 0: 1}
 
 
 def test_props_extract(registry, duck):
