@@ -121,25 +121,33 @@ def funnel(
     (ties at equal timestamps are excluded by strictness, so intra-tie
     order never matters), all within anchor + horizon.
 
-    Scale notes: ONE shuffle (the groupBy user) — the per-user event
-    sequence is folded with a JVM higher-order ``aggregate`` over the
-    sorted (ts_us, type) array, so no self-joins and nothing leaves
-    codegen; state per user is one (stage, anchor, prev) struct. The
-    collect_list is bounded by funnel-step events per user (the operator
-    pre-filters to the three step types), the usual cardinality contract
-    for per-entity sequence analytics.
+    Scale notes: ONE shuffle over events (the groupBy user) — non-step
+    events become NULL before the partial ``collect_list``, which drops
+    them map-side, so the shuffle carries only funnel-step structs while
+    every user (even step-less ones) still gets a row; no second scan,
+    no distinct-users join. The per-user sequence is folded with a JVM
+    higher-order ``aggregate`` over the sorted (ts_us, type) array —
+    no self-joins, nothing leaves codegen, state per user is one
+    (stage, anchor, prev) struct. The collect_list is bounded by
+    funnel-step events per user, the usual cardinality contract for
+    per-entity sequence analytics. The funnel-report aggregate after the
+    fold shuffles ≤4 partial rows per task.
     """
     s1, s2, s3 = steps
     horizon_us = horizon_minutes * 60 * 1_000_000
     seq = (
-        events.filter(F.col(type_col).isin(list(steps)))
-        .select(
+        events.select(
             F.col(user_col),
-            F.unix_micros(F.col(ts_col)).alias("ts_us"),
-            F.col(type_col).alias("et"),
+            F.when(
+                F.col(type_col).isin(list(steps)),
+                F.struct(
+                    F.unix_micros(F.col(ts_col)).alias("ts_us"),
+                    F.col(type_col).alias("et"),
+                ),
+            ).alias("e"),
         )
         .groupBy(user_col)
-        .agg(F.sort_array(F.collect_list(F.struct("ts_us", "et"))).alias("seq"))
+        .agg(F.sort_array(F.collect_list("e")).alias("seq"))
     )
     init = F.struct(
         F.lit(0).cast("int").alias("stage"),
@@ -159,17 +167,8 @@ def funnel(
             F.when(adv, e["ts_us"]).otherwise(acc["tp"]).alias("tp"),
         )
 
-    per_user = seq.select(
-        F.col(user_col),
-        F.aggregate("seq", init, fold)["stage"].alias("steps_completed"),
-    )
     return (
-        events.select(user_col)
-        .distinct()
-        .join(per_user, user_col, "left")
-        .withColumn(
-            "steps_completed", F.coalesce("steps_completed", F.lit(0)).cast("int")
-        )
+        seq.select(F.aggregate("seq", init, fold)["stage"].alias("steps_completed"))
         .groupBy("steps_completed")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )

@@ -33,6 +33,8 @@ PICKS = {
     "corpus_contamination": "near-dup decontamination: fan-out shingle projection, benchmark side broadcast — corpus never shuffles through the join",
     "corpus_shuffle": "seeded shard shuffle: ONE hash Exchange + within-shard sort, no rangepartitioning (no global sort)",
     "corpus_importance_sample": "quality-weighted sampling: zero Exchange — md5-bucket filter at scan bandwidth",
+    "events_funnel": "3-step funnel: ONE shuffle (groupBy user) + JVM higher-order fold over sorted per-user arrays — no self-joins",
+    "search_lexical_recall": "retrieval contract: broadcast query side vs corpus scan, map-side partial window top-1",
 }
 
 
