@@ -2217,6 +2217,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_funnel"] = lambda s, d: ev.funnel(
         _events(s, d), horizon_minutes=1440
     )
+    # weekly cohort retention matrix (integer epoch-bucket arithmetic)
+    out["events_retention"] = lambda s, d: ev.retention_cohorts(_events(s, d))
+    # per-node triangle counts over the part co-purchase graph (degree-
+    # capped co-occurrence edges -> a<b<c wedge closure)
+    out["graph_triangles"] = lambda s, d: graph_mod.triangles_per_node(
+        graph_mod.cooccurrence_edges(
+            _registry(s, d).table("lineitem"),
+            group_col="l_orderkey",
+            item_col="l_partkey",
+            max_df=50,
+        )
+    )
+    # char-distribution Shannon entropy (zero-shuffle quality signal)
+    out["text_entropy"] = lambda s, d: ts.char_entropy(_docs(s, d))
     out["text_token_stats"] = lambda s, d: ts.token_stats(_docs(s, d))
     out["text_quality"] = lambda s, d: ts.quality_scores(_docs(s, d))
     out["text_language_id"] = lambda s, d: ts.language_id(_docs(s, d))
@@ -2410,6 +2424,9 @@ def oracle_sql() -> dict[str, str]:
     out["events_props_extract"] = oracle.props_extract_sql()
     out["events_top_users"] = oracle.top_users_per_type_sql()
     out["events_funnel"] = oracle.funnel_sql(horizon_minutes=1440)
+    out["events_retention"] = oracle.retention_sql()
+    out["graph_triangles"] = oracle.triangles_sql(max_df=50)
+    out["text_entropy"] = oracle.char_entropy_sql()
     out["text_token_stats"] = oracle.token_stats_sql()
     out["text_quality"] = oracle.quality_scores_sql()
     out["text_language_id"] = oracle.language_id_sql()

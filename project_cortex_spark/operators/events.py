@@ -174,6 +174,46 @@ def funnel(
     )
 
 
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: cohort = the epoch-aligned ``days``-bucket
+    of a user's first event; for each (cohort_bucket, bucket_offset) the
+    number of that cohort's users active in cohort + offset buckets.
+    The product-analytics classic (offset 0 row = cohort size).
+
+    All bucketing is integer epoch-micros division — exact on both
+    engines, no timezone/calendar arithmetic to drift.
+
+    Scale notes: two aggregates over a (user, bucket) projection — the
+    distinct active set and the per-user min — both hash-partial map-side;
+    the join back is on user_id (broadcastable cohort side when users ≪
+    events, AQE decides). No windows over raw events, no event-row
+    shuffle beyond the distinct.
+    """
+    bucket_us = days * 86_400 * 1_000_000
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.expr(f"unix_micros({ts_col}) div {bucket_us}").alias("bucket"),
+        )
+        .distinct()
+    )
+    cohorts = pairs.groupBy(user_col).agg(F.min("bucket").alias("cohort_bucket"))
+    return (
+        pairs.join(cohorts, user_col)
+        .groupBy(
+            "cohort_bucket",
+            (F.col("bucket") - F.col("cohort_bucket")).alias("bucket_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
     """Top-k users by total value within each event_type. Aggregates
     before ranking so the window sort input is |users|x|types|, with a

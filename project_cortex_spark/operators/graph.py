@@ -435,3 +435,67 @@ def pattern_search(
     if methods_only:
         df = df.filter(F.col("is_method"))
     return df.orderBy("file_path", "start_line").limit(limit)
+
+
+def cooccurrence_edges(
+    items: DataFrame,
+    *,
+    group_col: str,
+    item_col: str,
+    max_df: int = 50,
+) -> DataFrame:
+    """Undirected co-occurrence edges: (a, b) with a < b whenever two
+    distinct items share a group, deduplicated across groups. ``max_df``
+    drops items appearing in more than that many groups BEFORE pairing —
+    the standard hot-key cap that keeps the per-group pair fan-out (and
+    every downstream wedge join) bounded; without it one ubiquitous item
+    turns the edge list quadratic.
+
+    Scale notes: one aggregate for the document frequencies (broadcast
+    back as a semi-join), one self-join per group for pairs, one
+    distinct. The self-join key is the group — bounded fan-out after the
+    cap — never the item.
+    """
+    pres = items.select(group_col, item_col).distinct()
+    keep = (
+        pres.groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select(item_col)
+    )
+    pres = pres.join(F.broadcast(keep), item_col, "left_semi")
+    a = pres.select(F.col(group_col).alias("_g"), F.col(item_col).alias("a"))
+    b = pres.select(F.col(group_col).alias("_g"), F.col(item_col).alias("b"))
+    return (
+        a.join(b, "_g")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def triangles_per_node(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected a<b edge list —
+    the local clustering-coefficient numerator (community structure /
+    spam-graph analytics).
+
+    The a<b orientation enumerates each triangle exactly once as
+    a<b<c: wedges join edge(a,b) with edge(b,c), then close against
+    edge(a,c); every corner of a closed wedge gets one count.
+
+    Scale notes: two equi-joins (wedge build on b, closure on (a, c)) —
+    both plain hash joins whose input is the degree-capped edge list from
+    :func:`cooccurrence_edges`; wedge count is Σ deg², which the max_df
+    cap bounds. Each triangle explodes to its 3 corners before the final
+    count aggregate (map-side partial).
+    """
+    e1 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
+    e2 = edges.select(F.col("a").alias("tb"), F.col("b").alias("tc"))
+    wedges = e1.join(e2, "tb")
+    closure = edges.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = wedges.join(closure, ["ta", "tc"])
+    return (
+        tri.select(F.explode(F.array("ta", "tb", "tc")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -81,6 +81,42 @@ def quality_scores(
     )
 
 
+def char_entropy(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_chars, n_distinct_chars, char_entropy): Shannon entropy
+    of the character distribution in bits — the machine-generated /
+    low-diversity text signal (near-zero for repeated-char spam, ~4.2
+    for English prose; a standard quality-filter feature alongside the
+    Gopher/C4 rules).
+
+    Scale notes: zero shuffle — everything is per-row collection
+    expressions (split → array_distinct → per-char counts via a
+    transform+filter HOF, entropy via one aggregate fold), so it runs at
+    scan bandwidth in codegen like token_stats. Per-row cost is
+    O(distinct_chars × n_chars); on natural text distinct chars is a
+    small constant.
+    """
+    text = F.col(text_col)
+    chars = F.filter(F.split(text, ""), lambda c: c != "")
+    n = F.size(chars)
+    dist = F.array_distinct(chars)
+    probs = F.transform(
+        dist,
+        lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double")
+        / n.cast("double"),
+    )
+    ent = -F.aggregate(
+        probs, F.lit(0.0), lambda acc, p: acc + p * F.log2(p)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_chars"),
+        F.size(dist).cast("long").alias("n_distinct_chars"),
+        F.round(F.when(n > 0, ent).otherwise(F.lit(0.0)), 6).alias("char_entropy"),
+    )
+
+
 def language_id(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

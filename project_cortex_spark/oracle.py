@@ -677,6 +677,85 @@ def funnel_sql(
     """
 
 
+def retention_sql(table: str = "events", days: int = 7) -> str:
+    """Noiseless twin of operators.events.retention_cohorts: epoch-aligned
+    integer bucket division on epoch micros (`//` — both engines truncate
+    identically on the positive range)."""
+    bucket_us = days * 86_400 * 1_000_000
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {bucket_us} AS bucket
+      FROM {table}
+    ), coh AS (
+      SELECT user_id, min(bucket) AS cohort_bucket FROM pairs GROUP BY user_id
+    )
+    SELECT cohort_bucket, bucket - cohort_bucket AS bucket_offset,
+           count(*) AS n_users
+    FROM pairs JOIN coh USING (user_id)
+    GROUP BY 1, 2
+    """
+
+
+def triangles_sql(
+    table: str = "lineitem",
+    group_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    max_df: int = 50,
+) -> str:
+    """Noiseless twin of cooccurrence_edges + triangles_per_node: the
+    same degree cap, a<b edge orientation, and a<b<c wedge closure."""
+    return f"""
+    WITH pres0 AS (
+      SELECT DISTINCT {group_col} AS g, {item_col} AS itm FROM {table}
+    ), keep AS (
+      SELECT itm FROM pres0 GROUP BY itm HAVING count(*) <= {max_df}
+    ), pres AS (
+      SELECT g, itm FROM pres0 JOIN keep USING (itm)
+    ), e AS (
+      SELECT DISTINCT p1.itm AS a, p2.itm AS b
+      FROM pres p1 JOIN pres p2 ON p1.g = p2.g AND p1.itm < p2.itm
+    ), tri AS (
+      SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node, count(*) AS n_triangles FROM (
+      SELECT ta AS node FROM tri
+      UNION ALL SELECT tb FROM tri
+      UNION ALL SELECT tc FROM tri
+    ) GROUP BY node
+    """
+
+
+def char_entropy_sql(table: str = "documents") -> str:
+    """Noiseless twin of textstats.char_entropy (documents with empty
+    text keep a zero row via the left join)."""
+    return f"""
+    WITH chars AS (
+      SELECT doc_id, u.ch
+      FROM {table}, unnest(string_split(text, '')) AS u(ch)
+    ), counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1
+    ), ent AS (
+      SELECT c.doc_id,
+             CAST(count(*) AS BIGINT) AS n_distinct_chars,
+             -sum((c * 1.0 / n) * log2(c * 1.0 / n)) AS e
+      FROM counts c JOIN tot USING (doc_id)
+      GROUP BY c.doc_id, n
+    )
+    SELECT d.doc_id,
+           COALESCE(t.n, 0) AS n_chars,
+           COALESCE(ent.n_distinct_chars, 0) AS n_distinct_chars,
+           round(COALESCE(ent.e, 0.0), 6) AS char_entropy
+    FROM {table} d
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN ent USING (doc_id)
+    """
+
+
 def props_extract_sql(table: str = "events") -> str:
     return f"""
     WITH extracted AS (

@@ -6,6 +6,7 @@ from project_cortex_spark import oracle
 from project_cortex_spark.operators.events import (
     funnel,
     props_extract,
+    retention_cohorts,
     sessionize,
     top_users_per_type,
     windowed_agg,
@@ -74,6 +75,29 @@ def test_funnel_semantics(spark):
         for r in funnel(events, horizon_minutes=1440).collect()
     }
     assert got == {3: 1, 2: 1, 1: 1, 0: 1}
+
+
+def test_retention_cohorts(registry, duck):
+    df = retention_cohorts(registry.table("events"))
+    assert_matches_oracle(df, duck, oracle.retention_sql())
+
+
+def test_retention_semantics(spark):
+    """Cohort = bucket of first activity; offsets count returning users.
+    u1 active in buckets {0, 1}; u2 only bucket 0; u3 first seen bucket 1."""
+    day_us = 86_400 * 1_000_000
+    rows = []
+    for uid, days in ((1, [0, 8]), (2, [1]), (3, [9])):
+        for d in days:
+            rows.append((uid, d * day_us))
+    events = spark.createDataFrame(rows, ["user_id", "us"]).selectExpr(
+        "user_id", "timestamp_micros(us) AS ts"
+    )
+    got = {
+        (r["cohort_bucket"], r["bucket_offset"]): r["n_users"]
+        for r in retention_cohorts(events, days=7).collect()
+    }
+    assert got == {(0, 0): 2, (0, 1): 1, (1, 0): 1}
 
 
 def test_props_extract(registry, duck):

@@ -319,3 +319,52 @@ def test_recursive_cte_matches_bfs(spark):
     # start-node exclusion (node <> 1) mirrors the BFS visited-set
     # semantics: a cycle back to the start is not a "callee of the start"
     assert bfs == cte == {(2, 1), (3, 1), (4, 2), (5, 3)}
+
+
+def test_triangles_per_node(spark):
+    """K4 minus one edge: triangles (1,2,3) and (1,2,4) — nodes 1,2 in
+    two each, 3,4 in one each; co-occurrence edges built from groups."""
+    from project_cortex_spark.operators.graph import (
+        cooccurrence_edges,
+        triangles_per_node,
+    )
+
+    rows = [("g1", 1), ("g1", 2), ("g1", 3), ("g2", 1), ("g2", 2), ("g2", 4)]
+    items = spark.createDataFrame(rows, ["grp", "item"])
+    edges = cooccurrence_edges(items, group_col="grp", item_col="item")
+    assert {tuple(r) for r in edges.collect()} == {
+        (1, 2), (1, 3), (2, 3), (1, 4), (2, 4)
+    }
+    got = {r["node"]: r["n_triangles"] for r in triangles_per_node(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_cooccurrence_degree_cap(spark):
+    """max_df drops ubiquitous items BEFORE pairing: item 9 appears in
+    3 groups and vanishes under max_df=2, taking its edges with it."""
+    from project_cortex_spark.operators.graph import cooccurrence_edges
+
+    rows = [("g1", 1), ("g1", 9), ("g2", 2), ("g2", 9), ("g3", 3), ("g3", 9)]
+    items = spark.createDataFrame(rows, ["grp", "item"])
+    assert cooccurrence_edges(
+        items, group_col="grp", item_col="item", max_df=2
+    ).count() == 0
+
+
+def test_triangles_match_oracle(registry, duck):
+    from project_cortex_spark import oracle
+    from project_cortex_spark.operators.graph import (
+        cooccurrence_edges,
+        triangles_per_node,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    edges = cooccurrence_edges(
+        registry.table("lineitem"),
+        group_col="l_orderkey",
+        item_col="l_partkey",
+        max_df=50,
+    )
+    assert_matches_oracle(
+        triangles_per_node(edges), duck, oracle.triangles_sql(max_df=50)
+    )

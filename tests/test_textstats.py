@@ -106,3 +106,28 @@ def test_fingerprint_stability(spark):
     )
     fps = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs).collect()}
     assert fps[1] == fps[2]
+
+
+def test_char_entropy_matches_oracle(registry, duck):
+    from project_cortex_spark.operators.textstats import char_entropy
+
+    assert_matches_oracle(
+        char_entropy(registry.table("documents")), duck, oracle.char_entropy_sql()
+    )
+
+
+def test_char_entropy_known_values(spark):
+    """'aaaa' has zero entropy; 'abab' exactly 1 bit; empty text keeps a
+    zero row (no dropped documents)."""
+    import math
+
+    from project_cortex_spark.operators.textstats import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, ""), (4, "abcd")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert got[1]["char_entropy"] == 0.0 and got[1]["n_distinct_chars"] == 1
+    assert got[2]["char_entropy"] == 1.0
+    assert got[3]["n_chars"] == 0 and got[3]["char_entropy"] == 0.0
+    assert math.isclose(got[4]["char_entropy"], 2.0)
