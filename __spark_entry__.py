@@ -2014,32 +2014,42 @@ _CUBE_ORACLE = """
 # ---------------------------------------------------------------------------
 
 
+# State-store partitions for the local-scale streaming twins: every
+# micro-batch pays a commit per state-store instance (= shuffle
+# partitions at query start, fixed for the query's lifetime, AQE never
+# resizes it), so stateful queries size it to stream volume instead of
+# inheriting the batch default — see scoped_state_partitions.
+_STREAM_STATE_PARTITIONS = 8
+
+
 def _q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = stream_source.stream_table(spark, sf_dir, "events")
-    return stream_source.run_to_memory(
-        stream_windows.windowed_agg_stream(stream, minutes=60),
-        query_name="q_stream_windowed_agg",
-        output_mode="complete",
-    )
+    with stream_source.scoped_state_partitions(spark, _STREAM_STATE_PARTITIONS):
+        stream = stream_source.stream_table(spark, sf_dir, "events")
+        return stream_source.run_to_memory(
+            stream_windows.windowed_agg_stream(stream, minutes=60),
+            query_name="q_stream_windowed_agg",
+            output_mode="complete",
+        )
 
 
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simulated at-least-once transport: the SAME source unioned with
     # itself (every event delivered twice); exactly-once dedup must
     # reproduce the original table precisely
-    stream = stream_source.stream_table(spark, sf_dir, "events")
-    doubled = stream.union(stream)
-    return stream_source.run_to_memory(
-        stream_dedup.dedup_stream(doubled).select(
-            "event_id",
-            "user_id",
-            "event_type",
-            F.unix_micros("ts").alias("ts_us"),
-            F.round(F.col("value") * 10000).cast("long").alias("value_e4"),
-        ),
-        query_name="q_stream_dedup",
-        output_mode="append",
-    )
+    with stream_source.scoped_state_partitions(spark, _STREAM_STATE_PARTITIONS):
+        stream = stream_source.stream_table(spark, sf_dir, "events")
+        doubled = stream.union(stream)
+        return stream_source.run_to_memory(
+            stream_dedup.dedup_stream(doubled).select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.unix_micros("ts").alias("ts_us"),
+                F.round(F.col("value") * 10000).cast("long").alias("value_e4"),
+            ),
+            query_name="q_stream_dedup",
+            output_mode="append",
+        )
 
 
 def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2064,15 +2074,18 @@ def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             events.filter(F.col("event_id") % 2 == parity).write.mode(
                 "append"
             ).parquet(in_dir)
-            q = stream_rollup.continuous_rollup(
-                spark,
-                in_dir,
-                events.schema,
-                partials_dir=parts,
-                checkpoint_dir=ckpt,
-                minutes=60,
-            )
-            q.awaitTermination()
+            with stream_source.scoped_state_partitions(
+                spark, _STREAM_STATE_PARTITIONS
+            ):
+                q = stream_rollup.continuous_rollup(
+                    spark,
+                    in_dir,
+                    events.schema,
+                    partials_dir=parts,
+                    checkpoint_dir=ckpt,
+                    minutes=60,
+                )
+                q.awaitTermination()
         out = stream_rollup.read_rollup(spark, parts).select(
             F.unix_micros("window_start").alias("window_start_us"),
             "event_type",
@@ -2125,28 +2138,30 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the finite run hash-matches the batch self-join oracle)
     from project_cortex_spark.streaming import joins as stream_joins
 
-    a = stream_source.stream_table(spark, sf_dir, "events")
-    b = stream_source.stream_table(spark, sf_dir, "events")
-    return stream_source.run_to_memory(
-        stream_joins.interval_join_stream(a, b, minutes=60),
-        query_name="q_stream_interval_join",
-        output_mode="append",
-    )
+    with stream_source.scoped_state_partitions(spark, _STREAM_STATE_PARTITIONS):
+        a = stream_source.stream_table(spark, sf_dir, "events")
+        b = stream_source.stream_table(spark, sf_dir, "events")
+        return stream_source.run_to_memory(
+            stream_joins.interval_join_stream(a, b, minutes=60),
+            query_name="q_stream_interval_join",
+            output_mode="append",
+        )
 
 
 def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = stream_source.stream_table(spark, sf_dir, "events")
-    return stream_source.run_to_memory(
-        stream_windows.sessionize_stream(stream, gap_minutes=30),
-        query_name="q_stream_sessionize",
-        output_mode="complete",
-    ).select(
-        "user_id",
-        F.unix_micros("session_start").alias("session_start_us"),
-        F.unix_micros("session_end").alias("session_end_us"),
-        "n_events",
-        "sum_value_e4",
-    )
+    with stream_source.scoped_state_partitions(spark, _STREAM_STATE_PARTITIONS):
+        stream = stream_source.stream_table(spark, sf_dir, "events")
+        return stream_source.run_to_memory(
+            stream_windows.sessionize_stream(stream, gap_minutes=30),
+            query_name="q_stream_sessionize",
+            output_mode="complete",
+        ).select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_events",
+            "sum_value_e4",
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -41,6 +41,33 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_state_partitions(spark: SparkSession, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` around a streaming query
+    definition + run, then restore.
+
+    For stateful streaming this conf fixes the number of state-store
+    instances per stateful operator for the lifetime of the query — AQE
+    never resizes it — and every micro-batch pays a per-store commit
+    cost, so it must be sized to stream volume, not inherited from the
+    batch default. At the local bench's stream sizes a handful of state
+    partitions removes ~2-3 s of pure store-commit overhead per run
+    (measured: interval join at sf0.01 5.05 s @32 → 2.34 s @8); a
+    production deployment sizes it to keys × state-bytes per executor.
+    Results are partitioning-invariant — only the physical state layout
+    changes.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def run_to_memory(stream_df: DataFrame, *, query_name: str, output_mode: str) -> DataFrame:
     """Execute a finite stream (Trigger.AvailableNow) into a memory sink
     and return the result as a batch DataFrame. Used to oracle-check
