@@ -452,9 +452,11 @@ def cooccurrence_edges(
     turns the edge list quadratic.
 
     Scale notes: one aggregate for the document frequencies (broadcast
-    back as a semi-join), one self-join per group for pairs, one
-    distinct. The self-join key is the group — bounded fan-out after the
-    cap — never the item.
+    back as a semi-join), then ONE groupBy-the-group whose sorted
+    item array fans out to its a<b pairs with a JVM-side HOF — no
+    self-join, so pair generation costs a single shuffle keyed on the
+    group (bounded fan-out after the cap), plus the final pair
+    distinct.
     """
     pres = items.select(group_col, item_col).distinct()
     keep = (
@@ -464,12 +466,27 @@ def cooccurrence_edges(
         .select(item_col)
     )
     pres = pres.join(F.broadcast(keep), item_col, "left_semi")
-    a = pres.select(F.col(group_col).alias("_g"), F.col(item_col).alias("a"))
-    b = pres.select(F.col(group_col).alias("_g"), F.col(item_col).alias("b"))
+    grouped = pres.groupBy(group_col).agg(
+        F.array_sort(F.collect_list(item_col)).alias("_items")
+    )
+    # all a<b pairs of the sorted array: for each position i, pair the
+    # element with everything after it; flatten and explode
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "_items",
+                lambda x, i: F.transform(
+                    F.slice(
+                        "_items", i + F.lit(2), F.size("_items") - i - 1
+                    ),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    )
     return (
-        a.join(b, "_g")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        grouped.select(pair.alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
         .distinct()
     )
 
@@ -487,8 +504,11 @@ def triangles_per_node(edges: DataFrame) -> DataFrame:
     both plain hash joins whose input is the degree-capped edge list from
     :func:`cooccurrence_edges`; wedge count is Σ deg², which the max_df
     cap bounds. Each triangle explodes to its 3 corners before the final
-    count aggregate (map-side partial).
+    count aggregate (map-side partial). The edge list feeds THREE join
+    inputs shuffled on three different keys — no exchange reuse is
+    possible — so it is cached here rather than recomputed per input.
     """
+    edges = edges.cache()
     e1 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
     e2 = edges.select(F.col("a").alias("tb"), F.col("b").alias("tc"))
     wedges = e1.join(e2, "tb")
