@@ -561,6 +561,96 @@ _DSL_QUERIES: dict[str, tuple[dict, str]] = {
            WHERE r_name = 'ASIA'
            GROUP BY n_name ORDER BY revenue DESC, n_name""",
     ),
+    # TPC-H Q4 shape: EXISTS decorrelated to a SEMI join (beyond-parity
+    # DSL join type; the right side filters and contributes no columns).
+    # Adapted to the fixture schema: the EXISTS predicate is
+    # l_shipdate > cutoff (no commit/receipt dates in the testdata).
+    "dsl_tpch_q4": (
+        {
+            "from": "orders",
+            "joins": [
+                {
+                    "table": "lineitem",
+                    "type": "SEMI",
+                    "on": {
+                        "and": [
+                            {
+                                "field": "orders.o_orderkey",
+                                "operator": "=",
+                                "value": "lineitem.l_orderkey",
+                            },
+                            {
+                                "field": "lineitem.l_shipdate",
+                                "operator": ">",
+                                "value": "1996-09-01",
+                            },
+                        ]
+                    },
+                },
+            ],
+            "where": {
+                "and": [
+                    {
+                        "field": "o_orderdate",
+                        "operator": ">=",
+                        "value": "1996-01-01",
+                    },
+                    {
+                        "field": "o_orderdate",
+                        "operator": "<",
+                        "value": "1996-07-01",
+                    },
+                ]
+            },
+            "groupBy": ["o_orderpriority"],
+            "aggregations": [{"function": "COUNT", "alias": "order_count"}],
+            "orderBy": [{"field": "o_orderpriority", "direction": "ASC"}],
+        },
+        """SELECT o_orderpriority, count(*) AS order_count
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1996-07-01'
+             AND EXISTS (SELECT 1 FROM lineitem
+                         WHERE l_orderkey = o_orderkey
+                           AND l_shipdate > TIMESTAMP '1996-09-01')
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    ),
+    # ANTI join (NOT EXISTS): customers with no high-value order —
+    # the Q22-style "inactive customers" shape
+    "dsl_join_anti": (
+        {
+            "from": "customer",
+            "joins": [
+                {
+                    "table": "orders",
+                    "type": "ANTI",
+                    "on": {
+                        "and": [
+                            {
+                                "field": "customer.c_custkey",
+                                "operator": "=",
+                                "value": "orders.o_custkey",
+                            },
+                            {
+                                "field": "orders.o_totalprice",
+                                "operator": ">",
+                                "value": 400000,
+                            },
+                        ]
+                    },
+                },
+            ],
+            "fields": ["c_custkey", "c_name", "c_acctbal"],
+            "orderBy": [{"field": "c_custkey", "direction": "ASC"}],
+            "limit": 100,
+        },
+        """SELECT c_custkey, c_name, c_acctbal
+           FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_custkey = c_custkey
+                               AND o_totalprice > 400000)
+           ORDER BY c_custkey LIMIT 100""",
+    ),
     # O1/O2: multi-key order + limit + offset
     "dsl_order_limit_offset": (
         {
@@ -2207,6 +2297,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_simhash"] = _q_dedup_simhash
     out["dedup_simhash_banded"] = _q_dedup_simhash_banded
     out["dedup_clusters"] = _q_dedup_clusters
+    # per-doc duplicated word-n-gram fraction (exact-substring signal)
+    out["dedup_ngram_spans"] = lambda s, d: dd.duplicated_ngram_stats(
+        _docs(s, d), shingle_n=8
+    )
     out["dedup_embedding_cosine"] = _q_dedup_embedding
     out["dedup_embedding_lsh"] = _q_dedup_embedding_lsh
     out["dedup_embedding_ivf"] = _q_dedup_embedding_ivf
@@ -2234,6 +2328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # weekly cohort retention matrix (integer epoch-bucket arithmetic)
     out["events_retention"] = lambda s, d: ev.retention_cohorts(_events(s, d))
+    # rolling z-score spike/drop detection on per-type event volume
+    out["events_anomaly"] = lambda s, d: ev.rolling_anomaly(_events(s, d))
     # per-node triangle counts over the part co-purchase graph (degree-
     # capped co-occurrence edges -> a<b<c wedge closure)
     out["graph_triangles"] = lambda s, d: graph_mod.triangles_per_node(
@@ -2421,6 +2517,7 @@ def oracle_sql() -> dict[str, str]:
         threshold=0.5, max_df=100
     )
     out["dedup_simhash"] = oracle.simhash_near_duplicates_sql(max_hamming=2)
+    out["dedup_ngram_spans"] = oracle.duplicated_ngram_stats_sql(shingle_n=8)
     # banded form computes the IDENTICAL result — same exact oracle
     out["dedup_simhash_banded"] = oracle.simhash_near_duplicates_sql(max_hamming=2)
     # dedup_embedding_lsh: approximate recall — no oracle by design
@@ -2440,6 +2537,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_top_users"] = oracle.top_users_per_type_sql()
     out["events_funnel"] = oracle.funnel_sql(horizon_minutes=1440)
     out["events_retention"] = oracle.retention_sql()
+    out["events_anomaly"] = oracle.rolling_anomaly_sql()
     out["graph_triangles"] = oracle.triangles_sql(max_df=50)
     out["text_entropy"] = oracle.char_entropy_sql()
     out["text_token_stats"] = oracle.token_stats_sql()

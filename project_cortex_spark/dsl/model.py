@@ -32,7 +32,11 @@ COMPARISON_OPERATORS = {
 # Operators that take no value operand (types.go:44-47).
 NO_VALUE_OPERATORS = {"IS NULL", "IS NOT NULL"}
 
-JOIN_TYPES = {"INNER", "LEFT", "RIGHT", "FULL"}
+# INNER/LEFT/RIGHT/FULL mirror the reference (types.go:49-55); SEMI and
+# ANTI are a beyond-parity extension (EXISTS / NOT EXISTS shapes — the
+# right side filters the left and contributes no columns), compiled to
+# Spark's native left_semi / left_anti hash joins.
+JOIN_TYPES = {"INNER", "LEFT", "RIGHT", "FULL", "SEMI", "ANTI"}
 AGG_FUNCTIONS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
 SORT_DIRECTIONS = {"ASC", "DESC"}
 

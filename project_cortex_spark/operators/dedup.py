@@ -320,6 +320,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicated_ngram_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-span signal at word-n-gram granularity:
+    for each doc, how many of its distinct ``shingle_n``-grams also
+    appear in at least one OTHER document, and the fraction. The
+    exact-substring-dedup diagnostic (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better") re-expressed over word
+    n-grams — docs with a high fraction are boilerplate/template copies
+    that document-level MinHash can miss when the rest of the text
+    differs.
+
+    Docs shorter than ``shingle_n`` tokens emit no n-grams and are
+    absent from the output (same contract as the MinHash family).
+
+    Scale notes: the shingle explode (dominant cost, cached) feeds a
+    document-frequency aggregate and joins straight back on the SAME
+    key — the df side arrives pre-partitioned on ``sh``, so the join
+    adds no new exchange for it; fan-out is exactly 1:1 (each (doc, sh)
+    row meets one df row — a hot boilerplate n-gram inflates its df
+    COUNT, never the join output). The final per-doc aggregate is the
+    only other shuffle.
+    """
+    sh = shingle_frame(
+        docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    ).cache()
+    dfc = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        sh.join(dfc, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count(F.when(F.col("_df") >= 2, 1)).alias("n_dup_ngrams"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_dup_ngrams",
+            F.round(
+                F.col("n_dup_ngrams").cast("double") / F.col("n_ngrams"), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -214,6 +214,75 @@ def retention_cohorts(
     )
 
 
+def rolling_anomaly(
+    events: DataFrame,
+    *,
+    bucket_minutes: int = 60,
+    lookback: int = 24,
+    z_threshold: float = 3.0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Rolling z-score anomaly detection on per-type event volume:
+    bucket events into epoch-aligned ``bucket_minutes`` windows, then
+    flag buckets whose count deviates from the trailing ``lookback``
+    buckets' mean by more than ``z_threshold`` sample standard
+    deviations. The monitoring classic (traffic spikes / drops per
+    event type); the trailing window EXCLUDES the current bucket so an
+    anomaly cannot suppress its own signal.
+
+    Buckets with fewer than 2 trailing rows or zero trailing variance
+    are never flagged (z is undefined there).
+
+    All bucketing is integer epoch-micros division; the rolling stats
+    run over counts (exact integers), so mean/std agree across engines
+    to float ulps and the emitted values are rounded well above that.
+
+    Scale notes: one hash aggregate over events (map-side partial → one
+    row per (type, bucket)), then a bounded rows-window per type over
+    the tiny bucket frame. The window partition key is the event type —
+    if one type dominated, the aggregate has already collapsed volume
+    to |buckets| rows, so no skew reaches the sort.
+    """
+    bucket_us = bucket_minutes * 60 * 1_000_000
+    counts = (
+        events.select(
+            F.col(type_col),
+            F.expr(f"unix_micros({ts_col}) div {bucket_us}").alias("bucket"),
+        )
+        .groupBy(type_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy("bucket")
+        .rowsBetween(-lookback, -1)
+    )
+    stats = counts.select(
+        type_col,
+        (F.col("bucket") * bucket_us).alias("bucket_start_us"),
+        "n_events",
+        F.avg("n_events").over(w).alias("_mean"),
+        F.stddev_samp("n_events").over(w).alias("_std"),
+        F.count("n_events").over(w).alias("_n_prev"),
+    )
+    z = (F.col("n_events") - F.col("_mean")) / F.col("_std")
+    return (
+        stats.filter(
+            (F.col("_n_prev") >= 2)
+            & (F.col("_std") > 0)
+            & (F.abs(z) > z_threshold)
+        )
+        .select(
+            type_col,
+            "bucket_start_us",
+            "n_events",
+            F.round("_mean", 4).alias("mean_prev"),
+            F.round(z, 4).alias("z_score"),
+        )
+    )
+
+
 def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
     """Top-k users by total value within each event_type. Aggregates
     before ranking so the window sort input is |users|x|types|, with a

@@ -249,6 +249,29 @@ def minhash_near_duplicates_sql(
     )
 
 
+def duplicated_ngram_stats_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+) -> str:
+    """Noiseless twin of dedup.duplicated_ngram_stats: distinct word
+    n-grams per doc, document frequency >= 2 marks a duplicated n-gram.
+    count(*) FILTER keeps the counts BIGINT (no HUGEINT sum)."""
+    return f"""
+    WITH {shingles_cte(table, id_col, text_col, shingle_n)},
+    shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+    dfc AS (SELECT sh, count(*) AS df FROM shd GROUP BY sh)
+    SELECT doc_id,
+           count(*) AS n_ngrams,
+           count(*) FILTER (df >= 2) AS n_dup_ngrams,
+           round(count(*) FILTER (df >= 2) / count(*), 6) AS dup_fraction
+    FROM shd JOIN dfc USING (sh)
+    GROUP BY doc_id
+    """
+
+
 def ngram_jaccard_pairs_sql(
     *,
     table: str = "documents",
@@ -693,6 +716,39 @@ def retention_sql(table: str = "events", days: int = 7) -> str:
            count(*) AS n_users
     FROM pairs JOIN coh USING (user_id)
     GROUP BY 1, 2
+    """
+
+
+def rolling_anomaly_sql(
+    table: str = "events",
+    *,
+    bucket_minutes: int = 60,
+    lookback: int = 24,
+    z_threshold: float = 3.0,
+) -> str:
+    """Noiseless twin of operators.events.rolling_anomaly: the same
+    integer epoch-bucket counts, trailing rows-window mean/stddev_samp
+    (current row excluded), and rounded emitted stats."""
+    bucket_us = bucket_minutes * 60 * 1_000_000
+    return f"""
+    WITH counts AS (
+      SELECT event_type, epoch_us(ts) // {bucket_us} AS bucket,
+             count(*) AS n_events
+      FROM {table} GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, bucket * {bucket_us} AS bucket_start_us, n_events,
+             avg(n_events) OVER w AS m,
+             stddev_samp(n_events) OVER w AS s,
+             count(n_events) OVER w AS n_prev
+      FROM counts
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN {lookback} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket_start_us, n_events,
+           round(m, 4) AS mean_prev,
+           round((n_events - m) / s, 4) AS z_score
+    FROM stats
+    WHERE n_prev >= 2 AND s > 0 AND abs((n_events - m) / s) > {z_threshold}
     """
 
 

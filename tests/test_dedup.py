@@ -85,6 +85,31 @@ def test_ngram_jaccard_max_df_drops_hot_shingle(spark):
     assert (1, 2) in got
 
 
+def test_duplicated_ngram_stats(registry, duck):
+    df = dedup.duplicated_ngram_stats(registry.table("documents"), shingle_n=8)
+    assert_matches_oracle(df, duck, oracle.duplicated_ngram_stats_sql(shingle_n=8))
+    assert df.filter(F.col("dup_fraction") > 0).count() > 0
+
+
+def test_duplicated_ngram_stats_semantics(spark):
+    """Doc 1 and 2 share their first 3-gram only; doc 3 is unique; doc 4
+    is too short to emit any 3-gram and is absent from the output."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),
+            (2, "a b c p q r"),
+            (3, "unique words only here now"),
+            (4, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_dup_ngrams"])
+        for r in dedup.duplicated_ngram_stats(docs, shingle_n=3).collect()
+    }
+    assert got == {1: (4, 1), 2: (4, 1), 3: (3, 0)}
+
+
 def test_simhash_fingerprints(registry, duck):
     df = simhash_fingerprints(registry.table("documents"))
     assert_matches_oracle(df, duck, oracle.simhash_fingerprints_sql())

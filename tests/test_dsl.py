@@ -205,6 +205,48 @@ class TestJoins:
             "SELECT s_suppkey, n_nationkey FROM supplier FULL JOIN nation ON s_nationkey = n_nationkey",
         )
 
+    def test_semi_join(self, registry, duck):
+        # beyond-parity: EXISTS shape; right side contributes no columns
+        q = {
+            "fields": ["c_custkey", "c_name"],
+            "from": "customer",
+            "joins": [
+                {
+                    "table": "orders",
+                    "type": "SEMI",
+                    "on": {"field": "customer.c_custkey", "operator": "=", "value": "orders.o_custkey"},
+                }
+            ],
+        }
+        check(
+            registry,
+            duck,
+            q,
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+        )
+
+    def test_anti_join(self, registry, duck):
+        # beyond-parity: NOT EXISTS shape
+        q = {
+            "fields": ["c_custkey"],
+            "from": "customer",
+            "joins": [
+                {
+                    "table": "orders",
+                    "type": "ANTI",
+                    "on": {"field": "customer.c_custkey", "operator": "=", "value": "orders.o_custkey"},
+                }
+            ],
+        }
+        check(
+            registry,
+            duck,
+            q,
+            "SELECT c_custkey FROM customer "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+        )
+
     def test_join_with_composite_on(self, registry, duck):
         # ON with an extra literal predicate alongside the equi-key
         q = {

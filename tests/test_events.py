@@ -7,6 +7,7 @@ from project_cortex_spark.operators.events import (
     funnel,
     props_extract,
     retention_cohorts,
+    rolling_anomaly,
     sessionize,
     top_users_per_type,
     windowed_agg,
@@ -75,6 +76,35 @@ def test_funnel_semantics(spark):
         for r in funnel(events, horizon_minutes=1440).collect()
     }
     assert got == {3: 1, 2: 1, 1: 1, 0: 1}
+
+
+def test_rolling_anomaly(registry, duck):
+    df = rolling_anomaly(registry.table("events"))
+    assert_matches_oracle(df, duck, oracle.rolling_anomaly_sql())
+
+
+def test_rolling_anomaly_semantics(spark):
+    """Alternating 2/3 hourly volume with one 50-event spike: only the
+    spike bucket is flagged, its baseline excludes the spike itself
+    (mean_prev = mean of [2,3,2,3,2,3,2] = 2.4286), and the buckets
+    AFTER the spike are not flagged because the spike inflates their
+    trailing std. A flat series would have std=0 and never flag."""
+    hour_us = 3_600 * 1_000_000
+    rows = []
+    eid = 0
+    for b in range(10):
+        n = 50 if b == 7 else (2 if b % 2 == 0 else 3)
+        for _ in range(n):
+            rows.append((eid, b * hour_us, "view"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, ["event_id", "us", "event_type"]
+    ).selectExpr("event_id", "timestamp_micros(us) AS ts", "event_type")
+    got = rolling_anomaly(events, z_threshold=3.0).collect()
+    assert [(r["bucket_start_us"], r["n_events"]) for r in got] == [
+        (7 * hour_us, 50)
+    ]
+    assert got[0]["mean_prev"] == 2.4286
 
 
 def test_retention_cohorts(registry, duck):
