@@ -754,6 +754,19 @@ def _q_knn_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_mod.ann_recall(approx, exact)
 
 
+def _q_knn_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # self-measurement for the PQ/ADC compressed path (m=8 subspaces,
+    # 64 codes = 8 B/vector): recall@5 vs the oracle-gated exact join.
+    # The synthetic embeddings are near-random (worst case for PQ —
+    # no cluster structure to exploit), so the measured recall is a
+    # floor, not a ceiling; the (m, n_codes) knobs trade bytes for it.
+    emb = _registry(spark, sf_dir).table("embeddings")
+    q = _knn_queries(spark, sf_dir)
+    exact = knn_mod.knn_join(q, emb, k=5)
+    approx = knn_mod.knn_join_pq(q, emb, k=5, n_subspaces=8, n_codes=64)
+    return knn_mod.ann_recall(approx, exact)
+
+
 def _q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_mod.pack_sequences(
         _docs(spark, sf_dir), seq_tokens=256, writers=16
@@ -2363,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["embed_quantize"] = _q_embed_quantize
     out["knn_recall_lsh"] = _q_knn_recall_lsh
     out["knn_recall_ivf"] = _q_knn_recall_ivf
+    out["knn_recall_pq"] = _q_knn_recall_pq
     out["pipeline_change_detection"] = _q_change_detection
     out["pipeline_apply_changeset"] = _q_apply_changeset
     out["pipeline_branch_fork"] = _q_branch_fork

@@ -342,3 +342,173 @@ def knn_join_ivf(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression scale path
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    sample_rows: int = 10_000,
+    iters: int = 8,
+    seed: int = 42,
+):
+    """Per-subspace L2 k-means codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search") trained on a bounded
+    sample — same sanctioned driver-side collect contract as
+    :func:`train_centroids`. Vectors are unit-normalized first so
+    L2-ADC ranking agrees with the cosine ranking the exact path uses.
+
+    Returns a (n_subspaces, n_codes, dim // n_subspaces) float64 array.
+    With uint8-sized codes a 384-d float32 vector compresses 1536 B →
+    n_subspaces bytes — the reason PQ is the 100 TB in-memory index
+    format while raw vectors stay in parquet.
+    """
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    dim = sample.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sample /= np.clip(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12, None)
+    dsub = dim // n_subspaces
+    rng = np.random.RandomState(seed)
+    books = np.empty((n_subspaces, n_codes, dsub), dtype=np.float64)
+    for j in range(n_subspaces):
+        block = sample[:, j * dsub : (j + 1) * dsub]
+        idx = rng.choice(len(block), size=min(n_codes, len(block)), replace=False)
+        cent = block[idx].copy()
+        for _ in range(iters):
+            d2 = ((block[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                members = block[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j, : len(cent)] = cent
+        if len(cent) < n_codes:  # degenerate tiny sample: pad by repeat
+            books[j, len(cent) :] = cent[0]
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``pq_codes`` (array<int>, one code per subspace): nearest
+    codeword per unit-normalized block. Arrow-batched; each batch is one
+    (rows × n_codes) distance matrix per subspace — no per-row Python.
+    At scale, persist this projection once (codes + id only) and run all
+    ADC scans against it; the float vectors never leave parquet."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = codebooks
+    m, n_codes, dsub = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = np.array(list(vecs), dtype=np.float64)
+        mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            block = mat[:, j * dsub : (j + 1) * dsub]
+            # ||b - c||^2 = ||b||^2 - 2 b.c + ||c||^2; ||b||^2 constant per row
+            d2 = -2.0 * (block @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return corpus.withColumn("pq_codes", encode(F.col(vec_col)))
+
+
+def knn_join_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    codebooks=None,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k: corpus vectors are
+    PQ codes, queries stay full-precision; each query precomputes an
+    (n_subspaces × n_codes) distance table and a document's approximate
+    distance is the table-gather sum over its codes.
+
+    Plan shape: the query→distance-table frame (tiny) broadcasts into a
+    cross join against the code projection — the same broadcast-scan
+    shape as the exact :func:`knn_join`, but each corpus row costs an
+    m-element gather instead of a dim-element dot product, over a
+    m-byte row instead of a 4·dim-byte one: at 100 TB that is the
+    difference between scanning 100 TB and scanning ~800 GB. Ranking
+    by ascending ADC distance (doc id tiebreak), row_number per query.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus,
+            vec_col=corpus_vec,
+            n_subspaces=n_subspaces,
+            n_codes=n_codes,
+            seed=seed,
+        )
+    books = codebooks
+    m, n_codes, dsub = books.shape
+
+    coded = pq_encode(corpus, books, vec_col=corpus_vec).select(
+        corpus_id, "pq_codes"
+    )
+
+    @pandas_udf("array<double>")
+    def dist_table(vecs: pd.Series) -> pd.Series:
+        mat = np.array(list(vecs), dtype=np.float64)
+        mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        out = np.empty((len(mat), m * n_codes), dtype=np.float64)
+        for j in range(m):
+            block = mat[:, j * dsub : (j + 1) * dsub]
+            d2 = (
+                (block**2).sum(axis=1)[:, None]
+                - 2.0 * (block @ books[j].T)
+                + (books[j] ** 2).sum(axis=1)[None, :]
+            )
+            out[:, j * n_codes : (j + 1) * n_codes] = d2
+        return pd.Series(list(out))
+
+    q = queries.select(
+        query_id, dist_table(F.col(query_vec)).alias("_dtab")
+    )
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series, dtabs: pd.Series) -> pd.Series:
+        cmat = np.array(list(codes), dtype=np.int64)
+        dmat = np.array(list(dtabs), dtype=np.float64)
+        offs = np.arange(m, dtype=np.int64) * n_codes
+        return pd.Series(
+            np.take_along_axis(dmat, cmat + offs[None, :], axis=1).sum(axis=1)
+        )
+
+    cand = coded.crossJoin(F.broadcast(q)).withColumn(
+        "adc_dist", adc(F.col("pq_codes"), F.col("_dtab"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_dist").asc(), F.col(corpus_id).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round("adc_dist", 6).alias("adc_dist"), "rank")
+    )

@@ -147,3 +147,69 @@ def test_ivf_candidate_pruning(registry):
     # every query scores at most the 3 largest clusters' rows
     worst = sum(sorted(sizes.values(), reverse=True)[:3])
     assert worst < n_corpus
+
+
+def test_pq_codeword_vectors_rank_exactly(spark):
+    """With explicit codebooks and corpus vectors that ARE codewords,
+    ADC distance is exact: each query's top-1 is its own codeword doc at
+    distance 0."""
+    import numpy as np
+
+    # dim 4, m=2 subspaces, 2 codes per subspace; 4 unit-ish vectors
+    books = np.array(
+        [
+            [[1.0, 0.0], [0.0, 1.0]],
+            [[1.0, 0.0], [0.0, 1.0]],
+        ]
+    )
+    # normalized corpus rows assembled from codewords
+    vecs = {
+        1: [1.0, 0.0, 1.0, 0.0],
+        2: [1.0, 0.0, 0.0, 1.0],
+        3: [0.0, 1.0, 1.0, 0.0],
+        4: [0.0, 1.0, 0.0, 1.0],
+    }
+    norm = 2 ** -0.5
+    corpus = spark.createDataFrame(
+        [(i, [x * norm for x in v]) for i, v in vecs.items()],
+        ["vec_id", "embedding"],
+    )
+    # books must hold the NORMALIZED blocks to be exact codewords
+    books = books * norm
+    q = spark.createDataFrame(
+        [(i, [x * norm for x in v]) for i, v in vecs.items()],
+        ["query_id", "query_vec"],
+    )
+    got = knn.knn_join_pq(q, corpus, k=1, codebooks=books).collect()
+    assert {(r["query_id"], r["vec_id"]) for r in got} == {
+        (i, i) for i in vecs
+    }
+    assert all(r["adc_dist"] == 0.0 for r in got)
+
+
+def test_pq_recall_floor(registry):
+    """Measured contract: m=8/64-code PQ on the (near-random, worst-case)
+    synthetic embeddings keeps recall@5 well above chance (5/500 = 1%)."""
+    emb = registry.table("embeddings")
+    q = _queries_frame(registry)
+    exact = knn.knn_join(q, emb, k=5)
+    pq = knn.knn_join_pq(q, emb, k=5, n_subspaces=8, n_codes=64)
+    truth = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["vec_id"]) for r in pq.collect()}
+    recall = len(truth & got) / len(truth)
+    # deterministic 0.36 on the sf0.001 fixture (0.56 at sf0.01);
+    # chance level for k=5 of |corpus| is ~5/|corpus| ≈ 10%
+    assert recall >= 0.3, f"PQ recall too low: {recall}"
+
+
+def test_pq_codes_shape_and_range(registry):
+    emb = registry.table("embeddings")
+    books = knn.train_pq_codebooks(emb, n_subspaces=8, n_codes=16)
+    assert books.shape == (8, 16, 8)
+    coded = knn.pq_encode(emb, books)
+    row = coded.select("pq_codes").first()[0]
+    assert len(row) == 8
+    stats = coded.selectExpr(
+        "min(array_min(pq_codes)) AS lo", "max(array_max(pq_codes)) AS hi"
+    ).first()
+    assert stats["lo"] >= 0 and stats["hi"] < 16
