@@ -52,6 +52,7 @@ from project_cortex_spark.pipeline import parse as parse_mod
 from project_cortex_spark.pipeline import sink as sink_mod
 from project_cortex_spark.sources import files as files_src
 from project_cortex_spark.sources import layout as layout_mod
+from project_cortex_spark.sources import text_formats as textfmt
 from project_cortex_spark.sources.registry import load_tables
 from project_cortex_spark.streaming import dedup as stream_dedup
 from project_cortex_spark.streaming import rollup as stream_rollup
@@ -1591,6 +1592,49 @@ def _q_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("is_text")
 
 
+def _source_stats(df: DataFrame) -> DataFrame:
+    # per-source aggregate whose values survive a lossless round-trip
+    # bit-exactly: counts and integer sums only
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+    )
+
+
+_SOURCE_STATS_ORACLE = """
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+    FROM documents GROUP BY source
+"""
+
+
+def _export_dir(sf_dir: str, fmt: str) -> str:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/pcx_export_{tag}/{fmt}"
+
+
+def _q_source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ingestion-format contract: documents -> JSONL shards -> read back
+    # with an explicit schema -> per-source stats. The oracle aggregates
+    # the ORIGINAL parquet, so any loss in the round trip hash-fails.
+    docs = _docs(spark, sf_dir)
+    out = _export_dir(sf_dir, "jsonl")
+    textfmt.write_jsonl(docs, out)
+    return _source_stats(textfmt.read_jsonl(spark, out, docs.schema))
+
+
+def _q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same contract over RFC 4180 CSV (quoted text with spaces survives)
+    docs = _docs(spark, sf_dir)
+    out = _export_dir(sf_dir, "csv")
+    textfmt.write_csv(docs, out)
+    return _source_stats(textfmt.read_csv(spark, out, docs.schema))
+
+
 def _q_parse_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # python-ast parse UDF over this package's sources (D3/G9); no SQL
     # parser exists in DuckDB, so this is a rows-only (weak) check —
@@ -2135,6 +2179,22 @@ def _q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+def _q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming twin of events_anomaly: the stream maintains the
+    # watermarked (event_type, bucket) volume counts; the rolling
+    # z-score is merge-on-read over the drained aggregate (rollup.py's
+    # split — a rows-window over an evolving aggregate is not a
+    # streaming-expressible operator). Same oracle as events_anomaly.
+    with stream_source.scoped_state_partitions(spark, _STREAM_STATE_PARTITIONS):
+        stream = stream_source.stream_table(spark, sf_dir, "events")
+        buckets = stream_source.run_to_memory(
+            stream_windows.volume_buckets_stream(stream, bucket_minutes=60),
+            query_name="q_stream_anomaly",
+            output_mode="complete",
+        )
+        return stream_windows.anomaly_on_buckets(buckets, bucket_minutes=60)
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simulated at-least-once transport: the SAME source unioned with
     # itself (every event delivered twice); exactly-once dedup must
@@ -2384,6 +2444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_chunk_assembly"] = _q_chunk_assembly
     out["pipeline_embed_stub"] = _q_embed_stub
     out["source_file_stats"] = _q_file_stats
+    out["source_jsonl_roundtrip"] = _q_source_jsonl_roundtrip
+    out["source_csv_roundtrip"] = _q_source_csv_roundtrip
     out["pipeline_parse_entities"] = _q_parse_entities
     out["pipeline_chunk_markdown"] = _q_chunk_markdown
     out["pipeline_parse_multilang"] = _q_parse_multilang
@@ -2407,6 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_interval_join"] = _q_stream_interval_join
     out["stream_asof_join"] = _q_stream_asof_join
     out["stream_rollup"] = _q_stream_rollup
+    out["stream_anomaly"] = _q_stream_anomaly
     _media = lambda s, d: mm.synthesize_media(_docs(s, d))  # noqa: E731
     out["media_decode_meta"] = lambda s, d: mm.decode_media(_media(s, d)).drop(
         "mean_byte"
@@ -2430,10 +2493,15 @@ _GATE_FIRST = [
     # Round-4 gate plan (VERDICT r3 item 1): the driver gates the FIRST 50
     # registered queries per round. R3 went 50/50 green; this round (a)
     # gates the 8 oracle-gated queries registered in r3 AFTER the gate
-    # filled (driver-row-less, local-sweep-green), (b) gates the 3 new r4
-    # queries, (c) re-gates the 39 oracle-gated queries whose newest green
-    # row is r2 (oldest evidence first). The r3 greens keep their r03
-    # rows. Everything still runs locally via scripts/check_entry.py.
+    # filled (driver-row-less, local-sweep-green), (b) gates the 10 new
+    # r4 queries, (c) re-gates the r2-green oracle-gated queries whose
+    # newest green row is r2 (oldest evidence first; the 7 untouched-
+    # since-r2 tail entries — text_redact_pii/repetition/tfidf_terms/
+    # top_terms/fingerprints, media_* — wait for r5 to make room). The
+    # r3 greens keep their r03 rows. Everything still runs locally via
+    # scripts/check_entry.py. Queries registered late in r4 after these
+    # 50 slots filled (stream_anomaly, source_jsonl_roundtrip,
+    # source_csv_roundtrip) head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -2448,6 +2516,13 @@ _GATE_FIRST = [
     "search_lexical_recall",  # lexical provider vs noiseless overlap ranking
     "events_funnel",  # ordered 3-step funnel, 24 h horizon
     "dsl_tpch_q1",  # pricing-summary shape within DSL semantics
+    "events_retention",  # cohort retention matrix, epoch-bucket exact
+    "graph_triangles",  # co-purchase wedge closure, degree-capped
+    "text_entropy",  # char-distribution Shannon entropy
+    "dsl_tpch_q4",  # EXISTS shape via the SEMI DSL join
+    "dsl_join_anti",  # NOT-EXISTS shape via the ANTI DSL join
+    "events_anomaly",  # rolling z-score volume anomaly
+    "dedup_ngram_spans",  # duplicated word-n-gram span fraction
     # -- (c) the 39 r2-green oracle-gated queries, re-gated under the r4
     # engine (evidence refresh; weak-by-design entries excluded — a
     # rows-only re-gate adds no evidence) --
@@ -2482,14 +2557,7 @@ _GATE_FIRST = [
     "stream_windowed_agg",
     "text_bpe_tokens",
     "text_c4_clean",
-    "text_fingerprints",
     "text_lm_score",
-    "text_redact_pii",
-    "text_repetition",
-    "text_tfidf_terms",
-    "text_top_terms",
-    "media_decode_meta",
-    "media_features",
 ]
 
 
@@ -2602,6 +2670,10 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'code-data-' || doc_id FROM documents)
     """
     out["source_file_stats"] = oracle.file_stats_sql(f"{_SRC_DIR}/*.py")
+    # round-trip queries aggregate re-read exports; oracle aggregates
+    # the original parquet — equality proves the trip lossless
+    out["source_jsonl_roundtrip"] = _SOURCE_STATS_ORACLE
+    out["source_csv_roundtrip"] = _SOURCE_STATS_ORACLE
     # golden oracles for the fixed-corpus parse contracts: the extraction
     # is fully deterministic, so the expected output is a VALUES literal —
     # any drift in spans/params/complexity/receivers breaks the hash
@@ -2714,6 +2786,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4
         FROM events GROUP BY 1, 2
     """
+    # streaming twin judged against the SAME oracle as events_anomaly
+    out["stream_anomaly"] = oracle.rolling_anomaly_sql()
     out["media_decode_meta"] = oracle.media_decode_meta_sql()
     out["media_features"] = """
         SELECT doc_id AS media_id, 32 AS dim, 1.0 AS l2_norm FROM documents

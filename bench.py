@@ -43,6 +43,13 @@ EXTENDED = [
     "stream_asof_join",
     "stream_dedup",
     "stream_rollup",
+    # r4 additions: the non-trivial new plans (wedge closure, shingle-df
+    # join, one-shuffle funnel fold, SEMI join, PQ encode + ADC scan)
+    "graph_triangles",
+    "dedup_ngram_spans",
+    "events_funnel",
+    "dsl_tpch_q4",
+    "knn_recall_pq",
 ]
 
 HEADLINE = [

@@ -247,19 +247,40 @@ def rolling_anomaly(
     bucket_us = bucket_minutes * 60 * 1_000_000
     counts = (
         events.select(
-            F.col(type_col),
+            F.col(type_col).alias("event_type"),
             F.expr(f"unix_micros({ts_col}) div {bucket_us}").alias("bucket"),
         )
-        .groupBy(type_col, "bucket")
+        .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+    return rolling_anomaly_on_buckets(
+        counts,
+        bucket_minutes=bucket_minutes,
+        lookback=lookback,
+        z_threshold=z_threshold,
+    )
+
+
+def rolling_anomaly_on_buckets(
+    buckets: DataFrame,
+    *,
+    bucket_minutes: int = 60,
+    lookback: int = 24,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """The z-score half of :func:`rolling_anomaly`, factored over a
+    (event_type, bucket, n_events) frame so the streaming twin
+    (streaming/windows.py — the stream maintains the bucket counts,
+    the reader derives the judgment, rollup-style merge-on-read) runs
+    the IDENTICAL expressions as the batch operator."""
+    bucket_us = bucket_minutes * 60 * 1_000_000
     w = (
-        Window.partitionBy(type_col)
+        Window.partitionBy("event_type")
         .orderBy("bucket")
         .rowsBetween(-lookback, -1)
     )
-    stats = counts.select(
-        type_col,
+    stats = buckets.select(
+        "event_type",
         (F.col("bucket") * bucket_us).alias("bucket_start_us"),
         "n_events",
         F.avg("n_events").over(w).alias("_mean"),
@@ -274,7 +295,7 @@ def rolling_anomaly(
             & (F.abs(z) > z_threshold)
         )
         .select(
-            type_col,
+            "event_type",
             "bucket_start_us",
             "n_events",
             F.round("_mean", 4).alias("mean_prev"),

@@ -23,7 +23,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -127,6 +130,144 @@ def sessionize_with_state(
             _session_fn(gap_minutes),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling volume anomaly with explicit per-type state (append mode)
+# ---------------------------------------------------------------------------
+
+ANOMALY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("bucket_start_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("mean_prev", DoubleType()),
+        StructField("z_score", DoubleType()),
+    ]
+)
+
+ANOMALY_STATE_SCHEMA = StructType(
+    [
+        StructField("open_buckets", ArrayType(LongType())),
+        StructField("open_counts", ArrayType(LongType())),
+        StructField("trail_counts", ArrayType(LongType())),
+    ]
+)
+
+
+def _anomaly_fn(bucket_minutes: int, lookback: int, z_threshold: float):
+    bucket_us = bucket_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        import numpy as np
+
+        (event_type,) = key
+        if state.exists:
+            open_b, open_c, trail = (
+                list(state.get[0]),
+                list(state.get[1]),
+                list(state.get[2]),
+            )
+        else:
+            open_b, open_c, trail = [], [], []
+
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs))
+            if len(rows):
+                buckets = (rows["ts"].astype("int64") // 1000) // bucket_us
+                for b, n in buckets.value_counts().items():
+                    b = int(b)
+                    if b in open_b:
+                        open_c[open_b.index(b)] += int(n)
+                    else:
+                        open_b.append(b)
+                        open_c.append(int(n))
+
+        # close every bucket whose end has passed the watermark, in
+        # bucket order — identical trailing-window semantics to the
+        # batch rolling_anomaly (previous `lookback` CLOSED buckets,
+        # current excluded; n_prev >= 2 and std > 0 required)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        flagged: list[tuple] = []
+        for b in sorted(open_b):
+            if (b + 1) * bucket_us > wm_us:
+                break
+            n = open_c[open_b.index(b)]
+            if len(trail) >= 2:
+                arr = np.array(trail[-lookback:], dtype=np.float64)
+                std = arr.std(ddof=1)
+                if std > 0:
+                    z = (n - arr.mean()) / std
+                    if abs(z) > z_threshold:
+                        flagged.append(
+                            (
+                                event_type,
+                                b * bucket_us,
+                                n,
+                                round(float(arr.mean()), 4),
+                                round(float(z), 4),
+                            )
+                        )
+            i = open_b.index(b)
+            del open_b[i], open_c[i]
+            trail.append(n)
+            if len(trail) > lookback:
+                del trail[: len(trail) - lookback]
+
+        if open_b:
+            state.update((open_b, open_c, trail))
+            # wake up when the watermark passes the earliest open bucket
+            state.setTimeoutTimestamp((min(open_b) + 1) * bucket_us // 1000)
+        elif state.exists:
+            if trail:
+                state.update(([], [], trail))
+            else:
+                state.remove()
+
+        if flagged:
+            yield pd.DataFrame(
+                flagged,
+                columns=[
+                    "event_type",
+                    "bucket_start_us",
+                    "n_events",
+                    "mean_prev",
+                    "z_score",
+                ],
+            )
+
+    return fn
+
+
+def anomaly_with_state(
+    events: DataFrame,
+    *,
+    bucket_minutes: int = 60,
+    lookback: int = 24,
+    z_threshold: float = 3.0,
+    watermark_minutes: int = 120,
+) -> DataFrame:
+    """Append-mode streaming twin of operators.events.rolling_anomaly
+    with explicit per-event-type state: open (not-yet-closed) bucket
+    counts accumulate across micro-batches; a bucket is finalized and
+    judged once the watermark passes its end, entering the trailing
+    baseline afterwards. State per key is O(open buckets + lookback) —
+    bounded by the watermark and the window, never by stream length.
+    Emitted rows are final (append semantics): a bucket is judged
+    exactly once, against exactly the baseline the batch twin uses.
+    """
+    return (
+        events.withWatermark("ts", f"{watermark_minutes} minutes")
+        .select("event_type", "ts")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _anomaly_fn(bucket_minutes, lookback, z_threshold),
+            outputStructType=ANOMALY_OUTPUT_SCHEMA,
+            stateStructType=ANOMALY_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

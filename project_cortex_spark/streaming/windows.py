@@ -56,3 +56,47 @@ def sessionize_stream(
         )
         .drop("w")
     )
+
+
+def volume_buckets_stream(
+    events: DataFrame, *, bucket_minutes: int = 60, watermark_minutes: int = 120
+) -> DataFrame:
+    """Per-(event_type, epoch bucket) volume counts as a watermarked
+    streaming aggregate — the state-maintained half of the streaming
+    anomaly detector. The rolling z-score itself is merge-on-read (the
+    same split as rollup.py: the stream maintains monoid partials, the
+    reader derives the judgment), because a rows-window over an
+    evolving aggregate is not a streaming-expressible operator — each
+    new bucket would retro-enter 24 later buckets' baselines.
+
+    Identical bucketing expression to operators.events.rolling_anomaly,
+    so a finite complete-mode run feeds the batch z-score verbatim.
+    """
+    bucket_us = bucket_minutes * 60 * 1_000_000
+    return (
+        events.withWatermark("ts", f"{watermark_minutes} minutes")
+        .groupBy(
+            F.col("event_type"),
+            F.expr(f"unix_micros(ts) div {bucket_us}").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def anomaly_on_buckets(
+    buckets: DataFrame,
+    *,
+    bucket_minutes: int = 60,
+    lookback: int = 24,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Read-side rolling z-score over materialized volume buckets — the
+    merge-on-read half of the streaming anomaly detector. Delegates to
+    the batch operator's factored expression set, so stream-fed and
+    batch-fed results are definitionally identical."""
+    return ev.rolling_anomaly_on_buckets(
+        buckets,
+        bucket_minutes=bucket_minutes,
+        lookback=lookback,
+        z_threshold=z_threshold,
+    )

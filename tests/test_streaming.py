@@ -393,3 +393,71 @@ def test_branch_watcher_swap_and_debounce(spark, tmp_path):
     t[0] = 3.0
     from project_cortex_spark.streaming.branch_watcher import read_head
     assert read_head(str(head)) == "0123abcd"
+
+
+def test_stream_anomaly_matches_batch(spark, registry):
+    """Complete-mode volume buckets + merge-on-read z-score equals the
+    batch rolling_anomaly on the same events."""
+    stream = _events_stream(spark)
+    buckets = source.run_to_memory(
+        windows.volume_buckets_stream(stream, bucket_minutes=60),
+        query_name="t_stream_anomaly_buckets",
+        output_mode="complete",
+    )
+    got = {
+        (r["event_type"], r["bucket_start_us"]): (r["n_events"], r["z_score"])
+        for r in windows.anomaly_on_buckets(buckets, bucket_minutes=60).collect()
+    }
+    want = {
+        (r["event_type"], r["bucket_start_us"]): (r["n_events"], r["z_score"])
+        for r in ev.rolling_anomaly(registry.table("events")).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_anomaly_with_state(spark, tmp_path):
+    """Append-mode stateful anomaly: buckets close by watermark timeout
+    and each is judged against the trailing baseline exactly as the
+    batch twin does (alternating 2/3 baseline, one 50-event spike)."""
+    hour = 3_600
+    real = []
+    eid = 0
+    for b in range(10):
+        n = 50 if b == 7 else (2 if b % 2 == 0 else 3)
+        for _ in range(n):
+            ts = f"2024-01-01 {b:02d}:00:00"
+            real.append((eid, ts, 10, 1.0))
+            eid += 1
+    src = tmp_path / "src"
+    _write_events(spark, real, str(src / "f0.parquet"))
+    # sentinels: later event-time advances the watermark past every real
+    # bucket so state timeouts fire deterministically before the drain
+    _write_events(spark, [(9000, "2024-01-06 00:00:00", -1, 0.0)], str(src / "f1.parquet"))
+    _write_events(spark, [(9001, "2024-01-11 00:00:00", -2, 0.0)], str(src / "f2.parquet"))
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+        .withColumn("event_type", F.when(F.col("user_id") < 0, "wm").otherwise("view"))
+    )
+    q = (
+        stateful.anomaly_with_state(stream, bucket_minutes=60, z_threshold=3.0)
+        .writeStream.format("memory")
+        .queryName("t_stateful_anomaly")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    got = [
+        (r["event_type"], r["bucket_start_us"], r["n_events"], r["mean_prev"])
+        for r in spark.table("t_stateful_anomaly").collect()
+        if r["event_type"] == "view"
+    ]
+    # bucket start of 2024-01-01 07:00:00 UTC in epoch micros
+    spike_us = (1_704_067_200 + 7 * hour) * 1_000_000
+    assert got == [("view", spike_us, 50, 2.4286)]
