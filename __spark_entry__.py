@@ -2413,6 +2413,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_df=50,
         )
     )
+    # fixed-iteration PageRank over the same co-purchase edge list —
+    # the iterative family the reference's engine cannot express
+    out["graph_pagerank"] = lambda s, d: graph_mod.pagerank(
+        graph_mod.cooccurrence_edges(
+            _registry(s, d).table("lineitem"),
+            group_col="l_orderkey",
+            item_col="l_partkey",
+            max_df=50,
+        ),
+        iters=5,
+    )
     # char-distribution Shannon entropy (zero-shuffle quality signal)
     out["text_entropy"] = lambda s, d: ts.char_entropy(_docs(s, d))
     out["text_token_stats"] = lambda s, d: ts.token_stats(_docs(s, d))
@@ -2501,7 +2512,7 @@ _GATE_FIRST = [
     # r3 greens keep their r03 rows. Everything still runs locally via
     # scripts/check_entry.py. Queries registered late in r4 after these
     # 50 slots filled (stream_anomaly, source_jsonl_roundtrip,
-    # source_csv_roundtrip) head the r5 gate next round.
+    # source_csv_roundtrip, graph_pagerank) head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -2621,6 +2632,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_retention"] = oracle.retention_sql()
     out["events_anomaly"] = oracle.rolling_anomaly_sql()
     out["graph_triangles"] = oracle.triangles_sql(max_df=50)
+    out["graph_pagerank"] = oracle.pagerank_sql(max_df=50, iters=5)
     out["text_entropy"] = oracle.char_entropy_sql()
     out["text_token_stats"] = oracle.token_stats_sql()
     out["text_quality"] = oracle.quality_scores_sql()

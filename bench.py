@@ -46,6 +46,7 @@ EXTENDED = [
     # r4 additions: the non-trivial new plans (wedge closure, shingle-df
     # join, one-shuffle funnel fold, SEMI join, PQ encode + ADC scan)
     "graph_triangles",
+    "graph_pagerank",
     "dedup_ngram_spans",
     "events_funnel",
     "dsl_tpch_q4",

@@ -519,3 +519,65 @@ def triangles_per_node(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iters: int = 5,
+    damping: float = 0.85,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list (both
+    directions materialized internally) — the iterative-linear-algebra
+    family the reference's SQLite engine cannot express at all
+    (SURVEY §2.7 stops at recursive traversals). Node importance over
+    the co-purchase / call graph; fixed ``iters`` power steps keep the
+    result deterministic and oracle-matchable (the DuckDB twin unrolls
+    the same chain of matrix-vector steps as CTEs).
+
+    Undirected contract: every node has out-degree >= 1, so there is no
+    dangling-mass term — pr_{t+1}(v) = (1-d)/N + d * Σ_{u~v} pr_t(u)/deg(u).
+
+    Scale notes: each step is one equi-join (ranks onto the stationary
+    edge list, rank side is |V| rows — the small side — while edges
+    never move) + one hash aggregate on the destination; lineage is cut
+    with localCheckpoint per step exactly like duplicate_clusters'
+    label propagation. Skew = hub in-degree, which a degree-capped edge
+    list (cooccurrence_edges max_df) already bounds; on a raw power-law
+    graph the aggregate's map-side partials absorb the hot key.
+    """
+    dir_edges = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .cache()
+    )
+    deg = dir_edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node")).cache()
+    n = nodes.count()  # driver scalar: node count (one small aggregate)
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    out_edges = dir_edges.join(deg, "src").select(
+        "src", "dst", "deg"
+    ).localCheckpoint(eager=False)
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = (
+            out_edges.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.round("pr", 9).alias("pr"))

@@ -784,6 +784,63 @@ def triangles_sql(
     """
 
 
+def pagerank_sql(
+    table: str = "lineitem",
+    group_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    max_df: int = 50,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """Noiseless twin of cooccurrence_edges + graph.pagerank: the same
+    degree-capped undirected edge list, with the fixed power iterations
+    UNROLLED as a chain of CTEs (pr0 -> pr1 -> ... -> pr{iters})."""
+    d = damping
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""pr{i} AS (
+      SELECT nodes.node,
+             (1.0 - {d}) / (SELECT n FROM nn)
+               + {d} * coalesce(s.contrib, 0.0) AS pr
+      FROM nodes LEFT JOIN (
+        SELECT de.dst AS node, sum(p.pr / deg.deg) AS contrib
+        FROM de
+        JOIN pr{i - 1} p ON p.node = de.src
+        JOIN deg ON deg.src = de.src
+        GROUP BY de.dst
+      ) s USING (node)
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH pres0 AS (
+      SELECT DISTINCT {group_col} AS g, {item_col} AS itm FROM {table}
+    ), keep AS (
+      SELECT itm FROM pres0 GROUP BY itm HAVING count(*) <= {max_df}
+    ), pres AS (
+      SELECT g, itm FROM pres0 JOIN keep USING (itm)
+    ), e AS (
+      SELECT DISTINCT p1.itm AS a, p2.itm AS b
+      FROM pres p1 JOIN pres p2 ON p1.g = p2.g AND p1.itm < p2.itm
+    ), de AS (
+      SELECT a AS src, b AS dst FROM e
+      UNION ALL
+      SELECT b AS src, a AS dst FROM e
+    ), deg AS (
+      SELECT src, count(*) AS deg FROM de GROUP BY src
+    ), nodes AS (
+      SELECT src AS node FROM deg
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+    ), pr0 AS (
+      SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes
+    ),
+    {chain}
+    SELECT node, round(pr{iters}.pr, 9) AS pr FROM pr{iters}
+    """
+
+
 def char_entropy_sql(table: str = "documents") -> str:
     """Noiseless twin of textstats.char_entropy (documents with empty
     text keep a zero row via the left join)."""

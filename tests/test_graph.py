@@ -368,3 +368,38 @@ def test_triangles_match_oracle(registry, duck):
     assert_matches_oracle(
         triangles_per_node(edges), duck, oracle.triangles_sql(max_df=50)
     )
+
+
+def test_pagerank_star_graph(spark):
+    """Star c-{1,2,3}: leaves tie by symmetry, the hub dominates, and
+    total mass stays 1 (the power step is stochastic)."""
+    from project_cortex_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], ["a", "b"]
+    )
+    got = {r["node"]: r["pr"] for r in pagerank(edges, iters=10).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[0] > got[1]
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_matches_oracle(registry, duck):
+    from project_cortex_spark import oracle
+    from project_cortex_spark.operators.graph import (
+        cooccurrence_edges,
+        pagerank,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    edges = cooccurrence_edges(
+        registry.table("lineitem"),
+        group_col="l_orderkey",
+        item_col="l_partkey",
+        max_df=50,
+    )
+    assert_matches_oracle(
+        pagerank(edges, iters=5),
+        duck,
+        oracle.pagerank_sql(max_df=50, iters=5),
+    )
