@@ -35,6 +35,12 @@ PICKS = {
     "corpus_importance_sample": "quality-weighted sampling: zero Exchange — md5-bucket filter at scan bandwidth",
     "events_funnel": "3-step funnel: ONE shuffle (groupBy user) + JVM higher-order fold over sorted per-user arrays — no self-joins",
     "search_lexical_recall": "retrieval contract: broadcast query side vs corpus scan, map-side partial window top-1",
+    "graph_triangles": "wedge closure: HOF pair fan-out from ONE group aggregate, cached edge list feeding three hash-join inputs",
+    "graph_pagerank": "power iteration: plan shows only the final checkpointed RDD (localCheckpoint truncates lineage per step BY DESIGN — an un-truncated 5-step plan would be a 5-deep join tower); per step: |V|-row rank frame joins the stationary edges + one hash aggregate",
+    "dedup_ngram_spans": "duplicated-span fraction: shingle-df join lands back on the SAME shuffle key, 1:1 fan-out (no hot-key blowup)",
+    "events_anomaly": "rolling z-score: events collapse to |buckets| rows in one hash aggregate BEFORE the bounded rows-window",
+    "dsl_tpch_q4": "EXISTS as a native left_semi hash join from the JSON DSL — no subquery, no distinct",
+    "source_jsonl_roundtrip": "JSONL ingest: line-splittable scan with explicit schema, per-source hash aggregate",
 }
 
 
