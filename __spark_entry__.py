@@ -2005,6 +2005,52 @@ _ASOF_ORACLE = """
 """
 
 
+def _q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # forward as-of with a 1 h tolerance: each event matched to the
+    # user's NEXT checkpoint, nulled when it is further than an hour
+    # away (pandas merge_asof direction/tolerance semantics)
+    events = _registry(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    ckpt = (
+        events.filter(F.col("event_id") % 10 == 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    return asof_mod.as_of_join(
+        events.select("event_id", "user_id", "ts", "value"),
+        ckpt,
+        on="user_id",
+        right_payload=["value"],
+        direction="forward",
+        tolerance_us=3_600_000_000,
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+        F.round("right_value", 6).alias("next_ckpt_value"),
+    )
+
+
+_ASOF_FORWARD_ORACLE = """
+    WITH ckpt AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id % 10 = 0
+      ) WHERE rn = 1
+    )
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+           round(l.value, 6) AS value,
+           CASE WHEN epoch_us(r.ts) - epoch_us(l.ts) <= 3600000000
+                THEN round(r.value, 6) END AS next_ckpt_value
+    FROM events l
+    ASOF LEFT JOIN ckpt r ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
 def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keyed range join (beyond parity): events assigned to their session
     # interval — hash join on user_id + residual containment predicate
@@ -2472,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_lag_delta"] = _q_events_lag_delta
     out["join_hydrate_nested"] = _q_hydrate_order_lines
     out["join_asof"] = _q_asof_join
+    out["join_asof_forward"] = _q_asof_join_forward
     out["join_range"] = _q_range_join
     out["join_salted"] = _q_join_salted
     out["stream_windowed_agg"] = _q_stream_windowed_agg
@@ -2770,6 +2817,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_lag_delta"] = _LAG_DELTA_ORACLE
     out["join_hydrate_nested"] = _HYDRATE_ORACLE
     out["join_asof"] = _ASOF_ORACLE
+    out["join_asof_forward"] = _ASOF_FORWARD_ORACLE
     out["join_range"] = _range_join_oracle()
     out["join_salted"] = _SALTED_JOIN_ORACLE
     out["stream_windowed_agg"] = oracle.windowed_agg_sql()

@@ -32,22 +32,36 @@ def as_of_join(
     right_time: str = "ts",
     right_payload: list[str],
     strict: bool = False,
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
-    """left columns + right_payload of the as-of match (NULL if no right
-    row precedes). ``strict=True`` matches strictly-before instead of
-    at-or-before.
+    """left columns + right_payload of the as-of match (NULL if none).
+    ``direction="backward"`` (default) matches the latest right row
+    at-or-before the left time; ``"forward"`` matches the earliest right
+    row at-or-after it. ``strict=True`` excludes the equal-time match.
+    ``tolerance_us`` bounds the match's staleness (pandas
+    ``merge_asof(tolerance=...)`` semantics): a match further away than
+    that is nulled, not dropped — microseconds for timestamp time
+    columns, the column's own units for numeric ones.
 
     Right rows must be unique per (key, time) — enforce upstream (the
     deterministic snapshot contract); duplicate right timestamps make
     every engine's as-of pick arbitrary.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lt, rt = F.col(left_time), F.col(right_time)
     # The right payload rides as ONE struct column, so a single
     # last(ignorenulls) propagates the whole matched row atomically — a
     # per-column fill would back-fill a NULL payload field from an OLDER
     # right row, fabricating a row that never existed (DuckDB's native
-    # ASOF JOIN returns the matched row's NULL, and so do we).
-    r_struct = F.struct(*[F.col(c).alias(c) for c in right_payload])
+    # ASOF JOIN returns the matched row's NULL, and so do we). The
+    # matched row's own time rides along as ``_rt`` for the
+    # tolerance check.
+    r_struct = F.struct(
+        *[F.col(c).alias(c) for c in right_payload],
+        rt.alias("_rt"),
+    )
     r_struct_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
     l_tag = left.select(
         F.col(on).alias("_k"),
@@ -63,9 +77,13 @@ def as_of_join(
         F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
         r_struct.alias("_r"),
     )
-    # at equal time: side 0 (right) sorts first => left sees it (<=).
-    # strict mode flips the tags so a left row precedes its own-time right.
-    order = ["_t", "_side"] if not strict else ["_t", F.col("_side").desc()]
+    # Walk order: backward walks time ascending (a left row sees the
+    # latest earlier right); forward walks time DESCENDING (a left row
+    # sees the earliest later right). At equal time, side 0 (right)
+    # sorts first so the left row sees it — unless strict, which flips
+    # the tie so a left row precedes its own-time right.
+    t_key = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    order = [t_key, F.col("_side").desc() if strict else F.col("_side").asc()]
     w = (
         Window.partitionBy("_k")
         .orderBy(*order)
@@ -74,6 +92,23 @@ def as_of_join(
     filled = l_tag.unionByName(r_tag).select(
         "*", F.last("_r", ignorenulls=True).over(w).alias("_f")
     )
+    if tolerance_us is not None:
+        from pyspark.sql.types import TimestampType
+
+        # micros for timestamp time columns; raw units for numeric ones
+        def _us(col, dtype):
+            if isinstance(dtype, TimestampType):
+                return F.unix_micros(col)
+            return col.cast("long")
+
+        l_dtype = left.schema[left_time].dataType
+        r_dtype = right.schema[right_time].dataType
+        gap = _us(F.col("_t"), l_dtype) - _us(F.col("_f")["_rt"], r_dtype)
+        if direction == "forward":
+            gap = -gap
+        filled = filled.withColumn(
+            "_f", F.when(gap <= F.lit(tolerance_us), F.col("_f"))
+        )
     out = filled.filter(F.col("_side") == 1).select(
         *[F.col("_lrow")[c].alias(c) for c in left.columns],
         *[F.col("_f")[c].alias(f"right_{c}") for c in right_payload],

@@ -82,6 +82,51 @@ def test_asof_strictness(spark):
     assert strict == {1: None, 2: "b", 3: None}
 
 
+def test_asof_forward_and_tolerance(spark):
+    """direction='forward' matches the EARLIEST right at-or-after;
+    tolerance nulls (not drops) matches further than the bound."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00"), (2, "2024-01-01 00:16:00"),
+         (3, "2024-01-01 00:30:00")],
+        ["id", "ts"],
+    ).selectExpr("id", "CAST(ts AS TIMESTAMP) ts", "1 AS k")
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00"), ("b", "2024-01-01 00:15:00")],
+        ["tag", "ts"],
+    ).selectExpr("tag", "CAST(ts AS TIMESTAMP) ts", "1 AS k")
+
+    fwd = {
+        r["id"]: r["right_tag"]
+        for r in as_of_join(
+            left, right, on="k", right_payload=["tag"], direction="forward"
+        ).collect()
+    }
+    # id1 sits ON 'a' (inclusive); id2 (00:16) and id3 (00:30) are
+    # after every right row -> no later match
+    assert fwd == {1: "a", 2: None, 3: None}
+
+    strict_fwd = {
+        r["id"]: r["right_tag"]
+        for r in as_of_join(
+            left, right, on="k", right_payload=["tag"],
+            direction="forward", strict=True,
+        ).collect()
+    }
+    # strictly-after excludes id1's own-time 'a'; 'b' at 00:15 is next
+    assert strict_fwd == {1: "b", 2: None, 3: None}
+
+    tol = {
+        r["id"]: r["right_tag"]
+        for r in as_of_join(
+            left, right, on="k", right_payload=["tag"],
+            tolerance_us=4 * 60 * 1_000_000,
+        ).collect()
+    }
+    # backward with 4 min tolerance: id2 (1 min after 'b') keeps it;
+    # id3 (15 min after 'b') is nulled; id1 on 'a' at distance 0 keeps
+    assert tol == {1: "a", 2: "b", 3: None}
+
+
 # ---------------------------------------------------------------------------
 # range joins
 # ---------------------------------------------------------------------------
