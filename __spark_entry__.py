@@ -616,6 +616,77 @@ _DSL_QUERIES: dict[str, tuple[dict, str]] = {
                            AND l_shipdate > TIMESTAMP '1996-09-01')
            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     ),
+    # TPC-H Q10 shape: returned-item revenue by customer — 4-way join,
+    # selective flag + date filters, grouped revenue, ordered top-20
+    "dsl_tpch_q10": (
+        {
+            "from": "customer",
+            "joins": [
+                {
+                    "table": "orders",
+                    "type": "INNER",
+                    "on": {
+                        "field": "customer.c_custkey",
+                        "operator": "=",
+                        "value": "orders.o_custkey",
+                    },
+                },
+                {
+                    "table": "lineitem",
+                    "type": "INNER",
+                    "on": {
+                        "field": "orders.o_orderkey",
+                        "operator": "=",
+                        "value": "lineitem.l_orderkey",
+                    },
+                },
+                {
+                    "table": "nation",
+                    "type": "INNER",
+                    "on": {
+                        "field": "customer.c_nationkey",
+                        "operator": "=",
+                        "value": "nation.n_nationkey",
+                    },
+                },
+            ],
+            "where": {
+                "and": [
+                    {"field": "l_returnflag", "operator": "=", "value": "R"},
+                    {
+                        "field": "o_orderdate",
+                        "operator": ">=",
+                        "value": "1996-01-01",
+                    },
+                    {
+                        "field": "o_orderdate",
+                        "operator": "<",
+                        "value": "1996-07-01",
+                    },
+                ]
+            },
+            "groupBy": ["customer.c_custkey", "customer.c_name", "nation.n_name"],
+            "aggregations": [
+                {"function": "SUM", "field": "l_extendedprice", "alias": "revenue"}
+            ],
+            "orderBy": [
+                {"field": "revenue", "direction": "DESC"},
+                {"field": "c_custkey", "direction": "ASC"},
+            ],
+            "limit": 20,
+        },
+        """SELECT c_custkey, c_name, n_name,
+                  sum(l_extendedprice) AS revenue
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           JOIN nation ON c_nationkey = n_nationkey
+           WHERE l_returnflag = 'R'
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1996-07-01'
+           GROUP BY c_custkey, c_name, n_name
+           ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    ),
     # ANTI join (NOT EXISTS): customers with no high-value order —
     # the Q22-style "inactive customers" shape
     "dsl_join_anti": (
@@ -2426,6 +2497,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corpus_split"] = _q_corpus_split
     out["corpus_mix"] = _q_corpus_mix
     out["corpus_decontaminate"] = _q_corpus_decontaminate
+    # end-to-end curation composite: every stage is an existing gated
+    # operator; the chain is gated as ONE query so the stage interfaces
+    # (language gate feeding dedup feeding quality weights feeding the
+    # sampler) are verified end-to-end. The gate stage is language-ID
+    # rather than C4 because the synthetic word-salad corpus has no
+    # terminal punctuation — C4's document gate correctly keeps 0 docs
+    # of it (c4_clean stays independently gated on the same corpus).
+    def _q_corpus_curate(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        en_ids = (
+            ts.language_id(docs)
+            .filter(F.col("lang_pred") == "en")
+            .select("doc_id")
+        )
+        en_docs = docs.join(en_ids, "doc_id").select("doc_id", "text")
+        deduped = dd.dedup_exact(en_docs)
+        q = ts.quality_scores(deduped)
+        return corpus_mod.importance_sample(
+            q, weight_col="quality", scale=2.0
+        ).select("doc_id", "quality")
+
+    out["corpus_curate"] = _q_corpus_curate
     _events = lambda s, d: _registry(s, d).table("events")  # noqa: E731
     out["events_windowed_agg"] = lambda s, d: ev.windowed_agg(_events(s, d))
     # contract form: integer epoch-micros bounds + exact scaled-int sum —
@@ -2678,6 +2771,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_funnel"] = oracle.funnel_sql(horizon_minutes=1440)
     out["events_retention"] = oracle.retention_sql()
     out["events_anomaly"] = oracle.rolling_anomaly_sql()
+    out["corpus_curate"] = oracle.corpus_curate_sql(scale=2.0)
     out["graph_triangles"] = oracle.triangles_sql(max_df=50)
     out["graph_pagerank"] = oracle.pagerank_sql(max_df=50, iters=5)
     out["text_entropy"] = oracle.char_entropy_sql()

@@ -1154,6 +1154,39 @@ def importance_sample_sql(
     """
 
 
+def corpus_curate_sql(
+    table: str = "documents",
+    *,
+    scale: float = 2.0,
+    salt: str = "imp",
+) -> str:
+    """Oracle for the composite curation pipeline (language-ID gate ->
+    exact dedup -> quality score -> importance sample): each stage is
+    the existing per-operator oracle chained as CTEs, so the composite
+    is gated end-to-end, not stage-by-stage."""
+    sep = SEP_SQL
+    return f"""
+    WITH lid AS ({language_id_sql(table=table)}),
+    kept AS (SELECT d.doc_id, d.text FROM {table} d
+             JOIN lid USING (doc_id) WHERE lid.lang_pred = 'en'),
+    h AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_filter(regexp_split_to_array(lower(text), '{sep}'),
+                           x -> x <> ''), ' ')) AS chash
+      FROM kept
+    ),
+    keepmin AS (SELECT chash, min(doc_id) AS doc_id FROM h GROUP BY chash),
+    dedup AS (SELECT kept.doc_id, kept.text FROM kept
+              JOIN keepmin USING (doc_id)),
+    q AS ({quality_scores_sql("dedup")})
+    SELECT doc_id, quality
+    FROM q
+    WHERE {_bucket_sql("doc_id", salt)}
+          < CAST(floor(least(quality * {scale}, 1.0) * 10000) AS BIGINT)
+    """
+
+
 def contamination_pairs_sql(
     *,
     table: str = "documents",
