@@ -839,6 +839,18 @@ def _q_knn_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_mod.ann_recall(approx, exact)
 
 
+def _q_knn_recall_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-stage retrieval self-measurement: PQ candidates + exact
+    # re-rank at refine_factor=10 vs the oracle-gated exact join
+    emb = _registry(spark, sf_dir).table("embeddings")
+    q = _knn_queries(spark, sf_dir)
+    exact = knn_mod.knn_join(q, emb, k=5)
+    approx = knn_mod.knn_join_pq_refined(
+        q, emb, k=5, refine_factor=10, n_subspaces=8, n_codes=64
+    )
+    return knn_mod.ann_recall(approx, exact)
+
+
 def _q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_mod.pack_sequences(
         _docs(spark, sf_dir), seq_tokens=256, writers=16
@@ -2312,6 +2324,21 @@ def _q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         return stream_windows.anomaly_on_buckets(buckets, bucket_minutes=60)
 
 
+def _q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming twin of events_top_users: the stream maintains the
+    # per-(type, user) totals; the top-k rank is merge-on-read (a
+    # row_number over an evolving aggregate is not streaming-
+    # expressible). Same oracle as events_top_users.
+    with stream_source.scoped_state_partitions(spark, _STREAM_STATE_PARTITIONS):
+        stream = stream_source.stream_table(spark, sf_dir, "events")
+        totals = stream_source.run_to_memory(
+            stream_windows.user_totals_stream(stream),
+            query_name="q_stream_topk",
+            output_mode="complete",
+        )
+        return ev.rank_top_users(totals, k=3)
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simulated at-least-once transport: the SAME source unioned with
     # itself (every event delivered twice); exactly-once dedup must
@@ -2587,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["knn_recall_lsh"] = _q_knn_recall_lsh
     out["knn_recall_ivf"] = _q_knn_recall_ivf
     out["knn_recall_pq"] = _q_knn_recall_pq
+    out["knn_recall_pq_refined"] = _q_knn_recall_pq_refined
     out["pipeline_change_detection"] = _q_change_detection
     out["pipeline_apply_changeset"] = _q_apply_changeset
     out["pipeline_branch_fork"] = _q_branch_fork
@@ -2621,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_asof_join"] = _q_stream_asof_join
     out["stream_rollup"] = _q_stream_rollup
     out["stream_anomaly"] = _q_stream_anomaly
+    out["stream_topk"] = _q_stream_topk
     _media = lambda s, d: mm.synthesize_media(_docs(s, d))  # noqa: E731
     out["media_decode_meta"] = lambda s, d: mm.decode_media(_media(s, d)).drop(
         "mean_byte"
@@ -2651,8 +2680,10 @@ _GATE_FIRST = [
     # top_terms/fingerprints, media_* — wait for r5 to make room). The
     # r3 greens keep their r03 rows. Everything still runs locally via
     # scripts/check_entry.py. Queries registered late in r4 after these
-    # 50 slots filled (stream_anomaly, source_jsonl_roundtrip,
-    # source_csv_roundtrip, graph_pagerank) head the r5 gate next round.
+    # 50 slots filled (stream_anomaly, stream_topk,
+    # source_jsonl_roundtrip, source_csv_roundtrip, graph_pagerank,
+    # join_asof_forward, dsl_tpch_q10, corpus_curate) head the r5 gate
+    # next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -2940,8 +2971,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4
         FROM events GROUP BY 1, 2
     """
-    # streaming twin judged against the SAME oracle as events_anomaly
+    # streaming twins judged against the SAME oracles as their batch twins
     out["stream_anomaly"] = oracle.rolling_anomaly_sql()
+    out["stream_topk"] = oracle.top_users_per_type_sql()
     out["media_decode_meta"] = oracle.media_decode_meta_sql()
     out["media_features"] = """
         SELECT doc_id AS media_id, 32 AS dim, 1.0 AS l2_norm FROM documents

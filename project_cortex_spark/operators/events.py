@@ -304,14 +304,19 @@ def rolling_anomaly_on_buckets(
     )
 
 
-def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
-    """Top-k users by total value within each event_type. Aggregates
-    before ranking so the window sort input is |users|x|types|, with a
-    deterministic (total DESC, user_id ASC) tie order."""
-    totals = events.groupBy("event_type", "user_id").agg(
+def user_totals(events: DataFrame) -> DataFrame:
+    """Per-(event_type, user) totals — the aggregate half of
+    :func:`top_users_per_type`, factored so the streaming twin can
+    maintain it as watermarked state and rank merge-on-read."""
+    return events.groupBy("event_type", "user_id").agg(
         F.round(F.sum("value"), 6).alias("total_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def rank_top_users(totals: DataFrame, k: int = 3) -> DataFrame:
+    """The rank half of :func:`top_users_per_type`: deterministic
+    (total DESC, user_id ASC) row_number per event_type."""
     w = Window.partitionBy("event_type").orderBy(
         F.col("total_value").desc(), F.col("user_id").asc()
     )
@@ -319,3 +324,10 @@ def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
         totals.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k users by total value within each event_type. Aggregates
+    before ranking so the window sort input is |users|x|types|, with a
+    deterministic (total DESC, user_id ASC) tie order."""
+    return rank_top_users(user_totals(events), k)

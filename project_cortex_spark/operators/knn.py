@@ -512,3 +512,60 @@ def knn_join_pq(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, F.round("adc_dist", 6).alias("adc_dist"), "rank")
     )
+
+
+def knn_join_pq_refined(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    refine_factor: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    codebooks=None,
+) -> DataFrame:
+    """Two-stage retrieval — the production ANN shape: the PQ/ADC scan
+    nominates ``k * refine_factor`` candidates per query from the
+    compressed codes, then ONLY those rows fetch their full vectors for
+    exact cosine re-ranking. Recall approaches exact as refine_factor
+    grows (with candidates >= |corpus| it IS the exact join — tested),
+    while the full-precision reads stay k*refine per query instead of
+    |corpus|: at 100 TB the raw vectors are touched for ~0.01% of rows.
+
+    Plan shape: stage 1 is :func:`knn_join_pq` (broadcast distance
+    tables over the code projection); stage 2 is an equi-join of the
+    (tiny) candidate list back to the corpus on ``corpus_id`` —
+    broadcast-able — plus the same JVM cosine + row_number as
+    :func:`knn_join`.
+    """
+    cand = knn_join_pq(
+        queries,
+        corpus,
+        query_id=query_id,
+        query_vec=query_vec,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        k=k * refine_factor,
+        n_subspaces=n_subspaces,
+        n_codes=n_codes,
+        seed=seed,
+        codebooks=codebooks,
+    ).select(query_id, corpus_id)
+    exact_rows = cand.join(
+        corpus.select(corpus_id, corpus_vec), corpus_id
+    ).join(
+        F.broadcast(queries.select(query_id, query_vec)), query_id
+    ).withColumn("score", similarity_score(F.col(corpus_vec), F.col(query_vec)))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        exact_rows.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round("score", 6).alias("score"), "rank")
+    )

@@ -100,3 +100,17 @@ def anomaly_on_buckets(
         lookback=lookback,
         z_threshold=z_threshold,
     )
+
+
+def user_totals_stream(
+    events: DataFrame, *, watermark_minutes: int = 120
+) -> DataFrame:
+    """Watermarked streaming aggregate of per-(event_type, user) totals
+    — the state-maintained half of the streaming top-k; the rank is
+    merge-on-read via the batch twin's factored
+    ``events.rank_top_users`` (a row_number over an evolving aggregate
+    is not streaming-expressible: a new total can re-rank the whole
+    partition)."""
+    return ev.user_totals(
+        events.withWatermark("ts", f"{watermark_minutes} minutes")
+    )
