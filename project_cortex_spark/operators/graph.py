@@ -540,13 +540,18 @@ def pagerank(
     Undirected contract: every node has out-degree >= 1, so there is no
     dangling-mass term — pr_{t+1}(v) = (1-d)/N + d * Σ_{u~v} pr_t(u)/deg(u).
 
-    Scale notes: each step is one equi-join (ranks onto the stationary
-    edge list, rank side is |V| rows — the small side — while edges
-    never move) + one hash aggregate on the destination; lineage is cut
-    with localCheckpoint per step exactly like duplicate_clusters'
-    label propagation. Skew = hub in-degree, which a degree-capped edge
-    list (cooccurrence_edges max_df) already bounds; on a raw power-law
-    graph the aggregate's map-side partials absorb the hot key.
+    Scale notes: each step is one equi-join of the rank frame onto the
+    stationary edge list + one hash aggregate on the destination;
+    lineage is cut with localCheckpoint per step exactly like
+    duplicate_clusters' label propagation. The rank side (|V| rows of
+    (id, double)) gets an explicit broadcast hint — the classic
+    small-ranks/big-edges shape, so the edge list NEVER shuffles and
+    each step costs one broadcast + one partial-aggregated exchange of
+    |V| rows. When |V| outgrows broadcast range (~100M+ nodes), drop
+    the hint and pre-partition edges by src instead. Skew = hub
+    in-degree, which a degree-capped edge list (cooccurrence_edges
+    max_df) already bounds; on a raw power-law graph the aggregate's
+    map-side partials absorb the hot key.
     """
     dir_edges = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -564,20 +569,16 @@ def pagerank(
     for _ in range(iters):
         contrib = (
             out_edges.join(
-                ranks.withColumnRenamed("node", "src"), "src"
+                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("_in"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
-                ).alias("pr"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        # undirected contract: every node has deg >= 1, so every node
+        # receives at least one contribution — contrib's key set IS the
+        # node set and no backfill join against `nodes` is needed
+        ranks = contrib.select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.col("_in")).alias("pr"),
+        ).localCheckpoint(eager=False)
     return ranks.select("node", F.round("pr", 9).alias("pr"))
