@@ -2404,6 +2404,50 @@ def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental near-dup index contract: deliver the documents table
+    # in TWO increments, maintain the MinHash signature store
+    # incrementally (each batch shingles only ITS documents), and
+    # require the merge-on-read near-dup pairs to hash-match the
+    # one-shot batch operator's oracle over the full corpus.
+    import shutil
+    import tempfile
+
+    from project_cortex_spark.streaming import neardup as stream_neardup
+
+    docs = _docs(spark, sf_dir)
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="neardup_", dir=scratch)
+    in_dir = os.path.join(base, "incoming")
+    sigs = os.path.join(base, "sigs")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        for parity in (0, 1):  # two deliveries, one stream run each
+            docs.filter(F.col("doc_id") % 2 == parity).write.mode(
+                "append"
+            ).parquet(in_dir)
+            with stream_source.scoped_state_partitions(
+                spark, _STREAM_STATE_PARTITIONS
+            ):
+                q = stream_neardup.continuous_signatures(
+                    spark,
+                    in_dir,
+                    docs.schema,
+                    sigs_dir=sigs,
+                    checkpoint_dir=ckpt,
+                )
+                q.awaitTermination()
+        out = stream_neardup.read_near_duplicates(
+            spark, sigs, docs, threshold=0.5
+        ).withColumn("jaccard", F.round("jaccard", 6))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream-static as-of: the events STREAM resolved against the static
     # checkpoint table (same ckpt/payload definition as join_asof, same
@@ -2546,6 +2590,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "quality")
 
     out["corpus_curate"] = _q_corpus_curate
+
+    # token-budgeted mixing: best-quality-first greedy fill per source
+    def _q_corpus_token_budget(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        t = ts.token_stats(docs).select("doc_id", "n_tokens")
+        q = ts.quality_scores(docs).select("doc_id", "quality")
+        j = (
+            docs.select("doc_id", "source")
+            .join(t, "doc_id")
+            .join(q, "doc_id")
+        )
+        return corpus_mod.token_budget_mix(
+            j, key_col="source", budget_tokens=600
+        ).select("doc_id", "source", "n_tokens", "quality", "cum_tokens")
+
+    out["corpus_token_budget"] = _q_corpus_token_budget
     _events = lambda s, d: _registry(s, d).table("events")  # noqa: E731
     out["events_windowed_agg"] = lambda s, d: ev.windowed_agg(_events(s, d))
     # contract form: integer epoch-micros bounds + exact scaled-int sum —
@@ -2650,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_rollup"] = _q_stream_rollup
     out["stream_anomaly"] = _q_stream_anomaly
     out["stream_topk"] = _q_stream_topk
+    out["stream_neardup"] = _q_stream_neardup
     _media = lambda s, d: mm.synthesize_media(_docs(s, d))  # noqa: E731
     out["media_decode_meta"] = lambda s, d: mm.decode_media(_media(s, d)).drop(
         "mean_byte"
@@ -2680,10 +2741,10 @@ _GATE_FIRST = [
     # top_terms/fingerprints, media_* — wait for r5 to make room). The
     # r3 greens keep their r03 rows. Everything still runs locally via
     # scripts/check_entry.py. Queries registered late in r4 after these
-    # 50 slots filled (stream_anomaly, stream_topk,
+    # 50 slots filled (stream_anomaly, stream_topk, stream_neardup,
     # source_jsonl_roundtrip, source_csv_roundtrip, graph_pagerank,
-    # join_asof_forward, dsl_tpch_q10, corpus_curate) head the r5 gate
-    # next round.
+    # join_asof_forward, dsl_tpch_q10, corpus_curate,
+    # corpus_token_budget) head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -2803,6 +2864,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_retention"] = oracle.retention_sql()
     out["events_anomaly"] = oracle.rolling_anomaly_sql()
     out["corpus_curate"] = oracle.corpus_curate_sql(scale=2.0)
+    out["corpus_token_budget"] = oracle.token_budget_mix_sql(budget_tokens=600)
     out["graph_triangles"] = oracle.triangles_sql(max_df=50)
     out["graph_pagerank"] = oracle.pagerank_sql(max_df=50, iters=5)
     out["text_entropy"] = oracle.char_entropy_sql()
@@ -2974,6 +3036,8 @@ def oracle_sql() -> dict[str, str]:
     # streaming twins judged against the SAME oracles as their batch twins
     out["stream_anomaly"] = oracle.rolling_anomaly_sql()
     out["stream_topk"] = oracle.top_users_per_type_sql()
+    # incremental signature store merged == one-shot batch minhash
+    out["stream_neardup"] = oracle.minhash_near_duplicates_sql(threshold=0.5)
     out["media_decode_meta"] = oracle.media_decode_meta_sql()
     out["media_features"] = """
         SELECT doc_id AS media_id, 32 AS dim, 1.0 AS l2_norm FROM documents

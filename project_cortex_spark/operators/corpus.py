@@ -119,6 +119,45 @@ def sample_per_key(
     )
 
 
+def token_budget_mix(
+    docs: DataFrame,
+    *,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    quality_col: str = "quality",
+    budget_tokens: int = 10_000,
+) -> DataFrame:
+    """Select documents per ``key_col`` stratum, best quality first,
+    until the stratum's cumulative token count reaches
+    ``budget_tokens`` — the token-budgeted data-mixing primitive (a
+    training run buys N tokens per source, not N documents). A document
+    is kept while the budget is not yet exhausted when it STARTS
+    (tokens before it < budget), the standard greedy fill that may
+    overshoot by at most one document.
+
+    Deterministic: quality DESC with id ASC tie-break, integer token
+    cumsum — engine-exact.
+
+    Scale: one window shuffle on ``key_col``. Same skew note as
+    :func:`sample_per_key`: for a stratum holding most of the corpus,
+    pre-filter to plausible budget candidates (e.g. quality above the
+    stratum's rough quantile) before the window sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    cum = F.sum(token_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("cum_tokens", cum.cast("bigint"))
+        .filter(F.col("cum_tokens") - F.col(token_col) < budget_tokens)
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     *,

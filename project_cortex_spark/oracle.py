@@ -1187,6 +1187,36 @@ def corpus_curate_sql(
     """
 
 
+def token_budget_mix_sql(
+    table: str = "documents",
+    *,
+    key_col: str = "source",
+    budget_tokens: int = 600,
+) -> str:
+    """Oracle for corpus.token_budget_mix over token_stats +
+    quality_scores inputs: identical greedy per-stratum fill (quality
+    DESC, id tie-break, integer token cumsum, kept while the tokens
+    BEFORE the row are under budget)."""
+    return f"""
+    WITH t AS ({token_stats_sql(table)}),
+    q AS ({quality_scores_sql(table)}),
+    j AS (
+      SELECT d.doc_id, d.{key_col} AS {key_col}, t.n_tokens, q.quality
+      FROM {table} d JOIN t USING (doc_id) JOIN q USING (doc_id)
+    ),
+    c AS (
+      SELECT *,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY {key_col}
+               ORDER BY quality DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM j
+    )
+    SELECT doc_id, {key_col}, n_tokens, quality, cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < {budget_tokens}
+    """
+
+
 def contamination_pairs_sql(
     *,
     table: str = "documents",

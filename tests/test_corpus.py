@@ -189,3 +189,29 @@ def test_shuffle_shards_is_seeded_permutation(registry):
         assert sorted(poss) == list(range(1, len(poss) + 1))
     # a different seed yields a different permutation
     assert rows_a != rows_b
+
+
+def test_token_budget_mix_semantics(spark):
+    """Greedy best-quality-first fill: kept while tokens BEFORE the doc
+    are under budget (overshoot by at most one doc); quality DESC with
+    doc_id tie-break; budgets independent per stratum."""
+    from project_cortex_spark.operators.corpus import token_budget_mix
+
+    rows = [
+        # source a: quality order 1 (q .9, 60 tok), 2 (.8, 50), 3 (.7, 40)
+        (1, "a", 60, 0.9),
+        (2, "a", 50, 0.8),
+        (3, "a", 40, 0.7),
+        # source b: tie on quality -> doc_id decides; 5 before 6
+        (5, "b", 100, 0.5),
+        (6, "b", 100, 0.5),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens", "quality"])
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in token_budget_mix(docs, budget_tokens=100).collect()
+    }
+    # a: doc1 starts at 0 (<100, keep, cum 60); doc2 starts at 60
+    # (<100, keep -> overshoot to 110); doc3 starts at 110 (drop).
+    # b: doc5 starts at 0 (keep); doc6 starts at 100 (not < 100, drop).
+    assert got == {1: 60, 2: 110, 5: 100}

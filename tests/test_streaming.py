@@ -461,3 +461,48 @@ def test_anomaly_with_state(spark, tmp_path):
     # bucket start of 2024-01-01 07:00:00 UTC in epoch micros
     spike_us = (1_704_067_200 + 7 * hour) * 1_000_000
     assert got == [("view", spike_us, 50, 2.4286)]
+
+
+def test_incremental_neardup_finds_cross_batch_pairs(spark, tmp_path):
+    """A near-dup pair SPLIT across two deliveries is still found: the
+    signature store accumulates, so the read-side band join sees both
+    sides without re-shingling the first delivery."""
+    from project_cortex_spark.operators import dedup as dd
+    from project_cortex_spark.streaming import neardup
+
+    batch1 = [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")]
+    batch2 = [
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+        (3, "totally unrelated content about distributed query engines here now"),
+    ]
+    schema = "doc_id LONG, text STRING"
+    in_dir = tmp_path / "in"
+    sigs = str(tmp_path / "sigs")
+    for i, rows in enumerate([batch1, batch2]):
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+        q = neardup.continuous_signatures(
+            spark,
+            str(in_dir),
+            schema,
+            sigs_dir=sigs,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+    all_docs = spark.createDataFrame(
+        batch1 + batch2, ["doc_id", "text"]
+    )
+    got = {
+        (r["a"], r["b"])
+        for r in neardup.read_near_duplicates(
+            spark, sigs, all_docs, threshold=0.5
+        ).collect()
+    }
+    assert got == {(1, 2)}
+    # and it matches the one-shot batch operator
+    want = {
+        (r["a"], r["b"])
+        for r in dd.minhash_near_duplicates(all_docs, threshold=0.5).collect()
+    }
+    assert got == want
