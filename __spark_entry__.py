@@ -1605,6 +1605,29 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_clusters(pairs.select("a", "b"))
 
 
+def _q_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the end-user dedup API composed end-to-end: near-dup pairs ->
+    # connected components -> drop every non-canonical member; output
+    # is the surviving corpus (ids + sizes), gated as ONE query
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_near_duplicates(docs, threshold=0.5).select("a", "b")
+    drops = (
+        dd.duplicate_clusters(pairs)
+        .filter(~F.col("keep"))
+        .select("doc_id")
+    )
+    return docs.join(drops, "doc_id", "left_anti").select("doc_id", "n_chars")
+
+
+_DEDUP_PRUNE_ORACLE_TMPL = """
+    SELECT d.doc_id, d.n_chars FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ({clusters}) c
+      WHERE c.doc_id = d.doc_id AND NOT c.keep
+    )
+"""
+
+
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_near_duplicates(
         _registry(spark, sf_dir).table("embeddings"), threshold=0.7
@@ -2558,6 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_simhash"] = _q_dedup_simhash
     out["dedup_simhash_banded"] = _q_dedup_simhash_banded
     out["dedup_clusters"] = _q_dedup_clusters
+    out["dedup_prune"] = _q_dedup_prune
     # per-doc duplicated word-n-gram fraction (exact-substring signal)
     out["dedup_ngram_spans"] = lambda s, d: dd.duplicated_ngram_stats(
         _docs(s, d), shingle_n=8
@@ -2744,7 +2768,7 @@ _GATE_FIRST = [
     # 50 slots filled (stream_anomaly, stream_topk, stream_neardup,
     # source_jsonl_roundtrip, source_csv_roundtrip, graph_pagerank,
     # join_asof_forward, dsl_tpch_q10, corpus_curate,
-    # corpus_token_budget) head the r5 gate next round.
+    # corpus_token_budget, dedup_prune) head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -2849,6 +2873,11 @@ def oracle_sql() -> dict[str, str]:
     # (exact twin dedup_embedding_cosine is gated)
     out["dedup_clusters"] = oracle.duplicate_clusters_sql(
         oracle.minhash_near_duplicates_sql(threshold=0.5)
+    )
+    out["dedup_prune"] = _DEDUP_PRUNE_ORACLE_TMPL.format(
+        clusters=oracle.duplicate_clusters_sql(
+            oracle.minhash_near_duplicates_sql(threshold=0.5)
+        )
     )
     out["dedup_embedding_cosine"] = oracle.embedding_near_duplicates_sql(threshold=0.7)
     out["corpus_split"] = oracle.hash_split_sql()
