@@ -137,6 +137,57 @@ def test_asof_matches_bruteforce(spark, left_ts, right_ts):
         assert got[i] == want
 
 
+@COMMON
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=30, unique=True),
+    st.lists(st.integers(0, 1000), min_size=1, max_size=12, unique=True),
+    st.sampled_from(["backward", "forward"]),
+    st.booleans(),
+    st.one_of(st.none(), st.integers(0, 200)),
+)
+def test_asof_matches_pandas_merge_asof(
+    spark, left_ts, right_ts, direction, strict, tolerance
+):
+    """Full direction x strict x tolerance surface vs pandas
+    merge_asof — THE reference implementation of these semantics
+    (allow_exact_matches == not strict, same tolerance nulling)."""
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        [(i, 1, t) for i, t in enumerate(left_ts)], ["id", "k", "t"]
+    )
+    right = spark.createDataFrame(
+        [(1, t, f"r{t}") for t in right_ts], ["k", "t", "tag"]
+    )
+    got = {
+        r["id"]: r["right_tag"]
+        for r in as_of_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_payload=["tag"], direction=direction, strict=strict,
+            tolerance_us=tolerance,
+        ).collect()
+    }
+    lpdf = pd.DataFrame(
+        {"id": range(len(left_ts)), "t": left_ts}
+    ).sort_values("t", kind="stable")
+    rpdf = pd.DataFrame(
+        {"t": right_ts, "tag": [f"r{t}" for t in right_ts]}
+    ).sort_values("t", kind="stable")
+    merged = pd.merge_asof(
+        lpdf,
+        rpdf,
+        on="t",
+        direction=direction,
+        allow_exact_matches=not strict,
+        tolerance=tolerance,
+    )
+    want = {
+        int(row["id"]): (None if pd.isna(row["tag"]) else row["tag"])
+        for _, row in merged.iterrows()
+    }
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # DSL compiler fuzz: random filter trees vs DuckDB (P2-P7 semantics,
 # including SQL three-valued logic under NOT/OR nesting)
