@@ -2653,6 +2653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_retention"] = lambda s, d: ev.retention_cohorts(_events(s, d))
     # rolling z-score spike/drop detection on per-type event volume
     out["events_anomaly"] = lambda s, d: ev.rolling_anomaly(_events(s, d))
+    # OHLC downsampling bars per (type, hour)
+    out["events_ohlc"] = lambda s, d: ev.ohlc_resample(_events(s, d))
     # per-node triangle counts over the part co-purchase graph (degree-
     # capped co-occurrence edges -> a<b<c wedge closure)
     out["graph_triangles"] = lambda s, d: graph_mod.triangles_per_node(
@@ -2768,7 +2770,8 @@ _GATE_FIRST = [
     # 50 slots filled (stream_anomaly, stream_topk, stream_neardup,
     # source_jsonl_roundtrip, source_csv_roundtrip, graph_pagerank,
     # join_asof_forward, dsl_tpch_q10, corpus_curate,
-    # corpus_token_budget, dedup_prune) head the r5 gate next round.
+    # corpus_token_budget, dedup_prune, events_ohlc) head the r5 gate
+    # next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -2892,6 +2895,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_funnel"] = oracle.funnel_sql(horizon_minutes=1440)
     out["events_retention"] = oracle.retention_sql()
     out["events_anomaly"] = oracle.rolling_anomaly_sql()
+    out["events_ohlc"] = oracle.ohlc_sql()
     out["corpus_curate"] = oracle.corpus_curate_sql(scale=2.0)
     out["corpus_token_budget"] = oracle.token_budget_mix_sql(budget_tokens=600)
     out["graph_triangles"] = oracle.triangles_sql(max_df=50)

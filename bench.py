@@ -51,6 +51,10 @@ EXTENDED = [
     "events_funnel",
     "dsl_tpch_q4",
     "knn_recall_pq",
+    "dedup_prune",
+    "corpus_curate",
+    "corpus_token_budget",
+    "events_anomaly",
 ]
 
 HEADLINE = [

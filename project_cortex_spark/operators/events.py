@@ -304,6 +304,61 @@ def rolling_anomaly_on_buckets(
     )
 
 
+def ohlc_resample(
+    events: DataFrame,
+    *,
+    bucket_minutes: int = 60,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-series downsampling to OHLC bars: per (type, epoch bucket)
+    the first/highest/lowest/last value — the metrics-resample shape
+    (and the candlestick classic). First/last are made deterministic
+    under timestamp ties by the (ts, event_id) total order on both
+    engines, via row_number rather than first/last aggregates (whose
+    tie behavior is engine-defined).
+
+    Scale notes: ONE shuffle — the row_number window partitions by
+    (type, bucket) and the follow-up aggregate groups by the same keys,
+    so Catalyst reuses the partitioning; high/low/count are plain
+    map-side-partial aggregates riding along.
+    """
+    bucket_us = bucket_minutes * 60 * 1_000_000
+    bucket = F.expr(f"unix_micros({ts_col}) div {bucket_us}")
+    base = events.select(
+        F.col(type_col).alias("event_type"),
+        bucket.alias("_b"),
+        F.col(ts_col).alias("_ts"),
+        F.col("event_id"),
+        F.col(value_col).alias("_v"),
+    )
+    w = Window.partitionBy("event_type", "_b")
+    asc = w.orderBy(F.col("_ts").asc(), F.col("event_id").asc())
+    desc = w.orderBy(F.col("_ts").desc(), F.col("event_id").desc())
+    return (
+        base.withColumn("_ra", F.row_number().over(asc))
+        .withColumn("_rd", F.row_number().over(desc))
+        .groupBy("event_type", "_b")
+        .agg(
+            F.round(F.max(F.when(F.col("_ra") == 1, F.col("_v"))), 6).alias("open"),
+            F.round(F.max("_v"), 6).alias("high"),
+            F.round(F.min("_v"), 6).alias("low"),
+            F.round(F.max(F.when(F.col("_rd") == 1, F.col("_v"))), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            (F.col("_b") * bucket_us).alias("bucket_start_us"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
 def user_totals(events: DataFrame) -> DataFrame:
     """Per-(event_type, user) totals — the aggregate half of
     :func:`top_users_per_type`, factored so the streaming twin can

@@ -784,6 +784,33 @@ def triangles_sql(
     """
 
 
+def ohlc_sql(table: str = "events", *, bucket_minutes: int = 60) -> str:
+    """Noiseless twin of events.ohlc_resample: identical epoch
+    bucketing and (ts, event_id)-ordered row_number first/last."""
+    bucket_us = bucket_minutes * 60 * 1_000_000
+    return f"""
+    WITH base AS (
+      SELECT event_type, epoch_us(ts) // {bucket_us} AS b, ts, event_id,
+             value AS v
+      FROM {table}
+    ), rn AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, b
+                                ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY event_type, b
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM base
+    )
+    SELECT event_type, b * {bucket_us} AS bucket_start_us,
+           round(max(CASE WHEN ra = 1 THEN v END), 6) AS open,
+           round(max(v), 6) AS high,
+           round(min(v), 6) AS low,
+           round(max(CASE WHEN rd = 1 THEN v END), 6) AS close,
+           count(*) AS n_events
+    FROM rn GROUP BY event_type, b
+    """
+
+
 def pagerank_sql(
     table: str = "lineitem",
     group_col: str = "l_orderkey",

@@ -138,3 +138,35 @@ def test_props_extract(registry, duck):
 def test_top_users_per_type(registry, duck):
     df = top_users_per_type(registry.table("events"), k=3)
     assert_matches_oracle(df, duck, oracle.top_users_per_type_sql(k=3))
+
+
+def test_ohlc_resample(registry, duck):
+    from project_cortex_spark.operators.events import ohlc_resample
+
+    got = ohlc_resample(registry.table("events"))
+    assert_matches_oracle(got, duck, oracle.ohlc_sql())
+
+
+def test_ohlc_semantics(spark):
+    """Open/close follow (ts, event_id) order even under timestamp
+    ties; high/low are plain extremes; one bar per (type, bucket)."""
+    from project_cortex_spark.operators.events import ohlc_resample
+
+    hour_us = 3_600 * 1_000_000
+    rows = [
+        # bucket 0: tie at t=0 -> event_id 1 opens; event 4 closes
+        (1, 0, "view", 5.0),
+        (2, 0, "view", 9.0),
+        (3, 1_000_000, "view", 1.0),
+        (4, 2_000_000, "view", 7.0),
+        # bucket 1: single event
+        (5, hour_us, "view", 3.0),
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "us", "event_type", "value"]
+    ).selectExpr("event_id", "timestamp_micros(us) AS ts", "event_type", "value")
+    got = {
+        r["bucket_start_us"]: (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+        for r in ohlc_resample(events).collect()
+    }
+    assert got == {0: (5.0, 9.0, 1.0, 7.0, 4), hour_us: (3.0, 3.0, 3.0, 3.0, 1)}
