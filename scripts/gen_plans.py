@@ -41,6 +41,10 @@ PICKS = {
     "events_anomaly": "rolling z-score: events collapse to |buckets| rows in one hash aggregate BEFORE the bounded rows-window",
     "dsl_tpch_q4": "EXISTS as a native left_semi hash join from the JSON DSL — no subquery, no distinct",
     "source_jsonl_roundtrip": "JSONL ingest: line-splittable scan with explicit schema, per-source hash aggregate",
+    "events_ohlc": "OHLC bars: ONE shuffle — the aggregate reuses the row_number window's (type, bucket) partitioning",
+    "corpus_token_budget": "token-budget fill: per-source window cumsum, integer-exact, no global sort",
+    "dedup_prune": "end-user dedup: pairs -> min-label components -> left_anti drop of non-canonical members",
+    "corpus_curate": "curation chain: language gate semi-join, dedup, quality weights, zero-shuffle sampler filter",
 }
 
 
