@@ -2582,6 +2582,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_simhash_banded"] = _q_dedup_simhash_banded
     out["dedup_clusters"] = _q_dedup_clusters
     out["dedup_prune"] = _q_dedup_prune
+    # char-level exact-substring duplication coverage (precise form)
+    out["dedup_char_spans"] = lambda s, d: dd.duplicated_char_spans(
+        _docs(s, d), k=32
+    )
     # per-doc duplicated word-n-gram fraction (exact-substring signal)
     out["dedup_ngram_spans"] = lambda s, d: dd.duplicated_ngram_stats(
         _docs(s, d), shingle_n=8
@@ -2770,8 +2774,8 @@ _GATE_FIRST = [
     # 50 slots filled (stream_anomaly, stream_topk, stream_neardup,
     # source_jsonl_roundtrip, source_csv_roundtrip, graph_pagerank,
     # join_asof_forward, dsl_tpch_q10, corpus_curate,
-    # corpus_token_budget, dedup_prune, events_ohlc) head the r5 gate
-    # next round.
+    # corpus_token_budget, dedup_prune, events_ohlc, dedup_char_spans)
+    # head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -2870,6 +2874,7 @@ def oracle_sql() -> dict[str, str]:
     )
     out["dedup_simhash"] = oracle.simhash_near_duplicates_sql(max_hamming=2)
     out["dedup_ngram_spans"] = oracle.duplicated_ngram_stats_sql(shingle_n=8)
+    out["dedup_char_spans"] = oracle.duplicated_char_spans_sql(k=32)
     # banded form computes the IDENTICAL result — same exact oracle
     out["dedup_simhash_banded"] = oracle.simhash_near_duplicates_sql(max_hamming=2)
     # dedup_embedding_lsh: approximate recall — no oracle by design

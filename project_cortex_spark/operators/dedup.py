@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokens
@@ -365,6 +365,87 @@ def duplicated_ngram_stats(
             F.round(
                 F.col("n_dup_ngrams").cast("double") / F.col("n_ngrams"), 6
             ).alias("dup_fraction"),
+        )
+    )
+
+
+def duplicated_char_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    stride: int = 1,
+) -> DataFrame:
+    """Char-level exact-substring duplication coverage — the actual
+    Lee et al. 2021 signal: for every position, hash the k-char window;
+    a position whose window also occurs in ANOTHER document is
+    duplicated, and the union of duplicated windows (computed exactly
+    via the sorted-position lag-gap formula: each duplicated position
+    contributes min(k, gap-to-previous) covered characters) gives the
+    fraction of each document's characters lying inside some
+    cross-document duplicated span. Word-n-gram :func:`duplicated_ngram_stats`
+    is the cheap screen; this is the precise form.
+
+    ``stride`` samples every s-th position for DETECTION (coverage then
+    undercounts at most (s-1)/s of span edges) — the honest scale knob:
+    at s=1 the position explode is one row per character, which is the
+    true cost of exact-substring dedup (the reference algorithm pays it
+    in suffix-array form); a 100 TB run uses s≈k/2 for a screen, s=1
+    only on the candidate set it returns.
+
+    Scale notes: the explode is the dominant cost and is embarrassingly
+    parallel; the df aggregate and the join back land on the same hash
+    key (1:1 fan-out per position row — a hot boilerplate window
+    inflates its df COUNT, never the join output); the coverage window
+    partitions by doc. Docs shorter than k emit nothing and are absent
+    from the output (same contract as the n-gram form).
+    """
+    docs = ensure_parallelism(docs)
+    L = F.length(F.col(text_col))
+    positions = F.when(
+        L >= k, F.sequence(F.lit(1), L - k + 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    # the text rides through the explode so each position's window is
+    # substring'd in place (a join-back would re-shuffle per position)
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        L.alias("_len"),
+        F.col(text_col).alias("_t"),
+        F.explode(positions).alias("p"),
+    ).select(
+        "doc_id",
+        "_len",
+        "p",
+        F.md5(F.expr(f"substring(_t, p, {k})")).alias("g"),
+    )
+    dupg = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("_df"))
+        .filter(F.col("_df") >= 2)
+        .select("g")
+    )
+    dup_pos = grams.join(dupg, "g").select("doc_id", "_len", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    covered = F.least(
+        F.lit(k), F.col("p") - F.coalesce(F.lag("p").over(w), F.col("p") - k)
+    )
+    return (
+        dup_pos.withColumn("_cov", covered)
+        .groupBy("doc_id")
+        .agg(
+            F.max("_len").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_dup_positions"),
+            F.sum("_cov").cast("bigint").alias("covered_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_dup_positions",
+            "covered_chars",
+            F.round(
+                F.col("covered_chars").cast("double") / F.col("n_chars"), 6
+            ).alias("dup_char_fraction"),
         )
     )
 

@@ -272,6 +272,47 @@ def duplicated_ngram_stats_sql(
     """
 
 
+def duplicated_char_spans_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    stride: int = 1,
+) -> str:
+    """Noiseless twin of dedup.duplicated_char_spans: every stride-th
+    position's k-char window md5, cross-document df >= 2, exact
+    interval union via the sorted-position lag-gap formula."""
+    return f"""
+    WITH pos AS (
+      SELECT {id_col} AS doc_id, length({text_col}) AS len, {text_col} AS t,
+             unnest(generate_series(1, length({text_col}) - {k} + 1,
+                                    {stride})) AS p
+      FROM {table}
+      WHERE length({text_col}) >= {k}
+    ), grams AS (
+      SELECT doc_id, len, p, md5(substr(t, p, {k})) AS g FROM pos
+    ), dupg AS (
+      SELECT g FROM (
+        SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g
+      ) WHERE df >= 2
+    ), dp AS (
+      SELECT doc_id, len, p FROM grams JOIN dupg USING (g)
+    ), cov AS (
+      SELECT doc_id, len,
+             least({k}, p - coalesce(
+               lag(p) OVER (PARTITION BY doc_id ORDER BY p), p - {k}
+             )) AS c
+      FROM dp
+    )
+    SELECT doc_id, max(len) AS n_chars,
+           count(*) AS n_dup_positions,
+           CAST(sum(c) AS BIGINT) AS covered_chars,
+           round(CAST(sum(c) AS BIGINT) / max(len), 6) AS dup_char_fraction
+    FROM cov GROUP BY doc_id
+    """
+
+
 def ngram_jaccard_pairs_sql(
     *,
     table: str = "documents",

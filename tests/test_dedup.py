@@ -254,3 +254,30 @@ def test_embedding_ivf_plan_has_no_nested_loop(registry):
         registry.table("embeddings"), threshold=0.9
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_duplicated_char_spans(registry, duck):
+    df = dedup.duplicated_char_spans(registry.table("documents"), k=32)
+    assert_matches_oracle(df, duck, oracle.duplicated_char_spans_sql(k=32))
+    assert df.count() > 0
+
+
+def test_duplicated_char_spans_exact_union(spark):
+    """Two docs share one 40-char substring; with k=32 the duplicated
+    windows union to exactly those 40 characters in each doc (first
+    window contributes k, each of the 8 overlapping successors +1)."""
+    shared = "0123456789abcdefghijklmnopqrstuvwxyzABCD"  # 40 chars
+    assert len(shared) == 40
+    docs = spark.createDataFrame(
+        [
+            (1, "qqqqqqqqqqqqqqq" + shared + "rrrrrrrrrrrrrrr"),
+            (2, "sssssssssssssss" + shared + "ttttttttttttttt"),
+            (3, "no overlap with anything else in this tiny corpus at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_dup_positions"], r["covered_chars"])
+        for r in dedup.duplicated_char_spans(docs, k=32).collect()
+    }
+    assert got == {1: (9, 40), 2: (9, 40)}
