@@ -2471,6 +2471,51 @@ def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_stream_fts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the reference's core loop as a streaming contract: documents
+    # delivered in TWO increments, the FTS posting/doc-stat store
+    # appended per batch (only NEW docs tokenized), and a composite
+    # BM25 query over the merged store must hash-match the one-shot
+    # batch index's oracle (same query as fts_composite).
+    import shutil
+    import tempfile
+
+    from project_cortex_spark.streaming import fts_index as stream_fts
+
+    docs = _docs(spark, sf_dir)
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="ftsidx_", dir=scratch)
+    in_dir = os.path.join(base, "incoming")
+    idx = os.path.join(base, "index")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        for parity in (0, 1):
+            docs.filter(F.col("doc_id") % 2 == parity).write.mode(
+                "append"
+            ).parquet(in_dir)
+            with stream_source.scoped_state_partitions(
+                spark, _STREAM_STATE_PARTITIONS
+            ):
+                q = stream_fts.continuous_fts_index(
+                    spark,
+                    in_dir,
+                    docs.schema,
+                    index_dir=idx,
+                    checkpoint_dir=ckpt,
+                )
+                q.awaitTermination()
+        index = stream_fts.read_fts_index(spark, idx, docs)
+        out = fts_mod.fts_search(
+            index, '(merge OR stream) "fast sort" NOT error', limit=25
+        ).withColumn("score", F.round("score", 6))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream-static as-of: the events STREAM resolved against the static
     # checkpoint table (same ckpt/payload definition as join_asof, same
@@ -2741,6 +2786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_anomaly"] = _q_stream_anomaly
     out["stream_topk"] = _q_stream_topk
     out["stream_neardup"] = _q_stream_neardup
+    out["stream_fts"] = _q_stream_fts
     _media = lambda s, d: mm.synthesize_media(_docs(s, d))  # noqa: E731
     out["media_decode_meta"] = lambda s, d: mm.decode_media(_media(s, d)).drop(
         "mean_byte"
@@ -2774,8 +2820,8 @@ _GATE_FIRST = [
     # 50 slots filled (stream_anomaly, stream_topk, stream_neardup,
     # source_jsonl_roundtrip, source_csv_roundtrip, graph_pagerank,
     # join_asof_forward, dsl_tpch_q10, corpus_curate,
-    # corpus_token_budget, dedup_prune, events_ohlc, dedup_char_spans)
-    # head the r5 gate next round.
+    # corpus_token_budget, dedup_prune, events_ohlc, dedup_char_spans,
+    # stream_fts) head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -3076,6 +3122,10 @@ def oracle_sql() -> dict[str, str]:
     out["stream_topk"] = oracle.top_users_per_type_sql()
     # incremental signature store merged == one-shot batch minhash
     out["stream_neardup"] = oracle.minhash_near_duplicates_sql(threshold=0.5)
+    # incremental FTS store merged == one-shot batch index (fts_composite)
+    out["stream_fts"] = oracle.fts_oracle_sql(
+        '(merge OR stream) "fast sort" NOT error', limit=25
+    )
     out["media_decode_meta"] = oracle.media_decode_meta_sql()
     out["media_features"] = """
         SELECT doc_id AS media_id, 32 AS dim, 1.0 AS l2_norm FROM documents

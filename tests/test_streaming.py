@@ -506,3 +506,41 @@ def test_incremental_neardup_finds_cross_batch_pairs(spark, tmp_path):
         for r in dd.minhash_near_duplicates(all_docs, threshold=0.5).collect()
     }
     assert got == want
+
+
+def test_incremental_fts_index_equals_batch(spark, tmp_path):
+    """BM25 over the incrementally built store uses the MERGED corpus
+    stats: a term split across deliveries gets the same df/avg_dl —
+    and hence identical scores — as the one-shot batch index."""
+    from project_cortex_spark.operators import fts as fts_mod
+    from project_cortex_spark.streaming import fts_index
+
+    batch1 = [(1, "spark shuffles data across executors"),
+              (2, "pandas stays on one machine")]
+    batch2 = [(3, "spark plans queries with catalyst"),
+              (4, "duckdb vectorizes on one machine")]
+    schema = "doc_id LONG, text STRING"
+    in_dir = tmp_path / "in"
+    idx = str(tmp_path / "idx")
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+        q = fts_index.continuous_fts_index(
+            spark, str(in_dir), schema,
+            index_dir=idx, checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+    all_docs = spark.createDataFrame(batch1 + batch2, ["doc_id", "text"])
+    inc = fts_index.read_fts_index(spark, idx, all_docs)
+    bat = fts_mod.build_fts_index(all_docs, id_col="doc_id", text_col="text")
+    for query in ("spark", "machine OR spark", '"one machine"'):
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in fts_mod.fts_search(inc, query, limit=10).collect()
+        ]
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in fts_mod.fts_search(bat, query, limit=10).collect()
+        ]
+        assert got == want and len(want) > 0
