@@ -2516,6 +2516,58 @@ def _q_stream_fts(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental vector index contract: embeddings delivered in TWO
+    # increments, assignments (frozen centroids) appended per batch,
+    # and a FULL-probe IVF query over the merged store must hash-match
+    # the EXACT join oracle — the strongest gate an ANN store admits.
+    import shutil
+    import tempfile
+
+    from project_cortex_spark.streaming import vec_index as stream_vec
+
+    emb = _registry(spark, sf_dir).table("embeddings")
+    cent = knn_mod.train_centroids(emb, n_centroids=16)
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="vecidx_", dir=scratch)
+    in_dir = os.path.join(base, "incoming")
+    idx = os.path.join(base, "index")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        for parity in (0, 1):
+            emb.filter(F.col("vec_id") % 2 == parity).write.mode(
+                "append"
+            ).parquet(in_dir)
+            with stream_source.scoped_state_partitions(
+                spark, _STREAM_STATE_PARTITIONS
+            ):
+                q = stream_vec.continuous_vec_index(
+                    spark,
+                    in_dir,
+                    emb.schema,
+                    index_dir=idx,
+                    checkpoint_dir=ckpt,
+                    centroids=cent,
+                )
+                q.awaitTermination()
+        store = stream_vec.read_vec_index(spark, idx)
+        out = knn_mod.knn_join_ivf(
+            _knn_queries(spark, sf_dir),
+            emb,
+            k=5,
+            n_centroids=16,
+            nprobe=16,
+            centroids=cent,
+            assigned=store,
+        ).withColumn("score", F.round("score", 6))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream-static as-of: the events STREAM resolved against the static
     # checkpoint table (same ckpt/payload definition as join_asof, same
@@ -2787,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_topk"] = _q_stream_topk
     out["stream_neardup"] = _q_stream_neardup
     out["stream_fts"] = _q_stream_fts
+    out["stream_knn"] = _q_stream_knn
     _media = lambda s, d: mm.synthesize_media(_docs(s, d))  # noqa: E731
     out["media_decode_meta"] = lambda s, d: mm.decode_media(_media(s, d)).drop(
         "mean_byte"
@@ -2821,7 +2874,7 @@ _GATE_FIRST = [
     # source_jsonl_roundtrip, source_csv_roundtrip, graph_pagerank,
     # join_asof_forward, dsl_tpch_q10, corpus_curate,
     # corpus_token_budget, dedup_prune, events_ohlc, dedup_char_spans,
-    # stream_fts) head the r5 gate next round.
+    # stream_fts, stream_knn) head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -3126,6 +3179,8 @@ def oracle_sql() -> dict[str, str]:
     out["stream_fts"] = oracle.fts_oracle_sql(
         '(merge OR stream) "fast sort" NOT error', limit=25
     )
+    # incremental vector store, full probe == the EXACT join oracle
+    out["stream_knn"] = _KNN_JOIN_ORACLE
     out["media_decode_meta"] = oracle.media_decode_meta_sql()
     out["media_features"] = """
         SELECT doc_id AS media_id, 32 AS dim, 1.0 AS l2_norm FROM documents

@@ -299,9 +299,14 @@ def knn_join_ivf(
     nprobe: int = 4,
     seed: int = 42,
     centroids=None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN join: score each query only against the ``nprobe`` nearest
-    centroids' clusters.
+    centroids' clusters. ``assigned`` supplies a corpus that already
+    carries ``cluster_id`` (a persisted/incrementally-maintained
+    assignment store — streaming/vec_index.py) so the probe skips
+    re-assignment; assignments are deterministic given the centroids,
+    so stored and recomputed probes are identical (tested).
 
     Plan shape: corpus scored rows = |corpus| * nprobe / n_centroids
     instead of |corpus| — the candidate join is an equi-join on
@@ -320,7 +325,11 @@ def knn_join_ivf(
     cent = centroids
     nprobe = min(nprobe, len(cent))
 
-    c = assign_clusters(corpus, cent, vec_col=corpus_vec)
+    c = (
+        assigned
+        if assigned is not None
+        else assign_clusters(corpus, cent, vec_col=corpus_vec)
+    )
 
     @pandas_udf("array<int>")
     def probes(vecs: pd.Series) -> pd.Series:

@@ -544,3 +544,45 @@ def test_incremental_fts_index_equals_batch(spark, tmp_path):
             for r in fts_mod.fts_search(bat, query, limit=10).collect()
         ]
         assert got == want and len(want) > 0
+
+
+def test_incremental_vec_index_probes_like_batch(spark, registry, tmp_path):
+    """An incrementally built assignment store probes identically to a
+    one-shot assignment (frozen centroids make assignment per-row
+    deterministic), including at PARTIAL nprobe."""
+    from project_cortex_spark.operators import knn as knn_mod
+    from project_cortex_spark.streaming import vec_index
+
+    emb = registry.table("embeddings")
+    cent = knn_mod.train_centroids(emb, n_centroids=8)
+    in_dir = str(tmp_path / "in")
+    idx = str(tmp_path / "idx")
+    for parity in (0, 1):
+        emb.filter(F.col("vec_id") % 2 == parity).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q = vec_index.continuous_vec_index(
+            spark, in_dir, emb.schema,
+            index_dir=idx, checkpoint_dir=str(tmp_path / "ckpt"),
+            centroids=cent,
+        )
+        q.awaitTermination()
+    store = vec_index.read_vec_index(spark, idx)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    inc = {
+        key(r): (r["vec_id"], round(r["score"], 9))
+        for r in knn_mod.knn_join_ivf(
+            queries, emb, k=5, n_centroids=8, nprobe=3,
+            centroids=cent, assigned=store,
+        ).collect()
+    }
+    bat = {
+        key(r): (r["vec_id"], round(r["score"], 9))
+        for r in knn_mod.knn_join_ivf(
+            queries, emb, k=5, n_centroids=8, nprobe=3, centroids=cent,
+        ).collect()
+    }
+    assert inc == bat and len(bat) > 0
