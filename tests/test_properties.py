@@ -377,3 +377,75 @@ def test_bpe_pattern_parity_with_duckdb(spark, duck, texts):
         ).fetchall()
     }
     assert got == want
+
+
+_JOIN_SQL = {
+    "INNER": "JOIN",
+    "LEFT": "LEFT JOIN",
+    "RIGHT": "RIGHT JOIN",
+    "FULL": "FULL JOIN",
+}
+
+
+@COMMON
+@given(
+    st.sampled_from(["INNER", "LEFT", "RIGHT", "FULL", "SEMI", "ANTI"]),
+    st.one_of(st.none(), st.integers(0, 500_000)),
+)
+def test_dsl_join_fuzz_vs_duckdb(registry, duck, join_type, price_floor):
+    """Every DSL join type, with and without an extra non-equi predicate
+    riding in the ON clause, agrees with DuckDB (EXISTS / NOT EXISTS
+    for the SEMI/ANTI extension)."""
+    from project_cortex_spark.dsl import compile_query
+
+    on = {
+        "field": "customer.c_custkey",
+        "operator": "=",
+        "value": "orders.o_custkey",
+    }
+    on_sql = "c_custkey = o_custkey"
+    if price_floor is not None:
+        on = {
+            "and": [
+                on,
+                {
+                    "field": "orders.o_totalprice",
+                    "operator": ">",
+                    "value": price_floor,
+                },
+            ]
+        }
+        on_sql += f" AND o_totalprice > {price_floor}"
+    fields = (
+        ["c_custkey"]
+        if join_type in ("SEMI", "ANTI")
+        else ["customer.c_custkey", "orders.o_orderkey"]
+    )
+    got = compile_query(
+        registry,
+        {
+            "from": "customer",
+            "fields": fields,
+            "joins": [{"table": "orders", "type": join_type, "on": on}],
+        },
+    ).collect()
+    if join_type == "SEMI":
+        sql = (
+            "SELECT c_custkey FROM customer WHERE EXISTS "
+            f"(SELECT 1 FROM orders WHERE {on_sql})"
+        )
+    elif join_type == "ANTI":
+        sql = (
+            "SELECT c_custkey FROM customer WHERE NOT EXISTS "
+            f"(SELECT 1 FROM orders WHERE {on_sql})"
+        )
+    else:
+        sql = (
+            "SELECT c_custkey, o_orderkey FROM customer "
+            f"{_JOIN_SQL[join_type]} orders ON {on_sql}"
+        )
+    want = duck.execute(sql).fetchall()
+    nullsafe = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    assert sorted(map(tuple, got), key=nullsafe) == sorted(
+        map(tuple, want), key=nullsafe
+    )
