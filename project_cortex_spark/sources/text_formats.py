@@ -42,10 +42,22 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 
 
-def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
     """One JSON object per line, one file per partition — the shard
-    layout every downstream tokenizer/loader expects."""
-    df.write.mode(mode).json(path)
+    layout every downstream tokenizer/loader expects. ``compression``
+    ('gzip' | 'bzip2' | 'zstd' | None): prefer zstd/bzip2 for shards a
+    reader must SPLIT (gzip shards are one task each on read); readers
+    auto-detect by file extension, so read_jsonl needs no flag."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
 
 
 def read_csv(

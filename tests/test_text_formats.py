@@ -41,3 +41,15 @@ def test_csv_roundtrip(spark, tmp_path):
         tuple("" if v is None else v for v in r) for r in rows
     ]
     assert fix(got) == fix(want)
+
+
+def test_jsonl_compressed_roundtrip(spark, tmp_path):
+    """Compressed shards round-trip with no reader-side flag (codec
+    detected from the file extension)."""
+    import glob
+
+    df = _df(spark)
+    tf.write_jsonl(df, str(tmp_path / "z"), compression="gzip")
+    assert glob.glob(str(tmp_path / "z" / "*.gz"))
+    back = tf.read_jsonl(spark, str(tmp_path / "z"), df.schema)
+    assert _sorted(back.select(*COLS)) == _sorted(df)
