@@ -207,3 +207,14 @@ def test_asof_null_payload_stays_atomic(spark):
     assert got[1] == ("x1", "y1")
     # matched row is (15, NULL, y2): 'a' must be NULL, not "x1"
     assert got[2] == (None, "y2")
+
+
+def test_asof_rejects_bad_direction(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1, 1)], ["id", "k", "t"])
+    with pytest.raises(ValueError, match="backward|forward"):
+        as_of_join(
+            df, df, on="k", left_time="t", right_time="t",
+            right_payload=["id"], direction="sideways",
+        )

@@ -403,6 +403,26 @@ class TestValidation:
         with pytest.raises(QueryValidationError):
             compile_query(registry, {"from": "nope"})
 
+    def test_unknown_join_type(self, registry):
+        with pytest.raises(QueryValidationError):
+            compile_query(
+                registry,
+                {
+                    "from": "customer",
+                    "joins": [
+                        {
+                            "table": "orders",
+                            "type": "CROSS",
+                            "on": {
+                                "field": "customer.c_custkey",
+                                "operator": "=",
+                                "value": "orders.o_custkey",
+                            },
+                        }
+                    ],
+                },
+            )
+
     def test_unknown_column(self, registry):
         with pytest.raises(QueryValidationError):
             compile_query(

@@ -244,3 +244,11 @@ def test_pq_refined_improves_recall(registry):
         q, emb, k=5, refine_factor=10, n_subspaces=8, n_codes=64))
     assert ref >= raw
     assert ref >= 0.6  # deterministic on the fixture; 0.96 at sf0.01
+
+
+def test_pq_rejects_indivisible_dim(registry):
+    import pytest
+
+    emb = registry.table("embeddings")  # dim 64
+    with pytest.raises(ValueError, match="not divisible"):
+        knn.train_pq_codebooks(emb, n_subspaces=7)
