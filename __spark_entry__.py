@@ -2362,6 +2362,18 @@ def _q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ev.rank_top_users(totals, k=3)
 
 
+def _q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pure streaming aggregate (min_by/max_by are algebraic): same
+    # oracle as the batch events_ohlc
+    with stream_source.scoped_state_partitions(spark, _STREAM_STATE_PARTITIONS):
+        stream = stream_source.stream_table(spark, sf_dir, "events")
+        return stream_source.run_to_memory(
+            stream_windows.ohlc_stream(stream, bucket_minutes=60),
+            query_name="q_stream_ohlc",
+            output_mode="complete",
+        )
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simulated at-least-once transport: the SAME source unioned with
     # itself (every event delivered twice); exactly-once dedup must
@@ -2840,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_neardup"] = _q_stream_neardup
     out["stream_fts"] = _q_stream_fts
     out["stream_knn"] = _q_stream_knn
+    out["stream_ohlc"] = _q_stream_ohlc
     _media = lambda s, d: mm.synthesize_media(_docs(s, d))  # noqa: E731
     out["media_decode_meta"] = lambda s, d: mm.decode_media(_media(s, d)).drop(
         "mean_byte"
@@ -2874,7 +2887,7 @@ _GATE_FIRST = [
     # source_jsonl_roundtrip, source_csv_roundtrip, graph_pagerank,
     # join_asof_forward, dsl_tpch_q10, corpus_curate,
     # corpus_token_budget, dedup_prune, events_ohlc, dedup_char_spans,
-    # stream_fts, stream_knn) head the r5 gate next round.
+    # stream_fts, stream_knn, stream_ohlc) head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -3181,6 +3194,7 @@ def oracle_sql() -> dict[str, str]:
     )
     # incremental vector store, full probe == the EXACT join oracle
     out["stream_knn"] = _KNN_JOIN_ORACLE
+    out["stream_ohlc"] = oracle.ohlc_sql()
     out["media_decode_meta"] = oracle.media_decode_meta_sql()
     out["media_features"] = """
         SELECT doc_id AS media_id, 32 AS dim, 1.0 AS l2_norm FROM documents

@@ -114,3 +114,42 @@ def user_totals_stream(
     return ev.user_totals(
         events.withWatermark("ts", f"{watermark_minutes} minutes")
     )
+
+
+def ohlc_stream(
+    events: DataFrame, *, bucket_minutes: int = 60, watermark_minutes: int = 120
+) -> DataFrame:
+    """Streaming OHLC bars — unlike the rolling anomaly, this one IS a
+    pure streaming aggregate: open/close are ``min_by``/``max_by`` over
+    the (ts, event_id) total order, which are algebraic (a partial's
+    best candidate merges associatively), so no merge-on-read split is
+    needed. Emits the identical shape/rounding as the batch
+    ``events.ohlc_resample`` (which uses row_number — rn=1 under
+    (ts, event_id) ASC is exactly arg-min of that key), so a finite
+    complete-mode run is gated by the same oracle.
+    """
+    bucket_us = bucket_minutes * 60 * 1_000_000
+    key = F.struct(F.unix_micros("ts").alias("u"), F.col("event_id").alias("e"))
+    return (
+        events.withWatermark("ts", f"{watermark_minutes} minutes")
+        .groupBy(
+            F.col("event_type"),
+            F.expr(f"unix_micros(ts) div {bucket_us}").alias("_b"),
+        )
+        .agg(
+            F.round(F.min_by("value", key), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", key), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            (F.col("_b") * bucket_us).alias("bucket_start_us"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )

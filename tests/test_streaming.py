@@ -586,3 +586,17 @@ def test_incremental_vec_index_probes_like_batch(spark, registry, tmp_path):
         ).collect()
     }
     assert inc == bat and len(bat) > 0
+
+
+def test_stream_ohlc_matches_batch(spark, registry):
+    """min_by/max_by streaming aggregate equals the batch row_number
+    form (rn=1 under (ts, event_id) ASC == arg-min of that key)."""
+    out = source.run_to_memory(
+        windows.ohlc_stream(_events_stream(spark), bucket_minutes=60),
+        query_name="t_stream_ohlc",
+        output_mode="complete",
+    )
+    got = sorted(map(tuple, out.collect()))
+    batch = ev.ohlc_resample(registry.table("events"), bucket_minutes=60)
+    want = sorted(map(tuple, batch.select(*out.columns).collect()))
+    assert got == want and len(want) > 0
