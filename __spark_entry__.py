@@ -687,6 +687,132 @@ _DSL_QUERIES: dict[str, tuple[dict, str]] = {
            GROUP BY c_custkey, c_name, n_name
            ORDER BY revenue DESC, c_custkey LIMIT 20""",
     ),
+    # TPC-H Q6 shape (forecast revenue): the scan-dominated query —
+    # three stacked range predicates + a GLOBAL aggregate (no groupBy).
+    # At 100 TB this is THE predicate-pushdown benchmark: all three
+    # filters reach the parquet reader (min/max page skipping on
+    # l_shipdate), and the agg is a map-side partial + single-row merge
+    # — zero wide shuffle. (sum(l_extendedprice * l_discount) is out of
+    # DSL scope: the reference aggregates fields only,
+    # translator.go:266-294.)
+    "dsl_tpch_q6": (
+        {
+            "from": "lineitem",
+            "where": {
+                "and": [
+                    {
+                        "field": "l_shipdate",
+                        "operator": ">=",
+                        "value": "1996-01-01",
+                    },
+                    {
+                        "field": "l_shipdate",
+                        "operator": "<",
+                        "value": "1997-01-01",
+                    },
+                    {
+                        "field": "l_discount",
+                        "operator": "BETWEEN",
+                        "value": [0.05, 0.07],
+                    },
+                    {"field": "l_quantity", "operator": "<", "value": 24},
+                ]
+            },
+            "aggregations": [
+                {"function": "SUM", "field": "l_extendedprice", "alias": "revenue"},
+                {"function": "COUNT", "alias": "n_items"},
+            ],
+        },
+        """SELECT sum(l_extendedprice) AS revenue, count(*) AS n_items
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+             AND l_discount >= 0.05 AND l_discount <= 0.07
+             AND l_quantity < 24""",
+    ),
+    # TPC-H Q19 shape (discounted revenue): OR-of-ANDs where each branch
+    # mixes predicates from BOTH sides of the lineitem⋈part join — the
+    # disjunctive-filter stress test. Catalyst keeps the p_* conjuncts
+    # pushable per-branch and the equi-key join hashable; the OR tree
+    # lands as a post-join filter, which is the right plan (no branch
+    # can prune the join itself).
+    "dsl_tpch_q19": (
+        {
+            "from": "lineitem",
+            "joins": [
+                {
+                    "table": "part",
+                    "type": "INNER",
+                    "on": {
+                        "field": "lineitem.l_partkey",
+                        "operator": "=",
+                        "value": "part.p_partkey",
+                    },
+                }
+            ],
+            "where": {
+                "or": [
+                    {
+                        "and": [
+                            {"field": "p_brand", "operator": "=", "value": "Brand#4"},
+                            {
+                                "field": "p_size",
+                                "operator": "BETWEEN",
+                                "value": [1, 15],
+                            },
+                            {
+                                "field": "l_quantity",
+                                "operator": "BETWEEN",
+                                "value": [1, 11],
+                            },
+                        ]
+                    },
+                    {
+                        "and": [
+                            {"field": "p_brand", "operator": "=", "value": "Brand#19"},
+                            {
+                                "field": "p_size",
+                                "operator": "BETWEEN",
+                                "value": [1, 25],
+                            },
+                            {
+                                "field": "l_quantity",
+                                "operator": "BETWEEN",
+                                "value": [10, 20],
+                            },
+                        ]
+                    },
+                    {
+                        "and": [
+                            {"field": "p_brand", "operator": "=", "value": "Brand#16"},
+                            {
+                                "field": "p_size",
+                                "operator": "BETWEEN",
+                                "value": [1, 35],
+                            },
+                            {
+                                "field": "l_quantity",
+                                "operator": "BETWEEN",
+                                "value": [20, 30],
+                            },
+                        ]
+                    },
+                ]
+            },
+            "aggregations": [
+                {"function": "SUM", "field": "l_extendedprice", "alias": "revenue"},
+                {"function": "COUNT", "alias": "n_items"},
+            ],
+        },
+        """SELECT sum(l_extendedprice) AS revenue, count(*) AS n_items
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+                    AND l_quantity BETWEEN 1 AND 11)
+              OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 25
+                    AND l_quantity BETWEEN 10 AND 20)
+              OR (p_brand = 'Brand#16' AND p_size BETWEEN 1 AND 35
+                    AND l_quantity BETWEEN 20 AND 30)""",
+    ),
     # ANTI join (NOT EXISTS): customers with no high-value order —
     # the Q22-style "inactive customers" shape
     "dsl_join_anti": (
@@ -781,6 +907,15 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_mod.knn_join(_knn_queries(spark, sf_dir), emb, k=5).withColumn(
         "score", F.round("score", 6)
     )
+
+
+def _q_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # diversified top-10 from 40 exact candidates; the greedy rerank is
+    # executor-side applyInPandas over the constant-sized candidate set,
+    # gated by an unrolled-CTE greedy oracle (oracle.mmr_oracle_sql)
+    qv = _query_vec(spark, sf_dir)
+    emb = _registry(spark, sf_dir).table("embeddings")
+    return knn_mod.mmr_rerank(emb, qv, k=10, n_candidates=40, lam=0.7)
 
 
 def _q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2669,6 +2804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["knn_join"] = _q_knn_join
     out["knn_join_lsh"] = _q_knn_join_lsh
     out["knn_join_ivf"] = _q_knn_join_ivf
+    out["knn_mmr"] = _q_knn_mmr
     for name, (q, limit) in _FTS_QUERIES.items():
         out[name] = _fts_query(q, limit)
     out["fts_filtered"] = _q_fts_filtered
@@ -2768,6 +2904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_anomaly"] = lambda s, d: ev.rolling_anomaly(_events(s, d))
     # OHLC downsampling bars per (type, hour)
     out["events_ohlc"] = lambda s, d: ev.ohlc_resample(_events(s, d))
+    out["events_histogram"] = lambda s, d: ev.value_histogram(_events(s, d))
     # per-node triangle counts over the part co-purchase graph (degree-
     # capped co-occurrence edges -> a<b<c wedge closure)
     out["graph_triangles"] = lambda s, d: graph_mod.triangles_per_node(
@@ -2962,6 +3099,7 @@ def oracle_sql() -> dict[str, str]:
         k=20, min_score=0.5, where_sql="label IN (1,2,3)", payload_cols=("label",)
     )
     out["knn_join"] = _KNN_JOIN_ORACLE
+    out["knn_mmr"] = oracle.mmr_oracle_sql(k=10, n_candidates=40, lam=0.7)
     # knn_join_lsh: approximate — no oracle by design (exact twin is gated)
     for name, (q, limit) in _FTS_QUERIES.items():
         out[name] = oracle.fts_oracle_sql(q, limit=limit)
@@ -3013,6 +3151,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_retention"] = oracle.retention_sql()
     out["events_anomaly"] = oracle.rolling_anomaly_sql()
     out["events_ohlc"] = oracle.ohlc_sql()
+    out["events_histogram"] = oracle.value_histogram_sql()
     out["corpus_curate"] = oracle.corpus_curate_sql(scale=2.0)
     out["corpus_token_budget"] = oracle.token_budget_mix_sql(budget_tokens=600)
     out["graph_triangles"] = oracle.triangles_sql(max_df=50)

@@ -386,3 +386,28 @@ def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
     before ranking so the window sort input is |users|x|types|, with a
     deterministic (total DESC, user_id ASC) tie order."""
     return rank_top_users(user_totals(events), k)
+
+
+def value_histogram(events: DataFrame, *, width: float = 25.0) -> DataFrame:
+    """Fixed-width value histogram per event_type — the numeric-profiling
+    twin of ``corpus_profile``'s length buckets: bin = floor(value/width),
+    with per-bin count / min / max / mean.
+
+    Fixed width (vs equi-depth or min/max-scaled bins) is deliberate: the
+    bin of a row depends on nothing but the row, so the whole operator is
+    ONE map-side-partial hash aggregate keyed on (event_type, bin) — no
+    pre-pass over the data, no global sort, and the shuffle carries one
+    row per occupied bin per task. At 100 TB an equi-depth histogram
+    needs a quantile sketch first; this is the exact, single-pass shape.
+    """
+    b = F.floor(F.col("value") / F.lit(float(width)))
+    return (
+        events.groupBy(F.col("event_type"), b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .withColumn("bin_lo", F.round(F.col("bin") * F.lit(float(width)), 6))
+    )

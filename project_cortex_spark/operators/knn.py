@@ -578,3 +578,74 @@ def knn_join_pq_refined(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, F.round("score", 6).alias("score"), "rank")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query_vec: list[float],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_candidates: int = 40,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k: greedily pick the
+    candidate maximizing ``lam*relevance - (1-lam)*max_sim_to_selected``
+    (Carbonell & Goldstein 1998), the standard de-redundancy re-rank for
+    retrieval results the reference's plain KNN surface lacks.
+
+    Spark-first shape: relevance scoring + candidate cut is the exact
+    :func:`knn_topk` (distributed TakeOrderedAndProject over the full
+    corpus); the greedy selection is inherently sequential but runs over
+    only ``n_candidates`` rows, so it executes as ONE ``applyInPandas``
+    group on an executor — the corpus is never collected and the O(k*n)
+    pairwise loop touches a constant-sized frame. At 100 TB the scan
+    dominates and stays fully parallel; the rerank cost is independent of
+    corpus size.
+
+    Determinism contract (mirrored by the unrolled-CTE oracle in
+    oracle.py): relevance and pairwise similarity are rounded to 6
+    decimals before the objective, the objective is rounded to 6
+    decimals, and ties break on the smaller id.
+    """
+    cands = knn_topk(
+        corpus, query_vec, vec_col=vec_col, id_col=id_col, k=n_candidates,
+        payload_cols=[vec_col],
+    ).withColumn("score", F.round("score", 6))
+
+    lam_f = float(lam)
+    k_f = int(k)
+
+    def _rnd6(x: np.ndarray) -> np.ndarray:
+        # half-away-from-zero to match Spark's F.round / DuckDB round()
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        ids = pdf[id_col].to_numpy()
+        rel = pdf["score"].to_numpy(dtype=np.float64)
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.sqrt((V * V).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        cos = (V @ V.T) / np.outer(norms, norms)
+        sims = _rnd6((1.0 + cos) / 2.0)  # same (1+cos)/2 map as relevance
+        avail = np.ones(n, dtype=bool)
+        maxsim = np.zeros(n, dtype=np.float64)
+        out = []
+        for step in range(min(k_f, n)):
+            obj = _rnd6(lam_f * rel - (1.0 - lam_f) * maxsim)
+            obj[~avail] = -np.inf
+            tied = np.flatnonzero(obj == obj.max())
+            pick = int(tied[np.argmin(ids[tied])])
+            out.append((step + 1, int(ids[pick]), float(rel[pick]), float(obj[pick])))
+            avail[pick] = False
+            maxsim = np.maximum(maxsim, sims[:, pick])
+        return pd.DataFrame(out, columns=["rank", id_col, "score", "mmr_obj"])
+
+    schema = f"rank int, {id_col} long, score double, mmr_obj double"
+    return (
+        cands.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(greedy, schema)
+        .orderBy("rank")
+    )

@@ -638,6 +638,61 @@ def knn_oracle_sql(
     """
 
 
+def mmr_oracle_sql(
+    *,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_candidates: int = 40,
+    lam: float = 0.7,
+) -> str:
+    """Unrolled-CTE greedy MMR mirroring operators.knn.mmr_rerank: step i
+    joins the i-1 single-row pick CTEs, excludes their ids, and takes the
+    argmax of round(lam*rel - (1-lam)*greatest(rounded pairwise sims), 6)
+    with the id tie-break. Same unrolling trick as the PageRank oracle —
+    the greedy recurrence is fixed-depth, so plain SQL expresses it."""
+
+    def sim(a: str, b: str) -> str:
+        return (
+            f"round((1.0 + list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+            f" / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+            f" * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))) / 2.0, 6)"
+        )
+
+    ctes = [
+        f"""q AS (SELECT embedding AS q FROM embeddings
+              WHERE vec_id = {query_vec_id}),
+    cand AS MATERIALIZED (
+      SELECT vec_id, round({KNN_SCORE_SQL}, 6) AS score, embedding
+      FROM embeddings, q
+      ORDER BY {KNN_SCORE_SQL} DESC, vec_id LIMIT {n_candidates}
+    ),
+    p1 AS (
+      SELECT vec_id, score, embedding, round({lam} * score, 6) AS obj
+      FROM cand ORDER BY obj DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for i in range(2, k + 1):
+        prevs = range(1, i)
+        joins = " ".join(f"CROSS JOIN p{j}" for j in prevs)
+        not_in = ", ".join(f"p{j}.vec_id" for j in prevs)
+        sims = ", ".join(sim("c.embedding", f"p{j}.embedding") for j in prevs)
+        maxsim = f"greatest({sims})" if len(list(prevs)) > 1 else sims
+        ctes.append(
+            f"""p{i} AS (
+      SELECT c.vec_id, c.score, c.embedding,
+             round({lam} * c.score - {1.0 - lam:.17g} * {maxsim}, 6) AS obj
+      FROM cand c {joins}
+      WHERE c.vec_id NOT IN ({not_in})
+      ORDER BY obj DESC, c.vec_id LIMIT 1
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, score, obj AS mmr_obj FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {union}\n    ORDER BY rank"
+
+
 # ---------------------------------------------------------------------------
 # Event analytics oracles (operators/events.py)
 # ---------------------------------------------------------------------------
@@ -966,6 +1021,22 @@ def top_users_per_type_sql(table: str = "events", k: int = 3) -> str:
                 ORDER BY total_value DESC, user_id) AS rank
       FROM totals
     ) WHERE rank <= {k}
+    """
+
+
+def value_histogram_sql(table: str = "events", width: float = 25.0) -> str:
+    """Noiseless twin of operators.events.value_histogram: same
+    floor(value/width) binning on IEEE doubles, same rounded stats."""
+    return f"""
+    SELECT event_type,
+           CAST(floor(value / {width}) AS BIGINT) AS bin,
+           count(*) AS n_events,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           round(avg(value), 6) AS avg_value,
+           round(CAST(floor(value / {width}) AS BIGINT) * {width}, 6) AS bin_lo
+    FROM {table}
+    GROUP BY 1, 2
     """
 
 

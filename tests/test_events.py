@@ -170,3 +170,21 @@ def test_ohlc_semantics(spark):
         for r in ohlc_resample(events).collect()
     }
     assert got == {0: (5.0, 9.0, 1.0, 7.0, 4), hour_us: (3.0, 3.0, 3.0, 3.0, 1)}
+
+
+def test_value_histogram_matches_oracle(registry, duck):
+    from project_cortex_spark import oracle as oracle_mod
+    from project_cortex_spark.operators.events import value_histogram
+
+    df = value_histogram(registry.table("events"), width=25.0)
+    assert_matches_oracle(df, duck, oracle_mod.value_histogram_sql(width=25.0))
+
+
+def test_value_histogram_partitions_all_rows(registry):
+    from project_cortex_spark.operators.events import value_histogram
+
+    ev = registry.table("events")
+    rows = value_histogram(ev, width=100.0).collect()
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert r["bin_lo"] <= r["min_value"] <= r["max_value"] < r["bin_lo"] + 100.0

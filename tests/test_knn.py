@@ -252,3 +252,42 @@ def test_pq_rejects_indivisible_dim(registry):
     emb = registry.table("embeddings")  # dim 64
     with pytest.raises(ValueError, match="not divisible"):
         knn.train_pq_codebooks(emb, n_subspaces=7)
+
+
+def test_mmr_rerank_matches_unrolled_oracle(registry, duck):
+    from project_cortex_spark import oracle as oracle_mod
+
+    qv = [float(x) for x in _query_vec(duck)]
+    df = knn.mmr_rerank(
+        registry.table("embeddings"), qv, k=8, n_candidates=25, lam=0.7
+    )
+    assert_matches_oracle(
+        df, duck, oracle_mod.mmr_oracle_sql(k=8, n_candidates=25, lam=0.7)
+    )
+
+
+def test_mmr_lambda_one_is_pure_relevance(registry, duck):
+    # with lam=1.0 the diversity term vanishes: picks == exact top-k order
+    qv = [float(x) for x in _query_vec(duck)]
+    emb = registry.table("embeddings")
+    mmr = knn.mmr_rerank(emb, qv, k=6, n_candidates=20, lam=1.0).collect()
+    exact = (
+        knn_topk(emb, qv, k=6)
+        .withColumn("score", F.round("score", 6))
+        .collect()
+    )
+    # rounded relevance can tie where raw scores differ; on ties MMR
+    # breaks by id while knn_topk breaks by raw score first — compare the
+    # (rounded score) sequence and the selected SET, both invariant
+    assert [r["score"] for r in mmr] == [r["score"] for r in exact]
+    assert {r["vec_id"] for r in mmr} == {r["vec_id"] for r in exact}
+
+
+def test_mmr_selects_distinct_ids_and_monotone_first_pick(registry, duck):
+    qv = [float(x) for x in _query_vec(duck)]
+    emb = registry.table("embeddings")
+    rows = knn.mmr_rerank(emb, qv, k=10, n_candidates=30, lam=0.5).collect()
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 10
+    assert rows[0]["score"] == max(r["score"] for r in rows)
+    assert [r["rank"] for r in rows] == list(range(1, 11))
