@@ -2509,6 +2509,18 @@ def _q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+def _q_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pure streaming aggregate (count/min/max/avg all algebraic): same
+    # oracle as the batch events_histogram
+    with stream_source.scoped_state_partitions(spark, _STREAM_STATE_PARTITIONS):
+        stream = stream_source.stream_table(spark, sf_dir, "events")
+        return stream_source.run_to_memory(
+            stream_windows.value_histogram_stream(stream, width=25.0),
+            query_name="q_stream_histogram",
+            output_mode="complete",
+        )
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simulated at-least-once transport: the SAME source unioned with
     # itself (every event delivered twice); exactly-once dedup must
@@ -2926,6 +2938,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         iters=5,
     )
+    # k-core peeling over the same co-purchase edge list — the fixpoint
+    # family (neither traversal nor linear algebra): fixed unrolled
+    # rounds keep it oracle-matchable
+    out["graph_kcore"] = lambda s, d: graph_mod.kcore(
+        graph_mod.cooccurrence_edges(
+            _registry(s, d).table("lineitem"),
+            group_col="l_orderkey",
+            item_col="l_partkey",
+            max_df=50,
+        ),
+        k=3,
+        rounds=4,  # fixpoint here by round 2; 4 leaves cascade headroom
+    )
     # char-distribution Shannon entropy (zero-shuffle quality signal)
     out["text_entropy"] = lambda s, d: ts.char_entropy(_docs(s, d))
     out["text_token_stats"] = lambda s, d: ts.token_stats(_docs(s, d))
@@ -2990,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_fts"] = _q_stream_fts
     out["stream_knn"] = _q_stream_knn
     out["stream_ohlc"] = _q_stream_ohlc
+    out["stream_histogram"] = _q_stream_histogram
     _media = lambda s, d: mm.synthesize_media(_docs(s, d))  # noqa: E731
     out["media_decode_meta"] = lambda s, d: mm.decode_media(_media(s, d)).drop(
         "mean_byte"
@@ -3155,6 +3181,7 @@ def oracle_sql() -> dict[str, str]:
     out["corpus_curate"] = oracle.corpus_curate_sql(scale=2.0)
     out["corpus_token_budget"] = oracle.token_budget_mix_sql(budget_tokens=600)
     out["graph_triangles"] = oracle.triangles_sql(max_df=50)
+    out["graph_kcore"] = oracle.kcore_sql(max_df=50, k=3, rounds=4)
     out["graph_pagerank"] = oracle.pagerank_sql(max_df=50, iters=5)
     out["text_entropy"] = oracle.char_entropy_sql()
     out["text_token_stats"] = oracle.token_stats_sql()
@@ -3334,6 +3361,7 @@ def oracle_sql() -> dict[str, str]:
     # incremental vector store, full probe == the EXACT join oracle
     out["stream_knn"] = _KNN_JOIN_ORACLE
     out["stream_ohlc"] = oracle.ohlc_sql()
+    out["stream_histogram"] = oracle.value_histogram_sql()
     out["media_decode_meta"] = oracle.media_decode_meta_sql()
     out["media_features"] = """
         SELECT doc_id AS media_id, 32 AS dim, 1.0 AS l2_norm FROM documents

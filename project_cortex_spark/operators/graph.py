@@ -582,3 +582,50 @@ def pagerank(
             (F.lit(base) + F.lit(damping) * F.col("_in")).alias("pr"),
         ).localCheckpoint(eager=False)
     return ranks.select("node", F.round("pr", 9).alias("pr"))
+
+
+def kcore(edges: DataFrame, *, k: int = 3, rounds: int = 8) -> DataFrame:
+    """k-core decomposition by iterative peeling over an undirected a<b
+    edge list: drop every node with degree < k, recompute degrees over
+    the surviving subgraph, repeat. Returns the surviving nodes with
+    their in-core degree — the standard dense-substructure filter
+    (community cores, spam rings) the reference's recursive-CTE surface
+    cannot express (peeling is a fixpoint, not a traversal).
+
+    A FIXED round count keeps the result oracle-matchable (the DuckDB
+    twin unrolls the same rounds as CTE chains); peeling is monotone, so
+    once the fixpoint is reached extra rounds are no-ops — `rounds`
+    bounds cost, not correctness, provided both engines run the same
+    count. No early-exit: a convergence probe would cost a driver count
+    per round and save nothing at this depth.
+
+    Scale notes: each round is one map-side-partial degree aggregate +
+    two semi joins against the (shrinking) keep set — the keep frame is
+    node-sized and broadcastable; `localCheckpoint(eager=False)`
+    truncates the 3-ops-per-round lineage like the PageRank loop.
+    """
+    surv = edges.select("a", "b")
+    for _ in range(rounds):
+        deg = (
+            surv.select(F.col("a").alias("node"))
+            .union(surv.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        surv = (
+            surv.join(
+                F.broadcast(keep.withColumnRenamed("node", "a")), "a", "left_semi"
+            )
+            .join(
+                F.broadcast(keep.withColumnRenamed("node", "b")), "b", "left_semi"
+            )
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        surv.select(F.col("a").alias("node"))
+        .union(surv.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )

@@ -880,6 +880,54 @@ def triangles_sql(
     """
 
 
+def kcore_sql(
+    table: str = "lineitem",
+    group_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    max_df: int = 50,
+    k: int = 3,
+    rounds: int = 8,
+) -> str:
+    """Noiseless twin of cooccurrence_edges + graph.kcore: the same
+    degree-capped a<b edge list with the peeling rounds UNROLLED
+    (e0 -> e1 -> ... -> e{rounds}). Every survivor CTE is MATERIALIZED —
+    each round references its predecessor three times (two degree arms +
+    the join base), so inlining would blow up 3^rounds."""
+    ctes = [
+        f"""pres0 AS (
+      SELECT DISTINCT {group_col} AS g, {item_col} AS itm FROM {table}
+    ), keep AS (
+      SELECT itm FROM pres0 GROUP BY itm HAVING count(*) <= {max_df}
+    ), pres AS (
+      SELECT g, itm FROM pres0 JOIN keep USING (itm)
+    ), e0 AS MATERIALIZED (
+      SELECT DISTINCT p1.itm AS a, p2.itm AS b
+      FROM pres p1 JOIN pres p2 ON p1.g = p2.g AND p1.itm < p2.itm
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""k{r} AS (
+      SELECT node FROM (
+        SELECT a AS node FROM e{p} UNION ALL SELECT b FROM e{p}
+      ) GROUP BY node HAVING count(*) >= {k}
+    ), e{r} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{p} e
+      JOIN k{r} ka ON e.a = ka.node
+      JOIN k{r} kb ON e.b = kb.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, count(*) AS core_deg FROM (
+      SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+    ) GROUP BY node"""
+    )
+
+
 def ohlc_sql(table: str = "events", *, bucket_minutes: int = 60) -> str:
     """Noiseless twin of events.ohlc_resample: identical epoch
     bucketing and (ts, event_id)-ordered row_number first/last."""

@@ -153,3 +153,17 @@ def ohlc_stream(
             "n_events",
         )
     )
+
+
+def value_histogram_stream(
+    events: DataFrame, *, width: float = 25.0, watermark_minutes: int = 120
+) -> DataFrame:
+    """Streaming twin of ``events.value_histogram`` — every emitted stat
+    (count, min, max, avg) is algebraic, so like the OHLC bars this is a
+    pure streaming aggregate with no merge-on-read split: state is one
+    row per occupied (event_type, bin). Reuses the batch operator's
+    column expressions verbatim, so a finite complete-mode run is gated
+    by the same oracle."""
+    return ev.value_histogram(
+        events.withWatermark("ts", f"{watermark_minutes} minutes"), width=width
+    )

@@ -403,3 +403,50 @@ def test_pagerank_matches_oracle(registry, duck):
         duck,
         oracle.pagerank_sql(max_df=50, iters=5),
     )
+
+
+def test_kcore_peels_tail_iteratively(spark):
+    """Triangle 1-2-3 with a pendant chain 3-4, 4-5: k=2 peeling must
+    cascade (5 falls first, then 4 becomes degree-1 and falls) — the
+    case a single-pass degree filter gets wrong."""
+    from project_cortex_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], ["a", "b"]
+    )
+    got = {r["node"]: r["core_deg"] for r in kcore(edges, k=2, rounds=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_matches_unrolled_oracle(registry, duck):
+    from project_cortex_spark import oracle
+    from project_cortex_spark.operators.graph import cooccurrence_edges, kcore
+    from tests.conftest import assert_matches_oracle
+
+    edges = cooccurrence_edges(
+        registry.table("lineitem"),
+        group_col="l_orderkey",
+        item_col="l_partkey",
+        max_df=50,
+    )
+    assert_matches_oracle(
+        kcore(edges, k=3, rounds=6), duck, oracle.kcore_sql(max_df=50, k=3, rounds=6)
+    )
+
+
+def test_kcore_nested_cores(spark):
+    """k-cores nest: the k=3 core's node set is a subset of the k=2
+    core's, and at the fixpoint every surviving degree is >= k."""
+    from project_cortex_spark.operators.graph import kcore
+
+    # K4 (nodes 1-4) plus a triangle (5,6,7) hanging off node 4 via 5
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (5, 6), (5, 7), (6, 7), (4, 5)],
+        ["a", "b"],
+    )
+    c2 = {r["node"] for r in kcore(edges, k=2, rounds=6).collect()}
+    c3 = {r["node"]: r["core_deg"] for r in kcore(edges, k=3, rounds=6).collect()}
+    assert set(c3) <= c2
+    assert set(c3) == {1, 2, 3, 4}
+    assert all(d >= 3 for d in c3.values())

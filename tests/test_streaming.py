@@ -600,3 +600,17 @@ def test_stream_ohlc_matches_batch(spark, registry):
     batch = ev.ohlc_resample(registry.table("events"), bucket_minutes=60)
     want = sorted(map(tuple, batch.select(*out.columns).collect()))
     assert got == want and len(want) > 0
+
+
+def test_stream_histogram_matches_batch(spark, registry):
+    """count/min/max/avg are all algebraic: the streaming histogram is a
+    pure aggregate and must equal the batch operator exactly."""
+    out = source.run_to_memory(
+        windows.value_histogram_stream(_events_stream(spark), width=25.0),
+        query_name="t_stream_histogram",
+        output_mode="complete",
+    )
+    got = sorted(map(tuple, out.collect()))
+    batch = ev.value_histogram(registry.table("events"), width=25.0)
+    want = sorted(map(tuple, batch.select(*out.columns).collect()))
+    assert got == want and len(want) > 0
