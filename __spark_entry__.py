@@ -1648,6 +1648,18 @@ def _q_corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "quality")
 
 
+def _q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exactly-25-per-language weighted sample (Efraimidis–Spirakis A-Res,
+    # hash-is-the-randomness): weight = the oracle-gated quality score
+    docs = _docs(spark, sf_dir)
+    scored = docs.join(
+        ts.quality_scores(docs).select("doc_id", "quality"), "doc_id"
+    )
+    return corpus_mod.weighted_sample_per_key(
+        scored, key_col="lang", weight_col="quality", k=25
+    ).select("doc_id", "lang", "quality", "sample_key", "sample_rank")
+
+
 def _q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup train/eval contamination: every 97th doc acts as the
     # benchmark; graded distinct-shingle containment with a df cap
@@ -2917,6 +2929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # OHLC downsampling bars per (type, hour)
     out["events_ohlc"] = lambda s, d: ev.ohlc_resample(_events(s, d))
     out["events_histogram"] = lambda s, d: ev.value_histogram(_events(s, d))
+    # dense-grid resample with forward fill (gap buckets emitted)
+    out["events_gapfill"] = lambda s, d: ev.gapfill_resample(_events(s, d))
     # per-node triangle counts over the part co-purchase graph (degree-
     # capped co-occurrence edges -> a<b<c wedge closure)
     out["graph_triangles"] = lambda s, d: graph_mod.triangles_per_node(
@@ -2966,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_tfidf_terms"] = lambda s, d: ts.tfidf_top_terms(_docs(s, d))
     out["corpus_sample_per_key"] = _q_corpus_sample_per_key
     out["corpus_importance_sample"] = _q_corpus_importance_sample
+    out["corpus_weighted_sample"] = _q_corpus_weighted_sample
     out["corpus_contamination"] = _q_corpus_contamination
     out["corpus_fuzzy_decontaminate"] = _q_corpus_fuzzy_decontaminate
     out["corpus_shuffle"] = _q_corpus_shuffle
@@ -3050,7 +3065,10 @@ _GATE_FIRST = [
     # source_jsonl_roundtrip, source_csv_roundtrip, graph_pagerank,
     # join_asof_forward, dsl_tpch_q10, corpus_curate,
     # corpus_token_budget, dedup_prune, events_ohlc, dedup_char_spans,
-    # stream_fts, stream_knn, stream_ohlc) head the r5 gate next round.
+    # stream_fts, stream_knn, stream_ohlc, and the late-r4 batch:
+    # dsl_tpch_q6, dsl_tpch_q19, events_histogram, events_gapfill,
+    # knn_mmr, graph_kcore, stream_histogram, corpus_weighted_sample)
+    # head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -3178,6 +3196,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_anomaly"] = oracle.rolling_anomaly_sql()
     out["events_ohlc"] = oracle.ohlc_sql()
     out["events_histogram"] = oracle.value_histogram_sql()
+    out["events_gapfill"] = oracle.gapfill_sql()
     out["corpus_curate"] = oracle.corpus_curate_sql(scale=2.0)
     out["corpus_token_budget"] = oracle.token_budget_mix_sql(budget_tokens=600)
     out["graph_triangles"] = oracle.triangles_sql(max_df=50)
@@ -3192,6 +3211,7 @@ def oracle_sql() -> dict[str, str]:
     out["text_redact_pii"] = oracle.redact_pii_sql(text_expr=_PII_SUFFIX_SQL)
     out["corpus_sample_per_key"] = oracle.sample_per_key_sql(k=25)
     out["corpus_importance_sample"] = oracle.importance_sample_sql(scale=1.2)
+    out["corpus_weighted_sample"] = oracle.weighted_sample_sql(k=25)
     out["corpus_contamination"] = f"""
         SELECT * FROM ({oracle.contamination_pairs_sql(
             bench_filter="doc_id % 97 = 0", ngram=3,

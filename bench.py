@@ -55,6 +55,9 @@ EXTENDED = [
     "corpus_curate",
     "corpus_token_budget",
     "events_anomaly",
+    # late-r4 additions
+    "knn_mmr",  # exact candidate cut + applyInPandas greedy rerank
+    "graph_kcore",  # 4 peel rounds: degree agg + broadcast semi joins
 ]
 
 HEADLINE = [

@@ -119,6 +119,61 @@ def sample_per_key(
     )
 
 
+def weighted_sample_per_key(
+    docs: DataFrame,
+    *,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    weight_col: str = "quality",
+    k: int = 25,
+    salt: str = "wsample",
+    weight_floor: float = 0.01,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: exactly
+    min(k, |stratum|) rows per ``key_col``, each row's inclusion odds
+    proportional to ``weight_col`` — the Efraimidis–Spirakis A-Res
+    scheme (rank by ``ln(u)/w`` descending, u uniform per row), with the
+    corpus hash as the randomness so membership is reproducible across
+    runs and engines (the same hash-is-the-randomness contract as
+    :func:`hash_split`; ``rand()`` would drift between runs).
+
+    Complements :func:`sample_per_key` (uniform count-based) and
+    :func:`importance_sample` (Bernoulli, no per-stratum count control):
+    this is the "give me exactly k docs per language, favoring quality"
+    primitive.
+
+    Cross-engine determinism: u = (md5_32bits + 1) / 2^32 ∈ (0, 1];
+    weights clamp to ≥ ``weight_floor`` so the key magnitude stays small
+    enough that rounding to 9 decimals absorbs last-ulp libm drift; ties
+    break on id.
+
+    Scale: one window shuffle on ``key_col`` — the same skew note as
+    :func:`sample_per_key` applies (pre-filter giant strata on a key
+    threshold before the window; the A-Res key is a pure per-row
+    function, so the pre-filter is a codegen scan predicate).
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(2**32))
+    w_eff = F.greatest(F.col(weight_col), F.lit(float(weight_floor)))
+    key = F.round(F.log(u) / w_eff, 9)
+    win = Window.partitionBy(key_col).orderBy(
+        F.col("sample_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("sample_key", key)
+        .withColumn("sample_rank", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def token_budget_mix(
     docs: DataFrame,
     *,

@@ -388,6 +388,51 @@ def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
     return rank_top_users(user_totals(events), k)
 
 
+def gapfill_resample(events: DataFrame, *, bucket_minutes: int = 60) -> DataFrame:
+    """Resample each event_type onto its full regular time grid
+    (min..max bucket), emitting a row for EVERY bucket: observed buckets
+    carry their aggregate, gap buckets carry n_events=0 with the last
+    observed sum forward-filled — the dense-series contract downstream
+    time-series models (and SQL window baselines) need, which a plain
+    groupBy cannot produce (it never emits empty buckets).
+
+    Scale notes: events collapse to |buckets| rows in ONE map-side-
+    partial hash aggregate before anything else; the grid explodes from
+    a per-type (min, max) bounds frame — two tiny rows per type — so
+    ``sequence()`` fan-out is |grid| rows, never |events|; the fill is
+    one window over the grid keyed per type (same partitioning as the
+    join, one exchange of grid-sized data). Integer-microsecond buckets
+    keep every engine comparison exact.
+    """
+    bucket_us = bucket_minutes * 60 * 1_000_000
+    agg = events.groupBy(
+        F.col("event_type"),
+        F.expr(f"unix_micros(ts) div {bucket_us}").alias("_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.round(F.sum("value"), 6).alias("_sum"),
+    )
+    bounds = agg.groupBy("event_type").agg(
+        F.min("_b").alias("_b0"), F.max("_b").alias("_b1")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("_b0", "_b1")).alias("_b")
+    )
+    joined = grid.join(agg, ["event_type", "_b"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        (F.col("_b") * bucket_us).alias("bucket_start_us"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        F.col("_n").isNull().cast("int").alias("is_gap"),
+    )
+
+
 def value_histogram(events: DataFrame, *, width: float = 25.0) -> DataFrame:
     """Fixed-width value histogram per event_type — the numeric-profiling
     twin of ``corpus_profile``'s length buckets: bin = floor(value/width),

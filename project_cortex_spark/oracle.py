@@ -1072,6 +1072,32 @@ def top_users_per_type_sql(table: str = "events", k: int = 3) -> str:
     """
 
 
+def gapfill_sql(table: str = "events", *, bucket_minutes: int = 60) -> str:
+    """Noiseless twin of events.gapfill_resample: same integer bucket
+    grid (generate_series over per-type min..max), left join, and
+    ignore-nulls forward fill."""
+    bucket_us = bucket_minutes * 60 * 1_000_000
+    return f"""
+    WITH agg AS (
+      SELECT event_type, epoch_us(ts) // {bucket_us} AS b,
+             count(*) AS n, round(sum(value), 6) AS s
+      FROM {table} GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(b) AS b0, max(b) AS b1 FROM agg GROUP BY 1
+    ), grid AS (
+      SELECT event_type, unnest(generate_series(b0, b1)) AS b FROM bounds
+    )
+    SELECT g.event_type, g.b * {bucket_us} AS bucket_start_us,
+           coalesce(a.n, 0) AS n_events,
+           last_value(a.s IGNORE NULLS) OVER
+             (PARTITION BY g.event_type ORDER BY g.b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_sum,
+           CAST(a.n IS NULL AS INT) AS is_gap
+    FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.b = a.b
+    """
+
+
 def value_histogram_sql(table: str = "events", width: float = 25.0) -> str:
     """Noiseless twin of operators.events.value_histogram: same
     floor(value/width) binning on IEEE doubles, same rounded stats."""
@@ -1338,6 +1364,38 @@ def importance_sample_sql(
     FROM q
     WHERE {_bucket_sql("doc_id", salt)}
           < CAST(floor(least(quality * {scale}, 1.0) * 10000) AS BIGINT)
+    """
+
+
+def weighted_sample_sql(
+    table: str = "documents",
+    *,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 25,
+    salt: str = "wsample",
+    weight_floor: float = 0.01,
+) -> str:
+    """Oracle for corpus.weighted_sample_per_key over quality_scores
+    weights: identical A-Res key (ln((md5_32+1)/2^32) / clamped weight,
+    rounded to 9 decimals) and (key DESC, id) rank."""
+    h = (
+        f"('0x' || substr(md5('{salt}:' || CAST(d.{id_col} AS VARCHAR)), 1, 8))"
+        f"::BIGINT"
+    )
+    return f"""
+    WITH q AS ({quality_scores_sql(table, id_col)}),
+    keyed AS (
+      SELECT d.{id_col}, d.{key_col}, q.quality,
+             round(ln(({h} + 1) / 4294967296.0)
+                   / greatest(q.quality, {weight_floor}), 9) AS sample_key
+      FROM {table} d JOIN q USING ({id_col})
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY {key_col}
+                 ORDER BY sample_key DESC, {id_col}) AS sample_rank
+      FROM keyed
+    )
+    SELECT * FROM r WHERE sample_rank <= {k}
     """
 
 

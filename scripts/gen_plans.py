@@ -45,6 +45,11 @@ PICKS = {
     "corpus_token_budget": "token-budget fill: per-source window cumsum, integer-exact, no global sort",
     "dedup_prune": "end-user dedup: pairs -> min-label components -> left_anti drop of non-canonical members",
     "corpus_curate": "curation chain: language gate semi-join, dedup, quality weights, zero-shuffle sampler filter",
+    "dsl_tpch_q6": "scan-dominated global agg: all three range predicates in PushedFilters, map-side partial + single-row merge — zero wide shuffle",
+    "dsl_tpch_q19": "disjunctive OR-of-ANDs over a join: per-branch dim conjuncts pushed to the part scan, cross-table OR as post-join filter",
+    "events_histogram": "fixed-width histogram: ONE map-side-partial hash aggregate, bin is a per-row function (no pre-pass, no sort)",
+    "knn_mmr": "MMR rerank: distributed exact top-k candidate cut feeding ONE constant-sized applyInPandas group — corpus never collected",
+    "graph_kcore": "k-core peeling: plan shows the final checkpointed round (lineage cut per round); per round one degree aggregate + two BROADCAST semi joins — edges never shuffle during peeling",
 }
 
 

@@ -215,3 +215,42 @@ def test_token_budget_mix_semantics(spark):
     # (<100, keep -> overshoot to 110); doc3 starts at 110 (drop).
     # b: doc5 starts at 0 (keep); doc6 starts at 100 (not < 100, drop).
     assert got == {1: 60, 2: 110, 5: 100}
+
+
+def test_weighted_sample_matches_oracle(registry, duck):
+    from project_cortex_spark.operators import textstats as ts
+
+    docs = registry.table("documents")
+    scored = docs.join(
+        ts.quality_scores(docs).select("doc_id", "quality"), "doc_id"
+    )
+    df = corpus.weighted_sample_per_key(
+        scored, key_col="lang", weight_col="quality", k=10
+    ).select("doc_id", "lang", "quality", "sample_key", "sample_rank")
+    assert_matches_oracle(df, duck, oracle.weighted_sample_sql(k=10))
+
+
+def test_weighted_sample_exact_count_and_weight_bias(spark):
+    # 2000 docs in one stratum, half weight 1.0 / half 0.05: the
+    # heavy-weight half must dominate the selected set (A-Res property),
+    # and the count is exactly k
+    rows = [(i, "en", 1.0 if i % 2 == 0 else 0.05) for i in range(2000)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "quality"])
+    got = corpus.weighted_sample_per_key(
+        docs, key_col="lang", weight_col="quality", k=100
+    ).collect()
+    assert len(got) == 100
+    heavy = sum(1 for r in got if r["doc_id"] % 2 == 0)
+    assert heavy > 80  # E[heavy] ≈ 95+; uniform sampling would give ~50
+
+
+def test_weighted_sample_is_deterministic_and_caps_small_strata(spark):
+    rows = [(i, "xx" if i < 3 else "en", 0.5) for i in range(50)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "quality"])
+    a = sorted(map(tuple, corpus.weighted_sample_per_key(docs, k=5).collect()))
+    b = sorted(map(tuple, corpus.weighted_sample_per_key(docs, k=5).collect()))
+    assert a == b
+    per_key = {}
+    for r in a:
+        per_key[r[1]] = per_key.get(r[1], 0) + 1
+    assert per_key == {"xx": 3, "en": 5}

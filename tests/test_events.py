@@ -188,3 +188,33 @@ def test_value_histogram_partitions_all_rows(registry):
     assert sum(r["n_events"] for r in rows) == ev.count()
     for r in rows:
         assert r["bin_lo"] <= r["min_value"] <= r["max_value"] < r["bin_lo"] + 100.0
+
+
+def test_gapfill_matches_oracle(registry, duck):
+    from project_cortex_spark.operators.events import gapfill_resample
+
+    df = gapfill_resample(registry.table("events"), bucket_minutes=60)
+    assert_matches_oracle(df, duck, oracle.gapfill_sql(bucket_minutes=60))
+
+
+def test_gapfill_emits_dense_grid(spark):
+    import datetime as dt
+
+    from project_cortex_spark.operators.events import gapfill_resample
+
+    base = dt.datetime(2026, 1, 1, 0, 30)
+    rows = [
+        (1, base, "click", 1.0),
+        (2, base + dt.timedelta(hours=3), "click", 2.0),  # 2-bucket gap
+        (3, base + dt.timedelta(hours=3, minutes=10), "click", 3.0),
+    ]
+    ev_df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    got = sorted(
+        gapfill_resample(ev_df, bucket_minutes=60).collect(),
+        key=lambda r: r["bucket_start_us"],
+    )
+    assert len(got) == 4  # hours 0..3 inclusive — gaps emitted
+    assert [r["is_gap"] for r in got] == [0, 1, 1, 0]
+    assert [r["n_events"] for r in got] == [1, 0, 0, 2]
+    # forward fill: the gap hours carry hour-0's sum
+    assert [r["filled_sum"] for r in got] == [1.0, 1.0, 1.0, 5.0]
