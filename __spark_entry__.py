@@ -2186,6 +2186,71 @@ def _q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_agg_sketch_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-aggregate CONTRACT, oracle-gated: the sketches
+    themselves (HLL++ distinct counts, t-digest-style approx
+    percentiles) cannot be replayed in another engine, so the query
+    emits the EXACT value plus a boolean asserting the sketch landed
+    within its documented error bound — the oracle supplies the exact
+    value and literal TRUE. Both sketches are deterministic for fixed
+    data (hash registers / fixed compression), so the booleans are
+    stable, and a Spark-side regression in either sketch turns the gate
+    red. At 100 TB the approx forms are the production path (single
+    pass, mergeable partials, constant memory); this pins their quality
+    against the exact twins that ARE hash-gated elsewhere
+    (dsl_agg_full's COUNT DISTINCT, agg_percentiles)."""
+    reg = _registry(spark, sf_dir)
+    ev_t = reg.table("events")
+    li = reg.table("lineitem")
+
+    def hll_row(df: DataFrame, col: str, metric: str) -> DataFrame:
+        return df.agg(
+            F.lit(metric).alias("metric"),
+            F.countDistinct(F.col(col)).alias("exact_value"),
+            (
+                F.abs(
+                    F.approx_count_distinct(col, rsd=0.05).cast("double")
+                    - F.countDistinct(F.col(col)).cast("double")
+                )
+                <= 0.15 * F.countDistinct(F.col(col)).cast("double")
+            ).alias("within_bound"),
+        ).select("metric", F.col("exact_value").cast("double"), "within_bound")
+
+    pct = li.agg(
+        F.lit("lineitem.l_extendedprice.p50").alias("metric"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("exact_value"),
+        (
+            F.abs(
+                F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+                - F.expr("percentile(l_extendedprice, 0.5)")
+            )
+            <= 0.01 * F.expr("percentile(l_extendedprice, 0.5)")
+        ).alias("within_bound"),
+    ).select("metric", "exact_value", "within_bound")
+
+    return (
+        hll_row(ev_t, "user_id", "events.user_id.hll")
+        .union(hll_row(li, "l_partkey", "lineitem.l_partkey.hll"))
+        .union(pct)
+    )
+
+
+_SKETCH_CONTRACT_ORACLE = """
+    SELECT 'events.user_id.hll' AS metric,
+           CAST(count(DISTINCT user_id) AS DOUBLE) AS exact_value,
+           TRUE AS within_bound
+    FROM events
+    UNION ALL
+    SELECT 'lineitem.l_partkey.hll',
+           CAST(count(DISTINCT l_partkey) AS DOUBLE), TRUE
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_extendedprice.p50',
+           round(quantile_cont(l_extendedprice, 0.5), 4), TRUE
+    FROM lineitem
+"""
+
+
 def _q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus vocabulary statistics: term frequency + document frequency,
     # top 100 — one explode + one hash aggregate (map-side partial)
@@ -2981,6 +3046,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corpus_sample_per_key"] = _q_corpus_sample_per_key
     out["corpus_importance_sample"] = _q_corpus_importance_sample
     out["corpus_weighted_sample"] = _q_corpus_weighted_sample
+    # C4/RefinedWeb cross-corpus paragraph dedup: first occurrence kept,
+    # documents reassembled in original order (synthetic docs are
+    # single-paragraph, so the gate exercises split/first-occurrence/
+    # reassembly parity; the duplication semantics are unit-tested on
+    # frames with real repeated boilerplate)
+    out["dedup_paragraphs"] = lambda s, d: dd.dedup_paragraphs(_docs(s, d))
     out["corpus_contamination"] = _q_corpus_contamination
     out["corpus_fuzzy_decontaminate"] = _q_corpus_fuzzy_decontaminate
     out["corpus_shuffle"] = _q_corpus_shuffle
@@ -3011,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["agg_rollup"] = _q_agg_rollup
     out["agg_cube"] = _q_agg_cube
     out["agg_percentiles"] = _q_agg_percentiles
+    out["agg_sketch_contract"] = _q_agg_sketch_contract
     out["events_cumulative"] = _q_events_cumulative
     out["events_lag_delta"] = _q_events_lag_delta
     out["join_hydrate_nested"] = _q_hydrate_order_lines
@@ -3067,7 +3139,8 @@ _GATE_FIRST = [
     # corpus_token_budget, dedup_prune, events_ohlc, dedup_char_spans,
     # stream_fts, stream_knn, stream_ohlc, and the late-r4 batch:
     # dsl_tpch_q6, dsl_tpch_q19, events_histogram, events_gapfill,
-    # knn_mmr, graph_kcore, stream_histogram, corpus_weighted_sample)
+    # knn_mmr, graph_kcore, stream_histogram, corpus_weighted_sample,
+    # dedup_paragraphs, agg_sketch_contract)
     # head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
@@ -3212,6 +3285,7 @@ def oracle_sql() -> dict[str, str]:
     out["corpus_sample_per_key"] = oracle.sample_per_key_sql(k=25)
     out["corpus_importance_sample"] = oracle.importance_sample_sql(scale=1.2)
     out["corpus_weighted_sample"] = oracle.weighted_sample_sql(k=25)
+    out["dedup_paragraphs"] = oracle.dedup_paragraphs_sql()
     out["corpus_contamination"] = f"""
         SELECT * FROM ({oracle.contamination_pairs_sql(
             bench_filter="doc_id % 97 = 0", ngram=3,
@@ -3336,6 +3410,7 @@ def oracle_sql() -> dict[str, str]:
     out["agg_rollup"] = _ROLLUP_ORACLE
     out["agg_cube"] = _CUBE_ORACLE
     out["agg_percentiles"] = _PERCENTILES_ORACLE
+    out["agg_sketch_contract"] = _SKETCH_CONTRACT_ORACLE
     out["events_cumulative"] = _CUMULATIVE_ORACLE
     out["events_lag_delta"] = _LAG_DELTA_ORACLE
     out["join_hydrate_nested"] = _HYDRATE_ORACLE

@@ -841,3 +841,73 @@ def duplicate_clusters(pairs: DataFrame, *, a: str = "a", b: str = "b") -> DataF
         F.col("label").alias("cluster_id"),
         (F.col("node") == F.col("label")).alias("keep"),
     )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_chars: int = 20,
+) -> DataFrame:
+    """Cross-corpus paragraph deduplication — the C4/RefinedWeb step
+    that removes REPEATED boilerplate (navbars, license blocks, cookie
+    banners) while keeping each document's unique content: every
+    paragraph of at least ``min_chars`` appears in the output corpus
+    exactly once, at its FIRST occurrence in (id, position) order;
+    shorter fragments are kept everywhere (deduping "Thanks!" would
+    mangle documents for no dedup value — the RefinedWeb rule).
+
+    Returns one row per input document: the reassembled ``cleaned_text``
+    (paragraphs rejoined on ``sep`` in original order, '' if everything
+    was dropped) plus kept/dropped counts.
+
+    Scale notes: two shuffles — one on the paragraph hash (the
+    first-occurrence window; md5 keys keep the exchange narrow — the
+    paragraph text itself stays in the row but never becomes a shuffle
+    KEY), one on the doc id for reassembly. Both are plain hash
+    partitionings over |paragraphs| rows; nothing quadratic, no global
+    sort. A boilerplate paragraph repeated a billion times lands in ONE
+    window partition — at that skew, pre-aggregate duplicates with a
+    (hash → min(id, pos)) map-side-combinable groupBy instead of the
+    row_number window; the window form is kept here because it also
+    carries the paragraph through to reassembly in the same pass.
+    """
+    import re as _re
+
+    pattern = _re.sub(r"([\\.^$|?*+()\[\]{}])", r"\\\1", sep)
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), pattern)).alias("pos", "para"),
+    )
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy(
+        F.col(id_col).asc(), F.col("pos").asc()
+    )
+    kept = paras.withColumn("_rn", F.row_number().over(w)).filter(
+        (F.length("para") < min_chars) | (F.col("_rn") == 1)
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    return (
+        docs.select(id_col)
+        .join(totals, id_col, "left")
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (
+                F.coalesce("n_paras", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            ).cast("bigint").alias("n_dropped"),
+        )
+    )

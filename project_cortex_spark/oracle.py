@@ -1367,6 +1367,48 @@ def importance_sample_sql(
     """
 
 
+def dedup_paragraphs_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_chars: int = 20,
+) -> str:
+    """Noiseless twin of dedup.dedup_paragraphs: same split, same
+    first-occurrence-by-(id, pos) rule keyed on md5(para), same ordered
+    reassembly."""
+    sep_sql = "||".join(f"chr({ord(c)})" for c in sep)
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, string_split({text_col}, {sep_sql}) AS ps FROM {table}
+    ), paras AS (
+      SELECT {id_col}, CAST(i AS BIGINT) AS pos,
+             ps[CAST(i + 1 AS INT)] AS para
+      FROM base, unnest(range(len(ps))) AS r(i)
+    ), rn AS (
+      SELECT *, row_number() OVER (PARTITION BY md5(para)
+                                   ORDER BY {id_col}, pos) AS k
+      FROM paras
+    ), kept AS (
+      SELECT * FROM rn WHERE length(para) < {min_chars} OR k = 1
+    ), ag AS (
+      SELECT {id_col},
+             string_agg(para, {sep_sql} ORDER BY pos) AS cleaned_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY {id_col}
+    ), tot AS (
+      SELECT {id_col}, count(*) AS n_paras FROM paras GROUP BY {id_col}
+    )
+    SELECT d.{id_col}, coalesce(ag.cleaned_text, '') AS cleaned_text,
+           coalesce(ag.n_kept, 0) AS n_kept,
+           coalesce(tot.n_paras, 0) - coalesce(ag.n_kept, 0) AS n_dropped
+    FROM {table} d
+    LEFT JOIN tot USING ({id_col})
+    LEFT JOIN ag USING ({id_col})
+    """
+
+
 def weighted_sample_sql(
     table: str = "documents",
     *,

@@ -281,3 +281,56 @@ def test_duplicated_char_spans_exact_union(spark):
         for r in dedup.duplicated_char_spans(docs, k=32).collect()
     }
     assert got == {1: (9, 40), 2: (9, 40)}
+
+
+def test_dedup_paragraphs_first_occurrence_and_reassembly(spark):
+    from project_cortex_spark.operators.dedup import dedup_paragraphs
+
+    boiler = "subscribe to our newsletter for updates"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha unique paragraph one\n\n{boiler}\n\nok"),
+            (2, f"{boiler}\n\nbeta distinct content here"),
+            (3, f"{boiler}"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup_paragraphs(docs, min_chars=20).collect()
+    }
+    # doc 1 holds the first occurrence: untouched ("ok" is short — kept)
+    assert got[1]["cleaned_text"] == f"alpha unique paragraph one\n\n{boiler}\n\nok"
+    assert got[1]["n_dropped"] == 0
+    # docs 2 and 3 lose the boilerplate; doc 3 loses everything
+    assert got[2]["cleaned_text"] == "beta distinct content here"
+    assert got[2]["n_dropped"] == 1
+    assert got[3]["cleaned_text"] == "" and got[3]["n_dropped"] == 1
+    # corpus-wide: the boilerplate paragraph survives exactly once
+    all_text = "\n\n".join(r["cleaned_text"] for r in got.values())
+    assert all_text.count(boiler) == 1
+
+
+def test_dedup_paragraphs_short_fragments_kept_everywhere(spark):
+    from project_cortex_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "Thanks!\n\nlong enough paragraph aaa"),
+         (2, "Thanks!\n\nlong enough paragraph bbb")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+    assert got[1]["n_dropped"] == 0 and got[2]["n_dropped"] == 0
+    assert got[2]["cleaned_text"].startswith("Thanks!")
+
+
+def test_dedup_paragraphs_matches_oracle(registry, duck):
+    from project_cortex_spark import oracle
+    from project_cortex_spark.operators.dedup import dedup_paragraphs
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        dedup_paragraphs(registry.table("documents")),
+        duck,
+        oracle.dedup_paragraphs_sql(),
+    )

@@ -230,3 +230,43 @@ def test_shuffle_shards_single_exchange_no_global_sort(registry):
     )
     assert plan.count("hashpartitioning") == 1
     assert "rangepartitioning" not in plan  # a global sort would show here
+
+
+def test_tpch_q6_filters_reach_the_scan(registry):
+    """The Q6 contract: every range predicate lands in PushedFilters and
+    the scan reads only the four referenced columns — at 100 TB this is
+    the difference between a page-skipping scan and a full read."""
+    import __spark_entry__ as entrymod
+
+    q, _sql = entrymod._DSL_QUERIES["dsl_tpch_q6"]
+    from project_cortex_spark.dsl.compiler import compile_query
+
+    plan = layout.plan_of(compile_query(registry, q))
+    assert "PushedFilters:" in plan
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate,",
+        "LessThan(l_shipdate,",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24",
+    ):
+        assert frag in plan, frag
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp>" in plan
+    )
+
+
+def test_kcore_broadcasts_keep_set(registry):
+    """Peeling must never shuffle the edge list through a sort-merge
+    join: the keep set is node-sized and broadcast every round."""
+    from project_cortex_spark.operators import graph as graph_mod
+
+    edges = graph_mod.cooccurrence_edges(
+        registry.table("lineitem"),
+        group_col="l_orderkey",
+        item_col="l_partkey",
+        max_df=50,
+    )
+    plan = layout.plan_of(graph_mod.kcore(edges, k=3, rounds=2))
+    assert "SortMergeJoin" not in plan
