@@ -2149,6 +2149,81 @@ def _q_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_agg_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — the TWO-LEVEL aggregate (count-of-counts): how
+    many customers placed exactly N orders, including the zero-order
+    customers a plain join would lose (LEFT join + count of non-null
+    keys). A distinct operator shape from any single groupBy: the second
+    aggregate keys on the FIRST aggregate's value. Scale: level 1
+    shuffles on custkey with map-side partials; level 2's input is one
+    row per customer and its key cardinality is tiny (distinct order
+    counts), so the second exchange is negligible — the classic
+    aggregate-pyramid plan."""
+    reg = _registry(spark, sf_dir)
+    per_cust = (
+        reg.table("customer")
+        .join(
+            reg.table("orders").filter(~F.col("o_orderpriority").startswith("1")),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+_COUNT_DISTRIBUTION_ORACLE = """
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1%'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+"""
+
+
+def _q_agg_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — global argmax WITH ties: suppliers whose
+    shipped revenue equals the corpus-wide maximum. The max is a
+    single-row aggregate broadcast back as a filter (no window over the
+    whole frame, no global sort): revenue agg shuffles on suppkey once,
+    the 1-row max side cross-broadcasts. Ties survive exactly (Q15's
+    defining subtlety — a LIMIT 1 would drop them)."""
+    reg = _registry(spark, sf_dir)
+    rev = (
+        reg.table("lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1996-01-01"))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(reg.table("supplier")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_TOP_SUPPLIER_ORACLE = """
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
 def _q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _registry(spark, sf_dir)
@@ -3083,6 +3158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["agg_cube"] = _q_agg_cube
     out["agg_percentiles"] = _q_agg_percentiles
     out["agg_sketch_contract"] = _q_agg_sketch_contract
+    out["agg_count_distribution"] = _q_agg_count_distribution
+    out["agg_top_supplier"] = _q_agg_top_supplier
     out["events_cumulative"] = _q_events_cumulative
     out["events_lag_delta"] = _q_events_lag_delta
     out["join_hydrate_nested"] = _q_hydrate_order_lines
@@ -3140,8 +3217,8 @@ _GATE_FIRST = [
     # stream_fts, stream_knn, stream_ohlc, and the late-r4 batch:
     # dsl_tpch_q6, dsl_tpch_q19, events_histogram, events_gapfill,
     # knn_mmr, graph_kcore, stream_histogram, corpus_weighted_sample,
-    # dedup_paragraphs, agg_sketch_contract)
-    # head the r5 gate next round.
+    # dedup_paragraphs, agg_sketch_contract, agg_count_distribution,
+    # agg_top_supplier) head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -3411,6 +3488,8 @@ def oracle_sql() -> dict[str, str]:
     out["agg_cube"] = _CUBE_ORACLE
     out["agg_percentiles"] = _PERCENTILES_ORACLE
     out["agg_sketch_contract"] = _SKETCH_CONTRACT_ORACLE
+    out["agg_count_distribution"] = _COUNT_DISTRIBUTION_ORACLE
+    out["agg_top_supplier"] = _TOP_SUPPLIER_ORACLE
     out["events_cumulative"] = _CUMULATIVE_ORACLE
     out["events_lag_delta"] = _LAG_DELTA_ORACLE
     out["join_hydrate_nested"] = _HYDRATE_ORACLE

@@ -449,3 +449,51 @@ def test_dsl_join_fuzz_vs_duckdb(registry, duck, join_type, price_floor):
     assert sorted(map(tuple, got), key=nullsafe) == sorted(
         map(tuple, want), key=nullsafe
     )
+
+
+@COMMON
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                ["dup paragraph shared across documents!",
+                 "another repeated boilerplate block here",
+                 "uniq", "x", ""]
+            )
+            | st.text(alphabet="abc XYZ.!", min_size=0, max_size=40),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dedup_paragraphs_matches_python_model(spark, doc_paras):
+    """Model-based fuzz: dedup_paragraphs vs a 10-line sequential
+    reference (dict of first occurrences) over corpora mixing shared
+    boilerplate, short fragments, and empty paragraphs."""
+    from project_cortex_spark.operators.dedup import dedup_paragraphs
+
+    min_chars = 10
+    docs = [(i, "\n\n".join(ps)) for i, ps in enumerate(doc_paras)]
+
+    seen: set[str] = set()
+    want = {}
+    for doc_id, text in docs:
+        kept, dropped = [], 0
+        for p in text.split("\n\n"):
+            if len(p) < min_chars:
+                kept.append(p)
+            elif p not in seen:
+                seen.add(p)
+                kept.append(p)
+            else:
+                dropped += 1
+        want[doc_id] = ("\n\n".join(kept), len(kept), dropped)
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_kept"], r["n_dropped"])
+        for r in dedup_paragraphs(df, min_chars=min_chars).collect()
+    }
+    assert got == want
