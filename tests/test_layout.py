@@ -270,3 +270,37 @@ def test_kcore_broadcasts_keep_set(registry):
     )
     plan = layout.plan_of(graph_mod.kcore(edges, k=3, rounds=2))
     assert "SortMergeJoin" not in plan
+
+
+def test_compact_store_preserves_content_atomically(spark, tmp_path):
+    """Five appended micro-batches -> many small files; compaction must
+    shrink the file count without changing a single row."""
+    store = str(tmp_path / "store")
+    for i in range(5):
+        spark.range(i * 10, i * 10 + 10).withColumn(
+            "v", F.col("id") * 2
+        ).repartition(4).write.mode("append").parquet(store)
+    before = sorted(map(tuple, spark.read.parquet(store).collect()))
+    stats = layout.compact_store(spark, store, target_files=2)
+    assert stats["files_before"] >= 10
+    assert stats["files_after"] <= 4
+    after = sorted(map(tuple, spark.read.parquet(store).collect()))
+    assert after == before
+    assert not (tmp_path / "store__bak").exists()
+    assert not (tmp_path / "store__compact").exists()
+
+
+def test_compact_store_keeps_partition_pruning(spark, tmp_path):
+    """Compacting a hive-partitioned store must preserve the directory
+    layout so partition filters still prune at planning time."""
+    store = str(tmp_path / "pstore")
+    for _ in range(3):
+        spark.range(100).withColumn("part", F.col("id") % 4).write.mode(
+            "append"
+        ).partitionBy("part").parquet(store)
+    before = sorted(map(tuple, spark.read.parquet(store).collect()))
+    layout.compact_store(spark, store, target_files=1, partition_cols=["part"])
+    after_df = spark.read.parquet(store)
+    assert sorted(map(tuple, after_df.collect())) == before
+    plan = layout.plan_of(after_df.filter(F.col("part") == 2))
+    assert "PartitionFilters: [isnotnull(part" in plan
