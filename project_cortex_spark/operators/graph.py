@@ -604,7 +604,10 @@ def kcore(edges: DataFrame, *, k: int = 3, rounds: int = 8) -> DataFrame:
     node-sized and broadcastable; `localCheckpoint(eager=False)`
     truncates the 3-ops-per-round lineage like the PageRank loop.
     """
-    surv = edges.select("a", "b")
+    # round 1 reads the input THREE times (two degree arms + the join
+    # base); without a cache each read recomputes the upstream edge
+    # pipeline (for cooccurrence_edges: several shuffles) from scratch
+    surv = edges.select("a", "b").cache()
     for _ in range(rounds):
         deg = (
             surv.select(F.col("a").alias("node"))
