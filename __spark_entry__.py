@@ -2782,6 +2782,59 @@ def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_stream_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the streaming C4 step: documents delivered in TWO id-ordered
+    # increments, the seen-paragraph store appended per batch (history
+    # never re-split), each delivery's cleaned docs emitted immediately
+    # — the accumulated corpus must hash-match the one-shot batch
+    # dedup_paragraphs oracle (id-ordered deliveries make the
+    # delivery-order first-occurrence rule coincide with the batch
+    # operator's global (doc_id, pos) rule).
+    import shutil
+    import tempfile
+
+    from project_cortex_spark.streaming import paradedup as stream_para
+
+    docs = _docs(spark, sf_dir)
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="paradedup_", dir=scratch)
+    in_dir = os.path.join(base, "incoming")
+    out_dir = os.path.join(base, "cleaned")
+    seen = os.path.join(base, "seen")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        for lo, hi in ((None, mid), (mid, None)):  # id-ordered deliveries
+            part = docs
+            if lo is not None:
+                part = part.filter(F.col("doc_id") >= lo)
+            if hi is not None:
+                part = part.filter(F.col("doc_id") < hi)
+            # one file per delivery -> one micro-batch per delivery, so
+            # cross-batch first-occurrence order == doc_id order
+            part.coalesce(1).write.mode("append").parquet(in_dir)
+            with stream_source.scoped_state_partitions(
+                spark, _STREAM_STATE_PARTITIONS
+            ):
+                q = stream_para.continuous_paragraph_dedup(
+                    spark,
+                    in_dir,
+                    docs.schema,
+                    out_dir=out_dir,
+                    seen_dir=seen,
+                    checkpoint_dir=ckpt,
+                )
+                q.awaitTermination()
+        return stream_para.read_cleaned_corpus(spark, out_dir).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_stream_fts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the reference's core loop as a streaming contract: documents
     # delivered in TWO increments, the FTS posting/doc-stat store
@@ -3176,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_anomaly"] = _q_stream_anomaly
     out["stream_topk"] = _q_stream_topk
     out["stream_neardup"] = _q_stream_neardup
+    out["stream_paragraph_dedup"] = _q_stream_paragraph_dedup
     out["stream_fts"] = _q_stream_fts
     out["stream_knn"] = _q_stream_knn
     out["stream_ohlc"] = _q_stream_ohlc
@@ -3218,7 +3272,8 @@ _GATE_FIRST = [
     # dsl_tpch_q6, dsl_tpch_q19, events_histogram, events_gapfill,
     # knn_mmr, graph_kcore, stream_histogram, corpus_weighted_sample,
     # dedup_paragraphs, agg_sketch_contract, agg_count_distribution,
-    # agg_top_supplier) head the r5 gate next round.
+    # agg_top_supplier, stream_paragraph_dedup) head the r5 gate next
+    # round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -3528,6 +3583,7 @@ def oracle_sql() -> dict[str, str]:
     out["stream_topk"] = oracle.top_users_per_type_sql()
     # incremental signature store merged == one-shot batch minhash
     out["stream_neardup"] = oracle.minhash_near_duplicates_sql(threshold=0.5)
+    out["stream_paragraph_dedup"] = oracle.dedup_paragraphs_sql()
     # incremental FTS store merged == one-shot batch index (fts_composite)
     out["stream_fts"] = oracle.fts_oracle_sql(
         '(merge OR stream) "fast sort" NOT error', limit=25

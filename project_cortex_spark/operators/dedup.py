@@ -874,19 +874,43 @@ def dedup_paragraphs(
     row_number window; the window form is kept here because it also
     carries the paragraph through to reassembly in the same pass.
     """
-    import re as _re
-
-    pattern = _re.sub(r"([\\.^$|?*+()\[\]{}])", r"\\\1", sep)
-    paras = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), pattern)).alias("pos", "para"),
-    )
+    paras = paragraph_rows(docs, id_col=id_col, text_col=text_col, sep=sep)
     w = Window.partitionBy(F.md5(F.col("para"))).orderBy(
         F.col(id_col).asc(), F.col("pos").asc()
     )
     kept = paras.withColumn("_rn", F.row_number().over(w)).filter(
         (F.length("para") < min_chars) | (F.col("_rn") == 1)
     )
+    return reassemble_paragraphs(docs, kept, paras, id_col=id_col, sep=sep)
+
+
+def paragraph_rows(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """(id, pos, para) rows — the split half of :func:`dedup_paragraphs`,
+    factored so the streaming twin splits each delivery identically."""
+    import re as _re
+
+    pattern = _re.sub(r"([\\.^$|?*+()\[\]{}])", r"\\\1", sep)
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), pattern)).alias("pos", "para"),
+    )
+
+
+def reassemble_paragraphs(
+    docs: DataFrame,
+    kept: DataFrame,
+    paras: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Rejoin surviving paragraphs in original order, emitting every
+    input document (empty text when everything was dropped) — the
+    reassembly half of :func:`dedup_paragraphs`, shared with the
+    streaming twin so both produce byte-identical documents."""
     reassembled = kept.groupBy(id_col).agg(
         F.concat_ws(
             sep,

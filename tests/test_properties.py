@@ -497,3 +497,45 @@ def test_dedup_paragraphs_matches_python_model(spark, doc_paras):
         for r in dedup_paragraphs(df, min_chars=min_chars).collect()
     }
     assert got == want
+
+
+@COMMON
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr", "xx"]),
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(1, 6),
+)
+def test_weighted_sample_matches_python_model(spark, rows, k):
+    """Model-based fuzz: the A-Res selection replayed in pure Python
+    with hashlib.md5 must pick the identical id set per stratum."""
+    import hashlib
+    import math
+
+    from project_cortex_spark.operators.corpus import weighted_sample_per_key
+
+    docs = [(i, lang, w) for i, (lang, w) in enumerate(rows)]
+
+    def key_of(doc_id: int, w: float) -> float:
+        h = hashlib.md5(f"wsample:{doc_id}".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 1) / 2**32
+        return round(math.log(u) / max(w, 0.01), 9)
+
+    want: dict[str, set[int]] = {}
+    by_lang: dict[str, list[tuple[float, int]]] = {}
+    for doc_id, lang, w in docs:
+        by_lang.setdefault(lang, []).append((key_of(doc_id, w), doc_id))
+    for lang, lst in by_lang.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        want[lang] = {d for _, d in lst[:k]}
+
+    df = spark.createDataFrame(docs, ["doc_id", "lang", "quality"])
+    got: dict[str, set[int]] = {}
+    for r in weighted_sample_per_key(df, k=k).collect():
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert got == want

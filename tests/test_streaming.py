@@ -614,3 +614,82 @@ def test_stream_histogram_matches_batch(spark, registry):
     batch = ev.value_histogram(registry.table("events"), width=25.0)
     want = sorted(map(tuple, batch.select(*out.columns).collect()))
     assert got == want and len(want) > 0
+
+
+def test_incremental_paragraph_dedup_cross_delivery(spark, tmp_path):
+    """Boilerplate whose duplicate arrives in a LATER delivery is still
+    dropped (the seen store carries first occurrences across batches),
+    and the accumulated corpus equals the one-shot batch operator."""
+    from project_cortex_spark.operators import dedup as dd
+    from project_cortex_spark.streaming import paradedup
+
+    boiler = "subscribe to our newsletter today"
+    batch1 = [(1, f"first unique paragraph content\n\n{boiler}")]
+    batch2 = [(2, f"{boiler}\n\nsecond unique paragraph content"),
+              (3, f"{boiler}")]
+    schema = "doc_id LONG, text STRING"
+    in_dir, out_dir, seen = (
+        str(tmp_path / d) for d in ("in", "cleaned", "seen")
+    )
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q = paradedup.continuous_paragraph_dedup(
+            spark,
+            in_dir,
+            schema,
+            out_dir=out_dir,
+            seen_dir=seen,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+    got = sorted(
+        map(tuple, paradedup.read_cleaned_corpus(spark, out_dir).collect())
+    )
+    batch_equiv = dd.dedup_paragraphs(
+        spark.createDataFrame(batch1 + batch2, ["doc_id", "text"])
+    )
+    assert got == sorted(map(tuple, batch_equiv.collect()))
+    assert got[1][1] == "second unique paragraph content"  # doc 2 lost boiler
+    assert got[2][1] == "" and got[2][3] == 1  # doc 3 lost everything
+
+
+def test_paragraph_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """Re-running a delivery's upsert (crash after the store write,
+    before checkpoint commit) must reproduce byte-identical output: the
+    batch excludes its OWN store partition when re-deriving."""
+    import os
+
+    from project_cortex_spark.streaming import paradedup
+
+    boiler = "repeated across deliveries boilerplate"
+    seen = str(tmp_path / "seen")
+    out_dir = str(tmp_path / "cleaned")
+    b1 = spark.createDataFrame(
+        [(1, f"keep me only once\n\n{boiler}")], ["doc_id", "text"]
+    )
+    b2 = spark.createDataFrame([(2, f"{boiler}\n\nfresh text")], ["doc_id", "text"])
+
+    def run(batch, batch_id):
+        out, firsts = paradedup.dedup_batch(
+            spark, batch, seen, exclude_batch=batch_id
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        firsts.write.mode("overwrite").parquet(
+            os.path.join(seen, f"batch={batch_id}")
+        )
+
+    run(b1, 0)
+    run(b2, 1)
+    first_pass = sorted(
+        map(tuple, paradedup.read_cleaned_corpus(spark, out_dir).collect())
+    )
+    run(b2, 1)  # replay the second delivery after its store write landed
+    second_pass = sorted(
+        map(tuple, paradedup.read_cleaned_corpus(spark, out_dir).collect())
+    )
+    assert first_pass == second_pass
+    assert first_pass[1][1] == "fresh text"
