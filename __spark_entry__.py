@@ -909,6 +909,16 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-k over the int8-quantized corpus, fully oracle-gated (the
+    # quantizer is engine-exact; see functions/vector.quantize_int8)
+    qv = _query_vec(spark, sf_dir)
+    emb = _registry(spark, sf_dir).table("embeddings")
+    return knn_mod.knn_topk_int8(emb, qv, k=15).withColumn(
+        "score", F.round("score", 6)
+    )
+
+
 def _q_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # diversified top-10 from 40 exact candidates; the greedy rerank is
     # executor-side applyInPandas over the constant-sized candidate set,
@@ -3022,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["knn_join_lsh"] = _q_knn_join_lsh
     out["knn_join_ivf"] = _q_knn_join_ivf
     out["knn_mmr"] = _q_knn_mmr
+    out["knn_topk_int8"] = _q_knn_topk_int8
     for name, (q, limit) in _FTS_QUERIES.items():
         out[name] = _fts_query(q, limit)
     out["fts_filtered"] = _q_fts_filtered
@@ -3272,8 +3283,8 @@ _GATE_FIRST = [
     # dsl_tpch_q6, dsl_tpch_q19, events_histogram, events_gapfill,
     # knn_mmr, graph_kcore, stream_histogram, corpus_weighted_sample,
     # dedup_paragraphs, agg_sketch_contract, agg_count_distribution,
-    # agg_top_supplier, stream_paragraph_dedup) head the r5 gate next
-    # round.
+    # agg_top_supplier, stream_paragraph_dedup, knn_topk_int8) head
+    # the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -3349,6 +3360,7 @@ def oracle_sql() -> dict[str, str]:
     )
     out["knn_join"] = _KNN_JOIN_ORACLE
     out["knn_mmr"] = oracle.mmr_oracle_sql(k=10, n_candidates=40, lam=0.7)
+    out["knn_topk_int8"] = oracle.knn_int8_oracle_sql(k=15)
     # knn_join_lsh: approximate — no oracle by design (exact twin is gated)
     for name, (q, limit) in _FTS_QUERIES.items():
         out[name] = oracle.fts_oracle_sql(q, limit=limit)

@@ -649,3 +649,37 @@ def mmr_rerank(
         .applyInPandas(greedy, schema)
         .orderBy("rank")
     )
+
+
+def knn_topk_int8(
+    corpus: DataFrame,
+    query_vec: list[float],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 15,
+) -> DataFrame:
+    """Exact top-k cosine search over the int8-QUANTIZED corpus — the
+    production storage layout (quantize_int8: 4 bytes -> 1 byte per
+    dimension) queried directly: vectors dequantize on the fly
+    (q_i * scale, a codegen projection) and score like :func:`knn_topk`.
+
+    Because the quantizer is engine-exact by construction
+    (functions/vector.py: floor(x/scale + 0.5) — bit-identical in Spark
+    and DuckDB), the whole quantize→dequantize→score→top-k chain is
+    ORACLE-gated, unlike LSH/IVF/PQ whose randomized structures admit
+    only recall self-measurement. This pins quantized-search quality
+    exactly: any Spark-side change to the quantizer or scorer breaks
+    the hash.
+    """
+    from ..functions.vector import quantize_int8
+
+    scale, qv = quantize_int8(F.col(vec_col))
+    deq = F.transform(qv, lambda qi: qi.cast("double") * scale)
+    q = F.lit(query_vec).cast("array<double>")
+    return (
+        corpus.withColumn("_deq", deq)
+        .select(id_col, similarity_score(F.col("_deq"), q).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -638,6 +638,40 @@ def knn_oracle_sql(
     """
 
 
+def knn_int8_oracle_sql(*, query_vec_id: int = 0, k: int = 15) -> str:
+    """SQL mirroring operators.knn.knn_topk_int8: the engine-exact
+    quantizer (floor(x/scale + 0.5), scale = max|x|/127) replayed in
+    DuckDB, then the standard cosine top-k over the dequantized
+    vectors."""
+    score = (
+        "(1.0 + list_dot_product(deq, q::DOUBLE[])"
+        " / (sqrt(list_dot_product(deq, deq))"
+        " * sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[])))) / 2.0"
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS q FROM embeddings
+               WHERE vec_id = {query_vec_id}),
+    base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), scaled AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM base
+    ), deq AS (
+      SELECT vec_id,
+             list_transform(
+               e, x -> CASE WHEN scale = 0 THEN 0.0
+                            ELSE floor(x / scale + 0.5) * scale END
+             ) AS deq
+      FROM scaled
+    )
+    SELECT vec_id, round({score}, 6) AS score
+    FROM deq, q
+    ORDER BY {score} DESC, vec_id
+    LIMIT {k}
+    """
+
+
 def mmr_oracle_sql(
     *,
     query_vec_id: int = 0,

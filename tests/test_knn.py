@@ -291,3 +291,23 @@ def test_mmr_selects_distinct_ids_and_monotone_first_pick(registry, duck):
     assert len(ids) == len(set(ids)) == 10
     assert rows[0]["score"] == max(r["score"] for r in rows)
     assert [r["rank"] for r in rows] == list(range(1, 11))
+
+
+def test_knn_int8_matches_oracle(registry, duck):
+    from project_cortex_spark import oracle as oracle_mod
+
+    qv = [float(x) for x in _query_vec(duck)]
+    df = knn.knn_topk_int8(registry.table("embeddings"), qv, k=10).withColumn(
+        "score", F.round("score", 6)
+    )
+    assert_matches_oracle(df, duck, oracle_mod.knn_int8_oracle_sql(k=10))
+
+
+def test_knn_int8_close_to_exact(registry, duck):
+    # quantization error is <= scale/2 per component: the top-10 over
+    # dequantized vectors must overlap heavily with the exact top-10
+    qv = [float(x) for x in _query_vec(duck)]
+    emb = registry.table("embeddings")
+    exact = {r["vec_id"] for r in knn_topk(emb, qv, k=10).collect()}
+    quant = {r["vec_id"] for r in knn.knn_topk_int8(emb, qv, k=10).collect()}
+    assert len(exact & quant) >= 8
