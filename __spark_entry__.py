@@ -2234,6 +2234,71 @@ _TOP_SUPPLIER_ORACLE = """
 """
 
 
+_EXPECTATION_RULES = [
+    {"type": "not_null", "col": "o_orderdate"},
+    {"type": "range", "col": "o_totalprice", "lo": 0, "hi": 400000},
+    {"type": "accepted_values", "col": "o_orderstatus", "values": ["O", "F"]},
+    {"type": "regex", "col": "o_orderpriority", "pattern": "^[1-5]-"},
+    {"type": "unique", "cols": ["o_orderkey"]},
+    {"type": "unique", "cols": ["o_custkey"]},
+]
+
+
+def _q_validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over orders: a mixed suite where some rules
+    pass (unique key, regex, not-null) and some count real violations
+    (price cap, 'P' order status, repeated customers) — both branches
+    of the validator exercised under the oracle."""
+    from project_cortex_spark.operators import validate as validate_mod
+
+    return validate_mod.check_expectations(
+        _registry(spark, sf_dir).table("orders"), _EXPECTATION_RULES
+    )
+
+
+_EXPECTATIONS_ORACLE = """
+    WITH rowrules AS (
+      SELECT count(*) AS n_rows,
+        CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS v0,
+        CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                       AND (o_totalprice < 0 OR o_totalprice > 400000)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O', 'F')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                       AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v3
+      FROM orders
+    ), uniq1 AS (
+      SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+    ), uniq2 AS (
+      SELECT count(*) AS c FROM orders GROUP BY o_custkey
+    ), rules AS (
+      SELECT 'not_null(o_orderdate)' AS rule, v0 AS n_violations, n_rows
+      FROM rowrules
+      UNION ALL
+      SELECT 'range(o_totalprice)', v1, n_rows FROM rowrules
+      UNION ALL
+      SELECT 'accepted_values(o_orderstatus)', v2, n_rows FROM rowrules
+      UNION ALL
+      SELECT 'regex(o_orderpriority)', v3, n_rows FROM rowrules
+      UNION ALL
+      SELECT 'unique(o_orderkey)',
+             CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT),
+             CAST(sum(c) AS BIGINT)
+      FROM uniq1
+      UNION ALL
+      SELECT 'unique(o_custkey)',
+             CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT),
+             CAST(sum(c) AS BIGINT)
+      FROM uniq2
+    )
+    SELECT rule, n_violations, n_rows, n_violations = 0 AS passed FROM rules
+"""
+
+
 def _q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _registry(spark, sf_dir)
@@ -3224,6 +3289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["agg_sketch_contract"] = _q_agg_sketch_contract
     out["agg_count_distribution"] = _q_agg_count_distribution
     out["agg_top_supplier"] = _q_agg_top_supplier
+    out["validate_expectations"] = _q_validate_expectations
     out["events_cumulative"] = _q_events_cumulative
     out["events_lag_delta"] = _q_events_lag_delta
     out["join_hydrate_nested"] = _q_hydrate_order_lines
@@ -3283,8 +3349,8 @@ _GATE_FIRST = [
     # dsl_tpch_q6, dsl_tpch_q19, events_histogram, events_gapfill,
     # knn_mmr, graph_kcore, stream_histogram, corpus_weighted_sample,
     # dedup_paragraphs, agg_sketch_contract, agg_count_distribution,
-    # agg_top_supplier, stream_paragraph_dedup, knn_topk_int8) head
-    # the r5 gate next round.
+    # agg_top_supplier, stream_paragraph_dedup, knn_topk_int8,
+    # validate_expectations) head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -3557,6 +3623,7 @@ def oracle_sql() -> dict[str, str]:
     out["agg_sketch_contract"] = _SKETCH_CONTRACT_ORACLE
     out["agg_count_distribution"] = _COUNT_DISTRIBUTION_ORACLE
     out["agg_top_supplier"] = _TOP_SUPPLIER_ORACLE
+    out["validate_expectations"] = _EXPECTATIONS_ORACLE
     out["events_cumulative"] = _CUMULATIVE_ORACLE
     out["events_lag_delta"] = _LAG_DELTA_ORACLE
     out["join_hydrate_nested"] = _HYDRATE_ORACLE

@@ -58,6 +58,9 @@ EXTENDED = [
     # late-r4 additions
     "knn_mmr",  # exact candidate cut + applyInPandas greedy rerank
     "graph_kcore",  # 4 peel rounds: degree agg + broadcast semi joins
+    "knn_topk_int8",  # dequantize-on-the-fly scan, fully oracle-gated
+    "dedup_paragraphs",  # paragraph-md5 window + ordered reassembly
+    "events_gapfill",  # dense grid from bounds frames + forward fill
 ]
 
 HEADLINE = [

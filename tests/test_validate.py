@@ -1,0 +1,52 @@
+"""Data-quality expectations operator (operators/validate.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_cortex_spark.operators.validate import check_expectations
+
+
+def test_expectations_counts_each_violation_kind(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "O", 10.0, "1-URGENT"),
+            (2, "X", -5.0, "9-BOGUS"),
+            (3, None, 200.0, "2-HIGH"),
+            (3, "F", None, None),
+        ],
+        ["k", "status", "price", "prio"],
+    )
+    rules = [
+        {"type": "not_null", "col": "status"},
+        {"type": "range", "col": "price", "lo": 0, "hi": 100},
+        {"type": "accepted_values", "col": "status", "values": ["O", "F"]},
+        {"type": "regex", "col": "prio", "pattern": "^[1-5]-"},
+        {"type": "unique", "cols": ["k"]},
+    ]
+    got = {r["rule"]: (r["n_violations"], r["passed"])
+           for r in check_expectations(df, rules).collect()}
+    assert got["not_null(status)"] == (1, False)
+    assert got["range(price)"] == (2, False)      # -5 and 200; NULL exempt
+    assert got["accepted_values(status)"] == (1, False)  # X; NULL exempt
+    assert got["regex(prio)"] == (1, False)       # 9-BOGUS; NULL exempt
+    assert got["unique(k)"] == (1, False)         # one excess row for k=3
+
+
+def test_expectations_clean_table_passes(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    rows = check_expectations(
+        df,
+        [{"type": "not_null", "col": "v"}, {"type": "unique", "cols": ["k"]}],
+    ).collect()
+    assert all(r["passed"] for r in rows)
+    assert all(r["n_rows"] == 2 for r in rows)
+
+
+def test_expectations_rejects_unknown_rule(spark):
+    df = spark.createDataFrame([(1,)], ["k"])
+    with pytest.raises(ValueError, match="unknown expectation"):
+        check_expectations(df, [{"type": "wat", "col": "k"}]).collect()
+    with pytest.raises(ValueError, match="no rules"):
+        check_expectations(df, [])
