@@ -1670,6 +1670,18 @@ def _q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "quality", "sample_key", "sample_rank")
 
 
+def _q_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source quality-quartile curriculum stages (ntile: partition-
+    # local sort, no global sort); weight = the oracle-gated quality
+    docs = _docs(spark, sf_dir)
+    scored = docs.join(
+        ts.quality_scores(docs).select("doc_id", "quality"), "doc_id"
+    )
+    return corpus_mod.curriculum_stages(
+        scored, key_col="source", quality_col="quality", n_stages=4
+    ).select("doc_id", "source", "quality", "stage")
+
+
 def _q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup train/eval contamination: every 97th doc acts as the
     # benchmark; graded distinct-shingle containment with a df cap
@@ -3250,6 +3262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corpus_sample_per_key"] = _q_corpus_sample_per_key
     out["corpus_importance_sample"] = _q_corpus_importance_sample
     out["corpus_weighted_sample"] = _q_corpus_weighted_sample
+    out["corpus_curriculum"] = _q_corpus_curriculum
     # C4/RefinedWeb cross-corpus paragraph dedup: first occurrence kept,
     # documents reassembled in original order (synthetic docs are
     # single-paragraph, so the gate exercises split/first-occurrence/
@@ -3350,7 +3363,8 @@ _GATE_FIRST = [
     # knn_mmr, graph_kcore, stream_histogram, corpus_weighted_sample,
     # dedup_paragraphs, agg_sketch_contract, agg_count_distribution,
     # agg_top_supplier, stream_paragraph_dedup, knn_topk_int8,
-    # validate_expectations) head the r5 gate next round.
+    # validate_expectations, corpus_curriculum) head the r5 gate next
+    # round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -3495,6 +3509,7 @@ def oracle_sql() -> dict[str, str]:
     out["corpus_sample_per_key"] = oracle.sample_per_key_sql(k=25)
     out["corpus_importance_sample"] = oracle.importance_sample_sql(scale=1.2)
     out["corpus_weighted_sample"] = oracle.weighted_sample_sql(k=25)
+    out["corpus_curriculum"] = oracle.curriculum_sql(n_stages=4)
     out["dedup_paragraphs"] = oracle.dedup_paragraphs_sql()
     out["corpus_contamination"] = f"""
         SELECT * FROM ({oracle.contamination_pairs_sql(

@@ -174,6 +174,35 @@ def weighted_sample_per_key(
     )
 
 
+def curriculum_stages(
+    docs: DataFrame,
+    *,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    n_stages: int = 4,
+) -> DataFrame:
+    """Curriculum staging: assign every document a training stage by
+    quality quantile WITHIN its stratum (stage 1 = best quartile of its
+    source, ...) — the curriculum-learning primitive (train on clean
+    text first, anneal toward the tail) parameterized per source so one
+    high-quality source does not monopolize the early stages.
+
+    ntile is partition-local: the window sorts only within each
+    ``key_col`` stratum (one shuffle, no global sort), with
+    (quality DESC, id) making stage assignment engine-exact. The same
+    skew note as :func:`sample_per_key` applies to a stratum holding
+    most of the corpus; ntile's equal-count contract is what makes the
+    stages balanced per source by construction.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return docs.withColumn("stage", F.ntile(n_stages).over(w))
+
+
 def token_budget_mix(
     docs: DataFrame,
     *,

@@ -1475,6 +1475,24 @@ def weighted_sample_sql(
     """
 
 
+def curriculum_sql(
+    table: str = "documents",
+    *,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    n_stages: int = 4,
+) -> str:
+    """Oracle for corpus.curriculum_stages over quality_scores weights:
+    identical per-stratum (quality DESC, id) ntile."""
+    return f"""
+    WITH q AS ({quality_scores_sql(table, id_col)})
+    SELECT d.{id_col}, d.{key_col}, q.quality,
+           CAST(ntile({n_stages}) OVER (PARTITION BY d.{key_col}
+                ORDER BY q.quality DESC, d.{id_col}) AS INT) AS stage
+    FROM {table} d JOIN q USING ({id_col})
+    """
+
+
 def corpus_curate_sql(
     table: str = "documents",
     *,

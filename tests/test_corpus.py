@@ -254,3 +254,25 @@ def test_weighted_sample_is_deterministic_and_caps_small_strata(spark):
     for r in a:
         per_key[r[1]] = per_key.get(r[1], 0) + 1
     assert per_key == {"xx": 3, "en": 5}
+
+
+def test_curriculum_matches_oracle(registry, duck):
+    from project_cortex_spark.operators import textstats as ts
+
+    docs = registry.table("documents")
+    scored = docs.join(
+        ts.quality_scores(docs).select("doc_id", "quality"), "doc_id"
+    )
+    df = corpus.curriculum_stages(scored, n_stages=4).select(
+        "doc_id", "source", "quality", "stage"
+    )
+    assert_matches_oracle(df, duck, oracle.curriculum_sql(n_stages=4))
+
+
+def test_curriculum_stage_balance_and_order(spark):
+    rows = [(i, "web", float(100 - i)) for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "quality"])
+    got = {r["doc_id"]: r["stage"]
+           for r in corpus.curriculum_stages(docs, key_col="source").collect()}
+    # best quality -> stage 1, equal counts per stage
+    assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4}
