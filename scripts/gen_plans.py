@@ -50,6 +50,13 @@ PICKS = {
     "events_histogram": "fixed-width histogram: ONE map-side-partial hash aggregate, bin is a per-row function (no pre-pass, no sort)",
     "knn_mmr": "MMR rerank: distributed exact top-k candidate cut feeding ONE constant-sized applyInPandas group — corpus never collected",
     "graph_kcore": "k-core peeling: plan shows the final checkpointed round (lineage cut per round); per round one degree aggregate + two BROADCAST semi joins — edges never shuffle during peeling",
+    "knn_topk_int8": "quantized search: dequantize-on-the-fly is a codegen projection over the scan, then TakeOrderedAndProject — zero extra shuffle vs exact KNN",
+    "dedup_paragraphs": "paragraph dedup: two hash exchanges total (paragraph-md5 window, doc-id reassembly), nothing event- or pair-quadratic",
+    "events_gapfill": "grid resample: events collapse to buckets FIRST, the sequence() fan-out explodes from two-row bounds frames, fill reuses the join's partitioning",
+    "validate_expectations": "data-quality gates: all row rules in ONE conditional-count aggregate over a single scan; only uniqueness rules add groupBys",
+    "corpus_weighted_sample": "A-Res weighted sampling: the key is a pure per-row function (codegen), one window shuffle on the stratum",
+    "corpus_curriculum": "curriculum ntile: partition-local window sort per source, no global sort",
+    "agg_count_distribution": "aggregate pyramid: level-1 shuffle on custkey, level-2 input is one row per customer with tiny key cardinality",
 }
 
 
