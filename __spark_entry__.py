@@ -11,9 +11,12 @@ oracle entry (rows-only check by design):
     unit-tested.
   * knn_recall_lsh — grades an approximate structure against the
     oracle-gated exact join; its output depends on LSH recall.
-  * search_semantic / search_semantic_lexical — embedding composites
-    (hash / random-indexing providers); embedding values are not
-    SQL-expressible (semantics unit-tested in tests/test_search.py).
+  * search_semantic_lexical — random-indexing embedding composite
+    (gaussian token directions are not SQL-expressible; semantics
+    unit-tested in tests/test_search.py and oracle-graded through
+    search_lexical_recall). search_semantic itself IS oracle-gated
+    as of late r4: the hash provider hashes tokens with md5, so the
+    full chunk→embed→score→top-k composite replays in SQL.
   * dedup_embedding_lsh / dedup_embedding_ivf — approximate recall by
     construction; the exact twin dedup_embedding_cosine is oracle-gated.
   * pipeline_parse_entities / graph_pattern_search — python-ast parse
@@ -1066,8 +1069,9 @@ def _q_fts_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_search_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cortex_search end-to-end (embed query -> KNN -> payload -> tag/type
-    # filters -> min_score -> limit); hash embeddings have no SQL
-    # equivalent, so this is a rows-only check — semantics unit-tested
+    # filters -> min_score -> limit), FULLY oracle-gated: the md5 token
+    # hash makes the whole composite SQL-replayable (see
+    # oracle.search_semantic_oracle_sql)
     idx = _memo(
         spark,
         sf_dir,
@@ -3450,8 +3454,16 @@ def oracle_sql() -> dict[str, str]:
         where_sql="lang = 'en' AND source LIKE 'src1%'",
         payload_cols=("lang", "source"),
     )
-    # search_semantic: hash-embedding composite, no SQL equivalent
-    # (search_lexical_recall IS oracle-gated: the noiseless ranking twin)
+    # search_semantic is FULLY oracle-gated as of late r4: the hash
+    # provider's token hash is md5, so the whole chunk→embed→score→
+    # top-k composite replays in SQL (oracle.search_semantic_oracle_sql
+    # float32-quantizes the rebuilt bucket sums exactly like the stored
+    # vectors). search_semantic_lexical stays rows-only (gaussian
+    # random-indexing directions are not SQL-expressible) with
+    # search_lexical_recall as its oracle-gated noiseless ranking twin.
+    out["search_semantic"] = oracle.search_semantic_oracle_sql(
+        "key agg row scan", dim=32, limit=15, min_score=0.05, language="en"
+    )
     out["search_lexical_recall"] = _LEXICAL_RECALL_ORACLE
     out.update(_GRAPH_ORACLES)
     # the recursive-CTE twin computes the identical min-depth closure

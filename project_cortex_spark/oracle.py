@@ -1244,6 +1244,86 @@ def chunk_assembly_sql(table: str = "documents") -> str:
     """
 
 
+def search_semantic_oracle_sql(
+    query: str = "key agg row scan",
+    *,
+    dim: int = 32,
+    limit: int = 15,
+    min_score: float = 0.05,
+    language: str = "en",
+) -> str:
+    """END-TO-END oracle for the cortex_search composite
+    (chunk → hash-embed → KNN → payload → tag filters → min_score →
+    top-k): the hash provider's token hash is md5 precisely so this is
+    possible. The oracle rebuilds each chunk's signed bucket sums in
+    SQL, float32-quantizes them exactly the way the stored vectors are
+    (s/sqrt(ss) cast to FLOAT4 — bit-identical IEEE), and scores
+    against the query's components (computed here in Python with the
+    SAME provider arithmetic and inlined as exact round-trip literals,
+    including the left-fold query norm Spark's aggregate computes)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    vec = np.zeros(dim, dtype=np.float64)
+    for tok in ["[query]"] + query.lower().split():
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        vec[h % dim] += 1.0 if (h >> 16) % 2 == 0 else -1.0
+    nrm = np.linalg.norm(vec)
+    if nrm > 0:
+        vec = vec / nrm
+    qd = [float(x) for x in vec.astype(np.float32)]
+    acc = 0.0
+    for v in qd:  # replicate Spark's left-fold l2_norm exactly
+        acc += v * v
+    qnorm = math.sqrt(acc)
+    qvals = ", ".join(f"({b}, {v!r})" for b, v in enumerate(qd) if v != 0.0)
+    hx = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
+    return f"""
+    WITH chunks AS ({chunk_assembly_sql()}),
+    payload AS (SELECT doc_id, lang AS language FROM documents),
+    ctoks AS (
+      SELECT chunk_id, unnest(list_prepend('[passage]',
+        list_filter(string_split_regex(lower(chunk_text), '\\s+'),
+                    x -> x <> ''))) AS tok
+      FROM chunks
+    ), cw AS (
+      SELECT chunk_id, {hx} % {dim} AS bucket,
+             sum(CASE WHEN ({hx} // 65536) % 2 = 0 THEN 1 ELSE -1 END) AS s
+      FROM ctoks GROUP BY 1, 2
+    ), css AS (
+      SELECT chunk_id, sum(s * s) AS ss FROM cw GROUP BY 1
+    ), comp AS (
+      SELECT cw.chunk_id, cw.bucket,
+             CAST(CAST(cw.s AS DOUBLE) / sqrt(CAST(css.ss AS DOUBLE))
+                  AS FLOAT4) AS c
+      FROM cw JOIN css USING (chunk_id)
+      WHERE cw.s <> 0 AND css.ss > 0
+    ), qw(bucket, qc) AS (VALUES {qvals}),
+    scored0 AS (
+      SELECT comp.chunk_id,
+             sum(CAST(comp.c AS DOUBLE) * coalesce(qw.qc, 0.0)) AS dot,
+             sqrt(sum(CAST(comp.c AS DOUBLE) * CAST(comp.c AS DOUBLE)))
+               AS nrm
+      FROM comp LEFT JOIN qw USING (bucket)
+      GROUP BY 1
+    ), scored AS (
+      SELECT chunk_id, (1.0 + dot / (nrm * {qnorm!r})) / 2.0 AS score
+      FROM scored0
+    )
+    SELECT s.chunk_id, round(s.score, 6) AS score, c.doc_id,
+           c.chunk_type, p.language
+    FROM scored s
+    JOIN chunks c USING (chunk_id)
+    JOIN payload p USING (doc_id)
+    WHERE p.language = '{language}' AND c.chunk_type <> 'documentation'
+      AND s.score >= {min_score}
+    ORDER BY s.score DESC, s.chunk_id
+    LIMIT {limit}
+    """
+
+
 def sessionize_stream_sql(table: str = "events", gap_minutes: int = 30) -> str:
     """The streaming sessionizer's shape: batch sessions without the
     per-user sequence number (session identity = its start time), with

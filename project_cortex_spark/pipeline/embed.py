@@ -49,12 +49,21 @@ def hash_embed_series(
     mode contributes a distinguishing component (a virtual mode token).
     Same text embedded in both modes stays near-identical in cosine, so
     query->passage retrieval works; the vectors are still distinct.
+
+    The token hash is md5 (not crc32) ON PURPOSE: md5 exists in DuckDB,
+    so the whole embed→score→top-k chain is replayable in SQL — the
+    search_semantic oracle rebuilds these exact signed bucket sums,
+    float32-quantizes them the way the stored vectors are, and must
+    hash-match. Per-token md5 is slower than crc32, but this provider
+    is the deterministic test double; the production path is ONNX.
     """
+    import hashlib
+
     out = []
     for text in texts:
         vec = np.zeros(dim, dtype=np.float64)
         for tok in [f"[{mode}]"] + (text or "").lower().split():
-            h = zlib.crc32(tok.encode())
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
             vec[h % dim] += 1.0 if (h >> 16) % 2 == 0 else -1.0
         norm = np.linalg.norm(vec)
         if norm > 0:
