@@ -6,22 +6,27 @@
 and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key. Keys without an
 oracle entry (rows-only check by design):
-  * knn_join_lsh / knn_join_ivf — approximate by construction; their
-    exact twin (knn_join) is oracle-gated and full-probe IVF == exact is
-    unit-tested.
-  * knn_recall_lsh — grades an approximate structure against the
-    oracle-gated exact join; its output depends on LSH recall.
+  * knn_join_ivf / dedup_embedding_ivf / knn_recall_ivf /
+    knn_recall_pq / knn_recall_pq_refined — their approximate side
+    trains k-means centroids / PQ codebooks (iterative numpy over a
+    bounded sample) that no SQL replay can reproduce; the exact twins
+    (knn_join, dedup_embedding_cosine) are oracle-gated and
+    full-probe == exact is unit-tested.
   * search_semantic_lexical — random-indexing embedding composite
     (gaussian token directions are not SQL-expressible; semantics
     unit-tested in tests/test_search.py and oracle-graded through
-    search_lexical_recall). search_semantic itself IS oracle-gated
-    as of late r4: the hash provider hashes tokens with md5, so the
-    full chunk→embed→score→top-k composite replays in SQL.
-  * dedup_embedding_lsh / dedup_embedding_ivf — approximate recall by
-    construction; the exact twin dedup_embedding_cosine is oracle-gated.
-  * pipeline_parse_entities / graph_pattern_search — python-ast parse
-    output; no SQL parser exists (exact extraction unit-tested in
-    tests/test_parse.py).
+    search_lexical_recall).
+  * pipeline_parse_entities / graph_pattern_search — parse output over
+    the LIVE source tree (a golden oracle would break on every repo
+    change); extraction is gated via pipeline_parse_multilang's golden
+    corpus and unit-tested in tests/test_parse.py.
+
+Late-r4 conversions out of this list: search_semantic (md5 token hash
+makes the whole composite SQL-replayable), knn_join_lsh and
+dedup_embedding_lsh (deterministic hyperplanes inline as literals — the
+oracle replays the identical approximation), and knn_recall_lsh (both
+of its inputs are now replayable, so the recall number itself is
+hash-checked).
 
 Column names are aliased identically on both sides so the driver's
 sorted-by-name value hash matches.
@@ -3445,7 +3450,12 @@ def oracle_sql() -> dict[str, str]:
     out["knn_join"] = _KNN_JOIN_ORACLE
     out["knn_mmr"] = oracle.mmr_oracle_sql(k=10, n_candidates=40, lam=0.7)
     out["knn_topk_int8"] = oracle.knn_int8_oracle_sql(k=15)
-    # knn_join_lsh: approximate — no oracle by design (exact twin is gated)
+    # knn_join_lsh: gated as of late r4 — the hyperplanes are
+    # deterministic, so the oracle inlines the same planes and replays
+    # the identical approximation (bucket join + exact scores + top-k)
+    out["knn_join_lsh"] = oracle.knn_lsh_oracle_sql(
+        dim=64, n_planes=4, seed=42, k=5, n_queries=5
+    )
     for name, (q, limit) in _FTS_QUERIES.items():
         out[name] = oracle.fts_oracle_sql(q, limit=limit)
     out["fts_filtered"] = oracle.fts_oracle_sql(
@@ -3480,7 +3490,11 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_char_spans"] = oracle.duplicated_char_spans_sql(k=32)
     # banded form computes the IDENTICAL result — same exact oracle
     out["dedup_simhash_banded"] = oracle.simhash_near_duplicates_sql(max_hamming=2)
-    # dedup_embedding_lsh: approximate recall — no oracle by design
+    # dedup_embedding_lsh: gated as of late r4 — same replay trick (the
+    # T*p deterministic planes inline; candidates + exact verify in SQL)
+    out["dedup_embedding_lsh"] = oracle.embedding_lsh_oracle_sql(
+        threshold=0.7, dim=64, n_planes=6, n_tables=6, seed=42
+    )
     # (exact twin dedup_embedding_cosine is gated)
     out["dedup_clusters"] = oracle.duplicate_clusters_sql(
         oracle.minhash_near_duplicates_sql(threshold=0.5)
@@ -3547,7 +3561,27 @@ def oracle_sql() -> dict[str, str]:
     )
     out["corpus_profile"] = oracle.corpus_profile_sql()
     out["embed_quantize"] = oracle.quantize_embeddings_sql()
-    # knn_recall_lsh: grades an approximate structure — no oracle by design
+    # knn_recall_lsh: gated as of late r4 — BOTH of its inputs are now
+    # SQL-replayable (exact join oracle + deterministic-plane LSH
+    # oracle), so the recall measurement itself is hash-checked
+    out["knn_recall_lsh"] = f"""
+    WITH approx AS ({oracle.knn_lsh_oracle_sql(
+        dim=64, n_planes=4, seed=42, k=5, n_queries=5)}),
+    exact AS ({_KNN_JOIN_ORACLE}),
+    j AS (
+      SELECT e.query_id, e.vec_id,
+             CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM exact e LEFT JOIN approx a
+        ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    )
+    SELECT query_id, count(*) AS n_exact,
+           CAST(sum(hit) AS BIGINT) AS n_hit,
+           CAST(floor(10000 * sum(hit) / count(*)) AS BIGINT) AS recall_e4
+    FROM j GROUP BY query_id
+    """
+    # knn_recall_ivf / _pq / _pq_refined: still rows-only — their
+    # approximate side trains k-means/codebooks (iterative numpy over a
+    # bounded sample), which no SQL replay can reproduce
     out["text_top_terms"] = _TOP_TERMS_ORACLE.format(
         tokens_cte=oracle.fts_tokens_cte("documents", "doc_id", "text")
     )

@@ -672,6 +672,113 @@ def knn_int8_oracle_sql(*, query_vec_id: int = 0, k: int = 15) -> str:
     """
 
 
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+
+def knn_lsh_oracle_sql(
+    *,
+    dim: int = 64,
+    n_planes: int = 4,
+    seed: int = 42,
+    k: int = 5,
+    n_queries: int = 5,
+) -> str:
+    """END-TO-END oracle for the sign-LSH KNN join: the hyperplanes are
+    deterministic (knn._hyperplane golden-ratio chain), so the oracle
+    inlines the SAME planes as literals and replays bucket assignment +
+    candidate join + exact scoring + per-query top-k. 'Approximate'
+    never meant non-deterministic — the oracle reproduces the identical
+    approximation, so the LSH path is hash-gated, not just
+    recall-graded. (Sign boundaries: a flip would need |dot| within
+    float-summation noise of 0 — measure-zero for real embeddings.)"""
+    from .operators.knn import _hyperplane
+
+    planes = [_hyperplane(dim, seed + p) for p in range(n_planes)]
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_literal(p)}) >= 0"
+        f" THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    cos = (
+        "list_dot_product(c.v, q.qv)"
+        " / (sqrt(list_dot_product(c.v, c.v))"
+        " * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), c AS (
+      SELECT doc_id, {bits} AS bucket, v FROM e
+    ), q AS (
+      SELECT doc_id AS query_id, bucket, v AS qv
+      FROM c WHERE doc_id < {n_queries}
+    ), cand AS (
+      SELECT q.query_id, c.doc_id AS vec_id,
+             (1.0 + {cos}) / 2.0 AS score
+      FROM c JOIN q USING (bucket)
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, vec_id, round(score, 6) AS score, rank
+    FROM r WHERE rank <= {k}
+    """
+
+
+def embedding_lsh_oracle_sql(
+    *,
+    threshold: float = 0.7,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> str:
+    """END-TO-END oracle for the multi-table sign-LSH embedding
+    near-dup: same inlined deterministic hyperplanes (T*p of them, the
+    same seed layout as embedding_near_duplicates_lsh), per-table
+    signatures via UNION ALL, candidate pairs on (table, signature)
+    collisions, exact cosine verify at the threshold."""
+    from .operators.knn import _hyperplane
+
+    sigs = []
+    for t in range(n_tables):
+        planes = [
+            _hyperplane(dim, seed + t * n_planes + p) for p in range(n_planes)
+        ]
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(v, {_plane_literal(p)}) >= 0"
+            f" THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        sigs.append(f"SELECT doc_id, {t} AS tbl, {bits} AS sig FROM e")
+    sig_union = "\n      UNION ALL ".join(sigs)
+    cos = (
+        "list_dot_product(ea.v, eb.v)"
+        " / (sqrt(list_dot_product(ea.v, ea.v))"
+        " * sqrt(list_dot_product(eb.v, eb.v)))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), sig AS (
+      {sig_union}
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM sig x JOIN sig y
+        ON x.tbl = y.tbl AND x.sig = y.sig AND x.doc_id < y.doc_id
+    ), scored AS (
+      SELECT a, b, 1.0 - (1.0 - {cos}) / 2.0 AS score
+      FROM cand
+      JOIN e ea ON cand.a = ea.doc_id
+      JOIN e eb ON cand.b = eb.doc_id
+    )
+    SELECT a, b, round(score, 6) AS score
+    FROM scored WHERE score >= {threshold}
+    """
+
+
 def mmr_oracle_sql(
     *,
     query_vec_id: int = 0,
