@@ -151,6 +151,11 @@ def compact_store(
             .partitionBy(*partition_cols)
         )
     writer.parquet(tmp)
+    # a .bak left by a crashed previous compaction is stale by
+    # definition (the live dir was never swapped away) — clear it so
+    # the rename cannot fail
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
     os.rename(path, bak)
     os.rename(tmp, path)
     shutil.rmtree(bak)
