@@ -937,7 +937,11 @@ def _q_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate (recall<1): rows-only check; exact variant is oracle-gated
+    # approximate (recall<1) but ORACLE-gated (late r4): the oracle
+    # inlines the same deterministic planes and replays the identical
+    # approximation. Its parameters (dim=64, n_planes=4, seed=42, k=5,
+    # n_queries=5) are hardcoded in oracle.knn_lsh_oracle_sql — keep
+    # both sides in lockstep.
     emb = _registry(spark, sf_dir).table("embeddings")
     return knn_mod.knn_join_lsh(
         _knn_queries(spark, sf_dir), emb, k=5, n_planes=4
@@ -961,8 +965,10 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_knn_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-measurement: recall@5 of the sign-LSH join vs the exact join.
-    # No oracle by design (grades an approximate structure); the exact
-    # side is itself the oracle-gated knn_join.
+    # ORACLE-gated (late r4): both inputs replay in SQL, so the recall
+    # number itself is hash-checked. NOTE the oracle hardcodes the same
+    # (dim=64, n_planes=4, seed=42, k=5, n_queries=5) — change the
+    # parameters HERE and THERE together or the gate goes red.
     emb = _registry(spark, sf_dir).table("embeddings")
     q = _knn_queries(spark, sf_dir)
     exact = knn_mod.knn_join(q, emb, k=5)
@@ -1620,8 +1626,11 @@ def _q_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate recall by design (exact twin dedup_embedding_cosine is
-    # oracle-gated); precision 1.0 — every candidate is exactly verified
+    # approximate recall by design, but ORACLE-gated (late r4): the
+    # oracle replays the same T*p inlined planes + exact verify. Its
+    # parameters (threshold=0.7, dim=64, n_planes=6, n_tables=6,
+    # seed=42) are hardcoded in oracle.embedding_lsh_oracle_sql — keep
+    # both sides in lockstep. Precision 1.0 — every candidate verified.
     return dd.embedding_near_duplicates_lsh(
         _registry(spark, sf_dir).table("embeddings"), threshold=0.7, dim=64
     ).withColumn("score", F.round("score", 6))

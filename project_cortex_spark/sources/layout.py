@@ -111,13 +111,25 @@ def compact_store(
     long-running ingest turns that into the classic small-files problem:
     file-listing latency and one scan task per tiny file).
 
-    Rewrites the store to ``target_files`` files (per partition when
-    ``partition_cols`` is given, preserving the layout's pruning), then
-    swaps atomically: write to a sibling temp dir, rename old -> .bak,
-    temp -> live, drop .bak. Readers between the two renames see the
-    complete old OR complete new store, never a mix; a crash leaves
-    either the live dir or a recoverable .bak. On object stores the
-    same sequence is a manifest pointer swap.
+    Rewrites the store to ``target_files`` files when flat; with
+    ``partition_cols`` the rewrite preserves the hive directory layout
+    (and its pruning) and lands ONE file per partition value — which is
+    the goal when compacting many small per-batch files (rows of one
+    partition value hash to one task; ``target_files`` only caps the
+    task count). Then swaps: write to a sibling temp dir, rename
+    old -> .bak, temp -> live, drop .bak. A reader never sees a MIX of
+    old and new files, but in the instant between the two renames the
+    live path does not exist — a concurrent read can fail and must
+    retry (it then sees the complete new store), and a crash in that
+    window leaves the .bak for recovery. True lost-update-free
+    atomicity needs a manifest pointer swap (object stores / table
+    formats); this is the plain-filesystem approximation, fine for the
+    scheduled-maintenance use.
+
+    Stores whose READERS depend on the directory layout must preserve
+    it: the paradedup seen store is read via its ``batch=N`` subdirs,
+    so compact it with ``partition_cols=["batch"]`` — a flat rewrite
+    would silently empty what its reader can find.
 
     Returns {"files_before": n, "files_after": m} so schedulers can log
     the win. Content is proven identical by tests (and by the streaming
@@ -143,13 +155,14 @@ def compact_store(
     else:
         df = spark.read.option("recursiveFileLookup", "true").parquet(path)
     tmp, bak = path.rstrip("/") + "__compact", path.rstrip("/") + "__bak"
-    writer = df.repartition(target_files).write.mode("overwrite")
     if partition_cols:
         writer = (
             df.repartition(target_files, *partition_cols)
             .write.mode("overwrite")
             .partitionBy(*partition_cols)
         )
+    else:
+        writer = df.repartition(target_files).write.mode("overwrite")
     writer.parquet(tmp)
     # a .bak left by a crashed previous compaction is stale by
     # definition (the live dir was never swapped away) — clear it so

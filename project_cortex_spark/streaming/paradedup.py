@@ -19,7 +19,11 @@ At 100 TB: the store is hash-per-unique-paragraph (a few dozen bytes
 vs the paragraph), the anti-join is a plain hash join keyed on md5 —
 broadcastable while the store is small, shuffle-partitioned after; the
 per-batch window sees only the batch's paragraphs. Store compaction is
-`layout.compact_store`.
+`layout.compact_store(spark, seen_dir, partition_cols=["batch"])` — the
+partition_cols argument is MANDATORY here because `_seen` reads the
+store through its ``batch=N`` subdirs (both for the normal read and for
+replay's exclude-own-batch rule); a flat rewrite would leave a store
+the reader finds empty.
 """
 
 from __future__ import annotations
@@ -84,6 +88,11 @@ def dedup_batch(
             "_h",
             "left_anti",
         )
+        # both sinks (cleaned output AND new-firsts append) derive from
+        # this frame, and each write is its own Spark job — without the
+        # checkpoint the window shuffle and the ever-growing seen-store
+        # anti-join would run twice per delivery
+        .localCheckpoint(eager=True)
     )
     kept = short.select("doc_id", "pos", "para").union(
         first_long.select("doc_id", "pos", "para")
