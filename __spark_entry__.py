@@ -2276,14 +2276,22 @@ _EXPECTATION_RULES = [
 
 def _q_validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate over orders: a mixed suite where some rules
-    pass (unique key, regex, not-null) and some count real violations
-    (price cap, 'P' order status, repeated customers) — both branches
-    of the validator exercised under the oracle."""
+    pass (unique key, regex, not-null, foreign key) and some count real
+    violations (price cap, 'P' order status, repeated customers) — all
+    three validator branches (row rules / uniqueness / referential)
+    exercised under the oracle."""
     from project_cortex_spark.operators import validate as validate_mod
 
-    return validate_mod.check_expectations(
-        _registry(spark, sf_dir).table("orders"), _EXPECTATION_RULES
-    )
+    reg = _registry(spark, sf_dir)
+    rules = _EXPECTATION_RULES + [
+        {
+            "type": "references",
+            "col": "o_custkey",
+            "to": reg.table("customer"),
+            "to_col": "c_custkey",
+        }
+    ]
+    return validate_mod.check_expectations(reg.table("orders"), rules)
 
 
 _EXPECTATIONS_ORACLE = """
@@ -2324,6 +2332,12 @@ _EXPECTATIONS_ORACLE = """
              CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT),
              CAST(sum(c) AS BIGINT)
       FROM uniq2
+      UNION ALL
+      SELECT 'references(o_custkey)',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders o
+              WHERE o.o_custkey IS NOT NULL
+                AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)),
+             (SELECT count(*) FROM orders)
     )
     SELECT rule, n_violations, n_rows, n_violations = 0 AS passed FROM rules
 """

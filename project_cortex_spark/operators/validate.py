@@ -45,6 +45,8 @@ def _violation_expr(rule: dict[str, Any]) -> Column:
 def _rule_name(rule: dict[str, Any]) -> str:
     if rule["type"] == "unique":
         return f"unique({','.join(rule['cols'])})"
+    if rule["type"] == "references":
+        return f"references({rule['col']})"
     return f"{rule['type']}({rule['col']})"
 
 
@@ -58,10 +60,18 @@ def check_expectations(
     (``{"type": "unique", "cols": [...]}``) each add a groupBy counting
     keys seen more than once — the violation count is the number of
     EXCESS rows (rows beyond the first per duplicated key), so a clean
-    table reports 0.
+    table reports 0. Referential rules
+    (``{"type": "references", "col": ..., "to": other_df,
+    "to_col": ...}``) count orphan rows via a left_anti join against
+    the referenced key set (dbt's ``relationships`` test) — at scale
+    the anti join broadcasts when the key side is dimension-sized, and
+    NULL foreign keys are exempt (that is ``not_null``'s job).
     """
-    row_rules = [r for r in rules if r["type"] != "unique"]
+    row_rules = [
+        r for r in rules if r["type"] not in ("unique", "references")
+    ]
     uniq_rules = [r for r in rules if r["type"] == "unique"]
+    ref_rules = [r for r in rules if r["type"] == "references"]
 
     out: DataFrame | None = None
     if row_rules:
@@ -97,6 +107,22 @@ def check_expectations(
             )
         )
         out = dupes if out is None else out.unionByName(dupes)
+    for r in ref_rules:
+        fk = df.filter(F.col(r["col"]).isNotNull()).select(
+            F.col(r["col"]).alias("_fk")
+        )
+        keys = r["to"].select(F.col(r["to_col"]).alias("_fk")).distinct()
+        orphans = (
+            fk.join(keys, "_fk", "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+            .select(
+                F.lit(_rule_name(r)).alias("rule"),
+                "n_violations",
+            )
+        )
+        n_rows = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        ref_row = orphans.join(n_rows)
+        out = ref_row if out is None else out.unionByName(ref_row)
     if out is None:
         raise ValueError("check_expectations: no rules given")
     return out.withColumn("passed", F.col("n_violations") == 0)

@@ -50,3 +50,19 @@ def test_expectations_rejects_unknown_rule(spark):
         check_expectations(df, [{"type": "wat", "col": "k"}]).collect()
     with pytest.raises(ValueError, match="no rules"):
         check_expectations(df, [])
+
+
+def test_expectations_references_counts_orphans(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], ["k", "fk"]
+    )
+    parent = spark.createDataFrame([(10,), (20,)], ["pk"])
+    got = {
+        r["rule"]: (r["n_violations"], r["n_rows"], r["passed"])
+        for r in check_expectations(
+            child,
+            [{"type": "references", "col": "fk", "to": parent, "to_col": "pk"}],
+        ).collect()
+    }
+    # 99 is an orphan; NULL fk is exempt (not_null's job)
+    assert got["references(fk)"] == (1, 4, False)
