@@ -388,6 +388,54 @@ def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
     return rank_top_users(user_totals(events), k)
 
 
+def debounce(
+    events: DataFrame, *, quiet_seconds: int = 300
+) -> DataFrame:
+    """Leading-edge debounce per (user, event_type): keep an event iff
+    the PREVIOUS event of the same key is more than ``quiet_seconds``
+    older (or absent) — the telemetry-collapse rule that turns a burst
+    of repeated signals into its first occurrence. A burst is a chain of
+    events each within the quiet window of its predecessor, i.e. exactly
+    a gap-session; kept events are the session leaders, which is why
+    this is ONE lag window over one shuffle on the key — the seemingly
+    sequential "previous KEPT event" rule needs no iteration.
+
+    Emits the kept events plus ``burst_len`` (how many raw events the
+    kept one absorbed, itself included) — the count an alerting or
+    billing consumer needs. Integer-microsecond comparisons keep both
+    engines exact; (ts, event_id) ordering makes ties deterministic.
+    """
+    gap_us = quiet_seconds * 1_000_000
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    t_us = F.unix_micros("ts")
+    prev = F.lag(t_us).over(w)
+    marked = events.withColumn(
+        "_lead", (prev.isNull() | (t_us - prev > gap_us)).cast("int")
+    )
+    # burst id = running count of leaders; size each burst, keep leaders
+    burst = F.sum("_lead").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = (
+        marked.withColumn("_burst", burst)
+        .withColumn(
+            "burst_len",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("user_id", "event_type", "_burst")
+            ).cast("bigint"),
+        )
+    )
+    return sized.filter(F.col("_lead") == 1).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "burst_len",
+    )
+
+
 def gapfill_resample(events: DataFrame, *, bucket_minutes: int = 60) -> DataFrame:
     """Resample each event_type onto its full regular time grid
     (min..max bucket), emitting a row for EVERY bucket: observed buckets

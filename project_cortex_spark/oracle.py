@@ -1213,6 +1213,34 @@ def top_users_per_type_sql(table: str = "events", k: int = 3) -> str:
     """
 
 
+def debounce_sql(table: str = "events", *, quiet_seconds: int = 300) -> str:
+    """Noiseless twin of events.debounce: same lag-gap leader rule,
+    running-sum burst ids, per-burst sizes, integer micros."""
+    gap_us = quiet_seconds * 1_000_000
+    return f"""
+    WITH marked AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS t,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+                  THEN 1 ELSE 0 END AS lead_flag
+      FROM {table}
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts), event_id)
+    ), sized AS (
+      SELECT *, sum(lead_flag) OVER
+               (PARTITION BY user_id, event_type
+                ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst
+      FROM marked
+    )
+    SELECT event_id, user_id, event_type, t AS ts_us,
+           count(*) OVER (PARTITION BY user_id, event_type, burst)
+             AS burst_len
+    FROM sized
+    QUALIFY lead_flag = 1
+    """
+
+
 def gapfill_sql(table: str = "events", *, bucket_minutes: int = 60) -> str:
     """Noiseless twin of events.gapfill_resample: same integer bucket
     grid (generate_series over per-type min..max), left join, and

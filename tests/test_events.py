@@ -218,3 +218,33 @@ def test_gapfill_emits_dense_grid(spark):
     assert [r["n_events"] for r in got] == [1, 0, 0, 2]
     # forward fill: the gap hours carry hour-0's sum
     assert [r["filled_sum"] for r in got] == [1.0, 1.0, 1.0, 5.0]
+
+
+def test_debounce_matches_oracle(registry, duck):
+    from project_cortex_spark.operators.events import debounce
+
+    df = debounce(registry.table("events"), quiet_seconds=300)
+    assert_matches_oracle(df, duck, oracle.debounce_sql(quiet_seconds=300))
+
+
+def test_debounce_collapses_chained_bursts(spark):
+    import datetime as dt
+
+    from project_cortex_spark.operators.events import debounce
+
+    t0 = dt.datetime(2026, 1, 1)
+    # chain: each event within 300s of the PREVIOUS — one burst of 4
+    # even though the last is 900s after the first; then a fresh leader
+    rows = [
+        (1, t0, 7, "click", 0.0),
+        (2, t0 + dt.timedelta(seconds=290), 7, "click", 0.0),
+        (3, t0 + dt.timedelta(seconds=580), 7, "click", 0.0),
+        (4, t0 + dt.timedelta(seconds=870), 7, "click", 0.0),
+        (5, t0 + dt.timedelta(seconds=1300), 7, "click", 0.0),
+        (6, t0, 7, "view", 0.0),  # other type: independent
+    ]
+    ev_df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    got = {r["event_id"]: r["burst_len"] for r in debounce(ev_df).collect()}
+    assert got == {1: 4, 5: 1, 6: 1}
