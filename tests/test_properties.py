@@ -539,3 +539,107 @@ def test_weighted_sample_matches_python_model(spark, rows, k):
     for r in weighted_sample_per_key(df, k=k).collect():
         got.setdefault(r["lang"], set()).add(r["doc_id"])
     assert got == want
+
+
+@COMMON
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2000)),  # (user, t_sec)
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_debounce_matches_python_model(spark, pairs):
+    """Model-based fuzz: leading-edge debounce vs a sequential reference
+    over bursts with chained gaps, ties, and multiple users."""
+    import datetime as dt
+
+    from project_cortex_spark.operators.events import debounce
+
+    quiet = 300
+    rows = [
+        (i, dt.datetime(2026, 1, 1) + dt.timedelta(seconds=t), u, "click", 0.0)
+        for i, (u, t) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    got = {r["event_id"]: r["burst_len"] for r in debounce(df, quiet_seconds=quiet).collect()}
+
+    want: dict[int, int] = {}
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, t) in enumerate(pairs):
+        by_user.setdefault(u, []).append((t, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        leader, prev_t = None, None
+        for t, i in evs:
+            if prev_t is None or t - prev_t > quiet:
+                leader = i
+                want[leader] = 0
+            want[leader] += 1
+            prev_t = t
+    assert got == want
+
+
+@COMMON
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 30), st.integers(0, 500)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_gapfill_matches_python_model(spark, triples):
+    """Model-based fuzz: dense-grid resample + forward fill vs a
+    sequential reference over sparse hours per type."""
+    import datetime as dt
+
+    from project_cortex_spark.operators.events import gapfill_resample
+
+    rows = [
+        (
+            i,
+            dt.datetime(2026, 1, 1) + dt.timedelta(hours=h, minutes=7),
+            7,
+            f"t{ty}",
+            float(v),
+        )
+        for i, (ty, h, v) in enumerate(triples)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    got = {
+        (r["event_type"], r["bucket_start_us"]): (
+            r["n_events"],
+            r["filled_sum"],
+            r["is_gap"],
+        )
+        for r in gapfill_resample(df, bucket_minutes=60).collect()
+    }
+
+    # UTC-pinned: Spark reads the naive timestamps in the session tz
+    # (UTC by engine contract); naive .timestamp() would use the OS tz
+    base_us = (
+        int(
+            dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+        )
+        * 1_000_000
+    )
+    hour_us = 3_600 * 1_000_000
+    want = {}
+    by_type: dict[str, dict[int, list[float]]] = {}
+    for ty, h, v in triples:
+        by_type.setdefault(f"t{ty}", {}).setdefault(h, []).append(float(v))
+    for ty, hours in by_type.items():
+        lo, hi = min(hours), max(hours)
+        last = None
+        for h in range(lo, hi + 1):
+            vs = hours.get(h)
+            if vs is not None:
+                last = round(sum(vs), 6)
+                want[(ty, base_us + h * hour_us)] = (len(vs), last, 0)
+            else:
+                want[(ty, base_us + h * hour_us)] = (0, last, 1)
+    assert got == want
