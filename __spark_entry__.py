@@ -3246,6 +3246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_gapfill"] = lambda s, d: ev.gapfill_resample(_events(s, d))
     # leading-edge telemetry debounce (burst -> first occurrence + size)
     out["events_debounce"] = lambda s, d: ev.debounce(_events(s, d))
+    # time-weighted average per type (holding-period weights)
+    out["events_twap"] = lambda s, d: ev.twap(_events(s, d))
     # per-node triangle counts over the part co-purchase graph (degree-
     # capped co-occurrence edges -> a<b<c wedge closure)
     out["graph_triangles"] = lambda s, d: graph_mod.triangles_per_node(
@@ -3397,8 +3399,8 @@ _GATE_FIRST = [
     # knn_mmr, graph_kcore, stream_histogram, corpus_weighted_sample,
     # dedup_paragraphs, agg_sketch_contract, agg_count_distribution,
     # agg_top_supplier, stream_paragraph_dedup, knn_topk_int8,
-    # validate_expectations, corpus_curriculum, events_debounce) head
-    # the r5 gate next round.
+    # validate_expectations, corpus_curriculum, events_debounce,
+    # events_twap) head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -3546,6 +3548,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_histogram"] = oracle.value_histogram_sql()
     out["events_gapfill"] = oracle.gapfill_sql()
     out["events_debounce"] = oracle.debounce_sql()
+    out["events_twap"] = oracle.twap_sql()
     out["corpus_curate"] = oracle.corpus_curate_sql(scale=2.0)
     out["corpus_token_budget"] = oracle.token_budget_mix_sql(budget_tokens=600)
     out["graph_triangles"] = oracle.triangles_sql(max_df=50)

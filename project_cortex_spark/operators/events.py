@@ -504,3 +504,31 @@ def value_histogram(events: DataFrame, *, width: float = 25.0) -> DataFrame:
         )
         .withColumn("bin_lo", F.round(F.col("bin") * F.lit(float(width)), 6))
     )
+
+
+def twap(events: DataFrame) -> DataFrame:
+    """Time-weighted average value per event_type over the irregular
+    sample series — the TWAP/telemetry-mean that a plain AVG gets wrong
+    when samples cluster (a value held for an hour must weigh 3600x one
+    held for a second). Each sample is weighted by its holding period
+    ``dt = next_ts - ts`` within its type (lead window); the final
+    sample has no holding period and drops out, the standard
+    right-open-interval convention.
+
+    One lag/lead window (one shuffle on event_type) + one map-side-
+    partial aggregate. Integer-microsecond holding periods keep the
+    weights engine-exact; the weighted sum is double with a round-6
+    contract.
+    """
+    w = Window.partitionBy("event_type").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    dt = F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+    intervals = events.withColumn("_dt", dt).filter(F.col("_dt").isNotNull())
+    return intervals.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(
+            F.sum(F.col("value") * F.col("_dt")) / F.sum("_dt"), 6
+        ).alias("twap"),
+        F.round(F.avg("value"), 6).alias("plain_avg"),
+    )

@@ -2091,3 +2091,22 @@ def decontaminate_sql(
     SELECT * FROM {table}
     WHERE {id_col} NOT IN (SELECT doc_id FROM bad)
     """
+
+
+def twap_sql(table: str = "events") -> str:
+    """Noiseless twin of events.twap: identical lead-based integer
+    holding periods and rounded weighted mean."""
+    return f"""
+    WITH iv AS (
+      SELECT event_type, value,
+             lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dt
+      FROM {table}
+      WINDOW w AS (PARTITION BY event_type
+                   ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT event_type, count(*) AS n_intervals,
+           round(sum(value * dt) / sum(dt), 6) AS twap,
+           round(avg(value), 6) AS plain_avg
+    FROM iv WHERE dt IS NOT NULL
+    GROUP BY event_type
+    """

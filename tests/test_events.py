@@ -248,3 +248,28 @@ def test_debounce_collapses_chained_bursts(spark):
     )
     got = {r["event_id"]: r["burst_len"] for r in debounce(ev_df).collect()}
     assert got == {1: 4, 5: 1, 6: 1}
+
+
+def test_twap_matches_oracle(registry, duck):
+    from project_cortex_spark.operators.events import twap
+
+    assert_matches_oracle(twap(registry.table("events")), duck, oracle.twap_sql())
+
+
+def test_twap_weights_by_holding_period(spark):
+    import datetime as dt
+
+    from project_cortex_spark.operators.events import twap
+
+    t0 = dt.datetime(2026, 1, 1)
+    # value 10 held for 3600s, value 100 held for 1s, final sample drops
+    rows = [
+        (1, t0, 7, "m", 10.0),
+        (2, t0 + dt.timedelta(seconds=3600), 7, "m", 100.0),
+        (3, t0 + dt.timedelta(seconds=3601), 7, "m", 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    r = twap(df).collect()[0]
+    assert r["n_intervals"] == 2
+    assert r["plain_avg"] == 55.0
+    assert abs(r["twap"] - (10.0 * 3600 + 100.0 * 1) / 3601) < 1e-6
