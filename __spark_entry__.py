@@ -2792,6 +2792,58 @@ def _q_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+def _q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stateful streaming twin of events_debounce (applyInPandasWithState:
+    # one open burst per (user, type)); two far-future sentinel
+    # deliveries advance the watermark so every real burst times out and
+    # emits within the finite run — same oracle as the batch operator
+    import shutil
+    import tempfile
+
+    from project_cortex_spark.streaming import stateful as stream_stateful
+
+    ev_df = _registry(spark, sf_dir).table("events")
+    max_ts = ev_df.agg(F.max("ts")).first()[0]
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="debounce_", dir=scratch)
+    try:
+        cols = ["event_id", "ts", "user_id", "event_type"]
+        ev_df.select(*cols).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, "f0.parquet")
+        )
+        for i, days in enumerate((7, 14)):
+            spark.createDataFrame(
+                [(-(100 + i), -1, "sentinel")],
+                "event_id long, user_id long, event_type string",
+            ).withColumn(
+                "ts",
+                F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS"),
+            ).select(*cols).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(base, f"f{i + 1}.parquet")
+            )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(base + "/*/")
+        )
+        with stream_source.scoped_state_partitions(
+            spark, _STREAM_STATE_PARTITIONS
+        ):
+            out = stream_source.run_to_memory(
+                stream_stateful.debounce_with_state(stream, quiet_seconds=300),
+                query_name="q_stream_debounce_state",
+                output_mode="append",
+            )
+        return out.filter(F.col("user_id") >= 0).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simulated at-least-once transport: the SAME source unioned with
     # itself (every event delivered twice); exactly-once dedup must
@@ -3356,6 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_topk"] = _q_stream_topk
     out["stream_neardup"] = _q_stream_neardup
     out["stream_paragraph_dedup"] = _q_stream_paragraph_dedup
+    out["stream_debounce"] = _q_stream_debounce
     out["stream_fts"] = _q_stream_fts
     out["stream_knn"] = _q_stream_knn
     out["stream_ohlc"] = _q_stream_ohlc
@@ -3400,7 +3453,7 @@ _GATE_FIRST = [
     # dedup_paragraphs, agg_sketch_contract, agg_count_distribution,
     # agg_top_supplier, stream_paragraph_dedup, knn_topk_int8,
     # validate_expectations, corpus_curriculum, events_debounce,
-    # events_twap) head the r5 gate next round.
+    # events_twap, stream_debounce) head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -3753,6 +3806,7 @@ def oracle_sql() -> dict[str, str]:
     # incremental signature store merged == one-shot batch minhash
     out["stream_neardup"] = oracle.minhash_near_duplicates_sql(threshold=0.5)
     out["stream_paragraph_dedup"] = oracle.dedup_paragraphs_sql()
+    out["stream_debounce"] = oracle.debounce_sql()
     # incremental FTS store merged == one-shot batch index (fts_composite)
     out["stream_fts"] = oracle.fts_oracle_sql(
         '(merge OR stream) "fast sort" NOT error', limit=25

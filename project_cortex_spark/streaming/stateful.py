@@ -272,3 +272,97 @@ def anomaly_with_state(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leading-edge debounce with explicit per-(user, type) state (append mode)
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts_us", LongType()),
+        StructField("burst_len", LongType()),
+    ]
+)
+
+DEBOUNCE_STATE_SCHEMA = StructType(
+    [
+        StructField("leader_id", LongType()),
+        StructField("leader_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _debounce_fn(quiet_seconds: int):
+    quiet_us = quiet_seconds * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        user_id, event_type = key
+        closed: list[tuple] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                lid, lus, _last, n = state.get
+                closed.append((lid, user_id, event_type, lus, n))
+                state.remove()
+        else:
+            cur = list(state.get) if state.exists else None
+            rows = pd.concat(list(pdfs))
+            ts_us = rows["ts"].astype("int64") // 1000
+            order = ts_us.argsort(kind="stable")
+            for us, eid in zip(
+                ts_us.iloc[order], rows["event_id"].iloc[order].astype(int)
+            ):
+                us, eid = int(us), int(eid)
+                if cur is None:
+                    cur = [eid, us, us, 1]
+                elif us - cur[2] > quiet_us:
+                    # burst closed by a fresh leader
+                    closed.append((cur[0], user_id, event_type, cur[1], cur[3]))
+                    cur = [eid, us, us, 1]
+                else:
+                    cur[2] = max(cur[2], us)
+                    cur[3] += 1
+            state.update(tuple(cur))
+            # a burst is final once the watermark passes its quiet window
+            state.setTimeoutTimestamp((cur[2] + quiet_us) // 1000)
+
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=["event_id", "user_id", "event_type", "ts_us", "burst_len"],
+            )
+            yield out
+
+    return fn
+
+
+def debounce_with_state(
+    events: DataFrame, *, quiet_seconds: int = 300, watermark_minutes: int = 120
+) -> DataFrame:
+    """Append-mode streaming twin of ``events.debounce``: per
+    (user, type) the state is one open burst (leader id/ts, last ts,
+    count); a burst emits when a later event falls beyond the quiet
+    window or the watermark passes ``last + quiet`` — so every emission
+    is FINAL, and a finite in-time-order run reproduces the batch
+    operator exactly (the same oracle gates both). State per key is one
+    4-field struct, bounded by the watermark like the built-ins."""
+    return (
+        events.withWatermark("ts", f"{watermark_minutes} minutes")
+        .select("event_id", "user_id", "event_type", "ts")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _debounce_fn(quiet_seconds),
+            outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+            stateStructType=DEBOUNCE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -693,3 +693,57 @@ def test_paragraph_dedup_batch_replay_is_idempotent(spark, tmp_path):
     )
     assert first_pass == second_pass
     assert first_pass[1][1] == "fresh text"
+
+
+def test_debounce_with_state(spark, tmp_path):
+    """applyInPandasWithState bursts close via event-time timeout and
+    match the batch debounce on the real (non-sentinel) events."""
+    real = [
+        (1, "2024-01-01 00:00:00", 10, 1.0),
+        (2, "2024-01-01 00:04:00", 10, 2.0),  # within 300s: same burst
+        (3, "2024-01-01 00:08:00", 10, 3.0),  # chained: still same burst
+        (4, "2024-01-01 01:00:00", 10, 4.0),  # fresh leader
+        (5, "2024-01-01 00:00:30", 20, 5.0),
+    ]
+    src = tmp_path / "src"
+    _write_events(spark, real, str(src / "f0.parquet"))
+    _write_events(spark, [(90, "2024-01-06 00:00:00", -1, 0.0)], str(src / "f1.parquet"))
+    _write_events(spark, [(91, "2024-01-11 00:00:00", -2, 0.0)], str(src / "f2.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+        .withColumn("event_type", F.lit("click"))
+    )
+    q = (
+        stateful.debounce_with_state(stream, quiet_seconds=300)
+        .writeStream.format("memory")
+        .queryName("t_stateful_debounce")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    got = {
+        r["event_id"]: r["burst_len"]
+        for r in spark.table("t_stateful_debounce").collect()
+        if r["user_id"] >= 0
+    }
+    batch_df = spark.createDataFrame(
+        real, ["event_id", "ts", "user_id", "value"]
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id",
+        "'click' AS event_type", "value",
+    )
+    from project_cortex_spark.operators.events import debounce
+
+    want = {
+        r["event_id"]: r["burst_len"]
+        for r in debounce(batch_df, quiet_seconds=300).collect()
+    }
+    assert got == want == {1: 3, 4: 1, 5: 1}
