@@ -57,6 +57,9 @@ PICKS = {
     "corpus_weighted_sample": "A-Res weighted sampling: the key is a pure per-row function (codegen), one window shuffle on the stratum",
     "corpus_curriculum": "curriculum ntile: partition-local window sort per source, no global sort",
     "agg_count_distribution": "aggregate pyramid: level-1 shuffle on custkey, level-2 input is one row per customer with tiny key cardinality",
+    "events_debounce": "leading-edge debounce: the sequential-looking 'previous kept event' rule is the gap-session leader — ONE lag window, one shuffle",
+    "events_twap": "time-weighted average: one lead window + one map-side-partial aggregate, integer-microsecond weights",
+    "agg_top_supplier": "argmax with ties: 1-row max broadcast back as a filter — no whole-frame window, no global sort",
 }
 
 
