@@ -3300,6 +3300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_debounce"] = lambda s, d: ev.debounce(_events(s, d))
     # time-weighted average per type (holding-period weights)
     out["events_twap"] = lambda s, d: ev.twap(_events(s, d))
+    # (dow, hour) usage heatmap — pure integer epoch bucketing
+    out["events_heatmap"] = lambda s, d: ev.activity_heatmap(_events(s, d))
     # per-node triangle counts over the part co-purchase graph (degree-
     # capped co-occurrence edges -> a<b<c wedge closure)
     out["graph_triangles"] = lambda s, d: graph_mod.triangles_per_node(
@@ -3324,6 +3326,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # k-core peeling over the same co-purchase edge list — the fixpoint
     # family (neither traversal nor linear algebra): fixed unrolled
     # rounds keep it oracle-matchable
+    out["graph_degree_distribution"] = lambda s, d: graph_mod.degree_distribution(
+        graph_mod.cooccurrence_edges(
+            _registry(s, d).table("lineitem"),
+            group_col="l_orderkey",
+            item_col="l_partkey",
+            max_df=50,
+        )
+    )
     out["graph_kcore"] = lambda s, d: graph_mod.kcore(
         graph_mod.cooccurrence_edges(
             _registry(s, d).table("lineitem"),
@@ -3453,7 +3463,8 @@ _GATE_FIRST = [
     # dedup_paragraphs, agg_sketch_contract, agg_count_distribution,
     # agg_top_supplier, stream_paragraph_dedup, knn_topk_int8,
     # validate_expectations, corpus_curriculum, events_debounce,
-    # events_twap, stream_debounce) head the r5 gate next round.
+    # events_twap, stream_debounce, events_heatmap,
+    # graph_degree_distribution) head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -3602,10 +3613,12 @@ def oracle_sql() -> dict[str, str]:
     out["events_gapfill"] = oracle.gapfill_sql()
     out["events_debounce"] = oracle.debounce_sql()
     out["events_twap"] = oracle.twap_sql()
+    out["events_heatmap"] = oracle.activity_heatmap_sql()
     out["corpus_curate"] = oracle.corpus_curate_sql(scale=2.0)
     out["corpus_token_budget"] = oracle.token_budget_mix_sql(budget_tokens=600)
     out["graph_triangles"] = oracle.triangles_sql(max_df=50)
     out["graph_kcore"] = oracle.kcore_sql(max_df=50, k=3, rounds=4)
+    out["graph_degree_distribution"] = oracle.degree_distribution_sql(max_df=50)
     out["graph_pagerank"] = oracle.pagerank_sql(max_df=50, iters=5)
     out["text_entropy"] = oracle.char_entropy_sql()
     out["text_token_stats"] = oracle.token_stats_sql()

@@ -532,3 +532,22 @@ def twap(events: DataFrame) -> DataFrame:
         ).alias("twap"),
         F.round(F.avg("value"), 6).alias("plain_avg"),
     )
+
+
+def activity_heatmap(events: DataFrame) -> DataFrame:
+    """(day-of-week, hour-of-day) activity matrix — the classic usage
+    heatmap. Bucketing is pure integer epoch arithmetic (1970-01-01 was
+    a Thursday, so dow = (epoch_days + 4) % 7 with 0 = Sunday) — no
+    calendar/timezone functions, so both engines agree exactly and the
+    whole operator is ONE map-side-partial hash aggregate over ≤168
+    keys."""
+    us = F.unix_micros("ts")
+    day_us = 86_400 * 1_000_000
+    dow = ((us / day_us).cast("long") + F.lit(4)) % 7
+    hour = (us % day_us / F.lit(3_600 * 1_000_000)).cast("long")
+    return events.groupBy(
+        dow.alias("dow"), hour.alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )

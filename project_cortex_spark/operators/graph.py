@@ -632,3 +632,19 @@ def kcore(edges: DataFrame, *, k: int = 3, rounds: int = 8) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_deg"))
     )
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """Degree histogram of an undirected a<b edge list — the
+    count-of-counts shape over graph structure (power-law check, the
+    first thing anyone plots about a co-occurrence graph). Two chained
+    hash aggregates: level 1 shuffles 2|E| endpoint rows with map-side
+    partials; level 2's input is |V| rows keyed on the tiny set of
+    distinct degrees."""
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -2110,3 +2110,43 @@ def twap_sql(table: str = "events") -> str:
     FROM iv WHERE dt IS NOT NULL
     GROUP BY event_type
     """
+
+
+def degree_distribution_sql(
+    table: str = "lineitem",
+    group_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    max_df: int = 50,
+) -> str:
+    """Noiseless twin of cooccurrence_edges + graph.degree_distribution."""
+    return f"""
+    WITH pres0 AS (
+      SELECT DISTINCT {group_col} AS g, {item_col} AS itm FROM {table}
+    ), keep AS (
+      SELECT itm FROM pres0 GROUP BY itm HAVING count(*) <= {max_df}
+    ), pres AS (
+      SELECT g, itm FROM pres0 JOIN keep USING (itm)
+    ), e AS (
+      SELECT DISTINCT p1.itm AS a, p2.itm AS b
+      FROM pres p1 JOIN pres p2 ON p1.g = p2.g AND p1.itm < p2.itm
+    ), deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY node
+    )
+    SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+    """
+
+
+def activity_heatmap_sql(table: str = "events") -> str:
+    """Noiseless twin of events.activity_heatmap: identical integer
+    epoch arithmetic (no calendar functions)."""
+    day_us = 86_400 * 1_000_000
+    return f"""
+    SELECT (epoch_us(ts) // {day_us} + 4) % 7 AS dow,
+           (epoch_us(ts) % {day_us}) // {3_600 * 1_000_000} AS hour,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM {table}
+    GROUP BY 1, 2
+    """

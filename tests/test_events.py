@@ -273,3 +273,25 @@ def test_twap_weights_by_holding_period(spark):
     assert r["n_intervals"] == 2
     assert r["plain_avg"] == 55.0
     assert abs(r["twap"] - (10.0 * 3600 + 100.0 * 1) / 3601) < 1e-6
+
+
+def test_activity_heatmap_matches_oracle(registry, duck):
+    from project_cortex_spark.operators.events import activity_heatmap
+
+    df = activity_heatmap(registry.table("events"))
+    assert_matches_oracle(df, duck, oracle.activity_heatmap_sql())
+
+
+def test_activity_heatmap_dow_anchor(spark):
+    import datetime as dt
+
+    from project_cortex_spark.operators.events import activity_heatmap
+
+    # 1970-01-01 was a Thursday; 2026-01-04 is a Sunday (dow 0)
+    rows = [
+        (1, dt.datetime(2026, 1, 4, 15, 30), 1, "click", 1.0),
+        (2, dt.datetime(2026, 1, 5, 0, 0), 1, "click", 2.0),  # Monday
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    got = {(r["dow"], r["hour"]): r["n_events"] for r in activity_heatmap(df).collect()}
+    assert got == {(0, 15): 1, (1, 0): 1}

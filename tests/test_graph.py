@@ -450,3 +450,22 @@ def test_kcore_nested_cores(spark):
     assert set(c3) <= c2
     assert set(c3) == {1, 2, 3, 4}
     assert all(d >= 3 for d in c3.values())
+
+
+def test_degree_distribution_matches_oracle(registry, duck):
+    from project_cortex_spark import oracle
+    from project_cortex_spark.operators.graph import (
+        cooccurrence_edges,
+        degree_distribution,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    edges = cooccurrence_edges(
+        registry.table("lineitem"),
+        group_col="l_orderkey",
+        item_col="l_partkey",
+        max_df=50,
+    )
+    assert_matches_oracle(
+        degree_distribution(edges), duck, oracle.degree_distribution_sql(max_df=50)
+    )
