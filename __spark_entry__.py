@@ -927,6 +927,21 @@ def _q_knn_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_recall_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall@15 of the int8-quantized search vs the exact top-k — BOTH
+    # sides SQL-replayable, so like knn_recall_lsh the recall number
+    # itself is hash-gated (single query vector: one recall row)
+    qv = _query_vec(spark, sf_dir)
+    emb = _registry(spark, sf_dir).table("embeddings")
+    exact = knn_mod.knn_topk(emb, qv, k=15).select(
+        F.lit(0).alias("query_id"), F.col("vec_id")
+    )
+    approx = knn_mod.knn_topk_int8(emb, qv, k=15).select(
+        F.lit(0).alias("query_id"), F.col("vec_id")
+    )
+    return knn_mod.ann_recall(approx, exact)
+
+
 def _q_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # diversified top-10 from 40 exact candidates; the greedy rerank is
     # executor-side applyInPandas over the constant-sized candidate set,
@@ -3194,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["knn_join_ivf"] = _q_knn_join_ivf
     out["knn_mmr"] = _q_knn_mmr
     out["knn_topk_int8"] = _q_knn_topk_int8
+    out["knn_recall_int8"] = _q_knn_recall_int8
     for name, (q, limit) in _FTS_QUERIES.items():
         out[name] = _fts_query(q, limit)
     out["fts_filtered"] = _q_fts_filtered
@@ -3464,7 +3480,8 @@ _GATE_FIRST = [
     # agg_top_supplier, stream_paragraph_dedup, knn_topk_int8,
     # validate_expectations, corpus_curriculum, events_debounce,
     # events_twap, stream_debounce, events_heatmap,
-    # graph_degree_distribution) head the r5 gate next round.
+    # graph_degree_distribution, knn_recall_int8) head the r5 gate next
+    # round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -3541,6 +3558,19 @@ def oracle_sql() -> dict[str, str]:
     out["knn_join"] = _KNN_JOIN_ORACLE
     out["knn_mmr"] = oracle.mmr_oracle_sql(k=10, n_candidates=40, lam=0.7)
     out["knn_topk_int8"] = oracle.knn_int8_oracle_sql(k=15)
+    out["knn_recall_int8"] = f"""
+    WITH approx AS ({oracle.knn_int8_oracle_sql(k=15)}),
+    exact AS ({oracle.knn_oracle_sql(k=15)}),
+    j AS (
+      SELECT e.vec_id,
+             CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM exact e LEFT JOIN approx a ON e.vec_id = a.vec_id
+    )
+    SELECT 0 AS query_id, count(*) AS n_exact,
+           CAST(sum(hit) AS BIGINT) AS n_hit,
+           CAST(floor(10000 * sum(hit) / count(*)) AS BIGINT) AS recall_e4
+    FROM j
+    """
     # knn_join_lsh: gated as of late r4 — the hyperplanes are
     # deterministic, so the oracle inlines the same planes and replays
     # the identical approximation (bucket join + exact scores + top-k)
