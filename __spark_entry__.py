@@ -2358,6 +2358,83 @@ _EXPECTATIONS_ORACLE = """
 """
 
 
+def _q_agg_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the correlated-aggregate filter: keep a row
+    only if its value is below a threshold derived from ITS OWN group's
+    aggregate (small-quantity outlier revenue). De-correlated the way
+    every engine plans it: the per-part average is its own aggregate
+    joined back on the part key — at 100 TB the aggregate side is
+    |parts| rows (map-side partials), and the join back is a plain hash
+    join on the same key the aggregate produced."""
+    li = _registry(spark, sf_dir).table("lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_TPCH_Q17_ORACLE = """
+    WITH pa AS (
+      SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+      FROM lineitem GROUP BY 1
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem JOIN pa USING (l_partkey)
+    WHERE l_quantity < half_avg
+"""
+
+
+def _q_agg_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — the aggregate-join-back: find keys whose
+    aggregate crosses a threshold (HAVING), then join the key set back
+    to the detail tables for the report. The big-order key set is tiny
+    after the HAVING cut, so the join back is a broadcast semi shape;
+    the second aggregate re-derives per-order totals only for
+    survivors."""
+    reg = _registry(spark, sf_dir)
+    li = reg.table("lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .filter(F.col("total_qty") > 210)
+    )
+    return (
+        reg.table("orders")
+        .join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(reg.table("customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
+_TPCH_Q18_ORACLE = """
+    WITH big AS (
+      SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 4) > 210
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           epoch_us(o_orderdate) AS o_orderdate_us,
+           o_totalprice, total_qty
+    FROM orders
+    JOIN big ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def _q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _registry(spark, sf_dir)
@@ -3416,6 +3493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["agg_sketch_contract"] = _q_agg_sketch_contract
     out["agg_count_distribution"] = _q_agg_count_distribution
     out["agg_top_supplier"] = _q_agg_top_supplier
+    out["agg_tpch_q17"] = _q_agg_tpch_q17
+    out["agg_tpch_q18"] = _q_agg_tpch_q18
     out["validate_expectations"] = _q_validate_expectations
     out["events_cumulative"] = _q_events_cumulative
     out["events_lag_delta"] = _q_events_lag_delta
@@ -3480,8 +3559,8 @@ _GATE_FIRST = [
     # agg_top_supplier, stream_paragraph_dedup, knn_topk_int8,
     # validate_expectations, corpus_curriculum, events_debounce,
     # events_twap, stream_debounce, events_heatmap,
-    # graph_degree_distribution, knn_recall_int8) head the r5 gate next
-    # round.
+    # graph_degree_distribution, knn_recall_int8, agg_tpch_q17,
+    # agg_tpch_q18) head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -3809,6 +3888,8 @@ def oracle_sql() -> dict[str, str]:
     out["agg_sketch_contract"] = _SKETCH_CONTRACT_ORACLE
     out["agg_count_distribution"] = _COUNT_DISTRIBUTION_ORACLE
     out["agg_top_supplier"] = _TOP_SUPPLIER_ORACLE
+    out["agg_tpch_q17"] = _TPCH_Q17_ORACLE
+    out["agg_tpch_q18"] = _TPCH_Q18_ORACLE
     out["validate_expectations"] = _EXPECTATIONS_ORACLE
     out["events_cumulative"] = _CUMULATIVE_ORACLE
     out["events_lag_delta"] = _LAG_DELTA_ORACLE
