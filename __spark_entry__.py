@@ -2936,6 +2936,54 @@ def _q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_stream_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental TWAP: two TIME-ordered deliveries (split at the
+    # min/max midpoint); within-batch intervals close via the lead
+    # window, the cross-batch boundary interval closes against the
+    # carried (last_us, last_value) state — merge-on-read must
+    # hash-match the one-shot batch events.twap oracle
+    import shutil
+    import tempfile
+
+    from project_cortex_spark.streaming import twap as stream_twap
+
+    ev_df = _registry(spark, sf_dir).table("events")
+    lo, hi = ev_df.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="twap_", dir=scratch)
+    in_dir = os.path.join(base, "incoming")
+    partials = os.path.join(base, "partials")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        for early in (True, False):
+            part = ev_df.filter(
+                F.col("ts") < F.lit(mid) if early else F.col("ts") >= F.lit(mid)
+            )
+            part.coalesce(1).write.mode("append").parquet(in_dir)
+            with stream_source.scoped_state_partitions(
+                spark, _STREAM_STATE_PARTITIONS
+            ):
+                q = stream_twap.continuous_twap(
+                    spark,
+                    in_dir,
+                    ev_df.schema,
+                    partials_dir=partials,
+                    state_dir=state,
+                    checkpoint_dir=ckpt,
+                )
+                q.awaitTermination()
+        return stream_twap.read_twap(spark, partials).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simulated at-least-once transport: the SAME source unioned with
     # itself (every event delivered twice); exactly-once dedup must
@@ -3514,6 +3562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_neardup"] = _q_stream_neardup
     out["stream_paragraph_dedup"] = _q_stream_paragraph_dedup
     out["stream_debounce"] = _q_stream_debounce
+    out["stream_twap"] = _q_stream_twap
     out["stream_fts"] = _q_stream_fts
     out["stream_knn"] = _q_stream_knn
     out["stream_ohlc"] = _q_stream_ohlc
@@ -3560,7 +3609,7 @@ _GATE_FIRST = [
     # validate_expectations, corpus_curriculum, events_debounce,
     # events_twap, stream_debounce, events_heatmap,
     # graph_degree_distribution, knn_recall_int8, agg_tpch_q17,
-    # agg_tpch_q18) head the r5 gate next round.
+    # agg_tpch_q18, stream_twap) head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -3931,6 +3980,7 @@ def oracle_sql() -> dict[str, str]:
     out["stream_neardup"] = oracle.minhash_near_duplicates_sql(threshold=0.5)
     out["stream_paragraph_dedup"] = oracle.dedup_paragraphs_sql()
     out["stream_debounce"] = oracle.debounce_sql()
+    out["stream_twap"] = oracle.twap_sql()
     # incremental FTS store merged == one-shot batch index (fts_composite)
     out["stream_fts"] = oracle.fts_oracle_sql(
         '(merge OR stream) "fast sort" NOT error', limit=25

@@ -747,3 +747,49 @@ def test_debounce_with_state(spark, tmp_path):
         for r in debounce(batch_df, quiet_seconds=300).collect()
     }
     assert got == want == {1: 3, 4: 1, 5: 1}
+
+
+def test_incremental_twap_closes_boundary_interval(spark, tmp_path):
+    """A holding period that SPANS the delivery split must close against
+    the carried state: value 10 held from delivery-1's last sample to
+    delivery-2's first. The merged result equals the one-shot batch
+    operator; replaying delivery 2 leaves it unchanged."""
+    from project_cortex_spark.operators.events import twap as batch_twap
+    from project_cortex_spark.streaming import twap as stwap
+
+    d1 = [(1, "2024-01-01 00:00:00", 7, "m", 2.0),
+          (2, "2024-01-01 00:10:00", 7, "m", 10.0)]
+    d2 = [(3, "2024-01-01 01:10:00", 7, "m", 4.0),  # closes 10.0 @ 3600s
+          (4, "2024-01-01 01:11:00", 7, "m", 8.0)]
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+
+    def frame(rows):
+        return spark.createDataFrame(rows, cols).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id",
+            "event_type", "value",
+        )
+
+    partials, state = str(tmp_path / "p"), str(tmp_path / "s")
+
+    def run(rows, batch_id):
+        import os
+
+        partial, lasts = stwap.twap_batch(
+            spark, frame(rows), state, exclude_batch=batch_id
+        )
+        partial.write.mode("overwrite").parquet(
+            os.path.join(partials, f"batch={batch_id}")
+        )
+        lasts.write.mode("overwrite").parquet(
+            os.path.join(state, f"batch={batch_id}")
+        )
+
+    run(d1, 0)
+    run(d2, 1)
+    got = stwap.read_twap(spark, partials).collect()
+    want = batch_twap(frame(d1 + d2)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert got[0]["n_intervals"] == 3  # boundary interval included
+    run(d2, 1)  # replay: idempotent
+    again = stwap.read_twap(spark, partials).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, want))
