@@ -60,6 +60,8 @@ PICKS = {
     "events_debounce": "leading-edge debounce: the sequential-looking 'previous kept event' rule is the gap-session leader — ONE lag window, one shuffle",
     "events_twap": "time-weighted average: one lead window + one map-side-partial aggregate, integer-microsecond weights",
     "agg_top_supplier": "argmax with ties: 1-row max broadcast back as a filter — no whole-frame window, no global sort",
+    "agg_tpch_q17": "correlated-aggregate filter de-correlated: per-part average as its own aggregate hash-joined back on the part key",
+    "events_heatmap": "day-hour heatmap: ONE map-side-partial aggregate over <=168 integer-arithmetic keys — no calendar functions",
 }
 
 
