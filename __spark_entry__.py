@@ -1943,6 +1943,17 @@ def _q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _source_stats(textfmt.read_csv(spark, out, docs.schema))
 
 
+def _q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same lossless-trip contract over ORC — Spark's second native
+    # columnar format (a lakehouse ingest regularly receives it); the
+    # write/read is the built-in codepath, so the contract proves
+    # schema + value fidelity through the format, not custom code
+    docs = _docs(spark, sf_dir)
+    out = _export_dir(sf_dir, "orc")
+    docs.write.mode("overwrite").orc(out)
+    return _source_stats(spark.read.schema(docs.schema).orc(out))
+
+
 def _q_parse_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # python-ast parse UDF over this package's sources (D3/G9); no SQL
     # parser exists in DuckDB, so this is a rows-only (weak) check —
@@ -3527,6 +3538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["source_file_stats"] = _q_file_stats
     out["source_jsonl_roundtrip"] = _q_source_jsonl_roundtrip
     out["source_csv_roundtrip"] = _q_source_csv_roundtrip
+    out["source_orc_roundtrip"] = _q_source_orc_roundtrip
     out["pipeline_parse_entities"] = _q_parse_entities
     out["pipeline_chunk_markdown"] = _q_chunk_markdown
     out["pipeline_parse_multilang"] = _q_parse_multilang
@@ -3609,7 +3621,8 @@ _GATE_FIRST = [
     # validate_expectations, corpus_curriculum, events_debounce,
     # events_twap, stream_debounce, events_heatmap,
     # graph_degree_distribution, knn_recall_int8, agg_tpch_q17,
-    # agg_tpch_q18, stream_twap) head the r5 gate next round.
+    # agg_tpch_q18, stream_twap, source_orc_roundtrip) head the r5
+    # gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -3854,6 +3867,7 @@ def oracle_sql() -> dict[str, str]:
     # the original parquet — equality proves the trip lossless
     out["source_jsonl_roundtrip"] = _SOURCE_STATS_ORACLE
     out["source_csv_roundtrip"] = _SOURCE_STATS_ORACLE
+    out["source_orc_roundtrip"] = _SOURCE_STATS_ORACLE
     # golden oracles for the fixed-corpus parse contracts: the extraction
     # is fully deterministic, so the expected output is a VALUES literal —
     # any drift in spans/params/complexity/receivers breaks the hash
