@@ -1954,6 +1954,19 @@ def _q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _source_stats(spark.read.schema(docs.schema).orc(out))
 
 
+def _q_source_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hive-layout contract: documents exported partitioned by lang
+    # (layout.write_partitioned), read back through partition discovery,
+    # same lossless per-source stats — the partition column survives the
+    # directory round-trip (it lives in dir names, not files). Plan-level
+    # pruning on such layouts is asserted in tests/test_layout.py.
+    docs = _docs(spark, sf_dir)
+    out = _export_dir(sf_dir, "hive")
+    layout_mod.write_partitioned(docs, out, partition_cols=["lang"])
+    back = spark.read.parquet(out).select(*docs.columns)
+    return _source_stats(back)
+
+
 def _q_parse_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # python-ast parse UDF over this package's sources (D3/G9); no SQL
     # parser exists in DuckDB, so this is a rows-only (weak) check —
@@ -3539,6 +3552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["source_jsonl_roundtrip"] = _q_source_jsonl_roundtrip
     out["source_csv_roundtrip"] = _q_source_csv_roundtrip
     out["source_orc_roundtrip"] = _q_source_orc_roundtrip
+    out["source_partitioned_roundtrip"] = _q_source_partitioned_roundtrip
     out["pipeline_parse_entities"] = _q_parse_entities
     out["pipeline_chunk_markdown"] = _q_chunk_markdown
     out["pipeline_parse_multilang"] = _q_parse_multilang
@@ -3621,8 +3635,8 @@ _GATE_FIRST = [
     # validate_expectations, corpus_curriculum, events_debounce,
     # events_twap, stream_debounce, events_heatmap,
     # graph_degree_distribution, knn_recall_int8, agg_tpch_q17,
-    # agg_tpch_q18, stream_twap, source_orc_roundtrip) head the r5
-    # gate next round.
+    # agg_tpch_q18, stream_twap, source_orc_roundtrip,
+    # source_partitioned_roundtrip) head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -3868,6 +3882,7 @@ def oracle_sql() -> dict[str, str]:
     out["source_jsonl_roundtrip"] = _SOURCE_STATS_ORACLE
     out["source_csv_roundtrip"] = _SOURCE_STATS_ORACLE
     out["source_orc_roundtrip"] = _SOURCE_STATS_ORACLE
+    out["source_partitioned_roundtrip"] = _SOURCE_STATS_ORACLE
     # golden oracles for the fixed-corpus parse contracts: the extraction
     # is fully deterministic, so the expected output is a VALUES literal —
     # any drift in spans/params/complexity/receivers breaks the hash
