@@ -3008,6 +3008,49 @@ def _q_stream_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_stream_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pure streaming aggregate (integer bucketing, algebraic stats):
+    # same oracle as the batch events_heatmap
+    with stream_source.scoped_state_partitions(spark, _STREAM_STATE_PARTITIONS):
+        stream = stream_source.stream_table(spark, sf_dir, "events")
+        return stream_source.run_to_memory(
+            stream_windows.activity_heatmap_stream(stream),
+            query_name="q_stream_heatmap",
+            output_mode="complete",
+        )
+
+
+_ANSI_WINDOW_SQL = """
+    WITH ranked AS (
+      SELECT n.n_name, c.c_custkey, c.c_acctbal,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY c.c_acctbal DESC, c.c_custkey)
+               AS rnk,
+             sum(c.c_acctbal) OVER (PARTITION BY n.n_name
+                                    ORDER BY c.c_acctbal DESC, c.c_custkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW)
+               AS running_bal
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name, c_custkey, rnk, round(c_acctbal, 4) AS acctbal,
+           round(running_bal, 4) AS running_bal
+    FROM ranked WHERE rnk <= 5
+"""
+
+
+def _q_sql_ansi_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-SQL passthrough contract: the SAME SQL string (CTE + join +
+    two window functions with an explicit frame) executes verbatim on
+    Spark SQL and on DuckDB — the dialect-portable surface a cortex
+    user gets beyond the JSON DSL. Registering the tables as temp views
+    is the only Spark-specific step."""
+    reg = _registry(spark, sf_dir)
+    reg.table("customer").createOrReplaceTempView("customer")
+    reg.table("nation").createOrReplaceTempView("nation")
+    return spark.sql(_ANSI_WINDOW_SQL)
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simulated at-least-once transport: the SAME source unioned with
     # itself (every event delivered twice); exactly-once dedup must
@@ -3589,6 +3632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_paragraph_dedup"] = _q_stream_paragraph_dedup
     out["stream_debounce"] = _q_stream_debounce
     out["stream_twap"] = _q_stream_twap
+    out["stream_heatmap"] = _q_stream_heatmap
+    out["sql_ansi_windows"] = _q_sql_ansi_windows
     out["stream_fts"] = _q_stream_fts
     out["stream_knn"] = _q_stream_knn
     out["stream_ohlc"] = _q_stream_ohlc
@@ -3636,7 +3681,8 @@ _GATE_FIRST = [
     # events_twap, stream_debounce, events_heatmap,
     # graph_degree_distribution, knn_recall_int8, agg_tpch_q17,
     # agg_tpch_q18, stream_twap, source_orc_roundtrip,
-    # source_partitioned_roundtrip) head the r5 gate next round.
+    # source_partitioned_roundtrip, stream_heatmap, sql_ansi_windows)
+    # head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -4010,6 +4056,8 @@ def oracle_sql() -> dict[str, str]:
     out["stream_paragraph_dedup"] = oracle.dedup_paragraphs_sql()
     out["stream_debounce"] = oracle.debounce_sql()
     out["stream_twap"] = oracle.twap_sql()
+    out["stream_heatmap"] = oracle.activity_heatmap_sql()
+    out["sql_ansi_windows"] = _ANSI_WINDOW_SQL
     # incremental FTS store merged == one-shot batch index (fts_composite)
     out["stream_fts"] = oracle.fts_oracle_sql(
         '(merge OR stream) "fast sort" NOT error', limit=25

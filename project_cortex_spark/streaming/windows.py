@@ -167,3 +167,15 @@ def value_histogram_stream(
     return ev.value_histogram(
         events.withWatermark("ts", f"{watermark_minutes} minutes"), width=width
     )
+
+
+def activity_heatmap_stream(
+    events: DataFrame, *, watermark_minutes: int = 120
+) -> DataFrame:
+    """Streaming twin of ``events.activity_heatmap`` — like the value
+    histogram, every emitted stat is algebraic and the bucketing is a
+    pure per-row integer function, so this is a plain streaming
+    aggregate with at most 168 state rows. Same oracle as batch."""
+    return ev.activity_heatmap(
+        events.withWatermark("ts", f"{watermark_minutes} minutes")
+    )
