@@ -3258,6 +3258,62 @@ def _q_stream_fts(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_stream_fts_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the MAINTENANCE path gated end-to-end: build the incremental FTS
+    # store over two deliveries, COMPACT both substores (atomic swap,
+    # layout.compact_store — flat rewrite is safe here because the
+    # readers use recursive lookup, not the batch= layout), then the
+    # same composite BM25 query must still hash-match the one-shot
+    # batch oracle. Proves compaction preserves gate-level correctness,
+    # not just file counts.
+    import shutil
+    import tempfile
+
+    from project_cortex_spark.streaming import fts_index as stream_fts
+
+    docs = _docs(spark, sf_dir)
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="ftscompact_", dir=scratch)
+    in_dir = os.path.join(base, "incoming")
+    idx = os.path.join(base, "index")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        for parity in (0, 1):
+            docs.filter(F.col("doc_id") % 2 == parity).write.mode(
+                "append"
+            ).parquet(in_dir)
+            with stream_source.scoped_state_partitions(
+                spark, _STREAM_STATE_PARTITIONS
+            ):
+                q = stream_fts.continuous_fts_index(
+                    spark,
+                    in_dir,
+                    docs.schema,
+                    index_dir=idx,
+                    checkpoint_dir=ckpt,
+                )
+                q.awaitTermination()
+        stats = {
+            sub: layout_mod.compact_store(
+                spark, os.path.join(idx, sub), target_files=1
+            )
+            for sub in ("postings", "doc_stats")
+        }
+        assert all(
+            s["files_after"] < s["files_before"] for s in stats.values()
+        ), stats
+        index = stream_fts.read_fts_index(spark, idx, docs)
+        out = fts_mod.fts_search(
+            index, '(merge OR stream) "fast sort" NOT error', limit=25
+        ).withColumn("score", F.round("score", 6))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental vector index contract: embeddings delivered in TWO
     # increments, assignments (frozen centroids) appended per batch,
@@ -3635,6 +3691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_heatmap"] = _q_stream_heatmap
     out["sql_ansi_windows"] = _q_sql_ansi_windows
     out["stream_fts"] = _q_stream_fts
+    out["stream_fts_compacted"] = _q_stream_fts_compacted
     out["stream_knn"] = _q_stream_knn
     out["stream_ohlc"] = _q_stream_ohlc
     out["stream_histogram"] = _q_stream_histogram
@@ -3681,8 +3738,8 @@ _GATE_FIRST = [
     # events_twap, stream_debounce, events_heatmap,
     # graph_degree_distribution, knn_recall_int8, agg_tpch_q17,
     # agg_tpch_q18, stream_twap, source_orc_roundtrip,
-    # source_partitioned_roundtrip, stream_heatmap, sql_ansi_windows)
-    # head the r5 gate next round.
+    # source_partitioned_roundtrip, stream_heatmap, sql_ansi_windows,
+    # stream_fts_compacted) head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -4060,6 +4117,9 @@ def oracle_sql() -> dict[str, str]:
     out["sql_ansi_windows"] = _ANSI_WINDOW_SQL
     # incremental FTS store merged == one-shot batch index (fts_composite)
     out["stream_fts"] = oracle.fts_oracle_sql(
+        '(merge OR stream) "fast sort" NOT error', limit=25
+    )
+    out["stream_fts_compacted"] = oracle.fts_oracle_sql(
         '(merge OR stream) "fast sort" NOT error', limit=25
     )
     # incremental vector store, full probe == the EXACT join oracle
