@@ -525,10 +525,16 @@ def twap(events: DataFrame) -> DataFrame:
     )
     dt = F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
     intervals = events.withColumn("_dt", dt).filter(F.col("_dt").isNotNull())
+    # NULLIF guard: a type whose every holding period is zero (all
+    # samples share one timestamp) has no elapsed time to weight over —
+    # twap is NULL, not a division error (ANSI mode throws) and not the
+    # engine-dependent inf a bare double division would give
     return intervals.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_intervals"),
         F.round(
-            F.sum(F.col("value") * F.col("_dt")) / F.sum("_dt"), 6
+            F.sum(F.col("value") * F.col("_dt"))
+            / F.nullif(F.sum("_dt"), F.lit(0)),
+            6,
         ).alias("twap"),
         F.round(F.avg("value"), 6).alias("plain_avg"),
     )

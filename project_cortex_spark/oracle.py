@@ -2105,7 +2105,7 @@ def twap_sql(table: str = "events") -> str:
                    ORDER BY epoch_us(ts), event_id)
     )
     SELECT event_type, count(*) AS n_intervals,
-           round(sum(value * dt) / sum(dt), 6) AS twap,
+           round(sum(value * dt) / nullif(sum(dt), 0), 6) AS twap,
            round(avg(value), 6) AS plain_avg
     FROM iv WHERE dt IS NOT NULL
     GROUP BY event_type

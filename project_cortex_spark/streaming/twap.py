@@ -151,6 +151,8 @@ def read_twap(spark: SparkSession, partials_dir: str) -> DataFrame:
     raw = spark.read.option("recursiveFileLookup", "true").parquet(partials_dir)
     return raw.groupBy("event_type").agg(
         F.sum("n_intervals").alias("n_intervals"),
-        F.round(F.sum("sum_vdt") / F.sum("sum_dt"), 6).alias("twap"),
+        F.round(
+            F.sum("sum_vdt") / F.nullif(F.sum("sum_dt"), F.lit(0)), 6
+        ).alias("twap"),
         F.round(F.sum("sum_v") / F.sum("n_intervals"), 6).alias("plain_avg"),
     )

@@ -643,3 +643,52 @@ def test_gapfill_matches_python_model(spark, triples):
             else:
                 want[(ty, base_us + h * hour_us)] = (0, last, 1)
     assert got == want
+
+
+@COMMON
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 5000),
+                  st.integers(0, 100)),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_twap_matches_python_model(spark, triples):
+    """Model-based fuzz: holding-period weighting vs a sequential
+    reference, including duplicate timestamps (zero-length holding
+    periods contribute nothing to either sum)."""
+    import datetime as dt
+
+    from project_cortex_spark.operators.events import twap
+
+    rows = [
+        (i, dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s), 7,
+         f"t{ty}", float(v))
+        for i, (ty, s, v) in enumerate(triples)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    got = {
+        r["event_type"]: (r["n_intervals"], r["twap"], r["plain_avg"])
+        for r in twap(df).collect()
+    }
+
+    want = {}
+    by_type: dict[str, list[tuple[int, int, float]]] = {}
+    for i, (ty, s, v) in enumerate(triples):
+        by_type.setdefault(f"t{ty}", []).append((s * 1_000_000, i, float(v)))
+    for ty, evs in by_type.items():
+        evs.sort()
+        n, svdt, sdt, sv = 0, 0.0, 0.0, 0.0
+        for (us, _i, v), (nus, _ni, _nv) in zip(evs, evs[1:]):
+            dtu = nus - us
+            n += 1
+            svdt += v * dtu
+            sdt += dtu
+            sv += v
+        if n:
+            tw = round(svdt / sdt, 6) if sdt > 0 else None
+            want[ty] = (n, tw, round(sv / n, 6))
+    assert got == want
