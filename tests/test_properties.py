@@ -692,3 +692,42 @@ def test_twap_matches_python_model(spark, triples):
             tw = round(svdt / sdt, 6) if sdt > 0 else None
             want[ty] = (n, tw, round(sv / n, 6))
     assert got == want
+
+
+@COMMON
+@given(
+    st.lists(
+        st.floats(min_value=-500, max_value=500, allow_nan=False,
+                  width=32),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_value_histogram_matches_python_model(spark, values):
+    """Model-based fuzz incl. NEGATIVE values: floor-division binning
+    must agree with Python's floor on both sides of zero (the gate data
+    is all-positive, so this is the only coverage of negative bins)."""
+    import datetime as dt
+    import math
+
+    from project_cortex_spark.operators.events import value_histogram
+
+    width = 25.0
+    rows = [
+        (i, dt.datetime(2026, 1, 1), 7, "m", float(v))
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    got = {
+        r["bin"]: (r["n_events"], r["min_value"], r["max_value"])
+        for r in value_histogram(df, width=width).collect()
+    }
+    want: dict[int, list[float]] = {}
+    for v in values:
+        want.setdefault(math.floor(float(v) / width), []).append(float(v))
+    assert got == {
+        b: (len(vs), round(min(vs), 6), round(max(vs), 6))
+        for b, vs in want.items()
+    }
