@@ -2459,6 +2459,28 @@ _TPCH_Q18_ORACLE = """
 """
 
 
+def _q_text_lm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-distribution composite: the corpus-trained bigram LM scores
+    (oracle-gated text_lm_score) bucketed into fixed-width bins — the
+    distribution you inspect before choosing a perplexity-filter
+    threshold. Binning runs on the ROUNDED avg_logprob (engine-exact
+    input), so the composite chains two gated contracts; bins are
+    negative (log-probs), the floor-division parity for which is
+    fuzz-covered."""
+    width = 0.5
+    scores = ts.bigram_lm_score(_docs(spark, sf_dir))
+    b = F.floor(F.col("avg_logprob") / F.lit(width))
+    return (
+        scores.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("avg_logprob"), 6).alias("min_score"),
+            F.round(F.max("avg_logprob"), 6).alias("max_score"),
+        )
+        .withColumn("bin_lo", F.round(F.col("bin") * F.lit(width), 6))
+    )
+
+
 def _q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _registry(spark, sf_dir)
@@ -3618,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_repetition"] = lambda s, d: ts.repetition_stats(_docs(s, d))
     out["text_redact_pii"] = _q_text_redact_pii
     out["text_lm_score"] = lambda s, d: ts.bigram_lm_score(_docs(s, d))
+    out["text_lm_histogram"] = _q_text_lm_histogram
     out["text_c4_clean"] = _q_text_c4_clean
     out["text_bpe_tokens"] = lambda s, d: ts.bpe_token_stats(_docs(s, d))
     out["text_tfidf_terms"] = lambda s, d: ts.tfidf_top_terms(_docs(s, d))
@@ -3739,7 +3762,8 @@ _GATE_FIRST = [
     # graph_degree_distribution, knn_recall_int8, agg_tpch_q17,
     # agg_tpch_q18, stream_twap, source_orc_roundtrip,
     # source_partitioned_roundtrip, stream_heatmap, sql_ansi_windows,
-    # stream_fts_compacted) head the r5 gate next round.
+    # stream_fts_compacted, text_lm_histogram) head the r5 gate next
+    # round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -3936,6 +3960,16 @@ def oracle_sql() -> dict[str, str]:
         )
     """
     out["text_lm_score"] = oracle.bigram_lm_sql()
+    out["text_lm_histogram"] = f"""
+    WITH scores AS ({oracle.bigram_lm_sql()})
+    SELECT CAST(floor(avg_logprob / 0.5) AS BIGINT) AS bin,
+           count(*) AS n_docs,
+           round(min(avg_logprob), 6) AS min_score,
+           round(max(avg_logprob), 6) AS max_score,
+           round(CAST(floor(avg_logprob / 0.5) AS BIGINT) * 0.5, 6) AS bin_lo
+    FROM scores
+    GROUP BY 1
+    """
     out["text_c4_clean"] = oracle.c4_clean_sql(text_expr=_C4_PAGE_SQL)
     out["text_bpe_tokens"] = oracle.bpe_token_stats_sql()
     out["text_tfidf_terms"] = oracle.tfidf_top_terms_sql(k=5)
