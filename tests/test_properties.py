@@ -731,3 +731,65 @@ def test_value_histogram_matches_python_model(spark, values):
         b: (len(vs), round(min(vs), 6), round(max(vs), 6))
         for b, vs in want.items()
     }
+
+
+@COMMON
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user
+            st.integers(0, 2000),  # minutes
+            st.sampled_from(["view", "click", "purchase", "noise"]),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_funnel_matches_python_model(spark, triples):
+    """Model-based fuzz of the 3-step funnel fold: anchored at the
+    FIRST step-1, each later step strictly after the previous, within
+    the horizon of the anchor — replayed sequentially in Python over
+    the same (ts, type) sort order."""
+    import datetime as dt
+
+    from project_cortex_spark.operators.events import funnel
+
+    horizon_min = 600
+    rows = [
+        (i, dt.datetime(2026, 1, 1) + dt.timedelta(minutes=m), u, ty, 0.0)
+        for i, (u, m, ty) in enumerate(triples)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    got = {
+        r["steps_completed"]: r["n_users"]
+        for r in funnel(df, horizon_minutes=horizon_min).collect()
+    }
+
+    steps = ("view", "click", "purchase")
+    by_user: dict[int, list[tuple[int, str]]] = {}
+    for u, m, ty in triples:
+        by_user.setdefault(u, []).append((m * 60_000_000, ty))
+    want: dict[int, int] = {}
+    for u, evs in by_user.items():
+        # the fold sorts by (ts_us, type) structs; non-step events are
+        # dropped before the sort
+        evs = sorted(e for e in evs if e[1] in steps)
+        stage, t1, tp = 0, None, None
+        for us, ty in evs:
+            adv = False
+            if stage == 0 and ty == steps[0]:
+                adv, t1 = True, us
+            elif (
+                stage in (1, 2)
+                and ty == steps[stage]
+                and us > tp
+                and us <= t1 + horizon_min * 60_000_000
+            ):
+                adv = True
+            if adv:
+                stage += 1
+                tp = us
+        want[stage] = want.get(stage, 0) + 1
+    assert got == want
