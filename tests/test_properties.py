@@ -793,3 +793,46 @@ def test_funnel_matches_python_model(spark, triples):
                 tp = us
         want[stage] = want.get(stage, 0) + 1
     assert got == want
+
+
+@COMMON
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 40)),  # (user, day)
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_retention_matches_python_model(spark, pairs):
+    """Model-based fuzz of cohort retention: cohort = a user's first
+    activity bucket; each (cohort, offset) counts distinct returning
+    users."""
+    import datetime as dt
+
+    from project_cortex_spark.operators.events import retention_cohorts
+
+    days = 7
+    rows = [
+        (i, dt.datetime(2026, 1, 1) + dt.timedelta(days=d), u, "click", 0.0)
+        for i, (u, d) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    got = {
+        (r["cohort_bucket"], r["bucket_offset"]): r["n_users"]
+        for r in retention_cohorts(df, days=days).collect()
+    }
+
+    # epoch-aligned buckets: bucket = floor(epoch_days / days)
+    base_days = (dt.date(2026, 1, 1) - dt.date(1970, 1, 1)).days
+    by_user: dict[int, set[int]] = {}
+    for u, d in pairs:
+        by_user.setdefault(u, set()).add((base_days + d) // days)
+    want: dict[tuple[int, int], int] = {}
+    for buckets in by_user.values():
+        cohort = min(buckets)
+        for b in buckets:
+            key = (cohort, b - cohort)
+            want[key] = want.get(key, 0) + 1
+    assert got == want
