@@ -836,3 +836,88 @@ def test_retention_matches_python_model(spark, pairs):
             key = (cohort, b - cohort)
             want[key] = want.get(key, 0) + 1
     assert got == want
+
+
+@COMMON
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 4),
+)
+def test_kcore_matches_python_model(spark, raw_edges, k):
+    """Model-based fuzz of k-core peeling vs a sequential
+    peel-to-fixpoint reference over random small graphs."""
+    from project_cortex_spark.operators.graph import kcore
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {r["node"]: r["core_deg"] for r in kcore(df, k=k, rounds=12).collect()}
+
+    surv = set(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in surv:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in surv if a in keep and b in keep}
+        if nxt == surv:
+            break
+        surv = nxt
+    want: dict[int, int] = {}
+    for a, b in surv:
+        want[a] = want.get(a, 0) + 1
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+
+
+@COMMON
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 200)),  # (sec, value)
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_ohlc_matches_python_model(spark, pairs):
+    """Model-based fuzz of OHLC bars incl. TIMESTAMP TIES: open/close
+    follow (ts, event_id) order, which the model replays exactly."""
+    import datetime as dt
+
+    from project_cortex_spark.operators.events import ohlc_resample
+
+    rows = [
+        (i, dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s), 7, "m", float(v))
+        for i, (s, v) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    got = {
+        r["bucket_start_us"]: (r["open"], r["high"], r["low"], r["close"],
+                               r["n_events"])
+        for r in ohlc_resample(df, bucket_minutes=60).collect()
+    }
+
+    base_us = int(
+        dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    ) * 1_000_000
+    hour_us = 3_600 * 1_000_000
+    by_bucket: dict[int, list[tuple[int, int, float]]] = {}
+    for i, (s, v) in enumerate(pairs):
+        us = base_us + s * 1_000_000
+        by_bucket.setdefault(us // hour_us, []).append((us, i, float(v)))
+    want = {}
+    for b, evs in by_bucket.items():
+        evs.sort()
+        vals = [v for _, _, v in evs]
+        want[b * hour_us] = (
+            round(evs[0][2], 6), round(max(vals), 6),
+            round(min(vals), 6), round(evs[-1][2], 6), len(evs),
+        )
+    assert got == want
