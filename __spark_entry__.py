@@ -3588,6 +3588,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_twap"] = lambda s, d: ev.twap(_events(s, d))
     # (dow, hour) usage heatmap — pure integer epoch bucketing
     out["events_heatmap"] = lambda s, d: ev.activity_heatmap(_events(s, d))
+    # sliding (overlapping) windows — the smoothing variant of tumbling
+    out["events_sliding_window"] = lambda s, d: ev.sliding_window_agg(
+        _events(s, d), minutes=60, slide_minutes=15
+    )
     # per-node triangle counts over the part co-purchase graph (degree-
     # capped co-occurrence edges -> a<b<c wedge closure)
     out["graph_triangles"] = lambda s, d: graph_mod.triangles_per_node(
@@ -3762,8 +3766,8 @@ _GATE_FIRST = [
     # graph_degree_distribution, knn_recall_int8, agg_tpch_q17,
     # agg_tpch_q18, stream_twap, source_orc_roundtrip,
     # source_partitioned_roundtrip, stream_heatmap, sql_ansi_windows,
-    # stream_fts_compacted, text_lm_histogram) head the r5 gate next
-    # round.
+    # stream_fts_compacted, text_lm_histogram, events_sliding_window)
+    # head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -3926,6 +3930,9 @@ def oracle_sql() -> dict[str, str]:
     out["events_debounce"] = oracle.debounce_sql()
     out["events_twap"] = oracle.twap_sql()
     out["events_heatmap"] = oracle.activity_heatmap_sql()
+    out["events_sliding_window"] = oracle.sliding_window_sql(
+        minutes=60, slide_minutes=15
+    )
     out["corpus_curate"] = oracle.corpus_curate_sql(scale=2.0)
     out["corpus_token_budget"] = oracle.token_budget_mix_sql(budget_tokens=600)
     out["graph_triangles"] = oracle.triangles_sql(max_df=50)

@@ -557,3 +557,31 @@ def activity_heatmap(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
+
+
+def sliding_window_agg(
+    events: DataFrame, *, minutes: int = 60, slide_minutes: int = 15
+) -> DataFrame:
+    """Sliding (overlapping) event-time windows — the smoothing variant
+    of :func:`windowed_agg`: each event contributes to
+    ``minutes/slide_minutes`` windows, so rates read as a moving curve
+    instead of tumbling steps. Native ``F.window(ts, size, slide)``:
+    Catalyst expands each row to its covering windows BEFORE the one
+    map-side-partial hash aggregate — fan-out is the window ratio (a
+    constant), never |events|². Epoch-aligned starts keep both engines
+    integer-exact.
+    """
+    w = F.window("ts", f"{minutes} minutes", f"{slide_minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

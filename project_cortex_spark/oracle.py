@@ -2150,3 +2150,28 @@ def activity_heatmap_sql(table: str = "events") -> str:
     FROM {table}
     GROUP BY 1, 2
     """
+
+
+def sliding_window_sql(
+    table: str = "events", *, minutes: int = 60, slide_minutes: int = 15
+) -> str:
+    """Noiseless twin of events.sliding_window_agg: every event expands
+    to its size/slide covering windows (epoch-aligned starts), then one
+    aggregate — the same expansion Catalyst plans for F.window with a
+    slide."""
+    size_us = minutes * 60 * 1_000_000
+    slide_us = slide_minutes * 60 * 1_000_000
+    ratio = minutes // slide_minutes
+    return f"""
+    WITH expanded AS (
+      SELECT event_type, value,
+             (epoch_us(ts) // {slide_us} - i) * {slide_us} AS ws
+      FROM {table}, unnest(range({ratio})) AS r(i)
+      WHERE epoch_us(ts) >= (epoch_us(ts) // {slide_us} - i) * {slide_us}
+        AND epoch_us(ts) <  (epoch_us(ts) // {slide_us} - i) * {slide_us}
+                            + {size_us}
+    )
+    SELECT ws AS window_start_us, event_type,
+           count(*) AS n_events, round(sum(value), 6) AS sum_value
+    FROM expanded GROUP BY 1, 2
+    """

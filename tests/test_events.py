@@ -295,3 +295,29 @@ def test_activity_heatmap_dow_anchor(spark):
     df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type", "value"])
     got = {(r["dow"], r["hour"]): r["n_events"] for r in activity_heatmap(df).collect()}
     assert got == {(0, 15): 1, (1, 0): 1}
+
+
+def test_sliding_window_matches_oracle(registry, duck):
+    from project_cortex_spark.operators.events import sliding_window_agg
+
+    df = sliding_window_agg(registry.table("events"), minutes=60, slide_minutes=15)
+    assert_matches_oracle(
+        df, duck, oracle.sliding_window_sql(minutes=60, slide_minutes=15)
+    )
+
+
+def test_sliding_window_covers_each_event_ratio_times(spark):
+    import datetime as dt
+
+    from project_cortex_spark.operators.events import sliding_window_agg
+
+    rows = [(1, dt.datetime(2026, 1, 1, 0, 37), 7, "m", 1.0)]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    got = sorted(
+        r["window_start_us"]
+        for r in sliding_window_agg(df, minutes=60, slide_minutes=15).collect()
+    )
+    # 00:37 belongs to windows starting 23:45, 00:00, 00:15, 00:30
+    base = int(dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc).timestamp()) * 10**6
+    q = 15 * 60 * 10**6
+    assert got == [base - q, base, base + q, base + 2 * q]
