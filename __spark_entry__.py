@@ -3073,6 +3073,20 @@ def _q_sql_ansi_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ANSI_WINDOW_SQL)
 
 
+def _q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # built-in sliding window as watermarked streaming state: same
+    # oracle as the batch events_sliding_window
+    with stream_source.scoped_state_partitions(spark, _STREAM_STATE_PARTITIONS):
+        stream = stream_source.stream_table(spark, sf_dir, "events")
+        return stream_source.run_to_memory(
+            stream_windows.sliding_window_stream(
+                stream, minutes=60, slide_minutes=15
+            ),
+            query_name="q_stream_sliding",
+            output_mode="complete",
+        )
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simulated at-least-once transport: the SAME source unioned with
     # itself (every event delivered twice); exactly-once dedup must
@@ -3716,6 +3730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_debounce"] = _q_stream_debounce
     out["stream_twap"] = _q_stream_twap
     out["stream_heatmap"] = _q_stream_heatmap
+    out["stream_sliding_window"] = _q_stream_sliding_window
     out["sql_ansi_windows"] = _q_sql_ansi_windows
     out["stream_fts"] = _q_stream_fts
     out["stream_fts_compacted"] = _q_stream_fts_compacted
@@ -3766,8 +3781,8 @@ _GATE_FIRST = [
     # graph_degree_distribution, knn_recall_int8, agg_tpch_q17,
     # agg_tpch_q18, stream_twap, source_orc_roundtrip,
     # source_partitioned_roundtrip, stream_heatmap, sql_ansi_windows,
-    # stream_fts_compacted, text_lm_histogram, events_sliding_window)
-    # head the r5 gate next round.
+    # stream_fts_compacted, text_lm_histogram, events_sliding_window,
+    # stream_sliding_window) head the r5 gate next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -4155,6 +4170,9 @@ def oracle_sql() -> dict[str, str]:
     out["stream_debounce"] = oracle.debounce_sql()
     out["stream_twap"] = oracle.twap_sql()
     out["stream_heatmap"] = oracle.activity_heatmap_sql()
+    out["stream_sliding_window"] = oracle.sliding_window_sql(
+        minutes=60, slide_minutes=15
+    )
     out["sql_ansi_windows"] = _ANSI_WINDOW_SQL
     # incremental FTS store merged == one-shot batch index (fts_composite)
     out["stream_fts"] = oracle.fts_oracle_sql(

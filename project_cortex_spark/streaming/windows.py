@@ -179,3 +179,21 @@ def activity_heatmap_stream(
     return ev.activity_heatmap(
         events.withWatermark("ts", f"{watermark_minutes} minutes")
     )
+
+
+def sliding_window_stream(
+    events: DataFrame,
+    *,
+    minutes: int = 60,
+    slide_minutes: int = 15,
+    watermark_minutes: int = 120,
+) -> DataFrame:
+    """Streaming twin of ``events.sliding_window_agg`` — the built-in
+    sliding window is watermark-aware state (one row per open window ×
+    type, bounded by size/slide × horizon); reuses the batch operator's
+    expressions verbatim, same oracle."""
+    return ev.sliding_window_agg(
+        events.withWatermark("ts", f"{watermark_minutes} minutes"),
+        minutes=minutes,
+        slide_minutes=slide_minutes,
+    )
