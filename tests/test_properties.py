@@ -921,3 +921,38 @@ def test_ohlc_matches_python_model(spark, pairs):
             round(min(vals), 6), round(evs[-1][2], 6), len(evs),
         )
     assert got == want
+
+
+@COMMON
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 60),  # n_tokens
+            st.floats(min_value=0, max_value=1, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(20, 300),
+)
+def test_token_budget_matches_python_model(spark, docs_in, budget):
+    """Model-based fuzz of the greedy budget fill: best quality first,
+    kept while the budget is not exhausted when the doc STARTS (may
+    overshoot by one), ties by id."""
+    from project_cortex_spark.operators.corpus import token_budget_mix
+
+    rows = [
+        (i, "s", int(t), float(q)) for i, (t, q) in enumerate(docs_in)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens", "quality"])
+    got = {r["doc_id"] for r in token_budget_mix(
+        df, key_col="source", budget_tokens=budget
+    ).collect()}
+
+    order = sorted(rows, key=lambda r: (-r[3], r[0]))
+    want, cum = set(), 0
+    for doc_id, _s, t, _q in order:
+        if cum < budget:
+            want.add(doc_id)
+        cum += t
+    assert got == want
