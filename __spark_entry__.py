@@ -3630,6 +3630,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # k-core peeling over the same co-purchase edge list — the fixpoint
     # family (neither traversal nor linear algebra): fixed unrolled
     # rounds keep it oracle-matchable
+    out["graph_node_similarity"] = lambda s, d: graph_mod.node_similarity(
+        graph_mod.cooccurrence_edges(
+            _registry(s, d).table("lineitem"),
+            group_col="l_orderkey",
+            item_col="l_partkey",
+            max_df=50,
+        ),
+        k=50,
+    )
     out["graph_degree_distribution"] = lambda s, d: graph_mod.degree_distribution(
         graph_mod.cooccurrence_edges(
             _registry(s, d).table("lineitem"),
@@ -3782,7 +3791,8 @@ _GATE_FIRST = [
     # agg_tpch_q18, stream_twap, source_orc_roundtrip,
     # source_partitioned_roundtrip, stream_heatmap, sql_ansi_windows,
     # stream_fts_compacted, text_lm_histogram, events_sliding_window,
-    # stream_sliding_window) head the r5 gate next round.
+    # stream_sliding_window, graph_node_similarity) head the r5 gate
+    # next round.
     #
     # -- (a) the 8 r3 registrations without a driver row --
     "corpus_contamination",
@@ -3953,6 +3963,7 @@ def oracle_sql() -> dict[str, str]:
     out["graph_triangles"] = oracle.triangles_sql(max_df=50)
     out["graph_kcore"] = oracle.kcore_sql(max_df=50, k=3, rounds=4)
     out["graph_degree_distribution"] = oracle.degree_distribution_sql(max_df=50)
+    out["graph_node_similarity"] = oracle.node_similarity_sql(max_df=50, k=50)
     out["graph_pagerank"] = oracle.pagerank_sql(max_df=50, iters=5)
     out["text_entropy"] = oracle.char_entropy_sql()
     out["text_token_stats"] = oracle.token_stats_sql()

@@ -648,3 +648,51 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def node_similarity(edges: DataFrame, *, k: int = 50) -> DataFrame:
+    """Top-k node pairs by neighbor-overlap Jaccard — the classic
+    link-prediction / recommendation primitive over an undirected a<b
+    edge list: sim(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)|, computed for every
+    pair sharing at least one neighbor (anything else scores 0 and
+    never ranks).
+
+    Scale: the same wedge shape as :func:`triangles_per_node` — one
+    self-join of the adjacency on the shared neighbor (fan-out Σ deg²,
+    bounded by the upstream ``max_df`` cap), one count aggregate, a
+    broadcast-degree join, and a TakeOrderedAndProject top-k. Exact
+    (the common/union arithmetic is integers until the final division).
+    """
+    adj = (
+        edges.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .union(edges.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .cache()
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    x = adj.select(F.col("node").alias("pa"), F.col("nbr").alias("via"))
+    y = adj.select(F.col("node").alias("pb"), F.col("nbr").alias("via"))
+    common = (
+        x.join(y, "via")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = F.broadcast(deg.select(F.col("node").alias("pa"), F.col("deg").alias("_da")))
+    db = F.broadcast(deg.select(F.col("node").alias("pb"), F.col("deg").alias("_db")))
+    scored = (
+        common.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            "pa",
+            "pb",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("_da") + F.col("_db") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("pa").asc(), F.col("pb").asc()
+    ).limit(k)

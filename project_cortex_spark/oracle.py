@@ -2175,3 +2175,43 @@ def sliding_window_sql(
            count(*) AS n_events, round(sum(value), 6) AS sum_value
     FROM expanded GROUP BY 1, 2
     """
+
+
+def node_similarity_sql(
+    table: str = "lineitem",
+    group_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    max_df: int = 50,
+    k: int = 50,
+) -> str:
+    """Noiseless twin of cooccurrence_edges + graph.node_similarity."""
+    return f"""
+    WITH pres0 AS (
+      SELECT DISTINCT {group_col} AS g, {item_col} AS itm FROM {table}
+    ), keep AS (
+      SELECT itm FROM pres0 GROUP BY itm HAVING count(*) <= {max_df}
+    ), pres AS (
+      SELECT g, itm FROM pres0 JOIN keep USING (itm)
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT p1.itm AS a, p2.itm AS b
+      FROM pres p1 JOIN pres p2 ON p1.g = p2.g AND p1.itm < p2.itm
+    ), adj AS MATERIALIZED (
+      SELECT a AS node, b AS nbr FROM e
+      UNION ALL SELECT b, a FROM e
+    ), deg AS (
+      SELECT node, count(*) AS deg FROM adj GROUP BY node
+    ), common AS (
+      SELECT x.node AS pa, y.node AS pb, count(*) AS n_common
+      FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT pa, pb, n_common,
+             round(CAST(n_common AS DOUBLE)
+                   / (da.deg + db.deg - n_common), 6) AS jaccard
+      FROM common
+      JOIN deg da ON common.pa = da.node
+      JOIN deg db ON common.pb = db.node
+    )
+    SELECT * FROM scored
+    ORDER BY jaccard DESC, pa, pb LIMIT {k}
+    """

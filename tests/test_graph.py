@@ -469,3 +469,37 @@ def test_degree_distribution_matches_oracle(registry, duck):
     assert_matches_oracle(
         degree_distribution(edges), duck, oracle.degree_distribution_sql(max_df=50)
     )
+
+
+def test_node_similarity_matches_oracle(registry, duck):
+    from project_cortex_spark import oracle
+    from project_cortex_spark.operators.graph import (
+        cooccurrence_edges,
+        node_similarity,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    edges = cooccurrence_edges(
+        registry.table("lineitem"),
+        group_col="l_orderkey",
+        item_col="l_partkey",
+        max_df=50,
+    )
+    assert_matches_oracle(
+        node_similarity(edges, k=20),
+        duck,
+        oracle.node_similarity_sql(max_df=50, k=20),
+        ordered=True,
+    )
+
+
+def test_node_similarity_semantics(spark):
+    """Square 1-2-3-4 (cycle): opposite corners share BOTH neighbors
+    (jaccard 1.0); adjacent corners share none."""
+    from project_cortex_spark.operators.graph import node_similarity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], ["a", "b"]
+    )
+    got = {(r["pa"], r["pb"]): r["jaccard"] for r in node_similarity(edges).collect()}
+    assert got == {(1, 3): 1.0, (2, 4): 1.0}
