@@ -956,3 +956,40 @@ def test_token_budget_matches_python_model(spark, docs_in, budget):
             want.add(doc_id)
         cum += t
     assert got == want
+
+
+@COMMON
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_node_similarity_matches_python_model(spark, raw_edges):
+    """Model-based fuzz: neighbor-set Jaccard over random small graphs
+    vs a direct set computation (every pair sharing >=1 neighbor)."""
+    from itertools import combinations
+
+    from project_cortex_spark.operators.graph import node_similarity
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {
+        (r["pa"], r["pb"]): (r["n_common"], r["jaccard"])
+        for r in node_similarity(df, k=1000).collect()
+    }
+
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = {}
+    for pa, pb in combinations(sorted(nbrs), 2):
+        common = nbrs[pa] & nbrs[pb]
+        if common:
+            union = len(nbrs[pa] | nbrs[pb])
+            want[(pa, pb)] = (len(common), round(len(common) / union, 6))
+    assert got == want
