@@ -3766,89 +3766,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # remaining slots re-gate a representative sample of the round-1 greens.
 # Everything still runs locally via scripts/check_entry.py regardless.
 _GATE_FIRST = [
-    # Round-4 gate plan (VERDICT r3 item 1): the driver gates the FIRST 50
-    # registered queries per round. R3 went 50/50 green; this round (a)
-    # gates the 8 oracle-gated queries registered in r3 AFTER the gate
-    # filled (driver-row-less, local-sweep-green), (b) gates the 10 new
-    # r4 queries, (c) re-gates the r2-green oracle-gated queries whose
-    # newest green row is r2 (oldest evidence first; the 7 untouched-
-    # since-r2 tail entries — text_redact_pii/repetition/tfidf_terms/
-    # top_terms/fingerprints, media_* — wait for r5 to make room). The
-    # r3 greens keep their r03 rows. Everything still runs locally via
-    # scripts/check_entry.py. Queries registered late in r4 after these
-    # 50 slots filled (stream_anomaly, stream_topk, stream_neardup,
-    # source_jsonl_roundtrip, source_csv_roundtrip, graph_pagerank,
-    # join_asof_forward, dsl_tpch_q10, corpus_curate,
-    # corpus_token_budget, dedup_prune, events_ohlc, dedup_char_spans,
-    # stream_fts, stream_knn, stream_ohlc, and the late-r4 batch:
-    # dsl_tpch_q6, dsl_tpch_q19, events_histogram, events_gapfill,
-    # knn_mmr, graph_kcore, stream_histogram, corpus_weighted_sample,
-    # dedup_paragraphs, agg_sketch_contract, agg_count_distribution,
-    # agg_top_supplier, stream_paragraph_dedup, knn_topk_int8,
-    # validate_expectations, corpus_curriculum, events_debounce,
-    # events_twap, stream_debounce, events_heatmap,
-    # graph_degree_distribution, knn_recall_int8, agg_tpch_q17,
-    # agg_tpch_q18, stream_twap, source_orc_roundtrip,
-    # source_partitioned_roundtrip, stream_heatmap, sql_ansi_windows,
-    # stream_fts_compacted, text_lm_histogram, events_sliding_window,
-    # stream_sliding_window, graph_node_similarity) head the r5 gate
-    # next round.
+    # Round-5 gate plan (VERDICT r4 item 1): burn down the driver-evidence
+    # backlog. 54 oracle-gated queries passed the full local sweep in r4
+    # but have no driver row (the r4 gate held only 50 slots and r4
+    # registered 62 new queries). This round gates 50 of those 54 —
+    # the four late-r4 oracle-CONVERSION queries first (they changed
+    # gating machinery: md5 token hash made search_semantic replayable,
+    # inline deterministic hyperplanes made the LSH trio replayable),
+    # then TPC-H/agg shapes, graph analytics, events, knn/dedup/corpus,
+    # validation + source roundtrips, and nine streaming twins. The four
+    # spillover queries (stream_fts, stream_histogram, stream_heatmap,
+    # stream_sliding_window — each a streaming twin of a BATCH query
+    # gated in this same round) plus the 7 r2-stale refreshes
+    # (text_redact_pii/repetition/tfidf_terms/top_terms/fingerprints,
+    # media_decode_meta, media_features) head the r6 gate next round.
+    # New registrations are deliberately frozen to a handful in r5 so
+    # r6 clears that backlog entirely.
     #
-    # -- (a) the 8 r3 registrations without a driver row --
-    "corpus_contamination",
-    "corpus_fuzzy_decontaminate",
-    "corpus_importance_sample",
-    "corpus_shuffle",
-    "dsl_tpch_q3",
-    "join_salted",
-    "stream_asof_join",
-    "stream_interval_join",
-    # -- (b) new in r4, oracle-gated --
-    "search_lexical_recall",  # lexical provider vs noiseless overlap ranking
-    "events_funnel",  # ordered 3-step funnel, 24 h horizon
-    "dsl_tpch_q1",  # pricing-summary shape within DSL semantics
-    "events_retention",  # cohort retention matrix, epoch-bucket exact
-    "graph_triangles",  # co-purchase wedge closure, degree-capped
-    "text_entropy",  # char-distribution Shannon entropy
-    "dsl_tpch_q4",  # EXISTS shape via the SEMI DSL join
-    "dsl_join_anti",  # NOT-EXISTS shape via the ANTI DSL join
-    "events_anomaly",  # rolling z-score volume anomaly
-    "dedup_ngram_spans",  # duplicated word-n-gram span fraction
-    # -- (c) the 39 r2-green oracle-gated queries, re-gated under the r4
-    # engine (evidence refresh; weak-by-design entries excluded — a
-    # rows-only re-gate adds no evidence) --
-    "source_file_stats",
-    "pipeline_change_detection",
-    "pipeline_apply_changeset",
-    "pipeline_branch_fork",
-    "pipeline_chunk_docs",
-    "pipeline_chunk_assembly",
-    "pipeline_chunk_markdown",
-    "pipeline_embed_stub",
-    "pipeline_parse_multilang",
-    "agg_rollup",
-    "agg_cube",
-    "agg_percentiles",
-    "events_cumulative",
-    "events_lag_delta",
-    "join_asof",
-    "fts_composite",
-    "graph_callees_cte",
-    "graph_context_snippets",
-    "graph_pattern_ast",
-    "graph_type_usages_params",
-    "retention_evict_branches",
-    "embed_quantize",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_banded",
-    "corpus_pack_sequences",
-    "corpus_profile",
-    "corpus_sample_per_key",
-    "stream_dedup",
-    "stream_windowed_agg",
-    "text_bpe_tokens",
-    "text_c4_clean",
-    "text_lm_score",
+    # -- (a) the 4 oracle-conversion queries --
+    "search_semantic",
+    "knn_join_lsh",
+    "knn_recall_lsh",
+    "dedup_embedding_lsh",
+    # -- (b) TPC-H / aggregate shapes --
+    "dsl_tpch_q6",
+    "dsl_tpch_q10",
+    "dsl_tpch_q19",
+    "agg_tpch_q17",
+    "agg_tpch_q18",
+    "agg_count_distribution",
+    "agg_top_supplier",
+    "agg_sketch_contract",
+    # -- (c) graph analytics --
+    "graph_pagerank",
+    "graph_kcore",
+    "graph_degree_distribution",
+    "graph_node_similarity",
+    # -- (d) events --
+    "events_ohlc",
+    "events_histogram",
+    "events_gapfill",
+    "events_debounce",
+    "events_twap",
+    "events_heatmap",
+    "events_sliding_window",
+    # -- (e) knn / dedup / corpus / text --
+    "knn_mmr",
+    "knn_topk_int8",
+    "knn_recall_int8",
+    "dedup_prune",
+    "dedup_char_spans",
+    "dedup_paragraphs",
+    "corpus_curate",
+    "corpus_token_budget",
+    "corpus_weighted_sample",
+    "corpus_curriculum",
+    "text_lm_histogram",
+    # -- (f) validation, joins, SQL passthrough, source roundtrips --
+    "validate_expectations",
+    "join_asof_forward",
+    "sql_ansi_windows",
+    "source_jsonl_roundtrip",
+    "source_csv_roundtrip",
+    "source_orc_roundtrip",
+    "source_partitioned_roundtrip",
+    # -- (g) streaming twins --
+    "stream_anomaly",
+    "stream_topk",
+    "stream_neardup",
+    "stream_paragraph_dedup",
+    "stream_debounce",
+    "stream_twap",
+    "stream_fts_compacted",
+    "stream_knn",
+    "stream_ohlc",
 ]
 
 
