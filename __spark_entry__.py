@@ -2349,9 +2349,11 @@ _EXPECTATIONS_ORACLE = """
                       THEN 1 ELSE 0 END) AS BIGINT) AS v3
       FROM orders
     ), uniq1 AS (
-      SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+      SELECT count(*) AS c, o_orderkey IS NOT NULL AS k
+      FROM orders GROUP BY o_orderkey
     ), uniq2 AS (
-      SELECT count(*) AS c FROM orders GROUP BY o_custkey
+      SELECT count(*) AS c, o_custkey IS NOT NULL AS k
+      FROM orders GROUP BY o_custkey
     ), rules AS (
       SELECT 'not_null(o_orderdate)' AS rule, v0 AS n_violations, n_rows
       FROM rowrules
@@ -2363,12 +2365,14 @@ _EXPECTATIONS_ORACLE = """
       SELECT 'regex(o_orderpriority)', v3, n_rows FROM rowrules
       UNION ALL
       SELECT 'unique(o_orderkey)',
-             CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN c > 1 AND k THEN c - 1 END), 0)
+                  AS BIGINT),
              CAST(sum(c) AS BIGINT)
       FROM uniq1
       UNION ALL
       SELECT 'unique(o_custkey)',
-             CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN c > 1 AND k THEN c - 1 END), 0)
+                  AS BIGINT),
              CAST(sum(c) AS BIGINT)
       FROM uniq2
       UNION ALL

@@ -450,12 +450,17 @@ def gapfill_resample(events: DataFrame, *, bucket_minutes: int = 60) -> DataFram
     ``sequence()`` fan-out is |grid| rows, never |events|; the fill is
     one window over the grid keyed per type (same partitioning as the
     join, one exchange of grid-sized data). Integer-microsecond buckets
-    keep every engine comparison exact.
+    keep every engine comparison exact; bucketing is FLOOR division
+    (``(x - pmod(x, d)) div d``), so pre-1970 timestamps bucket
+    correctly instead of truncating toward zero.
     """
     bucket_us = bucket_minutes * 60 * 1_000_000
     agg = events.groupBy(
         F.col("event_type"),
-        F.expr(f"unix_micros(ts) div {bucket_us}").alias("_b"),
+        F.expr(
+            f"(unix_micros(ts) - pmod(unix_micros(ts), {bucket_us}))"
+            f" div {bucket_us}"
+        ).alias("_b"),
     ).agg(
         F.count(F.lit(1)).alias("_n"),
         F.round(F.sum("value"), 6).alias("_sum"),
@@ -546,11 +551,17 @@ def activity_heatmap(events: DataFrame) -> DataFrame:
     a Thursday, so dow = (epoch_days + 4) % 7 with 0 = Sunday) — no
     calendar/timezone functions, so both engines agree exactly and the
     whole operator is ONE map-side-partial hash aggregate over ≤168
-    keys."""
-    us = F.unix_micros("ts")
+    keys. Day bucketing is FLOOR division via pmod (``x - pmod(x, d))
+    div d`` is exact at any long magnitude, unlike a double floor), so
+    pre-1970 timestamps land on the correct calendar day/hour instead
+    of truncating toward zero."""
     day_us = 86_400 * 1_000_000
-    dow = ((us / day_us).cast("long") + F.lit(4)) % 7
-    hour = (us % day_us / F.lit(3_600 * 1_000_000)).cast("long")
+    hour_us = 3_600 * 1_000_000
+    days = F.expr(
+        f"(unix_micros(ts) - pmod(unix_micros(ts), {day_us})) div {day_us}"
+    )
+    dow = F.pmod(days + F.lit(4), F.lit(7))
+    hour = F.expr(f"pmod(unix_micros(ts), {day_us}) div {hour_us}")
     return events.groupBy(
         dow.alias("dow"), hour.alias("hour")
     ).agg(

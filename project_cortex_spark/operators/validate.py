@@ -60,7 +60,9 @@ def check_expectations(
     (``{"type": "unique", "cols": [...]}``) each add a groupBy counting
     keys seen more than once — the violation count is the number of
     EXCESS rows (rows beyond the first per duplicated key), so a clean
-    table reports 0. Referential rules
+    table reports 0. Rows with a NULL in any key column are EXEMPT from
+    uniqueness (dbt's ``unique`` test ignores NULL keys — flagging NULLs
+    is ``not_null``'s job), but still count in n_rows. Referential rules
     (``{"type": "references", "col": ..., "to": other_df,
     "to_col": ...}``) count orphan rows via a left_anti join against
     the referenced key set (dbt's ``relationships`` test) — at scale
@@ -93,13 +95,22 @@ def check_expectations(
         )
     for r in uniq_rules:
         keys = [F.col(c) for c in r["cols"]]
+        all_keys_set = F.lit(True)
+        for c in r["cols"]:
+            all_keys_set = all_keys_set & F.col(c).isNotNull()
         dupes = (
             df.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("_c"))
             .agg(
                 F.lit(_rule_name(r)).alias("rule"),
                 F.coalesce(
-                    F.sum(F.when(F.col("_c") > 1, F.col("_c") - 1)), F.lit(0)
+                    F.sum(
+                        F.when(
+                            (F.col("_c") > 1) & all_keys_set,
+                            F.col("_c") - 1,
+                        )
+                    ),
+                    F.lit(0),
                 )
                 .cast("bigint")
                 .alias("n_violations"),

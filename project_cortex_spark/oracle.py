@@ -34,6 +34,14 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _floor_div(expr: str, d: int) -> str:
+    """Exact integer FLOOR division (DuckDB's integer ``//`` truncates
+    toward zero, e.g. -7 // 2 = -3): subtract the non-negative pmod
+    first so the quotient is an exact multiple — correct at any BIGINT
+    magnitude, with no double rounding."""
+    return f"(({expr} - (({expr}) % {d} + {d}) % {d}) // {d})"
+
+
 def fts_tokens_cte(table: str, id_col: str, text_col: str) -> str:
     """Tokenizer CTE identical to functions.text.tokens."""
     return f"""
@@ -1244,11 +1252,12 @@ def debounce_sql(table: str = "events", *, quiet_seconds: int = 300) -> str:
 def gapfill_sql(table: str = "events", *, bucket_minutes: int = 60) -> str:
     """Noiseless twin of events.gapfill_resample: same integer bucket
     grid (generate_series over per-type min..max), left join, and
-    ignore-nulls forward fill."""
+    ignore-nulls forward fill. FLOOR bucketing (pmod trick) matches the
+    operator for pre-1970 timestamps."""
     bucket_us = bucket_minutes * 60 * 1_000_000
     return f"""
     WITH agg AS (
-      SELECT event_type, epoch_us(ts) // {bucket_us} AS b,
+      SELECT event_type, {_floor_div("epoch_us(ts)", bucket_us)} AS b,
              count(*) AS n, round(sum(value), 6) AS s
       FROM {table} GROUP BY 1, 2
     ), bounds AS (
@@ -2140,11 +2149,14 @@ def degree_distribution_sql(
 
 def activity_heatmap_sql(table: str = "events") -> str:
     """Noiseless twin of events.activity_heatmap: identical integer
-    epoch arithmetic (no calendar functions)."""
+    epoch arithmetic (no calendar functions). FLOOR day bucketing +
+    pmod keep dow/hour correct for pre-1970 timestamps."""
     day_us = 86_400 * 1_000_000
+    days = _floor_div("epoch_us(ts)", day_us)
     return f"""
-    SELECT (epoch_us(ts) // {day_us} + 4) % 7 AS dow,
-           (epoch_us(ts) % {day_us}) // {3_600 * 1_000_000} AS hour,
+    SELECT (({days} + 4) % 7 + 7) % 7 AS dow,
+           ((epoch_us(ts) % {day_us} + {day_us}) % {day_us})
+             // {3_600 * 1_000_000} AS hour,
            count(*) AS n_events,
            round(sum(value), 6) AS sum_value
     FROM {table}
@@ -2158,17 +2170,19 @@ def sliding_window_sql(
     """Noiseless twin of events.sliding_window_agg: every event expands
     to its size/slide covering windows (epoch-aligned starts), then one
     aggregate — the same expansion Catalyst plans for F.window with a
-    slide."""
+    slide. FLOOR slide bucketing (pmod trick) matches F.window's
+    epoch-aligned starts for pre-1970 timestamps too."""
     size_us = minutes * 60 * 1_000_000
     slide_us = slide_minutes * 60 * 1_000_000
     ratio = minutes // slide_minutes
+    base = _floor_div("epoch_us(ts)", slide_us)
     return f"""
     WITH expanded AS (
       SELECT event_type, value,
-             (epoch_us(ts) // {slide_us} - i) * {slide_us} AS ws
+             ({base} - i) * {slide_us} AS ws
       FROM {table}, unnest(range({ratio})) AS r(i)
-      WHERE epoch_us(ts) >= (epoch_us(ts) // {slide_us} - i) * {slide_us}
-        AND epoch_us(ts) <  (epoch_us(ts) // {slide_us} - i) * {slide_us}
+      WHERE epoch_us(ts) >= ({base} - i) * {slide_us}
+        AND epoch_us(ts) <  ({base} - i) * {slide_us}
                             + {size_us}
     )
     SELECT ws AS window_start_us, event_type,

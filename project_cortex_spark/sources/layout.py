@@ -98,6 +98,33 @@ def salted_join(
     return salted_l.join(salted_r, [key, "_salt"], how).drop("_salt")
 
 
+def recover_store(path: str) -> bool:
+    """Heal a store dir after a compaction crash. ``compact_store``'s
+    swap is two renames, so there is a (two-syscall) window where only
+    ``<path>__bak`` exists; recovery is keyed on which dirs survive:
+
+    * live + ``__bak`` — the crash happened before/after the window;
+      ``__bak`` is a stale copy, delete it.
+    * ``__bak`` only — the crash happened INSIDE the window; ``__bak``
+      IS the live data, rename it back.
+
+    Returns True if a restore happened. Safe to call from read paths
+    before retrying a failed store read (and called by compact_store
+    itself on entry).
+    """
+    import os
+    import shutil
+
+    bak = path.rstrip("/") + "__bak"
+    if os.path.exists(bak):
+        if os.path.exists(path):
+            shutil.rmtree(bak)
+        else:
+            os.rename(bak, path)
+            return True
+    return False
+
+
 def compact_store(
     spark: SparkSession,
     path: str,
@@ -147,6 +174,13 @@ def compact_store(
             if os.path.isfile(f)
         )
 
+    # Heal any previous compaction crash BEFORE reading: if only __bak
+    # survives, it is the live data (see recover_store). Callers must
+    # not compact a store a running stream is actively reading (a
+    # reader racing the two-rename window sees a missing dir and should
+    # recover_store + retry); compact between triggers, or on a
+    # quiesced store.
+    recover_store(path)
     before = _count(path)
     if partition_cols:
         # hive partition discovery must stay on: the partition column
@@ -164,11 +198,9 @@ def compact_store(
     else:
         writer = df.repartition(target_files).write.mode("overwrite")
     writer.parquet(tmp)
-    # a .bak left by a crashed previous compaction is stale by
-    # definition (the live dir was never swapped away) — clear it so
-    # the rename cannot fail
-    if os.path.exists(bak):
-        shutil.rmtree(bak)
+    # the entry-time recover_store already cleared/restored __bak, but
+    # re-check cheaply in case a concurrent crash-recovery raced us
+    recover_store(path)
     os.rename(path, bak)
     os.rename(tmp, path)
     shutil.rmtree(bak)

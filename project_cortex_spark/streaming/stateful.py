@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -316,7 +317,12 @@ def _debounce_fn(quiet_seconds: int):
             cur = list(state.get) if state.exists else None
             rows = pd.concat(list(pdfs))
             ts_us = rows["ts"].astype("int64") // 1000
-            order = ts_us.argsort(kind="stable")
+            # (ts, event_id) — the batch operator and its oracle break
+            # timestamp ties by event_id, so a stable ts-only sort would
+            # make the emitted burst leader depend on arrival row order.
+            order = np.lexsort(
+                (rows["event_id"].to_numpy(), ts_us.to_numpy())
+            )
             for us, eid in zip(
                 ts_us.iloc[order], rows["event_id"].iloc[order].astype(int)
             ):

@@ -297,6 +297,51 @@ def test_activity_heatmap_dow_anchor(spark):
     assert got == {(0, 15): 1, (1, 0): 1}
 
 
+def test_heatmap_and_gapfill_floor_pre_epoch(spark, duck):
+    """Pre-1970 timestamps must FLOOR-bucket (truncation toward zero
+    would put 1969-12-31 23:30 on Thursday hour 0 instead of Wednesday
+    hour 23) — and Spark must agree with the DuckDB oracle on them."""
+    import datetime as dt
+
+    from project_cortex_spark.operators.events import (
+        activity_heatmap,
+        gapfill_resample,
+    )
+
+    rows = [
+        # Wednesday 1969-12-31 23:30 UTC → dow 3, hour 23
+        (1, dt.datetime(1969, 12, 31, 23, 30), 1, "click", 1.0),
+        # Thursday 1970-01-01 00:30 UTC → dow 4, hour 0
+        (2, dt.datetime(1970, 1, 1, 0, 30), 1, "click", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    got = {(r["dow"], r["hour"]): r["n_events"] for r in activity_heatmap(df).collect()}
+    assert got == {(3, 23): 1, (4, 0): 1}
+
+    gf = {
+        r["bucket_start_us"]: r["n_events"]
+        for r in gapfill_resample(df, bucket_minutes=60).collect()
+    }
+    hour_us = 3_600 * 1_000_000
+    assert gf == {-hour_us: 1, 0: 1}
+
+    duck.register("pre_epoch_events", df.toPandas())
+    o_heat = {
+        (int(r[0]), int(r[1])): int(r[2])
+        for r in duck.sql(
+            oracle.activity_heatmap_sql("pre_epoch_events")
+        ).fetchall()
+    }
+    assert o_heat == got
+    o_gf = {
+        int(r[1]): int(r[2])
+        for r in duck.sql(oracle.gapfill_sql("pre_epoch_events")).fetchall()
+    }
+    assert o_gf == gf
+
+
 def test_sliding_window_matches_oracle(registry, duck):
     from project_cortex_spark.operators.events import sliding_window_agg
 

@@ -290,6 +290,38 @@ def test_compact_store_preserves_content_atomically(spark, tmp_path):
     assert not (tmp_path / "store__compact").exists()
 
 
+def test_recover_store_heals_mid_swap_crash(spark, tmp_path):
+    """A crash INSIDE compact_store's two-rename window leaves only
+    __bak; recover_store must restore it as the live dir (and a later
+    compaction must do the same on entry). A leftover __bak NEXT TO a
+    live dir is stale and must be dropped instead."""
+    import os
+    import shutil
+
+    store = str(tmp_path / "store")
+    spark.range(20).withColumn("v", F.col("id") * 3).repartition(4) \
+        .write.parquet(store)
+    before = sorted(map(tuple, spark.read.parquet(store).collect()))
+
+    # simulate the mid-window crash: live renamed away, new never moved in
+    os.rename(store, store + "__bak")
+    assert layout.recover_store(store) is True
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == before
+    assert not os.path.exists(store + "__bak")
+
+    # stale __bak next to a live dir: dropped, live untouched
+    shutil.copytree(store, store + "__bak")
+    assert layout.recover_store(store) is False
+    assert not os.path.exists(store + "__bak")
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == before
+
+    # compact_store itself recovers from the mid-window state
+    os.rename(store, store + "__bak")
+    stats = layout.compact_store(spark, store, target_files=1)
+    assert stats["files_after"] <= 2
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == before
+
+
 def test_compact_store_keeps_partition_pruning(spark, tmp_path):
     """Compacting a hive-partitioned store must preserve the directory
     layout so partition filters still prune at planning time."""

@@ -749,6 +749,48 @@ def test_debounce_with_state(spark, tmp_path):
     assert got == want == {1: 3, 4: 1, 5: 1}
 
 
+def test_debounce_with_state_breaks_ts_ties_by_event_id(spark, tmp_path):
+    """Tied timestamps must elect the LOWEST event_id as burst leader
+    (the batch/(ts, event_id) contract) even when the higher id arrives
+    first in the micro-batch — a stable ts-only sort would keep arrival
+    order and emit event 8 as leader."""
+    real = [
+        (8, "2024-01-01 00:00:00", 10, 1.0),  # arrives first, same ts
+        (3, "2024-01-01 00:00:00", 10, 2.0),  # lower id => true leader
+        (9, "2024-01-01 00:02:00", 10, 3.0),  # same burst
+    ]
+    src = tmp_path / "src"
+    _write_events(spark, real, str(src / "f0.parquet"))
+    _write_events(spark, [(90, "2024-01-06 00:00:00", -1, 0.0)], str(src / "f1.parquet"))
+    _write_events(spark, [(91, "2024-01-11 00:00:00", -2, 0.0)], str(src / "f2.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+        .withColumn("event_type", F.lit("click"))
+    )
+    q = (
+        stateful.debounce_with_state(stream, quiet_seconds=300)
+        .writeStream.format("memory")
+        .queryName("t_stateful_debounce_ties")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    got = {
+        r["event_id"]: r["burst_len"]
+        for r in spark.table("t_stateful_debounce_ties").collect()
+        if r["user_id"] >= 0
+    }
+    assert got == {3: 3}
+
+
 def test_incremental_twap_closes_boundary_interval(spark, tmp_path):
     """A holding period that SPANS the delivery split must close against
     the carried state: value 10 held from delivery-1's last sample to

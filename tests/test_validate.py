@@ -44,6 +44,32 @@ def test_expectations_clean_table_passes(spark):
     assert all(r["n_rows"] == 2 for r in rows)
 
 
+def test_expectations_unique_ignores_null_keys(spark):
+    """dbt's unique test exempts NULL keys: three NULL keys are not
+    'duplicates of each other' (flagging NULLs is not_null's job), but
+    they still count in n_rows; real duplicates still flag."""
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (None, "c"), (7, "d"), (7, "e")],
+        "k INT, v STRING",
+    )
+    rows = {
+        r["rule"]: r
+        for r in check_expectations(
+            df, [{"type": "unique", "cols": ["k"]}]
+        ).collect()
+    }
+    r = rows["unique(k)"]
+    assert (r["n_violations"], r["n_rows"], r["passed"]) == (1, 5, False)
+
+    # composite key: NULL in EITHER column exempts the row
+    df2 = spark.createDataFrame(
+        [(1, None), (1, None), (1, 2), (1, 2)], "a INT, b INT"
+    )
+    r2 = check_expectations(df2, [{"type": "unique", "cols": ["a", "b"]}]) \
+        .collect()[0]
+    assert (r2["n_violations"], r2["n_rows"]) == (1, 4)
+
+
 def test_expectations_rejects_unknown_rule(spark):
     df = spark.createDataFrame([(1,)], ["k"])
     with pytest.raises(ValueError, match="unknown expectation"):
