@@ -150,6 +150,113 @@ def main() -> None:
         "docs_per_sec": round(n_docs / best_idx, 1),
     }
 
+    # Batched-throughput section (VERDICT r4 item 2): the reference's
+    # per-query numbers (BASELINE.md rows: DSL <10 ms agg, KNN 10-20 ms,
+    # FTS 2-8 ms, graph 1-20 ms) are single-request latencies on a
+    # warm single-process engine; Spark's analogue of "one request" at
+    # scale is a BATCH of requests amortizing one job. Each family runs
+    # N queries as ONE job (broadcast param/query-side against a single
+    # scan) and reports amortized per-query ms + the ratio vs the
+    # reference's published upper bound — this is the measured form of
+    # the 2x gate, complementing the per-job headline latencies above.
+    from project_cortex_spark.operators import fts as fts_mod
+    from project_cortex_spark.operators import graph as graph_mod
+    from project_cortex_spark.operators import knn as knn_mod
+
+    N_Q = 100
+
+    def timed(df_fn) -> float:
+        df_fn().write.format("noop").mode("overwrite").save()  # warm-up
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.time()
+            df_fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return best
+
+    li = reg.table("lineitem")
+    emb = reg.table("embeddings")
+
+    # DSL: 100 parameterized Q6-shape revenue aggregates, one scan
+    params = spark.createDataFrame(
+        [
+            (i, 0.01 + (i % 9) * 0.01, 10 + (i % 15))
+            for i in range(N_Q)
+        ],
+        ["param_id", "disc_lo", "qty_cap"],
+    )
+
+    def dsl_batch():
+        import pyspark.sql.functions as FF
+
+        return (
+            li.join(
+                FF.broadcast(params),
+                (li["l_discount"] >= params["disc_lo"])
+                & (li["l_discount"] <= params["disc_lo"] + 0.02)
+                & (li["l_quantity"] < params["qty_cap"]),
+            )
+            .groupBy("param_id")
+            .agg(FF.sum(li["l_extendedprice"] * li["l_discount"]).alias("revenue"))
+        )
+
+    # KNN: 100 query vectors in one broadcast join + per-query top-k
+    knn_queries = (
+        emb.filter(emb["vec_id"] < N_Q)
+        .selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    )
+
+    def knn_batch():
+        return knn_mod.knn_join(knn_queries, emb, k=10)
+
+    # FTS: 100 conjunctive 2-term queries over one posting scan
+    vocab = [
+        "join", "hash", "row", "batch", "scan", "customer", "column",
+        "filter", "small", "merge", "slow", "order", "vector", "line",
+        "data", "table", "agg", "value", "key", "stream", "window",
+        "spark", "group", "part", "big", "sort", "query", "fast",
+    ]
+    fts_queries = [
+        (i, f"{vocab[i % len(vocab)]} {vocab[(i * 7 + 3) % len(vocab)]}")
+        for i in range(N_Q)
+        if vocab[i % len(vocab)] != vocab[(i * 7 + 3) % len(vocab)]
+    ]
+    fts_index = fts_mod.build_fts_index(
+        reg.table("documents"), id_col="doc_id", text_col="text"
+    )
+
+    def fts_batch():
+        return fts_mod.fts_search_batch(fts_index, fts_queries, limit=15)
+
+    # Graph: 100-root depth-3 traversal, edges never shuffled
+    edges = entrymod._order_edges(spark, sf_dir)
+    roots = [
+        int(r["src"])
+        for r in edges.select("src").distinct().orderBy("src").limit(N_Q).collect()
+    ]
+
+    def graph_batch():
+        return graph_mod.bfs_multi(edges, roots, depth=3)
+
+    throughput: dict[str, dict] = {}
+    for fam, fn, ref_ms, ref_src in [
+        ("dsl", dsl_batch, 10.0, "Files DSL aggregation <10 ms (CLAUDE.md:493-496)"),
+        ("knn", knn_batch, 20.0, "vector KNN 10-20 ms (CLAUDE.md:1098)"),
+        ("fts", fts_batch, 8.0, "FTS5 keyword 2-8 ms (CLAUDE.md:1099)"),
+        ("graph", graph_batch, 20.0, "graph query 1-20 ms (CLAUDE.md:1100)"),
+    ]:
+        n = N_Q if fam != "fts" else len(fts_queries)
+        best = timed(fn)
+        per_ms = best / n * 1000.0
+        throughput[fam] = {
+            "batch_sec": round(best, 3),
+            "n_queries": n,
+            "per_query_ms": round(per_ms, 3),
+            "ref_ms": ref_ms,
+            "ratio_vs_ref": round(per_ms / ref_ms, 3),
+            "ref": ref_src,
+        }
+
     out = {
         "metric": "headline-query wall time at sf (min of N warm runs, noop sink)",
         "value": round(sum(times.values()), 3),
@@ -164,6 +271,10 @@ def main() -> None:
         # chunk+embed+write composite, comparable to the reference's
         # "~1,000 files/second" initial-indexing headline
         "indexing": indexing,
+        # N queries per family as ONE batched job: amortized per-query
+        # latency vs the reference's published per-request numbers —
+        # the measured form of BASELINE.md's 2x throughput gate
+        "throughput": throughput,
     }
     print(json.dumps(out))
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import SEP_PY, SEP_RE, tokens
@@ -397,6 +397,93 @@ def fts_search(
         out.select(*cols)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(limit)
+    )
+
+
+def fts_search_batch(
+    index: FtsIndex,
+    queries: list[tuple],
+    *,
+    limit: int = 15,
+) -> DataFrame:
+    """Batched conjunctive keyword search: N (query_id, query) pairs
+    answered in ONE job — (query_id, doc_id, score, rank), top ``limit``
+    docs per query by BM25 (score desc, doc_id asc tie-break, same
+    ordering contract as :func:`fts_search`).
+
+    This is the throughput form of the reference's per-request FTS5
+    lookup (2-8 ms each, CLAUDE.md:1099): N queries amortize scheduling
+    and the posting scan. Each query is parsed on the driver and must
+    reduce to a conjunction of plain terms (the FTS5 "simple query"
+    class — implicit/explicit AND of words; phrases / prefixes / OR /
+    NOT keep their exact semantics on the per-query path).
+
+    Shape: the (query_id, term) table is tiny and BROADCAST against the
+    postings; per (query_id, doc_id) one hash aggregate counts matched
+    terms (AND = all present) and sums BM25 contributions; one window
+    per query_id takes the top-k. The posting table is scanned once for
+    all N queries and filtered to the union of their terms first.
+    """
+    def _conj_words(n: Node, qstr: str) -> list[str]:
+        if isinstance(n, Term) and not n.prefix:
+            return [n.text]
+        if isinstance(n, And):
+            return _conj_words(n.left, qstr) + _conj_words(n.right, qstr)
+        raise FtsQueryError(
+            f"fts_search_batch supports conjunctions of plain terms; "
+            f"got {type(n).__name__} in {qstr!r}"
+        )
+
+    pairs: list[tuple] = []
+    n_terms: list[tuple] = []
+    for qid, qstr in queries:
+        words = _conj_words(parse_fts_query(qstr), qstr)
+        if not words:
+            raise FtsQueryError(f"no terms in {qstr!r}")
+        uniq = sorted(set(words))
+        pairs.extend((qid, w) for w in uniq)
+        n_terms.append((qid, len(uniq)))
+
+    spark = index.postings.sparkSession
+    qt = spark.createDataFrame(pairs, ["query_id", "term"])
+    qn = spark.createDataFrame(n_terms, ["query_id", "n_terms"])
+
+    hits = index.postings.join(F.broadcast(qt), "term")
+    dfreq = (
+        index.postings.join(
+            F.broadcast(qt.select("term").distinct()), "term"
+        )
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    n, avg_dl = index.n_docs, index.avg_dl
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(index.doc_stats, "doc_id")
+        .withColumn(
+            "contrib",
+            idf
+            * (F.col("tf") * (K1 + 1))
+            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(avg_dl))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.countDistinct("term").alias("_matched"),
+            F.sum("contrib").alias("score"),
+        )
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("_matched") == F.col("n_terms"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= limit)
+        .select("query_id", "doc_id", "score", "rank")
     )
 
 

@@ -136,6 +136,53 @@ def callers(edges: DataFrame, start: list, *, depth: int = DEFAULT_DEPTH, **kw) 
     return bfs(edges, start, depth=depth, reverse=True, **kw)
 
 
+def bfs_multi(
+    edges: DataFrame,
+    starts: list,
+    *,
+    depth: int = DEFAULT_DEPTH,
+    src: str = "src",
+    dst: str = "dst",
+    reverse: bool = False,
+) -> DataFrame:
+    """Batched traversal: ONE fused plan answering a BFS per start node
+    — (root, node, depth) with minimum depth per (root, node), the root
+    itself excluded from its own result (same callers/callees contract
+    as :func:`bfs`, searcher_sql.go:373-485).
+
+    This is the throughput form of the reference's per-request graph
+    query (~1-20 ms each, CLAUDE.md:1100): N roots amortize scheduling
+    and the edge scan across one job. The frontier carries (root, node)
+    pairs — bounded by N x branching — and is BROADCAST each level, so
+    the edge table is never shuffled; the min-depth aggregate collapses
+    revisits and cycles exactly like the single-root fused plan.
+    """
+    depth = _clamp_depth(depth)
+    if reverse:
+        src, dst = dst, src
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    start_df = spark.createDataFrame([(s, s) for s in starts], ["root", "node"])
+    frontier = start_df
+    levels = []
+    for level in range(1, depth + 1):
+        frontier = (
+            e.join(F.broadcast(frontier), frontier["node"] == e["_src"])
+            .select("root", F.col("_dst").alias("node"))
+            .distinct()
+        )
+        levels.append(frontier.withColumn("depth", F.lit(level)))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return (
+        out.groupBy("root", "node")
+        .agg(F.min("depth").alias("depth"))
+        .join(F.broadcast(start_df), ["root", "node"], "left_anti")
+        .orderBy("root", "depth", "node")
+    )
+
+
 def shortest_path(
     edges: DataFrame,
     source,

@@ -135,3 +135,31 @@ class TestSnippet:
         df = spark.createDataFrame([("hello world",)], ["text"])
         out = df.select(snippet(F.col("text"), ["zebra"]).alias("s")).first()["s"]
         assert "hello world" in out and "<mark>" not in out
+
+
+class TestBatchSearch:
+    def test_batch_matches_per_query_search(self, fts_index):
+        """N conjunctive queries in one job must rank exactly like N
+        fts_search calls (same BM25, same (score desc, doc_id) order)."""
+        from project_cortex_spark.operators.fts import fts_search_batch
+
+        queries = [(1, "data"), (2, "data model"), (3, "search engine")]
+        got = {
+            (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 6))
+            for r in fts_search_batch(fts_index, queries, limit=5).collect()
+        }
+        want = {}
+        for qid, q in queries:
+            for i, r in enumerate(
+                fts_search(fts_index, q, limit=5).collect(), start=1
+            ):
+                want[(qid, i)] = (r["doc_id"], round(r["score"], 6))
+        assert got == want
+
+    def test_batch_rejects_non_conjunctive(self, fts_index):
+        from project_cortex_spark.operators.fts import fts_search_batch
+
+        with pytest.raises(FtsQueryError):
+            fts_search_batch(fts_index, [(1, "a OR b")])
+        with pytest.raises(FtsQueryError):
+            fts_search_batch(fts_index, [(1, '"a phrase"')])

@@ -113,6 +113,32 @@ def fixture_edges(spark):
     return spark.createDataFrame(rows, ["src", "dst"])
 
 
+def test_bfs_multi_matches_per_root_bfs(fixture_edges):
+    """The batched traversal must equal N single-root traversals —
+    including cycle collapse (root 1) and the disconnected component
+    (root 7); a root with no outgoing edges (4) contributes no rows."""
+    roots = [1, 5, 7, 4]
+    got = {
+        (r["root"], r["node"]): r["depth"]
+        for r in graph.bfs_multi(fixture_edges, roots, depth=10).collect()
+    }
+    want = {
+        (root, r["node"]): r["depth"]
+        for root in roots
+        for r in graph.bfs(fixture_edges, [root], depth=10).collect()
+    }
+    assert got == want
+    assert (1, 1) not in got  # root excluded from its own closure
+
+
+def test_bfs_multi_reverse(fixture_edges):
+    got = {
+        (r["root"], r["node"]): r["depth"]
+        for r in graph.bfs_multi(fixture_edges, [4], depth=3, reverse=True).collect()
+    }
+    assert got == {(4, 3): 1, (4, 2): 2, (4, 1): 3}
+
+
 def test_bfs_cycle_termination(fixture_edges):
     out = {r["node"]: r["depth"] for r in bfs(fixture_edges, [1], depth=10).collect()}
     # 1 not revisited (visited set), every reachable node at min depth
