@@ -3077,6 +3077,48 @@ def _q_sql_ansi_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ANSI_WINDOW_SQL)
 
 
+_ANSI_RECURSIVE_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT src, dst FROM (
+        SELECT o_orderkey AS src,
+               lead(o_orderkey) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderkey) AS dst
+        FROM orders
+      ) c WHERE dst IS NOT NULL
+    ),
+    roots AS (
+      SELECT min(o_orderkey) AS node FROM orders WHERE o_custkey =
+        (SELECT o_custkey FROM orders
+         GROUP BY o_custkey ORDER BY count(*) DESC, o_custkey LIMIT 1)
+    ),
+    walk(node, depth) AS (
+      SELECT node, 0 FROM roots
+      UNION ALL
+      SELECT e.dst, w.depth + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.depth < 4
+    )
+    SELECT node, min(depth) AS depth
+    FROM walk WHERE depth > 0 GROUP BY node
+"""
+
+
+def _q_sql_ansi_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-SQL passthrough, recursive form (VERDICT r4 item 6): the
+    SAME ``WITH RECURSIVE`` traversal — edge derivation via a window
+    function, root selection via a correlated subquery, depth-bounded
+    walk, min-depth collapse — executes verbatim on Spark 4 (SPARK-24497
+    UnionLoopExec) and on DuckDB. This covers the reference's most
+    distinctive query family (graph traversal is WITH RECURSIVE SQLite
+    CTEs there, CLAUDE.md:569) on the raw-SQL surface; the DataFrame
+    BFS (graph_callees_*) remains the scale path: its fused plan
+    broadcasts the frontier, while UnionLoopExec re-runs the edge
+    subquery per iteration (acceptable at bounded depth <= 6)."""
+    reg = _registry(spark, sf_dir)
+    reg.table("orders").createOrReplaceTempView("orders")
+    return spark.sql(_ANSI_RECURSIVE_SQL)
+
+
 def _q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # built-in sliding window as watermarked streaming state: same
     # oracle as the batch events_sliding_window
@@ -3745,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_heatmap"] = _q_stream_heatmap
     out["stream_sliding_window"] = _q_stream_sliding_window
     out["sql_ansi_windows"] = _q_sql_ansi_windows
+    out["sql_ansi_recursive"] = _q_sql_ansi_recursive
     out["stream_fts"] = _q_stream_fts
     out["stream_fts_compacted"] = _q_stream_fts_compacted
     out["stream_knn"] = _q_stream_knn
@@ -4180,6 +4223,7 @@ def oracle_sql() -> dict[str, str]:
         minutes=60, slide_minutes=15
     )
     out["sql_ansi_windows"] = _ANSI_WINDOW_SQL
+    out["sql_ansi_recursive"] = _ANSI_RECURSIVE_SQL
     # incremental FTS store merged == one-shot batch index (fts_composite)
     out["stream_fts"] = oracle.fts_oracle_sql(
         '(merge OR stream) "fast sort" NOT error', limit=25
