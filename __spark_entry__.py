@@ -3077,6 +3077,50 @@ def _q_sql_ansi_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ANSI_WINDOW_SQL)
 
 
+def _q_media_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary codec gate (VERDICT r4 item 5): every document
+    becomes an actual 24-bpp bottom-up BI_RGB BMP whose RGB scan-order
+    pixels are the cyclic ramp (doc_id + k) % 256; the pure-numpy
+    decoder (operators/multimodal.py) must un-flip the rows, swizzle
+    BGR, and skip the row padding to recover per-channel means the
+    oracle computes from the ramp in closed form — any codec-layout
+    mistake shifts the means and fails the hash."""
+    media = mm.synthesize_bmp_media(_docs(spark, sf_dir))
+    return mm.decode_image_real(media).select(
+        "media_id",
+        "codec",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "ok",
+    )
+
+
+_MEDIA_BMP_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             (doc_id % 8 + 1) * 4 AS width,
+             (doc_id % 4 + 1) * 4 AS height
+      FROM documents
+    ), px AS (
+      SELECT media_id, width, height,
+             (media_id + 3 * i) % 256 AS r,
+             (media_id + 3 * i + 1) % 256 AS g,
+             (media_id + 3 * i + 2) % 256 AS b
+      FROM dims, unnest(range(width * height)) AS t(i)
+    )
+    SELECT media_id, 'bmp' AS codec, width, height, 3 AS channels,
+           round(avg(r), 6) AS mean_r,
+           round(avg(g), 6) AS mean_g,
+           round(avg(b), 6) AS mean_b,
+           TRUE AS ok
+    FROM px GROUP BY media_id, width, height
+"""
+
+
 _ANSI_RECURSIVE_SQL = """
     WITH RECURSIVE edges AS (
       SELECT src, dst FROM (
@@ -3804,6 +3848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sqrt(F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x)), 4
         ).alias("l2_norm"),
     )
+    out["media_bmp_roundtrip"] = _q_media_bmp_roundtrip
     return _prioritize(out)
 
 
@@ -4224,6 +4269,7 @@ def oracle_sql() -> dict[str, str]:
     )
     out["sql_ansi_windows"] = _ANSI_WINDOW_SQL
     out["sql_ansi_recursive"] = _ANSI_RECURSIVE_SQL
+    out["media_bmp_roundtrip"] = _MEDIA_BMP_ORACLE
     # incremental FTS store merged == one-shot batch index (fts_composite)
     out["stream_fts"] = oracle.fts_oracle_sql(
         '(merge OR stream) "fast sort" NOT error', limit=25

@@ -6,13 +6,15 @@ typed metadata header; decode / feature-extract / resize / frame-sample
 are Arrow-batched ``mapInPandas`` stages so each task streams record
 batches of bytes through numpy without materializing the whole partition.
 
-The pixel/sample CODEC is stubbed (no image/audio libs in this
-container): payloads use a deterministic fake container format
-``IMG:{w}x{h};<bytes>`` and "decoding" parses the header + computes real
-byte-level statistics with numpy. The Spark-side plumbing — schemas,
-binary handling, batch iteration, output shapes, partitioning — is real
-and tested; swapping in PIL/ffmpeg happens inside one function body
-(see ``decode_image_real``).
+Codec status (r5): the codec-FREE formats decode for real —
+``decode_image_real`` parses uncompressed BI_RGB 24/32-bpp BMP and
+binary P6 PPM in pure numpy (bottom-up row un-flip, BGR swizzle, row
+padding, header edge cases), no imaging library needed; JPEG/PNG/audio
+still require a codec lib this container lacks and yield ok=false rows.
+The stub path (``decode_media``) remains for the fake container format
+``IMG:{w}x{h};<bytes>`` used by the synthetic gates. The Spark-side
+plumbing — schemas, binary handling, batch iteration, output shapes,
+partitioning — is identical on both paths.
 
 Scale notes: all stages are narrow maps — no shuffle. Binary columns
 make task sizing the knob that matters: keep
@@ -162,14 +164,156 @@ def frame_sample(media: DataFrame, *, frame_size: int = 256,
     return media.mapInPandas(run, schema=FRAMES_SCHEMA)
 
 
+def _decode_bmp(buf: bytes) -> np.ndarray:
+    """Pure-numpy BMP decode: uncompressed BI_RGB 24/32-bpp with a
+    BITMAPINFOHEADER — the codec-free corner of the format (no
+    library needed). Returns an (h, w, 3) uint8 RGB array in top-down
+    row order regardless of the file's bottom-up storage."""
+    import struct
+
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (pixel_off,) = struct.unpack_from("<I", buf, 10)
+    (hdr_size,) = struct.unpack_from("<I", buf, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", buf, 18)
+    (bpp,) = struct.unpack_from("<H", buf, 28)
+    (compression,) = struct.unpack_from("<I", buf, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    top_down = height < 0
+    h = abs(height)
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3
+    need = pixel_off + stride * h
+    if width <= 0 or h == 0 or len(buf) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=pixel_off)
+    rows = rows.reshape(h, stride)[:, : width * bytes_pp]
+    px = rows.reshape(h, width, bytes_pp)
+    if not top_down:
+        px = px[::-1]
+    # BGR(A) storage -> RGB
+    return np.ascontiguousarray(px[:, :, 2::-1])
+
+
+def _decode_ppm(buf: bytes) -> np.ndarray:
+    """Pure-numpy binary PPM (P6, maxval <= 255) decode -> (h, w, 3)
+    uint8 RGB. Header tokens may be separated by any whitespace and
+    ``#`` comments per the netpbm spec."""
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(buf) and buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(buf[start:pos])
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PPM: {w}x{h} maxval={maxval}")
+    n = w * h * 3
+    if len(buf) - pos < n:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(buf, dtype=np.uint8, count=n, offset=pos).reshape(h, w, 3)
+
+
+REAL_DECODED_SCHEMA = (
+    "media_id long, codec string, width long, height long, channels long, "
+    "mean_r double, mean_g double, mean_b double, ok boolean"
+)
+
+
 def decode_image_real(media: DataFrame) -> DataFrame:
-    """Seam for a real codec-backed decode. Raises unless an imaging
-    library is available in the executors' environment."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover - no PIL in this container
-        raise NotImplementedError(
-            "real image decode requires an imaging library on executors; "
-            "use decode_media (stub codec) in this environment"
-        ) from e
-    raise NotImplementedError("wire PIL decode here when the dependency lands")
+    """REAL image decode for the codec-free formats (BMP BI_RGB 24/32,
+    PPM P6) in pure numpy — no imaging library required, closing the
+    r4 probe's 'trivial-format decode' item. Emits per-image dims +
+    per-channel pixel means computed from ACTUAL decoded pixels
+    (bottom-up rows un-flipped, BGR swizzled, row padding excluded —
+    the stats change if any of that is wrong, which is what the oracle
+    gate checks). Payloads in any other format (JPEG/PNG need a codec
+    lib this container lacks) yield ok=false rows instead of failing
+    the batch — at 100 TB a poison payload must not kill the job."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                try:
+                    if buf[:2] == b"BM":
+                        codec, px = "bmp", _decode_bmp(buf)
+                    elif buf[:2] == b"P6":
+                        codec, px = "ppm", _decode_ppm(buf)
+                    else:
+                        raise ValueError("unknown container")
+                    means = px.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (mid, codec, px.shape[1], px.shape[0], 3,
+                         float(means[0]), float(means[1]), float(means[2]), True)
+                    )
+                except ValueError:
+                    rows.append((mid, None, None, None, None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "codec", "width", "height", "channels",
+                    "mean_r", "mean_g", "mean_b", "ok",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=REAL_DECODED_SCHEMA)
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bpp
+    bottom-up BI_RGB BMP (the storage layout real tools write) — the
+    synthesis side of the roundtrip gate and a handy test fixture."""
+    import struct
+
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    pad = stride - w * 3
+    body = bytearray()
+    for row in px[::-1]:  # bottom-up
+        body += row[:, ::-1].tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    pixel_off = 14 + 40
+    size = pixel_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header + dib + body)
+
+
+def synthesize_bmp_media(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real-BMP corpus over the documents table: each doc
+    becomes a small 24-bpp BMP whose RGB scan-order pixel bytes are the
+    cyclic ramp ``(doc_id + k) % 256`` — real container, real padding,
+    real bottom-up row order, and pixel statistics a SQL oracle can
+    reproduce in closed form (mean over a known ramp)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w = (mid % 8 + 1) * 4
+                h = (mid % 4 + 1) * 4
+                n = w * h * 3
+                ramp = (np.arange(n, dtype=np.int64) + mid) % 256
+                px = ramp.astype(np.uint8).reshape(h, w, 3)
+                ids.append(mid)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )

@@ -63,6 +63,60 @@ def test_frame_sample_counts(media, registry):
     assert all(r["frame_idx"] % every_n == 0 for r in sample)
 
 
-def test_real_decode_stub_gated(media):
-    with pytest.raises(NotImplementedError):
-        mm.decode_image_real(media)
+def test_bmp_decode_exact_pixels():
+    """encode_bmp -> _decode_bmp must be the identity on pixels —
+    including non-multiple-of-4 widths (row padding) and the BGR/
+    bottom-up storage details."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for w, h in [(3, 2), (4, 4), (5, 1), (1, 3)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(mm._decode_bmp(mm.encode_bmp(px)), px)
+
+
+def test_bmp_decode_rejects_unsupported():
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        mm._decode_bmp(b"PNG not a bmp")
+    buf = bytearray(mm.encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+    buf[30] = 1  # compression = BI_RLE8
+    with pytest.raises(ValueError):
+        mm._decode_bmp(bytes(buf))
+
+
+def test_ppm_decode_exact_pixels():
+    import numpy as np
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    buf = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
+    assert np.array_equal(mm._decode_ppm(buf), px)
+    with pytest.raises(ValueError):
+        mm._decode_ppm(b"P6\n3 2\n255\n\x00")  # truncated
+
+
+def test_decode_image_real_spark_path(spark):
+    """End-to-end through mapInPandas: real BMP and PPM payloads decode
+    with exact channel means; an undecodable payload yields ok=false
+    instead of failing the batch."""
+    import numpy as np
+
+    bmp_px = np.zeros((2, 2, 3), dtype=np.uint8)
+    bmp_px[:, :, 0] = 10  # R
+    bmp_px[:, :, 1] = 20  # G
+    bmp_px[:, :, 2] = 30  # B
+    ppm_px = np.full((1, 4, 3), 7, dtype=np.uint8)
+    rows = [
+        (1, bytearray(mm.encode_bmp(bmp_px))),
+        (2, bytearray(b"P6\n4 1\n255\n" + ppm_px.tobytes())),
+        (3, bytearray(b"\x89PNG not decodable here")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in mm.decode_image_real(media).collect()}
+    assert got[1]["codec"] == "bmp" and got[1]["ok"]
+    assert (got[1]["width"], got[1]["height"]) == (2, 2)
+    assert (got[1]["mean_r"], got[1]["mean_g"], got[1]["mean_b"]) == (10.0, 20.0, 30.0)
+    assert got[2]["codec"] == "ppm" and got[2]["ok"]
+    assert got[2]["mean_r"] == 7.0
+    assert got[3]["ok"] is False and got[3]["codec"] is None
