@@ -3077,6 +3077,70 @@ def _q_sql_ansi_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ANSI_WINDOW_SQL)
 
 
+def _q_graph_bfs_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched traversal gate: 20 roots answered by ONE fused plan
+    (operators/graph.py bfs_multi — broadcast (root, node) frontier,
+    stationary edges, min-depth collapse). The throughput form of the
+    reference's per-request graph query (CLAUDE.md:1100); the oracle
+    replays it as a multi-root recursive CTE."""
+
+    def roots() -> list:
+        return [
+            int(r["src"])
+            for r in _order_edges(spark, sf_dir)
+            .select("src")
+            .distinct()
+            .orderBy("src")
+            .limit(20)
+            .collect()
+        ]
+
+    starts = _memo(spark, sf_dir, "bfs_multi_roots", roots)
+    return graph_mod.bfs_multi(_order_edges(spark, sf_dir), starts, depth=3)
+
+
+_BFS_MULTI_ORACLE = f"""
+    WITH RECURSIVE e AS ({_EDGES_SQL}),
+    roots AS (
+      SELECT DISTINCT src AS root FROM e ORDER BY src LIMIT 20
+    ),
+    walk(root, node, depth) AS (
+      SELECT root, root, 0 FROM roots
+      UNION ALL
+      SELECT w.root, e.dst, w.depth + 1
+      FROM walk w JOIN e ON e.src = w.node
+      WHERE w.depth < 3
+    )
+    SELECT root, node, min(depth) AS depth
+    FROM walk WHERE node <> root GROUP BY root, node
+"""
+
+
+_FTS_BATCH_QUERIES = [
+    (1, "data model"),
+    (2, "search engine"),
+    (3, "hash join"),
+    (4, "stream window"),
+    (5, "fast sort"),
+    (6, "vector scan"),
+    (7, "merge batch"),
+    (8, "customer order"),
+]
+
+
+def _q_fts_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched conjunctive keyword search gate: 8 two-term AND queries
+    in ONE job (operators/fts.py fts_search_batch — broadcast query-term
+    table, one AND-match + BM25 aggregate, one window top-k). The
+    throughput form of the reference's per-request FTS5 lookup
+    (CLAUDE.md:1099); per-query equality with fts_search is
+    unit-tested, and the oracle replays the whole batch."""
+    idx = _fts_index(spark, sf_dir)
+    return fts_mod.fts_search_batch(
+        idx, _FTS_BATCH_QUERIES, limit=15
+    ).withColumn("score", F.round("score", 6))
+
+
 def _q_media_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL binary codec gate (VERDICT r4 item 5): every document
     becomes an actual 24-bpp bottom-up BI_RGB BMP whose RGB scan-order
@@ -3849,6 +3913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).alias("l2_norm"),
     )
     out["media_bmp_roundtrip"] = _q_media_bmp_roundtrip
+    out["graph_bfs_multi"] = _q_graph_bfs_multi
+    out["fts_batch_topk"] = _q_fts_batch_topk
     return _prioritize(out)
 
 
@@ -4270,6 +4336,8 @@ def oracle_sql() -> dict[str, str]:
     out["sql_ansi_windows"] = _ANSI_WINDOW_SQL
     out["sql_ansi_recursive"] = _ANSI_RECURSIVE_SQL
     out["media_bmp_roundtrip"] = _MEDIA_BMP_ORACLE
+    out["graph_bfs_multi"] = _BFS_MULTI_ORACLE
+    out["fts_batch_topk"] = oracle.fts_batch_oracle_sql(_FTS_BATCH_QUERIES, limit=15)
     # incremental FTS store merged == one-shot batch index (fts_composite)
     out["stream_fts"] = oracle.fts_oracle_sql(
         '(merge OR stream) "fast sort" NOT error', limit=25

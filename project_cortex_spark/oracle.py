@@ -97,6 +97,70 @@ def _match_sql(node: Node, table: str, id_col: str, text_col: str) -> str:
     raise ValueError(f"bad node {node!r}")
 
 
+def fts_batch_oracle_sql(
+    queries: list[tuple],
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    limit: int = 15,
+    round_digits: int = 6,
+) -> str:
+    """SQL mirroring operators.fts.fts_search_batch: N conjunctive
+    term queries, AND-match via matched-term count, BM25 sum, rank per
+    query_id (score desc, doc_id asc). Scores are rounded AFTER ranking
+    on the raw doubles, same as the Spark side."""
+    from .operators.fts import And, Term, parse_fts_query
+
+    def conj_words(n) -> list[str]:
+        if isinstance(n, Term) and not n.prefix:
+            return [n.text]
+        if isinstance(n, And):
+            return conj_words(n.left) + conj_words(n.right)
+        raise ValueError(f"not a conjunctive query: {n!r}")
+
+    values = []
+    for qid, qstr in queries:
+        for w in sorted(set(conj_words(parse_fts_query(qstr)))):
+            values.append(f"({int(qid)}, {_sql_quote(w)})")
+    vals = ", ".join(values)
+    return f"""
+    WITH {fts_tokens_cte(table, id_col, text_col)},
+      qt(query_id, term) AS (VALUES {vals}),
+      qn AS (SELECT query_id, count(DISTINCT term) AS n_terms
+             FROM qt GROUP BY 1),
+      dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM postings
+        WHERE term IN (SELECT term FROM qt) GROUP BY term
+      ),
+      scored AS (
+        SELECT q.query_id, p.doc_id,
+               count(DISTINCT p.term) AS matched,
+               sum(
+                 ln(1.0 + ((SELECT n FROM corpus) - f.df + 0.5) / (f.df + 0.5))
+                 * (p.tf * ({K1} + 1))
+                 / (p.tf + {K1} * (1 - {B} + {B} * s.dl
+                                   / (SELECT avg_dl FROM corpus)))
+               ) AS score
+        FROM postings p
+        JOIN qt q USING (term)
+        JOIN dfreq f USING (term)
+        JOIN doc_stats s USING (doc_id)
+        GROUP BY q.query_id, p.doc_id
+      ),
+      ranked AS (
+        SELECT sc.query_id, sc.doc_id, sc.score,
+               row_number() OVER (PARTITION BY sc.query_id
+                                  ORDER BY sc.score DESC, sc.doc_id)
+                 AS rank
+        FROM scored sc JOIN qn USING (query_id)
+        WHERE sc.matched = qn.n_terms
+      )
+    SELECT query_id, doc_id, round(score, {round_digits}) AS score, rank
+    FROM ranked WHERE rank <= {limit}
+    """
+
+
 def fts_oracle_sql(
     query: str,
     *,
