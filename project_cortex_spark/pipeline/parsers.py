@@ -489,12 +489,20 @@ def parse_go(path: str, source: str, row) -> list[tuple]:
                 else [ret]
             )
             for i, r in enumerate(rets):
-                toks = r.split(None, 1)  # named returns: "err error"
-                rtype = toks[1] if len(toks) == 2 else toks[0]
+                # named return ("err error") only when the first token is
+                # a plain identifier that is not a type keyword — an
+                # unnamed composite like ``Pair[V, K]`` or ``chan int``
+                # also splits on whitespace but is a TYPE, not a name
+                toks = r.split(None, 1)
+                named = (
+                    len(toks) == 2
+                    and re.fullmatch(r"\w+", toks[0]) is not None
+                    and toks[0] not in _GO_KEYWORDS
+                )
                 out.append(
-                    row(path, "param", toks[0] if len(toks) == 2 else "",
+                    row(path, "param", toks[0] if named else "",
                         parent=fname, start=ln, end=ln, position=i,
-                        param_type=rtype, is_return=True)
+                        param_type=toks[1] if named else r, is_return=True)
                 )
 
     for parent, name, ln in extract_calls(
@@ -1497,8 +1505,15 @@ def parse_ruby(path: str, source: str, row) -> list[tuple]:
 # lists, namespaced types)
 # ---------------------------------------------------------------------------
 
+# classes (template-headed or not), plus template struct
+# SPECIALIZATIONS (``template <> struct Hash<int> {``) — plain structs
+# stay with the C parser so their fields aren't extracted twice; a
+# specialization defines the same base name, so it lands as a second
+# type row for that name at its own line
 _CPP_CLASS_RE = re.compile(
-    r"^\s*(?:template\s*<[^>]*>\s*)?(class)\s+(\w+)[^;{]*\{", re.M
+    r"^\s*(?:template\s*<[^>]*>\s*)?"
+    r"(?:(?:class)\s+(\w+)|(?:struct)\s+(\w+)\s*<[^>{;]*>)[^;{]*\{",
+    re.M,
 )
 _CPP_MEMBER_RE = re.compile(
     r"^\s*(?:virtual\s+|static\s+|inline\s+|explicit\s+|constexpr\s+)*"
@@ -1527,14 +1542,15 @@ def parse_cpp(path: str, source: str, row) -> list[tuple]:
     have = {(r[1], r[2], r[4]) for r in out}
 
     for m in _CPP_CLASS_RE.finditer(masked):
-        name = m.group(2)
-        ln = line_of(starts, m.start(2))
+        gi = 1 if m.group(1) else 2  # 1 = class, 2 = struct specialization
+        name = m.group(gi)
+        ln = line_of(starts, m.start(gi))
         b_open = masked.find("{", m.start())
         b_close = match_brace(masked, b_open)
         end_ln = line_of(starts, b_close)
         if ("type", name, ln) not in have:
             out.append(row(path, "type", name, start=ln, end=end_ln,
-                           detail="class"))
+                           detail="class" if gi == 1 else "struct"))
         # member scan at class depth
         depth_at, seen_at, i = 0, set(), b_open + 1
         field_pos = 0
