@@ -1644,10 +1644,18 @@ def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate recall by design, but ORACLE-gated (late r4): the
     # oracle replays the same T*p inlined planes + exact verify. Its
     # parameters (threshold=0.7, dim=64, n_planes=6, n_tables=6,
-    # seed=42) are hardcoded in oracle.embedding_lsh_oracle_sql — keep
-    # both sides in lockstep. Precision 1.0 — every candidate verified.
+    # seed=42, max_bucket=200) are mirrored in the
+    # oracle.embedding_lsh_oracle_sql call — keep both sides in
+    # lockstep. Precision 1.0 — every candidate verified. max_bucket
+    # (r5, from the sf1 spot-check, SCALE.md) is the hot-bucket guard:
+    # a single near-collinear cluster made candidate volume grow
+    # quadratically (85 s at sf1 uncapped vs 3 s capped); the cap is
+    # replayed in the oracle so the hash gate stays exact at any sf.
     return dd.embedding_near_duplicates_lsh(
-        _registry(spark, sf_dir).table("embeddings"), threshold=0.7, dim=64
+        _registry(spark, sf_dir).table("embeddings"),
+        threshold=0.7,
+        dim=64,
+        max_bucket=200,
     ).withColumn("score", F.round("score", 6))
 
 
@@ -4074,7 +4082,8 @@ def oracle_sql() -> dict[str, str]:
     # dedup_embedding_lsh: gated as of late r4 — same replay trick (the
     # T*p deterministic planes inline; candidates + exact verify in SQL)
     out["dedup_embedding_lsh"] = oracle.embedding_lsh_oracle_sql(
-        threshold=0.7, dim=64, n_planes=6, n_tables=6, seed=42
+        threshold=0.7, dim=64, n_planes=6, n_tables=6, seed=42,
+        max_bucket=200
     )
     # (exact twin dedup_embedding_cosine is gated)
     out["dedup_clusters"] = oracle.duplicate_clusters_sql(

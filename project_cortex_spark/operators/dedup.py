@@ -22,6 +22,8 @@ DuckDB oracle (oracle.py builders) reproduces results bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -620,9 +622,11 @@ def embedding_near_duplicates_lsh(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     dim: int = 64,
-    n_planes: int = 6,
+    n_planes: int | str = 6,
     n_tables: int = 6,
     seed: int = 42,
+    max_bucket: int | None = None,
+    target_bucket: int = 32,
 ) -> DataFrame:
     """Sub-quadratic embedding near-dup: multi-table sign-LSH candidates,
     exact cosine verify. The production path at corpus scale — the
@@ -634,13 +638,33 @@ def embedding_near_duplicates_lsh(
     product). Every candidate is then exactly verified, so precision is
     1.0; recall ≈ 1-(1-(1-θ/π)^p)^T — at a true near-dup threshold
     (score 0.95 ⇒ cos 0.9 ⇒ per-bit agreement ~0.86) the 6×6 default
-    gives ~95% recall. Grow ``n_planes`` with corpus size to keep bucket
-    populations (and Σ bucket² candidate volume) bounded; each extra
-    plane halves expected bucket size.
+    gives ~95% recall. Σ bucket² candidate volume is the scale hazard
+    (a FIXED plane count makes candidates grow quadratically in corpus
+    size — measured 56x wall-time for 10x rows on the sf1 spot-check,
+    SCALE.md r5): two levers bound it.
+
+    * ``n_planes="auto"``: planes = max(6, ceil(log2(n / target_bucket)))
+      — each extra plane halves expected bucket population, so average
+      occupancy stays ~``target_bucket`` regardless of corpus size.
+      Costs one count() job; the gated query pins an explicit count so
+      its oracle can inline the hyperplanes as literals.
+    * ``max_bucket``: drop (table, signature) buckets with more than
+      this many members from candidate generation — the standard LSH
+      hot-bucket guard for dense clusters (where one bucket would
+      otherwise contribute O(cap-less bucket^2) pairs). Honest recall
+      tradeoff: a pair meeting ONLY in dropped buckets is missed; with
+      multiple tables, dense-cluster pairs usually still meet in
+      another table's finer split.
     """
     from pyspark.sql.functions import pandas_udf
 
     from .knn import _hyperplane
+
+    if n_planes == "auto":
+        n = emb.count()
+        n_planes = max(6, math.ceil(math.log2(max(n / target_bucket, 2.0))))
+    elif not isinstance(n_planes, int):
+        raise ValueError(f"n_planes must be an int or 'auto': {n_planes!r}")
 
     # ALL table signatures in ONE Arrow pass: a (dim, T*p) matmul per
     # batch instead of T*p interpreted higher-order-function dot products
@@ -674,6 +698,17 @@ def embedding_near_duplicates_lsh(
     banded = base.select(
         "doc_id", F.posexplode(signatures(F.col("v"))).alias("tbl", "sig")
     ).cache()
+    if max_bucket is not None:
+        # hot-bucket guard: occupancy is one map-side-partial aggregate
+        # over the already-cached banded frame; oversize buckets are
+        # excluded from BOTH join sides before any pair is generated
+        keep = (
+            banded.groupBy("tbl", "sig")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("tbl", "sig")
+        )
+        banded = banded.join(keep, ["tbl", "sig"])
     x, y = banded.alias("x"), banded.alias("y")
     # dedupe (a, b) BEFORE the exact verify: a pair colliding in several
     # tables is verified once, and the distinct shuffles two ids, never

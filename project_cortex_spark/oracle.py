@@ -806,12 +806,15 @@ def embedding_lsh_oracle_sql(
     n_planes: int = 6,
     n_tables: int = 6,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> str:
     """END-TO-END oracle for the multi-table sign-LSH embedding
     near-dup: same inlined deterministic hyperplanes (T*p of them, the
     same seed layout as embedding_near_duplicates_lsh), per-table
     signatures via UNION ALL, candidate pairs on (table, signature)
-    collisions, exact cosine verify at the threshold."""
+    collisions, exact cosine verify at the threshold. ``max_bucket``
+    replays the operator's hot-bucket guard: buckets with more members
+    are excluded from candidate generation on both sides."""
     from .operators.knn import _hyperplane
 
     sigs = []
@@ -826,6 +829,18 @@ def embedding_lsh_oracle_sql(
         )
         sigs.append(f"SELECT doc_id, {t} AS tbl, {bits} AS sig FROM e")
     sig_union = "\n      UNION ALL ".join(sigs)
+    if max_bucket is None:
+        keep_ctes, cand_src = "", "sig"
+    else:
+        keep_ctes = (
+            ", keepb AS (\n"
+            "      SELECT tbl, sig FROM sig GROUP BY tbl, sig\n"
+            f"      HAVING count(*) <= {max_bucket}\n"
+            "    ), kept AS (\n"
+            "      SELECT s.* FROM sig s JOIN keepb USING (tbl, sig)\n"
+            "    )"
+        )
+        cand_src = "kept"
     cos = (
         "list_dot_product(ea.v, eb.v)"
         " / (sqrt(list_dot_product(ea.v, ea.v))"
@@ -836,9 +851,9 @@ def embedding_lsh_oracle_sql(
       SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
     ), sig AS (
       {sig_union}
-    ), cand AS (
+    ){keep_ctes}, cand AS (
       SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-      FROM sig x JOIN sig y
+      FROM {cand_src} x JOIN {cand_src} y
         ON x.tbl = y.tbl AND x.sig = y.sig AND x.doc_id < y.doc_id
     ), scored AS (
       SELECT a, b, 1.0 - (1.0 - {cos}) / 2.0 AS score

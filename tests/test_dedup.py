@@ -3,6 +3,8 @@ n-gram Jaccard, SimHash, embedding-cosine."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from project_cortex_spark.operators.dedup import (
@@ -185,6 +187,60 @@ def test_embedding_lsh_precision_and_recall(spark):
     assert approx <= exact  # precision 1.0
     assert len(exact) >= 30  # the planted twins are found by brute force
     assert len(approx) >= 0.85 * len(exact), (len(approx), len(exact))
+
+
+def test_embedding_lsh_hot_bucket_cap_and_auto_planes(spark):
+    """The sf1 spot-check levers (SCALE.md r5): max_bucket drops a
+    near-collinear mega-cluster from candidate generation (identical
+    vectors share every table's signature, so capping removes ALL their
+    meeting points — the documented recall tradeoff), while unrelated
+    near-dup pairs survive; n_planes='auto' resolves to the explicit
+    count for the corpus size."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)  # twin pair collides in hot-free buckets
+    rows = []
+    hot = rng.randn(64)
+    hot /= np.linalg.norm(hot)
+    for vid in range(8):  # the hot cluster: 8 identical vectors
+        rows.append((vid, [float(x) for x in hot]))
+    base = rng.randn(64)
+    base /= np.linalg.norm(base)
+    twin = base + 0.03 * rng.randn(64)
+    twin /= np.linalg.norm(twin)
+    rows.append((100, [float(x) for x in base]))
+    rows.append((101, [float(x) for x in twin]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    uncapped = {
+        (r["a"], r["b"])
+        for r in dedup.embedding_near_duplicates_lsh(
+            emb, threshold=0.95, dim=64
+        ).collect()
+    }
+    capped = {
+        (r["a"], r["b"])
+        for r in dedup.embedding_near_duplicates_lsh(
+            emb, threshold=0.95, dim=64, max_bucket=5
+        ).collect()
+    }
+    assert {(v, w) for v in range(8) for w in range(v + 1, 8)} <= uncapped
+    assert (100, 101) in uncapped
+    # cap drops every intra-hot-cluster pair, keeps the unrelated twin
+    assert capped == {(100, 101)}
+
+    auto = dedup.embedding_near_duplicates_lsh(
+        emb, threshold=0.95, dim=64, n_planes="auto", target_bucket=32
+    )
+    explicit = dedup.embedding_near_duplicates_lsh(
+        emb, threshold=0.95, dim=64, n_planes=6
+    )  # max(6, ceil(log2(max(10/32, 2)))) = 6
+    got_auto = {(r["a"], r["b"]) for r in auto.collect()}
+    got_explicit = {(r["a"], r["b"]) for r in explicit.collect()}
+    assert got_auto == got_explicit
+
+    with pytest.raises(ValueError, match="auto"):
+        dedup.embedding_near_duplicates_lsh(emb, n_planes="bogus")
 
 
 def test_embedding_lsh_plan_has_no_nested_loop(registry):
