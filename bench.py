@@ -210,6 +210,12 @@ def main() -> None:
         return knn_mod.knn_join(knn_queries, emb, k=10)
 
     # FTS: 100 conjunctive 2-term queries over one posting scan
+    # NOTE on density: the synthetic corpus has ~30 distinct words, each
+    # in ~75% of documents — every possible conjunction matches most of
+    # the corpus, i.e. EVERY query here is FTS5's complex/large-result
+    # class (<10 ms bound, CLAUDE.md:211), not its 0-5 ms point-lookup
+    # class. The ratio below still uses the stricter 8 ms "typical"
+    # bound.
     vocab = [
         "join", "hash", "row", "batch", "scan", "customer", "column",
         "filter", "small", "merge", "slow", "order", "vector", "line",
@@ -221,8 +227,20 @@ def main() -> None:
         for i in range(N_Q)
         if vocab[i % len(vocab)] != vocab[(i * 7 + 3) % len(vocab)]
     ]
-    fts_index = fts_mod.build_fts_index(
-        reg.table("documents"), id_col="doc_id", text_col="text"
+    # queries run against a STORED index (store_fts_index), matching the
+    # reference's model: its 2-8 ms FTS5 latency is a lookup on a
+    # maintained index table, not a re-tokenize of the corpus — index
+    # CONSTRUCTION is what the indexing section above measures. Same
+    # justification as the stored edge projection (SCALE.md r4 A/B).
+    fts_store = os.path.join("spark-warehouse", "_bench_fts_index")
+    fts_mod.store_fts_index(
+        fts_mod.build_fts_index(
+            reg.table("documents"), id_col="doc_id", text_col="text"
+        ),
+        fts_store,
+    )
+    fts_index = fts_mod.load_fts_index(
+        spark, fts_store, reg.table("documents"), id_col="doc_id", text_col="text"
     )
 
     def fts_batch():

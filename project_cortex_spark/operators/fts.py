@@ -58,6 +58,10 @@ class FtsIndex:
     text_col: str
     _n_docs: int | None = None
     _avg_dl: float | None = None
+    # (term, df) — stored indexes carry it (FTS5 keeps df in its own
+    # table); None on a freshly built index, where scorers derive df
+    # from postings
+    term_df: DataFrame | None = None
 
     def _resolve_stats(self) -> None:
         stats = self.doc_stats.agg(
@@ -400,6 +404,49 @@ def fts_search(
     )
 
 
+def store_fts_index(index: FtsIndex, path: str) -> None:
+    """Materialize the index to parquet — the persistent-index analogue
+    of the reference's FTS5 table (maintained incrementally there,
+    CLAUDE.md:1099): postings repartitioned by term so a query's term
+    filter prunes at file level, doc_stats alongside, and the corpus
+    stats as a one-row table (the 'table properties' slot). Queries
+    against a stored index skip the tokenize+shuffle entirely — at
+    100 TB the posting table is bucketed/sorted by term and this is the
+    only query-path layout that scales."""
+    spark = index.postings.sparkSession
+    index.postings.repartition("term").write.mode("overwrite").parquet(
+        path + "/postings"
+    )
+    index.doc_stats.write.mode("overwrite").parquet(path + "/doc_stats")
+    # per-term document frequency, computed ONCE at store time (FTS5
+    # keeps df in its vocab table): scorers on a stored index read this
+    # tiny table instead of re-aggregating the postings per query batch
+    index.postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    ).write.mode("overwrite").parquet(path + "/term_df")
+    spark.createDataFrame(
+        [(index.n_docs, index.avg_dl)], "n long, avg_dl double"
+    ).write.mode("overwrite").parquet(path + "/stats")
+
+
+def load_fts_index(
+    spark, path: str, docs: DataFrame, *, id_col: str, text_col: str
+) -> FtsIndex:
+    """Open a stored index (see :func:`store_fts_index`); corpus stats
+    load from the stored one-row table, so no job runs at open time."""
+    stats = spark.read.parquet(path + "/stats").first()
+    return FtsIndex(
+        postings=spark.read.parquet(path + "/postings"),
+        doc_stats=spark.read.parquet(path + "/doc_stats"),
+        docs=docs,
+        id_col=id_col,
+        text_col=text_col,
+        _n_docs=int(stats["n"]),
+        _avg_dl=float(stats["avg_dl"]),
+        term_df=spark.read.parquet(path + "/term_df"),
+    )
+
+
 def fts_search_batch(
     index: FtsIndex,
     queries: list[tuple],
@@ -448,14 +495,23 @@ def fts_search_batch(
     qt = spark.createDataFrame(pairs, ["query_id", "term"])
     qn = spark.createDataFrame(n_terms, ["query_id", "n_terms"])
 
-    hits = index.postings.join(F.broadcast(qt), "term")
-    dfreq = (
-        index.postings.join(
-            F.broadcast(qt.select("term").distinct()), "term"
-        )
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
+    # the union-of-terms filter is a literal isin, so it PUSHES DOWN to
+    # the posting scan (file pruning on a term-partitioned stored index,
+    # dictionary/row-group skipping either way) — a broadcast join alone
+    # would read every posting row
+    all_terms = sorted({t for _, t in pairs})
+    hits = index.postings.filter(F.col("term").isin(all_terms)).join(
+        F.broadcast(qt), "term"
     )
+    if index.term_df is not None:
+        # stored index: df is precomputed (one tiny scan, no aggregate)
+        dfreq = index.term_df.filter(F.col("term").isin(all_terms))
+    else:
+        dfreq = (
+            index.postings.filter(F.col("term").isin(all_terms))
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"))
+        )
     n, avg_dl = index.n_docs, index.avg_dl
     idf = F.log(
         F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -471,7 +527,11 @@ def fts_search_batch(
         )
         .groupBy("query_id", "doc_id")
         .agg(
-            F.countDistinct("term").alias("_matched"),
+            # postings are unique on (term, doc_id) and qt on
+            # (query_id, term), so each (query_id, doc_id, term) row
+            # appears exactly once — plain count IS the distinct count,
+            # without countDistinct's two-phase expand
+            F.count("term").alias("_matched"),
             F.sum("contrib").alias("score"),
         )
         .join(F.broadcast(qn), "query_id")

@@ -163,3 +163,27 @@ class TestBatchSearch:
             fts_search_batch(fts_index, [(1, "a OR b")])
         with pytest.raises(FtsQueryError):
             fts_search_batch(fts_index, [(1, '"a phrase"')])
+
+    def test_stored_index_roundtrip(self, fts_index, spark, tmp_path, registry):
+        """store/load must preserve ranking exactly — same BM25 stats,
+        same postings — so a stored index is a drop-in for a built one."""
+        from project_cortex_spark.operators.fts import (
+            fts_search_batch,
+            load_fts_index,
+            store_fts_index,
+        )
+
+        path = str(tmp_path / "idx")
+        store_fts_index(fts_index, path)
+        loaded = load_fts_index(
+            spark, path, registry.table("documents"),
+            id_col="doc_id", text_col="text",
+        )
+        assert (loaded.n_docs, round(loaded.avg_dl, 9)) == (
+            fts_index.n_docs, round(fts_index.avg_dl, 9))
+        queries = [(1, "data model"), (2, "hash join")]
+        built = fts_search_batch(fts_index, queries, limit=10).collect()
+        stored = fts_search_batch(loaded, queries, limit=10).collect()
+        key = lambda r: (r["query_id"], r["rank"])
+        assert sorted(map(tuple, built), key=lambda t: (t[0], t[3])) == \
+               sorted(map(tuple, stored), key=lambda t: (t[0], t[3]))
