@@ -3947,7 +3947,11 @@ _GATE_FIRST = [
     # (text_redact_pii/repetition/tfidf_terms/top_terms/fingerprints,
     # media_decode_meta, media_features) head the r6 gate next round.
     # New registrations are deliberately frozen to a handful in r5 so
-    # r6 clears that backlog entirely.
+    # r6 clears that backlog entirely. R5 registered exactly four new
+    # oracle-gated queries (sql_ansi_recursive, media_bmp_roundtrip,
+    # graph_bfs_multi, fts_batch_topk), so the r6 gate head is 15
+    # rowless/stale queries (4 spillover + 7 r2-stale + 4 new), leaving
+    # 35 slots to re-gate the oldest-evidence r3 greens.
     #
     # -- (a) the 4 oracle-conversion queries --
     "search_semantic",
