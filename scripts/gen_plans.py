@@ -58,6 +58,10 @@ PICKS = {
     "corpus_curriculum": "curriculum ntile: partition-local window sort per source, no global sort",
     "agg_count_distribution": "aggregate pyramid: level-1 shuffle on custkey, level-2 input is one row per customer with tiny key cardinality",
     "events_debounce": "leading-edge debounce: the sequential-looking 'previous kept event' rule is the gap-session leader — ONE lag window, one shuffle",
+    "graph_bfs_multi": "batched 20-root traversal: ONE fused plan, (root, node) frontier broadcast each level, edges never shuffled, min-depth collapse",
+    "fts_batch_topk": "batched keyword search: broadcast query-term table, AND-match + BM25 in one hash aggregate, one window top-k per query — posting scan shared by all N queries",
+    "media_bmp_roundtrip": "real BMP decode: two narrow Arrow-batched maps (synthesize, decode), zero Exchange",
+    "dedup_embedding_lsh": "capped sign-LSH: signature matmul in one Arrow pass, bucket-occupancy guard (max_bucket) before pair generation, exact verify only on surviving candidates",
     "events_twap": "time-weighted average: one lead window + one map-side-partial aggregate, integer-microsecond weights",
     "agg_top_supplier": "argmax with ties: 1-row max broadcast back as a filter — no whole-frame window, no global sort",
     "agg_tpch_q17": "correlated-aggregate filter de-correlated: per-part average as its own aggregate hash-joined back on the part key",
