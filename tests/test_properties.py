@@ -993,3 +993,95 @@ def test_node_similarity_matches_python_model(spark, raw_edges):
             union = len(nbrs[pa] | nbrs[pb])
             want[(pa, pb)] = (len(common), round(len(common) / union, 6))
     assert got == want
+
+
+@COMMON
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 4),
+)
+def test_bfs_multi_matches_python_model(spark, raw_edges, depth):
+    """Model-based fuzz: the batched multi-root traversal vs a direct
+    per-root BFS over random digraphs (cycles, self-loops filtered,
+    disconnected parts) — min depth per (root, node), root excluded."""
+    from project_cortex_spark.operators.graph import bfs_multi
+
+    edges = sorted({(a, b) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    roots = nodes[::2] or [nodes[0]]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r["root"], r["node"]): r["depth"]
+        for r in bfs_multi(df, roots, depth=depth).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    want = {}
+    for root in roots:
+        dist = {root: 0}
+        frontier = {root}
+        for d in range(1, depth + 1):
+            frontier = {
+                m for n in frontier for m in adj.get(n, ())
+                if m not in dist
+            }
+            for m in frontier:
+                dist[m] = d
+        for n, d in dist.items():
+            if n != root and d > 0:
+                want[(root, n)] = d
+    assert got == want
+
+
+@COMMON
+@given(
+    st.lists(TEXT, min_size=2, max_size=12),
+    st.integers(1, 3),
+)
+def test_fts_batch_matches_single_query_search(spark, texts, n_terms):
+    """Fuzz the batched conjunctive search against N independent
+    fts_search calls on random corpora: identical doc sets and BM25
+    ranking per query."""
+    import re as _re
+
+    from project_cortex_spark.functions.text import SEP_PY
+    from project_cortex_spark.operators.fts import (
+        FtsQueryError,
+        build_fts_index,
+        fts_search,
+        fts_search_batch,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    vocab = sorted(
+        {t for x in texts for t in _re.split(SEP_PY, x.lower()) if t}
+    )
+    if not vocab:
+        return
+    queries = []
+    for qid in range(3):
+        terms = [vocab[(qid * 3 + j) % len(vocab)] for j in range(n_terms)]
+        queries.append((qid, " ".join(terms)))
+    idx = build_fts_index(docs, id_col="doc_id", text_col="text")
+    try:
+        batch = fts_search_batch(idx, queries, limit=5).collect()
+    except FtsQueryError:
+        return  # a generated token parsed as an operator — out of scope
+    got: dict = {}
+    for r in batch:
+        got[(r["query_id"], r["rank"])] = (r["doc_id"], round(r["score"], 6))
+    want: dict = {}
+    for qid, q in queries:
+        for i, r in enumerate(fts_search(idx, q, limit=5).collect(), start=1):
+            want[(qid, i)] = (r["doc_id"], round(r["score"], 6))
+    assert got == want
