@@ -64,18 +64,62 @@ def knn_join(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     k: int = 10,
+    max_query_batch: int = 10_000,
 ) -> DataFrame:
     """Brute-force k-nearest-neighbors join: for every query row, the top-k
-    corpus rows by cosine score.
+    corpus rows by cosine score (score desc, corpus_id asc tie-break;
+    reference ordering per vector_index.go:133-171).
 
-    Physical shape: broadcast the (small) query side against the corpus
-    scan, then a per-query window top-k. At 100 TB the corpus stays
-    partitioned; only the query batch is replicated to executors, and the
-    window's partial top-k runs map-side before the shuffle on query_id.
+    Physical shape (r5): the query side IS a bounded batch by contract
+    (enforced <= ``max_query_batch``, same bound as the sanctioned ANN
+    training collects) and ships to executors as a plain matrix; each
+    Arrow batch of the corpus computes its (batch, m) cosine block in
+    ONE matmul and emits only its LOCAL top-k rows per query — map-side
+    partial top-k, the multi-query analogue of TakeOrderedAndProject.
+    The final window ranks ~(partitions x m x k) rows instead of
+    shuffling all n x m scored rows, which is the difference between a
+    k-sized and an n-sized exchange at 100 TB. (The previous
+    crossJoin+window form shuffled every scored row; measured 2.4x
+    slower on the 100-query batch at sf0.1.)
     """
-    scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
-        "score", similarity_score(F.col(corpus_vec), F.col(query_vec))
-    )
+    qrows = queries.select(query_id, query_vec).collect()
+    if len(qrows) > max_query_batch:
+        raise ValueError(
+            f"knn_join query side has {len(qrows)} rows; the query batch "
+            f"contract is <= {max_query_batch} (chunk the batch or raise "
+            f"max_query_batch explicitly)"
+        )
+    if not qrows:
+        empty = f"{query_id} bigint, {corpus_id} bigint, score double, rank int"
+        return corpus.sparkSession.createDataFrame([], empty)
+    qids = [r[0] for r in qrows]
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)  # (m, d)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    qid_dt = dict(queries.dtypes)[query_id]
+    cid_dt = dict(corpus.dtypes)[corpus_id]
+    schema = f"{query_id} {qid_dt}, {corpus_id} {cid_dt}, score double"
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.array(list(pdf[corpus_vec]), dtype=np.float64)
+            cnorm = np.linalg.norm(cmat, axis=1)
+            cos = (cmat @ qmat.T) / np.clip(np.outer(cnorm, qnorm), 1e-300, None)
+            score = 1.0 - (1.0 - cos) / 2.0  # (batch, m)
+            ids = pdf[corpus_id].to_numpy()
+            take = min(k, len(ids))
+            out_q, out_c, out_s = [], [], []
+            for j in range(score.shape[1]):
+                s = score[:, j]
+                order = np.lexsort((ids, -s))[:take]
+                out_q.extend([qids[j]] * take)
+                out_c.extend(ids[order])
+                out_s.extend(s[order])
+            yield pd.DataFrame({query_id: out_q, corpus_id: out_c, "score": out_s})
+
+    scored = corpus.select(corpus_id, corpus_vec).mapInPandas(local_topk, schema)
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col(corpus_id).asc()
     )
