@@ -352,8 +352,13 @@ def _score_terms(index: FtsIndex, literals: list[Term | Phrase]) -> DataFrame:
         cond = cond | c
     hits = p.filter(cond)
 
-    # document frequency per matched term (small: |terms| rows)
-    dfreq = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # document frequency per matched term (small: |terms| rows); a
+    # stored index carries df precomputed (see store_fts_index) — one
+    # tiny filtered scan instead of a postings aggregate
+    if index.term_df is not None:
+        dfreq = index.term_df.filter(cond)
+    else:
+        dfreq = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n, avg_dl = index.n_docs, index.avg_dl
     idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
 
