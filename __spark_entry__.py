@@ -3154,9 +3154,11 @@ def _q_media_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes an actual 24-bpp bottom-up BI_RGB BMP whose RGB scan-order
     pixels are the cyclic ramp (doc_id + k) % 256; the pure-numpy
     decoder (operators/multimodal.py) must un-flip the rows, swizzle
-    BGR, and skip the row padding to recover per-channel means the
-    oracle computes from the ramp in closed form — any codec-layout
-    mistake shifts the means and fails the hash."""
+    BGR, and skip the row padding to recover per-channel means AND the
+    top-left pixel the oracle computes from the ramp in closed form.
+    Means alone are permutation-invariant (a decoder skipping the
+    vertical un-flip would still match them); top_left_r is
+    position-sensitive, so row-order mistakes fail the hash too."""
     media = mm.synthesize_bmp_media(_docs(spark, sf_dir))
     return mm.decode_image_real(media).select(
         "media_id",
@@ -3167,6 +3169,7 @@ def _q_media_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_r", 6).alias("mean_r"),
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
+        "top_left_r",
         "ok",
     )
 
@@ -3188,6 +3191,7 @@ _MEDIA_BMP_ORACLE = """
            round(avg(r), 6) AS mean_r,
            round(avg(g), 6) AS mean_g,
            round(avg(b), 6) AS mean_b,
+           media_id % 256 AS top_left_r,
            TRUE AS ok
     FROM px GROUP BY media_id, width, height
 """

@@ -417,28 +417,53 @@ def store_fts_index(index: FtsIndex, path: str) -> None:
     stats as a one-row table (the 'table properties' slot). Queries
     against a stored index skip the tokenize+shuffle entirely — at
     100 TB the posting table is bucketed/sorted by term and this is the
-    only query-path layout that scales."""
+    only query-path layout that scales.
+
+    The four tables are one CONSISTENT generation: they are written
+    under ``<path>__tmp`` and swapped in with the same two-rename +
+    ``recover_store`` protocol as ``sources.layout.compact_store`` — a
+    crash mid-store can never pair new postings with a stale df/stats
+    table (which would silently skew every BM25 score). Single-writer
+    assumption: don't store the same path from two jobs at once."""
+    import os
+    import shutil
+
+    from ..sources.layout import recover_store
+
     spark = index.postings.sparkSession
+    tmp, bak = path.rstrip("/") + "__tmp", path.rstrip("/") + "__bak"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     index.postings.repartition("term").write.mode("overwrite").parquet(
-        path + "/postings"
+        tmp + "/postings"
     )
-    index.doc_stats.write.mode("overwrite").parquet(path + "/doc_stats")
+    index.doc_stats.write.mode("overwrite").parquet(tmp + "/doc_stats")
     # per-term document frequency, computed ONCE at store time (FTS5
     # keeps df in its vocab table): scorers on a stored index read this
     # tiny table instead of re-aggregating the postings per query batch
     index.postings.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
-    ).write.mode("overwrite").parquet(path + "/term_df")
+    ).write.mode("overwrite").parquet(tmp + "/term_df")
     spark.createDataFrame(
         [(index.n_docs, index.avg_dl)], "n long, avg_dl double"
-    ).write.mode("overwrite").parquet(path + "/stats")
+    ).write.mode("overwrite").parquet(tmp + "/stats")
+    recover_store(path)
+    if os.path.exists(path):
+        os.rename(path, bak)
+    os.rename(tmp, path)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
 
 
 def load_fts_index(
     spark, path: str, docs: DataFrame, *, id_col: str, text_col: str
 ) -> FtsIndex:
     """Open a stored index (see :func:`store_fts_index`); corpus stats
-    load from the stored one-row table, so no job runs at open time."""
+    load from the stored one-row table, so no job runs at open time.
+    Heals a crashed store swap first (recover_store)."""
+    from ..sources.layout import recover_store
+
+    recover_store(path)
     stats = spark.read.parquet(path + "/stats").first()
     return FtsIndex(
         postings=spark.read.parquet(path + "/postings"),
@@ -486,6 +511,8 @@ def fts_search_batch(
             f"got {type(n).__name__} in {qstr!r}"
         )
 
+    if not queries:
+        raise FtsQueryError("fts_search_batch: empty query list")
     pairs: list[tuple] = []
     n_terms: list[tuple] = []
     for qid, qstr in queries:

@@ -81,6 +81,15 @@ def knn_join(
     k-sized and an n-sized exchange at 100 TB. (The previous
     crossJoin+window form shuffled every scored row; measured 2.4x
     slower on the 100-query batch at sf0.1.)
+
+    Float-parity note: the matmul reduction order differs from a
+    sequential fold at the ~1 ulp level; scores are compared to the
+    oracle after round(6), and a rank flip would need two DISTINCT
+    vectors within ~1e-13 of each other (bit-identical vectors produce
+    bit-identical scores and fall to the id tie-break). Zero-norm,
+    NULL, and wrong-dimension embeddings score NULL (never a fake
+    mid-range value) and rank last, matching SQL division semantics on
+    both engines.
     """
     qrows = queries.select(query_id, query_vec).collect()
     if len(qrows) > max_query_batch:
@@ -89,35 +98,61 @@ def knn_join(
             f"contract is <= {max_query_batch} (chunk the batch or raise "
             f"max_query_batch explicitly)"
         )
-    if not qrows:
-        empty = f"{query_id} bigint, {corpus_id} bigint, score double, rank int"
-        return corpus.sparkSession.createDataFrame([], empty)
-    qids = [r[0] for r in qrows]
-    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)  # (m, d)
-    qnorm = np.linalg.norm(qmat, axis=1)
-
     qid_dt = dict(queries.dtypes)[query_id]
     cid_dt = dict(corpus.dtypes)[corpus_id]
     schema = f"{query_id} {qid_dt}, {corpus_id} {cid_dt}, score double"
+    if not qrows:
+        return corpus.sparkSession.createDataFrame([], schema + ", rank int")
+    qids = [r[0] for r in qrows]
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)  # (m, d)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    dim = qmat.shape[1]
 
     def local_topk(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            cmat = np.array(list(pdf[corpus_vec]), dtype=np.float64)
+            # NULL / wrong-dimension embeddings score NULL (the SQL
+            # contract: a 0/0 or null-element dot product is NULL on
+            # both engines), rank last under desc NULLS LAST — they
+            # must not crash the task or score a fake 0.5
+            raw = list(pdf[corpus_vec])
+            bad = np.array(
+                [v is None or len(v) != dim for v in raw], dtype=bool
+            )
+            cmat = np.array(
+                [[0.0] * dim if b else list(v) for v, b in zip(raw, bad)],
+                dtype=np.float64,
+            )
             cnorm = np.linalg.norm(cmat, axis=1)
-            cos = (cmat @ qmat.T) / np.clip(np.outer(cnorm, qnorm), 1e-300, None)
+            denom = np.outer(cnorm, qnorm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (cmat @ qmat.T) / denom
             score = 1.0 - (1.0 - cos) / 2.0  # (batch, m)
+            score[denom == 0.0] = np.nan
+            score[bad, :] = np.nan
             ids = pdf[corpus_id].to_numpy()
             take = min(k, len(ids))
+            # NaN sorts as -inf for the local cut so null-score rows
+            # survive into the top-k only when fewer than k scored rows
+            # exist in the batch — mirroring NULLS LAST
+            key = np.where(np.isnan(score), -np.inf, score)
             out_q, out_c, out_s = [], [], []
             for j in range(score.shape[1]):
-                s = score[:, j]
-                order = np.lexsort((ids, -s))[:take]
+                order = np.lexsort((ids, -key[:, j]))[:take]
                 out_q.extend([qids[j]] * take)
                 out_c.extend(ids[order])
-                out_s.extend(s[order])
-            yield pd.DataFrame({query_id: out_q, corpus_id: out_c, "score": out_s})
+                out_s.extend(
+                    None if np.isnan(x) else float(x)
+                    for x in score[order, j]
+                )
+            yield pd.DataFrame(
+                {
+                    query_id: out_q,
+                    corpus_id: out_c,
+                    "score": pd.array(out_s, dtype="Float64"),
+                }
+            )
 
     scored = corpus.select(corpus_id, corpus_vec).mapInPandas(local_topk, schema)
     w = Window.partitionBy(query_id).orderBy(

@@ -228,7 +228,8 @@ def _decode_ppm(buf: bytes) -> np.ndarray:
 
 REAL_DECODED_SCHEMA = (
     "media_id long, codec string, width long, height long, channels long, "
-    "mean_r double, mean_g double, mean_b double, ok boolean"
+    "mean_r double, mean_g double, mean_b double, top_left_r long, "
+    "ok boolean"
 )
 
 
@@ -237,9 +238,12 @@ def decode_image_real(media: DataFrame) -> DataFrame:
     PPM P6) in pure numpy — no imaging library required, closing the
     r4 probe's 'trivial-format decode' item. Emits per-image dims +
     per-channel pixel means computed from ACTUAL decoded pixels
-    (bottom-up rows un-flipped, BGR swizzled, row padding excluded —
-    the stats change if any of that is wrong, which is what the oracle
-    gate checks). Payloads in any other format (JPEG/PNG need a codec
+    (bottom-up rows un-flipped, BGR swizzled, row padding excluded)
+    plus ``top_left_r`` — pixel (0, 0)'s red byte. Means alone are
+    permutation-invariant (a decoder that forgot the vertical un-flip
+    would still match them); the corner pixel is position-sensitive
+    and catches row-order mistakes, which is what the oracle gate
+    checks. Payloads in any other format (JPEG/PNG need a codec
     lib this container lacks) yield ok=false rows instead of failing
     the batch — at 100 TB a poison payload must not kill the job."""
 
@@ -258,15 +262,19 @@ def decode_image_real(media: DataFrame) -> DataFrame:
                     means = px.reshape(-1, 3).mean(axis=0)
                     rows.append(
                         (mid, codec, px.shape[1], px.shape[0], 3,
-                         float(means[0]), float(means[1]), float(means[2]), True)
+                         float(means[0]), float(means[1]), float(means[2]),
+                         int(px[0, 0, 0]), True)
                     )
                 except ValueError:
-                    rows.append((mid, None, None, None, None, None, None, None, False))
+                    rows.append(
+                        (mid, None, None, None, None, None, None, None,
+                         None, False)
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "media_id", "codec", "width", "height", "channels",
-                    "mean_r", "mean_g", "mean_b", "ok",
+                    "mean_r", "mean_g", "mean_b", "top_left_r", "ok",
                 ],
             )
 

@@ -1505,14 +1505,19 @@ def parse_ruby(path: str, source: str, row) -> list[tuple]:
 # lists, namespaced types)
 # ---------------------------------------------------------------------------
 
-# classes (template-headed or not), plus template struct
-# SPECIALIZATIONS (``template <> struct Hash<int> {``) — plain structs
-# stay with the C parser so their fields aren't extracted twice; a
-# specialization defines the same base name, so it lands as a second
-# type row for that name at its own line
+# classes (template-headed or not), plus the template-struct forms the
+# C parser cannot see: SPECIALIZATIONS (``template <> struct Hash<int>
+# {``, full or partial) and SINGLE-LINE template primaries
+# (``template <typename T> struct Box { ... }`` — the C struct regex
+# anchors ``struct`` at line start, which a same-line template header
+# defeats). Plain structs (and two-line template structs, whose
+# ``struct X {`` line the C parser matches) stay with the C parser so
+# their fields aren't extracted twice; a specialization defines the
+# same base name, so it lands as a second type row at its own line.
 _CPP_CLASS_RE = re.compile(
     r"^\s*(?:template\s*<[^>]*>\s*)?"
-    r"(?:(?:class)\s+(\w+)|(?:struct)\s+(\w+)\s*<[^>{;]*>)[^;{]*\{",
+    r"(?:(?:class)\s+(\w+)|(?:struct)\s+(\w+)\s*<[^>{;]*>)[^;{]*\{"
+    r"|^[ \t]*template\s*<[^>]*>[ \t]*struct\s+(\w+)[^;{<]*\{",
     re.M,
 )
 _CPP_MEMBER_RE = re.compile(
@@ -1542,7 +1547,8 @@ def parse_cpp(path: str, source: str, row) -> list[tuple]:
     have = {(r[1], r[2], r[4]) for r in out}
 
     for m in _CPP_CLASS_RE.finditer(masked):
-        gi = 1 if m.group(1) else 2  # 1 = class, 2 = struct specialization
+        # 1 = class, 2 = struct specialization, 3 = single-line template
+        gi = 1 if m.group(1) else (2 if m.group(2) else 3)
         name = m.group(gi)
         ln = line_of(starts, m.start(gi))
         b_open = masked.find("{", m.start())

@@ -108,9 +108,16 @@ def recover_store(path: str) -> bool:
     * ``__bak`` only — the crash happened INSIDE the window; ``__bak``
       IS the live data, rename it back.
 
-    Returns True if a restore happened. Safe to call from read paths
-    before retrying a failed store read (and called by compact_store
-    itself on entry).
+    Returns True if a restore happened. CRASH recovery only — call it
+    when no compaction/store of this path can be in flight (same
+    single-administrator assumption as compact_store itself): invoked
+    concurrently with a LIVE swap it races the two renames — it can
+    restore __bak into the compactor's rename target or delete the
+    __bak the compactor is about to remove, crashing the compactor. A
+    reader that hits a missing dir while a compactor may be running
+    should simply retry (the window is two syscalls); recover_store is
+    for afterwards, when the missing dir persists because the writer
+    died.
     """
     import os
     import shutil
@@ -178,8 +185,8 @@ def compact_store(
     # survives, it is the live data (see recover_store). Callers must
     # not compact a store a running stream is actively reading (a
     # reader racing the two-rename window sees a missing dir and should
-    # recover_store + retry); compact between triggers, or on a
-    # quiesced store.
+    # RETRY — not recover_store, which must never run against a live
+    # swap); compact between triggers, or on a quiesced store.
     recover_store(path)
     before = _count(path)
     if partition_cols:
@@ -198,9 +205,10 @@ def compact_store(
     else:
         writer = df.repartition(target_files).write.mode("overwrite")
     writer.parquet(tmp)
-    # the entry-time recover_store already cleared/restored __bak, but
-    # re-check cheaply in case a concurrent crash-recovery raced us
-    recover_store(path)
+    # the entry-time recover_store cleared/restored __bak; under the
+    # single-administrator assumption nothing recreated it since (a
+    # concurrent recover/compact of the same path is a caller bug —
+    # see recover_store's docstring)
     os.rename(path, bak)
     os.rename(tmp, path)
     shutil.rmtree(bak)

@@ -311,3 +311,41 @@ def test_knn_int8_close_to_exact(registry, duck):
     exact = {r["vec_id"] for r in knn_topk(emb, qv, k=10).collect()}
     quant = {r["vec_id"] for r in knn.knn_topk_int8(emb, qv, k=10).collect()}
     assert len(exact & quant) >= 8
+
+
+def test_knn_join_null_and_zero_vectors_score_null(spark):
+    """Zero-norm / NULL / wrong-dimension embeddings must score NULL
+    and rank LAST (SQL 0/0 semantics on both engines) — not crash the
+    task and not score a fake 0.5 — and an empty query side returns an
+    empty frame with the derived id dtypes."""
+    from project_cortex_spark.operators.knn import knn_join
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 0.0]),      # zero norm
+            (2, [0.5, 0.5]),
+            (3, None),            # NULL embedding
+            (4, [1.0, 0.0, 0.0]),  # wrong dimension
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    rows = {r["rank"]: r for r in knn_join(q, corpus, k=5).collect()}
+    assert rows[1]["vec_id"] == 0 and rows[1]["score"] == 1.0
+    assert rows[2]["vec_id"] == 2
+    # the three invalid rows rank last, NULL score, id tie-break
+    assert [(rows[i]["vec_id"], rows[i]["score"]) for i in (3, 4, 5)] == [
+        (1, None), (3, None), (4, None)
+    ]
+
+    empty = knn_join(
+        spark.createDataFrame([], "query_id int, query_vec array<double>"),
+        corpus,
+        k=5,
+    )
+    assert empty.count() == 0
+    assert dict(empty.dtypes)["query_id"] == "int"
+    assert dict(empty.dtypes)["vec_id"] == "bigint"

@@ -120,3 +120,34 @@ def test_decode_image_real_spark_path(spark):
     assert got[2]["codec"] == "ppm" and got[2]["ok"]
     assert got[2]["mean_r"] == 7.0
     assert got[3]["ok"] is False and got[3]["codec"] is None
+
+
+def test_bmp_decode_handcrafted_bottom_up_orientation():
+    """Decode a BYTE-LEVEL hand-built BMP (not via encode_bmp, so a
+    symmetric encode+decode flip bug cannot mask itself): 1x2 bottom-up
+    file whose FIRST stored row is blue and second is red must decode
+    with red on TOP."""
+    import struct
+
+    import numpy as np
+
+    w, h = 1, 2
+    stride = (w * 3 + 3) & ~3  # 4
+    # bottom-up storage: stored row 0 = IMAGE BOTTOM = blue (BGR: 255,0,0)
+    body = bytes([255, 0, 0, 0]) + bytes([0, 0, 255, 0])  # + 1 pad byte each
+    pixel_off = 54
+    header = struct.pack("<2sIHHI", b"BM", pixel_off + len(body), 0, 0, pixel_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    px = mm._decode_bmp(header + dib + body)
+    assert px.shape == (2, 1, 3)
+    assert px[0, 0].tolist() == [255, 0, 0]  # top row RED
+    assert px[1, 0].tolist() == [0, 0, 255]  # bottom row BLUE
+
+    # negative height = top-down storage: same bytes, no flip
+    dib_td = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    px_td = mm._decode_bmp(header + dib_td + body)
+    assert px_td[0, 0].tolist() == [0, 0, 255]  # first stored row stays on top

@@ -926,6 +926,14 @@ struct Hash<T*> {
         funcs = {r[2]: r[3] for r in by["function"]}
         assert funcs == {"run": "Hash", "deref": "Hash"}
 
+    def test_cpp_single_line_template_struct_primary(self):
+        # a same-line template header defeats the C parser's line-start
+        # 'struct' anchor; the C++ layer must still emit the type row
+        src = "template <typename U> struct Box { U val; };\n"
+        rows = _rows("cpp", "b.cpp", src)
+        types = {(r[2], r[4], r[8]) for r in rows if r[1] == "type"}
+        assert ("Box", 1, "struct") in types
+
     def test_go_generic_method_composite_returns(self):
         src = """
 package main
