@@ -29,13 +29,22 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if _nano_timestamp_columns(path):
         _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    # the file stream source requires a directory; scope it to this
-    # table's file with pathGlobFilter
-    df = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", f"{name}.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # directory-layout table (the production case: a parquet table
+        # IS a directory of part files) — stream the directory itself.
+        # A pathGlobFilter of "<name>.parquet" here would match the
+        # LEAF file names, discover zero part files, and silently
+        # stream nothing (found via the sf1 layout, SCALE.md r5).
+        df = spark.readStream.schema(schema).parquet(path)
+    else:
+        # single-file table (the driver's sf<=0.1 layout): the file
+        # stream source requires a directory, so stream the parent
+        # scoped to this table's file via pathGlobFilter
+        df = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
     for c in _nano_timestamp_columns(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     return df

@@ -67,7 +67,17 @@ def main() -> None:
             )
         rep = rep.drop("_r")
         path = os.path.join(out_dir, f"{table}.parquet")
-        rep.repartition(8).write.mode("overwrite").parquet(path)
+        if table == "events":
+            # range-partition the event stream source by time: the
+            # streaming twins read this directory as a file stream
+            # (lexicographic part order = delivery order), and a
+            # randomly-shuffled layout is an adversarial out-of-order
+            # stream whose watermark drops nearly every row — real
+            # event feeds arrive roughly in time order
+            rep = rep.repartitionByRange(8, "ts").sortWithinPartitions("ts")
+            rep.write.mode("overwrite").parquet(path)
+        else:
+            rep.repartition(8).write.mode("overwrite").parquet(path)
         print(table, spark.read.parquet(path).count())
     for table in COPY:
         df = read_parquet(spark, os.path.join(SRC, f"{table}.parquet"))

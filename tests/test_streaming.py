@@ -835,3 +835,20 @@ def test_incremental_twap_closes_boundary_interval(spark, tmp_path):
     run(d2, 1)  # replay: idempotent
     again = stwap.read_twap(spark, partials).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, want))
+
+
+def test_stream_table_reads_directory_layout(spark, tmp_path):
+    """A parquet TABLE is usually a directory of part files (the
+    production layout); stream_table must discover them — a leaf-name
+    pathGlobFilter would silently stream zero files (sf1 regression)."""
+    rows = [(1, "2024-01-01 00:00:00", 10, 1.0), (2, "2024-01-01 00:01:00", 11, 2.0)]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"]) \
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "value")
+    sf_dir = str(tmp_path / "sfdir")
+    df.repartition(2).write.parquet(sf_dir + "/events.parquet")  # directory table
+    out = source.run_to_memory(
+        source.stream_table(spark, sf_dir, "events"),
+        query_name="t_dir_layout_stream",
+        output_mode="append",
+    )
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2]
