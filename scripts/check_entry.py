@@ -41,7 +41,12 @@ def main():
     con = duckdb.connect()
     for t in DEFAULT_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # directory-layout table (e.g. the sf1 harness): glob parts
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     # smoke the flagship
