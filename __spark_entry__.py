@@ -3936,84 +3936,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # remaining slots re-gate a representative sample of the round-1 greens.
 # Everything still runs locally via scripts/check_entry.py regardless.
 _GATE_FIRST = [
-    # Round-5 gate plan (VERDICT r4 item 1): burn down the driver-evidence
-    # backlog. 54 oracle-gated queries passed the full local sweep in r4
-    # but have no driver row (the r4 gate held only 50 slots and r4
-    # registered 62 new queries). This round gates 50 of those 54 —
-    # the four late-r4 oracle-CONVERSION queries first (they changed
-    # gating machinery: md5 token hash made search_semantic replayable,
-    # inline deterministic hyperplanes made the LSH trio replayable),
-    # then TPC-H/agg shapes, graph analytics, events, knn/dedup/corpus,
-    # validation + source roundtrips, and nine streaming twins. The four
-    # spillover queries (stream_fts, stream_histogram, stream_heatmap,
-    # stream_sliding_window — each a streaming twin of a BATCH query
-    # gated in this same round) plus the 7 r2-stale refreshes
-    # (text_redact_pii/repetition/tfidf_terms/top_terms/fingerprints,
-    # media_decode_meta, media_features) head the r6 gate next round.
-    # New registrations are deliberately frozen to a handful in r5 so
-    # r6 clears that backlog entirely. R5 registered exactly four new
-    # oracle-gated queries (sql_ansi_recursive, media_bmp_roundtrip,
-    # graph_bfs_multi, fts_batch_topk), so the r6 gate head is 15
-    # rowless/stale queries (4 spillover + 7 r2-stale + 4 new), leaving
-    # 35 slots to re-gate the oldest-evidence r3 greens.
+    # Round-6 gate plan (VERDICT r5 item 1): finish the driver-evidence
+    # ledger. Head with the 15 rowless/stale queries — (a) the 4 r5
+    # spillover streaming twins (each the streaming twin of a batch
+    # query driver-gated green in r5), (b) the 7 r2-stale text/media
+    # rows (three engine generations old), (c) the 4 queries first
+    # registered in r5 (no driver row yet) — then re-gate the 35
+    # oldest-evidence r3 greens that are NOT the dsl compiler family.
+    # After this round every oracle-gated query has r3+ driver
+    # evidence and the rowless set is exactly the rows-only-by-design
+    # entries (search_semantic_lexical, knn_recall_pq,
+    # knn_recall_pq_refined + the ivf/pq structural probes).
     #
-    # -- (a) the 4 oracle-conversion queries --
-    "search_semantic",
-    "knn_join_lsh",
-    "knn_recall_lsh",
-    "dedup_embedding_lsh",
-    # -- (b) TPC-H / aggregate shapes --
-    "dsl_tpch_q6",
-    "dsl_tpch_q10",
-    "dsl_tpch_q19",
-    "agg_tpch_q17",
-    "agg_tpch_q18",
-    "agg_count_distribution",
-    "agg_top_supplier",
-    "agg_sketch_contract",
-    # -- (c) graph analytics --
-    "graph_pagerank",
-    "graph_kcore",
-    "graph_degree_distribution",
-    "graph_node_similarity",
-    # -- (d) events --
-    "events_ohlc",
-    "events_histogram",
-    "events_gapfill",
-    "events_debounce",
-    "events_twap",
-    "events_heatmap",
-    "events_sliding_window",
-    # -- (e) knn / dedup / corpus / text --
-    "knn_mmr",
-    "knn_topk_int8",
-    "knn_recall_int8",
-    "dedup_prune",
-    "dedup_char_spans",
-    "dedup_paragraphs",
-    "corpus_curate",
-    "corpus_token_budget",
-    "corpus_weighted_sample",
-    "corpus_curriculum",
-    "text_lm_histogram",
-    # -- (f) validation, joins, SQL passthrough, source roundtrips --
-    "validate_expectations",
-    "join_asof_forward",
-    "sql_ansi_windows",
-    "source_jsonl_roundtrip",
-    "source_csv_roundtrip",
-    "source_orc_roundtrip",
-    "source_partitioned_roundtrip",
-    # -- (g) streaming twins --
-    "stream_anomaly",
-    "stream_topk",
-    "stream_neardup",
-    "stream_paragraph_dedup",
-    "stream_debounce",
-    "stream_twap",
-    "stream_fts_compacted",
-    "stream_knn",
-    "stream_ohlc",
+    # R7 gate head (pure rotation from here on): the 15 remaining
+    # r3-evidence queries — the 14 dsl_* compiler shapes
+    # (dsl_agg_full, dsl_agg_having, dsl_between_dates,
+    # dsl_filter_bool_tree, dsl_in, dsl_join_full, dsl_join_inner,
+    # dsl_join_left, dsl_join_right, dsl_like, dsl_null_checks,
+    # dsl_order_limit_offset, dsl_revenue_by_nation, dsl_tpch_q5)
+    # plus fts_term — then rotate the oldest r4 greens.
+    #
+    # -- (a) r5 spillover streaming twins --
+    "stream_fts",
+    "stream_histogram",
+    "stream_heatmap",
+    "stream_sliding_window",
+    # -- (b) r2-stale text/media refreshes --
+    "text_redact_pii",
+    "text_repetition",
+    "text_tfidf_terms",
+    "text_top_terms",
+    "text_fingerprints",
+    "media_decode_meta",
+    "media_features",
+    # -- (c) new r5 registrations --
+    "sql_ansi_recursive",
+    "media_bmp_roundtrip",
+    "graph_bfs_multi",
+    "fts_batch_topk",
+    # -- (d) r3-evidence re-gates: fts / search / knn / joins --
+    "fts_bool_and",
+    "fts_bool_or_not",
+    "fts_phrase",
+    "fts_prefix",
+    "fts_filtered",
+    "knn_topk",
+    "knn_topk_filtered",
+    "knn_join",
+    "join_hydrate_nested",
+    "join_range",
+    # -- (e) r3-evidence re-gates: graph traversals --
+    "graph_callers_d2",
+    "graph_callees_d3",
+    "graph_dependencies",
+    "graph_dependents",
+    "graph_implements",
+    "graph_shortest_path",
+    "graph_type_usages",
+    "graph_impact",
+    # -- (f) r3-evidence re-gates: dedup / corpus / text / events --
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "corpus_split",
+    "corpus_mix",
+    "corpus_decontaminate",
+    "text_token_stats",
+    "text_quality",
+    "text_language_id",
+    "events_windowed_agg",
+    "events_sessionize",
+    "events_props_extract",
+    "events_top_users",
+    # -- (g) r3-evidence re-gates: streaming --
+    "stream_rollup",
+    "stream_sessionize",
 ]
 
 
