@@ -513,6 +513,10 @@ def fts_search_batch(
 
     if not queries:
         raise FtsQueryError("fts_search_batch: empty query list")
+    if len({qid for qid, _ in queries}) != len(queries):
+        # a repeated id would duplicate rows in qn and the join below,
+        # silently corrupting the matched-count AND filter
+        raise FtsQueryError("fts_search_batch: duplicate query_id in batch")
     pairs: list[tuple] = []
     n_terms: list[tuple] = []
     for qid, qstr in queries:

@@ -162,6 +162,13 @@ def bfs_multi(
         src, dst = dst, src
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    if not starts:
+        # createDataFrame cannot infer a schema from []; an empty root
+        # batch has a well-defined answer — no rows, same shape
+        node_dt = dict(e.dtypes)["_src"]
+        return spark.createDataFrame(
+            [], f"root {node_dt}, node {node_dt}, depth int"
+        )
     start_df = spark.createDataFrame([(s, s) for s in starts], ["root", "node"])
     frontier = start_df
     levels = []

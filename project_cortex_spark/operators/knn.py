@@ -103,6 +103,16 @@ def knn_join(
     schema = f"{query_id} {qid_dt}, {corpus_id} {cid_dt}, score double"
     if not qrows:
         return corpus.sparkSession.createDataFrame([], schema + ", rank int")
+    bad_q = [r[0] for r in qrows if r[1] is None]
+    if bad_q:
+        # corpus-side NULL vectors score NULL; a NULL QUERY vector is a
+        # caller error (there is nothing to rank against) — name it
+        # instead of letting np.array raise an opaque TypeError
+        raise ValueError(
+            f"knn_join: NULL {query_vec} for query ids {bad_q[:5]}"
+            f"{'...' if len(bad_q) > 5 else ''}; filter or fill the "
+            f"query side before joining"
+        )
     qids = [r[0] for r in qrows]
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)  # (m, d)
     qnorm = np.linalg.norm(qmat, axis=1)

@@ -1515,8 +1515,12 @@ def parse_ruby(path: str, source: str, row) -> list[tuple]:
 # their fields aren't extracted twice; a specialization defines the
 # same base name, so it lands as a second type row at its own line.
 _CPP_CLASS_RE = re.compile(
-    r"^\s*(?:template\s*<[^>]*>\s*)?"
-    r"(?:(?:class)\s+(\w+)|(?:struct)\s+(\w+)\s*<[^>{;]*>)[^;{]*\{"
+    # the struct-specialization branch REQUIRES the template header
+    # (specializations always have one) — without it, ``struct
+    # Hash<int> h{1};`` (a brace-initialized variable of a specialized
+    # type) would emit a spurious type row
+    r"^\s*(?:template\s*<[^>]*>\s*)?class\s+(\w+)[^;{]*\{"
+    r"|^\s*template\s*<[^>]*>\s*struct\s+(\w+)\s*<[^>{;]*>[^;{=]*\{"
     r"|^[ \t]*template\s*<[^>]*>[ \t]*struct\s+(\w+)[^;{<]*\{",
     re.M,
 )

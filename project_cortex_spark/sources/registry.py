@@ -40,10 +40,27 @@ def _nano_timestamp_columns(path: str) -> list[str]:
     to TimestampType natively (read as long via
     ``spark.sql.legacy.parquet.nanosAsLong``)."""
     try:
+        import os
+
         import pyarrow.parquet as pq
         import pyarrow.types as pat
 
-        schema = pq.read_schema(path)
+        probe = path
+        if os.path.isdir(path):
+            # pq.read_schema raises on a directory; probe the first part
+            # file's footer instead — all parts share one schema, and the
+            # old except-Exception fallback silently skipped the
+            # nanosAsLong conf for directory-layout NANOS tables
+            parts = sorted(
+                os.path.join(root, n)
+                for root, _dirs, names in os.walk(path)
+                for n in names
+                if n.endswith(".parquet") and not n.startswith((".", "_"))
+            )
+            if not parts:
+                return []
+            probe = parts[0]
+        schema = pq.read_schema(probe)
         return [
             f.name
             for f in schema

@@ -187,3 +187,13 @@ class TestBatchSearch:
         key = lambda r: (r["query_id"], r["rank"])
         assert sorted(map(tuple, built), key=lambda t: (t[0], t[3])) == \
                sorted(map(tuple, stored), key=lambda t: (t[0], t[3]))
+
+
+def test_batch_rejects_duplicate_query_ids(fts_index):
+    """A repeated query_id would duplicate rows in the n_terms side and
+    the join, silently corrupting the matched-count AND filter — it
+    must be rejected up front."""
+    from project_cortex_spark.operators.fts import fts_search_batch
+
+    with pytest.raises(FtsQueryError, match="duplicate query_id"):
+        fts_search_batch(fts_index, [(1, "alpha"), (1, "beta")])

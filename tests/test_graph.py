@@ -529,3 +529,13 @@ def test_node_similarity_semantics(spark):
     )
     got = {(r["pa"], r["pb"]): r["jaccard"] for r in node_similarity(edges).collect()}
     assert got == {(1, 3): 1.0, (2, 4): 1.0}
+
+
+def test_bfs_multi_empty_starts_returns_empty_frame(fixture_edges):
+    """An empty root batch has a well-defined answer — zero rows with
+    the (root, node, depth) schema and the edge table's node dtype —
+    not Spark's 'can not infer schema from empty dataset' error."""
+    out = graph.bfs_multi(fixture_edges, [], depth=3)
+    assert out.columns == ["root", "node", "depth"]
+    assert dict(out.dtypes)["root"] == dict(fixture_edges.dtypes)["src"]
+    assert out.count() == 0

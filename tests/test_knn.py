@@ -349,3 +349,20 @@ def test_knn_join_null_and_zero_vectors_score_null(spark):
     assert empty.count() == 0
     assert dict(empty.dtypes)["query_id"] == "int"
     assert dict(empty.dtypes)["vec_id"] == "bigint"
+
+
+def test_knn_join_null_query_vector_raises_named_error(spark):
+    """A NULL QUERY vector is a caller error (nothing to rank against);
+    it must raise a ValueError naming the offending query id — not an
+    opaque numpy TypeError on the driver."""
+    import pytest
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (8, None)],
+        "query_id long, query_vec array<double>",
+    )
+    with pytest.raises(ValueError, match=r"NULL query_vec.*\[8\]"):
+        knn_join(q, corpus, k=1)

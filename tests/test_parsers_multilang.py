@@ -989,3 +989,23 @@ def cached(n):
         calls = {(r[2], r[3]) for r in by["call"]}
         assert {("route", "handler"), ("lru_cache", "cached"),
                 ("deco", "cached")} <= calls
+
+
+class TestCppSpecializationFalsePositive:
+    def test_brace_initialized_specialization_var_is_not_a_type(self):
+        src = (
+            "template <typename T> struct Hash { int v; };\n"
+            "template <> struct Hash<long> { long v; };\n"
+            "int main() {\n"
+            "  struct Hash<int> h{1};\n"   # variable decl, NOT a type
+            "  return h.v;\n"
+            "}\n"
+        )
+        by = _by_kind(_rows("cpp", "spec.cpp", src))
+        types = [(r[2], r[5]) for r in by.get("type", [])]
+        names_at = {t for t in types}
+        # the primary (line 1) and the real specialization (line 2) are
+        # types; the brace-initialized variable on line 4 is not
+        assert ("Hash", 1) in names_at
+        assert ("Hash", 2) in names_at
+        assert not any(ln == 4 for _n, ln in names_at)

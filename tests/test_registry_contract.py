@@ -79,3 +79,29 @@ def test_token_direction_recompute_identical_after_eviction(monkeypatch):
     assert ("alpha", 16) not in embed._TOKEN_DIRS
     v2 = embed._token_direction("alpha", 16)
     assert np.allclose(v1, v2)
+
+
+def test_nano_timestamp_probe_handles_directory_layout(tmp_path):
+    """A directory-layout table with TIMESTAMP(NANOS) parts must still
+    be detected (pq.read_schema raises on directories; the probe must
+    fall through to a part file's footer, not silently return [])."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    t = pa.table(
+        {
+            "ts": pa.array([1, 2], type=pa.timestamp("ns")),
+            "v": pa.array([1.0, 2.0]),
+        }
+    )
+    pq.write_table(t, d / "part-00000.parquet")
+    assert reg_mod._nano_timestamp_columns(str(d)) == ["ts"]
+    # file layout still works, empty dir degrades to []
+    f = tmp_path / "flat.parquet"
+    pq.write_table(t, f)
+    assert reg_mod._nano_timestamp_columns(str(f)) == ["ts"]
+    empty = tmp_path / "empty.parquet"
+    empty.mkdir()
+    assert reg_mod._nano_timestamp_columns(str(empty)) == []
