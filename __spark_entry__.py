@@ -2226,6 +2226,44 @@ def _q_pattern_ast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("file_path", "start_line", "end_line", "n_bindings")
 
 
+def _q_pattern_ast_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cortex_pattern's structural tier BEYOND Python (VERDICT r5 item 4):
+    # token-stream metavariable matching with $$$, name binding, and
+    # smart-tier annotation skipping over Go and TypeScript sources
+    # (reference: ast-grep --lang go/ts, internal/pattern/executor.go).
+    # Deterministic matches over the fixed corpus -> golden oracle,
+    # match text pinned by md5.
+    from pyspark.sql import functions as F
+
+    from project_cortex_spark.operators import astpattern
+    from project_cortex_spark.pipeline.fixtures import MULTILANG_FILES
+
+    files = spark.createDataFrame(
+        MULTILANG_FILES, "file_path string, content string"
+    )
+    parts = []
+    for pid, pat, lang in (
+        ("go_if", "if $COND { $$$ }", "go"),
+        ("go_method", "func ($R *Config) $NAME($$$) $RET {", "go"),
+        ("ts_if", "if ($COND) { $$$ }", "typescript"),
+    ):
+        parts.append(
+            astpattern.pattern_search_tokens(files, pat, language=lang)
+            .withColumn("pattern_id", F.lit(pid))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "pattern_id",
+        "file_path",
+        "start_line",
+        "end_line",
+        "n_bindings",
+        F.md5("matched").alias("match_md5"),
+    )
+
+
 def _q_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cortex_pattern's signature-strictness tier over parsed entities
     # (rows-only check; extraction itself is unit-tested)
@@ -3875,6 +3913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["graph_context_snippets"] = _q_graph_context
     out["graph_pattern_search"] = _q_pattern_search
     out["graph_pattern_ast"] = _q_pattern_ast
+    out["graph_pattern_ast_multilang"] = _q_pattern_ast_multilang
     out["retention_evict_branches"] = _q_retention_evict
     out["agg_rollup"] = _q_agg_rollup
     out["agg_cube"] = _q_agg_cube
@@ -3948,9 +3987,10 @@ _GATE_FIRST = [
     # entries (search_semantic_lexical, knn_recall_pq,
     # knn_recall_pq_refined + the ivf/pq structural probes).
     #
-    # R7 gate head (pure rotation from here on): the 15 remaining
-    # r3-evidence queries — the 14 dsl_* compiler shapes
-    # (dsl_agg_full, dsl_agg_having, dsl_between_dates,
+    # R7 gate head (pure rotation from here on): any r6-registered
+    # queries without a driver row (graph_pattern_ast_multilang, ...),
+    # then the 15 remaining r3-evidence queries — the 14 dsl_* compiler
+    # shapes (dsl_agg_full, dsl_agg_having, dsl_between_dates,
     # dsl_filter_bool_tree, dsl_in, dsl_join_full, dsl_join_inner,
     # dsl_join_left, dsl_join_right, dsl_like, dsl_null_checks,
     # dsl_order_limit_offset, dsl_revenue_by_nation, dsl_tpch_q5)
@@ -4276,6 +4316,15 @@ def oracle_sql() -> dict[str, str]:
     out["graph_pattern_ast"] = """
         SELECT * FROM (VALUES ('demo.py', 14, 14, 3))
         AS t(file_path, start_line, end_line, n_bindings)
+    """
+    out["graph_pattern_ast_multilang"] = """
+        SELECT * FROM (VALUES
+          ('go_if','srv.go',32,34,1,'34b26ffca391a8ecdc04b4f48bbbdb59'),
+          ('go_method','srv.go',41,41,3,'564a7090f1afc23ee742dd6817e48683'),
+          ('ts_if','store.ts',21,23,1,'2dc46f21d64793ed8c932793b0945d92'),
+          ('ts_if','store.ts',29,29,1,'2130c952c6c692db23ab822baefebbd2')
+        ) AS t(pattern_id, file_path, start_line, end_line, n_bindings,
+               match_md5)
     """
     out["retention_evict_branches"] = _retention_oracle()
     out["pipeline_chunk_markdown"] = """

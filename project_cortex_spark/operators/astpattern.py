@@ -5,7 +5,13 @@ Reference: `cortex_pattern` shells out to ast-grep with a pattern string
 containing metavariables and a strictness tier
 (internal/mcp/tools_pattern.go:20-45, internal/pattern/executor.go:36-100).
 No ast-grep binary exists in this container, so the PATTERN SEMANTICS are
-implemented directly for Python on the stdlib ``ast``:
+implemented directly: for Python on the stdlib ``ast`` (below), and for
+the C-like languages (Go, TypeScript, JavaScript, Java, C, C++, Rust,
+PHP) on a comment/string-aware token stream (:func:`match_pattern_tokens`
+/ :func:`pattern_search_tokens` at the end of this module). The cst
+(concrete-syntax-exact) tier is not implemented in either form.
+
+Python AST tier:
 
 * ``$NAME`` is a metavariable matching any single node; repeated
   occurrences must bind to structurally-equal nodes
@@ -216,4 +222,356 @@ def pattern_search_ast(
     from pyspark.sql import functions as F
 
     out = out.orderBy(F.col("file_path"), F.col("start_line"))
+    return out.limit(limit) if limit else out
+
+
+# ---------------------------------------------------------------------------
+# Token-level structural matching for C-like languages (Go, TypeScript,
+# JavaScript, Java, C, C++, Rust, PHP). The reference's cortex_pattern
+# supports these via ast-grep's per-language grammars
+# (internal/pattern/executor.go:36-100, tools_pattern.go language list);
+# no tree-sitter runtime exists in this container, so the SEMANTICS are
+# approximated over a comment/string-aware token stream:
+#
+# * ``$NAME`` matches the shortest balanced token span (never crossing a
+#   top-level ``,`` ``;`` or an unopened closer) that lets the rest of
+#   the pattern match — the token analogue of "one AST node". Repeated
+#   occurrences must bind token-identical spans.
+# * ``$$$`` matches any balanced span, commas included (arguments /
+#   statement lists), lazily.
+# * Strictness: ``ast`` = literal token equality; ``smart`` (default)
+#   additionally skips TS/Go-style type annotations (``: T`` before an
+#   expected ``,`` ``)`` ``=`` ``{``); ``relaxed`` additionally lets a
+#   bare identifier in the pattern match a dotted path with the same
+#   terminal name (``Close($X)`` matches ``conn.Close(x)``).
+#
+# Known divergence from a real grammar (documented, pinned by goldens):
+# left-nested binary chains — ``$X + $Y`` over ``a + b + c`` yields the
+# token spans ``a + b`` and ``b + c`` rather than the parse-tree pair
+# ``(a+b)+c`` / ``(a,b)``.
+# ---------------------------------------------------------------------------
+
+_PUNCT_MULTI = (
+    "===", "!==", "...", "<<=", ">>=", "**=", "&&=", "||=", "??=",
+    "=>", ":=", "<-", "==", "!=", "<=", ">=", "&&", "||", "++", "--",
+    "+=", "-=", "*=", "/=", "%=", "<<", ">>", "->", "::", "?.", "??",
+    "**",
+)
+_IDENT_RE = re.compile(r"[A-Za-z_$][A-Za-z0-9_$]*")
+_NUM_RE = re.compile(r"\d[\w.]*")
+_OPENERS = {"(": ")", "[": "]", "{": "}"}
+_CLOSERS = {")", "]", "}"}
+
+# token tuple layout: (text, line, start_char, end_char)
+
+
+def lex_clike(src: str, *, hash_comments: bool = False) -> list[tuple]:
+    """Comment/string-aware tokenizer shared by the C-like languages."""
+    toks: list[tuple] = []
+    i, n, line = 0, len(src), 1
+    while i < n:
+        c = src[i]
+        if c == "\n":
+            line += 1
+            i += 1
+            continue
+        if c in " \t\r":
+            i += 1
+            continue
+        if c == "/" and i + 1 < n and src[i + 1] == "/":
+            j = src.find("\n", i)
+            i = n if j == -1 else j
+            continue
+        if c == "/" and i + 1 < n and src[i + 1] == "*":
+            j = src.find("*/", i + 2)
+            seg = src[i:] if j == -1 else src[i: j + 2]
+            line += seg.count("\n")
+            i = n if j == -1 else j + 2
+            continue
+        if c == "#" and hash_comments:
+            j = src.find("\n", i)
+            i = n if j == -1 else j
+            continue
+        if c in "\"'":
+            j = i + 1
+            while j < n and src[j] != c:
+                j += 2 if src[j] == "\\" else 1
+            j = min(j + 1, n)
+            toks.append((src[i:j], line, i, j))
+            line += src.count("\n", i, j)
+            i = j
+            continue
+        if c == "`":
+            j = src.find("`", i + 1)
+            j = n if j == -1 else j + 1
+            toks.append((src[i:j], line, i, j))
+            line += src.count("\n", i, j)
+            i = j
+            continue
+        m = _IDENT_RE.match(src, i) or _NUM_RE.match(src, i)
+        if m:
+            toks.append((m.group(), line, i, m.end()))
+            i = m.end()
+            continue
+        for p in _PUNCT_MULTI:
+            if src.startswith(p, i):
+                toks.append((p, line, i, i + len(p)))
+                i += len(p)
+                break
+        else:
+            toks.append((c, line, i, i + 1))
+            i += 1
+    return toks
+
+
+_TOKEN_MV_RE = re.compile(r"^\$[A-Z_][A-Z0-9_]*$")
+_MAX_SPAN = 400  # tokens a single metavar/multi may absorb
+
+
+def _compile_token_pattern(pattern: str) -> list[tuple]:
+    """('lit', text) | ('mv', name) | ('multi', None) steps."""
+    steps = []
+    for text, _ln, _s, _e in lex_clike(pattern):
+        if text == "$$$":
+            steps.append(("multi", None))
+        elif _TOKEN_MV_RE.match(text):
+            steps.append(("mv", text[1:]))
+        else:
+            steps.append(("lit", text))
+    if not steps:
+        raise ValueError("empty pattern")
+    return steps
+
+
+def _span_candidates(toks, si, *, allow_commas: bool, allow_empty: bool):
+    """End indices (ascending = lazy order) of balanced spans from si."""
+    if allow_empty:
+        yield si
+    depth = 0
+    j = si
+    while j < len(toks) and j - si < _MAX_SPAN:
+        t = toks[j][0]
+        if t in _OPENERS:
+            depth += 1
+        elif t in _CLOSERS:
+            if depth == 0:
+                return  # closer of an enclosing scope — span cannot cross
+            depth -= 1
+        elif depth == 0 and not allow_commas and t in (",", ";"):
+            return
+        elif depth == 0 and allow_commas and t == ";" and not allow_empty:
+            pass
+        j += 1
+        if depth == 0:
+            yield j
+
+
+def _skip_annotation(toks, si):
+    """Candidate resume points after a ``: <balanced type>`` annotation
+    (the smart tier's annotation-insensitivity): a depth-0 ``,`` ``=``
+    ``;`` or enclosing closer ends the type definitively; a depth-0
+    ``{`` is ambiguous — it may be the function body (stop BEFORE it) or
+    an object-type annotation (balanced, continue) — so both are
+    yielded and the caller backtracks."""
+    j, depth = si + 1, 0
+    while j < len(toks):
+        t = toks[j][0]
+        if depth == 0 and t == "{":
+            yield j
+            depth += 1
+        elif t in _OPENERS:
+            depth += 1
+        elif t in _CLOSERS:
+            if depth == 0:
+                yield j
+                return
+            depth -= 1
+        elif depth == 0 and t in (",", "=", ";"):
+            yield j
+            return
+        j += 1
+    yield j
+
+
+def _match_token_pattern(steps, toks, si, strictness):
+    """End index of the lazy match of ``steps`` at ``si``, with bindings
+    — or (None, None)."""
+    bindings: dict = {}
+
+    def rec(pi: int, i: int) -> int | None:
+        if pi == len(steps):
+            return i
+        kind, val = steps[pi]
+        if kind == "lit":
+            if i < len(toks) and toks[i][0] == val:
+                return rec(pi + 1, i + 1)
+            if (
+                strictness == "relaxed"
+                and i < len(toks)
+                and _IDENT_RE.fullmatch(val)
+            ):
+                # a bare identifier matches a dotted path with the same
+                # terminal name: skip leading `ident .` pairs
+                j = i
+                while (
+                    j + 2 < len(toks)
+                    and _IDENT_RE.fullmatch(toks[j][0])
+                    and toks[j + 1][0] == "."
+                ):
+                    j += 2
+                    if toks[j][0] == val:
+                        return rec(pi + 1, j + 1)
+            if (
+                strictness in ("smart", "relaxed")
+                and i < len(toks)
+                and toks[i][0] == ":"
+                and val in (",", ")", "=", "{", ";")
+            ):
+                for k in _skip_annotation(toks, i):
+                    r = rec(pi, k)
+                    if r is not None:
+                        return r
+            return None
+        if kind == "mv":
+            for j in _span_candidates(
+                toks, i, allow_commas=False, allow_empty=False
+            ):
+                seg = tuple(t[0] for t in toks[i:j])
+                prev = bindings.get(val)
+                if prev is not None and prev != seg:
+                    continue
+                bindings[val] = seg
+                r = rec(pi + 1, j)
+                if r is not None:
+                    return r
+                if prev is None:
+                    del bindings[val]
+                else:
+                    bindings[val] = prev
+            return None
+        # multi
+        for j in _span_candidates(toks, i, allow_commas=True, allow_empty=True):
+            r = rec(pi + 1, j)
+            if r is not None:
+                return r
+        return None
+
+    end = rec(0, si)
+    return (end, bindings) if end is not None else (None, None)
+
+
+def match_pattern_tokens(
+    pattern: str,
+    source: str,
+    *,
+    strictness: str = "smart",
+    hash_comments: bool = False,
+) -> list[tuple[int, int, str, dict]]:
+    """All token spans of ``source`` matching ``pattern``:
+    (start_line, end_line, matched_text, metavar_bindings). Matches may
+    overlap (nested matches are reported, like ast-grep)."""
+    steps = _compile_token_pattern(pattern)
+    toks = lex_clike(source, hash_comments=hash_comments)
+    first = steps[0]
+    out = []
+    for si in range(len(toks)):
+        # cheap prefilter: a literal-headed pattern anchors on its token
+        if first[0] == "lit" and toks[si][0] != first[1]:
+            if not (strictness == "relaxed" and _IDENT_RE.fullmatch(first[1])):
+                continue
+        end, bindings = _match_token_pattern(steps, toks, si, strictness)
+        if end is None or end == si:
+            continue
+        s_char, e_char = toks[si][2], toks[end - 1][3]
+        out.append(
+            (
+                toks[si][1],
+                toks[end - 1][1],
+                source[s_char:e_char],
+                {k: " ".join(v) for k, v in bindings.items()},
+                e_char,
+                s_char,
+            )
+        )
+    # the relaxed dotted-prefix rule can re-match the same span from each
+    # later dot segment (`this.items.push(x)` from `this`, `items`,
+    # `push`) — keep only the earliest start per end offset, like the
+    # single AST node ast-grep would report
+    best: dict[int, tuple] = {}
+    for row in out:
+        e_char = row[4]
+        if e_char not in best or row[5] < best[e_char][5]:
+            best[e_char] = row
+    return [
+        (s, e, m, b)
+        for s, e, m, b, _ec, _sc in sorted(best.values(), key=lambda r: r[5])
+    ]
+
+
+# extension routing for the token tier (reference language list,
+# internal/pattern/validator.go / tools_pattern.go)
+_TOKEN_LANGS = {
+    "go": ((".go",), False),
+    "typescript": ((".ts", ".tsx"), False),
+    "javascript": ((".js", ".jsx", ".mjs"), False),
+    "java": ((".java",), False),
+    "c": ((".c", ".h"), False),
+    "cpp": ((".cpp", ".cc", ".hpp", ".cxx"), False),
+    "rust": ((".rs",), False),
+    "php": ((".php",), True),
+}
+
+
+def pattern_search_tokens(
+    files: DataFrame,
+    pattern: str,
+    *,
+    language: str,
+    strictness: str = "smart",
+    path_col: str = "file_path",
+    content_col: str = "content",
+    limit: int | None = 50,
+) -> DataFrame:
+    """cortex_pattern's structural tier for non-Python languages: the
+    token matcher applied per file via Arrow-batched ``mapInPandas`` —
+    same narrow shuffle-free shape as :func:`pattern_search_ast`, cost
+    is per-file CPU, embarrassingly parallel at corpus scale. Files are
+    filtered to the language's extensions BEFORE the Python stage, so
+    the scan prunes JVM-side (ast-grep's --lang contract)."""
+    if language not in _TOKEN_LANGS:
+        raise ValueError(
+            f"unknown token-tier language {language!r}; "
+            f"one of {sorted(_TOKEN_LANGS)}"
+        )
+    exts, hash_comments = _TOKEN_LANGS[language]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["file_path", "start_line", "end_line", "matched", "n_bindings"]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                text = (
+                    bytes(content).decode("utf-8", errors="replace")
+                    if not isinstance(content, str)
+                    else content
+                )
+                for s, e, m, b in match_pattern_tokens(
+                    pattern, text,
+                    strictness=strictness, hash_comments=hash_comments,
+                ):
+                    rows.append((path, s, e, m, len(b)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    from pyspark.sql import functions as F
+
+    cond = None
+    for ext in exts:
+        c = F.col(path_col).endswith(ext)
+        cond = c if cond is None else (cond | c)
+    out = (
+        files.filter(cond)
+        .select(path_col, content_col)
+        .mapInPandas(run, schema=PATTERN_SCHEMA)
+        .orderBy(F.col("file_path"), F.col("start_line"), F.col("end_line"))
+    )
     return out.limit(limit) if limit else out

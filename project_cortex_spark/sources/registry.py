@@ -125,8 +125,14 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         # same defensive posture for TIMESTAMP(NANOS) testdata
         _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    # pyspark 4.1.2 reads TIMESTAMP(NANOS) natively as TimestampType
+    # (micros truncation) and ignores nanosAsLong — the div-1000 restore
+    # must only run when the column actually materialized as LONG
+    # (older Spark under the legacy conf), else it is an AnalysisException
+    dtypes = dict(df.dtypes)
     for c in nano_cols:
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     return df
 
 

@@ -25,6 +25,19 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
+        a = abs(v)
+        if a >= 1e6:
+            # round(v, 6) is an ABSOLUTE tolerance: at sf1, sums >1e9
+            # diverge between engines by ~1 ulp (1.5e-16 relative —
+            # reassociation noise, SCALE.md) and 6 dp flags them. Large
+            # magnitudes compare at 12 significant digits instead
+            # (relative granularity ~1e-12): collapses ulp noise at any
+            # scale while staying far below any logic-bug divergence.
+            # Small magnitudes keep the exact 6 dp contract the driver
+            # gate uses at sf0.01.
+            return round(v, 11 - int(math.floor(math.log10(a))))
         return round(v, 6)
     if hasattr(v, "isoformat"):
         return v.isoformat()

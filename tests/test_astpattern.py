@@ -94,3 +94,135 @@ def test_spark_operator(spark):
         ("demo.py", 14), ("demo.py", 15),
     ]
     assert all(r["n_bindings"] == 2 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# token tier (Go / TS / JS / C-like) — VERDICT r5 item 4
+# ---------------------------------------------------------------------------
+
+from project_cortex_spark.operators.astpattern import (  # noqa: E402
+    lex_clike,
+    match_pattern_tokens,
+    pattern_search_tokens,
+)
+
+
+class TestClikeLexer:
+    def test_comments_and_strings_masked(self):
+        toks = [t[0] for t in lex_clike(
+            'x = "a // b {" // trailing\n/* block } */ y', )]
+        assert toks == ["x", "=", '"a // b {"', "y"]
+
+    def test_multichar_operators(self):
+        toks = [t[0] for t in lex_clike("a := b <- c; d === e => f != g")]
+        assert ":=" in toks and "<-" in toks and "===" in toks and "=>" in toks
+
+    def test_raw_string_backtick(self):
+        toks = [t[0] for t in lex_clike('s := `raw " { //`')]
+        assert toks == ["s", ":=", '`raw " { //`']
+
+    def test_hash_comments_opt_in(self):
+        assert [t[0] for t in lex_clike("a # b", hash_comments=True)] == ["a"]
+        assert "#" in [t[0] for t in lex_clike("a # b")]
+
+
+class TestTokenMatcher:
+    def test_go_if_with_multi(self):
+        from project_cortex_spark.pipeline.fixtures import GO_SRC
+
+        got = match_pattern_tokens("if $COND { $$$ }", GO_SRC)
+        assert [(s, e, b) for s, e, _m, b in got] == [
+            (32, 34, {"COND": "port <= 0"})
+        ]
+
+    def test_ts_if_parenthesized(self):
+        from project_cortex_spark.pipeline.fixtures import TS_SRC
+
+        got = match_pattern_tokens("if ($COND) { $$$ }", TS_SRC)
+        assert [(s, b["COND"]) for s, _e, _m, b in got] == [
+            (21, "this . items . length < LIMIT && item . id"),
+            (29, "it . id === id"),
+        ]
+
+    def test_go_method_receiver_and_name_binding(self):
+        from project_cortex_spark.pipeline.fixtures import GO_SRC
+
+        got = match_pattern_tokens(
+            "func ($R *Config) $NAME($$$) $RET {", GO_SRC
+        )
+        assert len(got) == 1
+        b = got[0][3]
+        assert b == {"R": "c", "NAME": "Addr", "RET": "string"}
+
+    def test_repeated_metavar_must_bind_equal(self):
+        src = "a.push(a); a.push(b);"
+        got = match_pattern_tokens("$X.push($X)", src)
+        assert len(got) == 1 and got[0][3] == {"X": "a"}
+
+    def test_smart_skips_type_annotations(self):
+        from project_cortex_spark.pipeline.fixtures import TS_SRC
+
+        got = match_pattern_tokens(
+            "function lookup($A, $B) { $$$ }", TS_SRC
+        )
+        assert len(got) == 1
+        assert got[0][3] == {"A": "id", "B": "strict"}
+        # ast tier takes tokens literally — the annotated source no
+        # longer matches
+        assert match_pattern_tokens(
+            "function lookup($A, $B) { $$$ }", TS_SRC, strictness="ast"
+        ) == []
+
+    def test_smart_annotation_object_type_ambiguity(self):
+        src = "function f(x: {a: number}, y): void { return; }"
+        got = match_pattern_tokens("function f($A, $B) { $$$ }", src)
+        assert len(got) == 1 and got[0][3] == {"A": "x", "B": "y"}
+
+    def test_relaxed_dotted_prefix_single_match(self):
+        got = match_pattern_tokens(
+            "push($X)", "this.items.push(item);", strictness="relaxed"
+        )
+        assert [(m, b) for _s, _e, m, b in got] == [
+            ("this.items.push(item)", {"X": "item"})
+        ]
+        # smart does NOT relax the name: it can still anchor on the bare
+        # `push` token, but the matched span excludes the dotted prefix
+        smart = match_pattern_tokens("push($X)", "this.items.push(item);")
+        assert [m for _s, _e, m, _b in smart] == ["push(item)"]
+
+    def test_multi_balances_nested_braces(self):
+        src = "class A { m() { if (x) { y(); } } }"
+        got = match_pattern_tokens("class $N { $$$ }", src)
+        assert len(got) == 1
+        assert got[0][2] == src.rstrip()
+
+    def test_metavar_does_not_cross_commas_or_scope(self):
+        got = match_pattern_tokens("f($A)", "f(x, y)")
+        assert got == []  # $A is ONE argument; two-arg call needs $$$
+        assert len(match_pattern_tokens("f($$$)", "f(x, y)")) == 1
+
+    def test_spark_operator_language_routing(self, spark):
+        from project_cortex_spark.pipeline.fixtures import MULTILANG_FILES
+
+        files = spark.createDataFrame(
+            MULTILANG_FILES, "file_path string, content string"
+        )
+        go_rows = pattern_search_tokens(
+            files, "if $COND { $$$ }", language="go"
+        ).collect()
+        assert [(r["file_path"], r["start_line"]) for r in go_rows] == [
+            ("srv.go", 32)
+        ]
+        ts_rows = pattern_search_tokens(
+            files, "if ($COND) { $$$ }", language="typescript"
+        ).collect()
+        assert [(r["file_path"], r["start_line"]) for r in ts_rows] == [
+            ("store.ts", 21), ("store.ts", 29),
+        ]
+
+    def test_unknown_language_raises(self, spark):
+        files = spark.createDataFrame(
+            [("a.go", "package x")], "file_path string, content string"
+        )
+        with pytest.raises(ValueError, match="unknown token-tier"):
+            pattern_search_tokens(files, "$X", language="cobol")

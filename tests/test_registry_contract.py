@@ -105,3 +105,26 @@ def test_nano_timestamp_probe_handles_directory_layout(tmp_path):
     empty = tmp_path / "empty.parquet"
     empty.mkdir()
     assert reg_mod._nano_timestamp_columns(str(empty)) == []
+
+
+def test_read_parquet_nanos_table_reads_as_timestamp(spark, tmp_path):
+    """A TIMESTAMP(NANOS) table (file or directory layout) must land as
+    TimestampType with micros-truncated values. pyspark 4.1.2 reads ns
+    natively and ignores nanosAsLong, so the legacy div-1000 restore
+    must NOT fire on a TimestampType column (it would be an
+    AnalysisException); it exists only for Sparks where the legacy conf
+    still maps ns to LONG."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    us = 1_700_000_000_123_456  # epoch micros
+    t = pa.table({"ts": pa.array([us * 1000 + 789], type=pa.timestamp("ns"))})
+    d = tmp_path / "dirtable.parquet"
+    d.mkdir()
+    pq.write_table(t, d / "part-0.parquet")
+    for path in (str(d),):
+        df = reg_mod.read_parquet(spark, path)
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        got = df.select(F.unix_micros("ts").alias("us")).collect()[0]["us"]
+        assert got == us
