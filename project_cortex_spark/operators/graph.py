@@ -545,6 +545,40 @@ def cooccurrence_edges(
     )
 
 
+_WEDGE_ROWS_PER_PARTITION = 5_000_000
+_WEDGE_MAX_PARTITIONS = 2048
+
+
+def _estimated_wedge_rows(edges: DataFrame) -> int:
+    """Exact wedge-join output size from the degree aggregates: the
+    a<b-oriented self-join on the shared middle produces
+    Σ_b cnt(·,b)·cnt(b,·) rows. One tiny job (node-cardinality-sized)
+    against the cached edge list."""
+    c1 = edges.groupBy(F.col("b").alias("n")).agg(F.count(F.lit(1)).alias("c1"))
+    c2 = edges.groupBy(F.col("a").alias("n")).agg(F.count(F.lit(1)).alias("c2"))
+    row = c1.join(c2, "n").agg(
+        F.sum(F.col("c1") * F.col("c2")).alias("w")
+    ).collect()[0]
+    return int(row["w"] or 0)
+
+
+def _repartition_for_wedges(edges: DataFrame, wedges: DataFrame, keys: list):
+    """Repartition the wedge frame on the downstream join/agg keys to
+    ~5M rows/partition when the exact wedge estimate exceeds what the
+    session default would give — a no-op (identical plan) at small
+    scale, and the difference between an in-memory sort and a 19x
+    spill-bound one at sf1+ (SCALE.md)."""
+    import math
+
+    spark = edges.sparkSession
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    need = math.ceil(_estimated_wedge_rows(edges) / _WEDGE_ROWS_PER_PARTITION)
+    parts = min(_WEDGE_MAX_PARTITIONS, max(cur, need))
+    if parts > cur:
+        return wedges.repartition(parts, *keys)
+    return wedges
+
+
 def triangles_per_node(edges: DataFrame) -> DataFrame:
     """Per-node triangle counts over an undirected a<b edge list —
     the local clustering-coefficient numerator (community structure /
@@ -561,11 +595,21 @@ def triangles_per_node(edges: DataFrame) -> DataFrame:
     count aggregate (map-side partial). The edge list feeds THREE join
     inputs shuffled on three different keys — no exchange reuse is
     possible — so it is cached here rather than recomputed per input.
+
+    The closure join's sort runs over the WEDGE frame — quadratic in
+    degree, not linear in edges — so a fixed ``shuffle.partitions``
+    under-partitions it at scale (measured 19x wall for 10x data at
+    sf1, SCALE.md). The wedge count is computed exactly from the degree
+    aggregates (one tiny extra job against the cached edge list) and
+    the wedge frame explicitly repartitioned on the closure keys to
+    ~5M rows/partition when that exceeds the session default — cheap
+    insurance rather than relying on cluster AQE split heuristics.
     """
     edges = edges.cache()
     e1 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
     e2 = edges.select(F.col("a").alias("tb"), F.col("b").alias("tc"))
     wedges = e1.join(e2, "tb")
+    wedges = _repartition_for_wedges(edges, wedges, ["ta", "tc"])
     closure = edges.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
     tri = wedges.join(closure, ["ta", "tc"])
     return (
@@ -725,11 +769,19 @@ def node_similarity(edges: DataFrame, *, k: int = 50) -> DataFrame:
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     x = adj.select(F.col("node").alias("pa"), F.col("nbr").alias("via"))
     y = adj.select(F.col("node").alias("pb"), F.col("nbr").alias("via"))
-    common = (
-        x.join(y, "via")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    wedges = x.join(y, "via").filter(F.col("pa") < F.col("pb"))
+    # same wedge-quadratic shape as triangles_per_node: size the pair
+    # aggregate's partitioning from the exact Σ deg² estimate (the
+    # repartition provides the groupBy's required distribution, so no
+    # second exchange; the lost map-side partial is cheap because
+    # within-partition pair repeats are rare in a wedge explosion)
+    wedges = _repartition_for_wedges(
+        adj.select(F.col("nbr").alias("a"), F.col("nbr").alias("b")),
+        wedges,
+        ["pa", "pb"],
+    )
+    common = wedges.groupBy("pa", "pb").agg(
+        F.count(F.lit(1)).alias("n_common")
     )
     da = F.broadcast(deg.select(F.col("node").alias("pa"), F.col("deg").alias("_da")))
     db = F.broadcast(deg.select(F.col("node").alias("pb"), F.col("deg").alias("_db")))
