@@ -362,9 +362,12 @@ def _score_terms(index: FtsIndex, literals: list[Term | Phrase]) -> DataFrame:
     n, avg_dl = index.n_docs, index.avg_dl
     idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
 
+    # a stored index denormalizes dl into the postings (store_fts_index)
+    # — no doc_stats join on the query path then
+    if "dl" not in hits.columns:
+        hits = hits.join(index.doc_stats, "doc_id")
     scored = (
         hits.join(F.broadcast(dfreq), "term")
-        .join(index.doc_stats, "doc_id")
         .withColumn(
             "contrib",
             idf
@@ -434,9 +437,13 @@ def store_fts_index(index: FtsIndex, path: str) -> None:
     tmp, bak = path.rstrip("/") + "__tmp", path.rstrip("/") + "__bak"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    index.postings.repartition("term").write.mode("overwrite").parquet(
-        tmp + "/postings"
-    )
+    # dl is DENORMALIZED into the stored postings (one join at store
+    # time, +8 bytes/row): the batch scorer then needs no doc_stats
+    # join at query time at all — broadcast-joined query terms against
+    # one pruned posting scan is the whole read path
+    index.postings.join(index.doc_stats, "doc_id").repartition(
+        "term"
+    ).write.mode("overwrite").parquet(tmp + "/postings")
     index.doc_stats.write.mode("overwrite").parquet(tmp + "/doc_stats")
     # per-term document frequency, computed ONCE at store time (FTS5
     # keeps df in its vocab table): scorers on a stored index read this
@@ -552,9 +559,18 @@ def fts_search_batch(
     idf = F.log(
         F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
+    # one exchange serves both the aggregate and the top-k window:
+    # hash-partitioning on query_id alone satisfies the (query_id,
+    # doc_id) aggregate's clustering AND the window's partitioning, so
+    # the narrow pre-score rows shuffle once instead of aggregate-
+    # shuffle + window-shuffle. dl rides in the stored postings
+    # (store_fts_index), so everything between the pruned posting scan
+    # and that single exchange is broadcast-only.
+    if "dl" not in hits.columns:
+        hits = hits.join(index.doc_stats, "doc_id")
     scored = (
-        hits.join(F.broadcast(dfreq), "term")
-        .join(index.doc_stats, "doc_id")
+        hits.repartition("query_id")
+        .join(F.broadcast(dfreq), "term")
         .withColumn(
             "contrib",
             idf
