@@ -6,12 +6,12 @@
 and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key. Keys without an
 oracle entry (rows-only check by design):
-  * knn_join_ivf / dedup_embedding_ivf / knn_recall_ivf /
-    knn_recall_pq / knn_recall_pq_refined — their approximate side
-    trains k-means centroids / PQ codebooks (iterative numpy over a
-    bounded sample) that no SQL replay can reproduce; the exact twins
-    (knn_join, dedup_embedding_cosine) are oracle-gated and
-    full-probe == exact is unit-tested.
+  * knn_join_ivf / dedup_embedding_ivf / knn_recall_pq /
+    knn_recall_pq_refined — their approximate side trains k-means
+    centroids / PQ codebooks (iterative numpy over a bounded sample)
+    that no SQL replay can reproduce; the exact twins (knn_join,
+    dedup_embedding_cosine) are oracle-gated and full-probe == exact
+    is unit-tested.
   * search_semantic_lexical — random-indexing embedding composite
     (gaussian token directions are not SQL-expressible; semantics
     unit-tested in tests/test_search.py and oracle-graded through
@@ -26,7 +26,10 @@ makes the whole composite SQL-replayable), knn_join_lsh and
 dedup_embedding_lsh (deterministic hyperplanes inline as literals — the
 oracle replays the identical approximation), and knn_recall_lsh (both
 of its inputs are now replayable, so the recall number itself is
-hash-checked).
+hash-checked). R6 conversion: knn_recall_ivf — the replayable trainer
+(vec_id-ordered sample, first-k init, no RNG) lets the oracle builder
+re-derive the identical centroids from the same parquet without Spark
+and inline them as literals (oracle.knn_ivf_recall_oracle_sql).
 
 Column names are aliased identically on both sides so the driver's
 sorted-by-name value hash matches.
@@ -992,11 +995,23 @@ def _q_knn_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # same self-measurement for the IVF path at its contract nprobe
+    # same self-measurement for the IVF path at its contract nprobe.
+    # ORACLE-gated as of r6 (VERDICT r5 item 7): centroids come from the
+    # REPLAYABLE trainer (vec_id-ordered sample, first-k init, no RNG)
+    # so oracle.knn_ivf_recall_oracle_sql derives the identical
+    # centroids from the same parquet without Spark and replays
+    # assignment/probes/top-k/recall in SQL. Parameters (n_centroids=16,
+    # nprobe=4, k=5, n_queries=5, iters=8) are hardcoded THERE — keep in
+    # lockstep.
     emb = _registry(spark, sf_dir).table("embeddings")
     q = _knn_queries(spark, sf_dir)
+    cents = knn_mod.train_centroids_ordered(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=16, iters=8
+    )
     exact = knn_mod.knn_join(q, emb, k=5)
-    approx = knn_mod.knn_join_ivf(q, emb, k=5, n_centroids=16, nprobe=4)
+    approx = knn_mod.knn_join_ivf(
+        q, emb, k=5, nprobe=4, centroids=cents
+    )
     return knn_mod.ann_recall(approx, exact)
 
 
@@ -4089,6 +4104,16 @@ def oracle_sql() -> dict[str, str]:
     # knn_join_lsh: gated as of late r4 — the hyperplanes are
     # deterministic, so the oracle inlines the same planes and replays
     # the identical approximation (bucket join + exact scores + top-k)
+    # knn_recall_ivf: gated as of r6 — the deterministic trainer's
+    # centroids are re-derived by the oracle builder from the same
+    # parquet (no Spark) and inlined as literals; omitted (rows-only)
+    # only if the oracle-side data load fails in this environment
+    try:
+        out["knn_recall_ivf"] = oracle.knn_ivf_recall_oracle_sql(
+            n_centroids=16, nprobe=4, k=5, n_queries=5, iters=8
+        )
+    except Exception:
+        pass
     out["knn_join_lsh"] = oracle.knn_lsh_oracle_sql(
         dim=64, n_planes=4, seed=42, k=5, n_queries=5
     )

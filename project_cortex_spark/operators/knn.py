@@ -316,6 +316,52 @@ def ann_recall(
 # ---------------------------------------------------------------------------
 
 
+def _kmeans_deterministic(sample, n_centroids: int, iters: int):
+    """First-k-init Lloyd k-means in float64 — REPLAYABLE: given the
+    same rows in the same order it is bit-reproducible, so an oracle
+    builder that loads the identical vectors (e.g. via pyarrow/DuckDB,
+    ordered by id) derives the identical centroids to inline as SQL
+    literals (the same trick as the LSH hyperplanes). No RNG: init is
+    the first ``n_centroids`` normalized sample vectors."""
+    sample = np.asarray(sample, dtype=np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.clip(norms, 1e-12, None)
+    cent = sample[: min(n_centroids, len(sample))].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def train_centroids_ordered(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_rows: int = 10_000,
+    iters: int = 8,
+):
+    """Deterministic-by-construction centroid training: the sample is
+    the first ``sample_rows`` vectors ORDERED BY ``id_col`` (not
+    whatever limit() surfaces), fed to :func:`_kmeans_deterministic`.
+    Same bounded-sample scale posture as :func:`train_centroids`; the
+    explicit order is what makes the result independently recomputable
+    by the oracle side."""
+    rows = (
+        corpus.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
+    )
+    return _kmeans_deterministic(
+        [list(r[0]) for r in rows], n_centroids, iters
+    )
+
+
 def train_centroids(
     corpus: DataFrame,
     *,

@@ -2308,3 +2308,104 @@ def node_similarity_sql(
     SELECT * FROM scored
     ORDER BY jaccard DESC, pa, pb LIMIT {k}
     """
+
+
+def _load_embeddings_ordered(sf_dir: str | None = None):
+    """Embedding matrix ordered by vec_id, loaded WITHOUT Spark (DuckDB
+    over the same parquet the engine reads) — the oracle-side twin of
+    ``train_centroids_ordered``'s sample. ``sf_dir`` defaults to the
+    driver gate's scale factor; local sweeps at another sf export
+    SPARK_GRAFT_ORACLE_SF_DIR so both sides train on the same data."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(p):
+        p = os.path.join(p, "*.parquet")
+    rows = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{p}') ORDER BY vec_id"
+    ).fetchall()
+    return np.array([list(r[0]) for r in rows], dtype=np.float64)
+
+
+def knn_ivf_recall_oracle_sql(
+    *,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    n_queries: int = 5,
+    iters: int = 8,
+    sample_rows: int = 10_000,
+) -> str:
+    """END-TO-END oracle for the IVF recall self-measurement
+    (VERDICT r5 item 7): centroids are deterministic on the fixed
+    corpus (first-k-init Lloyd over the vec_id-ordered sample,
+    knn._kmeans_deterministic), so the oracle trains the IDENTICAL
+    centroids from the same parquet (no Spark involved) and inlines
+    them as literals; assignment (argmax dot, centroid-id tiebreak),
+    query probes (top-nprobe centroids), candidate scoring, per-query
+    top-k, and the recall join all replay in SQL. Like the LSH trio,
+    'approximate' is still deterministic — the recall NUMBER is
+    hash-gated, not just bounded."""
+    from .operators.knn import _kmeans_deterministic
+
+    vecs = _load_embeddings_ordered()
+    cent = _kmeans_deterministic(vecs[:sample_rows], n_centroids, iters)
+    cent_values = ",\n      ".join(
+        f"({cid}, {_plane_literal(list(row))})"
+        for cid, row in enumerate(cent)
+    )
+    cos = (
+        "list_dot_product(c.v, q.qv)"
+        " / (sqrt(list_dot_product(c.v, c.v))"
+        " * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent(cid, cv) AS (VALUES
+      {cent_values}
+    ), assign AS (
+      SELECT doc_id, v, cid,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY list_dot_product(v, cv) DESC, cid) AS rn
+      FROM e CROSS JOIN cent
+    ), c AS (
+      SELECT doc_id, v, cid FROM assign WHERE rn = 1
+    ), q AS (
+      SELECT doc_id AS query_id, v AS qv, cid
+      FROM assign WHERE doc_id < {n_queries} AND rn <= {nprobe}
+    ), cand AS (
+      SELECT q.query_id, c.doc_id AS vec_id, (1.0 + {cos}) / 2.0 AS score
+      FROM c JOIN q USING (cid)
+    ), r AS (
+      SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, vec_id) AS rank
+      FROM cand
+    ), approx AS (
+      SELECT query_id, vec_id FROM r WHERE rank <= {k}
+    ), xs AS (
+      SELECT q0.doc_id AS query_id, c0.doc_id AS vec_id,
+             row_number() OVER (PARTITION BY q0.doc_id
+               ORDER BY list_dot_product(c0.v, q0.v)
+                 / (sqrt(list_dot_product(c0.v, c0.v))
+                  * sqrt(list_dot_product(q0.v, q0.v))) DESC,
+               c0.doc_id) AS rank
+      FROM e c0 CROSS JOIN e q0 WHERE q0.doc_id < {n_queries}
+    ), exact AS (
+      SELECT query_id, vec_id FROM xs WHERE rank <= {k}
+    ), j AS (
+      SELECT x.query_id,
+             CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM exact x LEFT JOIN approx a USING (query_id, vec_id)
+    )
+    SELECT query_id, count(*) AS n_exact,
+           CAST(sum(hit) AS BIGINT) AS n_hit,
+           CAST(floor(10000 * sum(hit) / count(*)) AS BIGINT) AS recall_e4
+    FROM j GROUP BY query_id
+    """

@@ -49,6 +49,9 @@ def norm(v):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # data-derived oracles (inlined k-means centroids) must train on the
+    # SAME sf as the engine side; the driver gate's default is sf0.01
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     spark = get_spark(app_name="check-entry")
     con = duckdb.connect()

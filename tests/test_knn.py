@@ -366,3 +366,31 @@ def test_knn_join_null_query_vector_raises_named_error(spark):
     )
     with pytest.raises(ValueError, match=r"NULL query_vec.*\[8\]"):
         knn_join(q, corpus, k=1)
+
+
+def test_train_centroids_ordered_is_replayable(spark, registry):
+    """The deterministic trainer must be bit-reproducible from the same
+    vectors loaded WITHOUT Spark (the oracle builder's path) — this is
+    the property that lets knn_ivf_recall_oracle_sql inline identical
+    centroid literals."""
+    import numpy as np
+
+    from project_cortex_spark.operators.knn import (
+        _kmeans_deterministic,
+        train_centroids_ordered,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = registry.table("embeddings")
+    spark_side = train_centroids_ordered(emb, n_centroids=16, iters=8)
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+        " ORDER BY vec_id"
+    ).fetchall()
+    oracle_side = _kmeans_deterministic(
+        np.array([list(r[0]) for r in rows], dtype=np.float64), 16, 8
+    )
+    assert np.array_equal(spark_side, oracle_side)  # bit-exact, not allclose
