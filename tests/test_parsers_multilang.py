@@ -1009,3 +1009,66 @@ class TestCppSpecializationFalsePositive:
         assert ("Hash", 1) in names_at
         assert ("Hash", 2) in names_at
         assert not any(ln == 4 for _n, ln in names_at)
+
+
+class TestParserFidelityTail:
+    """VERDICT r5 item 8: Python decorators with arguments and Go
+    generic method type-lists — correct extraction pinned (no phantom
+    entities, receivers resolved through the type-parameter list)."""
+
+    def test_python_decorators_with_arguments(self):
+        src = (
+            "import functools\n"
+            "from app import app\n"
+            "\n"
+            '@app.route("/x", methods=["GET"])\n'
+            "def handler():\n"
+            "    return 1\n"
+            "\n"
+            "@functools.lru_cache(maxsize=None)\n"
+            "def cached(n):\n"
+            "    return n * 2\n"
+        )
+        by = _by_kind(_rows("py", "t.py", src))
+        funcs = {r[2]: (r[4], r[6]) for r in by["function"]}
+        # decorated functions extract with their own line/arity — the
+        # decorator call does not swallow or split them
+        assert funcs == {"handler": (5, 0), "cached": (9, 1)}
+        # the decorator calls are recorded as calls OF the function
+        calls = {(r[2], r[3]) for r in by["call"]}
+        assert ("route", "handler") in calls
+        assert ("lru_cache", "cached") in calls
+
+    def test_go_generic_method_type_lists(self):
+        src = (
+            "package pairs\n"
+            "\n"
+            "type Pair[K comparable, V any] struct {\n"
+            "\tkey K\n"
+            "\tval V\n"
+            "}\n"
+            "\n"
+            "func (b *Pair[K, V]) Get(k K) V {\n"
+            "\treturn b.val\n"
+            "}\n"
+            "\n"
+            "func (b Pair[K, V]) Len() int {\n"
+            "\treturn 1\n"
+            "}\n"
+            "\n"
+            "func Map[T any, U any](xs []T, f func(T) U) []U {\n"
+            "\treturn nil\n"
+            "}\n"
+        )
+        by = _by_kind(_rows("go", "t.go", src))
+        # methods resolve their parent through the [K, V] receiver list
+        meths = {r[2]: (r[3], r[7]) for r in by["function"]}
+        assert meths["Get"] == ("Pair", True)
+        assert meths["Len"] == ("Pair", True)
+        assert meths["Map"] == (None, False)
+        params = {(r[3], r[2]): r[11] for r in by["param"] if not r[12]}
+        assert params[("Get", "k")] == "K"
+        assert params[("Map", "xs")] == "[]T"
+        assert params[("Map", "f")] == "func(T) U"
+        rets = {r[3]: r[11] for r in by["param"] if r[12]}
+        assert rets["Get"] == "V" and rets["Map"] == "[]U"
