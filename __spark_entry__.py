@@ -6,12 +6,11 @@
 and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key. Keys without an
 oracle entry (rows-only check by design):
-  * knn_join_ivf / dedup_embedding_ivf / knn_recall_pq /
-    knn_recall_pq_refined — their approximate side trains k-means
-    centroids / PQ codebooks (iterative numpy over a bounded sample)
-    that no SQL replay can reproduce; the exact twins (knn_join,
-    dedup_embedding_cosine) are oracle-gated and full-probe == exact
-    is unit-tested.
+  * knn_recall_pq / knn_recall_pq_refined — their approximate side
+    trains PQ codebooks (per-subspace k-means) whose SQL inlining
+    would be 8 codebooks x 64 codes of literals; the exact twins
+    (knn_join, dedup_embedding_cosine) are oracle-gated and
+    full-probe == exact is unit-tested.
   * search_semantic_lexical — random-indexing embedding composite
     (gaussian token directions are not SQL-expressible; semantics
     unit-tested in tests/test_search.py and oracle-graded through
@@ -26,10 +25,13 @@ makes the whole composite SQL-replayable), knn_join_lsh and
 dedup_embedding_lsh (deterministic hyperplanes inline as literals — the
 oracle replays the identical approximation), and knn_recall_lsh (both
 of its inputs are now replayable, so the recall number itself is
-hash-checked). R6 conversion: knn_recall_ivf — the replayable trainer
-(vec_id-ordered sample, first-k init, no RNG) lets the oracle builder
-re-derive the identical centroids from the same parquet without Spark
-and inline them as literals (oracle.knn_ivf_recall_oracle_sql).
+hash-checked). R6 conversions: knn_recall_ivf, knn_join_ivf and
+dedup_embedding_ivf — the replayable trainer (vec_id-ordered sample,
+first-k init, no RNG) lets the oracle builder re-derive the identical
+centroids from the same parquet without Spark and inline them as
+literals (oracle.knn_ivf_recall_oracle_sql / knn_ivf_join_oracle_sql /
+dedup_embedding_ivf_oracle_sql), so the approximate outputs themselves
+are hash-gated.
 
 Column names are aliased identically on both sides so the driver's
 sorted-by-name value hash matches.
@@ -967,12 +969,20 @@ def _q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate (recall<1 at nprobe<n_centroids): rows-only check;
-    # the exact join twin is oracle-gated, and nprobe==n_centroids
-    # equality with it is unit-tested
+    # ORACLE-gated as of r6: centroids come from the replayable trainer
+    # (vec_id-ordered sample, first-k init, no RNG) so
+    # oracle.knn_ivf_join_oracle_sql derives the identical centroids
+    # from the same parquet and replays assignment/probes/top-k in SQL —
+    # the approximate JOIN OUTPUT itself is hash-checked, not just its
+    # recall. Parameters (n_centroids=16, nprobe=4, k=5, iters=8) are
+    # hardcoded THERE — keep in lockstep. nprobe==n_centroids equality
+    # with the exact twin stays unit-tested.
     emb = _registry(spark, sf_dir).table("embeddings")
+    cents = knn_mod.train_centroids_ordered(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=16, iters=8
+    )
     return knn_mod.knn_join_ivf(
-        _knn_queries(spark, sf_dir), emb, k=5, n_centroids=16, nprobe=4
+        _knn_queries(spark, sf_dir), emb, k=5, nprobe=4, centroids=cents
     ).withColumn("score", F.round("score", 6))
 
 
@@ -1675,10 +1685,18 @@ def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the cluster-then-pair (SemDeDup-shape) approximate twin — recall
-    # loss only at cluster boundaries; exact twin is oracle-gated
+    # the cluster-then-pair (SemDeDup-shape) approximate twin. ORACLE-
+    # gated as of r6: with replayable-trainer centroids the cluster
+    # boundaries (and therefore the emitted pair set) are deterministic,
+    # so oracle.dedup_embedding_ivf_oracle_sql replays assignment +
+    # within-cluster pairing + exact cosine verify. Parameters
+    # (threshold=0.7, n_centroids=16, iters=8) hardcoded THERE.
+    emb = _registry(spark, sf_dir).table("embeddings")
+    cents = knn_mod.train_centroids_ordered(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=16, iters=8
+    )
     return dd.embedding_near_duplicates_ivf(
-        _registry(spark, sf_dir).table("embeddings"), threshold=0.7
+        emb, threshold=0.7, centroids=cents
     ).withColumn("score", F.round("score", 6))
 
 
@@ -4111,6 +4129,15 @@ def oracle_sql() -> dict[str, str]:
     try:
         out["knn_recall_ivf"] = oracle.knn_ivf_recall_oracle_sql(
             n_centroids=16, nprobe=4, k=5, n_queries=5, iters=8
+        )
+        # r6: the IVF join OUTPUT and the cluster-then-pair dedup are
+        # gated the same way — deterministic centroids make the whole
+        # approximation replayable, not just its recall number
+        out["knn_join_ivf"] = oracle.knn_ivf_join_oracle_sql(
+            n_centroids=16, nprobe=4, k=5, n_queries=5, iters=8
+        )
+        out["dedup_embedding_ivf"] = oracle.dedup_embedding_ivf_oracle_sql(
+            threshold=0.7, n_centroids=16, iters=8
         )
     except Exception:
         pass

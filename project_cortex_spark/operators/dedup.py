@@ -757,6 +757,7 @@ def embedding_near_duplicates_ivf(
     threshold: float = 0.95,
     n_centroids: int = 16,
     seed: int = 42,
+    centroids=None,
 ) -> DataFrame:
     """Cluster-then-pair near-dup (the SemDeDup shape): k-means-assign
     every vector to a centroid, generate pairs only WITHIN a cluster,
@@ -777,8 +778,12 @@ def embedding_near_duplicates_ivf(
 
     from .knn import assign_clusters, train_centroids
 
-    cent = train_centroids(
-        emb, vec_col=vec_col, n_centroids=n_centroids, seed=seed
+    cent = (
+        centroids
+        if centroids is not None
+        else train_centroids(
+            emb, vec_col=vec_col, n_centroids=n_centroids, seed=seed
+        )
     )
     assigned = assign_clusters(emb, cent, vec_col=vec_col).select(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"), "cluster_id"

@@ -2409,3 +2409,113 @@ def knn_ivf_recall_oracle_sql(
            CAST(floor(10000 * sum(hit) / count(*)) AS BIGINT) AS recall_e4
     FROM j GROUP BY query_id
     """
+
+
+def knn_ivf_join_oracle_sql(
+    *,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    n_queries: int = 5,
+    iters: int = 8,
+    sample_rows: int = 10_000,
+) -> str:
+    """Oracle for the IVF ANN join ITSELF (not just its recall): same
+    replayable-centroid trick as :func:`knn_ivf_recall_oracle_sql` —
+    the trainer is bit-reproducible from the vec_id-ordered parquet, so
+    assignment (argmax dot, centroid-id tiebreak), the query probe
+    expansion (top-``nprobe`` centroids), candidate scoring and the
+    per-query top-k all replay in SQL. The engine side must train via
+    ``knn.train_centroids_ordered`` with the SAME (n_centroids, iters,
+    sample_rows); reference semantics: vector_index.go:133-171 top-k
+    ordering with id tiebreak."""
+    from .operators.knn import _kmeans_deterministic
+
+    vecs = _load_embeddings_ordered()
+    cent = _kmeans_deterministic(vecs[:sample_rows], n_centroids, iters)
+    cent_values = ",\n      ".join(
+        f"({cid}, {_plane_literal(list(row))})"
+        for cid, row in enumerate(cent)
+    )
+    cos = (
+        "list_dot_product(c.v, q.qv)"
+        " / (sqrt(list_dot_product(c.v, c.v))"
+        " * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent(cid, cv) AS (VALUES
+      {cent_values}
+    ), assign AS (
+      SELECT doc_id, v, cid,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY list_dot_product(v, cv) DESC, cid) AS rn
+      FROM e CROSS JOIN cent
+    ), c AS (
+      SELECT doc_id, v, cid FROM assign WHERE rn = 1
+    ), q AS (
+      SELECT doc_id AS query_id, v AS qv, cid
+      FROM assign WHERE doc_id < {n_queries} AND rn <= {nprobe}
+    ), cand AS (
+      SELECT q.query_id, c.doc_id AS vec_id, (1.0 + {cos}) / 2.0 AS score
+      FROM c JOIN q USING (cid)
+    ), r AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, vec_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, vec_id, round(score, 6) AS score, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= {k}
+    """
+
+
+def dedup_embedding_ivf_oracle_sql(
+    *,
+    threshold: float = 0.7,
+    n_centroids: int = 16,
+    iters: int = 8,
+    sample_rows: int = 10_000,
+) -> str:
+    """Oracle for the cluster-then-pair (SemDeDup-shape) embedding
+    near-dup: replays the SAME deterministic centroids (see
+    :func:`knn_ivf_join_oracle_sql`), assigns every vector by argmax
+    dot (centroid-id tiebreak — matches np.argmax's first-max rule),
+    generates pairs only within a cluster (a < b), and verifies with
+    the exact cosine transform ``1 - (1 - cos)/2``. The approximation —
+    recall loss at cluster boundaries — is deterministic given the
+    centroids, so the pair set itself is hash-gated."""
+    from .operators.knn import _kmeans_deterministic
+
+    vecs = _load_embeddings_ordered()
+    cent = _kmeans_deterministic(vecs[:sample_rows], n_centroids, iters)
+    cent_values = ",\n      ".join(
+        f"({cid}, {_plane_literal(list(row))})"
+        for cid, row in enumerate(cent)
+    )
+    cos = (
+        "list_dot_product(x.v, y.v)"
+        " / (sqrt(list_dot_product(x.v, x.v))"
+        " * sqrt(list_dot_product(y.v, y.v)))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent(cid, cv) AS (VALUES
+      {cent_values}
+    ), assign AS (
+      SELECT doc_id, v, cid,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY list_dot_product(v, cv) DESC, cid) AS rn
+      FROM e CROSS JOIN cent
+    ), c AS (
+      SELECT doc_id, v, cid FROM assign WHERE rn = 1
+    ), scored AS (
+      SELECT x.doc_id AS a, y.doc_id AS b,
+             1.0 - (1.0 - ({cos})) / 2.0 AS score
+      FROM c x JOIN c y ON x.cid = y.cid AND x.doc_id < y.doc_id
+    )
+    SELECT a, b, round(score, 6) AS score
+    FROM scored WHERE score >= {threshold}
+    """
