@@ -484,6 +484,21 @@ def load_fts_index(
     )
 
 
+def _batch_exchange_partitions(spark, n_pairs: int, n_docs: int) -> int:
+    """Size the batch scorer's single exchange from the DATA, not the
+    session default: candidate rows are bounded by n_pairs * n_docs
+    (every (query term, doc) co-occurring), so target ~250k rows per
+    partition for parallelism at small scale, capped at ~5M rows per
+    partition at large scale (the same rows-per-partition posture as
+    the wedge-frame sizing in graph.py). A fixed
+    spark.sql.shuffle.partitions over-tasks a 1M-row exchange (task
+    overhead dominates sub-second batches) and under-partitions a
+    1e11-row one."""
+    est = max(1, n_pairs * n_docs)
+    default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(1, min(-(-est // 250_000), max(default, -(-est // 5_000_000))))
+
+
 def fts_search_batch(
     index: FtsIndex,
     queries: list[tuple],
@@ -562,28 +577,31 @@ def fts_search_batch(
     # one exchange serves both the aggregate and the top-k window:
     # hash-partitioning on query_id alone satisfies the (query_id,
     # doc_id) aggregate's clustering AND the window's partitioning, so
-    # the narrow pre-score rows shuffle once instead of aggregate-
-    # shuffle + window-shuffle. dl rides in the stored postings
-    # (store_fts_index), so everything between the pruned posting scan
-    # and that single exchange is broadcast-only.
+    # the rows shuffle once instead of aggregate-shuffle +
+    # window-shuffle. dl rides in the stored postings (store_fts_index),
+    # so everything between the pruned posting scan and that single
+    # exchange is broadcast-only — and the BM25 contribution is computed
+    # MAP-SIDE so the exchange moves only (query_id, doc_id, contrib):
+    # the string term and the tf/dl ints never cross the wire.
     if "dl" not in hits.columns:
         hits = hits.join(index.doc_stats, "doc_id")
     scored = (
-        hits.repartition("query_id")
-        .join(F.broadcast(dfreq), "term")
+        hits.join(F.broadcast(dfreq), "term")
         .withColumn(
             "contrib",
             idf
             * (F.col("tf") * (K1 + 1))
             / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(avg_dl))),
         )
+        .select("query_id", "doc_id", "contrib")
+        .repartition(_batch_exchange_partitions(spark, len(pairs), n), "query_id")
         .groupBy("query_id", "doc_id")
         .agg(
             # postings are unique on (term, doc_id) and qt on
             # (query_id, term), so each (query_id, doc_id, term) row
             # appears exactly once — plain count IS the distinct count,
             # without countDistinct's two-phase expand
-            F.count("term").alias("_matched"),
+            F.count("contrib").alias("_matched"),
             F.sum("contrib").alias("score"),
         )
         .join(F.broadcast(qn), "query_id")
