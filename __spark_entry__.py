@@ -6,11 +6,6 @@
 and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent SQL per query key. Keys without an
 oracle entry (rows-only check by design):
-  * knn_recall_pq / knn_recall_pq_refined — their approximate side
-    trains PQ codebooks (per-subspace k-means) whose SQL inlining
-    would be 8 codebooks x 64 codes of literals; the exact twins
-    (knn_join, dedup_embedding_cosine) are oracle-gated and
-    full-probe == exact is unit-tested.
   * search_semantic_lexical — random-indexing embedding composite
     (gaussian token directions are not SQL-expressible; semantics
     unit-tested in tests/test_search.py and oracle-graded through
@@ -25,13 +20,16 @@ makes the whole composite SQL-replayable), knn_join_lsh and
 dedup_embedding_lsh (deterministic hyperplanes inline as literals — the
 oracle replays the identical approximation), and knn_recall_lsh (both
 of its inputs are now replayable, so the recall number itself is
-hash-checked). R6 conversions: knn_recall_ivf, knn_join_ivf and
-dedup_embedding_ivf — the replayable trainer (vec_id-ordered sample,
-first-k init, no RNG) lets the oracle builder re-derive the identical
-centroids from the same parquet without Spark and inline them as
-literals (oracle.knn_ivf_recall_oracle_sql / knn_ivf_join_oracle_sql /
-dedup_embedding_ivf_oracle_sql), so the approximate outputs themselves
-are hash-gated.
+hash-checked). R6 conversions: knn_recall_ivf, knn_join_ivf,
+dedup_embedding_ivf, knn_recall_pq and knn_recall_pq_refined — the
+replayable trainers (vec_id-ordered sample, first-k init, no RNG; both
+the IVF k-means and the per-subspace PQ Lloyd) let the oracle builder
+re-derive identical centroids/codebooks from the same parquet without
+Spark and inline them as literals (oracle.knn_ivf_recall_oracle_sql /
+knn_ivf_join_oracle_sql / dedup_embedding_ivf_oracle_sql /
+knn_pq_recall_oracle_sql), so the approximate outputs themselves are
+hash-gated. The remaining rows-only set is exactly the 3 structurally
+un-oracle-able entries above.
 
 Column names are aliased identically on both sides so the driver's
 sorted-by-name value hash matches.
@@ -1031,21 +1029,35 @@ def _q_knn_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The synthetic embeddings are near-random (worst case for PQ —
     # no cluster structure to exploit), so the measured recall is a
     # floor, not a ceiling; the (m, n_codes) knobs trade bytes for it.
+    # ORACLE-gated as of r6: codebooks come from the replayable trainer
+    # so oracle.knn_pq_recall_oracle_sql re-derives them and replays
+    # encode/ADC/top-k/recall in SQL. Parameters (8 subspaces, 64
+    # codes, iters=8, k=5) hardcoded THERE — keep in lockstep.
     emb = _registry(spark, sf_dir).table("embeddings")
     q = _knn_queries(spark, sf_dir)
+    books = knn_mod.train_pq_codebooks_ordered(
+        emb, id_col="vec_id", vec_col="embedding", n_subspaces=8,
+        n_codes=64, iters=8,
+    )
     exact = knn_mod.knn_join(q, emb, k=5)
-    approx = knn_mod.knn_join_pq(q, emb, k=5, n_subspaces=8, n_codes=64)
+    approx = knn_mod.knn_join_pq(q, emb, k=5, codebooks=books)
     return knn_mod.ann_recall(approx, exact)
 
 
 def _q_knn_recall_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-stage retrieval self-measurement: PQ candidates + exact
-    # re-rank at refine_factor=10 vs the oracle-gated exact join
+    # re-rank at refine_factor=10 vs the oracle-gated exact join.
+    # ORACLE-gated as of r6 (same replayable codebooks; the oracle adds
+    # the candidate cut + exact cosine re-rank CTEs).
     emb = _registry(spark, sf_dir).table("embeddings")
     q = _knn_queries(spark, sf_dir)
+    books = knn_mod.train_pq_codebooks_ordered(
+        emb, id_col="vec_id", vec_col="embedding", n_subspaces=8,
+        n_codes=64, iters=8,
+    )
     exact = knn_mod.knn_join(q, emb, k=5)
     approx = knn_mod.knn_join_pq_refined(
-        q, emb, k=5, refine_factor=10, n_subspaces=8, n_codes=64
+        q, emb, k=5, refine_factor=10, codebooks=books
     )
     return knn_mod.ann_recall(approx, exact)
 
@@ -4138,6 +4150,13 @@ def oracle_sql() -> dict[str, str]:
         )
         out["dedup_embedding_ivf"] = oracle.dedup_embedding_ivf_oracle_sql(
             threshold=0.7, n_centroids=16, iters=8
+        )
+        out["knn_recall_pq"] = oracle.knn_pq_recall_oracle_sql(
+            n_subspaces=8, n_codes=64, k=5, n_queries=5, iters=8
+        )
+        out["knn_recall_pq_refined"] = oracle.knn_pq_recall_oracle_sql(
+            n_subspaces=8, n_codes=64, k=5, n_queries=5, iters=8,
+            refine_factor=10,
         )
     except Exception:
         pass

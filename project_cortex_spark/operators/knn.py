@@ -493,6 +493,60 @@ def knn_join_ivf(
 # ---------------------------------------------------------------------------
 
 
+def _pq_lloyd_deterministic(sample, n_subspaces: int, n_codes: int, iters: int):
+    """Per-subspace L2 Lloyd with first-k init — REPLAYABLE the same way
+    as :func:`_kmeans_deterministic`: no RNG, so given the same rows in
+    the same order the codebooks are bit-reproducible and an oracle
+    builder can re-derive them from the same parquet (ordered by id)
+    and inline them as SQL literals."""
+    sample = np.asarray(sample, dtype=np.float64)
+    dim = sample.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sample = sample / np.clip(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12, None
+    )
+    dsub = dim // n_subspaces
+    books = np.empty((n_subspaces, n_codes, dsub), dtype=np.float64)
+    for j in range(n_subspaces):
+        block = sample[:, j * dsub : (j + 1) * dsub]
+        cent = block[: min(n_codes, len(block))].copy()
+        for _ in range(iters):
+            d2 = ((block[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                members = block[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j, : len(cent)] = cent
+        if len(cent) < n_codes:  # degenerate tiny sample: pad by repeat
+            books[j, len(cent) :] = cent[0]
+    return books
+
+
+def train_pq_codebooks_ordered(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    sample_rows: int = 10_000,
+    iters: int = 8,
+):
+    """Deterministic-by-construction PQ training: the sample is the
+    first ``sample_rows`` vectors ORDERED BY ``id_col``, fed to
+    :func:`_pq_lloyd_deterministic` — the PQ analogue of
+    :func:`train_centroids_ordered`, and what lets the recall
+    self-measurements be hash-gated end to end."""
+    rows = (
+        corpus.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
+    )
+    return _pq_lloyd_deterministic(
+        [list(r[0]) for r in rows], n_subspaces, n_codes, iters
+    )
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     *,

@@ -2519,3 +2519,123 @@ def dedup_embedding_ivf_oracle_sql(
     SELECT a, b, round(score, 6) AS score
     FROM scored WHERE score >= {threshold}
     """
+
+
+def knn_pq_recall_oracle_sql(
+    *,
+    n_subspaces: int = 8,
+    n_codes: int = 64,
+    k: int = 5,
+    n_queries: int = 5,
+    iters: int = 8,
+    sample_rows: int = 10_000,
+    refine_factor: int | None = None,
+) -> str:
+    """END-TO-END oracle for the PQ/ADC recall self-measurements: the
+    deterministic per-subspace trainer (knn._pq_lloyd_deterministic,
+    vec_id-ordered sample, first-k init, no RNG) is bit-reproducible
+    from the same parquet, so the codebooks inline as SQL literals and
+    the whole pipeline replays in DuckDB — normalization, per-subspace
+    encode (argmin of the SAME ``-2 b.c + c.c`` expression the engine
+    ranks on, code-id tiebreak matching np.argmin's first-min), the
+    query distance tables (3-term L2 form, matching knn.dist_table),
+    the table-gather ADC sum, the top-k (or, with ``refine_factor``,
+    the candidate cut + exact cosine re-rank), and the recall join
+    against the exact top-k. Like the LSH/IVF conversions, the recall
+    NUMBER is hash-gated, not just bounded."""
+    from .operators.knn import _pq_lloyd_deterministic
+
+    vecs = _load_embeddings_ordered()
+    books = _pq_lloyd_deterministic(
+        vecs[:sample_rows], n_subspaces, n_codes, iters
+    )
+    dsub = books.shape[2]
+    cb_values = ",\n      ".join(
+        f"({j}, {c}, {_plane_literal(list(books[j, c]))})"
+        for j in range(n_subspaces)
+        for c in range(n_codes)
+    )
+    cos = (
+        "list_dot_product(d.v, q.v)"
+        " / (sqrt(list_dot_product(d.v, d.v))"
+        " * sqrt(list_dot_product(q.v, q.v)))"
+    )
+    n_cand = k * refine_factor if refine_factor else k
+    if refine_factor:
+        approx_ctes = f""", cand AS (
+      SELECT query_id, vec_id FROM ar WHERE rank <= {n_cand}
+    ), rsc AS (
+      SELECT c.query_id, c.vec_id,
+             row_number() OVER (PARTITION BY c.query_id
+               ORDER BY {cos} DESC, c.vec_id) AS rank
+      FROM cand c
+      JOIN e d ON d.doc_id = c.vec_id
+      JOIN e q ON q.doc_id = c.query_id
+    ), approx AS (
+      SELECT query_id, vec_id FROM rsc WHERE rank <= {k}
+    )"""
+    else:
+        approx_ctes = f""", approx AS (
+      SELECT query_id, vec_id FROM ar WHERE rank <= {k}
+    )"""
+    return f"""
+    WITH e AS (
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), nrm AS (
+      SELECT doc_id,
+             list_transform(v, x -> x
+               / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS nv
+      FROM e
+    ), cb(sub, code, cv) AS (VALUES
+      {cb_values}
+    ), subs AS (
+      SELECT CAST(range AS INT) AS sub FROM range({n_subspaces})
+    ), docsub AS (
+      SELECT doc_id, sub,
+             nv[sub * {dsub} + 1 : sub * {dsub} + {dsub}] AS b
+      FROM nrm CROSS JOIN subs
+    ), encd AS (
+      SELECT doc_id, sub, code FROM (
+        SELECT d.doc_id, d.sub, cb.code,
+               row_number() OVER (PARTITION BY d.doc_id, d.sub
+                 ORDER BY -2 * list_dot_product(d.b, cb.cv)
+                          + list_dot_product(cb.cv, cb.cv) ASC,
+                          cb.code) AS rn
+        FROM docsub d JOIN cb ON cb.sub = d.sub
+      ) WHERE rn = 1
+    ), qtab AS (
+      SELECT q.doc_id AS query_id, q.sub, cb.code,
+             list_dot_product(q.b, q.b)
+             - 2 * list_dot_product(q.b, cb.cv)
+             + list_dot_product(cb.cv, cb.cv) AS qd2
+      FROM docsub q JOIN cb ON cb.sub = q.sub
+      WHERE q.doc_id < {n_queries}
+    ), adc AS (
+      SELECT t.query_id, enc.doc_id AS vec_id, sum(t.qd2) AS adc_dist
+      FROM encd enc JOIN qtab t ON t.sub = enc.sub AND t.code = enc.code
+      GROUP BY t.query_id, enc.doc_id
+    ), ar AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_dist ASC, vec_id) AS rank
+      FROM adc
+    ){approx_ctes}, xs AS (
+      SELECT q0.doc_id AS query_id, c0.doc_id AS vec_id,
+             row_number() OVER (PARTITION BY q0.doc_id
+               ORDER BY list_dot_product(c0.v, q0.v)
+                 / (sqrt(list_dot_product(c0.v, c0.v))
+                  * sqrt(list_dot_product(q0.v, q0.v))) DESC,
+               c0.doc_id) AS rank
+      FROM e c0 CROSS JOIN e q0 WHERE q0.doc_id < {n_queries}
+    ), exact AS (
+      SELECT query_id, vec_id FROM xs WHERE rank <= {k}
+    ), j AS (
+      SELECT x.query_id,
+             CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM exact x LEFT JOIN approx a USING (query_id, vec_id)
+    )
+    SELECT query_id, count(*) AS n_exact,
+           CAST(sum(hit) AS BIGINT) AS n_hit,
+           CAST(floor(10000 * sum(hit) / count(*)) AS BIGINT) AS recall_e4
+    FROM j GROUP BY query_id
+    """

@@ -394,3 +394,33 @@ def test_train_centroids_ordered_is_replayable(spark, registry):
         np.array([list(r[0]) for r in rows], dtype=np.float64), 16, 8
     )
     assert np.array_equal(spark_side, oracle_side)  # bit-exact, not allclose
+
+
+def test_train_pq_codebooks_ordered_is_replayable(spark, registry):
+    """PQ analogue of the centroid replay property: the ordered trainer
+    must be bit-reproducible from the same vectors loaded WITHOUT Spark
+    (what lets knn_pq_recall_oracle_sql inline identical codebook
+    literals)."""
+    import numpy as np
+
+    from project_cortex_spark.operators.knn import (
+        _pq_lloyd_deterministic,
+        train_pq_codebooks_ordered,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = registry.table("embeddings")
+    spark_side = train_pq_codebooks_ordered(
+        emb, n_subspaces=8, n_codes=16, iters=4
+    )
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+        " ORDER BY vec_id"
+    ).fetchall()
+    oracle_side = _pq_lloyd_deterministic(
+        np.array([list(r[0]) for r in rows], dtype=np.float64), 8, 16, 4
+    )
+    assert np.array_equal(spark_side, oracle_side)  # bit-exact, not allclose
