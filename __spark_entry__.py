@@ -1186,7 +1186,14 @@ def _q_search_lexical_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # carry the virtual mode token (+1.0 — weight 1, orthogonal to all word
 # tokens so it never enters the dot), rank by overlap-cosine desc with
 # doc id as tie-break (identical token multisets embed identically, so
-# both sides break the tie the same way).
+# both sides break the tie the same way). The cosine is rounded to 12 dp
+# BEFORE ranking: byte-identical documents tie at exactly 1.0 on the
+# Spark side (bit-equal vectors), but DuckDB's parallel sum() builds the
+# two dots in different accumulation orders — 1-ulp reassociation noise
+# that would beat the id tie-break (observed at sf1: two identical docs,
+# oracle ranked self first by 1 ulp while Spark's id tie-break picked the
+# lower id). 12 dp is ~1e4 ulps of slack yet far below any genuine
+# cosine gap between distinct token multisets (~1e-2 at these doc sizes).
 _LEXICAL_RECALL_ORACLE = """
 WITH tf AS (
     SELECT doc_id, u.tok AS tok, count(*) AS c
@@ -1206,7 +1213,7 @@ WITH tf AS (
     SELECT d.query_doc_id, d.did,
            row_number() OVER (
                PARTITION BY d.query_doc_id
-               ORDER BY d.dot / (nq.nrm * nd.nrm) DESC, d.did ASC
+               ORDER BY round(d.dot / (nq.nrm * nd.nrm), 12) DESC, d.did ASC
            ) AS rn
     FROM dots d
     JOIN nrm nq ON nq.doc_id = d.query_doc_id
@@ -4027,19 +4034,26 @@ _GATE_FIRST = [
     # rows (three engine generations old), (c) the 4 queries first
     # registered in r5 (no driver row yet) — then re-gate the 35
     # oldest-evidence r3 greens that are NOT the dsl compiler family.
-    # After this round every oracle-gated query has r3+ driver
-    # evidence and the rowless set is exactly the rows-only-by-design
-    # entries (search_semantic_lexical, knn_recall_pq,
-    # knn_recall_pq_refined + the ivf/pq structural probes).
+    # After this round every query has r3+ driver evidence and the
+    # rowless set is empty (the rows-only-by-design entries get fresh
+    # probe rows via section (g)).
     #
-    # R7 gate head (pure rotation from here on): any r6-registered
-    # queries without a driver row (graph_pattern_ast_multilang, ...),
-    # then the 15 remaining r3-evidence queries — the 14 dsl_* compiler
-    # shapes (dsl_agg_full, dsl_agg_having, dsl_between_dates,
-    # dsl_filter_bool_tree, dsl_in, dsl_join_full, dsl_join_inner,
-    # dsl_join_left, dsl_join_right, dsl_like, dsl_null_checks,
-    # dsl_order_limit_offset, dsl_revenue_by_nation, dsl_tpch_q5)
-    # plus fts_term — then rotate the oldest r4 greens.
+    # Mid-r6 amendment: the r6 oracle conversions (knn_recall_ivf/pq/
+    # pq_refined, knn_join_ivf, dedup_embedding_ivf — replayable-trainer
+    # oracles) and the new graph_pattern_ast_multilang left 9 queries
+    # with pre-r3-or-no driver evidence; section (g) gates them now,
+    # displacing 9 r3 re-gates whose families keep other rows this
+    # round (fts_prefix, knn_topk_filtered, join_range,
+    # graph_dependents, graph_type_usages, dedup_simhash,
+    # dedup_embedding_cosine, corpus_mix, events_top_users).
+    #
+    # R7 gate head (pure rotation from here on): the 9 displaced r3
+    # re-gates above, the 14 dsl_* compiler shapes (dsl_agg_full,
+    # dsl_agg_having, dsl_between_dates, dsl_filter_bool_tree, dsl_in,
+    # dsl_join_full, dsl_join_inner, dsl_join_left, dsl_join_right,
+    # dsl_like, dsl_null_checks, dsl_order_limit_offset,
+    # dsl_revenue_by_nation, dsl_tpch_q5) plus fts_term — then rotate
+    # the oldest r4 greens.
     #
     # -- (a) r5 spillover streaming twins --
     "stream_fts",
@@ -4059,34 +4073,36 @@ _GATE_FIRST = [
     "media_bmp_roundtrip",
     "graph_bfs_multi",
     "fts_batch_topk",
+    # -- (g) r6 oracle conversions + never/pre-r3 evidence --
+    "knn_recall_ivf",
+    "knn_recall_pq",
+    "knn_recall_pq_refined",
+    "knn_join_ivf",
+    "dedup_embedding_ivf",
+    "graph_pattern_ast_multilang",
+    "graph_pattern_search",
+    "pipeline_parse_entities",
+    "search_semantic_lexical",
     # -- (d) r3-evidence re-gates: fts / search / knn / joins --
     "fts_bool_and",
     "fts_bool_or_not",
     "fts_phrase",
-    "fts_prefix",
     "fts_filtered",
     "knn_topk",
-    "knn_topk_filtered",
     "knn_join",
     "join_hydrate_nested",
-    "join_range",
     # -- (e) r3-evidence re-gates: graph traversals --
     "graph_callers_d2",
     "graph_callees_d3",
     "graph_dependencies",
-    "graph_dependents",
     "graph_implements",
     "graph_shortest_path",
-    "graph_type_usages",
     "graph_impact",
     # -- (f) r3-evidence re-gates: dedup / corpus / text / events --
     "dedup_exact_groups",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_clusters",
-    "dedup_embedding_cosine",
     "corpus_split",
-    "corpus_mix",
     "corpus_decontaminate",
     "text_token_stats",
     "text_quality",
@@ -4094,7 +4110,6 @@ _GATE_FIRST = [
     "events_windowed_agg",
     "events_sessionize",
     "events_props_extract",
-    "events_top_users",
     # -- (g) r3-evidence re-gates: streaming --
     "stream_rollup",
     "stream_sessionize",

@@ -45,8 +45,16 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             .option("pathGlobFilter", f"{name}.parquet")
             .parquet(sf_dir)
         )
+    # same guard as registry.read_parquet: pyspark 4.1.2 reads
+    # TIMESTAMP(NANOS) natively as TimestampType (micros truncation) and
+    # ignores nanosAsLong, so the div-1000 restore must only run when the
+    # column actually materialized as LONG — unconditional restore is an
+    # AnalysisException on natively-read nanos (found via the sf1
+    # directory-layout sweep, r6)
+    dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
     for c in _nano_timestamp_columns(path):
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     return df
 
 
