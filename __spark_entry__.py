@@ -2316,6 +2316,60 @@ def _q_pattern_ast_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pattern_cst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cortex_pattern's cst (concrete-syntax-exact) strictness tier — the
+    # last of the reference's five tiers (internal/pattern/executor.go:
+    # 36-100): comments are concrete tokens and no smart-tier leniency
+    # applies. Each pattern_id pins one divergence from the smart tier:
+    # a comment between literals breaks a cst match but not a smart one;
+    # TS type annotations must be spelled out; a literal comment pattern
+    # finds TODO comments; the Python route runs on the token stream.
+    # Deterministic matches over the fixed corpus -> golden oracle.
+    from pyspark.sql import functions as F
+
+    from project_cortex_spark.operators import astpattern
+    from project_cortex_spark.pipeline.fixtures import CST_FILES
+
+    files = spark.createDataFrame(
+        CST_FILES, "file_path string, content string"
+    )
+    parts = []
+    for pid, pat, lang, tier in (
+        ("go_lit_smart", "track(1, 2)", "go", "smart"),
+        ("go_lit_cst", "track(1, 2)", "go", "cst"),
+        ("go_todo_cst", "// TODO drop retries", "go", "cst"),
+        ("ts_fn_smart", "function lookup($A, $B) {", "typescript", "smart"),
+        ("ts_fn_cst", "function lookup($A, $B) {", "typescript", "cst"),
+        (
+            "ts_fn_cst_full",
+            "function lookup($A, $B): Item | undefined {",
+            "typescript",
+            "cst",
+        ),
+    ):
+        parts.append(
+            astpattern.pattern_search_tokens(
+                files, pat, language=lang, strictness=tier
+            ).withColumn("pattern_id", F.lit(pid))
+        )
+    parts.append(
+        astpattern.pattern_search_ast(
+            files, "log($X)  # audit", strictness="cst"
+        ).withColumn("pattern_id", F.lit("py_audit_cst"))
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "pattern_id",
+        "file_path",
+        "start_line",
+        "end_line",
+        "n_bindings",
+        F.md5("matched").alias("match_md5"),
+    )
+
+
 def _q_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cortex_pattern's signature-strictness tier over parsed entities
     # (rows-only check; extraction itself is unit-tested)
@@ -3966,6 +4020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["graph_pattern_search"] = _q_pattern_search
     out["graph_pattern_ast"] = _q_pattern_ast
     out["graph_pattern_ast_multilang"] = _q_pattern_ast_multilang
+    out["graph_pattern_cst"] = _q_pattern_cst
     out["retention_evict_branches"] = _q_retention_evict
     out["agg_rollup"] = _q_agg_rollup
     out["agg_cube"] = _q_agg_cube
@@ -4042,12 +4097,14 @@ _GATE_FIRST = [
     # pq_refined, knn_join_ivf, dedup_embedding_ivf — replayable-trainer
     # oracles) and the new graph_pattern_ast_multilang left 9 queries
     # with pre-r3-or-no driver evidence; section (g) gates them now,
-    # displacing 9 r3 re-gates whose families keep other rows this
+    # displacing 10 r3 re-gates whose families keep other rows this
     # round (fts_prefix, knn_topk_filtered, join_range,
-    # graph_dependents, graph_type_usages, dedup_simhash,
-    # dedup_embedding_cosine, corpus_mix, events_top_users).
+    # graph_callees_d3, graph_dependents, graph_type_usages,
+    # dedup_simhash, dedup_embedding_cosine, corpus_mix,
+    # events_top_users); graph_pattern_cst (new this round, the fifth
+    # and last strictness tier) gates alongside them.
     #
-    # R7 gate head (pure rotation from here on): the 9 displaced r3
+    # R7 gate head (pure rotation from here on): the 10 displaced r3
     # re-gates above, the 14 dsl_* compiler shapes (dsl_agg_full,
     # dsl_agg_having, dsl_between_dates, dsl_filter_bool_tree, dsl_in,
     # dsl_join_full, dsl_join_inner, dsl_join_left, dsl_join_right,
@@ -4080,6 +4137,7 @@ _GATE_FIRST = [
     "knn_join_ivf",
     "dedup_embedding_ivf",
     "graph_pattern_ast_multilang",
+    "graph_pattern_cst",
     "graph_pattern_search",
     "pipeline_parse_entities",
     "search_semantic_lexical",
@@ -4093,7 +4151,6 @@ _GATE_FIRST = [
     "join_hydrate_nested",
     # -- (e) r3-evidence re-gates: graph traversals --
     "graph_callers_d2",
-    "graph_callees_d3",
     "graph_dependencies",
     "graph_implements",
     "graph_shortest_path",
@@ -4409,6 +4466,18 @@ def oracle_sql() -> dict[str, str]:
           ('go_method','srv.go',41,41,3,'564a7090f1afc23ee742dd6817e48683'),
           ('ts_if','store.ts',21,23,1,'2dc46f21d64793ed8c932793b0945d92'),
           ('ts_if','store.ts',29,29,1,'2130c952c6c692db23ab822baefebbd2')
+        ) AS t(pattern_id, file_path, start_line, end_line, n_bindings,
+               match_md5)
+    """
+    out["graph_pattern_cst"] = """
+        SELECT * FROM (VALUES
+          ('go_lit_smart','notes.go',4,4,0,'1ce09d899b619e6383146d8c7d726e38'),
+          ('go_lit_smart','notes.go',5,5,0,'f806a715eac7477451bcc5db8528f0ba'),
+          ('go_lit_cst','notes.go',4,4,0,'1ce09d899b619e6383146d8c7d726e38'),
+          ('go_todo_cst','notes.go',6,6,0,'72a84775925e4b818a700dc025366def'),
+          ('ts_fn_smart','notes.ts',1,1,2,'131473c6bc71634e7b7d8761b0e8a6e6'),
+          ('ts_fn_cst_full','notes.ts',1,1,2,'131473c6bc71634e7b7d8761b0e8a6e6'),
+          ('py_audit_cst','notes.py',2,2,1,'004594b9bb83ea72713a26062b6d85ab')
         ) AS t(pattern_id, file_path, start_line, end_line, n_bindings,
                match_md5)
     """

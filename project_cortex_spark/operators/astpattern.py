@@ -9,7 +9,11 @@ implemented directly: for Python on the stdlib ``ast`` (below), and for
 the C-like languages (Go, TypeScript, JavaScript, Java, C, C++, Rust,
 PHP) on a comment/string-aware token stream (:func:`match_pattern_tokens`
 / :func:`pattern_search_tokens` at the end of this module). The cst
-(concrete-syntax-exact) tier is not implemented in either form.
+(concrete-syntax-exact) tier runs on the token stream for EVERY language
+(including Python, whose ast module erases trivia): comments are lexed
+as concrete tokens and all smart/relaxed leniencies are off, so a match
+must reproduce the source's concrete token sequence exactly — ast-grep's
+"all nodes including unnamed must match" semantics.
 
 Python AST tier:
 
@@ -154,7 +158,16 @@ def match_pattern_source(
     pattern: str, source: str, *, strictness: str = "smart"
 ) -> list[tuple[int, int, str, dict]]:
     """All subtrees of ``source`` matching ``pattern``:
-    (start_line, end_line, matched_text, metavar_bindings)."""
+    (start_line, end_line, matched_text, metavar_bindings).
+
+    ``strictness="cst"`` routes to the concrete-syntax token matcher
+    (comments significant, ``#`` form): Python's ast module erases
+    trivia, so the cst tier runs on the token stream for every
+    language."""
+    if strictness == "cst":
+        return match_pattern_tokens(
+            pattern, source, strictness="cst", hash_comments=True
+        )
     pat = parse_pattern(pattern)
     try:
         tree = pyast.parse(source)
@@ -265,8 +278,15 @@ _CLOSERS = {")", "]", "}"}
 # token tuple layout: (text, line, start_char, end_char)
 
 
-def lex_clike(src: str, *, hash_comments: bool = False) -> list[tuple]:
-    """Comment/string-aware tokenizer shared by the C-like languages."""
+def lex_clike(
+    src: str, *, hash_comments: bool = False, keep_comments: bool = False
+) -> list[tuple]:
+    """Comment/string-aware tokenizer shared by the C-like languages.
+
+    ``keep_comments=True`` (the cst tier) emits each comment as a single
+    token — trailing whitespace stripped, interior text verbatim — so
+    comments participate in matching as concrete nodes instead of being
+    trivia."""
     toks: list[tuple] = []
     i, n, line = 0, len(src), 1
     while i < n:
@@ -280,17 +300,26 @@ def lex_clike(src: str, *, hash_comments: bool = False) -> list[tuple]:
             continue
         if c == "/" and i + 1 < n and src[i + 1] == "/":
             j = src.find("\n", i)
-            i = n if j == -1 else j
+            j = n if j == -1 else j
+            if keep_comments:
+                toks.append((src[i:j].rstrip(), line, i, j))
+            i = j
             continue
         if c == "/" and i + 1 < n and src[i + 1] == "*":
             j = src.find("*/", i + 2)
-            seg = src[i:] if j == -1 else src[i: j + 2]
+            end = n if j == -1 else j + 2
+            seg = src[i:end]
+            if keep_comments:
+                toks.append((seg, line, i, end))
             line += seg.count("\n")
-            i = n if j == -1 else j + 2
+            i = end
             continue
         if c == "#" and hash_comments:
             j = src.find("\n", i)
-            i = n if j == -1 else j
+            j = n if j == -1 else j
+            if keep_comments:
+                toks.append((src[i:j].rstrip(), line, i, j))
+            i = j
             continue
         if c in "\"'":
             j = i + 1
@@ -328,10 +357,17 @@ _TOKEN_MV_RE = re.compile(r"^\$[A-Z_][A-Z0-9_]*$")
 _MAX_SPAN = 400  # tokens a single metavar/multi may absorb
 
 
-def _compile_token_pattern(pattern: str) -> list[tuple]:
-    """('lit', text) | ('mv', name) | ('multi', None) steps."""
+def _compile_token_pattern(
+    pattern: str, *, hash_comments: bool = False, keep_comments: bool = False
+) -> list[tuple]:
+    """('lit', text) | ('mv', name) | ('multi', None) steps. In cst mode
+    (``keep_comments``) a comment in the pattern compiles to a literal
+    comment-token step; metavariables INSIDE comment text are not
+    expanded (a comment is one concrete token)."""
     steps = []
-    for text, _ln, _s, _e in lex_clike(pattern):
+    for text, _ln, _s, _e in lex_clike(
+        pattern, hash_comments=hash_comments, keep_comments=keep_comments
+    ):
         if text == "$$$":
             steps.append(("multi", None))
         elif _TOKEN_MV_RE.match(text):
@@ -469,9 +505,20 @@ def match_pattern_tokens(
 ) -> list[tuple[int, int, str, dict]]:
     """All token spans of ``source`` matching ``pattern``:
     (start_line, end_line, matched_text, metavar_bindings). Matches may
-    overlap (nested matches are reported, like ast-grep)."""
-    steps = _compile_token_pattern(pattern)
-    toks = lex_clike(source, hash_comments=hash_comments)
+    overlap (nested matches are reported, like ast-grep).
+
+    ``strictness="cst"`` is concrete-syntax-exact: comments become
+    ordinary tokens (a comment between two literal pattern tokens breaks
+    the match unless the pattern spells it out; metavariable spans may
+    absorb comments like any other token), and none of the smart/relaxed
+    leniencies apply — no annotation skipping, no dotted-path matching.
+    Mirrors ast-grep's cst tier where unnamed/trivia nodes must match
+    (internal/pattern/executor.go:36-100)."""
+    keep = strictness == "cst"
+    steps = _compile_token_pattern(
+        pattern, hash_comments=hash_comments, keep_comments=keep
+    )
+    toks = lex_clike(source, hash_comments=hash_comments, keep_comments=keep)
     first = steps[0]
     out = []
     for si in range(len(toks)):

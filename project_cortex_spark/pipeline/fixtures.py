@@ -303,6 +303,41 @@ def make_cursor(offset)
 end
 '''
 
+# Comment-bearing sources for the cst (concrete-syntax-exact) pattern
+# tier — kept separate from MULTILANG_FILES so the md5-pinned goldens of
+# the smart-tier queries stay stable.
+CST_GO_SRC = '''\
+package notes
+
+func emit() {
+\ttrack(1, 2)
+\ttrack(1, /* mid */ 2)
+\t// TODO drop retries
+\tretry()
+}
+'''
+
+CST_TS_SRC = '''\
+function lookup(id: Key, strict: boolean): Item | undefined {
+  return undefined;
+}
+// TODO drop retries
+const fast = lookup("a", true);
+'''
+
+CST_PY_SRC = '''\
+def handler(evt):
+    log(evt)  # audit
+    log(evt)
+    return evt
+'''
+
+CST_FILES = [
+    ("notes.go", CST_GO_SRC),
+    ("notes.ts", CST_TS_SRC),
+    ("notes.py", CST_PY_SRC),
+]
+
 MULTILANG_FILES = [
     ("demo.py", PY_SRC),
     ("srv.go", GO_SRC),

@@ -226,3 +226,65 @@ class TestTokenMatcher:
         )
         with pytest.raises(ValueError, match="unknown token-tier"):
             pattern_search_tokens(files, "$X", language="cobol")
+
+
+class TestCstTier:
+    """cst = concrete-syntax-exact: comments are tokens, no leniency."""
+
+    GO = (
+        "package notes\n"
+        "func emit() {\n"
+        "\ttrack(1, 2)\n"
+        "\ttrack(1, /* mid */ 2)\n"
+        "\t// TODO drop retries\n"
+        "\tretry()\n"
+        "}\n"
+    )
+
+    def test_comment_between_literals_breaks_cst_not_smart(self):
+        smart = match_pattern_tokens("track(1, 2)", self.GO, strictness="smart")
+        cst = match_pattern_tokens("track(1, 2)", self.GO, strictness="cst")
+        assert len(smart) == 2
+        assert [m for _s, _e, m, _b in cst] == ["track(1, 2)"]
+
+    def test_metavar_span_may_absorb_a_comment(self):
+        cst = match_pattern_tokens("track($A, $B)", self.GO, strictness="cst")
+        assert [b["B"] for _s, _e, _m, b in cst] == ["2", "/* mid */ 2"]
+
+    def test_literal_comment_pattern_matches_comment_token(self):
+        got = match_pattern_tokens(
+            "// TODO drop retries", self.GO, strictness="cst"
+        )
+        assert [(s, m) for s, _e, m, _b in got] == [(5, "// TODO drop retries")]
+        # outside cst, comments are trivia — a comment-only pattern
+        # compiles to nothing and is rejected
+        with pytest.raises(ValueError, match="empty pattern"):
+            match_pattern_tokens(
+                "// TODO drop retries", self.GO, strictness="smart"
+            )
+
+    def test_cst_requires_annotations_spelled_out(self):
+        ts = "function lookup(id: Key, strict: boolean): Item | undefined {}\n"
+        pat_bare = "function lookup($A, $B) {"
+        pat_full = "function lookup($A, $B): Item | undefined {"
+        assert len(match_pattern_tokens(pat_bare, ts, strictness="smart")) == 1
+        assert match_pattern_tokens(pat_bare, ts, strictness="cst") == []
+        got = match_pattern_tokens(pat_full, ts, strictness="cst")
+        assert [b for _s, _e, _m, b in got] == [
+            {"A": "id : Key", "B": "strict : boolean"}
+        ]
+
+    def test_hash_comment_language_cst(self):
+        php = "<?php\nrun(1); # fast path\nrun(1);\n"
+        got = match_pattern_tokens(
+            "run(1); # fast path", php, strictness="cst", hash_comments=True
+        )
+        assert [s for s, _e, _m, _b in got] == [2]
+
+    def test_python_cst_routes_to_token_stream(self):
+        py = "def f():\n    log(x)  # audit\n    log(y)\n"
+        got = match_pattern_source("log($X)  # audit", py, strictness="cst")
+        assert [(s, b["X"]) for s, _e, _m, b in got] == [(2, "x")]
+        # repeated metavariables still bind token-identically under cst
+        assert match_pattern_source("log($X, $X)", "log(a, b)\n",
+                                    strictness="cst") == []
