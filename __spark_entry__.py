@@ -3971,6 +3971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_entropy"] = lambda s, d: ts.char_entropy(_docs(s, d))
     out["text_token_stats"] = lambda s, d: ts.token_stats(_docs(s, d))
     out["text_quality"] = lambda s, d: ts.quality_scores(_docs(s, d))
+    # Gopher quality-filter rules (Rae et al. 2021 Appendix A), published
+    # thresholds: per-rule features + combined keep verdict
+    out["text_gopher_quality"] = lambda s, d: ts.gopher_rules(_docs(s, d))
     out["text_language_id"] = lambda s, d: ts.language_id(_docs(s, d))
     out["text_fingerprints"] = lambda s, d: ts.fingerprints(_docs(s, d))
     out["text_top_terms"] = _q_text_top_terms
@@ -4316,6 +4319,7 @@ def oracle_sql() -> dict[str, str]:
     out["text_entropy"] = oracle.char_entropy_sql()
     out["text_token_stats"] = oracle.token_stats_sql()
     out["text_quality"] = oracle.quality_scores_sql()
+    out["text_gopher_quality"] = oracle.gopher_rules_sql()
     out["text_language_id"] = oracle.language_id_sql()
     out["text_fingerprints"] = oracle.fingerprints_sql()
     out["text_repetition"] = oracle.repetition_stats_sql()

@@ -81,6 +81,107 @@ def quality_scores(
     )
 
 
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality-filter rules (Rae et al. 2021, "Scaling
+    Language Models", Appendix A) as one narrow projection — per-doc
+    rule features plus the combined ``keep`` verdict. Defaults are the
+    paper's published thresholds.
+
+    Words are whitespace-split (the paper's unit); lines split on
+    newline with ratios over ALL lines. Symbol ratios count ``#`` and
+    ellipsis (``...`` non-overlapping left-to-right, plus ``…``) per
+    word. ``n_stop_hits`` counts how many DISTINCT members of the
+    paper's 8-word required-stopword list occur.
+
+    Scale notes: pure collection expressions over the documents scan —
+    zero shuffle, whole-stage codegen, no UDF; per-row cost linear in
+    document length. At 100 TB this runs at scan bandwidth and composes
+    with `corpus` filters as a pushed-down predicate on ``keep``.
+    """
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    wdenom = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_word_len = (
+        F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w))
+        / wdenom
+    )
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = (
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit(""))))
+        / F.lit(3)
+        + F.length(text)
+        - F.length(F.regexp_replace(text, "…", ""))
+    )
+    lines = F.split(text, "\n")
+    ldenom = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda line: F.substring(F.ltrim(line), 1, 1).isin("•", "-", "*"),
+        )
+    )
+    n_ell_end = F.size(
+        F.filter(
+            lines,
+            lambda line: F.rtrim(line).endswith("...")
+            | F.rtrim(line).endswith("…"),
+        )
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    words_lower = F.transform(words, F.lower)
+    n_stops = sum(
+        F.array_contains(words_lower, s).cast("int") for s in GOPHER_STOPS
+    )
+
+    hash_ratio = n_hash / wdenom
+    ellipsis_ratio = n_ellipsis / wdenom
+    bullet_line_ratio = n_bullet / ldenom
+    ellipsis_line_ratio = n_ell_end / ldenom
+    alpha_word_ratio = n_alpha / wdenom
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (hash_ratio <= max_symbol_ratio)
+        & (ellipsis_ratio <= max_symbol_ratio)
+        & (bullet_line_ratio <= max_bullet_line_ratio)
+        & (ellipsis_line_ratio <= max_ellipsis_line_ratio)
+        & (alpha_word_ratio >= min_alpha_word_ratio)
+        & (n_stops >= min_stop_hits)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(hash_ratio, 6).alias("hash_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        F.round(bullet_line_ratio, 6).alias("bullet_line_ratio"),
+        F.round(ellipsis_line_ratio, 6).alias("ellipsis_line_ratio"),
+        F.round(alpha_word_ratio, 6).alias("alpha_word_ratio"),
+        n_stops.cast("long").alias("n_stop_hits"),
+        keep.alias("keep"),
+    )
+
+
 def char_entropy(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

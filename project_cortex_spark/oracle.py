@@ -569,6 +569,84 @@ def language_id_sql(
     """
 
 
+def gopher_rules_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> str:
+    """Oracle for textstats.gopher_rules: the same whitespace-word /
+    newline-line definitions via DuckDB list functions. replace() is
+    non-overlapping left-to-right in both engines, so the '...' count
+    agrees; Spark split(limit=-1) and string_split both keep trailing
+    empty strings."""
+    from .operators.textstats import GOPHER_STOPS
+
+    stops = " + ".join(
+        f"list_contains(wl, '{s}')::INT" for s in GOPHER_STOPS
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc_id, {text_col} AS text,
+             list_filter(regexp_split_to_array({text_col}, '\\s+'),
+                         x -> x <> '') AS w,
+             string_split({text_col}, chr(10)) AS lines
+      FROM {table}
+    ),
+    feats AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             list_sum(list_transform(w, x -> length(x)))::DOUBLE
+               / greatest(len(w), 1) AS mean_word_len,
+             (length(text) - length(regexp_replace(text, '#', '', 'g')))
+               ::DOUBLE / greatest(len(w), 1) AS hash_ratio,
+             ((length(text) - length(replace(text, '...', ''))) / 3.0
+              + length(text) - length(regexp_replace(text, '…', '', 'g')))
+               / greatest(len(w), 1) AS ellipsis_ratio,
+             len(list_filter(lines,
+                             l -> substr(ltrim(l), 1, 1) IN ('•','-','*')))
+               ::DOUBLE / greatest(len(lines), 1) AS bullet_line_ratio,
+             len(list_filter(lines,
+                             l -> rtrim(l) LIKE '%...'
+                                  OR rtrim(l) LIKE '%…'))
+               ::DOUBLE / greatest(len(lines), 1) AS ellipsis_line_ratio,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               ::DOUBLE / greatest(len(w), 1) AS alpha_word_ratio,
+             ({stops}) AS n_stop_hits
+      FROM (SELECT doc_id, text, w, lines,
+                   list_transform(w, x -> lower(x)) AS wl FROM base)
+    )
+    SELECT doc_id,
+           n_words,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(hash_ratio, 6) AS hash_ratio,
+           round(ellipsis_ratio, 6) AS ellipsis_ratio,
+           round(bullet_line_ratio, 6) AS bullet_line_ratio,
+           round(ellipsis_line_ratio, 6) AS ellipsis_line_ratio,
+           round(alpha_word_ratio, 6) AS alpha_word_ratio,
+           n_stop_hits::BIGINT AS n_stop_hits,
+           (n_words >= {min_words} AND n_words <= {max_words}
+            AND mean_word_len >= {min_mean_word_len}
+            AND mean_word_len <= {max_mean_word_len}
+            AND hash_ratio <= {max_symbol_ratio}
+            AND ellipsis_ratio <= {max_symbol_ratio}
+            AND bullet_line_ratio <= {max_bullet_line_ratio}
+            AND ellipsis_line_ratio <= {max_ellipsis_line_ratio}
+            AND alpha_word_ratio >= {min_alpha_word_ratio}
+            AND n_stop_hits >= {min_stop_hits}) AS keep
+    FROM feats
+    """
+
+
 def repetition_stats_sql(
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
 ) -> str:

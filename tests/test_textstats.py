@@ -131,3 +131,43 @@ def test_char_entropy_known_values(spark):
     assert got[2]["char_entropy"] == 1.0
     assert got[3]["n_chars"] == 0 and got[3]["char_entropy"] == 0.0
     assert math.isclose(got[4]["char_entropy"], 2.0)
+
+
+def test_gopher_rules_matches_oracle(registry, duck):
+    from project_cortex_spark.operators.textstats import gopher_rules
+
+    df = gopher_rules(registry.table("documents"))
+    assert_matches_oracle(df, duck, oracle.gopher_rules_sql())
+
+
+def test_gopher_rules_known_values(spark):
+    from project_cortex_spark.operators.textstats import gopher_rules
+
+    prose = (
+        "the data and results show that we have built a pipeline "
+        "to filter text of low quality with care and it works well "
+        "in practice for corpus curation and the rules are simple "
+        "and the counts be what they be when measured with rigor "
+        "over many documents that we have kept with the tools"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, prose),  # passes every rule (51 words, all stops present)
+            (2, "short text that we have"),  # fails min_words only
+            (3, "- one\n- two\n- three\nplain"),  # bullet-heavy
+            (4, "wait...\nmore...\nok\n"),  # ellipsis line endings
+            (5, "# a # b # c # d"),  # hash symbol ratio
+            (6, "12 34 56 78 90 11 22"),  # no alphabetic words
+            (7, ""),  # empty doc: zero denominators
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert got[1]["keep"] is True and got[1]["n_stop_hits"] >= 2
+    assert got[2]["keep"] is False and got[2]["n_words"] == 5
+    assert got[3]["bullet_line_ratio"] == 0.75
+    # trailing empty line after the final \n counts in the denominator
+    assert got[4]["ellipsis_line_ratio"] == 0.5
+    assert got[5]["hash_ratio"] == 0.5 and got[5]["keep"] is False
+    assert got[6]["alpha_word_ratio"] == 0.0 and got[6]["keep"] is False
+    assert got[7]["n_words"] == 0 and got[7]["keep"] is False
