@@ -3974,6 +3974,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Gopher quality-filter rules (Rae et al. 2021 Appendix A), published
     # thresholds: per-rule features + combined keep verdict
     out["text_gopher_quality"] = lambda s, d: ts.gopher_rules(_docs(s, d))
+    # Gopher duplicate-line/paragraph repetition fractions (A1.1)
+    out["text_gopher_repetition"] = lambda s, d: ts.gopher_repetition(
+        _docs(s, d)
+    )
     out["text_language_id"] = lambda s, d: ts.language_id(_docs(s, d))
     out["text_fingerprints"] = lambda s, d: ts.fingerprints(_docs(s, d))
     out["text_top_terms"] = _q_text_top_terms
@@ -4320,6 +4324,7 @@ def oracle_sql() -> dict[str, str]:
     out["text_token_stats"] = oracle.token_stats_sql()
     out["text_quality"] = oracle.quality_scores_sql()
     out["text_gopher_quality"] = oracle.gopher_rules_sql()
+    out["text_gopher_repetition"] = oracle.gopher_repetition_sql()
     out["text_language_id"] = oracle.language_id_sql()
     out["text_fingerprints"] = oracle.fingerprints_sql()
     out["text_repetition"] = oracle.repetition_stats_sql()

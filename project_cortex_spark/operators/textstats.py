@@ -81,6 +81,61 @@ def quality_scores(
     )
 
 
+def gopher_repetition(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher's duplicate-LINE / duplicate-PARAGRAPH repetition signals
+    (Rae et al. 2021 Appendix A1.1) — the structural complement to
+    :func:`repetition_stats`' token/bigram metrics.
+
+    A unit occurring k times contributes k-1 duplicate occurrences and
+    (k-1)*len(unit) duplicate characters (the standard formulation in
+    published reimplementations). Lines split on newline, paragraphs on
+    blank-line runs; empty units are dropped; fractions are over
+    non-empty unit counts / their total characters.
+
+    Scale notes: zero shuffle — per-row collection folds like
+    char_entropy; cost O(distinct_units × n_units) per document, small
+    for natural text. At petabyte scale with pathological unit counts,
+    the explode → count → join formulation of repetition_stats is the
+    fallback; the zero-shuffle form wins while units-per-doc stays in
+    the hundreds.
+    """
+
+    def unit_stats(units: Column, prefix: str) -> list[Column]:
+        n = F.size(units)
+        dist = F.array_distinct(units)
+        n_dup = n - F.size(dist)
+        total_chars = F.aggregate(
+            units, F.lit(0), lambda acc, u: acc + F.length(u)
+        )
+        dup_chars = F.aggregate(
+            dist,
+            F.lit(0),
+            lambda acc, d: acc
+            + (F.size(F.filter(units, lambda u: u == d)) - 1) * F.length(d),
+        )
+        denom_n = F.greatest(n, F.lit(1)).cast("double")
+        denom_c = F.greatest(total_chars, F.lit(1)).cast("double")
+        return [
+            n.cast("long").alias(f"n_{prefix}s"),
+            F.round(n_dup / denom_n, 6).alias(f"dup_{prefix}_frac"),
+            F.round(dup_chars / denom_c, 6).alias(f"dup_{prefix}_char_frac"),
+        ]
+
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, "\n"), lambda u: u != F.lit(""))
+    paras = F.filter(
+        F.transform(F.split(text, "\n{2,}"), F.trim),
+        lambda u: u != F.lit(""),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *unit_stats(lines, "line"),
+        *unit_stats(paras, "para"),
+    )
+
+
 GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

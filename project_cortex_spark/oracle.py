@@ -647,6 +647,41 @@ def gopher_rules_sql(
     """
 
 
+def gopher_repetition_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """Oracle for textstats.gopher_repetition: identical unit
+    definitions (non-empty newline lines; trimmed blank-line-run
+    paragraphs) via DuckDB list folds."""
+
+    def unit_stats(units: str, prefix: str) -> str:
+        return f"""
+             len({units}) AS n_{prefix}s,
+             round((len({units}) - len(list_distinct({units})))::DOUBLE
+                   / greatest(len({units}), 1), 6) AS dup_{prefix}_frac,
+             round(coalesce(list_sum(list_transform(list_distinct({units}),
+                     d -> (len(list_filter({units}, u -> u = d)) - 1)
+                          * length(d))), 0)::DOUBLE
+                   / greatest(coalesce(list_sum(list_transform({units},
+                     u -> length(u))), 0), 1), 6) AS dup_{prefix}_char_frac"""
+
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc_id,
+             list_filter(string_split({text_col}, chr(10)),
+                         u -> u <> '') AS lines,
+             list_filter(list_transform(
+                 regexp_split_to_array({text_col}, '\\n{{2,}}'),
+                 p -> trim(p)), u -> u <> '') AS paras
+      FROM {table}
+    )
+    SELECT doc_id,
+           {unit_stats('lines', 'line')},
+           {unit_stats('paras', 'para')}
+    FROM base
+    """
+
+
 def repetition_stats_sql(
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
 ) -> str:

@@ -171,3 +171,31 @@ def test_gopher_rules_known_values(spark):
     assert got[5]["hash_ratio"] == 0.5 and got[5]["keep"] is False
     assert got[6]["alpha_word_ratio"] == 0.0 and got[6]["keep"] is False
     assert got[7]["n_words"] == 0 and got[7]["keep"] is False
+
+
+def test_gopher_repetition_matches_oracle(registry, duck):
+    from project_cortex_spark.operators.textstats import gopher_repetition
+
+    df = gopher_repetition(registry.table("documents"))
+    assert_matches_oracle(df, duck, oracle.gopher_repetition_sql())
+
+
+def test_gopher_repetition_known_values(spark):
+    from project_cortex_spark.operators.textstats import gopher_repetition
+
+    docs = spark.createDataFrame(
+        [
+            # line "ab" ×5 + "cdef": 4 dup occurrences, 8 dup chars of
+            # 14; paragraphs "ab\nab" ×2 + "ab\ncdef": 1 dup of 3
+            (1, "ab\nab\n\nab\ncdef\n\nab\nab"),
+            (2, "xy\nzw"),  # no duplicates at all
+            (3, ""),  # empty: all zeros, no NULL leak from the oracle
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    assert got[1]["n_lines"] == 6 and got[1]["dup_line_frac"] == round(4 / 6, 6)
+    assert got[1]["dup_line_char_frac"] == round(8 / 14, 6)
+    assert got[1]["n_paras"] == 3 and got[1]["dup_para_frac"] == round(1 / 3, 6)
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[3]["n_lines"] == 0 and got[3]["dup_line_char_frac"] == 0.0
