@@ -6,8 +6,8 @@ containing metavariables and a strictness tier
 (internal/mcp/tools_pattern.go:20-45, internal/pattern/executor.go:36-100).
 No ast-grep binary exists in this container, so the PATTERN SEMANTICS are
 implemented directly: for Python on the stdlib ``ast`` (below), and for
-the C-like languages (Go, TypeScript, JavaScript, Java, C, C++, Rust,
-PHP) on a comment/string-aware token stream (:func:`match_pattern_tokens`
+the other languages (Go, TypeScript, JavaScript, Java, C, C++, Rust,
+PHP, Ruby) on a comment/string-aware token stream (:func:`match_pattern_tokens`
 / :func:`pattern_search_tokens` at the end of this module). The cst
 (concrete-syntax-exact) tier runs on the token stream for EVERY language
 (including Python, whose ast module erases trivia): comments are lexed
@@ -566,6 +566,12 @@ _TOKEN_LANGS = {
     "cpp": ((".cpp", ".cc", ".hpp", ".cxx"), False),
     "rust": ((".rs",), False),
     "php": ((".php",), True),
+    # Ruby: hash comments; paren/bracket-balanced expression patterns
+    # (calls, assignments, signature lines) match fine, but ``$$$``
+    # cannot absorb a def/end statement body — Ruby blocks are keyword-
+    # delimited, not brace-delimited, and the balanced-span matcher only
+    # tracks () [] {}. Use line-level patterns for defs.
+    "ruby": ((".rb",), True),
 }
 
 

