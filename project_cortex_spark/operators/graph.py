@@ -611,7 +611,12 @@ def triangles_per_node(edges: DataFrame) -> DataFrame:
     wedges = e1.join(e2, "tb")
     wedges = _repartition_for_wedges(edges, wedges, ["ta", "tc"])
     closure = edges.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
-    tri = wedges.join(closure, ["ta", "tc"])
+    # shuffle-hash, not sort-merge: SMJ would SORT the wedge frame
+    # (quadratic in degree — the dominant cost at sf1, SCALE.md); the
+    # hash build side is the edge list, whose per-partition size only
+    # SHRINKS as the wedge sizing raises the partition count
+    # (|E|/parts ≤ |E|·5M/Σdeg²), so the build always fits
+    tri = wedges.join(closure.hint("shuffle_hash"), ["ta", "tc"])
     return (
         tri.select(F.explode(F.array("ta", "tb", "tc")).alias("node"))
         .groupBy("node")
