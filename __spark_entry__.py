@@ -2615,6 +2615,168 @@ _TPCH_Q18_ORACLE = """
 """
 
 
+def _q_agg_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the correlated-MIN subquery: for each part, the
+    supplier(s) achieving the minimum unit price among suppliers of one
+    region (the testdata has no partsupp table, so lineitem supplies the
+    (part, supplier, price) relation; the SHAPE — min per correlation
+    key, then equality back-join on (key, min) — is Q2's exactly).
+    De-correlated as every engine plans it: a per-part min aggregate
+    joined back on (partkey, price). Scale: the offer frame shuffles
+    once on partkey for the aggregate, and the back-join reuses that
+    key; region/nation/supplier dims broadcast.
+
+    unit_price stays a RAW double: the same division is bit-identical
+    in both engines, so the min-equality back-join agrees exactly,
+    whereas round(x, 4) differs at half-way/ulp points between engines
+    and would flip which offers tie for the minimum."""
+    reg = _registry(spark, sf_dir)
+    eu_sup = (
+        reg.table("supplier")
+        .join(
+            reg.table("nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            reg.table("region").filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    offers = (
+        reg.table("lineitem")
+        .join(F.broadcast(eu_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_partkey",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_price"
+            ),
+        )
+    )
+    best = offers.groupBy("l_partkey").agg(
+        F.min("unit_price").alias("min_price")
+    ).select(
+        F.col("l_partkey").alias("b_partkey"), "min_price"
+    )
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_price") == F.col("min_price")),
+        )
+        .select(
+            F.col("l_partkey").alias("p_key"),
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            "min_price",
+        )
+        .distinct()
+        .orderBy(F.col("min_price").asc(), F.col("p_key").asc(),
+                 F.col("s_suppkey").asc())
+        .limit(100)
+    )
+
+
+_TPCH_Q2_SHAPE_ORACLE = """
+    WITH eu_sup AS (
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    offers AS (
+      SELECT l_partkey, s_suppkey, s_name, n_name,
+             l_extendedprice / l_quantity AS unit_price
+      FROM lineitem JOIN eu_sup ON l_suppkey = s_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, min(unit_price) AS min_price
+      FROM offers GROUP BY 1
+    )
+    SELECT DISTINCT o.l_partkey AS p_key, o.s_suppkey, o.s_name,
+           o.n_name, b.min_price
+    FROM offers o
+    JOIN best b ON o.l_partkey = b.l_partkey
+               AND o.unit_price = b.min_price
+    ORDER BY b.min_price ASC, p_key ASC, o.s_suppkey ASC
+    LIMIT 100
+"""
+
+
+def _q_agg_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — correlated EXISTS + NOT EXISTS with an
+    inequality on the correlation alias: suppliers with a returned line
+    (l_returnflag = 'R') in a multi-supplier order where NO OTHER
+    supplier's line in that order was returned (the testdata lacks
+    commit/receipt dates, so the return flag stands in for 'kept
+    waiting'; the exists/not-exists-other-supplier skeleton is Q21's).
+    Planned as LEFT SEMI then LEFT ANTI on l_orderkey with a
+    l_suppkey <> correlate condition — both joins shuffle on the same
+    orderkey, and the anti side is pre-filtered to returned lines so
+    its build input is small. Scale: two same-key hash joins + one
+    aggregate; no window, no distinct expansion."""
+    reg = _registry(spark, sf_dir)
+    li = reg.table("lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    others = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_sup")
+    )
+    returned_others = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("r_key"), F.col("l_suppkey").alias("r_sup")
+        )
+    )
+    waiting = l1.join(
+        others,
+        (l1["l_orderkey"] == others["o_key"])
+        & (l1["l_suppkey"] != others["o_sup"]),
+        "leftsemi",
+    ).join(
+        returned_others,
+        (l1["l_orderkey"] == returned_others["r_key"])
+        & (l1["l_suppkey"] != returned_others["r_sup"]),
+        "leftanti",
+    )
+    return (
+        waiting.join(
+            F.broadcast(reg.table("supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(50)
+    )
+
+
+_TPCH_Q21_SHAPE_ORACLE = """
+    SELECT s_suppkey, s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_suppkey, s_name
+    ORDER BY numwait DESC, s_suppkey ASC
+    LIMIT 50
+"""
+
+
 def _q_text_lm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score-distribution composite: the corpus-trained bigram LM scores
     (oracle-gated text_lm_score) bucketed into fixed-width bins — the
@@ -4037,6 +4199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["agg_top_supplier"] = _q_agg_top_supplier
     out["agg_tpch_q17"] = _q_agg_tpch_q17
     out["agg_tpch_q18"] = _q_agg_tpch_q18
+    out["agg_tpch_q2_shape"] = _q_agg_tpch_q2_shape
+    out["agg_tpch_q21_shape"] = _q_agg_tpch_q21_shape
     out["validate_expectations"] = _q_validate_expectations
     out["events_cumulative"] = _q_events_cumulative
     out["events_lag_delta"] = _q_events_lag_delta
@@ -4516,6 +4680,8 @@ def oracle_sql() -> dict[str, str]:
     out["agg_top_supplier"] = _TOP_SUPPLIER_ORACLE
     out["agg_tpch_q17"] = _TPCH_Q17_ORACLE
     out["agg_tpch_q18"] = _TPCH_Q18_ORACLE
+    out["agg_tpch_q2_shape"] = _TPCH_Q2_SHAPE_ORACLE
+    out["agg_tpch_q21_shape"] = _TPCH_Q21_SHAPE_ORACLE
     out["validate_expectations"] = _EXPECTATIONS_ORACLE
     out["events_cumulative"] = _CUMULATIVE_ORACLE
     out["events_lag_delta"] = _LAG_DELTA_ORACLE
