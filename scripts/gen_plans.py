@@ -35,7 +35,7 @@ PICKS = {
     "corpus_importance_sample": "quality-weighted sampling: zero Exchange — md5-bucket filter at scan bandwidth",
     "events_funnel": "3-step funnel: ONE shuffle (groupBy user) + JVM higher-order fold over sorted per-user arrays — no self-joins",
     "search_lexical_recall": "retrieval contract: broadcast query side vs corpus scan, map-side partial window top-1",
-    "graph_triangles": "wedge closure: HOF pair fan-out from ONE group aggregate, cached edge list feeding three hash-join inputs; the wedge frame (quadratic in degree, not linear in edges) is repartitioned to ~5M rows/partition from the EXACT wedge count when that exceeds the session default — a no-op below it",
+    "graph_triangles": "wedge closure: cached edge list feeding three join inputs; the wedge frame (quadratic in degree, not linear in edges) is repartitioned to ~5M rows/partition from the EXACT wedge count when that exceeds the session default, and the closure join is SHUFFLE-HASH (edge list builds, wedges STREAM — a sort-merge plan would sort the wedge frame, the dominant cost at sf1)",
     "graph_pagerank": "power iteration: plan shows only the final checkpointed RDD (localCheckpoint truncates lineage per step BY DESIGN — an un-truncated 5-step plan would be a 5-deep join tower); per step: |V|-row rank frame joins the stationary edges + one hash aggregate",
     "dedup_ngram_spans": "duplicated-span fraction: shingle-df join lands back on the SAME shuffle key, 1:1 fan-out (no hot-key blowup)",
     "events_anomaly": "rolling z-score: events collapse to |buckets| rows in one hash aggregate BEFORE the bounded rows-window",
@@ -59,7 +59,8 @@ PICKS = {
     "agg_count_distribution": "aggregate pyramid: level-1 shuffle on custkey, level-2 input is one row per customer with tiny key cardinality",
     "events_debounce": "leading-edge debounce: the sequential-looking 'previous kept event' rule is the gap-session leader — ONE lag window, one shuffle",
     "graph_bfs_multi": "batched 20-root traversal: ONE fused plan, (root, node) frontier broadcast each level, edges never shuffled, min-depth collapse",
-    "fts_batch_topk": "batched keyword search: broadcast query-term table, BM25 contribution computed MAP-SIDE so the single data-sized exchange moves only (query_id, doc_id, contrib), AND-match + aggregate + window top-k all reuse that one partitioning — posting scan shared by all N queries",
+    "fts_batch_topk": "batched keyword search: ONE broadcast (query terms, carrying n_terms), df AND dl ride in the stored posting row so there are NO other broadcast-build jobs; BM25 contribution computed MAP-SIDE so the single data-sized exchange (~25k rows/partition small-scale, 5M cap large-scale) moves only (query_id, doc_id, contrib, n_terms); AND-match + aggregate + window top-k all reuse that one partitioning",
+    "agg_tpch_q21_shape": "correlated EXISTS + NOT EXISTS (inequality on the correlation alias): LEFT SEMI then LEFT ANTI on the SAME orderkey shuffle, anti build side pre-filtered to returned lines, supplier dim broadcast",
     "media_bmp_roundtrip": "real BMP decode: two narrow Arrow-batched maps (synthesize, decode), zero Exchange",
     "dedup_embedding_lsh": "capped sign-LSH: signature matmul in one Arrow pass, bucket-occupancy guard (max_bucket) before pair generation, exact verify only on surviving candidates",
     "events_twap": "time-weighted average: one lead window + one map-side-partial aggregate, integer-microsecond weights",
