@@ -4260,9 +4260,10 @@ _GATE_FIRST = [
     # rows (three engine generations old), (c) the 4 queries first
     # registered in r5 (no driver row yet) — then re-gate the 35
     # oldest-evidence r3 greens that are NOT the dsl compiler family.
-    # After this round every query has r3+ driver evidence and the
-    # rowless set is empty (the rows-only-by-design entries get fresh
-    # probe rows via section (g)).
+    # After this round every query registered BEFORE the r6 gate cutoff
+    # has r3+ driver evidence (the rows-only-by-design entries get
+    # fresh probe rows via section (g)); the only rowless queries left
+    # are the 4 late-r6 registrations listed in the R7 head below.
     #
     # Mid-r6 amendment: the r6 oracle conversions (knn_recall_ivf/pq/
     # pq_refined, knn_join_ivf, dedup_embedding_ivf — replayable-trainer
@@ -4275,8 +4276,12 @@ _GATE_FIRST = [
     # events_top_users); graph_pattern_cst (new this round, the fifth
     # and last strictness tier) gates alongside them.
     #
-    # R7 gate head (pure rotation from here on): the 10 displaced r3
-    # re-gates above, the 14 dsl_* compiler shapes (dsl_agg_full,
+    # R7 gate head (pure rotation from here on): FIRST the 4 late-r6
+    # registrations with no driver row (agg_tpch_q2_shape,
+    # agg_tpch_q21_shape, text_gopher_quality, text_gopher_repetition —
+    # all oracle-gated, all green in the local sweep), then the 10
+    # displaced r3 re-gates above, the 14 dsl_* compiler shapes
+    # (dsl_agg_full,
     # dsl_agg_having, dsl_between_dates, dsl_filter_bool_tree, dsl_in,
     # dsl_join_full, dsl_join_inner, dsl_join_left, dsl_join_right,
     # dsl_like, dsl_null_checks, dsl_order_limit_offset,
@@ -4338,7 +4343,7 @@ _GATE_FIRST = [
     "events_windowed_agg",
     "events_sessionize",
     "events_props_extract",
-    # -- (g) r3-evidence re-gates: streaming --
+    # -- (h) r3-evidence re-gates: streaming --
     "stream_rollup",
     "stream_sessionize",
 ]

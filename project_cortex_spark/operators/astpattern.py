@@ -161,12 +161,17 @@ def match_pattern_source(
     (start_line, end_line, matched_text, metavar_bindings).
 
     ``strictness="cst"`` routes to the concrete-syntax token matcher
-    (comments significant, ``#`` form): Python's ast module erases
-    trivia, so the cst tier runs on the token stream for every
-    language."""
+    (comments significant, ``#`` form ONLY — ``//`` stays floor
+    division and ``/* */`` is not a Python comment): Python's ast
+    module erases trivia, so the cst tier runs on the token stream for
+    every language."""
     if strictness == "cst":
         return match_pattern_tokens(
-            pattern, source, strictness="cst", hash_comments=True
+            pattern,
+            source,
+            strictness="cst",
+            hash_comments=True,
+            slash_comments=False,
         )
     pat = parse_pattern(pattern)
     try:
@@ -279,14 +284,20 @@ _CLOSERS = {")", "]", "}"}
 
 
 def lex_clike(
-    src: str, *, hash_comments: bool = False, keep_comments: bool = False
+    src: str,
+    *,
+    hash_comments: bool = False,
+    keep_comments: bool = False,
+    slash_comments: bool = True,
 ) -> list[tuple]:
     """Comment/string-aware tokenizer shared by the C-like languages.
 
     ``keep_comments=True`` (the cst tier) emits each comment as a single
     token — trailing whitespace stripped, interior text verbatim — so
     comments participate in matching as concrete nodes instead of being
-    trivia."""
+    trivia. ``slash_comments=False`` (Python, whose ``//`` is floor
+    division and ``#`` the only comment form) disables the ``//`` and
+    ``/* */`` comment rules entirely."""
     toks: list[tuple] = []
     i, n, line = 0, len(src), 1
     while i < n:
@@ -298,14 +309,14 @@ def lex_clike(
         if c in " \t\r":
             i += 1
             continue
-        if c == "/" and i + 1 < n and src[i + 1] == "/":
+        if slash_comments and c == "/" and i + 1 < n and src[i + 1] == "/":
             j = src.find("\n", i)
             j = n if j == -1 else j
             if keep_comments:
                 toks.append((src[i:j].rstrip(), line, i, j))
             i = j
             continue
-        if c == "/" and i + 1 < n and src[i + 1] == "*":
+        if slash_comments and c == "/" and i + 1 < n and src[i + 1] == "*":
             j = src.find("*/", i + 2)
             end = n if j == -1 else j + 2
             seg = src[i:end]
@@ -358,7 +369,11 @@ _MAX_SPAN = 400  # tokens a single metavar/multi may absorb
 
 
 def _compile_token_pattern(
-    pattern: str, *, hash_comments: bool = False, keep_comments: bool = False
+    pattern: str,
+    *,
+    hash_comments: bool = False,
+    keep_comments: bool = False,
+    slash_comments: bool = True,
 ) -> list[tuple]:
     """('lit', text) | ('mv', name) | ('multi', None) steps. In cst mode
     (``keep_comments``) a comment in the pattern compiles to a literal
@@ -366,7 +381,10 @@ def _compile_token_pattern(
     expanded (a comment is one concrete token)."""
     steps = []
     for text, _ln, _s, _e in lex_clike(
-        pattern, hash_comments=hash_comments, keep_comments=keep_comments
+        pattern,
+        hash_comments=hash_comments,
+        keep_comments=keep_comments,
+        slash_comments=slash_comments,
     ):
         if text == "$$$":
             steps.append(("multi", None))
@@ -502,6 +520,7 @@ def match_pattern_tokens(
     *,
     strictness: str = "smart",
     hash_comments: bool = False,
+    slash_comments: bool = True,
 ) -> list[tuple[int, int, str, dict]]:
     """All token spans of ``source`` matching ``pattern``:
     (start_line, end_line, matched_text, metavar_bindings). Matches may
@@ -516,9 +535,17 @@ def match_pattern_tokens(
     (internal/pattern/executor.go:36-100)."""
     keep = strictness == "cst"
     steps = _compile_token_pattern(
-        pattern, hash_comments=hash_comments, keep_comments=keep
+        pattern,
+        hash_comments=hash_comments,
+        keep_comments=keep,
+        slash_comments=slash_comments,
     )
-    toks = lex_clike(source, hash_comments=hash_comments, keep_comments=keep)
+    toks = lex_clike(
+        source,
+        hash_comments=hash_comments,
+        keep_comments=keep,
+        slash_comments=slash_comments,
+    )
     first = steps[0]
     out = []
     for si in range(len(toks)):

@@ -353,9 +353,12 @@ def _score_terms(index: FtsIndex, literals: list[Term | Phrase]) -> DataFrame:
     hits = p.filter(cond)
 
     # document frequency per matched term (small: |terms| rows); a
-    # stored index carries df precomputed (see store_fts_index) — one
-    # tiny filtered scan instead of a postings aggregate
-    if index.term_df is not None:
+    # stored index carries df IN the posting row (no join at all) or in
+    # the term_df table (one tiny filtered scan); a live index
+    # aggregates it from the hits
+    if "df" in hits.columns:
+        dfreq = None
+    elif index.term_df is not None:
         dfreq = index.term_df.filter(cond)
     else:
         dfreq = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -366,8 +369,10 @@ def _score_terms(index: FtsIndex, literals: list[Term | Phrase]) -> DataFrame:
     # — no doc_stats join on the query path then
     if "dl" not in hits.columns:
         hits = hits.join(index.doc_stats, "doc_id")
+    if dfreq is not None:
+        hits = hits.join(F.broadcast(dfreq), "term")
     scored = (
-        hits.join(F.broadcast(dfreq), "term")
+        hits
         .withColumn(
             "contrib",
             idf
@@ -442,10 +447,15 @@ def store_fts_index(index: FtsIndex, path: str) -> None:
     # doc_stats join nor a term_df broadcast at query time — broadcast-
     # joined query terms against one pruned posting scan is the WHOLE
     # read path, and every per-batch broadcast-build job disappears
-    term_df = index.postings.groupBy("term").agg(
+    # a LOADED index already carries denormalized dl/df in its posting
+    # rows — drop them before re-joining so a store→load→store
+    # round-trip (compaction, re-layout) writes an equivalent store
+    # instead of failing on duplicate columns
+    base = index.postings.drop("dl", "df")
+    term_df = base.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    index.postings.join(index.doc_stats, "doc_id").join(
+    base.join(index.doc_stats, "doc_id").join(
         F.broadcast(term_df), "term"
     ).repartition("term").write.mode("overwrite").parquet(tmp + "/postings")
     index.doc_stats.write.mode("overwrite").parquet(tmp + "/doc_stats")
@@ -520,11 +530,12 @@ def fts_search_batch(
     class — implicit/explicit AND of words; phrases / prefixes / OR /
     NOT keep their exact semantics on the per-query path).
 
-    Shape: the (query_id, term) table is tiny and BROADCAST against the
-    postings; per (query_id, doc_id) one hash aggregate counts matched
-    terms (AND = all present) and sums BM25 contributions; one window
-    per query_id takes the top-k. The posting table is scanned once for
-    all N queries and filtered to the union of their terms first.
+    Shape: the (query_id, term, n_terms) table is tiny and BROADCAST
+    against the postings; per (query_id, doc_id) one hash aggregate
+    counts matched terms (AND = all present, n_terms read off the
+    aggregate) and sums BM25 contributions; one window per query_id
+    takes the top-k. The posting table is scanned once for all N
+    queries and filtered to the union of their terms first.
     """
     def _conj_words(n: Node, qstr: str) -> list[str]:
         if isinstance(n, Term) and not n.prefix:
@@ -586,11 +597,12 @@ def fts_search_batch(
     # hash-partitioning on query_id alone satisfies the (query_id,
     # doc_id) aggregate's clustering AND the window's partitioning, so
     # the rows shuffle once instead of aggregate-shuffle +
-    # window-shuffle. dl rides in the stored postings (store_fts_index),
-    # so everything between the pruned posting scan and that single
-    # exchange is broadcast-only — and the BM25 contribution is computed
-    # MAP-SIDE so the exchange moves only (query_id, doc_id, contrib):
-    # the string term and the tf/dl ints never cross the wire.
+    # window-shuffle. dl AND df ride in the stored postings
+    # (store_fts_index), so everything between the pruned posting scan
+    # and that single exchange is the one query-terms broadcast — and
+    # the BM25 contribution is computed MAP-SIDE so the exchange moves
+    # only (query_id, doc_id, contrib, n_terms): the string term and
+    # the tf/dl/df ints never cross the wire.
     if "dl" not in hits.columns:
         hits = hits.join(index.doc_stats, "doc_id")
     if dfreq is not None:

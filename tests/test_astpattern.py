@@ -336,3 +336,23 @@ class TestRubyTokenTier:
         assert [(r["file_path"], r["start_line"]) for r in rows] == [
             ("cursor.rb", 7), ("cursor.rb", 11), ("cursor.rb", 18),
         ]
+
+
+class TestPythonCstLexing:
+    def test_floor_division_is_not_a_comment(self):
+        src = "half = total // 2\n"
+        # pre-fix, '// 2' lexed as a comment: the divisor vanished from
+        # every match span and literal patterns containing // matched
+        # nothing
+        got = match_pattern_source("total // $Y", src, strictness="cst")
+        assert [b for _s, _e, _m, b in got] == [{"Y": "2"}]
+        full = match_pattern_source("half = total // 2", src,
+                                    strictness="cst")
+        assert [m for _s, _e, m, _b in full] == ["half = total // 2"]
+
+    def test_block_comment_chars_are_ordinary_python_tokens(self):
+        # /* has no meaning in Python: it must lex as '/' '*', not eat
+        # the rest of the source
+        src = "y = a /*b\nz = 1\n"
+        got = match_pattern_source("z = 1", src, strictness="cst")
+        assert [s for s, _e, _m, _b in got] == [2]

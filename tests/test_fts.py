@@ -197,3 +197,48 @@ def test_batch_rejects_duplicate_query_ids(fts_index):
 
     with pytest.raises(FtsQueryError, match="duplicate query_id"):
         fts_search_batch(fts_index, [(1, "alpha"), (1, "beta")])
+
+
+class TestStoredIndexQueryPaths:
+    """Round-6 review findings: the df-denormalized store must serve
+    BOTH query paths and survive a store→load→store round-trip."""
+
+    def test_fts_search_on_stored_index(self, spark, registry, tmp_path):
+        from project_cortex_spark.operators.fts import (
+            build_fts_index, fts_search, load_fts_index, store_fts_index,
+        )
+
+        docs = registry.table("documents")
+        live = build_fts_index(docs, id_col="doc_id", text_col="text")
+        path = str(tmp_path / "idx")
+        store_fts_index(live, path)
+        loaded = load_fts_index(spark, path, docs,
+                                id_col="doc_id", text_col="text")
+        terms = [r["term"] for r in loaded.postings.select("term")
+                 .distinct().orderBy("term").limit(2).collect()]
+        q = " ".join(terms)
+        got = fts_search(loaded, q, limit=5).collect()
+        want = fts_search(live, q, limit=5).collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+            (r["doc_id"], round(r["score"], 9)) for r in want
+        ]
+
+    def test_store_load_store_roundtrip(self, spark, registry, tmp_path):
+        from project_cortex_spark.operators.fts import (
+            build_fts_index, fts_search_batch, load_fts_index,
+            store_fts_index,
+        )
+
+        docs = registry.table("documents")
+        live = build_fts_index(docs, id_col="doc_id", text_col="text")
+        p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+        store_fts_index(live, p1)
+        first = load_fts_index(spark, p1, docs,
+                               id_col="doc_id", text_col="text")
+        store_fts_index(first, p2)  # crashed pre-fix: duplicate dl/df
+        second = load_fts_index(spark, p2, docs,
+                                id_col="doc_id", text_col="text")
+        term = first.postings.select("term").orderBy("term").first()["term"]
+        a = fts_search_batch(first, [(1, term)], limit=3).collect()
+        b = fts_search_batch(second, [(1, term)], limit=3).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
