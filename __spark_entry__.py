@@ -2068,6 +2068,32 @@ def _q_parse_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pattern_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cortex_pattern's SIGNATURE strictness tier hash-gated (the live-
+    # source probe graph_pattern_search stays rows-only by design; this
+    # twin runs the same operator over the FIXED corpus so the filter
+    # semantics — kind, name glob, arity bounds, methods_only — are
+    # golden-pinned like the other four tiers)
+    from project_cortex_spark.operators import graph as graph_mod
+
+    ents = _multilang_entities(spark)
+    parts = []
+    for pid, kwargs in (
+        ("fn_a2", dict(kind="function", min_params=2)),
+        ("methods", dict(methods_only=True, name_like="a%")),
+        ("init_like", dict(name_like="%init%")),
+    ):
+        parts.append(
+            graph_mod.pattern_search(ents, **kwargs)
+            .select("file_path", "kind", "name", "start_line", "n_params")
+            .withColumn("pattern_id", F.lit(pid))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _q_type_usages_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     # G5 over REAL parsed parameter types (param + return rows), not the
     # synthetic-table stand-in: functions whose signature mentions the
@@ -4190,6 +4216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["graph_pattern_ast"] = _q_pattern_ast
     out["graph_pattern_ast_multilang"] = _q_pattern_ast_multilang
     out["graph_pattern_cst"] = _q_pattern_cst
+    out["graph_pattern_signature"] = _q_pattern_signature
     out["retention_evict_branches"] = _q_retention_evict
     out["agg_rollup"] = _q_agg_rollup
     out["agg_cube"] = _q_agg_cube
@@ -4263,7 +4290,7 @@ _GATE_FIRST = [
     # After this round every query registered BEFORE the r6 gate cutoff
     # has r3+ driver evidence (the rows-only-by-design entries get
     # fresh probe rows via section (g)); the only rowless queries left
-    # are the 4 late-r6 registrations listed in the R7 head below.
+    # are the 5 late-r6 registrations listed in the R7 head below.
     #
     # Mid-r6 amendment: the r6 oracle conversions (knn_recall_ivf/pq/
     # pq_refined, knn_join_ivf, dedup_embedding_ivf — replayable-trainer
@@ -4276,10 +4303,11 @@ _GATE_FIRST = [
     # events_top_users); graph_pattern_cst (new this round, the fifth
     # and last strictness tier) gates alongside them.
     #
-    # R7 gate head (pure rotation from here on): FIRST the 4 late-r6
+    # R7 gate head (pure rotation from here on): FIRST the 5 late-r6
     # registrations with no driver row (agg_tpch_q2_shape,
-    # agg_tpch_q21_shape, text_gopher_quality, text_gopher_repetition —
-    # all oracle-gated, all green in the local sweep), then the 10
+    # agg_tpch_q21_shape, text_gopher_quality, text_gopher_repetition,
+    # graph_pattern_signature — all oracle-gated, all green in the
+    # local sweep; the first four also hash-green at sf1), then the 10
     # displaced r3 re-gates above, the 14 dsl_* compiler shapes
     # (dsl_agg_full,
     # dsl_agg_having, dsl_between_dates, dsl_filter_bool_tree, dsl_in,
@@ -4658,6 +4686,24 @@ def oracle_sql() -> dict[str, str]:
           ('py_audit_cst','notes.py',2,2,1,'004594b9bb83ea72713a26062b6d85ab')
         ) AS t(pattern_id, file_path, start_line, end_line, n_bindings,
                match_md5)
+    """
+    out["graph_pattern_signature"] = """
+        SELECT * FROM (VALUES
+          ('cache.rs','function','evict',10,2,'fn_a2'),
+          ('cache.rs','function','insert',14,3,'fn_a2'),
+          ('cache.rs','function','evict',23,2,'fn_a2'),
+          ('demo.py','function','greet',12,3,'fn_a2'),
+          ('ledger.java','function','credit',13,2,'fn_a2'),
+          ('memstore.php','function','put',13,2,'fn_a2'),
+          ('slot.c','function','probe',12,2,'fn_a2'),
+          ('srv.go','function','NewConfig',31,3,'fn_a2'),
+          ('store.ts','function','add',20,2,'fn_a2'),
+          ('store.ts','function','lookup',27,2,'fn_a2'),
+          ('store.ts','function','scale',34,2,'fn_a2'),
+          ('cursor.rb','function','advance',11,1,'methods'),
+          ('store.ts','function','add',20,2,'methods'),
+          ('cursor.rb','function','initialize',7,1,'init_like')
+        ) AS t(file_path, kind, name, start_line, n_params, pattern_id)
     """
     out["retention_evict_branches"] = _retention_oracle()
     out["pipeline_chunk_markdown"] = """

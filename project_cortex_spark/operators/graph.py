@@ -472,8 +472,9 @@ def pattern_search(
     over the parsed entity frame (signature strictness — name glob,
     receiver, arity) instead of shelling out to ast-grep
     (internal/pattern/executor.go:36-100; limit default 50 per
-    tools_pattern.go:20-45). Textual/CST strictness levels stay a
-    non-goal (SURVEY §7); this covers the signature tier.
+    tools_pattern.go:20-45). This covers the signature tier; the
+    structural tiers (cst/ast/smart/relaxed) live in
+    operators/astpattern.py.
     """
     df = entities
     if kind:
