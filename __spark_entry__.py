@@ -2014,6 +2014,38 @@ def _q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _source_stats(spark.read.schema(docs.schema).orc(out))
 
 
+def _q_source_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WebDataset-style tar shards (the multimodal training-sample
+    # format): documents -> <key>.txt + <key>.json members in
+    # deterministic shards -> read back, re-assemble rows from members,
+    # same lossless per-source stats as the other format contracts.
+    from project_cortex_spark.sources import tar_shards
+
+    docs = _docs(spark, sf_dir)
+    out = _export_dir(sf_dir, "tar")
+    staged = docs.select(
+        "doc_id",
+        "text",
+        F.to_json(F.struct("lang", "source", "n_chars")).alias("meta"),
+    )
+    tar_shards.write_tar_shards(
+        staged, out, key_col="doc_id", members={"txt": "text", "json": "meta"}
+    )
+    back = tar_shards.read_tar_shards(
+        spark, out, members={"txt": "text", "json": "meta"}
+    )
+    meta = F.from_json(
+        F.col("meta"), "lang string, source string, n_chars long"
+    )
+    rebuilt = back.select(
+        F.col("sample_key").cast("long").alias("doc_id"),
+        "text",
+        meta.getField("source").alias("source"),
+        meta.getField("n_chars").alias("n_chars"),
+    )
+    return _source_stats(rebuilt)
+
+
 def _q_source_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hive-layout contract: documents exported partitioned by lang
     # (layout.write_partitioned), read back through partition discovery,
@@ -4207,6 +4239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["source_csv_roundtrip"] = _q_source_csv_roundtrip
     out["source_orc_roundtrip"] = _q_source_orc_roundtrip
     out["source_partitioned_roundtrip"] = _q_source_partitioned_roundtrip
+    out["source_tar_roundtrip"] = _q_source_tar_roundtrip
     out["pipeline_parse_entities"] = _q_parse_entities
     out["pipeline_chunk_markdown"] = _q_chunk_markdown
     out["pipeline_parse_multilang"] = _q_parse_multilang
@@ -4290,7 +4323,7 @@ _GATE_FIRST = [
     # After this round every query registered BEFORE the r6 gate cutoff
     # has r3+ driver evidence (the rows-only-by-design entries get
     # fresh probe rows via section (g)); the only rowless queries left
-    # are the 5 late-r6 registrations listed in the R7 head below.
+    # are the 6 late-r6 registrations listed in the R7 head below.
     #
     # Mid-r6 amendment: the r6 oracle conversions (knn_recall_ivf/pq/
     # pq_refined, knn_join_ivf, dedup_embedding_ivf — replayable-trainer
@@ -4303,11 +4336,12 @@ _GATE_FIRST = [
     # events_top_users); graph_pattern_cst (new this round, the fifth
     # and last strictness tier) gates alongside them.
     #
-    # R7 gate head (pure rotation from here on): FIRST the 5 late-r6
+    # R7 gate head (pure rotation from here on): FIRST the 6 late-r6
     # registrations with no driver row (agg_tpch_q2_shape,
     # agg_tpch_q21_shape, text_gopher_quality, text_gopher_repetition,
-    # graph_pattern_signature — all oracle-gated, all green in the
-    # local sweep; the first four also hash-green at sf1), then the 10
+    # graph_pattern_signature, source_tar_roundtrip — all oracle-gated,
+    # all green in the local sweep; the tpch/gopher four also
+    # hash-green at sf1), then the 10
     # displaced r3 re-gates above, the 14 dsl_* compiler shapes
     # (dsl_agg_full,
     # dsl_agg_having, dsl_between_dates, dsl_filter_bool_tree, dsl_in,
@@ -4607,6 +4641,7 @@ def oracle_sql() -> dict[str, str]:
     out["source_csv_roundtrip"] = _SOURCE_STATS_ORACLE
     out["source_orc_roundtrip"] = _SOURCE_STATS_ORACLE
     out["source_partitioned_roundtrip"] = _SOURCE_STATS_ORACLE
+    out["source_tar_roundtrip"] = _SOURCE_STATS_ORACLE
     # golden oracles for the fixed-corpus parse contracts: the extraction
     # is fully deterministic, so the expected output is a VALUES literal —
     # any drift in spans/params/complexity/receivers breaks the hash

@@ -53,3 +53,81 @@ def test_jsonl_compressed_roundtrip(spark, tmp_path):
     assert glob.glob(str(tmp_path / "z" / "*.gz"))
     back = tf.read_jsonl(spark, str(tmp_path / "z"), df.schema)
     assert _sorted(back.select(*COLS)) == _sorted(df)
+
+
+class TestTarShards:
+    """WebDataset-style tar shard IO (sources/tar_shards.py)."""
+
+    def test_roundtrip_with_binary_member(self, spark, tmp_path):
+        from project_cortex_spark.sources import tar_shards
+
+        rows = [
+            (1, "hello world", bytes([0, 255, 10, 13, 27])),
+            (2, "zwei", b"\x89PNG\r\n"),
+            (3, "drei", None),  # null payload: member simply absent
+        ]
+        df = spark.createDataFrame(
+            rows, "k long, text string, img binary"
+        )
+        path = str(tmp_path / "shards")
+        manifest = tar_shards.write_tar_shards(
+            df, path, key_col="k",
+            members={"txt": "text", "png": "img"}, n_shards=2,
+        )
+        m = manifest.collect()
+        assert sum(r["n_samples"] for r in m) == 3
+        back = tar_shards.read_tar_shards(
+            spark, path, members={"txt": "text", "png": "img"},
+            binary=("png",),
+        ).collect()
+        got = {int(r["sample_key"]): (r["text"], r["img"]) for r in back}
+        assert got[1] == ("hello world", bytearray([0, 255, 10, 13, 27]))
+        assert got[2][1] == bytearray(b"\x89PNG\r\n")
+        assert got[3] == ("drei", None)
+
+    def test_shards_are_byte_deterministic(self, spark, tmp_path):
+        import hashlib
+        import os
+
+        from project_cortex_spark.sources import tar_shards
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(20)], "k long, text string"
+        )
+
+        def digest(p):
+            out = {}
+            for f in sorted(os.listdir(p)):
+                with open(os.path.join(p, f), "rb") as fh:
+                    out[f] = hashlib.md5(fh.read()).hexdigest()
+            return out
+
+        p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+        tar_shards.write_tar_shards(
+            df, p1, key_col="k", members={"txt": "text"}, n_shards=3
+        )
+        tar_shards.write_tar_shards(
+            df.repartition(7), p2, key_col="k",
+            members={"txt": "text"}, n_shards=3,
+        )
+        d1, d2 = digest(p1), digest(p2)
+        assert d1 == d2 and len(d1) >= 1  # same bytes per shard name
+
+    def test_rewrite_clears_stale_shards(self, spark, tmp_path):
+        from project_cortex_spark.sources import tar_shards
+
+        path = str(tmp_path / "s")
+        big = spark.createDataFrame(
+            [(i, "x") for i in range(50)], "k long, text string"
+        )
+        tar_shards.write_tar_shards(
+            big, path, key_col="k", members={"txt": "text"}, n_shards=8
+        )
+        small = spark.createDataFrame([(1, "y")], "k long, text string")
+        tar_shards.write_tar_shards(
+            small, path, key_col="k", members={"txt": "text"}, n_shards=8
+        )
+        back = tar_shards.read_tar_shards(
+            spark, path, members={"txt": "text"}
+        ).collect()
+        assert [(r["sample_key"], r["text"]) for r in back] == [("1", "y")]
