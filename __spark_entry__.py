@@ -3538,6 +3538,42 @@ def _q_media_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payloads through the tar-shard trip: the synthesized BMP
+    corpus is written as WebDataset-style shards (<id>.bmp binary
+    member), read back, and REAL-decoded — the decoder's
+    position-sensitive outputs (top_left_r, per-channel means) hash
+    against the same closed-form oracle as media_bmp_roundtrip, so a
+    single corrupted byte anywhere in the shard round-trip fails the
+    gate. This is the multimodal training-sample storage path end to
+    end: synthesize -> shard -> scan -> decode, no shuffle anywhere."""
+    from project_cortex_spark.sources import tar_shards
+
+    media = mm.synthesize_bmp_media(_docs(spark, sf_dir))
+    out = _export_dir(sf_dir, "media_tar")
+    tar_shards.write_tar_shards(
+        media, out, key_col="media_id", members={"bmp": "payload"},
+        n_shards=4,
+    )
+    back = tar_shards.read_tar_shards(
+        spark, out, members={"bmp": "payload"}, binary=("bmp",)
+    ).select(
+        F.col("sample_key").cast("long").alias("media_id"), "payload"
+    )
+    return mm.decode_image_real(back).select(
+        "media_id",
+        "codec",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "top_left_r",
+        "ok",
+    )
+
+
 _MEDIA_BMP_ORACLE = """
     WITH dims AS (
       SELECT doc_id AS media_id,
@@ -4302,6 +4338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).alias("l2_norm"),
     )
     out["media_bmp_roundtrip"] = _q_media_bmp_roundtrip
+    out["media_tar_roundtrip"] = _q_media_tar_roundtrip
     out["graph_bfs_multi"] = _q_graph_bfs_multi
     out["fts_batch_topk"] = _q_fts_batch_topk
     return _prioritize(out)
@@ -4323,7 +4360,7 @@ _GATE_FIRST = [
     # After this round every query registered BEFORE the r6 gate cutoff
     # has r3+ driver evidence (the rows-only-by-design entries get
     # fresh probe rows via section (g)); the only rowless queries left
-    # are the 6 late-r6 registrations listed in the R7 head below.
+    # are the 7 late-r6 registrations listed in the R7 head below.
     #
     # Mid-r6 amendment: the r6 oracle conversions (knn_recall_ivf/pq/
     # pq_refined, knn_join_ivf, dedup_embedding_ivf — replayable-trainer
@@ -4336,10 +4373,11 @@ _GATE_FIRST = [
     # events_top_users); graph_pattern_cst (new this round, the fifth
     # and last strictness tier) gates alongside them.
     #
-    # R7 gate head (pure rotation from here on): FIRST the 6 late-r6
+    # R7 gate head (pure rotation from here on): FIRST the 7 late-r6
     # registrations with no driver row (agg_tpch_q2_shape,
     # agg_tpch_q21_shape, text_gopher_quality, text_gopher_repetition,
-    # graph_pattern_signature, source_tar_roundtrip — all oracle-gated,
+    # graph_pattern_signature, source_tar_roundtrip,
+    # media_tar_roundtrip — all oracle-gated,
     # all green in the local sweep; the tpch/gopher four also
     # hash-green at sf1), then the 10
     # displaced r3 re-gates above, the 14 dsl_* compiler shapes
@@ -4817,6 +4855,7 @@ def oracle_sql() -> dict[str, str]:
     out["sql_ansi_windows"] = _ANSI_WINDOW_SQL
     out["sql_ansi_recursive"] = _ANSI_RECURSIVE_SQL
     out["media_bmp_roundtrip"] = _MEDIA_BMP_ORACLE
+    out["media_tar_roundtrip"] = _MEDIA_BMP_ORACLE
     out["graph_bfs_multi"] = _BFS_MULTI_ORACLE
     out["fts_batch_topk"] = oracle.fts_batch_oracle_sql(_FTS_BATCH_QUERIES, limit=15)
     # incremental FTS store merged == one-shot batch index (fts_composite)
