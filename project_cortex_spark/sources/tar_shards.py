@@ -75,11 +75,12 @@ def write_tar_shards(
         pdf = pdf.sort_values(key_col, kind="mergesort")
         out = os.path.join(path, _shard_name(sid))
         n = 0
+        key_vals = pdf[key_col].tolist()
+        col_vals = {col: pdf[col].tolist() for col in src_cols}
         with tarfile.open(out, "w") as tf:
-            for _, row in pdf.iterrows():
-                key = row[key_col]
+            for ridx, key in enumerate(key_vals):
                 for ext, col in zip(exts, src_cols):
-                    payload = row[col]
+                    payload = col_vals[col][ridx]
                     if payload is None:
                         continue
                     data = (
@@ -131,7 +132,11 @@ def read_tar_shards(
         for ext, col in exts.items()
     ]
     schema = ", ".join(fields)
-    paths_df = spark.createDataFrame([(p,) for p in shard_paths], ["p"])
+    # explicit schema: an empty shard directory is a valid (empty)
+    # dataset, and createDataFrame cannot infer a schema from []
+    paths_df = spark.createDataFrame(
+        [(p,) for p in shard_paths], "p string"
+    )
 
     def read_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -131,3 +131,16 @@ class TestTarShards:
             spark, path, members={"txt": "text"}
         ).collect()
         assert [(r["sample_key"], r["text"]) for r in back] == [("1", "y")]
+
+    def test_read_empty_shard_dir(self, spark, tmp_path):
+        import os
+
+        from project_cortex_spark.sources import tar_shards
+
+        p = str(tmp_path / "none")
+        os.makedirs(p)
+        got = tar_shards.read_tar_shards(
+            spark, p, members={"txt": "text"}
+        )
+        assert got.count() == 0
+        assert got.columns == ["sample_key", "text"]
