@@ -3538,6 +3538,28 @@ def _q_media_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec gate: the same cyclic pixel ramp as the BMP gate,
+    but through the full PNG container — CRC-verified chunk walk, zlib
+    inflate, scanline un-filtering (operators/multimodal.py
+    _decode_png). The closed-form oracle reproduces the ramp's channel
+    means and corner pixel, so any defiltering or row-order mistake
+    hash-fails; only the codec literal differs from the BMP oracle."""
+    media = mm.synthesize_png_media(_docs(spark, sf_dir))
+    return mm.decode_image_real(media).select(
+        "media_id",
+        "codec",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "top_left_r",
+        "ok",
+    )
+
+
 def _q_media_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payloads through the tar-shard trip: the synthesized BMP
     corpus is written as WebDataset-style shards (<id>.bmp binary
@@ -4339,6 +4361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     out["media_bmp_roundtrip"] = _q_media_bmp_roundtrip
     out["media_tar_roundtrip"] = _q_media_tar_roundtrip
+    out["media_png_roundtrip"] = _q_media_png_roundtrip
     out["graph_bfs_multi"] = _q_graph_bfs_multi
     out["fts_batch_topk"] = _q_fts_batch_topk
     return _prioritize(out)
@@ -4360,7 +4383,7 @@ _GATE_FIRST = [
     # After this round every query registered BEFORE the r6 gate cutoff
     # has r3+ driver evidence (the rows-only-by-design entries get
     # fresh probe rows via section (g)); the only rowless queries left
-    # are the 7 late-r6 registrations listed in the R7 head below.
+    # are the 8 late-r6 registrations listed in the R7 head below.
     #
     # Mid-r6 amendment: the r6 oracle conversions (knn_recall_ivf/pq/
     # pq_refined, knn_join_ivf, dedup_embedding_ivf — replayable-trainer
@@ -4373,11 +4396,11 @@ _GATE_FIRST = [
     # events_top_users); graph_pattern_cst (new this round, the fifth
     # and last strictness tier) gates alongside them.
     #
-    # R7 gate head (pure rotation from here on): FIRST the 7 late-r6
+    # R7 gate head (pure rotation from here on): FIRST the 8 late-r6
     # registrations with no driver row (agg_tpch_q2_shape,
     # agg_tpch_q21_shape, text_gopher_quality, text_gopher_repetition,
     # graph_pattern_signature, source_tar_roundtrip,
-    # media_tar_roundtrip — all oracle-gated,
+    # media_tar_roundtrip, media_png_roundtrip — all oracle-gated,
     # all green in the local sweep; the tpch/gopher four also
     # hash-green at sf1), then the 10
     # displaced r3 re-gates above, the 14 dsl_* compiler shapes
@@ -4856,6 +4879,9 @@ def oracle_sql() -> dict[str, str]:
     out["sql_ansi_recursive"] = _ANSI_RECURSIVE_SQL
     out["media_bmp_roundtrip"] = _MEDIA_BMP_ORACLE
     out["media_tar_roundtrip"] = _MEDIA_BMP_ORACLE
+    out["media_png_roundtrip"] = _MEDIA_BMP_ORACLE.replace(
+        "'bmp' AS codec", "'png' AS codec"
+    )
     out["graph_bfs_multi"] = _BFS_MULTI_ORACLE
     out["fts_batch_topk"] = oracle.fts_batch_oracle_sql(_FTS_BATCH_QUERIES, limit=15)
     # incremental FTS store merged == one-shot batch index (fts_composite)

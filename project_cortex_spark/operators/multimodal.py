@@ -6,11 +6,15 @@ typed metadata header; decode / feature-extract / resize / frame-sample
 are Arrow-batched ``mapInPandas`` stages so each task streams record
 batches of bytes through numpy without materializing the whole partition.
 
-Codec status (r5): the codec-FREE formats decode for real —
-``decode_image_real`` parses uncompressed BI_RGB 24/32-bpp BMP and
-binary P6 PPM in pure numpy (bottom-up row un-flip, BGR swizzle, row
-padding, header edge cases), no imaging library needed; JPEG/PNG/audio
-still require a codec lib this container lacks and yield ok=false rows.
+Codec status (r6): ``decode_image_real`` parses three formats for real
+with no imaging library — uncompressed BI_RGB 24/32-bpp BMP and binary
+P6 PPM in pure numpy (bottom-up row un-flip, BGR swizzle, row padding,
+header edge cases), and **PNG** via stdlib zlib (chunk walk with CRC
+verification, inflate, all five scanline filters un-applied: None /
+Sub / Up / Average / Paeth; 8-bit RGB and RGBA truecolor,
+non-interlaced — RGBA's alpha is dropped on decode). JPEG and audio
+still require a codec lib this container lacks and yield ok=false
+rows.
 The stub path (``decode_media``) remains for the fake container format
 ``IMG:{w}x{h};<bytes>`` used by the synthetic gates. The Spark-side
 plumbing — schemas, binary handling, batch iteration, output shapes,
@@ -233,17 +237,139 @@ REAL_DECODED_SCHEMA = (
 )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor
+    non-interlaced PNG (filter 0 scanlines, one zlib IDAT) — stdlib
+    zlib only. The synthesis side of the PNG roundtrip gate."""
+    import struct
+    import zlib
+
+    h, w, c = px.shape
+    if c != 3 or px.dtype != np.uint8:
+        raise ValueError("encode_png expects (h, w, 3) uint8")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    for row in px:
+        raw += b"\x00" + row.tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(buf: bytes) -> np.ndarray:
+    """Real PNG decode with stdlib zlib: chunk walk (CRC-verified),
+    inflate, and all five scanline filters un-applied. Supports 8-bit
+    truecolor (color type 2) and truecolor+alpha (6, alpha dropped),
+    non-interlaced — the layout ~every ML-corpus PNG uses. Unsupported
+    layouts (palette, 16-bit, interlaced) raise ValueError and surface
+    as ok=false rows like any other undecodable payload."""
+    import struct
+    import zlib
+
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, n = 8, len(buf)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", buf[pos: pos + 4])
+        ctype = buf[pos + 4: pos + 8]
+        data = buf[pos + 8: pos + 8 + length]
+        if len(data) != length or pos + 12 + length > n:
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack(
+            ">I", buf[pos + 8 + length: pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError("chunk CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 \
+            or interlace != 0:
+        raise ValueError("unsupported PNG layout")
+    bpp = 3 if color == 2 else 4
+    stride = w * bpp
+    data = zlib.decompress(bytes(idat))
+    if len(data) != h * (stride + 1):
+        raise ValueError("bad scanline data size")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        f = data[pos]
+        row = np.frombuffer(
+            data, dtype=np.uint8, count=stride, offset=pos + 1
+        ).astype(np.int64)
+        pos += stride + 1
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp] — a
+            # per-channel prefix sum mod 256
+            rec = row.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 255
+        elif f == 2:  # Up
+            rec = (row + prev) & 255
+        elif f == 3:  # Average
+            rec = row.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (row[x] + ((left + prev[x]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            rec = row.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (row[x] + pr) & 255
+        else:
+            raise ValueError(f"bad filter byte {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    px = out.reshape(h, w, bpp)
+    return px[:, :, :3].copy() if bpp == 4 else px
+
+
 def decode_image_real(media: DataFrame) -> DataFrame:
-    """REAL image decode for the codec-free formats (BMP BI_RGB 24/32,
-    PPM P6) in pure numpy — no imaging library required, closing the
-    r4 probe's 'trivial-format decode' item. Emits per-image dims +
-    per-channel pixel means computed from ACTUAL decoded pixels
-    (bottom-up rows un-flipped, BGR swizzled, row padding excluded)
+    """REAL image decode (BMP BI_RGB 24/32, PPM P6, PNG 8-bit
+    truecolor) in pure numpy + stdlib zlib — no imaging library
+    required. Emits per-image dims + per-channel pixel means computed
+    from ACTUAL decoded pixels (bottom-up rows un-flipped, BGR
+    swizzled, row padding excluded; PNG scanline filters un-applied)
     plus ``top_left_r`` — pixel (0, 0)'s red byte. Means alone are
     permutation-invariant (a decoder that forgot the vertical un-flip
     would still match them); the corner pixel is position-sensitive
     and catches row-order mistakes, which is what the oracle gate
-    checks. Payloads in any other format (JPEG/PNG need a codec
+    checks. Payloads in any other format (JPEG/audio need a codec
     lib this container lacks) yield ok=false rows instead of failing
     the batch — at 100 TB a poison payload must not kill the job."""
 
@@ -257,6 +383,8 @@ def decode_image_real(media: DataFrame) -> DataFrame:
                         codec, px = "bmp", _decode_bmp(buf)
                     elif buf[:2] == b"P6":
                         codec, px = "ppm", _decode_ppm(buf)
+                    elif buf[:8] == _PNG_SIG:
+                        codec, px = "png", _decode_png(buf)
                     else:
                         raise ValueError("unknown container")
                     means = px.reshape(-1, 3).mean(axis=0)
@@ -299,6 +427,31 @@ def encode_bmp(px: np.ndarray) -> bytes:
     header = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_off)
     dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
     return bytes(header + dib + body)
+
+
+def synthesize_png_media(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real-PNG corpus: same cyclic pixel ramp as
+    :func:`synthesize_bmp_media` (so the identical closed-form SQL
+    oracle gates the decode), but through the full PNG container —
+    zlib IDAT, CRC-bearing chunks, filtered scanlines."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w = (mid % 8 + 1) * 4
+                h = (mid % 4 + 1) * 4
+                n = w * h * 3
+                ramp = (np.arange(n, dtype=np.int64) + mid) % 256
+                px = ramp.astype(np.uint8).reshape(h, w, 3)
+                ids.append(mid)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
 
 
 def synthesize_bmp_media(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:

@@ -151,3 +151,125 @@ def test_bmp_decode_handcrafted_bottom_up_orientation():
     )
     px_td = mm._decode_bmp(header + dib_td + body)
     assert px_td[0, 0].tolist() == [0, 0, 255]  # first stored row stays on top
+
+
+class TestPngCodec:
+    """Real PNG decode (stdlib zlib): filters, RGBA, CRC, roundtrip."""
+
+    @staticmethod
+    def _forward_filter(px, ftype):
+        # independent encoder-side filtering: the decoder must invert it
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from project_cortex_spark.operators.multimodal import (
+            _PNG_SIG, _png_chunk,
+        )
+
+        h, w, c = px.shape
+        arr = px.astype(np.int64).reshape(h, w * c)
+        raw = bytearray()
+        prev = np.zeros(w * c, dtype=np.int64)
+        for y in range(h):
+            rec = arr[y]
+            raw.append(ftype)
+            for x in range(w * c):
+                a = rec[x - c] if x >= c else 0
+                b = prev[x]
+                cc = prev[x - c] if x >= c else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                elif ftype == 4:
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = (
+                        a if (pa <= pb and pa <= pc)
+                        else (b if pb <= pc else cc)
+                    )
+                else:
+                    pred = 0
+                raw.append((rec[x] - pred) & 255)
+            prev = rec
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    def test_roundtrip_and_all_filters(self):
+        import numpy as np
+
+        from project_cortex_spark.operators.multimodal import (
+            _decode_png, encode_png,
+        )
+
+        px = np.random.RandomState(7).randint(
+            0, 256, (13, 9, 3), dtype=np.uint8
+        )
+        assert np.array_equal(_decode_png(encode_png(px)), px)
+        for ftype in (1, 2, 3, 4):
+            assert np.array_equal(
+                _decode_png(self._forward_filter(px, ftype)), px
+            ), f"filter {ftype}"
+
+    def test_rgba_drops_alpha_and_crc_rejected(self):
+        import struct
+        import zlib
+
+        import numpy as np
+        import pytest
+
+        from project_cortex_spark.operators.multimodal import (
+            _PNG_SIG, _decode_png, _png_chunk, encode_png,
+        )
+
+        rgba = np.random.RandomState(3).randint(
+            0, 256, (5, 4, 4), dtype=np.uint8
+        )
+        ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 6, 0, 0, 0)
+        raw = b"".join(b"\x00" + row.tobytes() for row in rgba)
+        png6 = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(_decode_png(png6), rgba[:, :, :3])
+
+        bad = bytearray(
+            encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+        )
+        bad[40] ^= 0xFF
+        with pytest.raises(ValueError):
+            _decode_png(bytes(bad))
+
+    def test_unsupported_layout_is_ok_false_row(self, spark):
+        # palette PNG (color type 3) must surface as ok=false, not fail
+        import struct
+        import zlib
+
+        from project_cortex_spark.operators.multimodal import (
+            _PNG_SIG, _png_chunk, decode_image_real,
+        )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+        pal = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", b"\x00\x00\x00")
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+            + _png_chunk(b"IEND", b"")
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(pal))], "media_id long, payload binary"
+        )
+        rows = decode_image_real(df).collect()
+        assert len(rows) == 1 and rows[0]["ok"] is False
