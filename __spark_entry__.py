@@ -3560,6 +3560,45 @@ def _q_media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec gate: each doc becomes a mono 16-bit PCM WAV
+    whose samples are a signed cyclic ramp; decode_audio_real must walk
+    the RIFF chunks and read the interleaved PCM to recover loudness
+    stats AND the position-sensitive first sample the oracle computes
+    in closed form (an interleave/offset mistake shifts first_sample
+    and fails the hash; means alone would not catch it)."""
+    media = mm.synthesize_wav_media(_docs(spark, sf_dir))
+    return mm.decode_audio_real(media).select(
+        "media_id",
+        "codec",
+        "sample_rate",
+        "channels",
+        "n_samples",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        "peak_amp",
+        "first_sample",
+        "ok",
+    )
+
+
+_MEDIA_WAV_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id AS media_id, (doc_id % 16 + 1) * 32 AS n
+      FROM documents
+    ), sm AS (
+      SELECT media_id, n, ((media_id + i) % 2048) - 1024 AS s
+      FROM dims, unnest(range(n)) AS t(i)
+    )
+    SELECT media_id, 'wav' AS codec, 16000 AS sample_rate, 1 AS channels,
+           n AS n_samples,
+           round(avg(abs(s)), 6) AS mean_amp,
+           max(abs(s)) AS peak_amp,
+           (media_id % 2048) - 1024 AS first_sample,
+           TRUE AS ok
+    FROM sm GROUP BY media_id, n
+"""
+
+
 def _q_media_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payloads through the tar-shard trip: the synthesized BMP
     corpus is written as WebDataset-style shards (<id>.bmp binary
@@ -4362,6 +4401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_bmp_roundtrip"] = _q_media_bmp_roundtrip
     out["media_tar_roundtrip"] = _q_media_tar_roundtrip
     out["media_png_roundtrip"] = _q_media_png_roundtrip
+    out["media_wav_roundtrip"] = _q_media_wav_roundtrip
     out["graph_bfs_multi"] = _q_graph_bfs_multi
     out["fts_batch_topk"] = _q_fts_batch_topk
     return _prioritize(out)
@@ -4383,7 +4423,7 @@ _GATE_FIRST = [
     # After this round every query registered BEFORE the r6 gate cutoff
     # has r3+ driver evidence (the rows-only-by-design entries get
     # fresh probe rows via section (g)); the only rowless queries left
-    # are the 8 late-r6 registrations listed in the R7 head below.
+    # are the 9 late-r6 registrations listed in the R7 head below.
     #
     # Mid-r6 amendment: the r6 oracle conversions (knn_recall_ivf/pq/
     # pq_refined, knn_join_ivf, dedup_embedding_ivf — replayable-trainer
@@ -4396,11 +4436,12 @@ _GATE_FIRST = [
     # events_top_users); graph_pattern_cst (new this round, the fifth
     # and last strictness tier) gates alongside them.
     #
-    # R7 gate head (pure rotation from here on): FIRST the 8 late-r6
+    # R7 gate head (pure rotation from here on): FIRST the 9 late-r6
     # registrations with no driver row (agg_tpch_q2_shape,
     # agg_tpch_q21_shape, text_gopher_quality, text_gopher_repetition,
     # graph_pattern_signature, source_tar_roundtrip,
-    # media_tar_roundtrip, media_png_roundtrip — all oracle-gated,
+    # media_tar_roundtrip, media_png_roundtrip, media_wav_roundtrip —
+    # all oracle-gated,
     # all green in the local sweep; the tpch/gopher four also
     # hash-green at sf1), then the 10
     # displaced r3 re-gates above, the 14 dsl_* compiler shapes
@@ -4882,6 +4923,7 @@ def oracle_sql() -> dict[str, str]:
     out["media_png_roundtrip"] = _MEDIA_BMP_ORACLE.replace(
         "'bmp' AS codec", "'png' AS codec"
     )
+    out["media_wav_roundtrip"] = _MEDIA_WAV_ORACLE
     out["graph_bfs_multi"] = _BFS_MULTI_ORACLE
     out["fts_batch_topk"] = oracle.fts_batch_oracle_sql(_FTS_BATCH_QUERIES, limit=15)
     # incremental FTS store merged == one-shot batch index (fts_composite)

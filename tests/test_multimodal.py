@@ -273,3 +273,61 @@ class TestPngCodec:
         )
         rows = decode_image_real(df).collect()
         assert len(rows) == 1 and rows[0]["ok"] is False
+
+
+class TestWavCodec:
+    def test_roundtrip_stereo_16bit(self):
+        import numpy as np
+
+        from project_cortex_spark.operators.multimodal import (
+            _decode_wav, encode_wav,
+        )
+
+        s = np.random.RandomState(11).randint(
+            -32768, 32768, (300, 2), dtype=np.int16
+        )
+        back, rate = _decode_wav(encode_wav(s, sample_rate=44100))
+        assert rate == 44100 and np.array_equal(back, s)
+
+    def test_extra_chunks_skipped_and_8bit_centered(self):
+        import struct
+
+        import numpy as np
+
+        from project_cortex_spark.operators.multimodal import _decode_wav
+
+        # hand-built 8-bit mono WAV with a LIST chunk before data and an
+        # odd-sized chunk (word-alignment padding must be honored)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        samples8 = bytes([0, 128, 255, 200])
+        buf = (
+            b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+            + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 4) + samples8
+        )
+        back, rate = _decode_wav(buf)
+        assert rate == 8000
+        assert back[:, 0].tolist() == [
+            (0 - 128) * 256, 0, (255 - 128) * 256, (200 - 128) * 256
+        ]
+
+    def test_compressed_format_is_ok_false(self, spark):
+        import struct
+
+        from project_cortex_spark.operators.multimodal import (
+            decode_audio_real,
+        )
+
+        fmt = struct.pack("<HHIIHH", 85, 2, 44100, 0, 0, 0)  # tag 85 = MP3
+        buf = (
+            b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 2) + b"\x00\x00"
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(buf)), (2, bytearray(b"ID3\x04garbage"))],
+            "media_id long, payload binary",
+        )
+        rows = {r["media_id"]: r["ok"] for r in decode_audio_real(df).collect()}
+        assert rows == {1: False, 2: False}
