@@ -3560,6 +3560,48 @@ def _q_media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG codec gate on the flat-block corpus: baseline JFIF
+    decode (operators/jpeg.py — marker walk, canonical Huffman, dequant,
+    IDCT, level shift) of flat grayscale images whose lossy output is
+    exactly predictable (flat blocks have zero AC energy). The oracle
+    states the Annex-K-quantized pixel in closed form; any Huffman,
+    zigzag, dequant or IDCT mistake shifts it and fails the hash."""
+    media = mm.synthesize_jpeg_media(_docs(spark, sf_dir))
+    return mm.decode_image_real(media).select(
+        "media_id",
+        "codec",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "top_left_r",
+        "ok",
+    )
+
+
+_MEDIA_JPEG_ORACLE = """
+    WITH px AS (
+      SELECT doc_id AS media_id,
+             (doc_id % 8 + 1) * 4 AS width,
+             (doc_id % 4 + 1) * 4 AS height,
+             least(255, greatest(0,
+               2 * CAST(floor(8 * (doc_id % 256 - 128) / 16.0 + 0.5)
+                        AS BIGINT) + 128)) AS ex
+      FROM documents
+    )
+    SELECT media_id, 'jpeg' AS codec, width, height, 3 AS channels,
+           round(ex, 6) AS mean_r,
+           round(ex, 6) AS mean_g,
+           round(ex, 6) AS mean_b,
+           ex AS top_left_r,
+           TRUE AS ok
+    FROM px
+"""
+
+
 def _q_media_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio codec gate: each doc becomes a mono 16-bit PCM WAV
     whose samples are a signed cyclic ramp; decode_audio_real must walk
@@ -4402,6 +4444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_tar_roundtrip"] = _q_media_tar_roundtrip
     out["media_png_roundtrip"] = _q_media_png_roundtrip
     out["media_wav_roundtrip"] = _q_media_wav_roundtrip
+    out["media_jpeg_roundtrip"] = _q_media_jpeg_roundtrip
     out["graph_bfs_multi"] = _q_graph_bfs_multi
     out["fts_batch_topk"] = _q_fts_batch_topk
     return _prioritize(out)
@@ -4423,7 +4466,7 @@ _GATE_FIRST = [
     # After this round every query registered BEFORE the r6 gate cutoff
     # has r3+ driver evidence (the rows-only-by-design entries get
     # fresh probe rows via section (g)); the only rowless queries left
-    # are the 9 late-r6 registrations listed in the R7 head below.
+    # are the 10 late-r6 registrations listed in the R7 head below.
     #
     # Mid-r6 amendment: the r6 oracle conversions (knn_recall_ivf/pq/
     # pq_refined, knn_join_ivf, dedup_embedding_ivf — replayable-trainer
@@ -4436,12 +4479,12 @@ _GATE_FIRST = [
     # events_top_users); graph_pattern_cst (new this round, the fifth
     # and last strictness tier) gates alongside them.
     #
-    # R7 gate head (pure rotation from here on): FIRST the 9 late-r6
+    # R7 gate head (pure rotation from here on): FIRST the 10 late-r6
     # registrations with no driver row (agg_tpch_q2_shape,
     # agg_tpch_q21_shape, text_gopher_quality, text_gopher_repetition,
     # graph_pattern_signature, source_tar_roundtrip,
-    # media_tar_roundtrip, media_png_roundtrip, media_wav_roundtrip —
-    # all oracle-gated,
+    # media_tar_roundtrip, media_png_roundtrip, media_wav_roundtrip,
+    # media_jpeg_roundtrip — all oracle-gated,
     # all green in the local sweep; the tpch/gopher four also
     # hash-green at sf1), then the 10
     # displaced r3 re-gates above, the 14 dsl_* compiler shapes
@@ -4924,6 +4967,7 @@ def oracle_sql() -> dict[str, str]:
         "'bmp' AS codec", "'png' AS codec"
     )
     out["media_wav_roundtrip"] = _MEDIA_WAV_ORACLE
+    out["media_jpeg_roundtrip"] = _MEDIA_JPEG_ORACLE
     out["graph_bfs_multi"] = _BFS_MULTI_ORACLE
     out["fts_batch_topk"] = oracle.fts_batch_oracle_sql(_FTS_BATCH_QUERIES, limit=15)
     # incremental FTS store merged == one-shot batch index (fts_composite)

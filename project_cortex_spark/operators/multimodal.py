@@ -12,9 +12,12 @@ P6 PPM in pure numpy (bottom-up row un-flip, BGR swizzle, row padding,
 header edge cases), and **PNG** via stdlib zlib (chunk walk with CRC
 verification, inflate, all five scanline filters un-applied: None /
 Sub / Up / Average / Paeth; 8-bit RGB and RGBA truecolor,
-non-interlaced — RGBA's alpha is dropped on decode). JPEG and audio
-still require a codec lib this container lacks and yield ok=false
-rows.
+non-interlaced — RGBA's alpha is dropped on decode). Baseline JPEG
+decodes for real too (operators/jpeg.py: marker walk, canonical
+Huffman, dequant, IDCT, restart markers, up to 2x2 subsampling;
+progressive/arithmetic raise -> ok=false), and uncompressed PCM WAV
+via decode_audio_real. Only compressed audio/video (MP3/AAC/H.26x)
+still needs codec libs this container lacks.
 The stub path (``decode_media``) remains for the fake container format
 ``IMG:{w}x{h};<bytes>`` used by the synthetic gates. The Spark-side
 plumbing — schemas, binary handling, batch iteration, output shapes,
@@ -519,6 +522,10 @@ def decode_image_real(media: DataFrame) -> DataFrame:
                         codec, px = "ppm", _decode_ppm(buf)
                     elif buf[:8] == _PNG_SIG:
                         codec, px = "png", _decode_png(buf)
+                    elif buf[:2] == b"\xff\xd8":
+                        from .jpeg import decode_jpeg
+
+                        codec, px = "jpeg", decode_jpeg(buf)
                     else:
                         raise ValueError("unknown container")
                     means = px.reshape(-1, 3).mean(axis=0)
@@ -581,6 +588,34 @@ def synthesize_png_media(docs: DataFrame, *, id_col: str = "doc_id") -> DataFram
                 px = ramp.astype(np.uint8).reshape(h, w, 3)
                 ids.append(mid)
                 payloads.append(encode_png(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+def synthesize_jpeg_media(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real-JPEG corpus: each doc becomes a FLAT grayscale
+    baseline JFIF of value ``doc_id % 256``. Flat 8x8 blocks have zero
+    AC energy, so lossy JPEG becomes exactly predictable — the decoded
+    pixel is ``clip(2 * floor(8*(c-128)/16 + 0.5) + 128)`` (Annex K
+    Q00 = 16), which a SQL oracle states in closed form. This gates the
+    FULL container path (markers, Huffman, dequant, IDCT, level shift)
+    bit-for-bit; natural-image fidelity is bounded separately by the
+    encoder roundtrip tests."""
+    from .jpeg import encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w = (mid % 8 + 1) * 4
+                h = (mid % 4 + 1) * 4
+                px = np.full((h, w), mid % 256, dtype=np.uint8)
+                ids.append(mid)
+                payloads.append(encode_jpeg(px))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return docs.select(id_col).mapInPandas(
