@@ -3602,6 +3602,57 @@ _MEDIA_JPEG_ORACLE = """
 """
 
 
+def _q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize gate: BMP ramp corpus -> nearest-neighbor resize to
+    8x8 (decode, floor-mapped sampling, BMP re-encode) -> decode again.
+    Nearest-neighbor outputs are exact source pixels, so the oracle
+    states every sampled ramp value in closed form — mean AND top-left
+    corner; a mapping off by one row/column shifts the sampled indices
+    and fails the hash."""
+    media = mm.synthesize_bmp_media(_docs(spark, sf_dir))
+    resized = mm.resize_image_real(media, width=8, height=8)
+    return mm.decode_image_real(resized).select(
+        "media_id",
+        "codec",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "top_left_r",
+        "ok",
+    )
+
+
+_MEDIA_RESIZE_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             (doc_id % 8 + 1) * 4 AS w,
+             (doc_id % 4 + 1) * 4 AS h
+      FROM documents
+    ), grid AS (
+      SELECT media_id, w, h, i, j,
+             (i * h) // 8 AS sy, (j * w) // 8 AS sx
+      FROM dims, unnest(range(8)) AS t(i), unnest(range(8)) AS u(j)
+    ), px AS (
+      SELECT media_id,
+             (media_id + 3 * (sy * w + sx)) % 256 AS r,
+             (media_id + 3 * (sy * w + sx) + 1) % 256 AS g,
+             (media_id + 3 * (sy * w + sx) + 2) % 256 AS b
+      FROM grid
+    )
+    SELECT media_id, 'bmp' AS codec, 8 AS width, 8 AS height,
+           3 AS channels,
+           round(avg(r), 6) AS mean_r,
+           round(avg(g), 6) AS mean_g,
+           round(avg(b), 6) AS mean_b,
+           media_id % 256 AS top_left_r,
+           TRUE AS ok
+    FROM px GROUP BY media_id
+"""
+
+
 def _q_media_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio codec gate: each doc becomes a mono 16-bit PCM WAV
     whose samples are a signed cyclic ramp; decode_audio_real must walk
@@ -4445,6 +4496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_png_roundtrip"] = _q_media_png_roundtrip
     out["media_wav_roundtrip"] = _q_media_wav_roundtrip
     out["media_jpeg_roundtrip"] = _q_media_jpeg_roundtrip
+    out["media_resize_real"] = _q_media_resize_real
     out["graph_bfs_multi"] = _q_graph_bfs_multi
     out["fts_batch_topk"] = _q_fts_batch_topk
     return _prioritize(out)
@@ -4466,7 +4518,7 @@ _GATE_FIRST = [
     # After this round every query registered BEFORE the r6 gate cutoff
     # has r3+ driver evidence (the rows-only-by-design entries get
     # fresh probe rows via section (g)); the only rowless queries left
-    # are the 10 late-r6 registrations listed in the R7 head below.
+    # are the 11 late-r6 registrations listed in the R7 head below.
     #
     # Mid-r6 amendment: the r6 oracle conversions (knn_recall_ivf/pq/
     # pq_refined, knn_join_ivf, dedup_embedding_ivf — replayable-trainer
@@ -4479,12 +4531,12 @@ _GATE_FIRST = [
     # events_top_users); graph_pattern_cst (new this round, the fifth
     # and last strictness tier) gates alongside them.
     #
-    # R7 gate head (pure rotation from here on): FIRST the 10 late-r6
+    # R7 gate head (pure rotation from here on): FIRST the 11 late-r6
     # registrations with no driver row (agg_tpch_q2_shape,
     # agg_tpch_q21_shape, text_gopher_quality, text_gopher_repetition,
     # graph_pattern_signature, source_tar_roundtrip,
     # media_tar_roundtrip, media_png_roundtrip, media_wav_roundtrip,
-    # media_jpeg_roundtrip — all oracle-gated,
+    # media_jpeg_roundtrip, media_resize_real — all oracle-gated,
     # all green in the local sweep; the tpch/gopher four also
     # hash-green at sf1), then the 10
     # displaced r3 re-gates above, the 14 dsl_* compiler shapes
@@ -4968,6 +5020,7 @@ def oracle_sql() -> dict[str, str]:
     )
     out["media_wav_roundtrip"] = _MEDIA_WAV_ORACLE
     out["media_jpeg_roundtrip"] = _MEDIA_JPEG_ORACLE
+    out["media_resize_real"] = _MEDIA_RESIZE_ORACLE
     out["graph_bfs_multi"] = _BFS_MULTI_ORACLE
     out["fts_batch_topk"] = oracle.fts_batch_oracle_sql(_FTS_BATCH_QUERIES, limit=15)
     # incremental FTS store merged == one-shot batch index (fts_composite)

@@ -331,3 +331,46 @@ class TestWavCodec:
         )
         rows = {r["media_id"]: r["ok"] for r in decode_audio_real(df).collect()}
         assert rows == {1: False, 2: False}
+
+
+class TestResizeReal:
+    def test_nearest_downsample_known_pixels(self, spark):
+        import numpy as np
+
+        from project_cortex_spark.operators.multimodal import (
+            _decode_bmp, encode_bmp, resize_image_real,
+        )
+
+        # 4x4 ramp -> 2x2 nearest: picks rows/cols 0 and 2
+        px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_bmp(px)))],
+            "media_id long, payload binary",
+        )
+        out = resize_image_real(df, width=2, height=2).collect()[0]
+        got = _decode_bmp(bytes(out["payload"]))
+        assert np.array_equal(got, px[[0, 2]][:, [0, 2]])
+
+    def test_upsample_and_cross_codec(self, spark):
+        import numpy as np
+
+        from project_cortex_spark.operators.jpeg import encode_jpeg
+        from project_cortex_spark.operators.multimodal import (
+            _decode_bmp, encode_png, resize_image_real,
+        )
+
+        flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+        rows = [
+            (1, bytearray(encode_png(flat))),
+            (2, bytearray(encode_jpeg(np.full((8, 8), 77, dtype=np.uint8)))),
+            (3, bytearray(b"not an image")),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        out = {r["media_id"]: r for r in
+               resize_image_real(df, width=16, height=16).collect()}
+        png16 = _decode_bmp(bytes(out[1]["payload"]))
+        assert png16.shape == (16, 16, 3) and set(png16.reshape(-1)) == {77}
+        jpg16 = _decode_bmp(bytes(out[2]["payload"]))
+        # flat JPEG at 77: closed-form decoded value 2*round_half_up(8*(77-128)/16)+128
+        assert set(jpg16.reshape(-1)) == {78}
+        assert out[3]["payload"] is None
