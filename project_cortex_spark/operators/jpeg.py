@@ -375,11 +375,15 @@ def _decode_scan(buf, pos, frame, scan_sel, qtables, htables,
         for mx in range(mcux):
             if restart_interval and mcu_count and \
                     mcu_count % restart_interval == 0:
-                if next_restart is not None:
-                    reader = _BitReader(bytes(data[next_restart:]))
-                    next_restart = next(restart_iter, None)
-                    # subsequent restart offsets are relative to data;
-                    # simplest correct handling: re-slice from absolute
+                if next_restart is None:
+                    # DRI promised a marker here and the stream has
+                    # none left: resetting pred without the marker
+                    # would silently corrupt every later DC value
+                    raise ValueError("missing restart marker")
+                # restart offsets are absolute positions in the
+                # de-stuffed stream; each jump re-slices from there
+                reader = _BitReader(bytes(data[next_restart:]))
+                next_restart = next(restart_iter, None)
                 pred = [0] * len(comps)
             for ci, c in enumerate(comps):
                 sel = sel_by_id.get(c["id"])
@@ -494,9 +498,13 @@ def _dqt_segment(tq, table):
     return b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
 
 
-def encode_jpeg(px: np.ndarray) -> bytes:
+def encode_jpeg(px: np.ndarray, *, restart_interval: int = 0) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as baseline JFIF
-    (grayscale 1-component, or YCbCr 4:4:4) with Annex K tables."""
+    (grayscale 1-component, or YCbCr 4:4:4) with Annex K tables.
+    ``restart_interval`` > 0 writes a DRI segment and RSTn markers
+    every N MCUs (byte-aligned, DC predictors reset) — the error-
+    resilience layout large scans use, and the decoder path's test
+    hook."""
     if px.ndim == 2:
         comps = [px.astype(np.float64)]
     elif px.ndim == 3 and px.shape[2] == 3:
@@ -530,6 +538,8 @@ def encode_jpeg(px: np.ndarray) -> bytes:
     if not gray:
         out += _dht_segment(0, 1, HUFF_DC_CHROMA)
         out += _dht_segment(1, 1, HUFF_AC_CHROMA)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([nc])
     for i in range(nc):
         sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
@@ -545,8 +555,20 @@ def encode_jpeg(px: np.ndarray) -> bytes:
     pred = [0] * nc
     by_max = -(-h // 8)
     bx_max = -(-w // 8)
+    entropy = bytearray()
+    mcu_count = 0
+    rst = 0
     for by in range(by_max):
         for bx in range(bx_max):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                writer.flush()
+                entropy += writer.out
+                entropy += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                writer = _BitWriter()
+                pred = [0] * nc
+            mcu_count += 1
             for ci in range(nc):
                 plane = comps[ci]
                 block = np.full((8, 8), plane[-1, -1], dtype=np.float64)
@@ -566,6 +588,7 @@ def encode_jpeg(px: np.ndarray) -> bytes:
                     writer, block, q[ZIGZAG], dc_e, ac_e, pred[ci]
                 )
     writer.flush()
-    out += writer.out
+    entropy += writer.out
+    out += entropy
     out += b"\xff\xd9"  # EOI
     return bytes(out)

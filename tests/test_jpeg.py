@@ -155,3 +155,35 @@ def test_garbage_surfaces_ok_false(spark):
     rows = {r["media_id"]: r for r in decode_image_real(df).collect()}
     assert rows[1]["ok"] is True and rows[1]["codec"] == "jpeg"
     assert rows[2]["ok"] is False
+
+
+def test_restart_markers_roundtrip():
+    rng = np.random.RandomState(9)
+    px = rng.randint(60, 200, (24, 40)).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(px))
+    buf = encode_jpeg(px, restart_interval=3)
+    assert b"\xff\xdd" in buf and b"\xff\xd0" in buf
+    assert np.array_equal(decode_jpeg(buf), plain)
+    rgb = rng.randint(0, 255, (17, 23, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(rgb, restart_interval=2)),
+        decode_jpeg(encode_jpeg(rgb)),
+    )
+
+
+def test_missing_restart_marker_rejected():
+    px = np.full((24, 24), 90, dtype=np.uint8)
+    buf = bytearray(encode_jpeg(px, restart_interval=1))
+    # strip the RST markers but keep the DRI promise: the decoder must
+    # refuse rather than silently resetting DC predictors mid-stream
+    i = buf.find(b"\xff\xd0")
+    while i != -1:
+        del buf[i: i + 2]
+        i = buf.find(b"\xff\xd0")
+    for m in range(0xD1, 0xD8):
+        i = buf.find(bytes([0xFF, m]))
+        while i != -1:
+            del buf[i: i + 2]
+            i = buf.find(bytes([0xFF, m]))
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(buf))
