@@ -73,6 +73,13 @@ def write_tar_shards(
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         sid = int(pdf["_shard"].iloc[0])
         pdf = pdf.sort_values(key_col, kind="mergesort")
+        if pdf[key_col].duplicated().any():
+            # duplicate keys would collide on member names and the read
+            # side would silently keep one copy — refuse loudly instead
+            dupes = pdf[key_col][pdf[key_col].duplicated()].iloc[:3]
+            raise ValueError(
+                f"duplicate sample keys in shard {sid}: {list(dupes)}"
+            )
         out = os.path.join(path, _shard_name(sid))
         n = 0
         key_vals = pdf[key_col].tolist()

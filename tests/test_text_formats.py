@@ -144,3 +144,17 @@ class TestTarShards:
         )
         assert got.count() == 0
         assert got.columns == ["sample_key", "text"]
+
+    def test_duplicate_keys_rejected(self, spark, tmp_path):
+        import pytest
+
+        from project_cortex_spark.sources import tar_shards
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b")], "k long, text string"
+        )
+        with pytest.raises(Exception, match="duplicate sample keys"):
+            tar_shards.write_tar_shards(
+                df, str(tmp_path / "d"), key_col="k",
+                members={"txt": "text"}, n_shards=2,
+            )
