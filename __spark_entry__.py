@@ -2835,6 +2835,519 @@ _TPCH_Q21_SHAPE_ORACLE = """
 """
 
 
+def _q_agg_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — the two-role dimension join: nation joins the
+    fact twice under different roles (supplier's nation vs customer's
+    nation), an OR'd pair filter keeps both directions of one trade
+    lane, and revenue rolls up by (supp_nation, cust_nation, ship
+    year). Scale: both nation sides and supplier broadcast (dims);
+    lineitem-orders is the one real shuffle (orderkey); the customer
+    join rides the orders side before it. Year extraction happens
+    UNDER the UTC session contract the registry pins."""
+    reg = _registry(spark, sf_dir)
+    n1 = reg.table("nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = reg.table("nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    sup = (
+        reg.table("supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        reg.table("customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey", "cust_nation")
+    )
+    ords = (
+        reg.table("orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        reg.table("lineitem")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+_TPCH_Q7_SHAPE_ORACLE = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+"""
+
+
+def _q_agg_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — conditional market share: the numerator is a
+    CASE-gated slice of the same sum as the denominator (one nation's
+    volume over everyone's), per order year, for one customer region
+    and one part type. One aggregate computes both sums — no second
+    scan, no self-join. Scale: part/supplier/nation/region broadcast;
+    the orders-customer and lineitem-orders shuffles are the only
+    exchanges, and the part filter prunes lineitem FIRST (the join to
+    the filtered broadcast side is the predicate pushdown)."""
+    reg = _registry(spark, sf_dir)
+    promo_parts = reg.table("part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    sup_nat = (
+        reg.table("supplier")
+        .join(
+            F.broadcast(reg.table("nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    america_cust = (
+        reg.table("customer")
+        .join(
+            F.broadcast(
+                reg.table("nation").join(
+                    F.broadcast(
+                        reg.table("region").filter(F.col("r_name") == "AMERICA")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    ords = (
+        reg.table("orders")
+        .join(F.broadcast(america_cust), F.col("o_custkey") == F.col("c_custkey"), "semi")
+        .select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        reg.table("lineitem")
+        .join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"), "semi")
+        .join(F.broadcast(sup_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+_TPCH_Q8_SHAPE_ORACLE = """
+    SELECT year(o_orderdate) AS o_year,
+           round(
+             sum(CASE WHEN n1.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region ON n2.n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+    GROUP BY 1
+"""
+
+
+def _q_agg_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit by (nation, year) over a LIKE-filtered
+    part set: revenue minus a per-unit cost, the cost here derived from
+    p_retailprice (the testdata has no partsupp/supplycost; the
+    LIKE-filter + multi-join + arithmetic-difference rollup is Q9's
+    skeleton). Scale: the '%red%' part filter broadcasts (it cannot be
+    pushed as a parquet predicate on the fact, but the semi-broadcast
+    prunes lineitem before any shuffle); supplier-nation broadcasts;
+    lineitem-orders shuffles once on orderkey."""
+    reg = _registry(spark, sf_dir)
+    red_parts = reg.table("part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    sup_nat = (
+        reg.table("supplier")
+        .join(
+            F.broadcast(reg.table("nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    ords = reg.table("orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        reg.table("lineitem")
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+    )
+
+
+_TPCH_Q9_SHAPE_ORACLE = """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity), 4) AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+"""
+
+
+def _q_agg_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — HAVING against a global-scalar threshold: per
+    part, the shipped value from one nation's suppliers, kept only when
+    it exceeds a fixed fraction of the SAME frame's grand total. The
+    scalar is a 1-row aggregate cross-broadcast back as a filter — the
+    de-correlation every planner applies to Q11's subquery. Scale: one
+    shuffle on partkey for the group-by; the grand total re-aggregates
+    the group-by output (|parts| rows), not the fact. The threshold
+    compare is raw-double but WITHIN each engine (each side computes
+    its own total), so cross-engine 1-ulp sum drift cannot flip
+    membership unless a part sits within ulp of the threshold —
+    continuous prices make that measure-zero."""
+    reg = _registry(spark, sf_dir)
+    nat_sup = (
+        reg.table("supplier")
+        .join(
+            F.broadcast(
+                reg.table("nation").filter(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    vals = (
+        reg.table("lineitem")
+        .join(F.broadcast(nat_sup), F.col("l_suppkey") == F.col("s_suppkey"), "semi")
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    total = vals.agg((F.sum("value") * 0.0002).alias("_threshold"))
+    return (
+        vals.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("_threshold"))
+        .select("l_partkey", F.round("value", 4).alias("part_value"))
+    )
+
+
+_TPCH_Q11_SHAPE_ORACLE = """
+    WITH vals AS (
+      SELECT l_partkey, sum(l_extendedprice) AS value
+      FROM lineitem
+      WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7')
+      GROUP BY 1
+    )
+    SELECT l_partkey, round(value, 4) AS part_value
+    FROM vals
+    WHERE value > (SELECT sum(value) * 0.0002 FROM vals)
+"""
+
+
+def _q_agg_tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — priority-class CASE counts per category: join
+    orders onto a date-sliced lineitem and pivot order priority into
+    high/low counts per return-flag class (the testdata has no
+    l_shipmode; the flag plays the mode's categorical role). Scale: the
+    date slice prunes lineitem at the scan (pushed parquet predicate),
+    the single shuffle is the orderkey join, and the two CASE sums are
+    one map-side-partial aggregate."""
+    reg = _registry(spark, sf_dir)
+    li = reg.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            reg.table("orders").select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_TPCH_Q12_SHAPE_ORACLE = """
+    SELECT l_returnflag AS ship_class,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+"""
+
+
+def _q_agg_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — single-row conditional ratio over a month
+    slice: promo revenue share = 100 * CASE-gated sum / total sum, both
+    from ONE aggregate over one month of shipments. Scale: the month
+    predicate is pushed to the parquet scan; part broadcasts; the
+    1-row result needs no exchange beyond the final partial-merge."""
+    reg = _registry(spark, sf_dir)
+    li = reg.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(reg.table("part").select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type").like("PROMO%"), vol).otherwise(0.0)
+                )
+                / F.sum(vol),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_TPCH_Q14_SHAPE_ORACLE = """
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6)
+           AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+def _q_agg_tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — COUNT(DISTINCT) per attribute bucket with an
+    excluded-supplier anti-join: distinct (part, supplier) pairs stand
+    in for partsupp, negative-balance suppliers stand in for the
+    complaints NOT IN, and the rollup counts distinct suppliers per
+    (brand, type, size) for a brand/type/size-filtered part set.
+    Scale: the pair-distinct shuffles once on (partkey, suppkey); the
+    excluded-supplier set and the filtered part dim broadcast; the
+    count-distinct re-shuffles only the surviving pairs."""
+    reg = _registry(spark, sf_dir)
+    pairs = reg.table("lineitem").select("l_partkey", "l_suppkey").distinct()
+    parts = reg.table("part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49))
+    )
+    bad_sup = reg.table("supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        pairs.join(
+            F.broadcast(bad_sup),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "anti",
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_TPCH_Q16_SHAPE_ORACLE = """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+"""
+
+
+def _q_agg_tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — correlated half-sum compare feeding a
+    semi-join chain: per (supplier, qualifying part), keep pairs whose
+    recent-year shipped quantity exceeds a fraction of their all-time
+    quantity (availqty > 0.5 * shipped in the original; two aggregates
+    of the same frame here), then semi-join the surviving suppliers and
+    filter to one nation. Scale: one shuffle on (suppkey, partkey)
+    computes BOTH sums via a CASE-gated aggregate (no self-join of two
+    aggregates); the part-name filter broadcasts; supplier output is
+    dim-sized. The fraction compare is exact: quantities are small
+    integers in doubles, so both engines' sums are exact and the
+    0.3 multiply is bit-identical."""
+    reg = _registry(spark, sf_dir)
+    small_parts = reg.table("part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    recent = F.col("l_shipdate") >= F.lit("1997-01-01")
+    recent_end = F.col("l_shipdate") < F.lit("1998-01-01")
+    per_pair = (
+        reg.table("lineitem")
+        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"), "semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(recent & recent_end, F.col("l_quantity")).otherwise(0.0)
+            ).alias("qty_recent"),
+            F.sum("l_quantity").alias("qty_total"),
+        )
+        .filter(F.col("qty_recent") > F.lit(0.3) * F.col("qty_total"))
+    )
+    nat_sup = reg.table("supplier").join(
+        F.broadcast(reg.table("nation").filter(F.col("n_name") == "NATION_5")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        nat_sup.join(
+            per_pair.select("l_suppkey").distinct(),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+_TPCH_Q20_SHAPE_ORACLE = """
+    WITH per_pair AS (
+      SELECT l_suppkey, l_partkey,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                       AND l_shipdate < TIMESTAMP '1998-01-01'
+                      THEN l_quantity ELSE 0.0 END) AS qty_recent,
+             sum(l_quantity) AS qty_total
+      FROM lineitem
+      WHERE l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY 1, 2
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM per_pair
+        WHERE qty_recent > 0.3 * qty_total)
+"""
+
+
+def _q_agg_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar-avg threshold + NOT EXISTS rollup:
+    bucket customers by a code substring (the name's last two digits;
+    the testdata has no phone column), keep above-average-balance
+    customers in selected buckets who have NO orders in the most recent
+    years (anti-join against a date-sliced fact — every testdata
+    customer has SOME order, so the dormancy slice keeps the NOT EXISTS
+    non-degenerate), and roll up count + balance per bucket. The average is a 1-row
+    cross-broadcast scalar computed over the positive-balance members
+    of the same buckets — Q22's de-correlated form. Scale: customer
+    shuffles once on the anti-join key (custkey vs orders' custkey
+    projection); everything else is dim-sized. The avg threshold is a
+    within-engine compare on 2-decimal balances — ulp drift in the avg
+    cannot flip membership."""
+    reg = _registry(spark, sf_dir)
+    codes = ("04", "11", "17", "23", "28", "29", "30")
+    cust = reg.table("customer").withColumn(
+        "cntrycode", F.substring("c_name", -2, 2)
+    ).filter(F.col("cntrycode").isin(*codes))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(
+            reg.table("orders")
+            .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+            .select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "anti",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
+
+
+_TPCH_Q22_SHAPE_ORACLE = """
+    WITH cust AS (
+      SELECT c_custkey, c_acctbal, right(c_name, 2) AS cntrycode
+      FROM customer
+      WHERE right(c_name, 2) IN ('04','11','17','23','28','29','30')
+    )
+    SELECT cntrycode, count(*) AS numcust,
+           round(sum(c_acctbal), 4) AS totacctbal
+    FROM cust
+    WHERE c_acctbal > (
+        SELECT avg(c_acctbal) FROM cust WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
+"""
+
+
 def _q_text_lm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score-distribution composite: the corpus-trained bigram LM scores
     (oracle-gated text_lm_score) bucketed into fixed-width bins — the
@@ -4451,6 +4964,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["agg_tpch_q18"] = _q_agg_tpch_q18
     out["agg_tpch_q2_shape"] = _q_agg_tpch_q2_shape
     out["agg_tpch_q21_shape"] = _q_agg_tpch_q21_shape
+    out["agg_tpch_q7_shape"] = _q_agg_tpch_q7_shape
+    out["agg_tpch_q8_shape"] = _q_agg_tpch_q8_shape
+    out["agg_tpch_q9_shape"] = _q_agg_tpch_q9_shape
+    out["agg_tpch_q11_shape"] = _q_agg_tpch_q11_shape
+    out["agg_tpch_q12_shape"] = _q_agg_tpch_q12_shape
+    out["agg_tpch_q14_shape"] = _q_agg_tpch_q14_shape
+    out["agg_tpch_q16_shape"] = _q_agg_tpch_q16_shape
+    out["agg_tpch_q20_shape"] = _q_agg_tpch_q20_shape
+    out["agg_tpch_q22_shape"] = _q_agg_tpch_q22_shape
     out["validate_expectations"] = _q_validate_expectations
     out["events_cumulative"] = _q_events_cumulative
     out["events_lag_delta"] = _q_events_lag_delta
@@ -4531,8 +5053,11 @@ _GATE_FIRST = [
     # events_top_users); graph_pattern_cst (new this round, the fifth
     # and last strictness tier) gates alongside them.
     #
-    # R7 gate head (pure rotation from here on): FIRST the 11 late-r6
-    # registrations with no driver row (agg_tpch_q2_shape,
+    # R7 gate head (pure rotation from here on): FIRST the 20 late-r6
+    # registrations with no driver row — the 9 TPC-H completions
+    # (agg_tpch_q7/q8/q9/q11/q12/q14/q16/q20/q22_shape, all
+    # oracle-gated green at sf0.01) and the 11 earlier ones
+    # (agg_tpch_q2_shape,
     # agg_tpch_q21_shape, text_gopher_quality, text_gopher_repetition,
     # graph_pattern_signature, source_tar_roundtrip,
     # media_tar_roundtrip, media_png_roundtrip, media_wav_roundtrip,
@@ -4965,6 +5490,15 @@ def oracle_sql() -> dict[str, str]:
     out["agg_tpch_q18"] = _TPCH_Q18_ORACLE
     out["agg_tpch_q2_shape"] = _TPCH_Q2_SHAPE_ORACLE
     out["agg_tpch_q21_shape"] = _TPCH_Q21_SHAPE_ORACLE
+    out["agg_tpch_q7_shape"] = _TPCH_Q7_SHAPE_ORACLE
+    out["agg_tpch_q8_shape"] = _TPCH_Q8_SHAPE_ORACLE
+    out["agg_tpch_q9_shape"] = _TPCH_Q9_SHAPE_ORACLE
+    out["agg_tpch_q11_shape"] = _TPCH_Q11_SHAPE_ORACLE
+    out["agg_tpch_q12_shape"] = _TPCH_Q12_SHAPE_ORACLE
+    out["agg_tpch_q14_shape"] = _TPCH_Q14_SHAPE_ORACLE
+    out["agg_tpch_q16_shape"] = _TPCH_Q16_SHAPE_ORACLE
+    out["agg_tpch_q20_shape"] = _TPCH_Q20_SHAPE_ORACLE
+    out["agg_tpch_q22_shape"] = _TPCH_Q22_SHAPE_ORACLE
     out["validate_expectations"] = _EXPECTATIONS_ORACLE
     out["events_cumulative"] = _CUMULATIVE_ORACLE
     out["events_lag_delta"] = _LAG_DELTA_ORACLE
