@@ -4205,6 +4205,177 @@ _MEDIA_WAV_ORACLE = """
 """
 
 
+def _q_media_ulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio gate #1: the shared ramp clips companded
+    through the G.711 mu-law encoder (operators/audio.py) into tag-7
+    RIFF containers, then chunk-walked and expanded back. Companding is
+    a stateless piecewise-segment map, so the oracle states the exact
+    quantized reconstruction of every sample as a CASE chain — any
+    segment, mantissa, bias or sign mistake in either direction of the
+    codec shifts the stats and fails the hash."""
+    media = mm.synthesize_g711_media(_docs(spark, sf_dir), law="ulaw")
+    return mm.decode_audio_real(media).select(
+        "media_id", "codec", "sample_rate", "channels", "n_samples",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        "peak_amp", "first_sample", "ok",
+    )
+
+
+_MEDIA_ULAW_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id AS media_id, (doc_id % 16 + 1) * 32 AS n
+      FROM documents
+    ), sm AS (
+      SELECT media_id, n, i, ((media_id + i) % 2048) - 1024 AS s
+      FROM dims, unnest(range(n)) AS t(i)
+    ), seg AS (
+      SELECT media_id, n, i, s, m,
+             CASE WHEN m < 256 THEN 0 WHEN m < 512 THEN 1
+                  WHEN m < 1024 THEN 2 WHEN m < 2048 THEN 3
+                  WHEN m < 4096 THEN 4 WHEN m < 8192 THEN 5
+                  WHEN m < 16384 THEN 6 ELSE 7 END AS e
+      FROM (SELECT *, least(abs(s), 32635) + 132 AS m FROM sm)
+    ), rec AS (
+      SELECT media_id, n, i,
+             (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+               * ((((m >> (e + 3)) & 15) * 8 + 132) * (1 << e) - 132) AS r
+      FROM seg
+    )
+    SELECT media_id, 'ulaw' AS codec, 8000 AS sample_rate, 1 AS channels,
+           n AS n_samples,
+           round(avg(abs(r)), 6) AS mean_amp,
+           max(abs(r)) AS peak_amp,
+           arg_min(r, i) AS first_sample,
+           TRUE AS ok
+    FROM rec GROUP BY media_id, n
+"""
+
+
+def _q_media_alaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio gate #2: same corpus through G.711 A-law
+    (tag 6, XOR-0x55 masked codes, segment-0 linear region). The A-law
+    closed form differs from mu-law in bias, segment-0 handling and the
+    no-zero reconstruction (+-8 floor) — a codec that confuses the two
+    laws, or drops the 0x55 mask, produces different stats and fails."""
+    media = mm.synthesize_g711_media(_docs(spark, sf_dir), law="alaw")
+    return mm.decode_audio_real(media).select(
+        "media_id", "codec", "sample_rate", "channels", "n_samples",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        "peak_amp", "first_sample", "ok",
+    )
+
+
+_MEDIA_ALAW_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id AS media_id, (doc_id % 16 + 1) * 32 AS n
+      FROM documents
+    ), sm AS (
+      SELECT media_id, n, i, ((media_id + i) % 2048) - 1024 AS s
+      FROM dims, unnest(range(n)) AS t(i)
+    ), seg AS (
+      SELECT media_id, n, i, s, m,
+             CASE WHEN m < 256 THEN 0 WHEN m < 512 THEN 1
+                  WHEN m < 1024 THEN 2 WHEN m < 2048 THEN 3
+                  WHEN m < 4096 THEN 4 WHEN m < 8192 THEN 5
+                  WHEN m < 16384 THEN 6 ELSE 7 END AS e
+      FROM (SELECT *, least(abs(s), 32767) AS m FROM sm)
+    ), rec AS (
+      SELECT media_id, n, i,
+             (CASE WHEN s >= 0 THEN 1 ELSE -1 END)
+               * (CASE WHEN e = 0 THEN (m >> 4) * 16 + 8
+                       ELSE (((m >> (e + 3)) & 15) * 16 + 264)
+                            * (1 << (e - 1)) END) AS r
+      FROM seg
+    )
+    SELECT media_id, 'alaw' AS codec, 8000 AS sample_rate, 1 AS channels,
+           n AS n_samples,
+           round(avg(abs(r)), 6) AS mean_amp,
+           max(abs(r)) AS peak_amp,
+           arg_min(r, i) AS first_sample,
+           TRUE AS ok
+    FROM rec GROUP BY media_id, n
+"""
+
+
+def _q_media_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio gate #3: IMA/DVI ADPCM (tag 0x11) — a
+    STATEFUL codec, unlike the companding gates. The encoder quantizes
+    each delta to 4 bits against the public 89-entry step table and the
+    decoder integrates; the oracle replays the exact integer recurrence
+    (quantize, reconstruct, clamp, index-adjust, block-header snap at
+    the 505-sample boundary) in a recursive CTE, so a single wrong
+    table entry, clamp, or nibble order diverges the whole tail of the
+    clip and fails the hash. The 512-sample clips span a block
+    boundary, gating header predictor/index carry-over too."""
+    media = mm.synthesize_adpcm_media(_docs(spark, sf_dir))
+    return mm.decode_audio_real(media).select(
+        "media_id", "codec", "sample_rate", "channels", "n_samples",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        "peak_amp", "first_sample", "ok",
+    )
+
+
+_IMA_STEPS_SQL = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,"
+    "60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,"
+    "307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,"
+    "1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,"
+    "4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,"
+    "13899,15289,16818,18500,20350,22385,24623,27086,29794,32767]"
+)
+
+_MEDIA_ADPCM_ORACLE = f"""
+    WITH RECURSIVE dims AS MATERIALIZED (
+      SELECT doc_id AS media_id, (doc_id % 16 + 1) * 32 AS n
+      FROM documents
+    ),
+    dec(media_id, n, p, r, idx) AS (
+      SELECT media_id, n, 0, (media_id % 2048) - 1024, 0 FROM dims
+      UNION ALL
+      SELECT media_id, n, p1,
+             CASE WHEN p1 % 505 = 0 THEN s
+                  ELSE greatest(-32768, least(32767,
+                    r + CASE WHEN d < 0 THEN -delta ELSE delta END)) END,
+             CASE WHEN p1 % 505 = 0 THEN idx
+                  ELSE greatest(0, least(88,
+                    idx + CASE WHEN c7 < 4 THEN -1 ELSE 2 * c7 - 6 END))
+             END
+      FROM (
+        SELECT media_id, n, p1, r, idx, s, d,
+               (st >> 3) + b4 * st + b2 * (st >> 1) + b1 * (st >> 2)
+                 AS delta,
+               4 * b4 + 2 * b2 + b1 AS c7
+        FROM (
+          SELECT *, CASE WHEN ad - b4 * st - b2 * (st >> 1) >= (st >> 2)
+                         THEN 1 ELSE 0 END AS b1
+          FROM (
+            SELECT *, CASE WHEN ad - b4 * st >= (st >> 1)
+                           THEN 1 ELSE 0 END AS b2
+            FROM (
+              SELECT *, CASE WHEN ad >= st THEN 1 ELSE 0 END AS b4
+              FROM (
+                SELECT media_id, n, p + 1 AS p1, r, idx,
+                       ((media_id + p + 1) % 2048) - 1024 AS s,
+                       ((media_id + p + 1) % 2048) - 1024 - r AS d,
+                       abs(((media_id + p + 1) % 2048) - 1024 - r) AS ad,
+                       ({_IMA_STEPS_SQL})[idx + 1] AS st
+                FROM dec WHERE p + 1 < n
+              )
+            )
+          )
+        )
+      )
+    )
+    SELECT media_id, 'adpcm' AS codec, 8000 AS sample_rate, 1 AS channels,
+           n AS n_samples,
+           round(avg(abs(r)), 6) AS mean_amp,
+           max(abs(r)) AS peak_amp,
+           arg_min(r, p) AS first_sample,
+           TRUE AS ok
+    FROM dec GROUP BY media_id, n
+"""
+
+
 def _q_media_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payloads through the tar-shard trip: the synthesized BMP
     corpus is written as WebDataset-style shards (<id>.bmp binary
@@ -5019,6 +5190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_wav_roundtrip"] = _q_media_wav_roundtrip
     out["media_jpeg_roundtrip"] = _q_media_jpeg_roundtrip
     out["media_resize_real"] = _q_media_resize_real
+    out["media_ulaw_roundtrip"] = _q_media_ulaw_roundtrip
+    out["media_alaw_roundtrip"] = _q_media_alaw_roundtrip
+    out["media_adpcm_roundtrip"] = _q_media_adpcm_roundtrip
     out["graph_bfs_multi"] = _q_graph_bfs_multi
     out["fts_batch_topk"] = _q_fts_batch_topk
     return _prioritize(out)
@@ -5053,8 +5227,10 @@ _GATE_FIRST = [
     # events_top_users); graph_pattern_cst (new this round, the fifth
     # and last strictness tier) gates alongside them.
     #
-    # R7 gate head (pure rotation from here on): FIRST the 20 late-r6
-    # registrations with no driver row — the 9 TPC-H completions
+    # R7 gate head (pure rotation from here on): FIRST the late-r6
+    # registrations with no driver row — the 3 compressed-audio codec
+    # gates (media_ulaw_roundtrip, media_alaw_roundtrip,
+    # media_adpcm_roundtrip), the 9 TPC-H completions
     # (agg_tpch_q7/q8/q9/q11/q12/q14/q16/q20/q22_shape, all
     # oracle-gated green at sf0.01) and the 11 earlier ones
     # (agg_tpch_q2_shape,
@@ -5554,6 +5730,9 @@ def oracle_sql() -> dict[str, str]:
     )
     out["media_wav_roundtrip"] = _MEDIA_WAV_ORACLE
     out["media_jpeg_roundtrip"] = _MEDIA_JPEG_ORACLE
+    out["media_ulaw_roundtrip"] = _MEDIA_ULAW_ORACLE
+    out["media_alaw_roundtrip"] = _MEDIA_ALAW_ORACLE
+    out["media_adpcm_roundtrip"] = _MEDIA_ADPCM_ORACLE
     out["media_resize_real"] = _MEDIA_RESIZE_ORACLE
     out["graph_bfs_multi"] = _BFS_MULTI_ORACLE
     out["fts_batch_topk"] = oracle.fts_batch_oracle_sql(_FTS_BATCH_QUERIES, limit=15)

@@ -382,20 +382,26 @@ def encode_wav(samples: np.ndarray, *, sample_rate: int = 16000) -> bytes:
     )
 
 
-def _decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
-    """Real RIFF/WAVE decode for uncompressed PCM (format tag 1,
-    8/16-bit) — pure struct/numpy, walking chunks so extra chunks
-    (LIST, fact, cue) are skipped like real files require. Returns
-    ((n_samples, channels) int16 array, sample_rate); 8-bit unsigned
-    samples are centered to int16 range. Compressed formats (MP3/AAC/
-    float PCM) raise ValueError → ok=false rows."""
+def decode_wav_full(buf: bytes) -> tuple[np.ndarray, int, str]:
+    """Real RIFF/WAVE decode — pure struct/numpy, walking chunks so
+    extra chunks (LIST, fact, cue) are skipped like real files require.
+    Dispatches on the fmt tag: uncompressed PCM (tag 1, 8/16-bit),
+    G.711 A-law/mu-law (tags 6/7) and IMA ADPCM (tag 0x11) via the
+    codecs in :mod:`.audio`. Returns ((n_samples, channels) int16,
+    sample_rate, codec); 8-bit unsigned PCM is centered to int16
+    range. Formats needing external codec libs (MP3/AAC/float PCM)
+    raise ValueError → ok=false rows."""
     import struct
+
+    from . import audio as _audio
 
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, n = 12, len(buf)
     fmt = None
+    fmt_body = b""
     data = None
+    n_frames = None
     while pos + 8 <= n:
         cid = buf[pos: pos + 4]
         (size,) = struct.unpack("<I", buf[pos + 4: pos + 8])
@@ -404,20 +410,46 @@ def _decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("truncated chunk")
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
+        elif cid == b"fact" and size >= 4:
+            (n_frames,) = struct.unpack("<I", body[:4])
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    tag, ch, rate, _brate, _align, bits = fmt
-    if tag != 1 or bits not in (8, 16) or ch < 1:
-        raise ValueError("unsupported WAV encoding")
-    if bits == 16:
-        arr = np.frombuffer(data, dtype="<i2")
+    tag, ch, rate, _brate, align, bits = fmt
+    if ch < 1:
+        raise ValueError("bad channel count")
+    if tag == 1 and bits in (8, 16):
+        if bits == 16:
+            arr = np.frombuffer(data, dtype="<i2")
+        else:
+            arr = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) * 256
+        codec = "pcm"
+    elif tag in (6, 7) and bits == 8:
+        codes = np.frombuffer(data, dtype=np.uint8)
+        arr = (_audio.alaw_decode if tag == 6 else _audio.ulaw_decode)(codes)
+        codec = "alaw" if tag == 6 else "ulaw"
+    elif tag == 0x11 and bits == 4:
+        if ch != 1:
+            raise ValueError("IMA ADPCM decode is mono-only")
+        if n_frames is None:
+            block_samples = (align - 4) * 2 + 1
+            n_blocks = len(data) // align
+            n_frames = n_blocks * block_samples
+        arr = _audio.adpcm_decode(data, block_align=align, n_samples=n_frames)
+        codec = "adpcm"
     else:
-        arr = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) * 256
+        raise ValueError("unsupported WAV encoding")
     usable = (len(arr) // ch) * ch
-    return arr[:usable].reshape(-1, ch), rate
+    return arr[:usable].reshape(-1, ch), rate, codec
+
+
+def _decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """Back-compat shim: PCM-era signature over :func:`decode_wav_full`."""
+    samples, rate, _codec = decode_wav_full(buf)
+    return samples, rate
 
 
 AUDIO_DECODED_SCHEMA = (
@@ -443,11 +475,12 @@ def decode_audio_real(media: DataFrame) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    samples, rate = _decode_wav(bytes(payload))
+                    samples, rate, codec = decode_wav_full(bytes(payload))
                     flat = samples.astype(np.float64)
                     rows.append(
                         (
-                            mid, "wav", rate, samples.shape[1],
+                            mid, "wav" if codec == "pcm" else codec,
+                            rate, samples.shape[1],
                             samples.shape[0],
                             float(np.abs(flat).mean()),
                             int(np.abs(samples.astype(np.int64)).max()),
@@ -489,6 +522,68 @@ def synthesize_wav_media(docs: DataFrame, *, id_col: str = "doc_id") -> DataFram
                 ).astype(np.int16).reshape(-1, 1)
                 ids.append(mid)
                 payloads.append(encode_wav(samples, sample_rate=16000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+def _ramp_samples(mid: int) -> np.ndarray:
+    """The shared audio-gate signal: ((doc_id + k) % 2048) - 1024."""
+    n = (mid % 16 + 1) * 32
+    return (
+        ((np.arange(n, dtype=np.int64) + mid) % 2048) - 1024
+    ).astype(np.int16)
+
+
+def synthesize_g711_media(
+    docs: DataFrame, *, law: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic G.711 corpus: the same cyclic-ramp clip as the PCM
+    WAV gate, companded through the real mu-law/A-law encoder into a
+    tag-7/tag-6 RIFF container — so the decode stats differ from PCM by
+    exactly the closed-form quantization the SQL oracle states."""
+    from . import audio as _audio
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                samples = _ramp_samples(mid).reshape(-1, 1)
+                ids.append(mid)
+                payloads.append(
+                    _audio.encode_wav_g711(samples, law=law, sample_rate=8000)
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+def synthesize_adpcm_media(
+    docs: DataFrame, *, id_col: str = "doc_id", block_samples: int = 505
+) -> DataFrame:
+    """Deterministic IMA ADPCM corpus over the shared ramp clips; the
+    505-sample default gives classic 256-byte blocks and makes the
+    longest clips (512 samples) span a block boundary, so header
+    carry-over is exercised and replayed by the oracle."""
+    from . import audio as _audio
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                ids.append(mid)
+                payloads.append(
+                    _audio.encode_wav_adpcm(
+                        _ramp_samples(mid), sample_rate=8000,
+                        block_samples=block_samples,
+                    )
+                )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return docs.select(id_col).mapInPandas(

@@ -333,6 +333,126 @@ class TestWavCodec:
         assert rows == {1: False, 2: False}
 
 
+class TestG711Codec:
+    def test_canonical_idle_codes(self):
+        import numpy as np
+
+        from project_cortex_spark.operators import audio as A
+
+        # the published G.711 silence bytes every implementation emits
+        assert A.ulaw_encode(np.array([0], np.int16))[0] == 0xFF
+        assert A.alaw_encode(np.array([0], np.int16))[0] == 0xD5
+        # published maximum decode magnitudes (segment-table endpoints)
+        assert A.ulaw_decode(np.array([0x80], np.uint8))[0] == 32124
+        assert int(A.alaw_decode(A.alaw_encode(
+            np.array([32767], np.int16)))[0]) == 32256
+
+    def test_roundtrip_error_bounded_and_monotone(self):
+        import numpy as np
+
+        from project_cortex_spark.operators import audio as A
+
+        x = np.arange(-32768, 32768, dtype=np.int32)
+        xi = x.astype(np.int16)
+        u = A.ulaw_decode(A.ulaw_encode(xi)).astype(np.int32)
+        a = A.alaw_decode(A.alaw_encode(xi)).astype(np.int32)
+        # error bounded by half the top-segment quantization step
+        assert np.abs(u - np.clip(x, -32635, 32635)).max() <= 512
+        assert np.abs(a - x).max() <= 512
+        # decode must be monotone non-decreasing over the input range
+        assert (np.diff(u) >= 0).all()
+        assert (np.diff(a) >= 0).all()
+
+    def test_container_roundtrip_dispatch(self):
+        import numpy as np
+
+        from project_cortex_spark.operators import audio as A
+        from project_cortex_spark.operators.multimodal import (
+            decode_wav_full,
+        )
+
+        s = np.random.RandomState(5).randint(
+            -32768, 32768, (64, 2), dtype=np.int16
+        )
+        for law in ("ulaw", "alaw"):
+            buf = A.encode_wav_g711(s, law=law, sample_rate=8000)
+            back, rate, codec = decode_wav_full(buf)
+            assert codec == law and rate == 8000
+            dec = (A.ulaw_decode if law == "ulaw" else A.alaw_decode)(
+                (A.ulaw_encode if law == "ulaw" else A.alaw_encode)(
+                    s.reshape(-1)
+                )
+            ).reshape(-1, 2)
+            assert np.array_equal(back, dec)
+
+
+class TestAdpcmCodec:
+    def test_small_delta_ramp_is_lossless(self):
+        import numpy as np
+
+        from project_cortex_spark.operators import audio as A
+
+        # +1 steps are exactly representable at the minimum step size,
+        # so the ramp decodes bit-exactly (no wrap cliff below id 1536)
+        s = (np.arange(400, dtype=np.int32) - 200).astype(np.int16)
+        buf = A.adpcm_encode(s, block_samples=505)
+        back = A.adpcm_decode(buf, block_align=256, n_samples=400)
+        assert np.array_equal(back, s)
+
+    def test_block_boundary_carries_index_and_snaps_predictor(self):
+        import numpy as np
+
+        from project_cortex_spark.operators import audio as A
+
+        rng = np.random.RandomState(7)
+        s = rng.randint(-30000, 30000, 1200, dtype=np.int16)
+        buf = A.adpcm_encode(s, block_samples=505)
+        back = A.adpcm_decode(buf, block_align=256, n_samples=1200)
+        # block-start samples are stored verbatim in the headers
+        assert back[0] == s[0] and back[505] == s[505] and back[1010] == s[1010]
+        # decode tracks the signal within the max single-step delta
+        steps = A.IMA_STEP_TABLE
+        max_delta = int(steps[-1] + (steps[-1] >> 1) + (steps[-1] >> 2)
+                        + (steps[-1] >> 3))
+        assert np.abs(back.astype(np.int64) - s.astype(np.int64)).max() \
+            <= max_delta
+
+    def test_wav_container_roundtrip_and_fact_trim(self):
+        import numpy as np
+
+        from project_cortex_spark.operators import audio as A
+        from project_cortex_spark.operators.multimodal import (
+            decode_wav_full,
+        )
+
+        s = (np.arange(137, dtype=np.int32) * 3 - 200).astype(np.int16)
+        buf = A.encode_wav_adpcm(s, sample_rate=8000)
+        back, rate, codec = decode_wav_full(buf)
+        # fact chunk must trim the zero-nibble padding of the last block
+        assert codec == "adpcm" and rate == 8000 and back.shape == (137, 1)
+        assert np.array_equal(
+            back[:, 0], A.adpcm_decode(
+                A.adpcm_encode(s), block_align=256, n_samples=137
+            )
+        )
+
+    def test_rejects_stereo_and_bad_index(self):
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from project_cortex_spark.operators import audio as A
+
+        with pytest.raises(ValueError):
+            A.encode_wav_adpcm(
+                np.zeros((4, 2), np.int16), sample_rate=8000
+            )
+        bad = struct.pack("<hBB", 0, 99, 0) + b"\x00" * 4
+        with pytest.raises(ValueError):
+            A.adpcm_decode(bad, block_align=8, n_samples=5)
+
+
 class TestResizeReal:
     def test_nearest_downsample_known_pixels(self, spark):
         import numpy as np
