@@ -4205,6 +4205,42 @@ _MEDIA_WAV_ORACLE = """
 """
 
 
+def _q_media_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-compression gate: the ramp clips encoded as actual
+    FLAC streams (operators/flac.py — STREAMINFO + MD5, frame sync +
+    UTF-8 frame numbers + CRC-8/CRC-16, fixed predictors 0-4,
+    Rice-coded residuals) and fully decoded. FLAC is lossless, so the
+    oracle is the SAME closed form as the PCM WAV gate with
+    codec='flac' — every layer of the bitstream (and the decoder's MD5
+    self-check) must be bit-perfect for the hash to match. The 512-
+    sample clips span two 256-sample frames, gating multi-frame sync
+    re-acquisition too."""
+    media = mm.synthesize_flac_media(_docs(spark, sf_dir))
+    return mm.decode_audio_real(media).select(
+        "media_id", "codec", "sample_rate", "channels", "n_samples",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        "peak_amp", "first_sample", "ok",
+    )
+
+
+_MEDIA_FLAC_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id AS media_id, (doc_id % 16 + 1) * 32 AS n
+      FROM documents
+    ), sm AS (
+      SELECT media_id, n, ((media_id + i) % 2048) - 1024 AS s
+      FROM dims, unnest(range(n)) AS t(i)
+    )
+    SELECT media_id, 'flac' AS codec, 8000 AS sample_rate, 1 AS channels,
+           n AS n_samples,
+           round(avg(abs(s)), 6) AS mean_amp,
+           max(abs(s)) AS peak_amp,
+           (media_id % 2048) - 1024 AS first_sample,
+           TRUE AS ok
+    FROM sm GROUP BY media_id, n
+"""
+
+
 def _q_media_ulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-audio gate #1: the shared ramp clips companded
     through the G.711 mu-law encoder (operators/audio.py) into tag-7
@@ -5193,6 +5229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_ulaw_roundtrip"] = _q_media_ulaw_roundtrip
     out["media_alaw_roundtrip"] = _q_media_alaw_roundtrip
     out["media_adpcm_roundtrip"] = _q_media_adpcm_roundtrip
+    out["media_flac_roundtrip"] = _q_media_flac_roundtrip
     out["graph_bfs_multi"] = _q_graph_bfs_multi
     out["fts_batch_topk"] = _q_fts_batch_topk
     return _prioritize(out)
@@ -5228,9 +5265,10 @@ _GATE_FIRST = [
     # and last strictness tier) gates alongside them.
     #
     # R7 gate head (pure rotation from here on): FIRST the late-r6
-    # registrations with no driver row — the 3 compressed-audio codec
+    # registrations with no driver row — the 4 compressed-audio codec
     # gates (media_ulaw_roundtrip, media_alaw_roundtrip,
-    # media_adpcm_roundtrip), the 9 TPC-H completions
+    # media_adpcm_roundtrip, media_flac_roundtrip), the 9 TPC-H
+    # completions
     # (agg_tpch_q7/q8/q9/q11/q12/q14/q16/q20/q22_shape, all
     # oracle-gated green at sf0.01) and the 11 earlier ones
     # (agg_tpch_q2_shape,
@@ -5733,6 +5771,7 @@ def oracle_sql() -> dict[str, str]:
     out["media_ulaw_roundtrip"] = _MEDIA_ULAW_ORACLE
     out["media_alaw_roundtrip"] = _MEDIA_ALAW_ORACLE
     out["media_adpcm_roundtrip"] = _MEDIA_ADPCM_ORACLE
+    out["media_flac_roundtrip"] = _MEDIA_FLAC_ORACLE
     out["media_resize_real"] = _MEDIA_RESIZE_ORACLE
     out["graph_bfs_multi"] = _BFS_MULTI_ORACLE
     out["fts_batch_topk"] = oracle.fts_batch_oracle_sql(_FTS_BATCH_QUERIES, limit=15)

@@ -475,7 +475,14 @@ def decode_audio_real(media: DataFrame) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    samples, rate, codec = decode_wav_full(bytes(payload))
+                    raw = bytes(payload)
+                    if raw[:4] == b"fLaC":
+                        from . import flac as _flac
+
+                        samples, rate = _flac.flac_decode(raw)
+                        codec = "flac"
+                    else:
+                        samples, rate, codec = decode_wav_full(raw)
                     flat = samples.astype(np.float64)
                     rows.append(
                         (
@@ -582,6 +589,31 @@ def synthesize_adpcm_media(
                     _audio.encode_wav_adpcm(
                         _ramp_samples(mid), sample_rate=8000,
                         block_samples=block_samples,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+def synthesize_flac_media(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic FLAC corpus over the shared ramp clips. FLAC is
+    lossless, so the decode-side oracle is the SAME closed form as the
+    PCM WAV gate — the whole fixed-predictor/Rice/CRC/MD5 stack must be
+    bit-perfect for the stats to match."""
+    from . import flac as _flac
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                ids.append(mid)
+                payloads.append(
+                    _flac.flac_encode(
+                        _ramp_samples(mid).reshape(-1, 1), sample_rate=8000
                     )
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})

@@ -453,6 +453,70 @@ class TestAdpcmCodec:
             A.adpcm_decode(bad, block_align=8, n_samples=5)
 
 
+class TestFlacCodec:
+    def test_lossless_roundtrip_all_subframe_types(self):
+        import numpy as np
+
+        from project_cortex_spark.operators import flac as FL
+
+        rng = np.random.RandomState(3)
+        cases = [
+            np.full((300, 1), -5, np.int16),              # CONSTANT
+            rng.randint(-32768, 32768, (700, 1)).astype(np.int16),  # ~VERBATIM
+            (1000 * np.sin(np.arange(900) / 7)).astype(np.int16).reshape(-1, 1),
+            rng.randint(-2000, 2000, (513, 2)).astype(np.int16),    # stereo
+            np.array([[42]], np.int16),                   # single sample
+            np.arange(-256, 256, dtype=np.int16).reshape(-1, 1),    # ramp
+        ]
+        for s in cases:
+            back, rate = FL.flac_decode(FL.flac_encode(s, sample_rate=8000))
+            assert rate == 8000 and np.array_equal(back, s)
+
+    def test_compresses_predictable_signals(self):
+        import numpy as np
+
+        from project_cortex_spark.operators import flac as FL
+
+        s = np.arange(512, dtype=np.int16).reshape(-1, 1)
+        assert len(FL.flac_encode(s)) < s.size * 2 // 4
+
+    def test_single_bit_corruption_is_caught(self):
+        import numpy as np
+        import pytest
+
+        from project_cortex_spark.operators import flac as FL
+
+        s = (1000 * np.sin(np.arange(600) / 5)).astype(np.int16).reshape(-1, 1)
+        buf = FL.flac_encode(s, sample_rate=16000)
+        for at in (60, len(buf) // 2, len(buf) - 3):
+            b = bytearray(buf)
+            b[at] ^= 0x40
+            with pytest.raises(ValueError):
+                FL.flac_decode(bytes(b))
+
+    def test_utf8_frame_numbers_roundtrip(self):
+        from project_cortex_spark.operators.flac import (
+            _BitReader, _BitWriter, _read_utf8_number, _utf8_number,
+        )
+
+        for v in (0, 1, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 1 << 20, 1 << 30):
+            w = _BitWriter()
+            _utf8_number(w, v)
+            assert _read_utf8_number(_BitReader(w.getvalue())) == v
+
+    def test_decode_audio_real_dispatches_flac(self, spark):
+        from pyspark.sql import functions as F
+
+        docs = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+        media = mm.synthesize_flac_media(docs)
+        rows = mm.decode_audio_real(media).collect()
+        assert len(rows) == 8
+        assert all(r["ok"] and r["codec"] == "flac" for r in rows)
+        byid = {r["media_id"]: r for r in rows}
+        assert byid[3]["first_sample"] == 3 - 1024
+        assert byid[3]["n_samples"] == (3 % 16 + 1) * 32
+
+
 class TestResizeReal:
     def test_nearest_downsample_known_pixels(self, spark):
         import numpy as np
