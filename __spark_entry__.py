@@ -4205,6 +4205,42 @@ _MEDIA_WAV_ORACLE = """
 """
 
 
+def _q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video gate: Motion-JPEG AVI clips (operators/avi.py — RIFF
+    hdrl/movi/idx1 mux, chunk-walking demux) frame-sampled every 2nd
+    frame and decoded through the real JPEG decoder. Flat frames make
+    each sampled frame's mean the closed-form Annex-K quantization of
+    ``(doc_id + 37*frame_idx) % 256`` — a demuxer that misparses chunk
+    alignment, drops a frame, or samples the wrong stride changes the
+    (frame_idx, mean) set and fails the hash."""
+    media = mm.synthesize_mjpeg_media(_docs(spark, sf_dir))
+    return mm.sample_video_frames(media, every=2).select(
+        "media_id", "frame_idx", "n_frames", "width", "height",
+        F.round("mean_gray", 6).alias("mean_gray"), "ok",
+    )
+
+
+_MEDIA_VIDEO_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id AS media_id, doc_id % 6 + 2 AS nf
+      FROM documents
+    ), fr AS (
+      SELECT media_id, nf, i AS frame_idx
+      FROM dims, unnest(range(nf)) AS t(i)
+      WHERE i % 2 = 0
+    ), px AS (
+      SELECT media_id, nf, frame_idx,
+             least(255, greatest(0,
+               2 * CAST(floor(8 * ((media_id + 37 * frame_idx) % 256 - 128)
+                              / 16.0 + 0.5) AS BIGINT) + 128)) AS ex
+      FROM fr
+    )
+    SELECT media_id, frame_idx, nf AS n_frames, 16 AS width, 16 AS height,
+           round(ex, 6) AS mean_gray, TRUE AS ok
+    FROM px
+"""
+
+
 def _q_media_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossless-compression gate: the ramp clips encoded as actual
     FLAC streams (operators/flac.py — STREAMINFO + MD5, frame sync +
@@ -5230,6 +5266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_alaw_roundtrip"] = _q_media_alaw_roundtrip
     out["media_adpcm_roundtrip"] = _q_media_adpcm_roundtrip
     out["media_flac_roundtrip"] = _q_media_flac_roundtrip
+    out["media_video_frames"] = _q_media_video_frames
     out["graph_bfs_multi"] = _q_graph_bfs_multi
     out["fts_batch_topk"] = _q_fts_batch_topk
     return _prioritize(out)
@@ -5772,6 +5809,7 @@ def oracle_sql() -> dict[str, str]:
     out["media_alaw_roundtrip"] = _MEDIA_ALAW_ORACLE
     out["media_adpcm_roundtrip"] = _MEDIA_ADPCM_ORACLE
     out["media_flac_roundtrip"] = _MEDIA_FLAC_ORACLE
+    out["media_video_frames"] = _MEDIA_VIDEO_ORACLE
     out["media_resize_real"] = _MEDIA_RESIZE_ORACLE
     out["graph_bfs_multi"] = _BFS_MULTI_ORACLE
     out["fts_batch_topk"] = oracle.fts_batch_oracle_sql(_FTS_BATCH_QUERIES, limit=15)

@@ -623,6 +623,79 @@ def synthesize_flac_media(docs: DataFrame, *, id_col: str = "doc_id") -> DataFra
     )
 
 
+def synthesize_mjpeg_media(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real-VIDEO corpus: each doc becomes an AVI file of
+    ``doc_id % 6 + 2`` Motion-JPEG frames, frame ``f`` a FLAT 16x16
+    grayscale JPEG of value ``(doc_id + 37*f) % 256`` — so every
+    sampled frame's decoded pixel is the same closed-form Annex-K
+    quantization the still-JPEG gate states, parameterized by frame
+    index."""
+    from . import avi as _avi
+    from .jpeg import encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                frames = [
+                    encode_jpeg(
+                        np.full((16, 16), (mid + 37 * f) % 256, dtype=np.uint8)
+                    )
+                    for f in range(mid % 6 + 2)
+                ]
+                ids.append(mid)
+                payloads.append(
+                    _avi.avi_encode(frames, width=16, height=16, fps=25)
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "media_id long, frame_idx long, n_frames long, width long, "
+    "height long, mean_gray double, ok boolean"
+)
+
+
+def sample_video_frames(media: DataFrame, *, every: int = 2) -> DataFrame:
+    """REAL video frame sampling: demux the AVI container, decode every
+    ``every``-th Motion-JPEG frame through the real JPEG decoder, and
+    emit per-frame stats (mean over all decoded channels). The demuxer
+    skips undecoded frames byte-wise, so cost scales with SAMPLED
+    frames — the property that matters when frame-sampling petabytes of
+    video for training data. Unsupported codecs/containers yield one
+    ok=false row per clip, never a failed batch. Narrow Arrow-batched
+    map, no shuffle; clip-level parallelism."""
+    from . import avi as _avi
+    from .jpeg import decode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames, w, h, _fps = _avi.avi_decode(bytes(payload))
+                    for f in range(0, len(frames), every):
+                        px = decode_jpeg(frames[f])
+                        rows.append(
+                            (mid, f, len(frames), w, h,
+                             float(px.astype(np.float64).mean()), True)
+                        )
+                except ValueError:
+                    rows.append((mid, None, None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "n_frames", "width",
+                         "height", "mean_gray", "ok"],
+            )
+
+    return media.mapInPandas(run, schema=VIDEO_FRAMES_SCHEMA)
+
+
 def decode_image_real(media: DataFrame) -> DataFrame:
     """REAL image decode (BMP BI_RGB 24/32, PPM P6, PNG 8-bit
     truecolor) in pure numpy + stdlib zlib — no imaging library

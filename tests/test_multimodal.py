@@ -517,6 +517,77 @@ class TestFlacCodec:
         assert byid[3]["n_samples"] == (3 % 16 + 1) * 32
 
 
+class TestAviVideo:
+    def test_mux_demux_roundtrip_exact_payloads(self):
+        import numpy as np
+
+        from project_cortex_spark.operators import avi as AV
+        from project_cortex_spark.operators.jpeg import encode_jpeg
+
+        frames = [
+            encode_jpeg(np.full((16, 16), (7 + 37 * f) % 256, np.uint8))
+            for f in range(5)
+        ]
+        buf = AV.avi_encode(frames, width=16, height=16, fps=24)
+        back, w, h, fps = AV.avi_decode(buf)
+        assert (w, h, fps) == (16, 16, 24)
+        assert back == frames  # byte-exact through the container
+
+    def test_rejects_non_avi_and_foreign_codec(self):
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from project_cortex_spark.operators import avi as AV
+        from project_cortex_spark.operators.jpeg import encode_jpeg
+
+        with pytest.raises(ValueError):
+            AV.avi_decode(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+        buf = bytearray(AV.avi_encode(
+            [encode_jpeg(np.full((8, 8), 9, np.uint8))], width=8, height=8
+        ))
+        buf[buf.find(b"MJPG")] = ord("X")  # strh handler -> XJPG
+        with pytest.raises(ValueError):
+            AV.avi_decode(bytes(buf))
+
+    def test_frame_sampling_stride_and_closed_form(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+        media = mm.synthesize_mjpeg_media(docs)
+        rows = mm.sample_video_frames(media, every=2).collect()
+        assert all(r["ok"] for r in rows)
+        for r in rows:
+            assert r["frame_idx"] % 2 == 0
+            assert r["n_frames"] == r["media_id"] % 6 + 2
+            c = (r["media_id"] + 37 * r["frame_idx"]) % 256
+            ex = min(255, max(0, 2 * int(np.floor(8 * (c - 128) / 16.0 + 0.5))
+                              + 128))
+            assert r["mean_gray"] == float(ex)
+        # stride covers ceil(nf/2) frames per clip
+        per = {}
+        for r in rows:
+            per[r["media_id"]] = per.get(r["media_id"], 0) + 1
+        assert all(cnt == (mid % 6 + 2 + 1) // 2 for mid, cnt in per.items())
+
+    def test_corrupt_clip_is_ok_false_row(self, spark):
+        from pyspark.sql import functions as F
+
+        docs = spark.range(0, 2).select(F.col("id").alias("doc_id"))
+        media = mm.synthesize_mjpeg_media(docs).withColumn(
+            "payload",
+            F.when(F.col("media_id") == 1,
+                   F.lit(bytearray(b"not a container"))).otherwise(
+                F.col("payload")),
+        )
+        rows = {r["media_id"]: r["ok"]
+                for r in mm.sample_video_frames(media).collect()
+                if r["media_id"] == 1 or r["frame_idx"] == 0}
+        assert rows == {0: True, 1: False}
+
+
 class TestResizeReal:
     def test_nearest_downsample_known_pixels(self, spark):
         import numpy as np
