@@ -4205,6 +4205,61 @@ _MEDIA_WAV_ORACLE = """
 """
 
 
+def _q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-analysis gate: square-wave PCM clips with integer
+    period 2*(doc_id%12+2), decoded from the container and reduced to
+    energy / zero-crossing count / autocorrelation pitch. Every feature
+    is integer arithmetic, so the oracle restates each sum term-for-
+    term and the pitch must land exactly on the synthesis period — an
+    off-by-one in the lag windows, a sign-flip in the crossings, or a
+    channel-interleave mistake all move integers and fail the hash."""
+    media = mm.synthesize_square_wav_media(_docs(spark, sf_dir))
+    return mm.extract_audio_features(media, max_lag=64).select(
+        "media_id", "n_samples", "energy", "zcr", "pitch_lag",
+        "ac_peak", "ok",
+    )
+
+
+_MEDIA_AUDIO_FEATURES_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id AS media_id, (doc_id % 16 + 1) * 32 AS n,
+             2 * (doc_id % 12 + 2) AS p
+      FROM documents
+    ), sm AS MATERIALIZED (
+      SELECT media_id, n, i,
+             CASE WHEN (i % p) < p // 2 THEN 500 ELSE -500 END AS s
+      FROM dims, unnest(range(n)) AS t(i)
+    ), base AS (
+      SELECT media_id, n,
+             sum(s * s) AS energy,
+             sum(CASE WHEN prev_s IS NOT NULL
+                       AND (prev_s < 0) <> (s < 0)
+                      THEN 1 ELSE 0 END) AS zcr
+      FROM (SELECT *, lag(s) OVER (PARTITION BY media_id ORDER BY i)
+                      AS prev_s
+            FROM sm)
+      GROUP BY media_id, n
+    ), ac AS (
+      SELECT a.media_id, a.i - b.i AS lag, sum(a.s * b.s) AS r
+      FROM sm a JOIN sm b ON a.media_id = b.media_id
+          AND a.i - b.i BETWEEN 1 AND 64
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT media_id, lag AS pitch_lag, r AS ac_peak
+      FROM ac
+      QUALIFY row_number() OVER (PARTITION BY media_id
+                                 ORDER BY r DESC, lag ASC) = 1
+    )
+    SELECT b.media_id, b.n AS n_samples,
+           CAST(b.energy AS BIGINT) AS energy,
+           CAST(b.zcr AS BIGINT) AS zcr,
+           s.pitch_lag,
+           CAST(s.ac_peak AS BIGINT) AS ac_peak,
+           TRUE AS ok
+    FROM base b JOIN best s ON b.media_id = s.media_id
+"""
+
+
 def _q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video gate: Motion-JPEG AVI clips (operators/avi.py — RIFF
     hdrl/movi/idx1 mux, chunk-walking demux) frame-sampled every 2nd
@@ -5267,6 +5322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_adpcm_roundtrip"] = _q_media_adpcm_roundtrip
     out["media_flac_roundtrip"] = _q_media_flac_roundtrip
     out["media_video_frames"] = _q_media_video_frames
+    out["media_audio_features"] = _q_media_audio_features
     out["graph_bfs_multi"] = _q_graph_bfs_multi
     out["fts_batch_topk"] = _q_fts_batch_topk
     return _prioritize(out)
@@ -5302,9 +5358,10 @@ _GATE_FIRST = [
     # and last strictness tier) gates alongside them.
     #
     # R7 gate head (pure rotation from here on): FIRST the late-r6
-    # registrations with no driver row — the 4 compressed-audio codec
-    # gates (media_ulaw_roundtrip, media_alaw_roundtrip,
-    # media_adpcm_roundtrip, media_flac_roundtrip), the 9 TPC-H
+    # registrations with no driver row — the 6 new media gates
+    # (media_ulaw_roundtrip, media_alaw_roundtrip,
+    # media_adpcm_roundtrip, media_flac_roundtrip, media_video_frames,
+    # media_audio_features), the 9 TPC-H
     # completions
     # (agg_tpch_q7/q8/q9/q11/q12/q14/q16/q20/q22_shape, all
     # oracle-gated green at sf0.01) and the 11 earlier ones
@@ -5810,6 +5867,7 @@ def oracle_sql() -> dict[str, str]:
     out["media_adpcm_roundtrip"] = _MEDIA_ADPCM_ORACLE
     out["media_flac_roundtrip"] = _MEDIA_FLAC_ORACLE
     out["media_video_frames"] = _MEDIA_VIDEO_ORACLE
+    out["media_audio_features"] = _MEDIA_AUDIO_FEATURES_ORACLE
     out["media_resize_real"] = _MEDIA_RESIZE_ORACLE
     out["graph_bfs_multi"] = _BFS_MULTI_ORACLE
     out["fts_batch_topk"] = oracle.fts_batch_oracle_sql(_FTS_BATCH_QUERIES, limit=15)

@@ -452,6 +452,18 @@ def _decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     return samples, rate
 
 
+def decode_audio_any(raw: bytes) -> tuple[np.ndarray, int, str]:
+    """Container-sniffing audio decode: FLAC by magic, else RIFF/WAVE
+    (PCM / G.711 / IMA ADPCM by fmt tag). Returns ((n, ch) int16,
+    sample_rate, codec); unsupported formats raise ValueError."""
+    if raw[:4] == b"fLaC":
+        from . import flac as _flac
+
+        samples, rate = _flac.flac_decode(raw)
+        return samples, rate, "flac"
+    return decode_wav_full(raw)
+
+
 AUDIO_DECODED_SCHEMA = (
     "media_id long, codec string, sample_rate long, channels long, "
     "n_samples long, mean_amp double, peak_amp long, first_sample long, "
@@ -475,14 +487,7 @@ def decode_audio_real(media: DataFrame) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    raw = bytes(payload)
-                    if raw[:4] == b"fLaC":
-                        from . import flac as _flac
-
-                        samples, rate = _flac.flac_decode(raw)
-                        codec = "flac"
-                    else:
-                        samples, rate, codec = decode_wav_full(raw)
+                    samples, rate, codec = decode_audio_any(bytes(payload))
                     flat = samples.astype(np.float64)
                     rows.append(
                         (
@@ -596,6 +601,84 @@ def synthesize_adpcm_media(
     return docs.select(id_col).mapInPandas(
         run, schema="media_id long, payload binary"
     )
+
+
+def synthesize_square_wav_media(
+    docs: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic square-wave corpus for the audio-features gate:
+    each doc is a mono PCM WAV of amplitude +-500 with integer period
+    ``2 * (doc_id % 12 + 2)`` samples (4..26) — periodic, so the
+    autocorrelation peak sits exactly at the period, and every feature
+    (energy, crossings, correlation sums) is integer arithmetic a SQL
+    oracle reproduces term for term."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = (mid % 16 + 1) * 32
+                p = 2 * (mid % 12 + 2)
+                k = np.arange(n, dtype=np.int64)
+                s = np.where((k % p) < p // 2, 500, -500).astype(
+                    np.int16
+                ).reshape(-1, 1)
+                ids.append(mid)
+                payloads.append(encode_wav(s, sample_rate=16000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_samples long, energy long, zcr long, "
+    "pitch_lag long, ac_peak long, ok boolean"
+)
+
+
+def extract_audio_features(media: DataFrame, *, max_lag: int = 64) -> DataFrame:
+    """REAL audio feature extraction over DECODED samples (any codec
+    the container dispatch supports): total energy (sum of squares),
+    zero-crossing count, and autocorrelation pitch — the lag in
+    ``1..min(max_lag, n-1)`` maximizing ``R(L) = sum s[i]*s[i-L]``
+    (ties -> smallest lag), with the peak value. All integer
+    arithmetic, so the oracle states every number exactly; mono clips
+    use channel 0. Scale: narrow Arrow-batched map, no shuffle; the
+    O(n * max_lag) correlation is per-clip numpy dot products —
+    clip-parallel at 100 TB like the codecs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    samples, _rate, _codec = decode_audio_any(bytes(payload))
+                    s = samples[:, 0].astype(np.int64)
+                    n = len(s)
+                    energy = int((s * s).sum())
+                    neg = s < 0
+                    zcr = int((neg[1:] != neg[:-1]).sum())
+                    best_lag, best_r = 0, None
+                    for lag in range(1, min(max_lag, n - 1) + 1):
+                        r = int(np.dot(s[lag:], s[:-lag]))
+                        if best_r is None or r > best_r:
+                            best_lag, best_r = lag, r
+                    rows.append(
+                        (mid, n, energy, zcr, best_lag,
+                         0 if best_r is None else best_r, True)
+                    )
+                except ValueError:
+                    rows.append((mid, None, None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "energy", "zcr",
+                         "pitch_lag", "ac_peak", "ok"],
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def synthesize_flac_media(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:

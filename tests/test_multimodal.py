@@ -588,6 +588,72 @@ class TestAviVideo:
         assert rows == {0: True, 1: False}
 
 
+class TestAudioFeatures:
+    def test_square_wave_pitch_is_the_period(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        docs = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+        media = mm.synthesize_square_wav_media(docs)
+        rows = mm.extract_audio_features(media, max_lag=64).collect()
+        assert len(rows) == 24 and all(r["ok"] for r in rows)
+        for r in rows:
+            mid = r["media_id"]
+            n = (mid % 16 + 1) * 32
+            p = 2 * (mid % 12 + 2)
+            assert r["n_samples"] == n
+            assert r["energy"] == n * 500 * 500
+            # brute-force reference over the synthesis signal
+            k = np.arange(n, dtype=np.int64)
+            s = np.where((k % p) < p // 2, 500, -500).astype(np.int64)
+            rs = {lag: int(np.dot(s[lag:], s[:-lag]))
+                  for lag in range(1, min(64, n - 1) + 1)}
+            best = min(sorted(rs), key=lambda lag: (-rs[lag], lag))
+            assert r["pitch_lag"] == best and r["ac_peak"] == rs[best]
+            # with >= 4 full periods the peak IS the period (short clips
+            # can prefer lag 1: R(1)=(n-1-2z)A^2 can beat R(p)=(n-p)A^2)
+            if n >= 4 * p:
+                assert r["pitch_lag"] == p
+                assert r["ac_peak"] == (n - p) * 500 * 500
+            neg = s < 0
+            assert r["zcr"] == int((neg[1:] != neg[:-1]).sum())
+
+    def test_features_decode_through_compressed_codecs(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from project_cortex_spark.operators import audio as A
+        from project_cortex_spark.operators import flac as FL
+
+        p, n = 8, 256
+        k = np.arange(n, dtype=np.int64)
+        s = np.where((k % p) < p // 2, 500, -500).astype(np.int16)
+        payloads = [
+            (1, FL.flac_encode(s.reshape(-1, 1), sample_rate=8000)),
+            (2, A.encode_wav_adpcm(s, sample_rate=8000)),
+        ]
+        media = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in payloads],
+            "media_id long, payload binary",
+        )
+        rows = {r["media_id"]: r
+                for r in mm.extract_audio_features(media).collect()}
+        # FLAC is lossless: exact integers; ADPCM is lossy but tracks a
+        # +-500 square closely enough that the pitch peak still lands
+        # on the period
+        assert rows[1]["energy"] == n * 500 * 500
+        assert rows[1]["pitch_lag"] == p
+        assert rows[2]["ok"] and rows[2]["pitch_lag"] == p
+
+    def test_unsupported_payload_is_ok_false(self, spark):
+        media = spark.createDataFrame(
+            [(9, bytearray(b"OggS not supported"))],
+            "media_id long, payload binary",
+        )
+        rows = mm.extract_audio_features(media).collect()
+        assert rows[0]["ok"] is False and rows[0]["pitch_lag"] is None
+
+
 class TestResizeReal:
     def test_nearest_downsample_known_pixels(self, spark):
         import numpy as np
