@@ -4205,6 +4205,45 @@ _MEDIA_WAV_ORACLE = """
 """
 
 
+def _q_media_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF gate: grayscale-palette ramp images through the real
+    variable-width LZW encoder/decoder (operators/gif.py — LSB-first
+    sub-blocked bitstream, clear/EOI codes, width growth to 12 bits).
+    The decoded RGB is the exact index ramp via the palette, so the
+    oracle states mean and the position-sensitive corner pixel in
+    closed form — any LZW width-bump or dictionary-order mistake
+    scrambles pixel order and fails the hash."""
+    media = mm.synthesize_gif_media(_docs(spark, sf_dir))
+    return mm.decode_image_real(media).select(
+        "media_id", "codec", "width", "height", "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "top_left_r", "ok",
+    )
+
+
+_MEDIA_GIF_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             (doc_id % 8 + 1) * 4 AS w,
+             (doc_id % 4 + 1) * 4 AS h
+      FROM documents
+    ), px AS (
+      SELECT media_id, w, h, (media_id + k) % 256 AS v
+      FROM dims, unnest(range(w * h)) AS t(k)
+    )
+    SELECT media_id, 'gif' AS codec, w AS width, h AS height,
+           3 AS channels,
+           round(avg(v), 6) AS mean_r,
+           round(avg(v), 6) AS mean_g,
+           round(avg(v), 6) AS mean_b,
+           media_id % 256 AS top_left_r,
+           TRUE AS ok
+    FROM px GROUP BY media_id, w, h
+"""
+
+
 def _q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio-analysis gate: square-wave PCM clips with integer
     period 2*(doc_id%12+2), decoded from the container and reduced to
@@ -5323,6 +5362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_flac_roundtrip"] = _q_media_flac_roundtrip
     out["media_video_frames"] = _q_media_video_frames
     out["media_audio_features"] = _q_media_audio_features
+    out["media_gif_roundtrip"] = _q_media_gif_roundtrip
     out["graph_bfs_multi"] = _q_graph_bfs_multi
     out["fts_batch_topk"] = _q_fts_batch_topk
     return _prioritize(out)
@@ -5868,6 +5908,7 @@ def oracle_sql() -> dict[str, str]:
     out["media_flac_roundtrip"] = _MEDIA_FLAC_ORACLE
     out["media_video_frames"] = _MEDIA_VIDEO_ORACLE
     out["media_audio_features"] = _MEDIA_AUDIO_FEATURES_ORACLE
+    out["media_gif_roundtrip"] = _MEDIA_GIF_ORACLE
     out["media_resize_real"] = _MEDIA_RESIZE_ORACLE
     out["graph_bfs_multi"] = _BFS_MULTI_ORACLE
     out["fts_batch_topk"] = oracle.fts_batch_oracle_sql(_FTS_BATCH_QUERIES, limit=15)

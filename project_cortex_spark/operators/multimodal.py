@@ -809,6 +809,10 @@ def decode_image_real(media: DataFrame) -> DataFrame:
                         from .jpeg import decode_jpeg
 
                         codec, px = "jpeg", decode_jpeg(buf)
+                    elif buf[:4] == b"GIF8":
+                        from .gif import decode_gif
+
+                        codec, px = "gif", decode_gif(buf)
                     else:
                         raise ValueError("unknown container")
                     means = px.reshape(-1, 3).mean(axis=0)
@@ -845,6 +849,10 @@ def _decode_any(buf: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(buf)
+    if buf[:4] == b"GIF8":
+        from .gif import decode_gif
+
+        return decode_gif(buf)
     raise ValueError("unknown container")
 
 
@@ -948,6 +956,34 @@ def synthesize_jpeg_media(docs: DataFrame, *, id_col: str = "doc_id") -> DataFra
                 px = np.full((h, w), mid % 256, dtype=np.uint8)
                 ids.append(mid)
                 payloads.append(encode_jpeg(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+def synthesize_gif_media(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real-GIF corpus: grayscale 256-entry palette,
+    pixel indices the cyclic ramp ``(doc_id + k) % 256`` in scan order
+    — the LZW stream is genuinely compressed and the decoded RGB is
+    ``r = g = b = ramp``, stats a SQL oracle states in closed form."""
+    from .gif import encode_gif
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w = (mid % 8 + 1) * 4
+                h = (mid % 4 + 1) * 4
+                idx = (
+                    (np.arange(h * w, dtype=np.int64) + mid) % 256
+                ).astype(np.uint8).reshape(h, w)
+                ids.append(mid)
+                payloads.append(encode_gif(idx, pal))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return docs.select(id_col).mapInPandas(

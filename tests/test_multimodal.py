@@ -588,6 +588,68 @@ class TestAviVideo:
         assert rows == {0: True, 1: False}
 
 
+class TestGifCodec:
+    def test_lzw_known_vector(self):
+        from project_cortex_spark.operators import gif as G
+
+        # hand-computed per the GIF spec: mcs=2, pixels [0,1,1,0]
+        # codes clear,0,1,1 @3 bits then 0,EOI @4 bits, LSB-first
+        got = G._lzw_encode(bytes([0, 1, 1, 0]), 2)
+        assert got == bytes.fromhex("440205")
+        assert G._lzw_decode(got, 2, 4) == bytes([0, 1, 1, 0])
+
+    def test_roundtrip_random_repetitive_small_palette(self):
+        import numpy as np
+
+        from project_cortex_spark.operators import gif as G
+
+        rng = np.random.RandomState(0)
+        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        # random (width bumps), repetitive (KwKwK + 4096 clear), tiny
+        cases = [
+            rng.randint(0, 256, (64, 64)).astype(np.uint8),
+            np.tile(np.arange(8, dtype=np.uint8), 4096).reshape(128, 256),
+            np.array([[1]], dtype=np.uint8),
+        ]
+        for idx in cases:
+            back = G.decode_gif(G.encode_gif(idx, pal))
+            assert back.shape == idx.shape + (3,)
+            assert np.array_equal(back[:, :, 0], idx)
+            assert np.array_equal(back[:, :, 2], idx)
+        idx3 = (np.arange(100) % 3).astype(np.uint8).reshape(10, 10)
+        back = G.decode_gif(G.encode_gif(idx3, pal[:3]))
+        assert np.array_equal(back[:, :, 1], idx3)
+
+    def test_extensions_skipped_interlace_rejected(self):
+        import numpy as np
+        import pytest
+
+        from project_cortex_spark.operators import gif as G
+
+        pal = np.stack([np.arange(4)] * 3, axis=1).astype(np.uint8)
+        idx = (np.arange(16) % 4).astype(np.uint8).reshape(4, 4)
+        buf = G.encode_gif(idx, pal)
+        at = buf.find(b"\x2c")
+        with_ext = (b"GIF89a" + buf[6:at]
+                    + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + buf[at:])
+        assert np.array_equal(G.decode_gif(with_ext)[:, :, 0], idx)
+        interlaced = bytearray(buf)
+        interlaced[at + 9] |= 0x40
+        with pytest.raises(ValueError):
+            G.decode_gif(bytes(interlaced))
+
+    def test_decode_image_real_dispatches_gif(self, spark):
+        from pyspark.sql import functions as F
+
+        docs = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+        rows = mm.decode_image_real(mm.synthesize_gif_media(docs)).collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert r["ok"] and r["codec"] == "gif"
+            assert r["top_left_r"] == r["media_id"] % 256
+            assert r["width"] == (r["media_id"] % 8 + 1) * 4
+
+
 class TestAudioFeatures:
     def test_square_wave_pitch_is_the_period(self, spark):
         import numpy as np
