@@ -4205,6 +4205,81 @@ _MEDIA_WAV_ORACLE = """
 """
 
 
+def _q_media_multimodal_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL multimodal training-sample pipeline, end to end: per
+    doc a WebDataset sample triple (<key>.gif real image, <key>.flac
+    real lossless audio, <key>.json metadata), written as deterministic
+    tar shards, scanned back with members re-grouped by key, BOTH
+    payloads decoded through the real codecs, metadata parsed, and the
+    three modalities re-joined per sample. The oracle states every
+    number in closed form — a corrupted byte in either codec path, a
+    member mis-grouped across keys, or a dropped shard all fail the
+    hash. Scale: shard write/scan are embarrassingly parallel
+    (applyInPandas per shard / mapInPandas per shard batch, no
+    shuffle); the final joins are key-aligned from the same scan."""
+    from project_cortex_spark.sources import tar_shards
+
+    media = mm.synthesize_multimodal_media(_docs(spark, sf_dir))
+    out = _export_dir(sf_dir, "media_mm_tar")
+    tar_shards.write_tar_shards(
+        media, out, key_col="media_id",
+        members={"gif": "image", "flac": "audio", "json": "meta"},
+        n_shards=4,
+    )
+    back = tar_shards.read_tar_shards(
+        spark, out,
+        members={"gif": "image", "flac": "audio", "json": "meta"},
+        binary=("gif", "flac"),
+    ).select(
+        F.col("sample_key").cast("long").alias("media_id"),
+        "image", "audio", "meta",
+    )
+    img = mm.decode_image_real(
+        back.select("media_id", F.col("image").alias("payload"))
+    ).select(
+        "media_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_px"), "top_left_r",
+    )
+    aud = mm.decode_audio_real(
+        back.select("media_id", F.col("audio").alias("payload"))
+    ).select(
+        "media_id", "n_samples",
+        F.round("mean_amp", 6).alias("mean_amp"), "first_sample",
+    )
+    meta = back.select(
+        "media_id",
+        F.get_json_object("meta", "$.cls").cast("long").alias("cls"),
+    )
+    return img.join(aud, "media_id").join(meta, "media_id")
+
+
+_MEDIA_MULTIMODAL_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             (doc_id % 8 + 1) * 4 AS w,
+             (doc_id % 4 + 1) * 4 AS h,
+             (doc_id % 16 + 1) * 32 AS n
+      FROM documents
+    ), img AS (
+      SELECT media_id, w, h,
+             round(avg((media_id + k) % 256), 6) AS mean_px
+      FROM dims, unnest(range(w * h)) AS t(k)
+      GROUP BY media_id, w, h
+    ), aud AS (
+      SELECT media_id, n,
+             round(avg(abs(((media_id + i) % 2048) - 1024)), 6) AS mean_amp
+      FROM dims, unnest(range(n)) AS u(i)
+      GROUP BY media_id, n
+    )
+    SELECT i.media_id, i.w AS width, i.h AS height, i.mean_px,
+           i.media_id % 256 AS top_left_r,
+           a.n AS n_samples, a.mean_amp,
+           (i.media_id % 2048) - 1024 AS first_sample,
+           i.media_id % 10 AS cls
+    FROM img i JOIN aud a ON i.media_id = a.media_id
+"""
+
+
 def _q_media_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF gate: grayscale-palette ramp images through the real
     variable-width LZW encoder/decoder (operators/gif.py — LSB-first
@@ -5363,6 +5438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_video_frames"] = _q_media_video_frames
     out["media_audio_features"] = _q_media_audio_features
     out["media_gif_roundtrip"] = _q_media_gif_roundtrip
+    out["media_multimodal_shards"] = _q_media_multimodal_shards
     out["graph_bfs_multi"] = _q_graph_bfs_multi
     out["fts_batch_topk"] = _q_fts_batch_topk
     return _prioritize(out)
@@ -5398,10 +5474,11 @@ _GATE_FIRST = [
     # and last strictness tier) gates alongside them.
     #
     # R7 gate head (pure rotation from here on): FIRST the late-r6
-    # registrations with no driver row — the 6 new media gates
+    # registrations with no driver row — the new media gates
     # (media_ulaw_roundtrip, media_alaw_roundtrip,
     # media_adpcm_roundtrip, media_flac_roundtrip, media_video_frames,
-    # media_audio_features), the 9 TPC-H
+    # media_audio_features, media_gif_roundtrip,
+    # media_multimodal_shards), the 9 TPC-H
     # completions
     # (agg_tpch_q7/q8/q9/q11/q12/q14/q16/q20/q22_shape, all
     # oracle-gated green at sf0.01) and the 11 earlier ones
@@ -5909,6 +5986,7 @@ def oracle_sql() -> dict[str, str]:
     out["media_video_frames"] = _MEDIA_VIDEO_ORACLE
     out["media_audio_features"] = _MEDIA_AUDIO_FEATURES_ORACLE
     out["media_gif_roundtrip"] = _MEDIA_GIF_ORACLE
+    out["media_multimodal_shards"] = _MEDIA_MULTIMODAL_ORACLE
     out["media_resize_real"] = _MEDIA_RESIZE_ORACLE
     out["graph_bfs_multi"] = _BFS_MULTI_ORACLE
     out["fts_batch_topk"] = oracle.fts_batch_oracle_sql(_FTS_BATCH_QUERIES, limit=15)

@@ -991,6 +991,53 @@ def synthesize_gif_media(docs: DataFrame, *, id_col: str = "doc_id") -> DataFram
     )
 
 
+def synthesize_multimodal_media(
+    docs: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """One TRAINING SAMPLE per doc, three modalities: a real GIF image
+    (grayscale ramp), a real FLAC clip (the shared ramp signal), and a
+    JSON metadata record with a class label — the classic WebDataset
+    sample triple ``<key>.gif + <key>.flac + <key>.json``. Both
+    payloads decode to closed-form stats, so an end-to-end
+    shard->scan->decode pipeline is exactly gateable."""
+    import json
+
+    from .flac import flac_encode
+    from .gif import encode_gif
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, images, audios, metas = [], [], [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w = (mid % 8 + 1) * 4
+                h = (mid % 4 + 1) * 4
+                idx = (
+                    (np.arange(h * w, dtype=np.int64) + mid) % 256
+                ).astype(np.uint8).reshape(h, w)
+                ids.append(mid)
+                images.append(encode_gif(idx, pal))
+                audios.append(
+                    flac_encode(
+                        _ramp_samples(mid).reshape(-1, 1), sample_rate=8000
+                    )
+                )
+                metas.append(
+                    json.dumps({"id": mid, "cls": mid % 10}, sort_keys=True)
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "image": images, "audio": audios,
+                 "meta": metas}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        run,
+        schema="media_id long, image binary, audio binary, meta string",
+    )
+
+
 def synthesize_bmp_media(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """Deterministic real-BMP corpus over the documents table: each doc
     becomes a small 24-bpp BMP whose RGB scan-order pixel bytes are the

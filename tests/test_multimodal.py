@@ -650,6 +650,42 @@ class TestGifCodec:
             assert r["width"] == (r["media_id"] % 8 + 1) * 4
 
 
+class TestMultimodalShards:
+    def test_sample_triple_roundtrip(self, spark, tmp_path):
+        import json
+
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from project_cortex_spark.operators.flac import flac_decode
+        from project_cortex_spark.operators.gif import decode_gif
+        from project_cortex_spark.sources import tar_shards
+
+        docs = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+        media = mm.synthesize_multimodal_media(docs)
+        out = str(tmp_path / "mm")
+        manifest = tar_shards.write_tar_shards(
+            media, out, key_col="media_id",
+            members={"gif": "image", "flac": "audio", "json": "meta"},
+            n_shards=3,
+        )
+        assert manifest.agg(F.sum("n_samples")).first()[0] == 20
+        back = tar_shards.read_tar_shards(
+            spark, out,
+            members={"gif": "image", "flac": "audio", "json": "meta"},
+            binary=("gif", "flac"),
+        ).collect()
+        assert len(back) == 20
+        for r in back:
+            mid = int(r["sample_key"])
+            px = decode_gif(bytes(r["image"]))
+            assert px[0, 0, 0] == mid % 256
+            samples, rate = flac_decode(bytes(r["audio"]))
+            assert rate == 8000
+            assert np.array_equal(samples[:, 0], mm._ramp_samples(mid))
+            assert json.loads(r["meta"]) == {"id": mid, "cls": mid % 10}
+
+
 class TestAudioFeatures:
     def test_square_wave_pitch_is_the_period(self, spark):
         import numpy as np
