@@ -55,6 +55,7 @@ from project_cortex_spark.operators import graph as graph_mod
 from project_cortex_spark.operators import knn as knn_mod
 from project_cortex_spark.operators import multimodal as mm
 from project_cortex_spark.operators import search as search_mod
+from project_cortex_spark.operators import textextract as tx
 from project_cortex_spark.operators import textstats as ts
 from project_cortex_spark.pipeline import change_detection as cd
 from project_cortex_spark.pipeline import chunks as chunks_mod
@@ -4205,6 +4206,75 @@ _MEDIA_WAV_ORACLE = """
 """
 
 
+def _q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL web-corpus ingestion gate: each doc's text wrapped in a
+    realistic page (head chrome, nav links, a link-farm div, a footer)
+    and pushed through the stdlib-HTMLParser boilerplate remover —
+    chrome subtrees dropped by tag, the link farm dropped by measured
+    link density, entities decoded. Extraction must recover EXACTLY the
+    doc's text re-paragraphed at 8-word boundaries (the oracle states
+    md5 of that string), and the boilerplate-link count is closed-form
+    (nav doc_id%3+2, footer 1, link farm 2)."""
+    html = tx.synthesize_html_docs(_docs(spark, sf_dir))
+    return tx.extract_html_text(html).select(
+        "doc_id", "n_paragraphs", "n_boilerplate_links", "main_chars",
+        "text_md5", "ok",
+    )
+
+
+_MAIN_TEXT_SQL = """
+    w AS (
+      SELECT doc_id, i, string_split(text, ' ')[i + 1] AS word,
+             i // 8 AS grp
+      FROM documents, unnest(range(len(string_split(text, ' ')))) AS t(i)
+    ), g AS (
+      SELECT doc_id, grp, string_agg(word, ' ' ORDER BY i) AS para
+      FROM w GROUP BY doc_id, grp
+    ), m AS (
+      SELECT doc_id, string_agg(para, chr(10) ORDER BY grp) AS main_text,
+             count(*) AS n_paras
+      FROM g GROUP BY doc_id
+    )
+"""
+
+_TEXT_HTML_ORACLE = f"""
+    WITH {_MAIN_TEXT_SQL}
+    SELECT d.doc_id,
+           CAST(m.n_paras AS BIGINT) AS n_paragraphs,
+           d.doc_id % 3 + 5 AS n_boilerplate_links,
+           length(d.text) AS main_chars,
+           md5(m.main_text) AS text_md5,
+           TRUE AS ok
+    FROM documents d JOIN m ON d.doc_id = m.doc_id
+"""
+
+
+def _q_text_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF-corpus ingestion gate: each doc typeset into a genuine
+    multi-object PDF (catalog/pages/page objects, Flate-compressed
+    content streams, byte-exact xref) and extracted back via the
+    object-scan + zlib + Tj/TJ tokenizer. The recovered text must equal
+    the same 8-word re-paragraphing as the HTML gate (md5-stated); page
+    count is the 12-lines-per-page closed form and the text-op count is
+    exactly one Tj per line."""
+    pdfs = tx.synthesize_pdf_docs(_docs(spark, sf_dir))
+    return tx.extract_pdf_text(pdfs).select(
+        "doc_id", "n_pages", "n_text_ops", "main_chars", "text_md5", "ok",
+    )
+
+
+_TEXT_PDF_ORACLE = f"""
+    WITH {_MAIN_TEXT_SQL}
+    SELECT d.doc_id,
+           CAST(ceil(m.n_paras / 12.0) AS BIGINT) AS n_pages,
+           CAST(m.n_paras AS BIGINT) AS n_text_ops,
+           length(d.text) AS main_chars,
+           md5(m.main_text) AS text_md5,
+           TRUE AS ok
+    FROM documents d JOIN m ON d.doc_id = m.doc_id
+"""
+
+
 def _q_media_multimodal_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL multimodal training-sample pipeline, end to end: per
     doc a WebDataset sample triple (<key>.gif real image, <key>.flac
@@ -5439,6 +5509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_audio_features"] = _q_media_audio_features
     out["media_gif_roundtrip"] = _q_media_gif_roundtrip
     out["media_multimodal_shards"] = _q_media_multimodal_shards
+    out["text_html_extract"] = _q_text_html_extract
+    out["text_pdf_extract"] = _q_text_pdf_extract
     out["graph_bfs_multi"] = _q_graph_bfs_multi
     out["fts_batch_topk"] = _q_fts_batch_topk
     return _prioritize(out)
@@ -5478,8 +5550,8 @@ _GATE_FIRST = [
     # (media_ulaw_roundtrip, media_alaw_roundtrip,
     # media_adpcm_roundtrip, media_flac_roundtrip, media_video_frames,
     # media_audio_features, media_gif_roundtrip,
-    # media_multimodal_shards), the 9 TPC-H
-    # completions
+    # media_multimodal_shards, text_html_extract, text_pdf_extract),
+    # the 9 TPC-H completions
     # (agg_tpch_q7/q8/q9/q11/q12/q14/q16/q20/q22_shape, all
     # oracle-gated green at sf0.01) and the 11 earlier ones
     # (agg_tpch_q2_shape,
@@ -5987,6 +6059,8 @@ def oracle_sql() -> dict[str, str]:
     out["media_audio_features"] = _MEDIA_AUDIO_FEATURES_ORACLE
     out["media_gif_roundtrip"] = _MEDIA_GIF_ORACLE
     out["media_multimodal_shards"] = _MEDIA_MULTIMODAL_ORACLE
+    out["text_html_extract"] = _TEXT_HTML_ORACLE
+    out["text_pdf_extract"] = _TEXT_PDF_ORACLE
     out["media_resize_real"] = _MEDIA_RESIZE_ORACLE
     out["graph_bfs_multi"] = _BFS_MULTI_ORACLE
     out["fts_batch_topk"] = oracle.fts_batch_oracle_sql(_FTS_BATCH_QUERIES, limit=15)
