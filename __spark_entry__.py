@@ -2004,6 +2004,25 @@ def _q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _source_stats(textfmt.read_csv(spark, out, docs.schema))
 
 
+def _q_source_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # compressed-text ingestion contract: documents -> gzipped JSONL
+    # shards (the wire format of most web-scale text dumps — Common
+    # Crawl WET/CC-News style) -> read back. Spark's codec layer
+    # handles .json.gz natively on BOTH sides, so this proves the
+    # end-to-end compressed path (including that .gz shards are
+    # NOT splittable-corrupted by the reader) with the same lossless
+    # stats oracle as the other format contracts. Scale note: gzip
+    # shards are whole-file tasks — shard count, not byte count, is
+    # the parallelism unit; keep shards ~100 MB-1 GB in production.
+    import glob as _g
+
+    docs = _docs(spark, sf_dir)
+    out = _export_dir(sf_dir, "jsonl_gz")
+    docs.write.mode("overwrite").option("compression", "gzip").json(out)
+    assert _g.glob(os.path.join(out, "*.json.gz")), "expected .json.gz shards"
+    return _source_stats(spark.read.schema(docs.schema).json(out))
+
+
 def _q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same lossless-trip contract over ORC — Spark's second native
     # columnar format (a lakehouse ingest regularly receives it); the
@@ -4275,6 +4294,38 @@ _TEXT_PDF_ORACLE = f"""
 """
 
 
+def _q_text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-repair gate (the ftfy class): doc text gets a non-ASCII
+    suffix, is deterministically damaged (UTF-8 bytes mis-decoded as
+    Latin-1, doubly for odd ids), and the repair operator must recover
+    the EXACT original (md5-stated) in EXACTLY the right number of
+    rounds — an over-eager fixer that 'repairs' clean text, or one that
+    stops after one round on doubly-encoded text, fails the hash."""
+    damaged = tx.synthesize_mojibake_docs(_docs(spark, sf_dir))
+    return tx.repair_mojibake(damaged).select(
+        "doc_id", "n_rounds", "changed", "fixed_md5", "fixed_chars",
+    )
+
+
+_TEXT_MOJIBAKE_ORACLE = """
+    WITH fixed AS (
+      SELECT doc_id,
+             text || CASE doc_id % 4
+                       WHEN 0 THEN ' café'
+                       WHEN 1 THEN ' naïve'
+                       WHEN 2 THEN ' 東京'
+                       ELSE ' Übermaß' END AS orig
+      FROM documents
+    )
+    SELECT doc_id,
+           doc_id % 2 + 1 AS n_rounds,
+           TRUE AS changed,
+           md5(orig) AS fixed_md5,
+           length(orig) AS fixed_chars
+    FROM fixed
+"""
+
+
 def _q_media_multimodal_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL multimodal training-sample pipeline, end to end: per
     doc a WebDataset sample triple (<key>.gif real image, <key>.flac
@@ -5421,6 +5472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_embed_stub"] = _q_embed_stub
     out["source_file_stats"] = _q_file_stats
     out["source_jsonl_roundtrip"] = _q_source_jsonl_roundtrip
+    out["source_gzip_roundtrip"] = _q_source_gzip_roundtrip
     out["source_csv_roundtrip"] = _q_source_csv_roundtrip
     out["source_orc_roundtrip"] = _q_source_orc_roundtrip
     out["source_partitioned_roundtrip"] = _q_source_partitioned_roundtrip
@@ -5511,6 +5563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_multimodal_shards"] = _q_media_multimodal_shards
     out["text_html_extract"] = _q_text_html_extract
     out["text_pdf_extract"] = _q_text_pdf_extract
+    out["text_fix_mojibake"] = _q_text_fix_mojibake
     out["graph_bfs_multi"] = _q_graph_bfs_multi
     out["fts_batch_topk"] = _q_fts_batch_topk
     return _prioritize(out)
@@ -5550,7 +5603,8 @@ _GATE_FIRST = [
     # (media_ulaw_roundtrip, media_alaw_roundtrip,
     # media_adpcm_roundtrip, media_flac_roundtrip, media_video_frames,
     # media_audio_features, media_gif_roundtrip,
-    # media_multimodal_shards, text_html_extract, text_pdf_extract),
+    # media_multimodal_shards, text_html_extract, text_pdf_extract,
+    # text_fix_mojibake, source_gzip_roundtrip),
     # the 9 TPC-H completions
     # (agg_tpch_q7/q8/q9/q11/q12/q14/q16/q20/q22_shape, all
     # oracle-gated green at sf0.01) and the 11 earlier ones
@@ -5861,6 +5915,7 @@ def oracle_sql() -> dict[str, str]:
     out["source_orc_roundtrip"] = _SOURCE_STATS_ORACLE
     out["source_partitioned_roundtrip"] = _SOURCE_STATS_ORACLE
     out["source_tar_roundtrip"] = _SOURCE_STATS_ORACLE
+    out["source_gzip_roundtrip"] = _SOURCE_STATS_ORACLE
     # golden oracles for the fixed-corpus parse contracts: the extraction
     # is fully deterministic, so the expected output is a VALUES literal —
     # any drift in spans/params/complexity/receivers breaks the hash
@@ -6061,6 +6116,7 @@ def oracle_sql() -> dict[str, str]:
     out["media_multimodal_shards"] = _MEDIA_MULTIMODAL_ORACLE
     out["text_html_extract"] = _TEXT_HTML_ORACLE
     out["text_pdf_extract"] = _TEXT_PDF_ORACLE
+    out["text_fix_mojibake"] = _TEXT_MOJIBAKE_ORACLE
     out["media_resize_real"] = _MEDIA_RESIZE_ORACLE
     out["graph_bfs_multi"] = _BFS_MULTI_ORACLE
     out["fts_batch_topk"] = oracle.fts_batch_oracle_sql(_FTS_BATCH_QUERIES, limit=15)

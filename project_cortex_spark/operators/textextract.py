@@ -215,6 +215,106 @@ def extract_html_text(docs: DataFrame, *, id_col: str = "doc_id",
     return docs.mapInPandas(run, schema=HTML_EXTRACT_SCHEMA)
 
 
+# --- encoding repair ---------------------------------------------------
+
+def fix_mojibake(text: str, *, max_rounds: int = 3) -> tuple[str, int]:
+    """Repair UTF-8-decoded-as-Latin-1/cp1252 mojibake (the ftfy
+    class): re-encode with the single-byte codec and re-decode as
+    UTF-8, iterating for doubly-encoded text, stopping as soon as a
+    round is not cleanly reversible. Returns (fixed, n_rounds).
+    Plain ASCII and already-clean unicode pass through untouched —
+    clean non-Latin-1 text fails the re-encode and clean Latin-1 text
+    fails the UTF-8 re-decode, so false repairs need a string that is
+    SIMULTANEOUSLY valid mojibake, which real prose essentially never
+    is."""
+    cur = text
+    rounds = 0
+    while rounds < max_rounds:
+        raw = None
+        for codec in ("cp1252", "latin-1"):
+            try:
+                raw = cur.encode(codec)
+                break
+            except UnicodeEncodeError:
+                continue
+        if raw is None:
+            break
+        try:
+            dec = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        if dec == cur:
+            break
+        cur = dec
+        rounds += 1
+    return cur, rounds
+
+
+def make_mojibake(text: str, *, rounds: int = 1) -> str:
+    """The damage direction (for gates/tests): UTF-8 bytes mis-decoded
+    as Latin-1, ``rounds`` times."""
+    cur = text
+    for _ in range(rounds):
+        cur = cur.encode("utf-8").decode("latin-1")
+    return cur
+
+
+MOJIBAKE_SUFFIXES = (" café", " naïve", " 東京", " Übermaß")
+
+
+def synthesize_mojibake_docs(docs: DataFrame, *, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """(doc_id, text) with deterministic damage: a non-ASCII suffix
+    keyed on ``doc_id % 4`` appended, then UTF-8-as-Latin-1 mojibake
+    applied ``doc_id % 2 + 1`` times (odd ids are DOUBLY encoded)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, texts = [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
+                orig = t + MOJIBAKE_SUFFIXES[did % 4]
+                ids.append(did)
+                texts.append(make_mojibake(orig, rounds=did % 2 + 1))
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema="doc_id long, text string"
+    )
+
+
+MOJIBAKE_SCHEMA = (
+    "doc_id long, n_rounds long, changed boolean, fixed_md5 string, "
+    "fixed_chars long"
+)
+
+
+def repair_mojibake(docs: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Arrow-batched encoding repair over a text column; emits the
+    repair depth and md5/length of the repaired text. No shuffle —
+    document-parallel like the other extractors."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                fixed, rounds = fix_mojibake(t)
+                rows.append(
+                    (did, rounds, fixed != t,
+                     hashlib.md5(fixed.encode("utf-8")).hexdigest(),
+                     len(fixed))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_rounds", "changed", "fixed_md5",
+                         "fixed_chars"],
+            )
+
+    return docs.mapInPandas(run, schema=MOJIBAKE_SCHEMA)
+
+
 # --- PDF ---------------------------------------------------------------
 
 def synthesize_pdf(doc_id: int, text: str, *, words_per_line: int = 8,

@@ -112,6 +112,47 @@ class TestPdfExtract:
             tx.pdf_to_text(body)
 
 
+class TestMojibake:
+    def test_repairs_every_suffix_single_and_double(self):
+        for suf in tx.MOJIBAKE_SUFFIXES:
+            for rounds in (1, 2):
+                orig = "plain ascii words here" + suf
+                fixed, n = tx.fix_mojibake(tx.make_mojibake(orig, rounds=rounds))
+                assert fixed == orig and n == rounds
+
+    def test_clean_text_is_untouched(self):
+        for t in ("pure ascii", "café déjà vu", "東京 123", ""):
+            fixed, n = tx.fix_mojibake(t)
+            assert fixed == t and n == 0
+
+    def test_cp1252_flavor_also_repairs(self):
+        # damage made with cp1252 (curly quote U+2019 -> 0xE2 0x80 0x99
+        # -> 'â€™') must repair through the cp1252-first encode
+        orig = "it’s fine"
+        bad = orig.encode("utf-8").decode("cp1252")
+        fixed, n = tx.fix_mojibake(bad)
+        assert fixed == orig and n == 1
+
+    def test_spark_operator(self, spark):
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        docs = spark.range(0, 8).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("body text num "), F.col("id")).alias("text"),
+        )
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        rows = {r["doc_id"]: r for r in tx.repair_mojibake(
+            tx.synthesize_mojibake_docs(docs)).collect()}
+        for did, t in texts.items():
+            orig = t + tx.MOJIBAKE_SUFFIXES[did % 4]
+            r = rows[did]
+            assert r["changed"] and r["n_rounds"] == did % 2 + 1
+            assert r["fixed_md5"] == hashlib.md5(orig.encode()).hexdigest()
+            assert r["fixed_chars"] == len(orig)
+
+
 class TestSparkPath:
     def test_extract_operators_end_to_end(self, spark):
         import hashlib
