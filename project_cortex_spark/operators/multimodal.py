@@ -464,6 +464,22 @@ def decode_audio_any(raw: bytes) -> tuple[np.ndarray, int, str]:
     return decode_wav_full(raw)
 
 
+# Exceptions a malformed payload can legitimately surface from ANY of
+# the pure-python decoders (truncated buffers -> IndexError/struct.error,
+# corrupt deflate -> zlib.error, bad dict/table lookups -> KeyError).
+# The per-payload operators translate ALL of these into ok=false rows:
+# at 100 TB a poison payload must never fail a 10k-row Arrow batch.
+# Anything OUTSIDE this tuple (TypeError, AttributeError, ...) still
+# propagates — those are logic bugs, not data problems.
+import struct as _struct
+import zlib as _zlib
+
+DECODE_ERRORS = (
+    ValueError, IndexError, KeyError, EOFError, OverflowError,
+    _struct.error, _zlib.error,
+)
+
+
 AUDIO_DECODED_SCHEMA = (
     "media_id long, codec string, sample_rate long, channels long, "
     "n_samples long, mean_amp double, peak_amp long, first_sample long, "
@@ -500,7 +516,7 @@ def decode_audio_real(media: DataFrame) -> DataFrame:
                             True,
                         )
                     )
-                except ValueError:
+                except DECODE_ERRORS:
                     rows.append(
                         (mid, None, None, None, None, None, None, None,
                          False)
@@ -670,7 +686,7 @@ def extract_audio_features(media: DataFrame, *, max_lag: int = 64) -> DataFrame:
                         (mid, n, energy, zcr, best_lag,
                          0 if best_r is None else best_r, True)
                     )
-                except ValueError:
+                except DECODE_ERRORS:
                     rows.append((mid, None, None, None, None, None, False))
             yield pd.DataFrame(
                 rows,
@@ -768,7 +784,7 @@ def sample_video_frames(media: DataFrame, *, every: int = 2) -> DataFrame:
                             (mid, f, len(frames), w, h,
                              float(px.astype(np.float64).mean()), True)
                         )
-                except ValueError:
+                except DECODE_ERRORS:
                     rows.append((mid, None, None, None, None, None, False))
             yield pd.DataFrame(
                 rows,
@@ -821,7 +837,7 @@ def decode_image_real(media: DataFrame) -> DataFrame:
                          float(means[0]), float(means[1]), float(means[2]),
                          int(px[0, 0, 0]), True)
                     )
-                except ValueError:
+                except DECODE_ERRORS:
                     rows.append(
                         (mid, None, None, None, None, None, None, None,
                          None, False)
@@ -881,7 +897,7 @@ def resize_image_real(
                     xs = (np.arange(width) * px.shape[1]) // width
                     out = px[ys][:, xs]
                     rows.append((mid, width, height, encode_bmp(out)))
-                except ValueError:
+                except DECODE_ERRORS:
                     rows.append((mid, width, height, None))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "payload"]

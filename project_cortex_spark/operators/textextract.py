@@ -485,6 +485,13 @@ def pdf_to_text(buf: bytes) -> tuple[str, int, int]:
     return "\n".join(t for t in page_texts if t), max(n_pages, 0), n_ops
 
 
+def _mm_errors() -> tuple:
+    """The shared poison-payload exception tuple (see multimodal.py)."""
+    from .multimodal import DECODE_ERRORS
+
+    return DECODE_ERRORS
+
+
 PDF_EXTRACT_SCHEMA = (
     "doc_id long, n_pages long, n_text_ops long, main_chars long, "
     "text_md5 string, ok boolean"
@@ -507,7 +514,7 @@ def extract_pdf_text(docs: DataFrame, *, id_col: str = "doc_id",
                         (did, n_pages, n_ops, len(text),
                          hashlib.md5(text.encode("utf-8")).hexdigest(), True)
                     )
-                except ValueError:
+                except _mm_errors():
                     rows.append((did, None, None, None, None, False))
             yield pd.DataFrame(
                 rows,
