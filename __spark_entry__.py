@@ -946,6 +946,41 @@ def _q_knn_recall_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_mod.ann_recall(approx, exact)
 
 
+def _q_knn_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hamming top-k over sign-bit codes (2×32-bit halves, 32× smaller
+    # than float32) — fully oracle-gated because the packing predicate
+    # (> 0, double precision) is engine-exact in both Spark and DuckDB
+    qv = _query_vec(spark, sf_dir)
+    emb = _registry(spark, sf_dir).table("embeddings")
+    return knn_mod.knn_topk_binary(emb, qv, k=15)
+
+
+def _q_knn_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-stage: Hamming picks 64 candidates (12.8% of the sf0.01
+    # corpus), exact cosine reranks — the end-to-end output hash-gated,
+    # unlike PQ refine whose trained codebooks admit only recall checks
+    qv = _query_vec(spark, sf_dir)
+    emb = _registry(spark, sf_dir).table("embeddings")
+    return knn_mod.knn_topk_binary_rerank(
+        emb, qv, k=15, n_candidates=64
+    ).withColumn("score", F.round("score", 6))
+
+
+def _q_knn_recall_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall@15 of the PURE binary tier (no rerank) vs the exact top-k:
+    # the floor the rerank stage lifts from (33% raw → 73% reranked at
+    # sf0.01); both sides SQL-replayable so the number is hash-gated
+    qv = _query_vec(spark, sf_dir)
+    emb = _registry(spark, sf_dir).table("embeddings")
+    exact = knn_mod.knn_topk(emb, qv, k=15).select(
+        F.lit(0).alias("query_id"), F.col("vec_id")
+    )
+    approx = knn_mod.knn_topk_binary(emb, qv, k=15).select(
+        F.lit(0).alias("query_id"), F.col("vec_id")
+    )
+    return knn_mod.ann_recall(approx, exact)
+
+
 def _q_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # diversified top-10 from 40 exact candidates; the greedy rerank is
     # executor-side applyInPandas over the constant-sized candidate set,
@@ -5260,6 +5295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["knn_mmr"] = _q_knn_mmr
     out["knn_topk_int8"] = _q_knn_topk_int8
     out["knn_recall_int8"] = _q_knn_recall_int8
+    out["knn_topk_binary"] = _q_knn_topk_binary
+    out["knn_binary_rerank"] = _q_knn_binary_rerank
+    out["knn_recall_binary"] = _q_knn_recall_binary
     for name, (q, limit) in _FTS_QUERIES.items():
         out[name] = _fts_query(q, limit)
     out["fts_filtered"] = _q_fts_filtered
@@ -5703,6 +5741,23 @@ def oracle_sql() -> dict[str, str]:
     out["knn_topk_int8"] = oracle.knn_int8_oracle_sql(k=15)
     out["knn_recall_int8"] = f"""
     WITH approx AS ({oracle.knn_int8_oracle_sql(k=15)}),
+    exact AS ({oracle.knn_oracle_sql(k=15)}),
+    j AS (
+      SELECT e.vec_id,
+             CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM exact e LEFT JOIN approx a ON e.vec_id = a.vec_id
+    )
+    SELECT 0 AS query_id, count(*) AS n_exact,
+           CAST(sum(hit) AS BIGINT) AS n_hit,
+           CAST(floor(10000 * sum(hit) / count(*)) AS BIGINT) AS recall_e4
+    FROM j
+    """
+    out["knn_topk_binary"] = oracle.knn_binary_oracle_sql(k=15)
+    out["knn_binary_rerank"] = oracle.knn_binary_rerank_oracle_sql(
+        k=15, n_candidates=64
+    )
+    out["knn_recall_binary"] = f"""
+    WITH approx AS ({oracle.knn_binary_oracle_sql(k=15)}),
     exact AS ({oracle.knn_oracle_sql(k=15)}),
     j AS (
       SELECT e.vec_id,

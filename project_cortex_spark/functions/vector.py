@@ -77,6 +77,46 @@ def quantize_int8(a: Column) -> tuple[Column, Column]:
     return scale, q
 
 
+def binary_code_half(a: Column, start: int) -> Column:
+    """Sign-bit (1-bit) quantization of 32 consecutive dimensions packed
+    into one BIGINT: bit j of the result is 1 iff ``a[start + j] > 0``.
+
+    Two halves cover a 64-d vector (the testdata embedding width) in
+    16 bytes of plain integer columns — 16× smaller than float32 — and
+    keep everything downstream (XOR + popcount Hamming distance) inside
+    whole-stage codegen. 32 bits per word, not 64, because the oracle
+    replay must build the identical code in DuckDB, whose ``<<`` raises
+    on a shift into the sign bit; two half-words sidestep signed-shift
+    semantics entirely in both engines.
+
+    The bit predicate is strict ``> 0`` (exact zeros and -0.0 map to 0),
+    evaluated in double precision — bit-identical in Spark and DuckDB,
+    so the code, the Hamming top-k over it, and the rerank chain are all
+    hash-gateable like the int8 path.
+    """
+    pow2 = F.lit([1 << j for j in range(32)]).cast("array<long>")
+    return F.aggregate(
+        F.sequence(F.lit(start), F.lit(start + 31)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(a, i + F.lit(1)).cast("double") > F.lit(0.0),
+            F.element_at(pow2, i - F.lit(start - 1)),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def hamming_distance_halves(
+    lo_a: Column, hi_a: Column, lo_b: Column, hi_b: Column
+) -> Column:
+    """Hamming distance between two 64-bit codes stored as 2×32-bit
+    halves: XOR + popcount per half, summed — three integer ops per
+    comparison, the whole point of binary quantization at scale."""
+    return (
+        F.bit_count(lo_a.bitwiseXOR(lo_b)) + F.bit_count(hi_a.bitwiseXOR(hi_b))
+    ).cast("long")
+
+
 def dequantize_error(a: Column, scale: Column, q: Column) -> Column:
     """L2 norm of (a - q*scale): the reconstruction error of the
     quantized vector, summed in array order (deterministic fold — both

@@ -872,3 +872,131 @@ def knn_topk_int8(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (1-bit) quantization: sign codes + Hamming search + exact rerank
+# ---------------------------------------------------------------------------
+
+
+def binarize_embeddings(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Sign-bit codes for a 64-d embedding column: (id, bits_lo, bits_hi),
+    bit j of half h set iff ``vec[32*h + j] > 0``.
+
+    This is the most aggressive storage tier below int8
+    (:func:`quantize_embeddings`): 256 B of float32 → 8 B of plain
+    integers per vector (32×), and candidate generation degrades from
+    64 fused multiply-adds to XOR+popcount. At 100 TB the binary codes
+    for the full corpus fit where the floats never could — scan the
+    codes everywhere, touch float vectors only for the rerank tail
+    (:func:`knn_topk_binary_rerank`).
+
+    The code construction is engine-exact (functions/vector.py:
+    binary_code_half), so unlike LSH/IVF/PQ the binary search path is
+    fully ORACLE-gated, not just recall-measured.
+    """
+    from ..functions.vector import binary_code_half
+
+    cols = [
+        F.col(id_col),
+        binary_code_half(F.col(vec_col), 0).alias("bits_lo"),
+        binary_code_half(F.col(vec_col), 32).alias("bits_hi"),
+    ]
+    if keep_vec:
+        cols.append(F.col(vec_col))
+    return corpus.select(*cols)
+
+
+def _query_code(query_vec: list[float]) -> tuple[int, int]:
+    lo = sum(1 << j for j in range(32) if query_vec[j] > 0)
+    hi = sum(1 << j for j in range(32) if query_vec[32 + j] > 0)
+    return lo, hi
+
+
+def knn_topk_binary(
+    corpus: DataFrame,
+    query_vec: list[float],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 15,
+) -> DataFrame:
+    """Top-k by Hamming distance over the sign-bit codes — the pure
+    binary tier: (id, hamming), ascending distance, id tie-break.
+
+    The plan is a narrow integer projection + TakeOrderedAndProject;
+    nothing wider than 24 bytes/row leaves the scan. Ties are dense
+    (64 distinct distances at best), so the deterministic id tie-break
+    is what makes the result — and the oracle hash — stable.
+    """
+    qlo, qhi = _query_code(query_vec)
+    from ..functions.vector import hamming_distance_halves
+
+    codes = binarize_embeddings(corpus, vec_col=vec_col, id_col=id_col)
+    return (
+        codes.select(
+            id_col,
+            hamming_distance_halves(
+                F.col("bits_lo"),
+                F.col("bits_hi"),
+                F.lit(qlo).cast("long"),
+                F.lit(qhi).cast("long"),
+            ).alias("hamming"),
+        )
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def knn_topk_binary_rerank(
+    corpus: DataFrame,
+    query_vec: list[float],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 15,
+    n_candidates: int = 64,
+) -> DataFrame:
+    """Two-stage search: Hamming over the binary codes picks
+    ``n_candidates`` (deterministic (distance, id) order), exact cosine
+    reranks just those — the production shape for binary indexes, same
+    refine pattern as PQ two-stage but with an engine-exact first stage,
+    so the END-TO-END output is oracle-gated.
+
+    With n_candidates == |corpus| this IS :func:`knn_topk` (unit-tested
+    equivalence); at scale n_candidates/|corpus| is the fraction of
+    float vectors ever read.
+    """
+    qlo, qhi = _query_code(query_vec)
+    from ..functions.vector import hamming_distance_halves
+
+    codes = binarize_embeddings(
+        corpus, vec_col=vec_col, id_col=id_col, keep_vec=True
+    )
+    cands = (
+        codes.withColumn(
+            "_ham",
+            hamming_distance_halves(
+                F.col("bits_lo"),
+                F.col("bits_hi"),
+                F.lit(qlo).cast("long"),
+                F.lit(qhi).cast("long"),
+            ),
+        )
+        .orderBy(F.col("_ham").asc(), F.col(id_col).asc())
+        .limit(n_candidates)
+    )
+    q = F.lit(query_vec).cast("array<double>")
+    return (
+        cands.select(
+            id_col, similarity_score(F.col(vec_col), q).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -2752,3 +2752,70 @@ def knn_pq_recall_oracle_sql(
            CAST(floor(10000 * sum(hit) / count(*)) AS BIGINT) AS recall_e4
     FROM j GROUP BY query_id
     """
+
+
+# ---------------------------------------------------------------------------
+# binary (sign-bit) quantization oracles — mirror operators/knn.py
+# binarize_embeddings / knn_topk_binary / knn_topk_binary_rerank exactly
+# ---------------------------------------------------------------------------
+
+_BINARY_CODES_CTE = """codes AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
+                         ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+             CAST(list_sum(list_transform(range(32, 64),
+               i -> CASE WHEN embedding[i + 1] > 0
+                         THEN (1::BIGINT << (i - 32))
+                         ELSE 0::BIGINT END)) AS BIGINT) AS hi
+      FROM embeddings
+    )"""
+
+_BINARY_HAMMING = (
+    "CAST(bit_count(xor(c.lo, q.lo)) + bit_count(xor(c.hi, q.hi))"
+    " AS BIGINT)"
+)
+
+
+def knn_binary_oracle_sql(*, query_vec_id: int = 0, k: int = 15) -> str:
+    """SQL mirroring operators.knn.knn_topk_binary: the identical
+    sign-bit packing (two 32-bit halves — DuckDB's << raises on a shift
+    into the BIGINT sign bit, which is why both engines pack half-words)
+    then Hamming top-k with the id tie-break."""
+    return f"""
+    WITH {_BINARY_CODES_CTE},
+    q AS (SELECT lo, hi FROM codes WHERE vec_id = {query_vec_id})
+    SELECT c.vec_id, {_BINARY_HAMMING} AS hamming
+    FROM codes c, q
+    ORDER BY {_BINARY_HAMMING}, c.vec_id
+    LIMIT {k}
+    """
+
+
+def knn_binary_rerank_oracle_sql(
+    *, query_vec_id: int = 0, k: int = 15, n_candidates: int = 64
+) -> str:
+    """SQL mirroring operators.knn.knn_topk_binary_rerank: Hamming
+    candidate cut (deterministic (distance, id) order) then the standard
+    exact-cosine top-k over only those candidates."""
+    score = (
+        "(1.0 + list_dot_product(cand.embedding::DOUBLE[], q.e)"
+        " / (sqrt(list_dot_product(cand.embedding::DOUBLE[],"
+        " cand.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.e, q.e)))) / 2.0"
+    )
+    return f"""
+    WITH {_BINARY_CODES_CTE},
+    q AS (SELECT lo, hi, embedding::DOUBLE[] AS e FROM codes
+          WHERE vec_id = {query_vec_id}),
+    cand AS (
+      SELECT c.vec_id, c.embedding
+      FROM codes c, q
+      ORDER BY {_BINARY_HAMMING}, c.vec_id
+      LIMIT {n_candidates}
+    )
+    SELECT cand.vec_id, round({score}, 6) AS score
+    FROM cand, q
+    ORDER BY {score} DESC, cand.vec_id
+    LIMIT {k}
+    """

@@ -424,3 +424,85 @@ def test_train_pq_codebooks_ordered_is_replayable(spark, registry):
         np.array([list(r[0]) for r in rows], dtype=np.float64), 8, 16, 4
     )
     assert np.array_equal(spark_side, oracle_side)  # bit-exact, not allclose
+
+
+# ---------------------------------------------------------------------------
+# binary (sign-bit) quantization tier
+# ---------------------------------------------------------------------------
+
+
+def test_knn_topk_binary_matches_oracle(registry, duck):
+    from project_cortex_spark import oracle
+
+    qv = [float(x) for x in _query_vec(duck)]
+    df = knn.knn_topk_binary(registry.table("embeddings"), qv, k=15)
+    assert_matches_oracle(
+        df, duck, oracle.knn_binary_oracle_sql(k=15), ordered=True
+    )
+
+
+def test_knn_binary_rerank_matches_oracle(registry, duck):
+    from project_cortex_spark import oracle
+
+    qv = [float(x) for x in _query_vec(duck)]
+    df = knn.knn_topk_binary_rerank(
+        registry.table("embeddings"), qv, k=15, n_candidates=64
+    ).withColumn("score", F.round("score", 6))
+    assert_matches_oracle(
+        df,
+        duck,
+        oracle.knn_binary_rerank_oracle_sql(k=15, n_candidates=64),
+        ordered=True,
+    )
+
+
+def test_knn_binary_rerank_full_candidates_is_exact(registry, duck):
+    # with n_candidates == |corpus| the two-stage search IS knn_topk
+    qv = [float(x) for x in _query_vec(duck)]
+    emb = registry.table("embeddings")
+    n = emb.count()
+    two_stage = [
+        r.vec_id
+        for r in knn.knn_topk_binary_rerank(
+            emb, qv, k=12, n_candidates=n
+        ).collect()
+    ]
+    exact = [r.vec_id for r in knn_topk(emb, qv, k=12).collect()]
+    assert two_stage == exact
+
+
+def test_binary_codes_pack_sign_bits(spark):
+    # hand-built vectors: known bit patterns in each half
+    from project_cortex_spark.operators.knn import binarize_embeddings
+
+    vec = [0.0] * 64
+    vec[0] = 1.0       # bit 0 of lo
+    vec[31] = 0.5      # bit 31 of lo
+    vec[32] = 2.0      # bit 0 of hi
+    vec[63] = 1e-30    # bit 31 of hi (any positive value)
+    vec[5] = -3.0      # negative -> 0
+    df = spark.createDataFrame(
+        [(0, vec)], "vec_id long, embedding array<float>"
+    )
+    row = binarize_embeddings(df).collect()[0]
+    assert row.bits_lo == (1 << 0) | (1 << 31)
+    assert row.bits_hi == (1 << 0) | (1 << 31)
+
+
+def test_binary_rerank_recall_dominates_raw(registry, duck):
+    # the rerank stage can only improve recall over the raw Hamming cut
+    qv = [float(x) for x in _query_vec(duck)]
+    emb = registry.table("embeddings")
+    exact = knn_topk(emb, qv, k=15).select(
+        F.lit(0).alias("query_id"), "vec_id"
+    )
+    raw = knn.knn_topk_binary(emb, qv, k=15).select(
+        F.lit(0).alias("query_id"), "vec_id"
+    )
+    rer = knn.knn_topk_binary_rerank(emb, qv, k=15, n_candidates=64).select(
+        F.lit(0).alias("query_id"), "vec_id"
+    )
+    raw_r = knn.ann_recall(raw, exact).collect()[0].recall_e4
+    rer_r = knn.ann_recall(rer, exact).collect()[0].recall_e4
+    assert rer_r >= raw_r
+    assert rer_r >= 5000  # 64/500 candidates already recover most of top-15
