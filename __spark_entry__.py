@@ -1183,6 +1183,31 @@ def _q_search_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("score", F.round("score", 6))
 
 
+def _q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hybrid retrieval: BM25 top-50 + doc-embedding cosine top-50 fused
+    # by reciprocal-rank fusion (Σ 1/(60+rank)) — the beyond-parity
+    # composition of cortex_exact and cortex_search every production
+    # retrieval stack runs; FULLY oracle-gated (integer ranks make the
+    # fused score engine-exact; both lists replay in SQL)
+    docs = _docs(spark, sf_dir)
+    vecs = _memo(
+        spark,
+        sf_dir,
+        "doc_vectors_32",
+        lambda: search_mod.build_doc_vectors(docs, dim=32).cache(),
+    )
+    return search_mod.hybrid_search_rrf(
+        _fts_index(spark, sf_dir),
+        vecs,
+        "key OR agg OR row OR scan",
+        "key agg row scan",
+        k=15,
+        n_per_list=50,
+        rrf_k=60,
+        dim=32,
+    )
+
+
 def _q_search_semantic_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cortex_search over the RANDOM-INDEXING lexical provider (the
     # no-model-runtime stand-in for the reference's ONNX BGE-small,
@@ -5302,6 +5327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _fts_query(q, limit)
     out["fts_filtered"] = _q_fts_filtered
     out["search_semantic"] = _q_search_semantic
+    out["search_hybrid_rrf"] = _q_search_hybrid_rrf
     out["search_semantic_lexical"] = _q_search_semantic_lexical
     out["search_lexical_recall"] = _q_search_lexical_recall
     out["graph_callees_d3"] = _q_graph_callees
@@ -5818,6 +5844,14 @@ def oracle_sql() -> dict[str, str]:
     # search_lexical_recall as its oracle-gated noiseless ranking twin.
     out["search_semantic"] = oracle.search_semantic_oracle_sql(
         "key agg row scan", dim=32, limit=15, min_score=0.05, language="en"
+    )
+    out["search_hybrid_rrf"] = oracle.hybrid_rrf_oracle_sql(
+        "key OR agg OR row OR scan",
+        "key agg row scan",
+        k=15,
+        n_per_list=50,
+        rrf_k=60,
+        dim=32,
     )
     out["search_lexical_recall"] = _LEXICAL_RECALL_ORACLE
     out.update(_GRAPH_ORACLES)

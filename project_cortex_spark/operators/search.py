@@ -149,3 +149,100 @@ def semantic_search(
         where=where,
         payload_cols=["doc_id", "chunk_type", "language"],
     )
+
+
+def build_doc_vectors(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = DEFAULT_DIM,
+    provider: str = "hash",
+) -> DataFrame:
+    """Document-level embedding side of hybrid retrieval: one passage
+    vector per document (no chunking), ``(id, embedding)``. A narrow
+    Arrow-batched map like every embed stage — no shuffle."""
+    return embed_chunks(
+        docs.select(id_col, text_col),
+        text_col=text_col,
+        dim=dim,
+        mode="passage",
+        provider=provider,
+    ).select(id_col, "embedding")
+
+
+def hybrid_search_rrf(
+    fts_index,
+    doc_vectors: DataFrame,
+    lexical_query: str,
+    semantic_query: str,
+    *,
+    k: int = 15,
+    n_per_list: int = 50,
+    rrf_k: int = 60,
+    dim: int = DEFAULT_DIM,
+    provider: str = "hash",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: BM25 top-N and
+    cosine top-N fused by ``Σ 1/(rrf_k + rank)`` (Cormack et al.'s RRF,
+    the standard model-free fusion every production retrieval stack
+    runs ahead of the reranker). The reference serves ``cortex_exact``
+    and ``cortex_search`` as separate tools (internal/mcp/
+    exact_sqlite.go, search_sqlite.go); fusing them is the beyond-parity
+    step a retrieval user expects.
+
+    Output: (id, rrf_score, lex_rank, sem_rank) — NULL rank for a doc
+    present in only one list (its contribution is 0), ordered by fused
+    score desc with the id tie-break. Ranks are BIGINT so the schema
+    matches the SQL replay's ``row_number()``.
+
+    Physical shape: each list is an independent distributed top-N
+    (BM25 posting join / TakeOrderedAndProject scoring scan); only the
+    two ≤N-row rank frames meet — the unpartitioned row_number windows
+    and the full-outer join run on N=50 rows, driver-trivial at any
+    corpus scale. Because ranks are integers, the fused score is a
+    deterministic double in BOTH engines — the whole composite is
+    hash-gateable (oracle.hybrid_rrf_oracle_sql).
+    """
+    from project_cortex_spark.operators.fts import fts_search
+    from project_cortex_spark.operators.knn import knn_topk
+    from pyspark.sql import Window
+
+    embedder = PROVIDERS[provider]
+    qv = [
+        float(x)
+        for x in embedder(pd.Series([semantic_query]), dim=dim, mode="query")[0]
+    ]
+    lex = fts_search(fts_index, lexical_query, limit=n_per_list).select(
+        id_col, "score"
+    )
+    sem = knn_topk(
+        doc_vectors, qv, vec_col="embedding", id_col=id_col, k=n_per_list
+    )
+
+    def ranked(df: DataFrame, rank_name: str) -> DataFrame:
+        # unpartitioned window over an already-cut top-N frame (≤ 50
+        # rows): single-task by construction, not a scale concern
+        w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        return df.select(
+            id_col, F.row_number().over(w).cast("long").alias(rank_name)
+        )
+
+    fused = ranked(lex, "lex_rank").join(
+        ranked(sem, "sem_rank"), [id_col], "full"
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(r)), F.lit(0.0)
+    )
+    return (
+        fused.withColumn("_f", contrib("lex_rank") + contrib("sem_rank"))
+        .orderBy(F.col("_f").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            F.round("_f", 6).alias("rrf_score"),
+            "lex_rank",
+            "sem_rank",
+        )
+    )

@@ -170,9 +170,14 @@ def fts_oracle_sql(
     limit: int = 15,
     payload_cols: tuple[str, ...] = (),
     where_sql: str | None = None,
-    round_digits: int = 6,
+    round_digits: int | None = 6,
 ) -> str:
-    """SQL mirroring operators.fts.fts_search for the same query string."""
+    """SQL mirroring operators.fts.fts_search for the same query string.
+
+    ``round_digits=None`` emits the raw double score — for callers that
+    embed this as a subquery and need to re-rank on the exact value
+    (hybrid_rrf_oracle_sql), where projection-time rounding would make
+    the outer ordering diverge from the engine's unrounded sort."""
     node = parse_fts_query(query)
     literals = query_terms(node)
     words: list[str] = []
@@ -194,6 +199,11 @@ def fts_oracle_sql(
     match_sql = _match_sql(node, table, id_col, text_col)
     payload = "".join(f", d.{c}" for c in payload_cols)
     where = f"WHERE {where_sql}" if where_sql else ""
+    score_proj = (
+        "coalesce(sc.score, 0.0)"
+        if round_digits is None
+        else f"round(coalesce(sc.score, 0.0), {round_digits})"
+    )
 
     return f"""
     WITH {fts_tokens_cte(table, id_col, text_col)},
@@ -210,7 +220,7 @@ def fts_oracle_sql(
         GROUP BY h.doc_id
       ),
       matches AS ({match_sql})
-    SELECT m.doc_id, round(coalesce(sc.score, 0.0), {round_digits}) AS score{payload}
+    SELECT m.doc_id, {score_proj} AS score{payload}
     FROM matches m
     LEFT JOIN scored sc USING (doc_id)
     JOIN (SELECT * FROM {table} {where}) d ON d.{id_col} = m.doc_id
@@ -2817,5 +2827,112 @@ def knn_binary_rerank_oracle_sql(
     SELECT cand.vec_id, round({score}, 6) AS score
     FROM cand, q
     ORDER BY {score} DESC, cand.vec_id
+    LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval (BM25 + cosine, reciprocal-rank fusion) oracle —
+# mirrors operators/search.py hybrid_search_rrf end to end
+# ---------------------------------------------------------------------------
+
+
+def _doc_hash_embed_scored_cte(semantic_query: str, *, dim: int) -> str:
+    """CTE chain ending in ``sem_scored (doc_id, score)``: the document-
+    level hash-provider embedding replayed in SQL — the same md5 signed
+    bucket sums / float32 quantization / left-fold query norm recipe as
+    search_semantic_oracle_sql, minus the chunking (hybrid retrieval
+    embeds whole documents, pipeline/embed.py hash_embed_series)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    vec = np.zeros(dim, dtype=np.float64)
+    for tok in ["[query]"] + semantic_query.lower().split():
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        vec[h % dim] += 1.0 if (h >> 16) % 2 == 0 else -1.0
+    nrm = np.linalg.norm(vec)
+    if nrm > 0:
+        vec = vec / nrm
+    qd = [float(x) for x in vec.astype(np.float32)]
+    acc = 0.0
+    for v in qd:  # replicate Spark's left-fold l2_norm exactly
+        acc += v * v
+    qnorm = math.sqrt(acc)
+    qvals = ", ".join(f"({b}, {v!r})" for b, v in enumerate(qd) if v != 0.0)
+    hx = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
+    return f"""dtoks AS (
+      SELECT doc_id, unnest(list_prepend('[passage]',
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x <> ''))) AS tok
+      FROM documents
+    ), dw AS (
+      SELECT doc_id, {hx} % {dim} AS bucket,
+             sum(CASE WHEN ({hx} // 65536) % 2 = 0 THEN 1 ELSE -1 END) AS s
+      FROM dtoks GROUP BY 1, 2
+    ), dss AS (
+      SELECT doc_id, sum(s * s) AS ss FROM dw GROUP BY 1
+    ), dcomp AS (
+      SELECT dw.doc_id, dw.bucket,
+             CAST(CAST(dw.s AS DOUBLE) / sqrt(CAST(dss.ss AS DOUBLE))
+                  AS FLOAT4) AS c
+      FROM dw JOIN dss USING (doc_id)
+      WHERE dw.s <> 0 AND dss.ss > 0
+    ), qw(bucket, qc) AS (VALUES {qvals}),
+    sem_scored AS (
+      SELECT doc_id,
+             (1.0 + sum(CAST(dcomp.c AS DOUBLE) * coalesce(qw.qc, 0.0))
+              / (sqrt(sum(CAST(dcomp.c AS DOUBLE) * CAST(dcomp.c AS DOUBLE)))
+                 * {qnorm!r})) / 2.0 AS score
+      FROM dcomp LEFT JOIN qw USING (bucket)
+      GROUP BY doc_id
+    )"""
+
+
+def hybrid_rrf_oracle_sql(
+    lexical_query: str,
+    semantic_query: str,
+    *,
+    k: int = 15,
+    n_per_list: int = 50,
+    rrf_k: int = 60,
+    dim: int = 32,
+) -> str:
+    """SQL mirroring operators.search.hybrid_search_rrf: BM25 top-N and
+    doc-embedding cosine top-N as independent ranked lists, fused by
+    Σ 1/(rrf_k + rank). Ranks are integers, so the fused double is
+    bit-identical in both engines; ordering uses the unrounded value
+    with the doc_id tie-break (equal single-list ranks DO tie)."""
+    lex_sub = fts_oracle_sql(
+        lexical_query, limit=n_per_list, round_digits=None
+    )
+    return f"""
+    WITH {_doc_hash_embed_scored_cte(semantic_query, dim=dim)},
+    lex0 AS (SELECT doc_id, score FROM ({lex_sub}) _lex),
+    sem0 AS (
+      SELECT doc_id, score FROM sem_scored
+      ORDER BY score DESC, doc_id LIMIT {n_per_list}
+    ),
+    lexr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      FROM lex0
+    ),
+    semr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS sem_rank
+      FROM sem0
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             coalesce(1.0 / ({rrf_k}.0 + l.lex_rank), 0.0)
+               + coalesce(1.0 / ({rrf_k}.0 + s.sem_rank), 0.0) AS f,
+             l.lex_rank, s.sem_rank
+      FROM lexr l FULL JOIN semr s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, round(f, 6) AS rrf_score, lex_rank, sem_rank
+    FROM fused
+    ORDER BY f DESC, doc_id
     LIMIT {k}
     """

@@ -124,3 +124,59 @@ def test_lexical_retrieval_top1_self_retrieves(spark, registry):
     out = srch.lexical_retrieval_top1(docs, dim=64, every=25).collect()
     assert len(out) > 0
     assert all(r["query_doc_id"] == r["top_doc_id"] for r in out)
+
+
+def test_hybrid_rrf_matches_oracle(spark, registry, duck):
+    from project_cortex_spark import oracle
+    from project_cortex_spark.operators.fts import build_fts_index
+
+    from .conftest import assert_matches_oracle
+
+    docs = registry.table("documents")
+    idx = build_fts_index(docs, id_col="doc_id", text_col="text")
+    vecs = srch.build_doc_vectors(docs, dim=32)
+    df = srch.hybrid_search_rrf(
+        idx, vecs, "key OR agg OR row OR scan", "key agg row scan",
+        k=15, n_per_list=50, rrf_k=60, dim=32,
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        oracle.hybrid_rrf_oracle_sql(
+            "key OR agg OR row OR scan", "key agg row scan",
+            k=15, n_per_list=50, rrf_k=60, dim=32,
+        ),
+        ordered=True,
+    )
+
+
+def test_hybrid_rrf_fusion_semantics(spark, registry):
+    """A doc in BOTH lists outranks docs at comparable single-list
+    ranks, and single-list docs carry a NULL rank for the missing
+    side."""
+    from project_cortex_spark.operators.fts import build_fts_index
+
+    docs = registry.table("documents")
+    idx = build_fts_index(docs, id_col="doc_id", text_col="text")
+    vecs = srch.build_doc_vectors(docs, dim=32)
+    rows = srch.hybrid_search_rrf(
+        idx, vecs, "key OR agg OR row OR scan", "key agg row scan",
+        k=50, n_per_list=50, rrf_k=60, dim=32,
+    ).collect()
+    both = [r for r in rows if r.lex_rank is not None and r.sem_rank is not None]
+    single = [r for r in rows if r.lex_rank is None or r.sem_rank is None]
+    assert both, "expected overlap between the lexical and semantic lists"
+    assert single, "expected docs present in only one list"
+    # every row's fused score is exactly Σ 1/(60+rank) over present ranks
+    for r in rows:
+        expect = sum(
+            1.0 / (60.0 + rank)
+            for rank in (r.lex_rank, r.sem_rank)
+            if rank is not None
+        )
+        assert r.rrf_score == round(expect, 6)
+    # output is ordered by fused score desc with the doc_id tie-break
+    for a, b in zip(rows, rows[1:]):
+        assert a.rrf_score > b.rrf_score or (
+            a.rrf_score == b.rrf_score and a.doc_id < b.doc_id
+        )
