@@ -1721,6 +1721,27 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # canonical-equivalence dedup: every 10th document rendered two
+    # ways (precomposed U+00E1 vs a+combining U+0301) — byte-level md5
+    # sees distinct texts, md5(NFC(text)) groups each pair; oracle
+    # replays the identical variant corpus through DuckDB nfc_normalize
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    pre = docs.select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        F.regexp_replace("text", "a", "\u00e1").alias("text"),
+    )
+    dec = docs.select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.regexp_replace("text", "a", "a\u0301").alias("text"),
+    )
+    return dd.unicode_duplicate_groups(pre.unionByName(dec))
+
+
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5).withColumn(
         "jaccard", F.round("jaccard", 6)
@@ -5340,6 +5361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["graph_dependents"] = _q_graph_dependents
     out["graph_type_usages"] = _q_graph_type_usages
     out["dedup_exact_groups"] = _q_dedup_exact
+    out["dedup_unicode_nfc"] = _q_dedup_unicode_nfc
     out["dedup_minhash_lsh"] = _q_dedup_minhash
     out["dedup_ngram_jaccard"] = _q_dedup_ngram
     out["dedup_simhash"] = _q_dedup_simhash
@@ -5860,6 +5882,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_exact_groups"] = oracle.exact_duplicate_groups_sql(
         table="part", id_col="p_partkey", text_col="p_name"
     )
+    out["dedup_unicode_nfc"] = oracle.unicode_nfc_groups_sql(every=10)
     out["dedup_minhash_lsh"] = oracle.minhash_near_duplicates_sql(threshold=0.5)
     out["dedup_ngram_jaccard"] = oracle.ngram_jaccard_pairs_sql(
         threshold=0.5, max_df=100

@@ -975,3 +975,56 @@ def reassemble_paragraphs(
             ).cast("bigint").alias("n_dropped"),
         )
     )
+
+
+def unicode_duplicate_groups(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    form: str = "NFC",
+) -> DataFrame:
+    """Exact dedup over Unicode CANONICAL equivalence: md5 of the
+    ``form``-normalized text (NFC by default), same group shape as
+    :func:`exact_duplicate_groups` — (doc_id, nhash, group_size, keep).
+
+    Byte-level hashing misses duplicates that differ only in codepoint
+    composition (precomposed ``é`` U+00E9 vs ``e``+U+0301) — common in
+    web corpora where the same page arrives through different encoders.
+    C4/CCNet-class pipelines normalize before hashing for exactly this
+    reason; this is that step as a first-class operator.
+
+    The normalization is an Arrow-batched pandas UDF (Python's
+    unicodedata — the JVM side has no NFC builtin); everything after is
+    the standard hash-groupBy, one shuffle on the hash. DuckDB's
+    ``nfc_normalize`` (utf8proc) implements the same Unicode canonical
+    composition, so the whole operator is oracle-replayable.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda s: None if s is None else unicodedata.normalize(form, s)
+        )
+
+    h = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(nfc(F.col(text_col))).alias("nhash"),
+    )
+    groups = h.groupBy("nhash").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("doc_id").alias("canonical"),
+    )
+    return (
+        h.join(groups, "nhash")
+        .filter(F.col("group_size") > 1)
+        .select(
+            "doc_id",
+            "nhash",
+            "group_size",
+            (F.col("doc_id") == F.col("canonical")).alias("keep"),
+        )
+    )

@@ -2936,3 +2936,30 @@ def hybrid_rrf_oracle_sql(
     ORDER BY f DESC, doc_id
     LIMIT {k}
     """
+
+
+def unicode_nfc_groups_sql(*, every: int = 10) -> str:
+    """Mirror of the dedup_unicode_nfc entry: the same deterministic
+    variant corpus (precomposed vs combining-sequence renderings of
+    every ``every``-th document) deduped on md5(nfc_normalize(text)).
+    chr(225) = U+00E1 (á precomposed); chr(769) = U+0301 (combining
+    acute) — DuckDB's utf8proc NFC and Python's unicodedata agree on
+    canonical composition, which is the whole contract."""
+    return f"""
+    WITH v AS (
+      SELECT doc_id * 2 AS doc_id, replace(text, 'a', chr(225)) AS text
+      FROM documents WHERE doc_id % {every} = 0
+      UNION ALL
+      SELECT doc_id * 2 + 1, replace(text, 'a', 'a' || chr(769))
+      FROM documents WHERE doc_id % {every} = 0
+    ), h AS (
+      SELECT doc_id, md5(nfc_normalize(text)) AS nhash FROM v
+    ), g AS (
+      SELECT nhash, count(*) AS group_size, min(doc_id) AS canonical
+      FROM h GROUP BY nhash
+    )
+    SELECT h.doc_id, h.nhash, g.group_size,
+           h.doc_id = g.canonical AS keep
+    FROM h JOIN g USING (nhash)
+    WHERE g.group_size > 1
+    """

@@ -390,3 +390,41 @@ def test_dedup_paragraphs_matches_oracle(registry, duck):
         duck,
         oracle.dedup_paragraphs_sql(),
     )
+
+
+def test_unicode_nfc_groups_catch_composition_variants(spark):
+    from project_cortex_spark.operators.dedup import (
+        exact_duplicate_groups,
+        unicode_duplicate_groups,
+    )
+
+    rows = [
+        (0, "caf\u00e9 menu"),      # precomposed
+        (1, "cafe\u0301 menu"),     # e + combining acute
+        (2, "caf\u00e9 menu"),      # byte-identical to 0
+        (3, "unrelated text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.group_size, r.keep)
+        for r in unicode_duplicate_groups(df).collect()
+    }
+    assert got == {(0, 3, True), (1, 3, False), (2, 3, False)}
+    # byte-level dedup (no token normalization) misses the combining form
+    raw = {
+        r.doc_id
+        for r in exact_duplicate_groups(
+            df, normalize=False
+        ).collect()
+    }
+    assert raw == {0, 2}
+
+
+def test_unicode_nfc_null_text_is_dropped(spark):
+    from project_cortex_spark.operators.dedup import unicode_duplicate_groups
+
+    df = spark.createDataFrame(
+        [(0, None), (1, None), (2, "x")], "doc_id long, text string"
+    )
+    # md5(NULL) is NULL in both engines; NULL hashes never group
+    assert unicode_duplicate_groups(df).count() == 0
