@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from project_cortex_spark import oracle
 from project_cortex_spark.dsl import compile_query
 from project_cortex_spark.operators import asof as asof_mod
+from project_cortex_spark.operators import bpe as bpe_mod
 from project_cortex_spark.operators import corpus as corpus_mod
 from project_cortex_spark.operators import dedup as dd
 from project_cortex_spark.operators import events as ev
@@ -5529,6 +5530,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_lm_histogram"] = _q_text_lm_histogram
     out["text_c4_clean"] = _q_text_c4_clean
     out["text_bpe_tokens"] = lambda s, d: ts.bpe_token_stats(_docs(s, d))
+    # the TRAINER, not the fixed tokenizer: learns 12 merges from the
+    # top-200 word vocabulary; the oracle independently re-derives every
+    # round's argmax from its own SQL state evolution — no inlined
+    # literals (oracle.bpe_train_oracle_sql)
+    out["text_bpe_train"] = lambda s, d: bpe_mod.bpe_train(
+        _docs(s, d), n_merges=12, top_words=200
+    )
     out["text_tfidf_terms"] = lambda s, d: ts.tfidf_top_terms(_docs(s, d))
     out["corpus_sample_per_key"] = _q_corpus_sample_per_key
     out["corpus_importance_sample"] = _q_corpus_importance_sample
@@ -5978,6 +5986,9 @@ def oracle_sql() -> dict[str, str]:
     """
     out["text_c4_clean"] = oracle.c4_clean_sql(text_expr=_C4_PAGE_SQL)
     out["text_bpe_tokens"] = oracle.bpe_token_stats_sql()
+    out["text_bpe_train"] = oracle.bpe_train_oracle_sql(
+        n_merges=12, top_words=200
+    )
     out["text_tfidf_terms"] = oracle.tfidf_top_terms_sql(k=5)
     out["corpus_pack_sequences"] = oracle.pack_sequences_sql(
         seq_tokens=256, writers=16

@@ -1,0 +1,133 @@
+"""Distributed BPE vocabulary training (Sennrich et al. 2016, public
+byte-pair-encoding algorithm) — the tokenizer-training stage of an
+LLM-data pipeline as a first-class Spark operator.
+
+The reference has no tokenizer trainer (its token counts are estimation
+heuristics, internal/chunking/chunker.go); text_bpe_tokens applies a
+FIXED BPE-ish regex. This operator LEARNS the merge table from the
+corpus: repeatedly count adjacent symbol pairs over the word-frequency
+vocabulary and merge the most frequent pair, ties broken (count desc,
+lhs asc, rhs asc) so every engine derives the identical table.
+
+Scale shape: the only corpus-sized stage is the word-frequency
+aggregate (one shuffle over exploded tokens — at 100 TB this is the
+same plan as any token count). Merge rounds then operate on the
+word-VOCABULARY frame (``top_words`` rows here; unbounded it is the
+distinct-word table, ~millions at web scale — still DataFrame-sized):
+each round is one distributed pair-count aggregate, a 1-row argmax
+collect (driver reads one row, the sanctioned bounded collect), and an
+Arrow-batched merge application, with ``localCheckpoint`` keeping the
+per-round lineage flat (same pattern as graph.pagerank's iterative
+steps).
+
+Merge application semantics: leftmost-first, non-overlapping, rescan
+after the merged token (the canonical BPE scan). The oracle replays the
+SAME semantics in pure SQL as an iterated first-occurrence replacement
+inside a recursive CTE (oracle.bpe_train_oracle_sql) — leftmost single
+replacement iterated to fixpoint is equivalent to the scan, which the
+aaaa-style overlap tests pin down.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_WORD_RE = "^[a-z]+$"
+_END = "</w>"
+
+
+def word_frequencies(
+    docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """(word, freq) over whitespace-split lowercased pure-alpha tokens —
+    the corpus-sized aggregation every round reuses."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .filter(F.col("word").rlike(_WORD_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _merge_udf(lhs: str, rhs: str):
+    merged = lhs + rhs
+
+    @pandas_udf("array<string>")
+    def apply_merge(syms_s: pd.Series) -> pd.Series:
+        def scan(syms: list) -> list:
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        return syms_s.map(lambda s: scan(list(s)))
+
+    return apply_merge
+
+
+def bpe_train(
+    docs: DataFrame,
+    *,
+    n_merges: int = 12,
+    top_words: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the ``top_words`` most frequent
+    words; returns the merge table (merge_round, lhs, rhs, pair_count)
+    — the trainer's auditable output, fully replayable in SQL.
+
+    ``top_words`` bounds the vocabulary the oracle must replay (the same
+    bounded-trainer pattern as the IVF/PQ k-means samples); pass a large
+    value to train on the full distinct-word table.
+    """
+    top = (
+        word_frequencies(docs, text_col=text_col)
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(top_words)
+    )
+    vocab = top.select(
+        "word",
+        "freq",
+        F.concat(
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+            F.array(F.lit(_END)),
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, n_merges + 1):
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(syms) - 2),"
+                    " i -> named_struct('lhs', syms[i], 'rhs', syms[i + 1]))"
+                )
+            ).alias("p"),
+        )
+        cnt = pairs.groupBy(
+            F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
+        ).agg(F.sum("freq").alias("c"))
+        best = cnt.orderBy(
+            F.col("c").desc(), F.col("lhs").asc(), F.col("rhs").asc()
+        ).first()
+        if best is None:  # vocabulary fully merged — nothing left to learn
+            break
+        merges.append((rnd, best["lhs"], best["rhs"], int(best["c"])))
+        vocab = vocab.withColumn(
+            "syms", _merge_udf(best["lhs"], best["rhs"])("syms")
+        ).localCheckpoint(eager=True)
+
+    return docs.sparkSession.createDataFrame(
+        merges, "merge_round int, lhs string, rhs string, pair_count bigint"
+    )

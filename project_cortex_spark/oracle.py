@@ -2963,3 +2963,86 @@ def unicode_nfc_groups_sql(*, every: int = 10) -> str:
     FROM h JOIN g USING (nhash)
     WHERE g.group_size > 1
     """
+
+
+def bpe_train_oracle_sql(
+    *, n_merges: int = 12, top_words: int = 200, table: str = "documents"
+) -> str:
+    """Fully INDEPENDENT SQL replay of operators.bpe.bpe_train — not an
+    inlined-literals oracle: DuckDB re-derives every round's argmax pair
+    from its own evolving vocabulary state, so a trainer that ever picks
+    a non-max pair, miscounts a frequency, or mis-applies a merge
+    diverges immediately.
+
+    Per round r: pair counts from vocab_{r-1} (symbols are '|'-wrapped
+    in a sentinel string — words are ^[a-z]+$ and the end marker has no
+    '|', so '|L|R|' cannot match inside a symbol), argmax with the
+    (count desc, lhs, rhs) tie-break, then merge application as an
+    ITERATED FIRST-OCCURRENCE replacement in a recursive CTE — leftmost
+    single replacement to fixpoint, equivalent to the canonical BPE
+    scan (aaaa-overlap cases included; pinned by tests).
+
+    Every non-recursive CTE is MATERIALIZED: DuckDB would otherwise
+    inline each reference and re-execute the upstream chain — at three
+    upstream references per round that is O(3^rounds) work (measured:
+    >2 min inlined vs 0.5 s materialized at 12 rounds / sf0.01).
+    """
+    parts = [
+        f"""words AS MATERIALIZED (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                      x -> x <> '')) AS word
+        FROM {table})
+      WHERE regexp_matches(word, '^[a-z]+$')
+      GROUP BY word
+    ), vocab_0 AS MATERIALIZED (
+      SELECT word, freq,
+             '|' || array_to_string(
+               list_append(list_transform(range(1, length(word) + 1),
+                                          i -> word[i]), '</w>'), '|')
+               || '|' AS seq
+      FROM (SELECT word, freq FROM words
+            ORDER BY freq DESC, word LIMIT {top_words})
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts.append(
+            f"""syms_{r} AS MATERIALIZED (
+      SELECT freq, list_filter(string_split(seq, '|'), x -> x <> '') AS s
+      FROM vocab_{p}
+    ), cnt_{r} AS MATERIALIZED (
+      SELECT s[i] AS l, s[i + 1] AS r2, sum(freq) AS c
+      FROM syms_{r}, unnest(range(1, len(s))) AS t(i)
+      GROUP BY 1, 2
+    ), best_{r} AS MATERIALIZED (
+      SELECT l, r2, CAST(c AS BIGINT) AS c FROM cnt_{r}
+      ORDER BY c DESC, l, r2 LIMIT 1
+    ), pat_{r} AS MATERIALIZED (
+      SELECT '|' || l || '|' || r2 || '|' AS p, '|' || l || r2 || '|' AS rep
+      FROM best_{r}
+    ), fix_{r} AS (
+      SELECT word, freq, seq FROM vocab_{p}
+      UNION ALL
+      SELECT word, freq,
+             substr(seq, 1, strpos(seq, (SELECT p FROM pat_{r})) - 1)
+               || (SELECT rep FROM pat_{r})
+               || substr(seq, strpos(seq, (SELECT p FROM pat_{r}))
+                              + length((SELECT p FROM pat_{r})))
+      FROM fix_{r}
+      WHERE strpos(seq, (SELECT p FROM pat_{r})) > 0
+    ), vocab_{r} AS MATERIALIZED (
+      SELECT word, freq, seq FROM fix_{r}
+      WHERE strpos(seq, (SELECT p FROM pat_{r})) = 0
+    )"""
+        )
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {r} AS merge_round, l AS lhs, r2 AS rhs, c AS pair_count"
+        f" FROM best_{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT * FROM ({rows}) ORDER BY merge_round"
+    )
