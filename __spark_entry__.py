@@ -5537,6 +5537,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_bpe_train"] = lambda s, d: bpe_mod.bpe_train(
         _docs(s, d), n_merges=12, top_words=200
     )
+    # tokenizer INFERENCE over the full vocabulary with the learned
+    # merges, reduced to top-30 token frequencies; the oracle re-derives
+    # the merges AND the segmentation in SQL (bpe_segment_oracle_sql)
+    out["text_bpe_segment"] = lambda s, d: bpe_mod.bpe_token_frequencies(
+        _docs(s, d), n_merges=12, top_words=200, top_k=30
+    )
     out["text_tfidf_terms"] = lambda s, d: ts.tfidf_top_terms(_docs(s, d))
     out["corpus_sample_per_key"] = _q_corpus_sample_per_key
     out["corpus_importance_sample"] = _q_corpus_importance_sample
@@ -5988,6 +5994,9 @@ def oracle_sql() -> dict[str, str]:
     out["text_bpe_tokens"] = oracle.bpe_token_stats_sql()
     out["text_bpe_train"] = oracle.bpe_train_oracle_sql(
         n_merges=12, top_words=200
+    )
+    out["text_bpe_segment"] = oracle.bpe_segment_oracle_sql(
+        n_merges=12, top_words=200, top_k=30
     )
     out["text_tfidf_terms"] = oracle.tfidf_top_terms_sql(k=5)
     out["corpus_pack_sequences"] = oracle.pack_sequences_sql(

@@ -54,23 +54,25 @@ def word_frequencies(
     )
 
 
-def _merge_udf(lhs: str, rhs: str):
+def _scan_merge(syms: list, lhs: str, rhs: str) -> list:
+    """One canonical BPE scan pass: leftmost-first, non-overlapping,
+    continue after the merged token."""
+    out, i, n = [], 0, len(syms)
     merged = lhs + rhs
+    while i < n:
+        if i + 1 < n and syms[i] == lhs and syms[i + 1] == rhs:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
 
+
+def _merge_udf(lhs: str, rhs: str):
     @pandas_udf("array<string>")
     def apply_merge(syms_s: pd.Series) -> pd.Series:
-        def scan(syms: list) -> list:
-            out, i, n = [], 0, len(syms)
-            while i < n:
-                if i + 1 < n and syms[i] == lhs and syms[i + 1] == rhs:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            return out
-
-        return syms_s.map(lambda s: scan(list(s)))
+        return syms_s.map(lambda s: _scan_merge(list(s), lhs, rhs))
 
     return apply_merge
 
@@ -130,4 +132,61 @@ def bpe_train(
 
     return docs.sparkSession.createDataFrame(
         merges, "merge_round int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def bpe_segment_words(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Tokenizer INFERENCE: apply a learned merge list (in order) to
+    every word — one Arrow-batched pass applying all merges per word,
+    not one DataFrame pass per merge. Input (word, freq), output
+    (word, freq, tokens array<string>).
+
+    At 100 TB the word table is the distinct-vocabulary frame (bounded
+    by vocabulary, not corpus size); per-document tokenization is this
+    same UDF joined back through the word column."""
+
+    @pandas_udf("array<string>")
+    def seg(ws: pd.Series) -> pd.Series:
+        def one(w: str) -> list:
+            syms = list(w) + [_END]
+            for lhs, rhs in merges:
+                syms = _scan_merge(syms, lhs, rhs)
+            return syms
+
+        return ws.map(one)
+
+    return words.withColumn("tokens", seg("word"))
+
+
+def bpe_token_frequencies(
+    docs: DataFrame,
+    *,
+    n_merges: int = 12,
+    top_words: int = 200,
+    top_k: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train-then-tokenize end to end: learn the merge table, segment
+    the FULL corpus vocabulary with it, and return the ``top_k`` tokens
+    by frequency (n = Σ word freq over words containing the token).
+    The merge-list collect is ``n_merges`` rows — bounded by contract,
+    like the trainer's per-round argmax."""
+    merges_df = bpe_train(
+        docs, n_merges=n_merges, top_words=top_words, text_col=text_col
+    )
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in merges_df.orderBy("merge_round").collect()
+    ]
+    segmented = bpe_segment_words(
+        word_frequencies(docs, text_col=text_col), merges
+    )
+    return (
+        segmented.select(F.explode("tokens").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(top_k)
     )

@@ -3046,3 +3046,69 @@ def bpe_train_oracle_sql(
         + ",\n    ".join(parts)
         + f"\n    SELECT * FROM ({rows}) ORDER BY merge_round"
     )
+
+
+def bpe_segment_oracle_sql(
+    *,
+    n_merges: int = 12,
+    top_words: int = 200,
+    top_k: int = 30,
+    table: str = "documents",
+) -> str:
+    """SQL replay of operators.bpe.bpe_segment_words + token stats over
+    the FULL word vocabulary: re-derives the merge table exactly like
+    bpe_train_oracle_sql (independent replay, same CTE chain), then
+    applies pat_1..pat_n in order to every distinct corpus word (not
+    just the training cut) with the same iterated first-occurrence
+    fixpoint, explodes the final symbol sequences, and sums word
+    frequencies per token — the tokenizer-inference twin of the
+    trainer gate."""
+    train = bpe_train_oracle_sql(
+        n_merges=n_merges, top_words=top_words, table=table
+    )
+    # reuse everything up to the final SELECT of the trainer replay
+    head, _tail = train.rsplit("\n    SELECT * FROM (", 1)
+    parts = [head]
+    parts.append(
+        """,
+    sv_0 AS MATERIALIZED (
+      SELECT word, freq,
+             '|' || array_to_string(
+               list_append(list_transform(range(1, length(word) + 1),
+                                          i -> word[i]), '</w>'), '|')
+               || '|' AS seq
+      FROM words
+    )"""
+    )
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts.append(
+            f""",
+    sfix_{r} AS (
+      SELECT word, freq, seq FROM sv_{p}
+      UNION ALL
+      SELECT word, freq,
+             substr(seq, 1, strpos(seq, (SELECT p FROM pat_{r})) - 1)
+               || (SELECT rep FROM pat_{r})
+               || substr(seq, strpos(seq, (SELECT p FROM pat_{r}))
+                              + length((SELECT p FROM pat_{r})))
+      FROM sfix_{r}
+      WHERE strpos(seq, (SELECT p FROM pat_{r})) > 0
+    ), sv_{r} AS MATERIALIZED (
+      SELECT word, freq, seq FROM sfix_{r}
+      WHERE strpos(seq, (SELECT p FROM pat_{r})) = 0
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT token, CAST(sum(freq) AS BIGINT) AS n
+    FROM (
+      SELECT freq, unnest(list_filter(string_split(seq, '|'),
+                                      x -> x <> '')) AS token
+      FROM sv_{n_merges}
+    )
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT {top_k}"""
+    )
+    return "".join(parts)

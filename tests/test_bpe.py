@@ -57,3 +57,35 @@ def test_word_frequencies_filters_non_alpha(spark):
     got = {r.word: r.freq for r in word_frequencies(docs).collect()}
     # '42', 'c4t' and 'sat!' all fail ^[a-z]+$; 'The' lowercases in
     assert got == {"the": 1, "cat": 2}
+
+
+def test_bpe_segment_matches_replay(registry, duck):
+    from project_cortex_spark.operators.bpe import bpe_token_frequencies
+
+    df = bpe_token_frequencies(
+        registry.table("documents"), n_merges=6, top_words=80, top_k=20
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        oracle.bpe_segment_oracle_sql(n_merges=6, top_words=80, top_k=20),
+        ordered=True,
+    )
+
+
+def test_bpe_segment_words_applies_merges_in_order(spark):
+    from project_cortex_spark.operators.bpe import bpe_segment_words
+
+    words = spark.createDataFrame(
+        [("banana", 3), ("bandana", 1)], "word string, freq long"
+    )
+    # merge order matters: (a,n) first turns every 'an' into one symbol,
+    # then (b,an) can fire; reversed order could never fire (b,an)
+    out = {
+        r.word: list(r.tokens)
+        for r in bpe_segment_words(
+            words, [("a", "n"), ("b", "an")]
+        ).collect()
+    }
+    assert out["banana"] == ["ban", "an", "a", "</w>"]
+    assert out["bandana"] == ["ban", "d", "an", "a", "</w>"]
