@@ -61,6 +61,10 @@ EXTENDED = [
     "knn_topk_int8",  # dequantize-on-the-fly scan, fully oracle-gated
     "dedup_paragraphs",  # paragraph-md5 window + ordered reassembly
     "events_gapfill",  # dense grid from bounds frames + forward fill
+    # final-r6 additions: the new non-trivial plans
+    "knn_binary_rerank",  # XOR+popcount candidate cut + exact rerank
+    "search_hybrid_rrf",  # two distributed top-N lists + rank fusion
+    "text_bpe_train",  # 12 iterative rounds: pair-count agg + argmax
 ]
 
 HEADLINE = [

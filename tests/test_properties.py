@@ -1085,3 +1085,51 @@ def test_fts_batch_matches_single_query_search(spark, texts, n_terms):
         for i, r in enumerate(fts_search(idx, q, limit=5).collect(), start=1):
             want[(qid, i)] = (r["doc_id"], round(r["score"], 6))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-application equivalence: the oracle's iterated first-
+# occurrence replacement over sentinel-wrapped strings must equal the
+# canonical leftmost scan for EVERY symbol sequence and merge pair —
+# this is the load-bearing claim behind bpe_train_oracle_sql's recursive
+# CTE (pure-Python twin of both sides; no Spark/DuckDB in the loop).
+# ---------------------------------------------------------------------------
+
+SYM = st.sampled_from(["a", "b", "ab", "aa", "</w>"])
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(SYM, min_size=0, max_size=12), SYM, SYM)
+def test_bpe_scan_equals_iterated_first_replacement(syms, lhs, rhs):
+    from project_cortex_spark.operators.bpe import _scan_merge
+
+    # oracle semantics: '|'-wrapped string, replace FIRST occurrence of
+    # '|L|R|' with '|LR|', iterate to fixpoint
+    seq = "|" + "|".join(syms) + "|" if syms else "|"
+    pat = f"|{lhs}|{rhs}|"
+    rep = f"|{lhs}{rhs}|"
+    while (pos := seq.find(pat)) != -1:
+        seq = seq[:pos] + rep + seq[pos + len(pat):]
+    via_sql = [s for s in seq.split("|") if s != ""]
+    assert via_sql == _scan_merge(list(syms), lhs, rhs)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-10, max_value=10, allow_nan=False, width=32
+        ),
+        min_size=64,
+        max_size=64,
+    )
+)
+def test_binary_code_query_side_matches_column_side(vec):
+    # the driver-side query packing (knn._query_code) is the same
+    # function of the vector as the Catalyst column packing
+    from project_cortex_spark.operators.knn import _query_code
+
+    lo, hi = _query_code(vec)
+    assert lo == sum(1 << j for j in range(32) if vec[j] > 0)
+    assert hi == sum(1 << j for j in range(32) if vec[32 + j] > 0)
+    assert 0 <= lo < (1 << 32) and 0 <= hi < (1 << 32)
