@@ -68,6 +68,9 @@ PICKS = {
     "agg_tpch_q17": "correlated-aggregate filter de-correlated: per-part average as its own aggregate hash-joined back on the part key",
     "events_heatmap": "day-hour heatmap: ONE map-side-partial aggregate over <=168 integer-arithmetic keys — no calendar functions",
     "knn_join_ivf": "IVF ANN join: tiny exploded query->probe frame BROADCAST against the cluster-assigned corpus — an equi-join on cluster_id scoring |corpus|*nprobe/n_centroids rows instead of |corpus|; at scale the assignment store is partitioned by cluster_id and the same join prunes partitions",
+    "knn_binary_rerank": "two-stage binary ANN: sign-code packing + XOR+popcount Hamming are ALL codegen integer ops over the scan; float vectors are read only for the n_candidates-row TakeOrderedAndProject output — at scale the 8 B/vector code column scans where the 256 B floats never do",
+    "search_hybrid_rrf": "hybrid RRF: two independent distributed top-N subplans (BM25 posting join / KNN scoring scan); rank windows and the full-outer fusion join run on two <=50-row frames — nothing corpus-sized crosses the fusion",
+    "dedup_unicode_nfc": "canonical dedup: one Arrow-batched NFC map then the standard hash-groupBy — one shuffle on the normalized hash, same plan family as exact dedup",
 }
 
 

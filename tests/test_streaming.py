@@ -852,3 +852,35 @@ def test_stream_table_reads_directory_layout(spark, tmp_path):
         output_mode="append",
     )
     assert sorted(r["event_id"] for r in out.collect()) == [1, 2]
+
+
+def test_continuous_doc_vectors_matches_batch_embedding(spark, registry, tmp_path):
+    """Two deliveries through the streaming vector store == one-shot
+    batch embedding of the full corpus (exactly-once, append-only)."""
+    from pyspark.sql import functions as F
+
+    from project_cortex_spark.operators.search import build_doc_vectors
+    from project_cortex_spark.streaming import hybrid as stream_hybrid
+
+    docs = registry.table("documents").limit(60).cache()
+    in_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    for parity in (0, 1):
+        docs.filter(F.col("doc_id") % 2 == parity).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q = stream_hybrid.continuous_doc_vectors(
+            spark, in_dir, docs.schema, store_dir=store,
+            checkpoint_dir=ckpt, dim=16,
+        )
+        q.awaitTermination()
+    got = {
+        r.doc_id: list(r.embedding)
+        for r in stream_hybrid.read_doc_vectors(spark, store).collect()
+    }
+    want = {
+        r.doc_id: list(r.embedding)
+        for r in build_doc_vectors(docs, dim=16).collect()
+    }
+    assert got == want
