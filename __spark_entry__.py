@@ -48,6 +48,7 @@ from project_cortex_spark import oracle
 from project_cortex_spark.dsl import compile_query
 from project_cortex_spark.operators import asof as asof_mod
 from project_cortex_spark.operators import bpe as bpe_mod
+from project_cortex_spark.operators import embedstats as embedstats_mod
 from project_cortex_spark.operators import corpus as corpus_mod
 from project_cortex_spark.operators import dedup as dd
 from project_cortex_spark.operators import events as ev
@@ -5626,6 +5627,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corpus_pack_sequences"] = _q_corpus_pack
     out["corpus_profile"] = lambda s, d: corpus_mod.profile(_docs(s, d))
     out["embed_quantize"] = _q_embed_quantize
+    # two-stage distributed moment reduce: numpy Gram partials per
+    # Arrow batch (one row per partition), position-exploded elementwise
+    # sum — the whitening/drift-monitoring covariance at corpus scale
+    out["embed_covariance"] = lambda s, d: embedstats_mod.embedding_covariance(
+        _registry(s, d).table("embeddings")
+    )
     out["knn_recall_lsh"] = _q_knn_recall_lsh
     out["knn_recall_ivf"] = _q_knn_recall_ivf
     out["knn_recall_pq"] = _q_knn_recall_pq
@@ -6075,6 +6082,7 @@ def oracle_sql() -> dict[str, str]:
     )
     out["corpus_profile"] = oracle.corpus_profile_sql()
     out["embed_quantize"] = oracle.quantize_embeddings_sql()
+    out["embed_covariance"] = oracle.embedding_covariance_sql()
     # knn_recall_lsh: gated as of late r4 — BOTH of its inputs are now
     # SQL-replayable (exact join oracle + deterministic-plane LSH
     # oracle), so the recall measurement itself is hash-checked

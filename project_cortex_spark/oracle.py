@@ -3112,3 +3112,38 @@ def bpe_segment_oracle_sql(
     LIMIT {top_k}"""
     )
     return "".join(parts)
+
+
+def embedding_covariance_sql(*, dim: int = 64, round_digits: int = 6) -> str:
+    """SQL mirror of operators.embedstats.embedding_covariance: sample
+    covariance upper triangle over the embeddings table. Sum order
+    differs from the numpy partials (reassociation ~1e-13 at these
+    magnitudes) — absorbed by the 6 dp projection, same envelope as
+    every other float aggregate oracle."""
+    return f"""
+    WITH e AS (
+      SELECT embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    n AS (SELECT count(*) AS n FROM e),
+    idx AS (
+      SELECT t1.i, t2.j
+      FROM range(0, {dim}) t1(i), range(0, {dim}) t2(j)
+      WHERE t1.i <= t2.j
+    ),
+    prod AS (
+      SELECT i, j, sum(v[i + 1] * v[j + 1]) AS xx
+      FROM e, idx GROUP BY i, j
+    ),
+    sums AS (
+      SELECT k, sum(v[k + 1]) AS s
+      FROM e, range(0, {dim}) t(k) GROUP BY k
+    )
+    SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, n.n,
+           round((p.xx - si.s * sj.s / n.n) / (n.n - 1),
+                 {round_digits}) + 0.0 AS cov
+    FROM prod p
+    JOIN sums si ON si.k = p.i
+    JOIN sums sj ON sj.k = p.j
+    CROSS JOIN n
+    """

@@ -27,6 +27,8 @@ def norm(v):
             return "nan"
         if math.isinf(v):
             return "inf" if v > 0 else "-inf"
+        if v == 0.0:
+            return 0.0  # canonicalize -0.0: == 0.0 but repr-sorts apart
         a = abs(v)
         if a >= 1e6:
             # round(v, 6) is an ABSOLUTE tolerance: at sf1, sums >1e9
