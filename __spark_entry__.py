@@ -5778,11 +5778,11 @@ _GATE_FIRST = [
     # media_adpcm_roundtrip, media_flac_roundtrip, media_video_frames,
     # media_audio_features, media_gif_roundtrip,
     # media_multimodal_shards, text_html_extract, text_pdf_extract,
-    # text_fix_mojibake, source_gzip_roundtrip), the final-wave eight
+    # text_fix_mojibake, source_gzip_roundtrip), the final-wave nine
     # (knn_topk_binary, knn_binary_rerank, knn_recall_binary,
     # search_hybrid_rrf, stream_hybrid_rrf, dedup_unicode_nfc,
-    # text_bpe_train, text_bpe_segment — all oracle-gated green at
-    # sf0.01 on registration day),
+    # text_bpe_train, text_bpe_segment, embed_covariance — all
+    # oracle-gated green at sf0.01 on registration day),
     # the 9 TPC-H completions
     # (agg_tpch_q7/q8/q9/q11/q12/q14/q16/q20/q22_shape, all
     # oracle-gated green at sf0.01) and the 11 earlier ones
