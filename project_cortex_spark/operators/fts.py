@@ -390,6 +390,7 @@ def fts_search(
     limit: int = 15,
     where: Column | None = None,
     payload_cols: list[str] | None = None,
+    rank_digits: int | None = None,
 ) -> DataFrame:
     """Ranked boolean retrieval: parse -> match set -> BM25 score -> join
     payload -> order by score desc, doc_id asc -> limit.
@@ -397,6 +398,13 @@ def fts_search(
     Column filters (language =, path LIKE in the reference,
     exact_sqlite.go:73-80) ride along as `where` and are pushed into the
     docs scan by Catalyst.
+
+    ``rank_digits`` quantizes the score BEFORE the cut and the ordering
+    (and in the returned column): documents whose true BM25 scores are
+    exactly equal can reassociate to ±1 ulp differences that rank
+    differently across engines/partitionings — rounding collapses such
+    packs onto the deterministic doc_id tie-break. Rank-consumers
+    (hybrid RRF fusion) set 9; plain search keeps the raw score.
     """
     node = parse_fts_query(query)
     matches = _match_node(index, node)
@@ -409,6 +417,8 @@ def fts_search(
         .na.fill({"score": 0.0})
         .join(docs.withColumnRenamed(index.id_col, "doc_id"), "doc_id")
     )
+    if rank_digits is not None:
+        out = out.withColumn("score", F.round("score", rank_digits))
     cols = ["doc_id", "score"] + (payload_cols or [])
     return (
         out.select(*cols)

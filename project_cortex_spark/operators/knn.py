@@ -36,6 +36,7 @@ def knn_topk(
     min_score: float | None = None,
     where: Column | None = None,
     payload_cols: list[str] | None = None,
+    rank_digits: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of one query vector.
 
@@ -43,12 +44,19 @@ def knn_topk(
     id as the deterministic tie-break (the reference orders by distance
     then applies LIMIT: vector_index.go:133-171; deterministic tie-order
     per searcher_sql.go:425).
+
+    ``rank_digits`` quantizes the score before the cut/ordering so
+    truly-tied vectors (exact duplicates, replicated corpora) rank by
+    the id tie-break instead of by ±1-ulp reassociation noise — set by
+    rank-consumers like hybrid RRF; plain search keeps the raw score.
     """
     q = F.lit(query_vec).cast("array<double>")
     df = corpus
     if where is not None:
         df = df.filter(where)
     df = df.withColumn("score", similarity_score(F.col(vec_col), q))
+    if rank_digits is not None:
+        df = df.withColumn("score", F.round("score", rank_digits))
     if min_score is not None:
         df = df.filter(F.col("score") >= min_score)
     cols = [id_col, "score"] + (payload_cols or [])

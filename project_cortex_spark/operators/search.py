@@ -183,6 +183,7 @@ def hybrid_search_rrf(
     dim: int = DEFAULT_DIM,
     provider: str = "hash",
     id_col: str = "doc_id",
+    rank_digits: int = 9,
 ) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion: BM25 top-N and
     cosine top-N fused by ``Σ 1/(rrf_k + rank)`` (Cormack et al.'s RRF,
@@ -214,11 +215,25 @@ def hybrid_search_rrf(
         float(x)
         for x in embedder(pd.Series([semantic_query]), dim=dim, mode="query")[0]
     ]
-    lex = fts_search(fts_index, lexical_query, limit=n_per_list).select(
-        id_col, "score"
-    )
+    # rank_digits quantizes both lists' scores before the cut and the
+    # ranks: a replicated corpus holds packs of truly-equal scores that
+    # reassociate to ±1-ulp differences — unquantized, those rank in
+    # engine-/partitioning-dependent order (measured at the sf1 replica
+    # harness: adjacent lexical ranks flipped between Spark and the SQL
+    # replay); at 9 dp the packs collapse onto the id tie-break.
+    lex = fts_search(
+        fts_index,
+        lexical_query,
+        limit=n_per_list,
+        rank_digits=rank_digits,
+    ).select(id_col, "score")
     sem = knn_topk(
-        doc_vectors, qv, vec_col="embedding", id_col=id_col, k=n_per_list
+        doc_vectors,
+        qv,
+        vec_col="embedding",
+        id_col=id_col,
+        k=n_per_list,
+        rank_digits=rank_digits,
     )
 
     def ranked(df: DataFrame, rank_name: str) -> DataFrame:

@@ -171,13 +171,17 @@ def fts_oracle_sql(
     payload_cols: tuple[str, ...] = (),
     where_sql: str | None = None,
     round_digits: int | None = 6,
+    rank_digits: int | None = None,
 ) -> str:
     """SQL mirroring operators.fts.fts_search for the same query string.
 
     ``round_digits=None`` emits the raw double score — for callers that
-    embed this as a subquery and need to re-rank on the exact value
-    (hybrid_rrf_oracle_sql), where projection-time rounding would make
-    the outer ordering diverge from the engine's unrounded sort."""
+    embed this as a subquery and need to re-rank on the exact value,
+    where projection-time rounding would make the outer ordering diverge
+    from the engine's unrounded sort. ``rank_digits`` mirrors
+    fts_search's rank quantization: the score is rounded BEFORE the
+    ordering and the cut (and round_digits is ignored — the projected
+    score IS the rank-quantized one)."""
     node = parse_fts_query(query)
     literals = query_terms(node)
     words: list[str] = []
@@ -199,11 +203,16 @@ def fts_oracle_sql(
     match_sql = _match_sql(node, table, id_col, text_col)
     payload = "".join(f", d.{c}" for c in payload_cols)
     where = f"WHERE {where_sql}" if where_sql else ""
-    score_proj = (
-        "coalesce(sc.score, 0.0)"
-        if round_digits is None
-        else f"round(coalesce(sc.score, 0.0), {round_digits})"
-    )
+    if rank_digits is not None:
+        score_proj = f"round(coalesce(sc.score, 0.0), {rank_digits})"
+        order_expr = score_proj
+    else:
+        score_proj = (
+            "coalesce(sc.score, 0.0)"
+            if round_digits is None
+            else f"round(coalesce(sc.score, 0.0), {round_digits})"
+        )
+        order_expr = "coalesce(sc.score, 0.0)"
 
     return f"""
     WITH {fts_tokens_cte(table, id_col, text_col)},
@@ -224,7 +233,7 @@ def fts_oracle_sql(
     FROM matches m
     LEFT JOIN scored sc USING (doc_id)
     JOIN (SELECT * FROM {table} {where}) d ON d.{id_col} = m.doc_id
-    ORDER BY coalesce(sc.score, 0.0) DESC, m.doc_id
+    ORDER BY {order_expr} DESC, m.doc_id
     LIMIT {limit}
     """
 
@@ -2898,21 +2907,27 @@ def hybrid_rrf_oracle_sql(
     n_per_list: int = 50,
     rrf_k: int = 60,
     dim: int = 32,
+    rank_digits: int = 9,
 ) -> str:
     """SQL mirroring operators.search.hybrid_search_rrf: BM25 top-N and
     doc-embedding cosine top-N as independent ranked lists, fused by
     Σ 1/(rrf_k + rank). Ranks are integers, so the fused double is
-    bit-identical in both engines; ordering uses the unrounded value
-    with the doc_id tie-break (equal single-list ranks DO tie)."""
+    bit-identical in both engines; ordering uses the doc_id tie-break
+    (equal single-list ranks DO tie). Both lists rank on scores
+    quantized to ``rank_digits`` exactly like the engine side —
+    truly-tied score packs (replicated corpora) collapse onto the id
+    tie-break instead of ±1-ulp reassociation order."""
     lex_sub = fts_oracle_sql(
-        lexical_query, limit=n_per_list, round_digits=None
+        lexical_query, limit=n_per_list, rank_digits=rank_digits
     )
     return f"""
     WITH {_doc_hash_embed_scored_cte(semantic_query, dim=dim)},
     lex0 AS (SELECT doc_id, score FROM ({lex_sub}) _lex),
     sem0 AS (
-      SELECT doc_id, score FROM sem_scored
-      ORDER BY score DESC, doc_id LIMIT {n_per_list}
+      SELECT doc_id, round(score, {rank_digits}) AS score
+      FROM sem_scored
+      ORDER BY round(score, {rank_digits}) DESC, doc_id
+      LIMIT {n_per_list}
     ),
     lexr AS (
       SELECT doc_id,
