@@ -1210,6 +1210,31 @@ def _q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_search_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the score-aware fusion flavor: min-max normalized weighted sum
+    # (0.4 lex / 0.6 sem) over the same two rank-quantized lists —
+    # engine-exact because every downstream double is a pure function
+    # of the quantized scores (oracle.hybrid_weighted_oracle_sql)
+    docs = _docs(spark, sf_dir)
+    vecs = _memo(
+        spark,
+        sf_dir,
+        "doc_vectors_32",
+        lambda: search_mod.build_doc_vectors(docs, dim=32).cache(),
+    )
+    return search_mod.hybrid_search_weighted(
+        _fts_index(spark, sf_dir),
+        vecs,
+        "key OR agg OR row OR scan",
+        "key agg row scan",
+        k=15,
+        n_per_list=50,
+        w_lex=0.4,
+        w_sem=0.6,
+        dim=32,
+    )
+
+
 def _q_search_semantic_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cortex_search over the RANDOM-INDEXING lexical provider (the
     # no-model-runtime stand-in for the reference's ONNX BGE-small,
@@ -5417,6 +5442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fts_filtered"] = _q_fts_filtered
     out["search_semantic"] = _q_search_semantic
     out["search_hybrid_rrf"] = _q_search_hybrid_rrf
+    out["search_hybrid_weighted"] = _q_search_hybrid_weighted
     out["search_semantic_lexical"] = _q_search_semantic_lexical
     out["search_lexical_recall"] = _q_search_lexical_recall
     out["graph_callees_d3"] = _q_graph_callees
@@ -5965,6 +5991,15 @@ def oracle_sql() -> dict[str, str]:
         k=15,
         n_per_list=50,
         rrf_k=60,
+        dim=32,
+    )
+    out["search_hybrid_weighted"] = oracle.hybrid_weighted_oracle_sql(
+        "key OR agg OR row OR scan",
+        "key agg row scan",
+        k=15,
+        n_per_list=50,
+        w_lex=0.4,
+        w_sem=0.6,
         dim=32,
     )
     out["search_lexical_recall"] = _LEXICAL_RECALL_ORACLE

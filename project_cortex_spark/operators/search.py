@@ -261,3 +261,80 @@ def hybrid_search_rrf(
             "sem_rank",
         )
     )
+
+
+def hybrid_search_weighted(
+    fts_index,
+    doc_vectors: DataFrame,
+    lexical_query: str,
+    semantic_query: str,
+    *,
+    k: int = 15,
+    n_per_list: int = 50,
+    w_lex: float = 0.4,
+    w_sem: float = 0.6,
+    dim: int = DEFAULT_DIM,
+    provider: str = "hash",
+    id_col: str = "doc_id",
+    rank_digits: int = 9,
+) -> DataFrame:
+    """The other standard fusion: min-max normalize each list's scores
+    to [0, 1] and take a weighted sum (convex combination) — the
+    score-aware alternative to RRF when list score scales are trusted.
+    A degenerate list (all scores equal) normalizes to 1.0 everywhere
+    by convention; a doc missing from a list contributes 0.
+
+    Same physical shape as :func:`hybrid_search_rrf`: two independent
+    distributed top-N lists, fusion over two ≤N-row frames. The
+    normalization inputs are the 9 dp rank-quantized scores, so every
+    downstream double is a pure function of identical inputs in both
+    engines — hash-gateable end to end.
+    """
+    from project_cortex_spark.operators.fts import fts_search
+    from project_cortex_spark.operators.knn import knn_topk
+    from pyspark.sql import Window
+
+    embedder = PROVIDERS[provider]
+    qv = [
+        float(x)
+        for x in embedder(pd.Series([semantic_query]), dim=dim, mode="query")[0]
+    ]
+    lex = fts_search(
+        fts_index, lexical_query, limit=n_per_list, rank_digits=rank_digits
+    ).select(id_col, "score")
+    sem = knn_topk(
+        doc_vectors,
+        qv,
+        vec_col="embedding",
+        id_col=id_col,
+        k=n_per_list,
+        rank_digits=rank_digits,
+    )
+
+    def normed(df: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy(F.lit(1))  # whole ≤N-row frame
+        lo, hi = F.min("score").over(w), F.max("score").over(w)
+        return df.select(
+            id_col,
+            F.when(hi == lo, F.lit(1.0))
+            .otherwise((F.col("score") - lo) / (hi - lo))
+            .alias(out),
+        )
+
+    fused = normed(lex, "lex_norm").join(
+        normed(sem, "sem_norm"), [id_col], "full"
+    )
+    f = F.lit(w_lex) * F.coalesce(F.col("lex_norm"), F.lit(0.0)) + F.lit(
+        w_sem
+    ) * F.coalesce(F.col("sem_norm"), F.lit(0.0))
+    return (
+        fused.withColumn("_f", f)
+        .orderBy(F.col("_f").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            F.round("_f", 6).alias("wsum_score"),
+            F.round("lex_norm", 6).alias("lex_norm"),
+            F.round("sem_norm", 6).alias("sem_norm"),
+        )
+    )

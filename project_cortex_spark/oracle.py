@@ -3162,3 +3162,62 @@ def embedding_covariance_sql(*, dim: int = 64, round_digits: int = 6) -> str:
     JOIN sums sj ON sj.k = p.j
     CROSS JOIN n
     """
+
+
+def hybrid_weighted_oracle_sql(
+    lexical_query: str,
+    semantic_query: str,
+    *,
+    k: int = 15,
+    n_per_list: int = 50,
+    w_lex: float = 0.4,
+    w_sem: float = 0.6,
+    dim: int = 32,
+    rank_digits: int = 9,
+) -> str:
+    """SQL mirroring operators.search.hybrid_search_weighted: the same
+    two rank-quantized lists as the RRF oracle, min-max normalized per
+    list (degenerate all-equal list -> 1.0), convex-combined. All
+    downstream doubles are pure functions of the quantized scores, so
+    the fusion is engine-exact."""
+    lex_sub = fts_oracle_sql(
+        lexical_query, limit=n_per_list, rank_digits=rank_digits
+    )
+    return f"""
+    WITH {_doc_hash_embed_scored_cte(semantic_query, dim=dim)},
+    lex0 AS (SELECT doc_id, score FROM ({lex_sub}) _lex),
+    sem0 AS (
+      SELECT doc_id, round(score, {rank_digits}) AS score
+      FROM sem_scored
+      ORDER BY round(score, {rank_digits}) DESC, doc_id
+      LIMIT {n_per_list}
+    ),
+    lexn AS (
+      SELECT doc_id,
+             CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+                  ELSE (score - min(score) OVER ())
+                       / (max(score) OVER () - min(score) OVER ())
+             END AS lex_norm
+      FROM lex0
+    ),
+    semn AS (
+      SELECT doc_id,
+             CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+                  ELSE (score - min(score) OVER ())
+                       / (max(score) OVER () - min(score) OVER ())
+             END AS sem_norm
+      FROM sem0
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             {w_lex!r} * coalesce(l.lex_norm, 0.0)
+               + {w_sem!r} * coalesce(s.sem_norm, 0.0) AS f,
+             l.lex_norm, s.sem_norm
+      FROM lexn l FULL JOIN semn s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, round(f, 6) AS wsum_score,
+           round(lex_norm, 6) AS lex_norm, round(sem_norm, 6) AS sem_norm
+    FROM fused
+    ORDER BY f DESC, doc_id
+    LIMIT {k}
+    """

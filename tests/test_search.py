@@ -180,3 +180,47 @@ def test_hybrid_rrf_fusion_semantics(spark, registry):
         assert a.rrf_score > b.rrf_score or (
             a.rrf_score == b.rrf_score and a.doc_id < b.doc_id
         )
+
+
+def test_hybrid_weighted_matches_oracle(spark, registry, duck):
+    from project_cortex_spark import oracle
+    from project_cortex_spark.operators.fts import build_fts_index
+
+    from .conftest import assert_matches_oracle
+
+    docs = registry.table("documents")
+    idx = build_fts_index(docs, id_col="doc_id", text_col="text")
+    vecs = srch.build_doc_vectors(docs, dim=32)
+    df = srch.hybrid_search_weighted(
+        idx, vecs, "key OR agg OR row OR scan", "key agg row scan",
+        k=15, n_per_list=50, w_lex=0.4, w_sem=0.6, dim=32,
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        oracle.hybrid_weighted_oracle_sql(
+            "key OR agg OR row OR scan", "key agg row scan",
+            k=15, n_per_list=50, w_lex=0.4, w_sem=0.6, dim=32,
+        ),
+        ordered=True,
+    )
+
+
+def test_hybrid_weighted_norm_contract(spark, registry):
+    """Norms live in [0,1]; the per-list max normalizes to exactly 1 and
+    the min to exactly 0 (unless degenerate); fused = 0.4*lex+0.6*sem."""
+    from project_cortex_spark.operators.fts import build_fts_index
+
+    docs = registry.table("documents")
+    idx = build_fts_index(docs, id_col="doc_id", text_col="text")
+    vecs = srch.build_doc_vectors(docs, dim=32)
+    rows = srch.hybrid_search_weighted(
+        idx, vecs, "key OR agg OR row OR scan", "key agg row scan",
+        k=50, n_per_list=50, dim=32,
+    ).collect()
+    for r in rows:
+        for v in (r.lex_norm, r.sem_norm):
+            assert v is None or 0.0 <= v <= 1.0
+        expect = 0.4 * (r.lex_norm or 0.0) + 0.6 * (r.sem_norm or 0.0)
+        assert abs(r.wsum_score - expect) < 2e-6
+    assert any(r.sem_norm == 1.0 for r in rows)  # the sem top-1 made top-k
