@@ -983,6 +983,14 @@ def _q_knn_recall_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_mod.ann_recall(approx, exact)
 
 
+def _q_knn_join_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the batched form of the binary tier: 5 queries answered by one
+    # broadcast of tiny integer codes against the code scan — fully
+    # oracle-gated like the single-query binary search
+    emb = _registry(spark, sf_dir).table("embeddings")
+    return knn_mod.knn_join_binary(_knn_queries(spark, sf_dir), emb, k=5)
+
+
 def _q_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # diversified top-10 from 40 exact candidates; the greedy rerank is
     # executor-side applyInPandas over the constant-sized candidate set,
@@ -5437,6 +5445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["knn_topk_binary"] = _q_knn_topk_binary
     out["knn_binary_rerank"] = _q_knn_binary_rerank
     out["knn_recall_binary"] = _q_knn_recall_binary
+    out["knn_join_binary"] = _q_knn_join_binary
     for name, (q, limit) in _FTS_QUERIES.items():
         out[name] = _fts_query(q, limit)
     out["fts_filtered"] = _q_fts_filtered
@@ -5804,11 +5813,13 @@ _GATE_FIRST = [
     # media_adpcm_roundtrip, media_flac_roundtrip, media_video_frames,
     # media_audio_features, media_gif_roundtrip,
     # media_multimodal_shards, text_html_extract, text_pdf_extract,
-    # text_fix_mojibake, source_gzip_roundtrip), the final-wave nine
+    # text_fix_mojibake, source_gzip_roundtrip), the final-wave eleven
     # (knn_topk_binary, knn_binary_rerank, knn_recall_binary,
-    # search_hybrid_rrf, stream_hybrid_rrf, dedup_unicode_nfc,
-    # text_bpe_train, text_bpe_segment, embed_covariance — all
-    # oracle-gated green at sf0.01 on registration day),
+    # knn_join_binary, search_hybrid_rrf, search_hybrid_weighted,
+    # stream_hybrid_rrf, dedup_unicode_nfc, text_bpe_train,
+    # text_bpe_segment, embed_covariance — all oracle-gated green at
+    # sf0.01 on registration day, most also at sf0.1 and the sf1
+    # replica harness),
     # the 9 TPC-H completions
     # (agg_tpch_q7/q8/q9/q11/q12/q14/q16/q20/q22_shape, all
     # oracle-gated green at sf0.01) and the 11 earlier ones
@@ -5919,6 +5930,9 @@ def oracle_sql() -> dict[str, str]:
     FROM j
     """
     out["knn_topk_binary"] = oracle.knn_binary_oracle_sql(k=15)
+    out["knn_join_binary"] = oracle.knn_join_binary_oracle_sql(
+        n_queries=5, k=5
+    )
     out["knn_binary_rerank"] = oracle.knn_binary_rerank_oracle_sql(
         k=15, n_candidates=64
     )

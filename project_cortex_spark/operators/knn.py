@@ -1008,3 +1008,52 @@ def knn_topk_binary_rerank(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def knn_join_binary(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Batched Hamming top-k over the sign-bit codes: every query row
+    answered in one job — (query_id, vec_id, hamming), k rows per
+    query, (distance, id) deterministic order.
+
+    Physical shape: both sides reduce to 2×32-bit integer codes; the
+    tiny query-code frame BROADCASTS against the corpus-code scan and
+    each candidate pair costs three integer ops, so the batched join is
+    exactly the full-corpus binary scan you'd run at 100 TB — the float
+    vectors never leave storage (compose with
+    :func:`knn_topk_binary_rerank`'s exact stage per query for the
+    refined variant).
+    """
+    from ..functions.vector import hamming_distance_halves
+
+    ccodes = binarize_embeddings(corpus, vec_col=vec_col, id_col=id_col)
+    qcodes = binarize_embeddings(
+        queries, vec_col=query_vec, id_col=query_id
+    ).select(
+        query_id,
+        F.col("bits_lo").alias("q_lo"),
+        F.col("bits_hi").alias("q_hi"),
+    )
+    paired = ccodes.crossJoin(F.broadcast(qcodes)).select(
+        query_id,
+        id_col,
+        hamming_distance_halves(
+            F.col("bits_lo"), F.col("bits_hi"), F.col("q_lo"), F.col("q_hi")
+        ).alias("hamming"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("hamming").asc(), F.col(id_col).asc()
+    )
+    return (
+        paired.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -3221,3 +3221,27 @@ def hybrid_weighted_oracle_sql(
     ORDER BY f DESC, doc_id
     LIMIT {k}
     """
+
+
+def knn_join_binary_oracle_sql(*, n_queries: int = 5, k: int = 5) -> str:
+    """SQL mirroring operators.knn.knn_join_binary for the standard
+    query side (vec_id < n_queries): same half-word packing, Hamming
+    per pair, row_number top-k per query."""
+    return f"""
+    WITH {_BINARY_CODES_CTE},
+    q AS (SELECT vec_id AS query_id, lo AS q_lo, hi AS q_hi
+          FROM codes WHERE vec_id < {n_queries}),
+    paired AS (
+      SELECT q.query_id, c.vec_id,
+             CAST(bit_count(xor(c.lo, q.q_lo))
+                  + bit_count(xor(c.hi, q.q_hi)) AS BIGINT) AS hamming
+      FROM codes c, q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, vec_id) AS rn
+      FROM paired
+    )
+    SELECT query_id, vec_id, hamming FROM ranked WHERE rn <= {k}
+    """

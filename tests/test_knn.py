@@ -506,3 +506,25 @@ def test_binary_rerank_recall_dominates_raw(registry, duck):
     rer_r = knn.ann_recall(rer, exact).collect()[0].recall_e4
     assert rer_r >= raw_r
     assert rer_r >= 5000  # 64/500 candidates already recover most of top-15
+
+
+def test_knn_join_binary_matches_oracle(registry, duck):
+    from project_cortex_spark import oracle
+
+    queries = registry.table("embeddings").filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df = knn.knn_join_binary(queries, registry.table("embeddings"), k=5)
+    assert_matches_oracle(
+        df, duck, oracle.knn_join_binary_oracle_sql(n_queries=5, k=5)
+    )
+
+
+def test_knn_join_binary_self_is_nearest(registry):
+    # each query is drawn from the corpus: its own id must rank first
+    # (hamming 0, smallest id among distance-0 ties... the query itself)
+    queries = registry.table("embeddings").filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rows = knn.knn_join_binary(queries, registry.table("embeddings"), k=1).collect()
+    assert all(r.hamming == 0 for r in rows)
