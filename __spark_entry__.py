@@ -5525,6 +5525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corpus_token_budget"] = _q_corpus_token_budget
     _events = lambda s, d: _registry(s, d).table("events")  # noqa: E731
     out["events_windowed_agg"] = lambda s, d: ev.windowed_agg(_events(s, d))
+    # EWMA as an explicit left fold over the ordered bucket array —
+    # bit-identical to DuckDB list_reduce, so the "stateful" smoother
+    # is hash-gated (oracle.ewma_sql)
+    out["events_ewma"] = lambda s, d: ev.ewma_series(_events(s, d))
     # contract form: integer epoch-micros bounds + exact scaled-int sum —
     # hash-deterministic by construction (round-1's one red driver row was
     # this query's float-sum rounding drift)
@@ -6055,6 +6059,7 @@ def oracle_sql() -> dict[str, str]:
         bench_filter="doc_id % 97 = 0", ngram=8
     )
     out["events_windowed_agg"] = oracle.windowed_agg_sql()
+    out["events_ewma"] = oracle.ewma_sql()
     out["events_sessionize"] = oracle.sessionize_contract_sql()
     out["events_props_extract"] = oracle.props_extract_sql()
     out["events_top_users"] = oracle.top_users_per_type_sql()

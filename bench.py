@@ -65,6 +65,8 @@ EXTENDED = [
     "knn_binary_rerank",  # XOR+popcount candidate cut + exact rerank
     "search_hybrid_rrf",  # two distributed top-N lists + rank fusion
     "text_bpe_train",  # 12 iterative rounds: pair-count agg + argmax
+    "knn_join_binary",  # broadcast query codes vs corpus-code scan
+    "embed_covariance",  # mapInPandas Gram partials + exploded reduce
 ]
 
 HEADLINE = [

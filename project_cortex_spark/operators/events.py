@@ -596,3 +596,53 @@ def sliding_window_agg(
             "sum_value",
         )
     )
+
+
+def ewma_series(
+    events: DataFrame, *, minutes: int = 60, alpha: float = 0.25
+) -> DataFrame:
+    """Exponentially weighted moving average of per-type event volume:
+    y_t = α·x_t + (1−α)·y_{t−1}, seeded y_0 = x_0, over the observed
+    hourly buckets in time order — the classic smoother behind
+    alerting baselines and trend monitors.
+
+    The recursion is evaluated as an explicit LEFT FOLD over the
+    cumulative ordered bucket array (collect_list over an ordered
+    window, then ``aggregate`` seeded with the first element), which is
+    bit-identical to DuckDB's ``list_reduce`` on the same array — so
+    unlike most "stateful" time-series ops this one is fully
+    hash-gateable. State per row is the cumulative array: fine for
+    bounded series (buckets-per-key), the same envelope as any
+    unbounded-preceding window; at 100 TB the shuffle key is
+    (event_type) and the per-key series length is hours-of-history,
+    not event count.
+    """
+    base = (
+        events.groupBy(
+            F.window("ts", f"{minutes} minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    xs = F.collect_list(F.col("n_events").cast("double")).over(w)
+    fold = lambda y, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * y  # noqa: E731
+    return base.withColumn("xs", xs).select(
+        "event_type",
+        "window_start",
+        "n_events",
+        F.round(
+            F.aggregate(
+                F.slice(F.col("xs"), F.lit(2), F.size("xs") - 1),
+                F.element_at(F.col("xs"), 1),
+                fold,
+            ),
+            6,
+        ).alias("ewma"),
+    )

@@ -3245,3 +3245,30 @@ def knn_join_binary_oracle_sql(*, n_queries: int = 5, k: int = 5) -> str:
     )
     SELECT query_id, vec_id, hamming FROM ranked WHERE rn <= {k}
     """
+
+
+def ewma_sql(
+    table: str = "events", *, minutes: int = 60, alpha: float = 0.25
+) -> str:
+    """SQL mirror of operators.events.ewma_series: the identical left
+    fold (list_reduce seeds with the first element, same a*x + (1-a)*y
+    multiply-add shape) over the identically ordered bucket array —
+    bit-exact, not tolerance-compared."""
+    return f"""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '{minutes} minutes', ts) AS window_start,
+             event_type, count(*) AS n_events
+      FROM {table} GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, window_start, n_events,
+             array_agg(CAST(n_events AS DOUBLE)) OVER (
+               PARTITION BY event_type ORDER BY window_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+      FROM b
+    )
+    SELECT event_type, window_start, n_events,
+           round(list_reduce(xs, (y, x) -> {alpha!r} * x
+                                           + {1.0 - alpha!r} * y), 6)
+             AS ewma
+    FROM s
+    """

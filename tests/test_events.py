@@ -366,3 +366,40 @@ def test_sliding_window_covers_each_event_ratio_times(spark):
     base = int(dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc).timestamp()) * 10**6
     q = 15 * 60 * 10**6
     assert got == [base - q, base, base + q, base + 2 * q]
+
+
+def test_ewma_series_recursion(spark):
+    from datetime import datetime
+
+    from project_cortex_spark.operators.events import ewma_series
+
+    rows = []
+    # type 'a': hours 0,1,2 with 1, 4, 2 events
+    for h, n in [(0, 1), (1, 4), (2, 2)]:
+        for i in range(n):
+            rows.append((len(rows), datetime(2024, 1, 1, h, 5 + i), 1, "a", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r.window_start.hour: (r.n_events, r.ewma)
+        for r in ewma_series(df).collect()
+    }
+    # y0=1; y1=0.25*4+0.75*1=1.75; y2=0.25*2+0.75*1.75=1.8125
+    assert got[0] == (1, 1.0)
+    assert got[1] == (4, 1.75)
+    assert got[2] == (2, 1.8125)
+
+
+def test_ewma_matches_oracle_at_alpha_half(registry, duck):
+    from project_cortex_spark import oracle as orc
+    from project_cortex_spark.operators.events import ewma_series
+
+    from .conftest import assert_matches_oracle
+
+    df = ewma_series(registry.table("events"), minutes=30, alpha=0.5)
+    assert_matches_oracle(
+        df, duck, orc.ewma_sql(minutes=30, alpha=0.5)
+    )
