@@ -5465,6 +5465,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["graph_type_usages"] = _q_graph_type_usages
     out["dedup_exact_groups"] = _q_dedup_exact
     out["dedup_unicode_nfc"] = _q_dedup_unicode_nfc
+    # MOSS winnowing (Schleimer et al. 2003): window-min fingerprint
+    # sets guarantee detection of any shared substring >= k+w-1 chars;
+    # df-capped fingerprint equi-join, exact-integer overlap
+    out["dedup_winnowing"] = lambda s, d: dd.winnowing_near_duplicates(
+        _docs(s, d), k=8, w=4, threshold=0.5, max_df=50
+    )
     out["dedup_minhash_lsh"] = _q_dedup_minhash
     out["dedup_ngram_jaccard"] = _q_dedup_ngram
     out["dedup_simhash"] = _q_dedup_simhash
@@ -6028,6 +6034,9 @@ def oracle_sql() -> dict[str, str]:
         table="part", id_col="p_partkey", text_col="p_name"
     )
     out["dedup_unicode_nfc"] = oracle.unicode_nfc_groups_sql(every=10)
+    out["dedup_winnowing"] = oracle.winnowing_pairs_sql(
+        k=8, w=4, threshold=0.5, max_df=50
+    )
     out["dedup_minhash_lsh"] = oracle.minhash_near_duplicates_sql(threshold=0.5)
     out["dedup_ngram_jaccard"] = oracle.ngram_jaccard_pairs_sql(
         threshold=0.5, max_df=100

@@ -1028,3 +1028,107 @@ def unicode_duplicate_groups(
             (F.col("doc_id") == F.col("canonical")).alias("keep"),
         )
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint SETS (Schleimer et al. 2003, the MOSS
+    algorithm): hash every character k-gram of the normalized text,
+    slide a w-window over the hash sequence, keep each window's minimum
+    — the guarantee is that any shared substring of length ≥ k+w−1
+    yields at least one shared fingerprint, which single-min or random
+    sampling cannot promise. Output (doc_id, fp) with the per-document
+    set deduplicated.
+
+    The k-gram hash is the md5-prefix integer (engine-exact: the same
+    '0x'||substr(md5,1,8) trick as the embedding oracle), window minima
+    are plain integer comparisons — the whole construction replays in
+    SQL. Documents shorter than k+w−1 chars degrade to their single
+    minimal hash.
+    """
+    from ..functions.text import char_ngrams, tokens
+
+    norm = F.concat_ws(" ", tokens(F.col(text_col)))
+    grams = char_ngrams(norm, k)
+    # MATERIALIZE the hash array as a column before windowing: Catalyst
+    # does not CSE a lambda-captured subexpression, so referencing an
+    # unmaterialized `hs` inside the per-window slice would re-hash the
+    # whole document once PER WINDOW — O(n²) md5 calls per doc (measured
+    # as a task hang at sf0.01 before this select boundary existed)
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast(
+                "long"
+            ),
+        ).alias("hs"),
+    )
+    hs = F.col("hs")
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(hs) - F.lit(w - 1)),
+        lambda i: F.array_min(F.slice(hs, i, w)),
+    )
+    fps = (
+        F.when(F.size(hs) >= w, F.array_distinct(windows))
+        .when(F.size(hs) > 0, F.array(F.array_min(hs)))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return hashed.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def winnowing_near_duplicates(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_df: int = 50,
+) -> DataFrame:
+    """Near-duplicate pairs by winnowing-fingerprint overlap:
+    (doc_a, doc_b, shared, overlap) with overlap = shared /
+    min(|A|, |B|) ≥ threshold.
+
+    Scale shape: candidate generation is an equi-join on the
+    fingerprint value (bucketed, like every LSH family here) with a
+    ``max_df`` hot-fingerprint cap — a fingerprint present in more than
+    max_df documents (boilerplate) is dropped BEFORE the pair fan-out,
+    the same guard as the shingle-df cap in ngram_jaccard. Everything
+    up to the final ratio is exact integer arithmetic.
+    """
+    fp = winnowing_fingerprints(
+        docs, id_col=id_col, text_col=text_col, k=k, w=w
+    ).localCheckpoint(eager=True)
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    dfreq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    rare = fp.join(
+        F.broadcast(dfreq.filter(F.col("df") > max_df)), "fp", "left_anti"
+    )
+    a = rare.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "overlap",
+            F.round(F.col("shared") / F.least("n_a", "n_b"), 6),
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("doc_a", "doc_b", "shared", "overlap")
+    )

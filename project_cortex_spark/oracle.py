@@ -3272,3 +3272,65 @@ def ewma_sql(
              AS ewma
     FROM s
     """
+
+
+def winnowing_pairs_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_df: int = 50,
+) -> str:
+    """SQL mirror of operators.dedup.winnowing_near_duplicates: the
+    same normalized text, md5-prefix k-gram hashes, per-window minima,
+    distinct fingerprint sets, df-capped equi-join and exact-integer
+    overlap ratio."""
+    hx = "('0x' || substr(md5(g), 1, 8))::BIGINT"
+    return f"""
+    WITH normd AS (
+      SELECT {id_col} AS doc_id,
+             array_to_string(
+               list_filter(regexp_split_to_array(lower({text_col}),
+                                                 '{SEP_SQL}'),
+                           x -> x <> ''), ' ') AS t
+      FROM {table}
+    ), hashed AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(
+                 list_transform(range(1, length(t) - {k} + 2),
+                                i -> substr(t, i, {k})),
+                 s -> length(s) = {k}),
+               g -> {hx}) AS hs
+      FROM normd
+    ), fps AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(hs) >= {w} THEN
+               list_distinct(list_transform(
+                 range(1, len(hs) - {w} + 2),
+                 i -> list_min(list_slice(hs, i, i + {w} - 1))))
+             WHEN len(hs) > 0 THEN [list_min(hs)]
+             ELSE [] END) AS fp
+      FROM hashed
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id
+    ), dfreq AS (
+      SELECT fp, count(*) AS df FROM fps GROUP BY fp
+    ), rare AS (
+      SELECT f.doc_id, f.fp FROM fps f JOIN dfreq USING (fp)
+      WHERE dfreq.df <= {max_df}
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b, s.shared,
+           round(s.shared / least(sa.n_fp, sb.n_fp), 6) AS overlap
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_b
+    WHERE s.shared / least(sa.n_fp, sb.n_fp) >= {threshold}
+    """

@@ -428,3 +428,58 @@ def test_unicode_nfc_null_text_is_dropped(spark):
     )
     # md5(NULL) is NULL in both engines; NULL hashes never group
     assert unicode_duplicate_groups(df).count() == 0
+
+
+def test_winnowing_guarantee_and_oracle(spark, registry, duck):
+    from project_cortex_spark import oracle
+    from project_cortex_spark.operators.dedup import winnowing_near_duplicates
+
+    from .conftest import assert_matches_oracle
+
+    df = winnowing_near_duplicates(
+        registry.table("documents"), k=8, w=4, threshold=0.5, max_df=50
+    )
+    assert_matches_oracle(
+        df, duck,
+        oracle.winnowing_pairs_sql(k=8, w=4, threshold=0.5, max_df=50),
+    )
+
+
+def test_winnowing_detects_shared_substring(spark):
+    """The MOSS guarantee: a shared substring of length >= k+w-1 chars
+    yields at least one shared fingerprint — two docs sharing a long
+    passage pair up even when the rest differs completely."""
+    from project_cortex_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_near_duplicates,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (0, f"alpha beta {shared} gamma delta"),
+            (1, f"totally different prologue {shared} and epilogue"),
+            (2, "no overlap here at all just unrelated words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnowing_fingerprints(docs)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1], "shared passage must share fingerprints"
+    pairs = winnowing_near_duplicates(
+        docs, threshold=0.3, max_df=50
+    ).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(0, 1)}
+
+
+def test_winnowing_short_doc_degrades_to_min(spark):
+    from project_cortex_spark.operators.dedup import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [(0, "tiny"), (1, "")], "doc_id long, text string"
+    )
+    rows = winnowing_fingerprints(docs).collect()
+    # 'tiny' has no 8-gram -> no fingerprints; '' likewise
+    assert rows == []
