@@ -5034,6 +5034,46 @@ def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming twin of events_ewma: TWO out-of-order deliveries feed
+    # the monoid count-partial store; the read-side fold over the
+    # merged ordered buckets must hash-match the one-shot batch EWMA
+    # (same fold shape -> same oracle, oracle.ewma_sql)
+    import shutil
+    import tempfile
+
+    events = _registry(spark, sf_dir).table("events")
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="ewma_", dir=scratch)
+    in_dir = os.path.join(base, "incoming")
+    parts = os.path.join(base, "partials")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        for parity in (0, 1):
+            events.filter(F.col("event_id") % 2 == parity).write.mode(
+                "append"
+            ).parquet(in_dir)
+            with stream_source.scoped_state_partitions(
+                spark, _STREAM_STATE_PARTITIONS
+            ):
+                q = stream_rollup.continuous_rollup(
+                    spark,
+                    in_dir,
+                    events.schema,
+                    partials_dir=parts,
+                    checkpoint_dir=ckpt,
+                    minutes=60,
+                )
+                q.awaitTermination()
+        out = stream_rollup.read_ewma(spark, parts, alpha=0.25)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental near-dup index contract: deliver the documents table
     # in TWO increments, maintain the MinHash signature store
@@ -5739,6 +5779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_interval_join"] = _q_stream_interval_join
     out["stream_asof_join"] = _q_stream_asof_join
     out["stream_rollup"] = _q_stream_rollup
+    out["stream_ewma"] = _q_stream_ewma
     out["stream_anomaly"] = _q_stream_anomaly
     out["stream_topk"] = _q_stream_topk
     out["stream_neardup"] = _q_stream_neardup
@@ -5823,13 +5864,13 @@ _GATE_FIRST = [
     # media_adpcm_roundtrip, media_flac_roundtrip, media_video_frames,
     # media_audio_features, media_gif_roundtrip,
     # media_multimodal_shards, text_html_extract, text_pdf_extract,
-    # text_fix_mojibake, source_gzip_roundtrip), the final-wave eleven
-    # (knn_topk_binary, knn_binary_rerank, knn_recall_binary,
+    # text_fix_mojibake, source_gzip_roundtrip), the final-wave
+    # fourteen (knn_topk_binary, knn_binary_rerank, knn_recall_binary,
     # knn_join_binary, search_hybrid_rrf, search_hybrid_weighted,
-    # stream_hybrid_rrf, dedup_unicode_nfc, text_bpe_train,
-    # text_bpe_segment, embed_covariance — all oracle-gated green at
-    # sf0.01 on registration day, most also at sf0.1 and the sf1
-    # replica harness),
+    # stream_hybrid_rrf, dedup_unicode_nfc, dedup_winnowing,
+    # text_bpe_train, text_bpe_segment, embed_covariance, events_ewma
+    # — all oracle-gated green at sf0.01 on registration day, most
+    # also at sf0.1 and the sf1 replica harness),
     # the 9 TPC-H completions
     # (agg_tpch_q7/q8/q9/q11/q12/q14/q16/q20/q22_shape, all
     # oracle-gated green at sf0.01) and the 11 earlier ones
@@ -6360,6 +6401,7 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1, 2
     """
     # streaming twins judged against the SAME oracles as their batch twins
+    out["stream_ewma"] = oracle.ewma_sql()
     out["stream_anomaly"] = oracle.rolling_anomaly_sql()
     out["stream_topk"] = oracle.top_users_per_type_sql()
     # incremental signature store merged == one-shot batch minhash

@@ -89,3 +89,38 @@ def read_rollup(spark: SparkSession, partials_dir: str) -> DataFrame:
             F.sum("sum_value_e4").alias("sum_value_e4"),
         )
     )
+
+
+def read_ewma(
+    spark: SparkSession, partials_dir: str, *, alpha: float = 0.25
+) -> DataFrame:
+    """EWMA over the merged rollup: the streaming twin of
+    operators.events.ewma_series — merge the monoid count partials,
+    then the identical left fold over the ordered bucket array. Two
+    incremental deliveries must hash-match the one-shot batch EWMA
+    (same fold shape, same oracle)."""
+    from pyspark.sql import Window
+
+    base = read_rollup(spark, partials_dir).select(
+        "event_type", "window_start", "n_events"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    xs = F.collect_list(F.col("n_events").cast("double")).over(w)
+    fold = lambda y, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * y  # noqa: E731
+    return base.withColumn("xs", xs).select(
+        "event_type",
+        "window_start",
+        "n_events",
+        F.round(
+            F.aggregate(
+                F.slice(F.col("xs"), F.lit(2), F.size("xs") - 1),
+                F.element_at(F.col("xs"), 1),
+                fold,
+            ),
+            6,
+        ).alias("ewma"),
+    )
