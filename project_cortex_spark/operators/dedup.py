@@ -1092,6 +1092,7 @@ def winnowing_near_duplicates(
     w: int = 4,
     threshold: float = 0.5,
     max_df: int = 50,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by winnowing-fingerprint overlap:
     (doc_a, doc_b, shared, overlap) with overlap = shared /
@@ -1103,7 +1104,17 @@ def winnowing_near_duplicates(
     max_df documents (boilerplate) is dropped BEFORE the pair fan-out,
     the same guard as the shingle-df cap in ngram_jaccard. Everything
     up to the final ratio is exact integer arithmetic.
+
+    An ABSOLUTE cap silently saturates as the corpus grows (a
+    legitimately-duplicated passage crosses any fixed df once enough
+    copies exist — measured on the sf1 replica harness, where 10×
+    replication lifted every shared fingerprint above 50 and the pair
+    set collapsed to empty). Set ``max_df_frac`` to scale the cap with
+    corpus size: effective cap = max(max_df, frac·n_docs); the count
+    is one bounded aggregate.
     """
+    if max_df_frac is not None:
+        max_df = max(max_df, int(max_df_frac * docs.count()))
     fp = winnowing_fingerprints(
         docs, id_col=id_col, text_col=text_col, k=k, w=w
     ).localCheckpoint(eager=True)

@@ -483,3 +483,25 @@ def test_winnowing_short_doc_degrades_to_min(spark):
     rows = winnowing_fingerprints(docs).collect()
     # 'tiny' has no 8-gram -> no fingerprints; '' likewise
     assert rows == []
+
+
+def test_winnowing_fractional_df_cap_survives_replication(spark):
+    """The sf1 lesson as a unit contract: with an absolute cap, heavy
+    replication silently empties the pair set; a fractional cap scales
+    with the corpus and keeps finding the duplicates."""
+    from project_cortex_spark.operators.dedup import winnowing_near_duplicates
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"prefix {i % 3} {shared} suffix {i % 3}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # every fingerprint of the shared passage has df=12 > 5: absolute
+    # cap of 5 drops them all
+    none = winnowing_near_duplicates(
+        docs, threshold=0.3, max_df=5
+    ).count()
+    assert none == 0
+    # fractional cap (100% of corpus) keeps them; the 12 docs pair up
+    some = winnowing_near_duplicates(
+        docs, threshold=0.3, max_df=5, max_df_frac=1.0
+    ).count()
+    assert some > 0
