@@ -38,10 +38,12 @@ def embedding_covariance(
     """Upper-triangle sample covariance of the vector corpus:
     (i, j, n, cov) for 0 ≤ i ≤ j < dim, cov = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/(n−1).
 
-    NULL vectors are excluded (they carry no moment information);
+    NULL and wrong-dimension vectors are excluded (they carry no
+    moment information and would corrupt the Gram accumulation);
     callers wanting strictness should validate upstream.
     """
     part_schema = "n long, s array<double>, xx array<double>"
+    emb = emb.filter(F.size(F.col(vec_col)) == dim)
 
     def partials(batches):
         n = 0

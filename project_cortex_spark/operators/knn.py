@@ -922,6 +922,12 @@ def binarize_embeddings(
 
 
 def _query_code(query_vec: list[float]) -> tuple[int, int]:
+    if len(query_vec) != 64:
+        # the half-word packing is fixed at 2×32 dims; a silent
+        # partial pack would Hamming-compare garbage
+        raise ValueError(
+            f"binary codes require 64-d vectors, got {len(query_vec)}"
+        )
     lo = sum(1 << j for j in range(32) if query_vec[j] > 0)
     hi = sum(1 << j for j in range(32) if query_vec[32 + j] > 0)
     return lo, hi

@@ -3138,7 +3138,7 @@ def embedding_covariance_sql(*, dim: int = 64, round_digits: int = 6) -> str:
     return f"""
     WITH e AS (
       SELECT embedding::DOUBLE[] AS v FROM embeddings
-      WHERE embedding IS NOT NULL
+      WHERE embedding IS NOT NULL AND len(embedding) = {dim}
     ),
     n AS (SELECT count(*) AS n FROM e),
     idx AS (
