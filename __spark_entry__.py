@@ -5338,6 +5338,75 @@ def _q_stream_fts_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_stream_hybrid_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # maintenance path for BOTH hybrid stores: build incrementally over
+    # two deliveries, COMPACT the posting, doc-stat AND doc-vector
+    # stores (atomic swap), then the fused RRF query must still
+    # hash-match the one-shot batch oracle — compaction preserves
+    # gate-level correctness across every store the hybrid reads.
+    import shutil
+    import tempfile
+
+    from project_cortex_spark.streaming import fts_index as stream_fts
+    from project_cortex_spark.streaming import hybrid as stream_hybrid
+
+    docs = _docs(spark, sf_dir)
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="hybcompact_", dir=scratch)
+    in_dir = os.path.join(base, "incoming")
+    idx = os.path.join(base, "fts")
+    vecs = os.path.join(base, "vecs")
+    ckpt_f = os.path.join(base, "ckpt_fts")
+    ckpt_v = os.path.join(base, "ckpt_vec")
+    try:
+        for parity in (0, 1):
+            docs.filter(F.col("doc_id") % 2 == parity).write.mode(
+                "append"
+            ).parquet(in_dir)
+            with stream_source.scoped_state_partitions(
+                spark, _STREAM_STATE_PARTITIONS
+            ):
+                q1 = stream_fts.continuous_fts_index(
+                    spark, in_dir, docs.schema,
+                    index_dir=idx, checkpoint_dir=ckpt_f,
+                )
+                q1.awaitTermination()
+                q2 = stream_hybrid.continuous_doc_vectors(
+                    spark, in_dir, docs.schema,
+                    store_dir=vecs, checkpoint_dir=ckpt_v, dim=32,
+                )
+                q2.awaitTermination()
+        stats = {
+            p: layout_mod.compact_store(spark, p, target_files=1)
+            for p in (
+                os.path.join(idx, "postings"),
+                os.path.join(idx, "doc_stats"),
+                vecs,
+            )
+        }
+        assert all(
+            s["files_after"] < s["files_before"] for s in stats.values()
+        ), stats
+        index = stream_fts.read_fts_index(spark, idx, docs)
+        vstore = stream_hybrid.read_doc_vectors(spark, vecs)
+        out = search_mod.hybrid_search_rrf(
+            index,
+            vstore,
+            "key OR agg OR row OR scan",
+            "key agg row scan",
+            k=15,
+            n_per_list=50,
+            rrf_k=60,
+            dim=32,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental vector index contract: embeddings delivered in TWO
     # increments, assignments (frozen centroids) appended per batch,
@@ -5793,6 +5862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_fts"] = _q_stream_fts
     out["stream_fts_compacted"] = _q_stream_fts_compacted
     out["stream_hybrid_rrf"] = _q_stream_hybrid_rrf
+    out["stream_hybrid_compacted"] = _q_stream_hybrid_compacted
     out["stream_knn"] = _q_stream_knn
     out["stream_ohlc"] = _q_stream_ohlc
     out["stream_histogram"] = _q_stream_histogram
@@ -6445,6 +6515,15 @@ def oracle_sql() -> dict[str, str]:
     )
     # BOTH incremental stores merged == the one-shot batch hybrid oracle
     out["stream_hybrid_rrf"] = oracle.hybrid_rrf_oracle_sql(
+        "key OR agg OR row OR scan",
+        "key agg row scan",
+        k=15,
+        n_per_list=50,
+        rrf_k=60,
+        dim=32,
+    )
+    # ... and still after compacting all three stores (atomic swap)
+    out["stream_hybrid_compacted"] = oracle.hybrid_rrf_oracle_sql(
         "key OR agg OR row OR scan",
         "key agg row scan",
         k=15,
