@@ -49,6 +49,7 @@ from project_cortex_spark.dsl import compile_query
 from project_cortex_spark.operators import asof as asof_mod
 from project_cortex_spark.operators import bpe as bpe_mod
 from project_cortex_spark.operators import embedstats as embedstats_mod
+from project_cortex_spark.operators import logreg as logreg_mod
 from project_cortex_spark.operators import corpus as corpus_mod
 from project_cortex_spark.operators import dedup as dd
 from project_cortex_spark.operators import events as ev
@@ -5764,6 +5765,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_bpe_segment"] = lambda s, d: bpe_mod.bpe_token_frequencies(
         _docs(s, d), n_merges=12, top_words=200, top_k=30
     )
+    # model-based quality filtering, the TRAINER: full-batch logistic
+    # regression by gradient descent (one aggregate + 1-row collect per
+    # iteration); the oracle independently replays every iteration's
+    # gradient from its own chained-CTE state
+    out["text_lr_train"] = lambda s, d: logreg_mod.logreg_train(
+        _docs(s, d), iters=8, lr=1.0
+    )
     out["text_tfidf_terms"] = lambda s, d: ts.tfidf_top_terms(_docs(s, d))
     out["corpus_sample_per_key"] = _q_corpus_sample_per_key
     out["corpus_importance_sample"] = _q_corpus_importance_sample
@@ -6251,6 +6259,7 @@ def oracle_sql() -> dict[str, str]:
     out["text_bpe_segment"] = oracle.bpe_segment_oracle_sql(
         n_merges=12, top_words=200, top_k=30
     )
+    out["text_lr_train"] = oracle.logreg_train_oracle_sql(iters=8, lr=1.0)
     out["text_tfidf_terms"] = oracle.tfidf_top_terms_sql(k=5)
     out["corpus_pack_sequences"] = oracle.pack_sequences_sql(
         seq_tokens=256, writers=16

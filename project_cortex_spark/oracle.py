@@ -3334,3 +3334,62 @@ def winnowing_pairs_sql(
     JOIN sizes sb ON sb.doc_id = s.doc_b
     WHERE s.shared / least(sa.n_fp, sb.n_fp) >= {threshold}
     """
+
+
+def logreg_train_oracle_sql(
+    *,
+    iters: int = 8,
+    lr: float = 1.0,
+    table: str = "documents",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    label_lang: str = "en",
+) -> str:
+    """Fully INDEPENDENT SQL replay of operators.logreg.logreg_train:
+    chained CTEs carry the weight row iteration to iteration, each
+    gradient re-derived from the oracle's own state (no inlined
+    literals). The sigmoid/update expressions use the same shapes as
+    the Spark side; residual cross-engine drift (sum reassociation,
+    exp ulp) is ~1e-12 on O(1) weights — absorbed by round(6)."""
+    toks = _TOKS_EXPR.format(text=text_col, sep=SEP_SQL)
+    parts = [
+        f"""feats AS MATERIALIZED (
+      SELECT len(t) / 100.0 AS x1,
+             length({text_col}) / 1000.0 AS x2,
+             len(list_distinct(t)) / greatest(len(t), 1) AS x3,
+             CASE WHEN {lang_col} = '{label_lang}' THEN 1.0
+                  ELSE 0.0 END AS y
+      FROM (SELECT {text_col}, {lang_col}, {toks} AS t FROM {table})
+    ), nrows AS MATERIALIZED (SELECT count(*) AS n FROM feats),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"""g{i} AS MATERIALIZED (
+      SELECT sum(e) AS gb, sum(e * x1) AS g1,
+             sum(e * x2) AS g2, sum(e * x3) AS g3
+      FROM (
+        SELECT 1.0 / (1.0 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2
+                                  + w.w3 * f.x3))) - f.y AS e,
+               f.x1, f.x2, f.x3
+        FROM feats f, w{p} w)
+    ), w{i} AS MATERIALIZED (
+      SELECT w.b - {lr!r} * g.gb / nrows.n AS b,
+             w.w1 - {lr!r} * g.g1 / nrows.n AS w1,
+             w.w2 - {lr!r} * g.g2 / nrows.n AS w2,
+             w.w3 - {lr!r} * g.g3 / nrows.n AS w3
+      FROM w{p} w, g{i} g, nrows
+    )"""
+        )
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {i} AS iteration, round(b, 6) AS w_bias,"
+        f" round(w1, 6) AS w_ntok, round(w2, 6) AS w_nchar,"
+        f" round(w3, 6) AS w_ttr FROM w{i}"
+        for i in range(1, iters + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT * FROM ({rows}) ORDER BY iteration"
+    )
