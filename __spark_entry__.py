@@ -5772,6 +5772,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_lr_train"] = lambda s, d: logreg_mod.logreg_train(
         _docs(s, d), iters=8, lr=1.0
     )
+    # the filter stage that consumes the trainer: per-doc quality
+    # probabilities under the trained weights (scoring weights are the
+    # ROUNDED trace values on both sides, so inputs are exactly equal)
+    out["text_lr_score"] = lambda s, d: logreg_mod.logreg_score(
+        _docs(s, d), iters=8, lr=1.0
+    )
     out["text_tfidf_terms"] = lambda s, d: ts.tfidf_top_terms(_docs(s, d))
     out["corpus_sample_per_key"] = _q_corpus_sample_per_key
     out["corpus_importance_sample"] = _q_corpus_importance_sample
@@ -6260,6 +6266,7 @@ def oracle_sql() -> dict[str, str]:
         n_merges=12, top_words=200, top_k=30
     )
     out["text_lr_train"] = oracle.logreg_train_oracle_sql(iters=8, lr=1.0)
+    out["text_lr_score"] = oracle.logreg_score_oracle_sql(iters=8, lr=1.0)
     out["text_tfidf_terms"] = oracle.tfidf_top_terms_sql(k=5)
     out["corpus_pack_sequences"] = oracle.pack_sequences_sql(
         seq_tokens=256, writers=16

@@ -108,3 +108,53 @@ def logreg_train(
             for c in ("w_bias", "w_ntok", "w_nchar", "w_ttr")
         ],
     )
+
+
+def logreg_score(
+    docs: DataFrame,
+    *,
+    iters: int = 8,
+    lr: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    label_lang: str = "en",
+) -> DataFrame:
+    """Train-then-score: every document's quality probability under the
+    trained classifier — the filter stage that consumes the trainer
+    (keep/downsample by score at pipeline time). Scoring is one narrow
+    codegen projection with the final weights as literals; at 100 TB
+    the trainer's aggregates and this scan are the only corpus-sized
+    work.
+
+    Output (doc_id, y, score): label carried along so downstream
+    filters can measure separation. The weight collect is ``iters``
+    rows — the sanctioned bounded trainer collect."""
+    trace = logreg_train(
+        docs,
+        iters=iters,
+        lr=lr,
+        text_col=text_col,
+        lang_col=lang_col,
+        label_lang=label_lang,
+    ).orderBy("iteration").collect()
+    w = trace[-1]
+    toks = tokens(F.col(text_col))
+    x1 = F.size(toks) / F.lit(100.0)
+    x2 = F.length(F.col(text_col)) / F.lit(1000.0)
+    x3 = F.size(F.array_distinct(toks)) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    z = (
+        F.lit(w["w_bias"])
+        + F.lit(w["w_ntok"]) * x1
+        + F.lit(w["w_nchar"]) * x2
+        + F.lit(w["w_ttr"]) * x3
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.col(lang_col) == label_lang, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+    )

@@ -3393,3 +3393,43 @@ def logreg_train_oracle_sql(
         + ",\n    ".join(parts)
         + f"\n    SELECT * FROM ({rows}) ORDER BY iteration"
     )
+
+
+def logreg_score_oracle_sql(
+    *,
+    iters: int = 8,
+    lr: float = 1.0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    label_lang: str = "en",
+) -> str:
+    """Train-then-score replay: reuses the trainer's chained CTEs (the
+    oracle re-derives its own final weights — note the engine side
+    scores with ROUNDED final weights from its trace, so the scoring
+    weights here round identically before use)."""
+    train = logreg_train_oracle_sql(
+        iters=iters, lr=lr, table=table, text_col=text_col,
+        lang_col=lang_col, label_lang=label_lang,
+    )
+    head, _tail = train.rsplit("\n    SELECT * FROM (", 1)
+    toks = _TOKS_EXPR.format(text=text_col, sep=SEP_SQL)
+    return (
+        head
+        + f""",
+    wfinal AS (
+      SELECT round(b, 6) AS b, round(w1, 6) AS w1,
+             round(w2, 6) AS w2, round(w3, 6) AS w3
+      FROM w{iters}
+    )
+    SELECT {id_col} AS doc_id,
+           CASE WHEN {lang_col} = '{label_lang}' THEN 1 ELSE 0 END AS y,
+           round(1.0 / (1.0 + exp(-(w.b + w.w1 * (len(t) / 100.0)
+                 + w.w2 * (length({text_col}) / 1000.0)
+                 + w.w3 * (len(list_distinct(t))
+                           / greatest(len(t), 1))))), 6) AS score
+    FROM (SELECT {id_col}, {text_col}, {lang_col}, {toks} AS t
+          FROM {table}) , wfinal w
+    """
+    )

@@ -55,3 +55,12 @@ def test_quality_features_exact_values(spark):
     assert r.x2 == 5 / 1000.0
     assert r.x3 == 2 / 3
     assert r.y == 1.0
+
+
+def test_logreg_score_matches_replay(registry, duck):
+    from project_cortex_spark.operators.logreg import logreg_score
+
+    df = logreg_score(registry.table("documents"), iters=5, lr=1.0)
+    assert_matches_oracle(
+        df, duck, oracle.logreg_score_oracle_sql(iters=5, lr=1.0)
+    )
