@@ -5949,13 +5949,13 @@ _GATE_FIRST = [
     # media_audio_features, media_gif_roundtrip,
     # media_multimodal_shards, text_html_extract, text_pdf_extract,
     # text_fix_mojibake, source_gzip_roundtrip), the final-wave
-    # sixteen (knn_topk_binary, knn_binary_rerank, knn_recall_binary,
+    # EIGHTEEN (knn_topk_binary, knn_binary_rerank, knn_recall_binary,
     # knn_join_binary, search_hybrid_rrf, search_hybrid_weighted,
     # stream_hybrid_rrf, stream_hybrid_compacted, dedup_unicode_nfc,
-    # dedup_winnowing, text_bpe_train, text_bpe_segment,
-    # embed_covariance, events_ewma, stream_ewma — all oracle-gated
-    # green at sf0.01 on registration day, most also at sf0.1 and the
-    # sf1 replica harness),
+    # dedup_winnowing, text_bpe_train, text_bpe_segment, text_lr_train,
+    # text_lr_score, embed_covariance, events_ewma, stream_ewma — all
+    # oracle-gated green at sf0.01 on registration day, most also at
+    # sf0.1 and the sf1 replica harness),
     # the 9 TPC-H completions
     # (agg_tpch_q7/q8/q9/q11/q12/q14/q16/q20/q22_shape, all
     # oracle-gated green at sf0.01) and the 11 earlier ones
