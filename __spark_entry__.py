@@ -58,6 +58,7 @@ from project_cortex_spark.operators import graph as graph_mod
 from project_cortex_spark.operators import knn as knn_mod
 from project_cortex_spark.operators import multimodal as mm
 from project_cortex_spark.operators import search as search_mod
+from project_cortex_spark.operators import sketches as sk
 from project_cortex_spark.operators import textextract as tx
 from project_cortex_spark.operators import textstats as ts
 from project_cortex_spark.pipeline import change_detection as cd
@@ -5910,6 +5911,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_fix_mojibake"] = _q_text_fix_mojibake
     out["graph_bfs_multi"] = _q_graph_bfs_multi
     out["fts_batch_topk"] = _q_fts_batch_topk
+    # --- deterministic sketches (operators/sketches.py): monoid
+    # summaries whose shuffle width is the sketch size, not the data;
+    # hashed with the shared md5 idiom so DuckDB re-derives them exactly
+    out["events_heavy_hitters"] = lambda s, d: sk.cms_heavy_hitters(
+        _registry(s, d).table("events")
+    )
+    out["stats_hll_distinct"] = lambda s, d: sk.hll_distinct(
+        _registry(s, d).table("events")
+    )
+    out["stats_exact_quantiles"] = lambda s, d: sk.exact_quantiles(
+        _registry(s, d).table("events")
+    )
+
+    # --- physical-layout techniques (sources/layout.py): z-order file
+    # envelopes replayed bit-for-bit; the bloom prefilter is result-
+    # preserving so its oracle is the plain join it accelerates
+    def _q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return layout_mod.zorder_bucket_stats(_registry(spark, sf_dir).table("orders"))
+
+    def _q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        reg = _registry(spark, sf_dir)
+        build = reg.table("orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        probe = layout_mod.bloom_semi_filter(
+            reg.table("lineitem"),
+            "l_orderkey",
+            build.select("o_orderkey"),
+            "o_orderkey",
+        )
+        joined = probe.join(
+            build.select("o_orderkey"),
+            probe.l_orderkey == F.col("o_orderkey"),
+        )
+        return (
+            joined.groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.countDistinct("l_orderkey").alias("n_orders"),
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+                    ).cast("bigint")
+                ).alias("revenue_e2"),
+            )
+            .orderBy("l_returnflag")
+        )
+
+    out["layout_zorder"] = _q_layout_zorder
+    out["join_bloom_prefilter"] = _q_join_bloom_prefilter
+    # sqrt-temperature corpus balancing (alpha=0.5), integer quotas
+    out["corpus_temperature_mix"] = lambda s, d: corpus_mod.temperature_mix(
+        _registry(s, d).table("documents")
+    )
+
+    def _q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # streaming twin of events_heavy_hitters: the CMS cell counts
+        # are a pure algebraic aggregate maintained by the stream (the
+        # sketch is a monoid — micro-batches merge by summing cells);
+        # the min-over-rows estimate is merge-on-read. Same oracle as
+        # the batch query.
+        with stream_source.scoped_state_partitions(
+            spark, _STREAM_STATE_PARTITIONS
+        ):
+            stream = stream_source.stream_table(spark, sf_dir, "events")
+            cells = stream_source.run_to_memory(
+                sk.cms_cells(stream),
+                query_name="q_stream_heavy_hitters",
+                output_mode="complete",
+            )
+            return sk.cms_estimate_on_cells(
+                cells, _registry(spark, sf_dir).table("events")
+            )
+
+    out["stream_heavy_hitters"] = _q_stream_heavy_hitters
     return _prioritize(out)
 
 
@@ -6555,5 +6631,27 @@ def oracle_sql() -> dict[str, str]:
     out["media_decode_meta"] = oracle.media_decode_meta_sql()
     out["media_features"] = """
         SELECT doc_id AS media_id, 32 AS dim, 1.0 AS l2_norm FROM documents
+    """
+    out["events_heavy_hitters"] = oracle.cms_heavy_hitters_sql()
+    out["stats_hll_distinct"] = oracle.hll_distinct_sql()
+    out["stats_exact_quantiles"] = oracle.exact_quantiles_sql()
+    out["layout_zorder"] = oracle.zorder_bucket_stats_sql()
+    out["corpus_temperature_mix"] = oracle.temperature_mix_sql()
+    # stream-maintained CMS cells merged across micro-batches == the
+    # one-shot batch sketch
+    out["stream_heavy_hitters"] = oracle.cms_heavy_hitters_sql()
+    # the bloom prefilter never drops a matching row (no false
+    # negatives), so the oracle is the join WITHOUT the bloom stage
+    out["join_bloom_prefilter"] = """
+        SELECT l_returnflag,
+               count(*) AS n_lines,
+               count(DISTINCT l_orderkey) AS n_orders,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_e2
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
     """
     return out

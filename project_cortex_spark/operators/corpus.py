@@ -568,3 +568,75 @@ def decontaminate(
         doc_sh.join(bench_sh, "sh").select(F.col("_id").alias(id_col)).distinct()
     )
     return docs.join(contaminated, id_col, "left_anti")
+
+
+def temperature_mix(
+    docs: DataFrame,
+    *,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    target_tenths: int = 3,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-training
+    standard, alpha = 0.5): per-group quotas proportional to
+    sqrt(group size), so low-resource groups are UP-weighted relative
+    to their natural share and head groups stop dominating the mix —
+    the sampling rule behind mBERT/XLM-R style corpus balancing.
+
+    Integer-deterministic by construction: the weight is
+    floor(sqrt(n)*1000) (IEEE sqrt is exact-rounded, so the floor is
+    engine-identical), the quota is (N * w) div W in BIGINT — no float
+    sum whose reassociation could flip a boundary. alpha is fixed at
+    0.5 because sqrt is the one power libm guarantees exactly rounded;
+    other temperatures work engine-side but aren't cross-engine
+    hash-gateable. Selection inside a group is the lowest
+    md5(salt:id) hashes — reproducible and uncorrelated with content.
+
+    Output is the per-group audit row (natural count, quota, kept
+    count, exact id checksum) rather than the kept rows: at 100 TB the
+    summary is collectable, the selection itself stays distributed
+    (filter on ``sample_rank <= quota`` of the same window).
+
+    Scale: one count aggregate (broadcast back), one window shuffle on
+    ``group_col`` — same skew envelope as :func:`sample_per_key`.
+    """
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    weights = counts.select(
+        group_col,
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000)
+        .cast("bigint")
+        .alias("w"),
+    )
+    totals = weights.agg(
+        F.sum("w").alias("w_total"), F.sum("n_docs").alias("n_total")
+    )
+    quotas = weights.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        "n_docs",
+        F.least(
+            F.col("n_docs"),
+            F.expr(f"((n_total * {target_tenths}) div 10) * w div w_total"),
+        ).alias("quota"),
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))).asc(),
+        F.col(id_col).asc(),
+    )
+    ranked = docs.select(group_col, id_col).withColumn(
+        "rk", F.row_number().over(win).cast("bigint")
+    )
+    kept = ranked.join(F.broadcast(quotas), group_col).filter(
+        F.col("rk") <= F.col("quota")
+    )
+    return (
+        kept.groupBy(group_col, "n_docs", "quota")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(id_col).alias("sum_kept_ids"),
+        )
+        .orderBy(group_col)
+    )

@@ -1,0 +1,267 @@
+"""Mergeable statistical sketches, built deterministic so the gate can
+hash-compare them against an independent DuckDB replay.
+
+At 100 TB the questions these answer ("who are the heavy hitters",
+"how many distinct users", "what is p99") are the ones you cannot
+answer with a collect — the sketches here are all MONOIDS (cell counts
+sum, registers max, nothing order-dependent), so partial aggregation
+happens map-side, the shuffle carries a bounded number of rows
+(depth x width cells, or m registers per group — never the data), and
+the same merge works across files, partitions, days, or streaming
+micro-batches.
+
+Determinism contract (the repo-wide one): every hash is a prefix of
+``md5(salt || key)`` converted through the shared hex->bigint idiom,
+so the DuckDB oracle re-derives the identical sketch from the raw
+tables — these are gated EXACTLY, not tolerance-compared, except for
+the one ``ln`` in the HLL small-range correction (rounded, see note).
+
+Reference anchor: the reference keeps per-table row counts and
+distinct-term stats for its planner (internal/index/stats.go); these
+operators generalize that to the sketch family a training-data
+pipeline actually needs at scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _h32(prefix: str, col: F.Column) -> F.Column:
+    """First 32 bits of md5(prefix || key) as a non-negative BIGINT —
+    textually identical to the oracle's ('0x'||substr(md5(..),1,8))::BIGINT."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def _h60(prefix: str, col: F.Column) -> F.Column:
+    """First 60 bits (15 hex chars) — positive, room for p + 52 rho bits."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def _cms_pos(key: F.Column, depth: int, width: int, salt: str) -> list[F.Column]:
+    return [
+        (_h32(f"{salt}{r}:", key) % F.lit(width)).alias(f"p{r}")
+        for r in range(depth)
+    ]
+
+
+def cms_cells(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cms",
+) -> DataFrame:
+    """The sketch itself: per-(row, cell) counts — a pure algebraic
+    aggregate (counts SUM), so the identical expression runs over a
+    batch frame or a structured stream in complete mode; micro-batches
+    merge by the monoid law, which is what the streaming twin gates."""
+    pos = _cms_pos(F.col(key_col), depth, width, salt)
+    return (
+        events.select(F.posexplode(F.array(*pos)).alias("r", "c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+
+
+def cms_heavy_hitters(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 512,
+    k: int = 20,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    ``depth`` hash rows of ``width`` counters; a key's estimate is the
+    MIN over its ``depth`` cells, which can only over-count (collisions
+    add, never subtract) — the output's ``overestimate`` column is the
+    observable witness of that one-sided error bound.
+
+    Shape at scale: the sketch build is one map-side-combined groupBy
+    whose output is at most ``depth*width`` cells regardless of input
+    size; the estimate join broadcasts those cells against the
+    candidate keys. Nothing here is proportional to the event count
+    after the first partial aggregation. The exact counts emitted next
+    to the estimates are for the gate and the error columns — a
+    production run at 100 TB would keep only the sketch.
+    """
+    cells = cms_cells(
+        events, key_col=key_col, depth=depth, width=width, salt=salt
+    )
+    return cms_estimate_on_cells(
+        cells, events, key_col=key_col, depth=depth, width=width, k=k, salt=salt
+    )
+
+
+def cms_estimate_on_cells(
+    cells: DataFrame,
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 512,
+    k: int = 20,
+    salt: str = "cms",
+) -> DataFrame:
+    """Merge-on-read finisher: min-over-rows estimates for the candidate
+    keys against an already-built (possibly stream-maintained) cell
+    frame, plus the exact-count audit columns."""
+    key = F.col(key_col)
+    pos = _cms_pos(key, depth, width, salt)
+    exact = events.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact_n"))
+    cand = exact.select(
+        key_col,
+        "exact_n",
+        F.posexplode(F.array(*pos)).alias("r", "c"),
+    )
+    est = (
+        cand.join(F.broadcast(cells), ["r", "c"])
+        .groupBy(key_col, "exact_n")
+        .agg(F.min("cell_n").alias("est_n"))
+    )
+    return (
+        est.select(
+            key_col,
+            "est_n",
+            "exact_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overestimate"),
+        )
+        .orderBy(F.col("est_n").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
+# HLL bias-correction constant for m >= 128 (Flajolet et al. 2007 §4).
+def _hll_alpha(m: int) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    p: int = 8,
+    salt: str = "hll",
+) -> DataFrame:
+    """HyperLogLog distinct-count per group (Flajolet et al. 2007):
+    bucket = low ``p`` bits of a 60-bit hash, register = max leading-
+    zero rank of the remaining 52 bits, estimate = alpha*m^2 / sum of
+    2^-register with the small-range linear-counting correction.
+
+    Exactness trick: the harmonic sum is computed as an INTEGER —
+    sum(2^(52+1-M)) scaled by 2^53 — so the only float ops are one
+    division, one multiply by the alpha literal, and (small-range only)
+    one ``ln``; everything else is exact and reassociation-free, which
+    is what lets a 256-register ESTIMATOR hash-match a different engine.
+    The ``ln`` result is rounded to 4 dp on both sides (libm last-ulp
+    margin ~1e-13 of the value; 4 dp is 9 orders above it).
+
+    Monoid: registers merge by MAX — the same groupBy merges files,
+    partitions, or streaming micro-batches; shuffle width is m rows per
+    group, never the key count.
+    """
+    m = 1 << p
+    wbits = 60 - p
+    h = _h60(f"{salt}:", F.col(key_col))
+    bucket = h % F.lit(m)
+    # integer shift, NOT division: h is 60-bit and a double round-trip
+    # would corrupt the low bits above 2^53
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        events.select(F.col(group_col), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    # integer harmonic sum: present buckets contribute 2^(53-reg)
+    # (reg <= 53 so the term is >= 1 and exact); absent buckets are
+    # register 0 -> 2^53 each.
+    scale = 1 << (wbits + 1)
+    alpha = _hll_alpha(m)
+    per_group = regs.groupBy(group_col).agg(
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {wbits + 1} - reg)")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    zeros = F.lit(m) - F.col("n_buckets")
+    s_int = F.col("s_present") + zeros * F.lit(scale)
+    e_raw = F.lit(alpha * m * m * float(scale)) / s_int.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    exact = events.groupBy(group_col).agg(
+        F.countDistinct(key_col).alias("exact_distinct")
+    )
+    out = per_group.select(group_col, F.round(est, 4).alias("est_distinct")).join(
+        exact, group_col
+    )
+    return out.select(
+        group_col,
+        "est_distinct",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct").cast("double"),
+            6,
+        ).alias("rel_err"),
+    ).orderBy(group_col)
+
+
+def exact_quantiles(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99),
+) -> DataFrame:
+    """EXACT per-group quantiles (percentile_disc semantics: the value
+    at 1-indexed rank ceil(q*n) of the ascending sort) — the two-pass
+    distributed selection that replaces a driver-side sort: one count
+    aggregate, one ranked window, one broadcast join of the tiny
+    (group x q) target frame.
+
+    Both engines evaluate ceil(q*n) from the SAME double literal, so
+    the rank — and therefore the picked value — is identical even where
+    q*n rounds surprisingly (0.95*20 = 19.000000000000004).
+
+    Scale: the window sort is per-group range-partitioned — Spark's
+    canonical strength; no collect, no percentile_approx error bars.
+    The skew note from sample_per_key applies to giant groups.
+    """
+    counts = events.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    spark = events.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    targets = counts.crossJoin(F.broadcast(qdf)).select(
+        group_col,
+        "n",
+        "q",
+        F.ceil(F.col("q") * F.col("n").cast("double")).cast("bigint").alias("rn"),
+    )
+    win = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    ranked = events.select(
+        group_col, F.col(value_col).alias("value")
+    ).withColumn("rn", F.row_number().over(win).cast("bigint"))
+    return (
+        ranked.join(F.broadcast(targets), [group_col, "rn"])
+        .select(group_col, "q", "n", "value")
+        .orderBy(group_col, "q")
+    )

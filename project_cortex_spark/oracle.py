@@ -3433,3 +3433,241 @@ def logreg_score_oracle_sql(
           FROM {table}) , wfinal w
     """
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketches (operators/sketches.py): identical hash/bit formulas re-derived
+# from the raw tables — the sketches are gated EXACTLY, not tolerance-
+# compared (see the module docstring for the integer-sum trick).
+
+def cms_heavy_hitters_sql(
+    *,
+    table: str = "events",
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 512,
+    k: int = 20,
+    salt: str = "cms",
+) -> str:
+    """Mirror of sketches.cms_heavy_hitters: same md5 cell hashing, same
+    min-over-rows estimate, same (est desc, key) top-k."""
+    return f"""
+    WITH pos AS (
+      SELECT {key_col},
+             rs.r,
+             (('0x' || substr(md5('{salt}' || rs.r::VARCHAR || ':' ||
+                                  {key_col}::VARCHAR), 1, 8))::BIGINT
+              % {width}) AS c
+      FROM {table}
+      CROSS JOIN (SELECT unnest(range({depth})) AS r) rs
+    ),
+    cells AS (
+      SELECT r, c, count(*) AS cell_n FROM pos GROUP BY r, c
+    ),
+    exact AS (
+      SELECT {key_col}, count(*) AS exact_n FROM {table} GROUP BY {key_col}
+    ),
+    cand AS (
+      SELECT e.{key_col}, e.exact_n, rs.r,
+             (('0x' || substr(md5('{salt}' || rs.r::VARCHAR || ':' ||
+                                  e.{key_col}::VARCHAR), 1, 8))::BIGINT
+              % {width}) AS c
+      FROM exact e
+      CROSS JOIN (SELECT unnest(range({depth})) AS r) rs
+    ),
+    est AS (
+      SELECT cand.{key_col}, cand.exact_n, min(cells.cell_n) AS est_n
+      FROM cand JOIN cells ON cand.r = cells.r AND cand.c = cells.c
+      GROUP BY cand.{key_col}, cand.exact_n
+    )
+    SELECT {key_col}, est_n, exact_n, est_n - exact_n AS overestimate
+    FROM est
+    ORDER BY est_n DESC, {key_col} ASC
+    LIMIT {k}
+    """
+
+
+def hll_distinct_sql(
+    *,
+    table: str = "events",
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    p: int = 8,
+    salt: str = "hll",
+) -> str:
+    """Mirror of sketches.hll_distinct: 60-bit hash, low-p-bit bucket,
+    shiftright register extraction, integer harmonic sum, identical
+    float literals for alpha*m^2*scale and the 2.5m threshold."""
+    m = 1 << p
+    wbits = 60 - p
+    rmax = wbits + 1
+    scale = 1 << rmax
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(scale)
+    thresh = 2.5 * m
+    return f"""
+    WITH h AS (
+      SELECT {group_col},
+             ('0x' || substr(md5('{salt}:' || {key_col}::VARCHAR), 1, 15))::BIGINT AS h
+      FROM {table}
+    ),
+    b AS (
+      SELECT {group_col}, h % {m} AS bucket, (h >> {p}) AS w FROM h
+    ),
+    regs AS (
+      SELECT {group_col}, bucket,
+             max(CASE WHEN w = 0 THEN {rmax}
+                      ELSE {rmax} - length(bin(w)) END) AS reg
+      FROM b GROUP BY {group_col}, bucket
+    ),
+    g AS (
+      SELECT {group_col},
+             sum((1::BIGINT << ({rmax} - reg)))::BIGINT AS s_present,
+             count(*) AS n_buckets
+      FROM regs GROUP BY {group_col}
+    ),
+    est AS (
+      SELECT {group_col},
+             round(CASE WHEN {num!r} / (s_present + ({m} - n_buckets) * {scale}::BIGINT)::DOUBLE
+                              <= {thresh!r}
+                         AND ({m} - n_buckets) > 0
+                        THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_buckets)::DOUBLE)
+                        ELSE {num!r} / (s_present + ({m} - n_buckets) * {scale}::BIGINT)::DOUBLE
+                   END, 4) AS est_distinct
+      FROM g
+    ),
+    exact AS (
+      SELECT {group_col}, count(DISTINCT {key_col}) AS exact_distinct
+      FROM {table} GROUP BY {group_col}
+    )
+    SELECT e.{group_col}, e.est_distinct, x.exact_distinct,
+           round(abs(e.est_distinct - x.exact_distinct)
+                 / x.exact_distinct::DOUBLE, 6) AS rel_err
+    FROM est e JOIN exact x ON e.{group_col} = x.{group_col}
+    ORDER BY e.{group_col}
+    """
+
+
+def exact_quantiles_sql(
+    *,
+    table: str = "events",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    qs: tuple = (0.25, 0.5, 0.75, 0.95, 0.99),
+) -> str:
+    """Mirror of sketches.exact_quantiles: rank = ceil(q*n) from the
+    same double literals, row_number over the same ascending sort."""
+    # CAST each literal: a bare 0.25 parses as DECIMAL in DuckDB and the
+    # decimal ceil(q*n) would diverge from Spark's double arithmetic
+    qlist = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    return f"""
+    WITH counts AS (
+      SELECT {group_col}, count(*) AS n FROM {table} GROUP BY {group_col}
+    ),
+    targets AS (
+      SELECT {group_col}, n, qv.q,
+             CAST(ceil(qv.q * n::DOUBLE) AS BIGINT) AS rn
+      FROM counts CROSS JOIN (SELECT unnest([{qlist}]) AS q) qv
+    ),
+    ranked AS (
+      SELECT {group_col}, {value_col} AS value,
+             row_number() OVER (PARTITION BY {group_col}
+                                ORDER BY {value_col} ASC) AS rn
+      FROM {table}
+    )
+    SELECT r.{group_col}, t.q, t.n, r.value
+    FROM ranked r
+    JOIN targets t ON r.{group_col} = t.{group_col} AND r.rn = t.rn
+    ORDER BY r.{group_col}, t.q
+    """
+
+
+def zorder_bucket_stats_sql(
+    *,
+    table: str = "orders",
+    x_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    bits: int = 10,
+    bucket_bits: int = 6,
+) -> str:
+    """Mirror of sources.layout.zorder_bucket_stats: the SAME morton_sql
+    bit-interleave text, rendered with DuckDB's ``>>`` shift; integer
+    div normalization, so the stats replay bit-for-bit."""
+    from project_cortex_spark.sources.layout import morton_sql
+
+    top = (1 << bits) - 1
+    z = morton_sql("nx", "ny", bits=bits, shift_fmt="({v} >> {i})")
+    return f"""
+    WITH mm AS (
+      SELECT min({x_col}) AS xmin, max({x_col}) AS xmax,
+             min(date_diff('day', DATE '1992-01-01', {date_col}::DATE)) AS ymin,
+             max(date_diff('day', DATE '1992-01-01', {date_col}::DATE)) AS ymax
+      FROM {table}
+    ),
+    base AS (
+      SELECT {x_col} AS x,
+             date_diff('day', DATE '1992-01-01', {date_col}::DATE) AS y
+      FROM {table}
+    ),
+    norm AS (
+      SELECT ((x - xmin)::BIGINT * {top}) // greatest(xmax - xmin, 1)::BIGINT AS nx,
+             ((y - ymin)::BIGINT * {top}) // greatest(ymax - ymin, 1)::BIGINT AS ny
+      FROM base, mm
+    ),
+    zb AS (
+      SELECT {z} // {1 << (2 * bits - bucket_bits)} AS bucket, nx, ny FROM norm
+    )
+    SELECT bucket, count(*) AS n_rows,
+           min(nx) AS nx_min, max(nx) AS nx_max,
+           min(ny) AS ny_min, max(ny) AS ny_max
+    FROM zb GROUP BY bucket ORDER BY bucket
+    """
+
+
+def temperature_mix_sql(
+    *,
+    table: str = "documents",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    target_tenths: int = 3,
+    salt: str = "tmix",
+) -> str:
+    """Mirror of corpus.temperature_mix: same floor(sqrt(n)*1000)
+    integer weights, same BIGINT quota arithmetic (div/* are left-
+    associative in both engines), same md5-ordered selection."""
+    return f"""
+    WITH counts AS (
+      SELECT {group_col}, count(*) AS n_docs FROM {table} GROUP BY {group_col}
+    ),
+    weights AS (
+      SELECT {group_col}, n_docs,
+             CAST(floor(sqrt(n_docs::DOUBLE) * 1000) AS BIGINT) AS w
+      FROM counts
+    ),
+    totals AS (
+      SELECT sum(w)::BIGINT AS w_total, sum(n_docs)::BIGINT AS n_total
+      FROM weights
+    ),
+    quotas AS (
+      SELECT {group_col}, n_docs,
+             least(n_docs, ((n_total * {target_tenths}) // 10) * w // w_total)
+               AS quota
+      FROM weights, totals
+    ),
+    ranked AS (
+      SELECT {group_col}, {id_col},
+             row_number() OVER (
+               PARTITION BY {group_col}
+               ORDER BY md5('{salt}:' || {id_col}::VARCHAR) ASC, {id_col} ASC
+             ) AS rk
+      FROM {table}
+    )
+    SELECT r.{group_col}, q.n_docs, q.quota,
+           count(*) AS n_kept,
+           CAST(sum(r.{id_col}) AS BIGINT) AS sum_kept_ids
+    FROM ranked r
+    JOIN quotas q ON r.{group_col} = q.{group_col}
+    WHERE r.rk <= q.quota
+    GROUP BY r.{group_col}, q.n_docs, q.quota
+    ORDER BY r.{group_col}
+    """

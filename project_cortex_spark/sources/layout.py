@@ -213,3 +213,151 @@ def compact_store(
     os.rename(tmp, path)
     shutil.rmtree(bak)
     return {"files_before": before, "files_after": _count(path)}
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering and runtime Bloom-filter join pruning: the
+# two layout/plan techniques that matter most at 100 TB and are gated
+# exactly (z-order stats replay in DuckDB from the same bit formula; the
+# bloom prefilter is result-preserving, so its oracle is the plain join).
+
+
+def morton_sql(x: str, y: str, *, bits: int, shift_fmt: str) -> str:
+    """Bit-interleave expression text shared by BOTH engines: z =
+    sum_i ((x>>i)&1)<<2i | ((y>>i)&1)<<(2i+1). ``shift_fmt`` renders the
+    engine's right-shift — ``shiftright({v}, {i})`` for Spark SQL,
+    ``({v} >> {i})`` for DuckDB; masks and weights are plain arithmetic
+    so the rest of the text is engine-neutral."""
+    terms = []
+    for i in range(bits):
+        sx = shift_fmt.format(v=x, i=i)
+        sy = shift_fmt.format(v=y, i=i)
+        terms.append(f"({sx} % 2) * {1 << (2 * i)}")
+        terms.append(f"({sy} % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_bucket_stats(
+    orders: DataFrame,
+    *,
+    x_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    bits: int = 10,
+    bucket_bits: int = 6,
+) -> DataFrame:
+    """Z-order layout audit: rank-normalize two filter dimensions to
+    ``bits``-bit integers, interleave them into a Morton key, split the
+    key range into 2^bucket_bits buckets (the files a writer would
+    produce), and emit each bucket's row count and per-dimension
+    min/max envelope.
+
+    WHY: a 100 TB table is pruned by file-level min/max statistics; a
+    single-column sort gives perfect pruning on one dimension and NONE
+    on the other, while z-order bounds BOTH envelopes per file — this
+    operator measures exactly that (the test asserts the summed bucket
+    area is a small fraction of buckets x full area). The normalization
+    and interleave are integer-exact (`div`, `%`, shifts), so the
+    DuckDB oracle reproduces the stats bit-for-bit.
+
+    Scale shape: one 1-row min/max aggregate broadcast into a codegen
+    projection, then one groupBy over 2^bucket_bits keys — map-side
+    combined, shuffle width = bucket count. An actual rewrite would
+    ``repartitionByRange(z).sortWithinPartitions(z)`` + write; the
+    stats here are the decision input for that rewrite.
+    """
+    from pyspark.sql import functions as F
+
+    mm = orders.agg(
+        F.min(x_col).alias("xmin"),
+        F.max(x_col).alias("xmax"),
+        F.min(F.datediff(F.col(date_col).cast("date"), F.lit("1992-01-01"))).alias(
+            "ymin"
+        ),
+        F.max(F.datediff(F.col(date_col).cast("date"), F.lit("1992-01-01"))).alias(
+            "ymax"
+        ),
+    )
+    top = (1 << bits) - 1
+    base = orders.select(
+        F.col(x_col).alias("x"),
+        F.datediff(F.col(date_col).cast("date"), F.lit("1992-01-01")).alias("y"),
+    ).crossJoin(F.broadcast(mm))
+    norm = base.select(
+        F.expr(f"(cast(x - xmin as bigint) * {top}) div "
+               f"cast(greatest(xmax - xmin, 1) as bigint)").alias("nx"),
+        F.expr(f"(cast(y - ymin as bigint) * {top}) div "
+               f"cast(greatest(ymax - ymin, 1) as bigint)").alias("ny"),
+    )
+    z = morton_sql("nx", "ny", bits=bits, shift_fmt="shiftright({v}, {i})")
+    zb = norm.select(
+        F.expr(f"{z} div {1 << (2 * bits - bucket_bits)}").alias("bucket"),
+        "nx",
+        "ny",
+    )
+    return (
+        zb.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("nx").alias("nx_min"),
+            F.max("nx").alias("nx_max"),
+            F.min("ny").alias("ny_min"),
+            F.max("ny").alias("ny_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def bloom_semi_filter(
+    probe: DataFrame,
+    probe_key: str,
+    build_keys: DataFrame,
+    build_key: str,
+    *,
+    width: int = 1 << 16,
+    hashes: int = 3,
+    salt: str = "bf",
+) -> DataFrame:
+    """Runtime Bloom-filter prefilter: hash the build side's keys into
+    ``hashes`` positions over a ``width``-bit space, then keep only the
+    probe rows whose EVERY position is occupied. No false negatives by
+    construction (a present key's positions are all set), so a join
+    after the prefilter returns exactly the unfiltered join — the gate
+    exploits that: the oracle is the plain join.
+
+    WHY at 100 TB: when the build side is selective (a filtered dim),
+    the probe scan drops most rows BEFORE the join shuffle — this is
+    what Spark's own runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) injects for
+    shuffle joins; the explicit form works where the optimizer won't
+    reach — pre-shuffle pruning in custom pipelines, persisted
+    prefilters reused across queries, or semi-structured probe sides.
+
+    Plan shape: the position set is a distinct aggregate of at most
+    ``hashes x |build|`` (capped by ``width``) rows, broadcast into
+    ``hashes`` successive LEFT SEMI joins — zero probe-side shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    def pos(col, j):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}{j}:"), col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return h % F.lit(width)
+
+    bits = None
+    for j in range(hashes):
+        b = build_keys.select(pos(F.col(build_key), j).alias("pos"))
+        bits = b if bits is None else bits.unionAll(b)
+    bits = bits.distinct()
+    out = probe
+    for j in range(hashes):
+        out = out.join(
+            F.broadcast(bits),
+            pos(F.col(probe_key), j) == F.col("pos"),
+            "left_semi",
+        )
+    return out

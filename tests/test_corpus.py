@@ -276,3 +276,26 @@ def test_curriculum_stage_balance_and_order(spark):
            for r in corpus.curriculum_stages(docs, key_col="source").collect()}
     # best quality -> stage 1, equal counts per stage
     assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4}
+
+
+def test_temperature_mix_upweights_low_resource_groups(registry, duck):
+    """alpha=0.5 sampling: the smallest group keeps a LARGER fraction of
+    itself than the largest group (the whole point of temperature
+    mixing), total kept is ~the 30% target, and the audit row replays
+    exactly in DuckDB."""
+    from project_cortex_spark import oracle as ora
+    from project_cortex_spark.operators.corpus import temperature_mix
+    from tests.conftest import assert_matches_oracle
+
+    docs = registry.table("documents")
+    out = temperature_mix(docs)
+    rows = sorted(out.collect(), key=lambda r: r.n_docs)
+    assert len(rows) >= 2
+    small, big = rows[0], rows[-1]
+    if big.n_docs > 2 * small.n_docs:  # meaningful skew in the fixture
+        assert small.n_kept / small.n_docs > big.n_kept / big.n_docs
+    total = sum(r.n_docs for r in rows)
+    kept = sum(r.n_kept for r in rows)
+    assert kept <= 0.31 * total  # quotas never overshoot the target
+    assert all(r.n_kept == r.quota for r in rows)  # quota <= n_docs held
+    assert_matches_oracle(out, duck, ora.temperature_mix_sql())

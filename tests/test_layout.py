@@ -336,3 +336,68 @@ def test_compact_store_keeps_partition_pruning(spark, tmp_path):
     assert sorted(map(tuple, after_df.collect())) == before
     plan = layout.plan_of(after_df.filter(F.col("part") == 2))
     assert "PartitionFilters: [isnotnull(part" in plan
+
+
+def test_zorder_buckets_are_spatially_local(registry):
+    """The pruning argument: summed per-bucket envelope area must be a
+    small fraction of n_buckets x full area (a random assignment gives
+    ~full area per bucket; a 1-D sort gives full extent on the other
+    dimension)."""
+    from project_cortex_spark.sources.layout import zorder_bucket_stats
+
+    rows = zorder_bucket_stats(registry.table("orders")).collect()
+    assert len(rows) > 16
+    full_area = 1024.0 * 1024.0
+    covered = sum(
+        (r.nx_max - r.nx_min + 1) * (r.ny_max - r.ny_min + 1) for r in rows
+    )
+    # each bucket's envelope is at most ~1/16 of the plane for 64
+    # buckets of a balanced z-curve (2 orders of magnitude better than
+    # the 1-D sort's 1/8-by-full-extent stripes on the minor dimension)
+    assert covered < 0.35 * len(rows) * full_area
+
+
+def test_bloom_prefilter_has_no_false_negatives_and_prunes(registry):
+    from pyspark.sql import functions as F
+
+    from project_cortex_spark.sources.layout import bloom_semi_filter
+
+    orders = registry.table("orders")
+    lineitem = registry.table("lineitem")
+    build = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    survivors = bloom_semi_filter(lineitem, "l_orderkey", build, "o_orderkey")
+    exact = lineitem.join(
+        build, lineitem.l_orderkey == build.o_orderkey, "left_semi"
+    )
+    n_probe, n_surv, n_exact = lineitem.count(), survivors.count(), exact.count()
+    # every true match survives the prefilter...
+    assert n_surv >= n_exact
+    # ...and the prefilter actually prunes (the point of the exercise)
+    assert n_surv < n_probe
+    # the exact join AFTER the prefilter is the unfiltered join
+    assert (
+        survivors.join(build, survivors.l_orderkey == build.o_orderkey).count()
+        == lineitem.join(build, lineitem.l_orderkey == build.o_orderkey).count()
+    )
+
+
+def test_bloom_prefilter_is_broadcast_only(registry):
+    """No probe-side shuffle: the position set broadcasts into LEFT SEMI
+    joins — the plan must not sort-merge or exchange the probe."""
+    from pyspark.sql import functions as F
+
+    from project_cortex_spark.sources.layout import bloom_semi_filter, plan_of
+
+    orders = registry.table("orders")
+    build = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    plan = plan_of(
+        bloom_semi_filter(
+            registry.table("lineitem"), "l_orderkey", build, "o_orderkey"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
