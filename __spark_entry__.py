@@ -5986,6 +5986,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
 
     out["stream_heavy_hitters"] = _q_stream_heavy_hitters
+    # KMV bottom-k sketch: pairwise source-overlap (Jaccard) estimates
+    out["stats_kmv_overlap"] = lambda s, d: sk.kmv_pair_overlap(
+        _registry(s, d).table("events")
+    )
+
+    def _q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # streaming twin of stats_hll_distinct: the registers are a MAX
+        # aggregate maintained by the stream (the HLL monoid — any
+        # partitioning of the data merges losslessly); the estimate is
+        # merge-on-read. Same oracle as the batch query.
+        with stream_source.scoped_state_partitions(
+            spark, _STREAM_STATE_PARTITIONS
+        ):
+            stream = stream_source.stream_table(spark, sf_dir, "events")
+            regs = stream_source.run_to_memory(
+                sk.hll_registers(stream),
+                query_name="q_stream_hll_distinct",
+                output_mode="complete",
+            )
+            return sk.hll_estimate_on_registers(
+                regs, _registry(spark, sf_dir).table("events")
+            )
+
+    out["stream_hll_distinct"] = _q_stream_hll_distinct
     return _prioritize(out)
 
 
@@ -6640,6 +6664,10 @@ def oracle_sql() -> dict[str, str]:
     # stream-maintained CMS cells merged across micro-batches == the
     # one-shot batch sketch
     out["stream_heavy_hitters"] = oracle.cms_heavy_hitters_sql()
+    out["stats_kmv_overlap"] = oracle.kmv_pair_overlap_sql()
+    # stream-maintained HLL registers merged across micro-batches ==
+    # the one-shot batch registers
+    out["stream_hll_distinct"] = oracle.hll_distinct_sql()
     # the bloom prefilter never drops a matching row (no false
     # negatives), so the oracle is the join WITHOUT the bloom stage
     out["join_bloom_prefilter"] = """

@@ -150,7 +150,7 @@ def _hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_distinct(
+def hll_registers(
     events: DataFrame,
     *,
     group_col: str = "event_type",
@@ -158,23 +158,10 @@ def hll_distinct(
     p: int = 8,
     salt: str = "hll",
 ) -> DataFrame:
-    """HyperLogLog distinct-count per group (Flajolet et al. 2007):
-    bucket = low ``p`` bits of a 60-bit hash, register = max leading-
-    zero rank of the remaining 52 bits, estimate = alpha*m^2 / sum of
-    2^-register with the small-range linear-counting correction.
-
-    Exactness trick: the harmonic sum is computed as an INTEGER —
-    sum(2^(52+1-M)) scaled by 2^53 — so the only float ops are one
-    division, one multiply by the alpha literal, and (small-range only)
-    one ``ln``; everything else is exact and reassociation-free, which
-    is what lets a 256-register ESTIMATOR hash-match a different engine.
-    The ``ln`` result is rounded to 4 dp on both sides (libm last-ulp
-    margin ~1e-13 of the value; 4 dp is 9 orders above it).
-
-    Monoid: registers merge by MAX — the same groupBy merges files,
-    partitions, or streaming micro-batches; shuffle width is m rows per
-    group, never the key count.
-    """
+    """The HLL state: max leading-zero rank per (group, bucket). MAX is
+    algebraic, so the identical expression is a streaming aggregate in
+    complete mode and registers from any partitioning of the data merge
+    losslessly — the property the streaming twin gates."""
     m = 1 << p
     wbits = 60 - p
     h = _h60(f"{salt}:", F.col(key_col))
@@ -185,14 +172,26 @@ def hll_distinct(
     rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
         F.lit(wbits + 1) - F.length(F.bin(w))
     )
-    regs = (
+    return (
         events.select(F.col(group_col), bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(group_col, "bucket")
         .agg(F.max("rho").alias("reg"))
     )
-    # integer harmonic sum: present buckets contribute 2^(53-reg)
-    # (reg <= 53 so the term is >= 1 and exact); absent buckets are
-    # register 0 -> 2^53 each.
+
+
+def hll_estimate_on_registers(
+    regs: DataFrame,
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    p: int = 8,
+) -> DataFrame:
+    """Merge-on-read finisher: the estimate formula over an already-
+    built (possibly stream-maintained) register frame, plus the exact
+    audit columns. See :func:`hll_distinct` for the integer-sum trick."""
+    m = 1 << p
+    wbits = 60 - p
     scale = 1 << (wbits + 1)
     alpha = _hll_alpha(m)
     per_group = regs.groupBy(group_col).agg(
@@ -224,6 +223,39 @@ def hll_distinct(
             6,
         ).alias("rel_err"),
     ).orderBy(group_col)
+
+
+def hll_distinct(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    p: int = 8,
+    salt: str = "hll",
+) -> DataFrame:
+    """HyperLogLog distinct-count per group (Flajolet et al. 2007):
+    bucket = low ``p`` bits of a 60-bit hash, register = max leading-
+    zero rank of the remaining 52 bits, estimate = alpha*m^2 / sum of
+    2^-register with the small-range linear-counting correction.
+
+    Exactness trick: the harmonic sum is computed as an INTEGER —
+    sum(2^(52+1-M)) scaled by 2^53 — so the only float ops are one
+    division, one multiply by the alpha literal, and (small-range only)
+    one ``ln``; everything else is exact and reassociation-free, which
+    is what lets a 256-register ESTIMATOR hash-match a different engine.
+    The ``ln`` result is rounded to 4 dp on both sides (libm last-ulp
+    margin ~1e-13 of the value; 4 dp is 9 orders above it).
+
+    Monoid: registers merge by MAX — the same groupBy merges files,
+    partitions, or streaming micro-batches; shuffle width is m rows per
+    group, never the key count.
+    """
+    regs = hll_registers(
+        events, group_col=group_col, key_col=key_col, p=p, salt=salt
+    )
+    return hll_estimate_on_registers(
+        regs, events, group_col=group_col, key_col=key_col, p=p
+    )
 
 
 def exact_quantiles(
@@ -264,4 +296,99 @@ def exact_quantiles(
         ranked.join(F.broadcast(targets), [group_col, "rn"])
         .select(group_col, "q", "n", "value")
         .orderBy(group_col, "q")
+    )
+
+
+def kmv_pair_overlap(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    k: int = 256,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Cross-group overlap via a KMV (bottom-k minimum values) sketch
+    (Bar-Yossef et al. 2002): for every pair of groups, the k smallest
+    member hashes of the UNION are a uniform without-replacement sample
+    of it, so the fraction of them belonging to BOTH groups estimates
+    the Jaccard similarity — the "how much do these two corpus slices
+    overlap" question behind decontamination and source-mix audits,
+    answered without materializing the intersection.
+
+    Deterministic end to end: the sample is "k smallest md5 values,
+    ties on key", the estimate is the exact rational cnt/k — nothing to
+    tolerance-compare. The exact Jaccard is emitted as the audit
+    column.
+
+    Scale shape: one distinct per (group, key), one collect_set of
+    group memberships per key (bounded by the group COUNT, not data),
+    a broadcast pair frame (p*(p-1)/2 rows), and a bottom-k window per
+    pair — state per pair is k rows. The union explode multiplies
+    distinct keys by the number of pairs each key's groups touch:
+    bounded by p^2, the documented envelope (prune the pair frame
+    first when p is large).
+    """
+    membership = (
+        events.select(group_col, key_col)
+        .distinct()
+        .groupBy(key_col)
+        .agg(F.collect_set(group_col).alias("gs"))
+    )
+    groups = events.select(group_col).distinct()
+    pairs = (
+        groups.alias("l")
+        .crossJoin(groups.alias("r"))
+        .filter(F.expr(f"l.{group_col} < r.{group_col}"))
+        .select(
+            F.col(f"l.{group_col}").alias("ga"),
+            F.col(f"r.{group_col}").alias("gb"),
+        )
+    )
+    h = _h60(f"{salt}:", F.col(key_col))
+    tagged = membership.crossJoin(F.broadcast(pairs)).filter(
+        F.array_contains("gs", F.col("ga")) | F.array_contains("gs", F.col("gb"))
+    )
+    scored = tagged.select(
+        "ga",
+        "gb",
+        F.col(key_col),
+        h.alias("h"),
+        (
+            F.array_contains("gs", F.col("ga"))
+            & F.array_contains("gs", F.col("gb"))
+        )
+        .cast("int")
+        .alias("in_both"),
+    )
+    win = Window.partitionBy("ga", "gb").orderBy(
+        F.col("h").asc(), F.col(key_col).asc()
+    )
+    sample = scored.withColumn("rk", F.row_number().over(win)).filter(
+        F.col("rk") <= k
+    )
+    est = sample.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.sum("in_both").alias("n_both"),
+    )
+    exact = (
+        scored.groupBy("ga", "gb")
+        .agg(
+            F.count(F.lit(1)).alias("n_union"),
+            F.sum("in_both").alias("n_inter"),
+        )
+    )
+    return (
+        est.join(exact, ["ga", "gb"])
+        .select(
+            "ga",
+            "gb",
+            "n_sample",
+            F.round(
+                F.col("n_both").cast("double") / F.col("n_sample").cast("double"), 6
+            ).alias("est_jaccard"),
+            F.round(
+                F.col("n_inter").cast("double") / F.col("n_union").cast("double"), 6
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("ga", "gb")
     )

@@ -3671,3 +3671,58 @@ def temperature_mix_sql(
     GROUP BY r.{group_col}, q.n_docs, q.quota
     ORDER BY r.{group_col}
     """
+
+
+def kmv_pair_overlap_sql(
+    *,
+    table: str = "events",
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    k: int = 256,
+    salt: str = "kmv",
+) -> str:
+    """Mirror of sketches.kmv_pair_overlap: same 60-bit md5 sample keys,
+    same bottom-k window, same exact-rational estimates."""
+    return f"""
+    WITH du AS (
+      SELECT DISTINCT {group_col} AS g, {key_col} FROM {table}
+    ),
+    groups AS (SELECT DISTINCT {group_col} AS g FROM {table}),
+    pairs AS (
+      SELECT l.g AS ga, r.g AS gb FROM groups l, groups r WHERE l.g < r.g
+    ),
+    mem AS (
+      SELECT p.ga, p.gb, du.{key_col},
+             max(CASE WHEN du.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN du.g = p.gb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN du ON du.g = p.ga OR du.g = p.gb
+      GROUP BY p.ga, p.gb, du.{key_col}
+    ),
+    scored AS (
+      SELECT ga, gb, {key_col},
+             ('0x' || substr(md5('{salt}:' || {key_col}::VARCHAR), 1, 15))::BIGINT AS h,
+             CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END AS in_both
+      FROM mem
+    ),
+    sample AS (
+      SELECT ga, gb, in_both FROM (
+        SELECT ga, gb, in_both,
+               row_number() OVER (PARTITION BY ga, gb
+                                  ORDER BY h ASC, {key_col} ASC) AS rk
+        FROM scored
+      ) WHERE rk <= {k}
+    ),
+    est AS (
+      SELECT ga, gb, count(*) AS n_sample, sum(in_both) AS n_both
+      FROM sample GROUP BY ga, gb
+    ),
+    exact AS (
+      SELECT ga, gb, count(*) AS n_union, sum(in_both) AS n_inter
+      FROM scored GROUP BY ga, gb
+    )
+    SELECT e.ga, e.gb, e.n_sample,
+           round(e.n_both::DOUBLE / e.n_sample::DOUBLE, 6) AS est_jaccard,
+           round(x.n_inter::DOUBLE / x.n_union::DOUBLE, 6) AS exact_jaccard
+    FROM est e JOIN exact x ON e.ga = x.ga AND e.gb = x.gb
+    ORDER BY e.ga, e.gb
+    """

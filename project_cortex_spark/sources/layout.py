@@ -361,3 +361,76 @@ def bloom_semi_filter(
             "left_semi",
         )
     return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    x_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    bits: int = 10,
+    n_files: int = 8,
+) -> None:
+    """The rewrite :func:`zorder_bucket_stats` is the decision input
+    for: compute the Morton key, range-partition into ``n_files`` and
+    sort within partitions by it, write parquet. Each output file's
+    min/max footer statistics then bound BOTH dimensions (the test
+    reads the footers back and checks the envelopes beat a 1-D sort's),
+    so a reader filtering on either column — or both — skips files.
+
+    At 100 TB this runs per partition/day as a compaction pass;
+    repartitionByRange samples the z keys, so skewed key spaces still
+    split evenly.
+    """
+    from pyspark.sql import functions as F
+
+    mm = df.agg(
+        F.min(x_col).alias("xmin"),
+        F.max(x_col).alias("xmax"),
+        F.min(F.datediff(F.col(date_col).cast("date"), F.lit("1992-01-01"))).alias(
+            "ymin"
+        ),
+        F.max(F.datediff(F.col(date_col).cast("date"), F.lit("1992-01-01"))).alias(
+            "ymax"
+        ),
+    )
+    top = (1 << bits) - 1
+    base = df.withColumn(
+        "_y", F.datediff(F.col(date_col).cast("date"), F.lit("1992-01-01"))
+    ).crossJoin(F.broadcast(mm))
+    normed = base.withColumn(
+        "_nx",
+        F.expr(
+            f"(cast({x_col} - xmin as bigint) * {top}) div "
+            f"cast(greatest(xmax - xmin, 1) as bigint)"
+        ),
+    ).withColumn(
+        "_ny",
+        F.expr(
+            f"(cast(_y - ymin as bigint) * {top}) div "
+            f"cast(greatest(ymax - ymin, 1) as bigint)"
+        ),
+    )
+    z = morton_sql("_nx", "_ny", bits=bits, shift_fmt="shiftright({v}, {i})")
+    keyed = normed.withColumn("_z", F.expr(z))
+    # INT96 timestamps (a writer default in several Spark lineages)
+    # carry NO min/max statistics — which silently disables the very
+    # pruning this layout exists for. Force int64 micros for the write.
+    conf = df.sparkSession.conf
+    key = "spark.sql.parquet.outputTimestampType"
+    old = conf.get(key, None)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        (
+            keyed.repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_y", "_nx", "_ny", "_z", "xmin", "xmax", "ymin", "ymax")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        if old is None:
+            conf.unset(key)
+        else:
+            conf.set(key, old)

@@ -401,3 +401,54 @@ def test_bloom_prefilter_is_broadcast_only(registry):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_zorder_write_bounds_both_dimensions_in_file_footers(registry, tmp_path):
+    """The end goal of z-ordering: parquet FILE statistics (what a
+    100 TB reader prunes on) bound both filter dimensions. A 1-D sort
+    on custkey leaves each file spanning ~the full date range; the
+    z-ordered layout must cut the summed date-envelope by a large
+    factor."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from project_cortex_spark.sources.layout import write_zordered
+
+    orders = registry.table("orders")
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    write_zordered(orders, zpath, n_files=8)
+    conf = orders.sparkSession.conf
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        (
+            orders.repartitionByRange(8, "o_custkey")
+            .sortWithinPartitions("o_custkey")
+            .write.mode("overwrite")
+            .parquet(spath)
+        )
+    finally:
+        conf.unset("spark.sql.parquet.outputTimestampType")
+
+    def date_extent_sum(path):
+        total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "o_orderdate" and col.statistics:
+                        st = col.statistics
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                total += (hi - lo).days
+        return total
+
+    z_extent, s_extent = date_extent_sum(zpath), date_extent_sum(spath)
+    assert z_extent > 0 and s_extent > 0
+    # 8 z-files each cover ~1/4 of the date range (2 bucket_bits worth);
+    # 8 custkey-sorted files each cover ~the WHOLE range
+    assert z_extent < 0.5 * s_extent

@@ -115,3 +115,31 @@ def test_cms_sketch_is_bounded(events):
         .count()
     )
     assert cells.count() <= 4 * 512
+
+
+def test_kmv_matches_oracle(events, duck):
+    assert_matches_oracle(
+        sk.kmv_pair_overlap(events), duck, oracle.kmv_pair_overlap_sql()
+    )
+
+
+def test_kmv_is_exact_when_union_fits_in_sample(events):
+    # k larger than any union -> the "sample" is the union itself and
+    # the estimate collapses to the exact Jaccard; also the general
+    # invariant that the estimate is a valid fraction
+    rows = sk.kmv_pair_overlap(events, k=1_000_000).collect()
+    assert rows, "expected group pairs"
+    for r in rows:
+        assert r.est_jaccard == r.exact_jaccard
+    small = sk.kmv_pair_overlap(events, k=64).collect()
+    assert all(0.0 <= r.est_jaccard <= 1.0 for r in small)
+
+
+def test_kmv_estimate_near_exact_on_synthetic_overlap(spark):
+    # groups A (0..999) and B (500..1499): true Jaccard = 500/1500
+    data = [("A", i) for i in range(1000)] + [("B", i) for i in range(500, 1500)]
+    df = spark.createDataFrame(data, "event_type string, user_id bigint")
+    r = sk.kmv_pair_overlap(df, k=256).collect()[0]
+    assert abs(r.exact_jaccard - 1 / 3) < 1e-6
+    # KMV standard error ~ sqrt(J(1-J)/k) ~ 0.03; allow 4 sigma
+    assert abs(r.est_jaccard - r.exact_jaccard) < 0.12
