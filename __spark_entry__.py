@@ -6010,6 +6010,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
 
     out["stream_hll_distinct"] = _q_stream_hll_distinct
+    # equi-depth histogram + winsorized robust stats: the two-pass rank
+    # machinery applied to planner stats and outlier-tolerant monitoring
+    out["stats_equidepth_histogram"] = lambda s, d: sk.equidepth_histogram(
+        _registry(s, d).table("events")
+    )
+    out["events_winsorized"] = lambda s, d: sk.winsorized_stats(
+        _registry(s, d).table("events")
+    )
+    # per-source unigram KL divergence vs the whole corpus
+    out["text_source_divergence"] = lambda s, d: ts.source_divergence(
+        _registry(s, d).table("documents")
+    )
+    # synchronous label-propagation communities over the co-purchase
+    # edge list — deterministic min-tie-break variant, CTE-replayable
+    out["graph_communities_lpa"] = lambda s, d: graph_mod.communities_lpa(
+        graph_mod.cooccurrence_edges(
+            _registry(s, d).table("lineitem"),
+            group_col="l_orderkey",
+            item_col="l_partkey",
+            max_df=50,
+        )
+    )
+    # precedence dedup: within a duplicate group keep the copy from the
+    # highest-precedence source, not the minimum id. The fixture has no
+    # exact document duplicates, so the query builds the replica corpus
+    # the unicode_nfc gate uses: every 7th doc mirrored under a 'mirror'
+    # source that outranks all crawl sources — keep_best must pick every
+    # mirror copy (larger id, better source) where min-id dedup would not.
+    def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+        mirror = docs.filter("doc_id % 7 = 0").select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            "text",
+            F.lit("mirror").alias("source"),
+        )
+        corpus = docs.unionByName(mirror).withColumn(
+            "priority",
+            F.when(F.col("source") == "mirror", F.lit(0).cast("bigint")).otherwise(
+                F.expr("cast(substr(source, 4) as bigint) + 1")
+            ),
+        )
+        return dd.dedup_keep_best(corpus)
+
+    out["dedup_keep_best"] = _q_dedup_keep_best
+
+    def _q_stream_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # streaming twin of text_source_divergence: the (source, term)
+        # token counts are a SUM monoid maintained by the stream; the
+        # KL finisher is merge-on-read. Same oracle as the batch query.
+        with stream_source.scoped_state_partitions(
+            spark, _STREAM_STATE_PARTITIONS
+        ):
+            stream = stream_source.stream_table(spark, sf_dir, "documents")
+            counts = stream_source.run_to_memory(
+                ts.source_term_counts(stream),
+                query_name="q_stream_source_divergence",
+                output_mode="complete",
+            )
+            # the finisher SELF-JOINS the count frame (src slice vs
+            # term rollup); cut the memory-sink lineage first — the
+            # shared-relation self-join trips the analyzer otherwise
+            return ts.divergence_on_counts(
+                counts.localCheckpoint(eager=True), min_count=2
+            )
+
+    out["stream_source_divergence"] = _q_stream_source_divergence
     return _prioritize(out)
 
 
@@ -6043,7 +6109,15 @@ _GATE_FIRST = [
     # and last strictness tier) gates alongside them.
     #
     # R7 gate head (pure rotation from here on): FIRST the late-r6
-    # registrations with no driver row — the new media gates
+    # registrations with no driver row — the sketch/layout wave
+    # (events_heavy_hitters, stream_heavy_hitters, stats_hll_distinct,
+    # stream_hll_distinct, stats_exact_quantiles, stats_kmv_overlap,
+    # stats_equidepth_histogram, events_winsorized, layout_zorder,
+    # join_bloom_prefilter, corpus_temperature_mix,
+    # text_source_divergence, graph_communities_lpa, dedup_keep_best —
+    # every one
+    # oracle-gated green at sf0.01, sf0.1 AND the sf1 replica harness
+    # on registration day), then the new media gates
     # (media_ulaw_roundtrip, media_alaw_roundtrip,
     # media_adpcm_roundtrip, media_flac_roundtrip, media_video_frames,
     # media_audio_features, media_gif_roundtrip,
@@ -6668,6 +6742,14 @@ def oracle_sql() -> dict[str, str]:
     # stream-maintained HLL registers merged across micro-batches ==
     # the one-shot batch registers
     out["stream_hll_distinct"] = oracle.hll_distinct_sql()
+    out["stats_equidepth_histogram"] = oracle.equidepth_histogram_sql()
+    out["events_winsorized"] = oracle.winsorized_stats_sql()
+    out["text_source_divergence"] = oracle.source_divergence_sql()
+    out["graph_communities_lpa"] = oracle.communities_lpa_sql()
+    out["dedup_keep_best"] = oracle.dedup_keep_best_sql()
+    # stream-maintained (source, term) counts merged across micro-
+    # batches == the one-shot batch postings
+    out["stream_source_divergence"] = oracle.source_divergence_sql()
     # the bloom prefilter never drops a matching row (no false
     # negatives), so the oracle is the join WITHOUT the bloom stage
     out["join_bloom_prefilter"] = """

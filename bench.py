@@ -67,6 +67,14 @@ EXTENDED = [
     "text_bpe_train",  # 12 iterative rounds: pair-count agg + argmax
     "knn_join_binary",  # broadcast query codes vs corpus-code scan
     "embed_covariance",  # mapInPandas Gram partials + exploded reduce
+    # late-r6 additions: sketches + layout/plan techniques
+    "events_heavy_hitters",  # CMS cells (bounded agg) + broadcast min-join
+    "stats_hll_distinct",  # 256-register HLL, integer harmonic sum
+    "stats_exact_quantiles",  # two-pass rank selection per group
+    "stats_kmv_overlap",  # bottom-k union sample per group pair
+    "layout_zorder",  # morton interleave + bucket envelope agg
+    "join_bloom_prefilter",  # 3 broadcast semi-joins ahead of the join
+    "corpus_temperature_mix",  # sqrt-quota window selection
 ]
 
 HEADLINE = [

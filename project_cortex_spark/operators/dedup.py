@@ -87,7 +87,11 @@ def dedup_exact(
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the session's parallelism when the input arrives
     under-split (one small file = one task) — a no-op at real scale,
-    where the scan itself is well-partitioned."""
+    where the scan itself is well-partitioned. Streaming frames pass
+    through untouched (no .rdd on a streaming plan; micro-batch
+    parallelism is the source's concern)."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -1142,4 +1146,52 @@ def winnowing_near_duplicates(
         )
         .filter(F.col("overlap") >= threshold)
         .select("doc_a", "doc_b", "shared", "overlap")
+    )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    priority_col: str = "priority",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup with a PRECEDENCE rule instead of min-id: within each
+    duplicate group keep the row with the smallest ``priority_col``
+    (ties by id) — the production pattern "the curated mirror of this
+    document beats the crawl copy", which plain min-id dedup gets wrong
+    whenever the better copy has the larger id.
+
+    Output is the audit view of the decisions: one row per group that
+    HAD duplicates (kept id, kept priority, group size) — collectable
+    at any scale; the full kept corpus is the same window filtered to
+    rk = 1 without the n_dups > 1 cut.
+
+    Scale: one window over the content hash — high-cardinality
+    partition key, no skew beyond duplicate-group size, same envelope
+    as exact_duplicate_groups.
+    """
+    from pyspark.sql import Window
+
+    h = docs.withColumn(
+        "_chash", content_hash(F.col(text_col), normalize=normalize)
+    )
+    win = Window.partitionBy("_chash").orderBy(
+        F.col(priority_col).asc(), F.col(id_col).asc()
+    )
+    ranked = h.select("_chash", id_col, priority_col).withColumn(
+        "rk", F.row_number().over(win)
+    )
+    sizes = ranked.groupBy("_chash").agg(F.count(F.lit(1)).alias("n_dups"))
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .join(sizes, "_chash")
+        .filter(F.col("n_dups") > 1)
+        .select(
+            F.col(id_col).alias("kept_id"),
+            F.col(priority_col).alias("kept_priority"),
+            "n_dups",
+        )
+        .orderBy("kept_id")
     )

@@ -22,7 +22,7 @@ the broadcast plan is strictly better.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 MAX_DEPTH = 10  # tool-level clamp (internal/mcp/graph_tool.go:30-55)
@@ -808,3 +808,75 @@ def node_similarity(edges: DataFrame, *, k: int = 50) -> DataFrame:
     return scored.orderBy(
         F.col("jaccard").desc(), F.col("pa").asc(), F.col("pb").asc()
     ).limit(k)
+
+
+def communities_lpa(
+    edges: DataFrame,
+    *,
+    rounds: int = 4,
+    min_size: int = 2,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over an undirected edge list: every node starts as its
+    own label; each round it adopts its neighbors' MOST FREQUENT label,
+    ties broken by smallest label — the deterministic variant, so the
+    fixed ``rounds`` unroll to a DuckDB CTE chain and the result is
+    hash-gated like pagerank/kcore. (Classic LPA randomizes update
+    order; synchronous + min-tie-break trades a little convergence
+    speed for replayability.)
+
+    Complements duplicate_clusters' connected components: LPA splits a
+    connected graph into densely-linked groups rather than reachability
+    classes — the "which modules actually cluster together" view of the
+    co-purchase / call graph.
+
+    Output: one row per surviving community — label, n_nodes,
+    min member id — communities below ``min_size`` dropped.
+
+    Scale notes: per round, one equi-join of the (|V|-row, broadcast)
+    label frame onto the stationary directed edge list and one
+    (node, label) count + argmax window partitioned on the node — the
+    same small-frame-vs-stationary-edges shape as :func:`pagerank`,
+    lineage cut per round with localCheckpoint. The argmax window
+    partitions on high-cardinality node ids, so no skew; hub fan-in is
+    bounded upstream by cooccurrence_edges' max_df cap.
+    """
+    dir_edges = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    labels = dir_edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    # argmax form MEASURED at sf1: the row_number window over the
+    # (node, label) count frame reuses that aggregate's hash
+    # partitioning (no exchange, one sort: 45 s/round-chain); the
+    # "cheaper-looking" second groupBy(node) max(struct(c, -label))
+    # re-shuffles every round and measured 75 s on the same data.
+    win = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        labels = (
+            dir_edges.join(
+                F.broadcast(labels.withColumnRenamed("node", "src")), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+        )
+        .filter(F.col("n_nodes") >= min_size)
+        .orderBy(F.col("n_nodes").desc(), F.col("label").asc())
+    )

@@ -392,3 +392,96 @@ def kmv_pair_overlap(
         )
         .orderBy("ga", "gb")
     )
+
+
+def equidepth_histogram(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Equi-depth (equi-height) histogram per group — the planner/
+    monitoring structure optimizers build from exactly this two-pass
+    shape: bucket b holds the rows ranked in ((b*n) div B, ((b+1)*n)
+    div B], so counts differ by at most 1 and the per-bucket value
+    envelope IS the quantile boundary set.
+
+    Bucket assignment is the integer formula ((rn-1) * B) div n — no
+    float quantile lookup, so the histogram is hash-exact across
+    engines. Equal values straddling a boundary are interchangeable:
+    the per-bucket count, min and max are deterministic even though the
+    tie order is not.
+
+    Scale: one count aggregate + one ranked window (range-partitioned
+    sort per group) + one bounded groupBy — same envelope as
+    :func:`exact_quantiles`.
+    """
+    counts = events.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    win = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    ranked = (
+        events.select(group_col, F.col(value_col).alias("value"))
+        .withColumn("rn", F.row_number().over(win).cast("bigint"))
+        .join(F.broadcast(counts), group_col)
+        .withColumn("bucket", F.expr(f"((rn - 1) * {n_buckets}) div n"))
+    )
+    return (
+        ranked.groupBy(group_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy(group_col, "bucket")
+    )
+
+
+def winsorized_stats(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Winsorized (clipped) robust statistics per group: clamp values
+    at the exact lo/hi quantiles, then aggregate — the outlier-tolerant
+    mean a monitoring pipeline wants when a single poisoned value
+    would otherwise swing the average.
+
+    The clip bounds come from the same ceil(q*n) rank selection as
+    :func:`exact_quantiles`; the clipped sum is an e4 scaled-int sum
+    (round each clamped value to 4 dp, cast, sum BIGINTs), so nothing
+    float-reassociates — the repo's standard sum-determinism contract.
+    """
+    counts = events.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    win = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    ranked = (
+        events.select(group_col, F.col(value_col).alias("value"))
+        .withColumn("rn", F.row_number().over(win).cast("bigint"))
+        .join(F.broadcast(counts), group_col)
+    )
+    bounds = (
+        ranked.filter(
+            (F.col("rn") == F.expr(f"cast(ceil({lo_q!r} * n) as bigint)"))
+            | (F.col("rn") == F.expr(f"cast(ceil({hi_q!r} * n) as bigint)"))
+        )
+        .groupBy(group_col)
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    clipped = ranked.join(F.broadcast(bounds), group_col).select(
+        group_col,
+        "lo",
+        "hi",
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value"))).alias("cv"),
+    )
+    return (
+        clipped.groupBy(group_col, "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("cv") * 10000).cast("bigint")).alias(
+                "sum_clipped_e4"
+            ),
+        )
+        .orderBy(group_col)
+    )

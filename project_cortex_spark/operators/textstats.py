@@ -647,3 +647,81 @@ def fingerprints(
     grams = char_ngrams(norm, ngram)
     fp = F.array_min(F.transform(grams, lambda g: F.md5(g)))
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+
+
+def source_divergence(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-source corpus drift: KL(source unigram distribution || whole-
+    corpus distribution) — the "which slice no longer looks like the
+    corpus" diagnostic behind mix rebalancing and contamination triage.
+    Only terms the source actually contains contribute (p=0 terms add
+    nothing); rare terms below ``min_count`` per source are dropped so
+    a single typo cannot dominate a small slice.
+
+    Determinism: p and q are exact integer ratios evaluated identically
+    as doubles; each term's contribution p*ln(p/q) is rounded to a
+    scaled BIGINT (e12) BEFORE summation, so the cross-source sum is an
+    integer fold — the repo's standard defense against float
+    reassociation (ln's last-ulp drift is ~1e-16 of a term, four orders
+    below the e12 step).
+
+    Scale: two postings aggregates (map-side combined: (source, term)
+    and (term)), a broadcast of the per-source and corpus totals, one
+    equi-join on term — no window, no all-pairs.
+    """
+    counts = source_term_counts(docs, group_col=group_col, text_col=text_col)
+    return divergence_on_counts(counts, min_count=min_count)
+
+
+def source_term_counts(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The state behind :func:`source_divergence`: unfiltered per-
+    (source, term) token counts — a SUM monoid, so the identical
+    expression is a streaming aggregate in complete mode and counts
+    from any partitioning of the corpus merge losslessly (the property
+    the streaming twin gates)."""
+    toks = ensure_parallelism(docs).select(
+        F.col(group_col).alias("src"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    return toks.groupBy("src", "term").agg(F.count(F.lit(1)).alias("c_st"))
+
+
+def divergence_on_counts(counts: DataFrame, *, min_count: int = 2) -> DataFrame:
+    """Merge-on-read finisher over an already-built (possibly stream-
+    maintained) (src, term, c_st) count frame; see
+    :func:`source_divergence` for the determinism contract."""
+    src_counts = counts.filter(F.col("c_st") >= min_count)
+    term_counts = counts.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    src_totals = src_counts.groupBy("src").agg(F.sum("c_st").alias("n_s"))
+    corpus_total = term_counts.agg(F.sum("c_t").alias("n"))
+    contrib = (
+        src_counts.join(term_counts, "term")
+        .join(F.broadcast(src_totals), "src")
+        .crossJoin(F.broadcast(corpus_total))
+        .select(
+            "src",
+            F.expr(
+                "cast(round((c_st / cast(n_s as double)) * "
+                "ln((c_st / cast(n_s as double)) / (c_t / cast(n as double))) "
+                "* 1e12) as bigint)"
+            ).alias("kl_e12"),
+        )
+    )
+    return (
+        contrib.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("kl_e12").alias("kl_e12"),
+        )
+        .orderBy("src")
+    )

@@ -3726,3 +3726,204 @@ def kmv_pair_overlap_sql(
     FROM est e JOIN exact x ON e.ga = x.ga AND e.gb = x.gb
     ORDER BY e.ga, e.gb
     """
+
+
+def equidepth_histogram_sql(
+    *,
+    table: str = "events",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    n_buckets: int = 8,
+) -> str:
+    """Mirror of sketches.equidepth_histogram: same integer bucket
+    formula over the same ascending rank."""
+    return f"""
+    WITH counts AS (
+      SELECT {group_col}, count(*) AS n FROM {table} GROUP BY {group_col}
+    ),
+    ranked AS (
+      SELECT {group_col}, {value_col} AS value,
+             row_number() OVER (PARTITION BY {group_col}
+                                ORDER BY {value_col} ASC) AS rn
+      FROM {table}
+    )
+    SELECT r.{group_col}, ((rn - 1) * {n_buckets}) // n AS bucket,
+           count(*) AS n_rows, min(value) AS lo, max(value) AS hi
+    FROM ranked r JOIN counts c ON r.{group_col} = c.{group_col}
+    GROUP BY r.{group_col}, ((rn - 1) * {n_buckets}) // n
+    ORDER BY r.{group_col}, bucket
+    """
+
+
+def winsorized_stats_sql(
+    *,
+    table: str = "events",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> str:
+    """Mirror of sketches.winsorized_stats: identical rank bounds and
+    the e4 scaled-int clipped sum."""
+    return f"""
+    WITH counts AS (
+      SELECT {group_col}, count(*) AS n FROM {table} GROUP BY {group_col}
+    ),
+    ranked AS (
+      SELECT r.{group_col}, r.{value_col} AS value,
+             row_number() OVER (PARTITION BY r.{group_col}
+                                ORDER BY r.{value_col} ASC) AS rn,
+             c.n
+      FROM {table} r JOIN counts c ON r.{group_col} = c.{group_col}
+    ),
+    bounds AS (
+      SELECT {group_col}, min(value) AS lo, max(value) AS hi
+      FROM ranked
+      WHERE rn = CAST(ceil({lo_q!r} * n) AS BIGINT)
+         OR rn = CAST(ceil({hi_q!r} * n) AS BIGINT)
+      GROUP BY {group_col}
+    )
+    SELECT r.{group_col}, b.lo, b.hi,
+           count(*) AS n,
+           CAST(sum(CAST(round(greatest(b.lo, least(b.hi, r.value)) * 10000)
+                         AS BIGINT)) AS BIGINT) AS sum_clipped_e4
+    FROM ranked r JOIN bounds b ON r.{group_col} = b.{group_col}
+    GROUP BY r.{group_col}, b.lo, b.hi
+    ORDER BY r.{group_col}
+    """
+
+
+def source_divergence_sql(
+    *,
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> str:
+    """Mirror of textstats.source_divergence: same tokenizer (SEP_SQL),
+    same e12 scaled-int KL contributions."""
+    return f"""
+    WITH toks AS (
+      SELECT {group_col} AS src,
+             unnest(list_filter(
+               regexp_split_to_array(lower({text_col}), '{SEP_SQL}'),
+               t -> t <> '')) AS term
+      FROM {table}
+    ),
+    src_counts AS (
+      SELECT src, term, count(*) AS c_st FROM toks
+      GROUP BY src, term HAVING count(*) >= {min_count}
+    ),
+    term_counts AS (
+      SELECT term, count(*) AS c_t FROM toks GROUP BY term
+    ),
+    src_totals AS (
+      SELECT src, sum(c_st)::BIGINT AS n_s FROM src_counts GROUP BY src
+    ),
+    corpus_total AS (
+      SELECT sum(c_t)::BIGINT AS n FROM term_counts
+    ),
+    contrib AS (
+      SELECT s.src,
+             CAST(round((s.c_st / CAST(t2.n_s AS DOUBLE)) *
+                        ln((s.c_st / CAST(t2.n_s AS DOUBLE)) /
+                           (t.c_t / CAST(ct.n AS DOUBLE))) * 1e12)
+                  AS BIGINT) AS kl_e12
+      FROM src_counts s
+      JOIN term_counts t ON s.term = t.term
+      JOIN src_totals t2 ON s.src = t2.src
+      CROSS JOIN corpus_total ct
+    )
+    SELECT src, count(*) AS n_terms, CAST(sum(kl_e12) AS BIGINT) AS kl_e12
+    FROM contrib GROUP BY src ORDER BY src
+    """
+
+
+def communities_lpa_sql(
+    table: str = "lineitem",
+    group_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    max_df: int = 50,
+    rounds: int = 4,
+    min_size: int = 2,
+) -> str:
+    """Noiseless twin of cooccurrence_edges + graph.communities_lpa:
+    same degree-capped edge list, the synchronous min-tie-break label
+    rounds unrolled as a CTE chain (l0 -> l1 -> ... -> l{rounds})."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""l{i} AS (
+      SELECT node, label FROM (
+        SELECT de.dst AS node, p.label, count(*) AS c,
+               row_number() OVER (PARTITION BY de.dst
+                                  ORDER BY count(*) DESC, p.label ASC) AS rk
+        FROM de JOIN l{i - 1} p ON p.node = de.src
+        GROUP BY de.dst, p.label
+      ) WHERE rk = 1
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH pres0 AS (
+      SELECT DISTINCT {group_col} AS g, {item_col} AS itm FROM {table}
+    ), keep AS (
+      SELECT itm FROM pres0 GROUP BY itm HAVING count(*) <= {max_df}
+    ), pres AS (
+      SELECT g, itm FROM pres0 JOIN keep USING (itm)
+    ), e AS (
+      SELECT DISTINCT p1.itm AS a, p2.itm AS b
+      FROM pres p1 JOIN pres p2 ON p1.g = p2.g AND p1.itm < p2.itm
+    ), de AS (
+      SELECT a AS src, b AS dst FROM e
+      UNION ALL
+      SELECT b AS src, a AS dst FROM e
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS label FROM de
+    ),
+    {chain}
+    SELECT label, count(*) AS n_nodes, min(node) AS min_node
+    FROM l{rounds}
+    GROUP BY label
+    HAVING count(*) >= {min_size}
+    ORDER BY n_nodes DESC, label ASC
+    """
+
+
+def dedup_keep_best_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Mirror of dedup.dedup_keep_best over the entry query's variant
+    corpus (every 7th doc mirrored under a better source — the
+    unicode_nfc replica trick) with the same normalized content hash
+    and source precedence: 'mirror' = 0, else numeric suffix + 1."""
+    return f"""
+    WITH corpus AS (
+      SELECT {id_col}, {text_col}, source FROM {table}
+      UNION ALL
+      SELECT {id_col} + 10000000, {text_col}, 'mirror'
+      FROM {table} WHERE {id_col} % 7 = 0
+    ),
+    h AS (
+      SELECT {id_col},
+             CASE WHEN source = 'mirror' THEN 0
+                  ELSE CAST(substr(source, 4) AS BIGINT) + 1 END AS priority,
+             md5(array_to_string(
+               list_filter(regexp_split_to_array(lower({text_col}), '{SEP_SQL}'),
+                           x -> x <> ''), ' ')) AS chash
+      FROM corpus
+    ),
+    ranked AS (
+      SELECT chash, {id_col}, priority,
+             row_number() OVER (PARTITION BY chash
+                                ORDER BY priority ASC, {id_col} ASC) AS rk,
+             count(*) OVER (PARTITION BY chash) AS n_dups
+      FROM h
+    )
+    SELECT {id_col} AS kept_id, priority AS kept_priority, n_dups
+    FROM ranked WHERE rk = 1 AND n_dups > 1
+    ORDER BY kept_id
+    """

@@ -505,3 +505,22 @@ def test_winnowing_fractional_df_cap_survives_replication(spark):
         docs, threshold=0.3, max_df=5, max_df_frac=1.0
     ).count()
     assert some > 0
+
+
+def test_dedup_keep_best_prefers_priority_over_min_id(spark):
+    """Three copies of one document: the best-priority copy wins even
+    though it has the LARGEST id — the case min-id dedup gets wrong."""
+    from project_cortex_spark.operators.dedup import dedup_keep_best
+
+    rows = [
+        (1, "same text here", 5),
+        (2, "same text here", 3),
+        (9, "same text here", 1),  # best priority, biggest id
+        (4, "unique text", 2),     # no duplicates -> not in audit view
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, priority bigint")
+    out = dedup_keep_best(df).collect()
+    assert len(out) == 1
+    assert out[0].kept_id == 9
+    assert out[0].kept_priority == 1
+    assert out[0].n_dups == 3

@@ -539,3 +539,37 @@ def test_bfs_multi_empty_starts_returns_empty_frame(fixture_edges):
     assert out.columns == ["root", "node", "depth"]
     assert dict(out.dtypes)["root"] == dict(fixture_edges.dtypes)["src"]
     assert out.count() == 0
+
+
+def test_communities_lpa_separates_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: synchronous min-tie LPA
+    must converge each clique onto its own (minimum-id) label."""
+    from project_cortex_spark.operators.graph import communities_lpa
+
+    c1 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    c2 = [(a, b) for a in range(11, 15) for b in range(11, 15) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(4, 11)], "a bigint, b bigint")
+    rows = communities_lpa(edges, rounds=4).collect()
+    sizes = sorted(r.n_nodes for r in rows)
+    assert sum(sizes) == 8
+    assert len(rows) == 2
+    assert {r.min_node for r in rows} == {1, 11}
+
+
+def test_communities_lpa_matches_oracle(registry, duck):
+    from project_cortex_spark import oracle as ora
+    from project_cortex_spark.operators.graph import (
+        communities_lpa,
+        cooccurrence_edges,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    out = communities_lpa(
+        cooccurrence_edges(
+            registry.table("lineitem"),
+            group_col="l_orderkey",
+            item_col="l_partkey",
+            max_df=50,
+        )
+    )
+    assert_matches_oracle(out, duck, ora.communities_lpa_sql())

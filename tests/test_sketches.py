@@ -143,3 +143,55 @@ def test_kmv_estimate_near_exact_on_synthetic_overlap(spark):
     assert abs(r.exact_jaccard - 1 / 3) < 1e-6
     # KMV standard error ~ sqrt(J(1-J)/k) ~ 0.03; allow 4 sigma
     assert abs(r.est_jaccard - r.exact_jaccard) < 0.12
+
+
+def test_equidepth_matches_oracle(events, duck):
+    assert_matches_oracle(
+        sk.equidepth_histogram(events), duck, oracle.equidepth_histogram_sql()
+    )
+
+
+def test_equidepth_buckets_are_balanced_and_monotone(events):
+    rows = sk.equidepth_histogram(events, n_buckets=8).collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.event_type, []).append(r)
+    for g, bs in by_group.items():
+        bs.sort(key=lambda r: r.bucket)
+        counts = [r.n_rows for r in bs]
+        # equi-DEPTH: bucket sizes differ by at most 1
+        assert max(counts) - min(counts) <= 1, (g, counts)
+        # envelopes tile the value range in order
+        for a, b in zip(bs, bs[1:]):
+            assert a.hi <= b.lo
+
+
+def test_winsorized_matches_oracle(events, duck):
+    assert_matches_oracle(
+        sk.winsorized_stats(events), duck, oracle.winsorized_stats_sql()
+    )
+
+
+def test_winsorized_mean_resists_outliers(spark):
+    # one poisoned value (1e9) among 99 unit values: the raw mean
+    # explodes, the winsorized mean stays ~1
+    data = [("g", 1.0)] * 99 + [("g", 1e9)]
+    df = spark.createDataFrame(data, "event_type string, value double")
+    r = sk.winsorized_stats(df).collect()[0]
+    w_mean = r.sum_clipped_e4 / 10000.0 / r.n
+    assert w_mean < 2.0
+    assert r.hi == 1.0  # p95 of 99x1.0 + outlier is still 1.0
+
+
+def test_source_divergence_flags_the_drifted_source(spark, duck):
+    from project_cortex_spark.operators import textstats as ts
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    drift = "zebra quantum flux capacitor neutrino lattice " * 5
+    rows = [(i, base, "same") for i in range(20)]
+    rows += [(100 + i, base + drift, "drifted") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {r.src: r.kl_e12 for r in ts.source_divergence(df).collect()}
+    # the slice with off-corpus vocabulary diverges more
+    assert got["drifted"] > got["same"]
+    assert got["drifted"] > 0
