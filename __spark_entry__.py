@@ -6114,8 +6114,8 @@ _GATE_FIRST = [
     # stream_hll_distinct, stats_exact_quantiles, stats_kmv_overlap,
     # stats_equidepth_histogram, events_winsorized, layout_zorder,
     # join_bloom_prefilter, corpus_temperature_mix,
-    # text_source_divergence, graph_communities_lpa, dedup_keep_best —
-    # every one
+    # text_source_divergence, stream_source_divergence,
+    # graph_communities_lpa, dedup_keep_best — every one
     # oracle-gated green at sf0.01, sf0.1 AND the sf1 replica harness
     # on registration day), then the new media gates
     # (media_ulaw_roundtrip, media_alaw_roundtrip,

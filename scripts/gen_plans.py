@@ -58,6 +58,16 @@ PICKS = {
     "corpus_curriculum": "curriculum ntile: partition-local window sort per source, no global sort",
     "agg_count_distribution": "aggregate pyramid: level-1 shuffle on custkey, level-2 input is one row per customer with tiny key cardinality",
     "events_debounce": "leading-edge debounce: the sequential-looking 'previous kept event' rule is the gap-session leader — ONE lag window, one shuffle",
+    "events_heavy_hitters": "count-min sketch: the cell build collapses events to <= depth*width rows in ONE map-side-partial aggregate; the estimate is a BROADCAST join of those cells — nothing downstream is data-sized",
+    "stats_hll_distinct": "HyperLogLog: events collapse to <= m registers per group in one MAX aggregate; the estimate is integer arithmetic over a 256-row-per-group frame",
+    "stats_exact_quantiles": "exact quantiles: one count aggregate + one per-group ranked window + a BROADCAST of the tiny (group x q) target frame — no percentile_approx, no collect",
+    "layout_zorder": "Morton envelopes: 1-row min/max aggregate broadcast into a codegen interleave projection, then a <= 2^bucket_bits-key aggregate — shuffle width is the bucket count",
+    "join_bloom_prefilter": "runtime bloom prefilter: three BROADCAST left-semi joins ahead of the join — the probe side never shuffles until after it is pruned",
+    "stats_kmv_overlap": "KMV overlap: distinct (group, key) -> per-key membership sets -> broadcast pair frame; per-pair state is the bottom-k window, k rows",
+    "corpus_temperature_mix": "temperature mix: one count aggregate broadcast back as integer quotas + one window shuffle on the group — selection is a rank filter",
+    "graph_communities_lpa": "label propagation: per round the |V|-row label frame BROADCASTS onto stationary edges; the argmax window reuses the (node,label) count aggregate's partitioning (A/B-measured vs an aggregate-only rewrite: 45 s vs 75 s at sf1)",
+    "text_source_divergence": "source KL: two map-side-partial postings aggregates + a natural-key term join; contributions are scaled BIGINTs so the final sum is an integer fold",
+    "dedup_keep_best": "precedence dedup: ONE window over the content hash (high-cardinality partition key); the audit join reuses the same hash partitioning",
     "graph_bfs_multi": "batched 20-root traversal: ONE fused plan, (root, node) frontier broadcast each level, edges never shuffled, min-depth collapse",
     "fts_batch_topk": "batched keyword search: ONE broadcast (query terms, carrying n_terms), df AND dl ride in the stored posting row so there are NO other broadcast-build jobs; BM25 contribution computed MAP-SIDE so the single data-sized exchange (~25k rows/partition small-scale, 5M cap large-scale) moves only (query_id, doc_id, contrib, n_terms); AND-match + aggregate + window top-k all reuse that one partitioning",
     "agg_tpch_q21_shape": "correlated EXISTS + NOT EXISTS (inequality on the correlation alias): LEFT SEMI then LEFT ANTI on the SAME orderkey shuffle, anti build side pre-filtered to returned lines, supplier dim broadcast",
