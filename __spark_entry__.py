@@ -6076,6 +6076,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
 
     out["stream_source_divergence"] = _q_stream_source_divergence
+    # DSIR-style data selection: per-doc target/source unigram LM
+    # log-likelihood ratio, integer-scaled
+    out["text_dsir_importance"] = lambda s, d: ts.dsir_importance(
+        _registry(s, d).table("documents")
+    )
     return _prioritize(out)
 
 
@@ -6115,7 +6120,8 @@ _GATE_FIRST = [
     # stats_equidepth_histogram, events_winsorized, layout_zorder,
     # join_bloom_prefilter, corpus_temperature_mix,
     # text_source_divergence, stream_source_divergence,
-    # graph_communities_lpa, dedup_keep_best — every one
+    # text_dsir_importance, graph_communities_lpa, dedup_keep_best —
+    # every one
     # oracle-gated green at sf0.01, sf0.1 AND the sf1 replica harness
     # on registration day), then the new media gates
     # (media_ulaw_roundtrip, media_alaw_roundtrip,
@@ -6750,6 +6756,7 @@ def oracle_sql() -> dict[str, str]:
     # stream-maintained (source, term) counts merged across micro-
     # batches == the one-shot batch postings
     out["stream_source_divergence"] = oracle.source_divergence_sql()
+    out["text_dsir_importance"] = oracle.dsir_importance_sql()
     # the bloom prefilter never drops a matching row (no false
     # negatives), so the oracle is the join WITHOUT the bloom stage
     out["join_bloom_prefilter"] = """

@@ -725,3 +725,69 @@ def divergence_on_counts(counts: DataFrame, *, min_count: int = 2) -> DataFrame:
         )
         .orderBy("src")
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "lang",
+    target_value: str = "en",
+    k: int = 25,
+) -> DataFrame:
+    """Data selection via importance resampling (DSIR, Xie et al. 2023),
+    unigram instantiation: score every document by the log-likelihood
+    ratio of a TARGET language model (trained on the slice matching
+    ``target_col = target_value``) against the SOURCE model (the whole
+    corpus) — the standard "find me more data that looks like my
+    curated set" selector. Add-one smoothing over the shared corpus
+    vocabulary keeps unseen-in-target terms finite.
+
+    Determinism: each term's log-ratio is rounded to a scaled BIGINT
+    (e9) once, then weighted by the integer term frequency and summed
+    as integers — the same reassociation defense as source_divergence;
+    p_T and p_S are exact-integer ratios evaluated identically from the
+    same literals.
+
+    Scale: one postings aggregate, two term-count aggregates joined on
+    the term key, broadcast scalar totals, one per-doc sum — every
+    stage map-side combinable, nothing pairwise. The top-k cut is
+    TakeOrdered; production keeps the full scored corpus for the
+    resampling step instead.
+    """
+    base = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(target_col) == target_value).cast("int").alias("is_target"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    postings = base.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    term_stats = base.groupBy("term").agg(
+        F.count(F.lit(1)).alias("c_s"),
+        F.sum("is_target").alias("c_t"),
+    )
+    totals = term_stats.agg(
+        F.sum("c_s").alias("n_s"),
+        F.sum("c_t").alias("n_t"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    llr = term_stats.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.expr(
+            "cast(round(ln(((c_t + 1) / cast(n_t + v as double)) / "
+            "((c_s + 1) / cast(n_s + v as double))) * 1e9) as bigint)"
+        ).alias("llr_e9"),
+    )
+    scored = (
+        postings.join(llr, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("llr_e9")).alias("importance_e9"),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
+    return scored.orderBy(
+        F.col("importance_e9").desc(), F.col("doc_id").asc()
+    ).limit(k)

@@ -3927,3 +3927,53 @@ def dedup_keep_best_sql(
     FROM ranked WHERE rk = 1 AND n_dups > 1
     ORDER BY kept_id
     """
+
+
+def dsir_importance_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "lang",
+    target_value: str = "en",
+    k: int = 25,
+) -> str:
+    """Mirror of textstats.dsir_importance: same tokenizer, same
+    add-one-smoothed integer ratios, same e9 scaled-int log-ratios."""
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc_id,
+             CASE WHEN {target_col} = '{target_value}' THEN 1 ELSE 0 END
+               AS is_target,
+             unnest(list_filter(
+               regexp_split_to_array(lower({text_col}), '{SEP_SQL}'),
+               t -> t <> '')) AS term
+      FROM {table}
+    ),
+    postings AS (
+      SELECT doc_id, term, count(*) AS tf FROM base GROUP BY doc_id, term
+    ),
+    term_stats AS (
+      SELECT term, count(*) AS c_s, sum(is_target)::BIGINT AS c_t
+      FROM base GROUP BY term
+    ),
+    totals AS (
+      SELECT sum(c_s)::BIGINT AS n_s, sum(c_t)::BIGINT AS n_t,
+             count(*)::BIGINT AS v
+      FROM term_stats
+    ),
+    llr AS (
+      SELECT term,
+             CAST(round(ln(((c_t + 1) / CAST(n_t + v AS DOUBLE)) /
+                           ((c_s + 1) / CAST(n_s + v AS DOUBLE))) * 1e9)
+                  AS BIGINT) AS llr_e9
+      FROM term_stats, totals
+    )
+    SELECT p.doc_id,
+           CAST(sum(p.tf * l.llr_e9) AS BIGINT) AS importance_e9,
+           CAST(sum(p.tf) AS BIGINT) AS n_tokens
+    FROM postings p JOIN llr l ON p.term = l.term
+    GROUP BY p.doc_id
+    ORDER BY importance_e9 DESC, p.doc_id ASC
+    LIMIT {k}
+    """

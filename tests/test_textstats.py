@@ -199,3 +199,23 @@ def test_gopher_repetition_known_values(spark):
     assert got[1]["n_paras"] == 3 and got[1]["dup_para_frac"] == round(1 / 3, 6)
     assert got[2]["dup_line_frac"] == 0.0
     assert got[3]["n_lines"] == 0 and got[3]["dup_line_char_frac"] == 0.0
+
+
+def test_dsir_importance_ranks_target_like_docs_first(spark, duck):
+    """Docs sharing the target slice's vocabulary must outscore docs
+    that don't — the selection property DSIR exists for — and the
+    scores replay exactly in DuckDB."""
+    from project_cortex_spark import oracle as ora
+    from project_cortex_spark.operators.textstats import dsir_importance
+    from tests.conftest import assert_matches_oracle
+
+    en = "the model trains on clean curated text data "
+    xx = "zzz qqq vvv kkk jjj www yyy xxx uuu ooo "
+    rows = [(i, en * 3, "en") for i in range(5)]
+    rows += [(100 + i, xx * 3, "xx") for i in range(5)]
+    # unlabeled docs: one looks like the target, one does not
+    rows += [(200, en * 2 + "extra tail", "mys"), (201, xx * 2 + "extra tail", "mys")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {r.doc_id: r.importance_e9 for r in dsir_importance(df, k=12).collect()}
+    assert got[200] > got[201]
+    assert min(got[i] for i in range(5)) > max(got[100 + i] for i in range(5))
