@@ -195,3 +195,47 @@ def test_source_divergence_flags_the_drifted_source(spark, duck):
     # the slice with off-corpus vocabulary diverges more
     assert got["drifted"] > got["same"]
     assert got["drifted"] > 0
+
+
+def test_new_operators_tolerate_empty_and_degenerate_inputs(spark):
+    """The advisor-bait class: empty frames and single-group inputs must
+    yield empty/valid results, not analysis or driver crashes."""
+    from project_cortex_spark.operators.graph import communities_lpa
+    from project_cortex_spark.sources.layout import bloom_semi_filter
+
+    empty_ev = spark.createDataFrame(
+        [], "event_type string, user_id bigint, value double"
+    )
+    assert sk.cms_heavy_hitters(empty_ev).count() == 0
+    assert sk.hll_distinct(empty_ev).count() == 0
+    assert sk.exact_quantiles(empty_ev).count() == 0
+    assert sk.equidepth_histogram(empty_ev).count() == 0
+    assert sk.winsorized_stats(empty_ev).count() == 0
+    # one group -> no pairs, empty overlap frame (not a crash)
+    one_group = spark.createDataFrame(
+        [("a", 1)], "event_type string, user_id bigint"
+    )
+    assert sk.kmv_pair_overlap(one_group).count() == 0
+    # empty edge list -> no communities
+    empty_edges = spark.createDataFrame([], "a bigint, b bigint")
+    assert communities_lpa(empty_edges).count() == 0
+    # EMPTY build side: the prefilter must eliminate every probe row
+    # (the exact join is empty too) rather than passing rows through
+    probe = spark.createDataFrame([(1,), (2,)], "k bigint")
+    build = spark.createDataFrame([], "bk bigint")
+    assert bloom_semi_filter(probe, "k", build, "bk").count() == 0
+    # empty corpora through the text/corpus additions
+    from project_cortex_spark.operators.corpus import temperature_mix
+    from project_cortex_spark.operators.dedup import dedup_keep_best
+    from project_cortex_spark.operators.textstats import (
+        dsir_importance,
+        source_divergence,
+    )
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, priority bigint"
+    )
+    assert temperature_mix(empty_docs).count() == 0
+    assert dedup_keep_best(empty_docs).count() == 0
+    assert source_divergence(empty_docs).count() == 0
+    assert dsir_importance(empty_docs).count() == 0
