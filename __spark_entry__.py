@@ -6081,6 +6081,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_dsir_importance"] = lambda s, d: ts.dsir_importance(
         _registry(s, d).table("documents")
     )
+
+    def _q_stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # streaming twin of stats_kmv_overlap: the distinct (group, key)
+        # membership is the stream-maintained state (a set-union
+        # monoid); the bottom-k estimator is merge-on-read. Same oracle
+        # as the batch query.
+        with stream_source.scoped_state_partitions(
+            spark, _STREAM_STATE_PARTITIONS
+        ):
+            stream = stream_source.stream_table(spark, sf_dir, "events")
+            du = stream_source.run_to_memory(
+                sk.kmv_distinct_pairs(stream),
+                query_name="q_stream_kmv_overlap",
+                output_mode="complete",
+            )
+            # the finisher reuses the frame (groups distinct + member
+            # sets + pair cross): cut the memory-sink lineage first
+            return sk.kmv_overlap_on_distinct(du.localCheckpoint(eager=True))
+
+    out["stream_kmv_overlap"] = _q_stream_kmv_overlap
     return _prioritize(out)
 
 
@@ -6120,8 +6140,8 @@ _GATE_FIRST = [
     # stats_equidepth_histogram, events_winsorized, layout_zorder,
     # join_bloom_prefilter, corpus_temperature_mix,
     # text_source_divergence, stream_source_divergence,
-    # text_dsir_importance, graph_communities_lpa, dedup_keep_best —
-    # every one
+    # text_dsir_importance, stream_kmv_overlap, graph_communities_lpa,
+    # dedup_keep_best — every one
     # oracle-gated green at sf0.01, sf0.1 AND the sf1 replica harness
     # on registration day), then the new media gates
     # (media_ulaw_roundtrip, media_alaw_roundtrip,
@@ -6757,6 +6777,9 @@ def oracle_sql() -> dict[str, str]:
     # batches == the one-shot batch postings
     out["stream_source_divergence"] = oracle.source_divergence_sql()
     out["text_dsir_importance"] = oracle.dsir_importance_sql()
+    # stream-maintained distinct membership merged across micro-batches
+    # == the one-shot batch membership
+    out["stream_kmv_overlap"] = oracle.kmv_pair_overlap_sql()
     # the bloom prefilter never drops a matching row (no false
     # negatives), so the oracle is the join WITHOUT the bloom stage
     out["join_bloom_prefilter"] = """

@@ -328,13 +328,45 @@ def kmv_pair_overlap(
     bounded by p^2, the documented envelope (prune the pair frame
     first when p is large).
     """
-    membership = (
-        events.select(group_col, key_col)
-        .distinct()
-        .groupBy(key_col)
-        .agg(F.collect_set(group_col).alias("gs"))
+    du = events.select(group_col, key_col).distinct()
+    return kmv_overlap_on_distinct(
+        du, group_col=group_col, key_col=key_col, k=k, salt=salt
     )
-    groups = events.select(group_col).distinct()
+
+
+def kmv_distinct_pairs(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """The state behind :func:`kmv_pair_overlap`: the distinct
+    (group, key) membership pairs — expressed as a count aggregate so
+    the identical plan runs as a streaming aggregate in complete mode
+    (set union is the count monoid's support; the count itself is
+    discarded on read)."""
+    return (
+        events.groupBy(group_col, key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+
+
+def kmv_overlap_on_distinct(
+    du: DataFrame,
+    *,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    k: int = 256,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Merge-on-read finisher over an already-built (possibly stream-
+    maintained) distinct (group, key) frame; see
+    :func:`kmv_pair_overlap` for the estimator contract."""
+    membership = du.groupBy(key_col).agg(
+        F.collect_set(group_col).alias("gs")
+    )
+    groups = du.select(group_col).distinct()
     pairs = (
         groups.alias("l")
         .crossJoin(groups.alias("r"))
