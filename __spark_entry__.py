@@ -6101,6 +6101,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return sk.kmv_overlap_on_distinct(du.localCheckpoint(eager=True))
 
     out["stream_kmv_overlap"] = _q_stream_kmv_overlap
+    # fixed-window rate limiting: per-(user, day) cap, arrival order
+    # (daily window + limit 5: the cap binds on the fixture's busiest
+    # producers at every SF, so the audit view is non-empty)
+    out["events_throttle"] = lambda s, d: ev.throttle(
+        _events(s, d), minutes=1440, limit=5
+    )
     return _prioritize(out)
 
 
@@ -6140,8 +6146,8 @@ _GATE_FIRST = [
     # stats_equidepth_histogram, events_winsorized, layout_zorder,
     # join_bloom_prefilter, corpus_temperature_mix,
     # text_source_divergence, stream_source_divergence,
-    # text_dsir_importance, stream_kmv_overlap, graph_communities_lpa,
-    # dedup_keep_best — every one
+    # text_dsir_importance, stream_kmv_overlap, events_throttle,
+    # graph_communities_lpa, dedup_keep_best — every one
     # oracle-gated green at sf0.01, sf0.1 AND the sf1 replica harness
     # on registration day), then the new media gates
     # (media_ulaw_roundtrip, media_alaw_roundtrip,
@@ -6780,6 +6786,7 @@ def oracle_sql() -> dict[str, str]:
     # stream-maintained distinct membership merged across micro-batches
     # == the one-shot batch membership
     out["stream_kmv_overlap"] = oracle.kmv_pair_overlap_sql()
+    out["events_throttle"] = oracle.throttle_sql(minutes=1440, limit=5)
     # the bloom prefilter never drops a matching row (no false
     # negatives), so the oracle is the join WITHOUT the bloom stage
     out["join_bloom_prefilter"] = """

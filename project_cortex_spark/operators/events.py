@@ -646,3 +646,47 @@ def ewma_series(
             6,
         ).alias("ewma"),
     )
+
+
+def throttle(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    minutes: int = 60,
+    limit: int = 5,
+) -> DataFrame:
+    """Fixed-window rate limiting: keep at most ``limit`` events per
+    (user, window), in arrival order (ties by event_id) — the ingestion
+    guard that bounds any single producer's share of a pipeline before
+    the expensive stages.
+
+    Output is the per-user audit: total events, kept events, and the
+    number of saturated windows — collectable at any scale; the kept
+    rows themselves are the same window filtered to rk <= limit.
+
+    Scale: one window shuffle keyed on (user, bucket) — high
+    cardinality, arrival order is a per-window sort, nothing global.
+    """
+    win = Window.partitionBy(user_col, "w_start").orderBy(
+        F.col(ts_col).asc(), F.col("event_id").asc()
+    )
+    bucketed = events.withColumn(
+        "w_start", F.window(ts_col, f"{minutes} minutes")["start"]
+    ).withColumn("rk", F.row_number().over(win))
+    per_window = bucketed.groupBy(user_col, "w_start").agg(
+        F.count(F.lit(1)).alias("n_w"),
+        F.sum((F.col("rk") <= limit).cast("bigint")).alias("k_w"),
+    )
+    return (
+        per_window.groupBy(user_col)
+        .agg(
+            F.sum("n_w").alias("n_total"),
+            F.sum("k_w").alias("n_kept"),
+            F.sum((F.col("n_w") > limit).cast("bigint")).alias(
+                "n_saturated_windows"
+            ),
+        )
+        .filter(F.col("n_total") > F.col("n_kept"))
+        .orderBy(user_col)
+    )

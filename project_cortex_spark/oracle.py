@@ -3977,3 +3977,41 @@ def dsir_importance_sql(
     ORDER BY importance_e9 DESC, p.doc_id ASC
     LIMIT {k}
     """
+
+
+def throttle_sql(
+    *,
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    minutes: int = 60,
+    limit: int = 5,
+) -> str:
+    """Mirror of events.throttle: same epoch-truncated window start,
+    same (ts, event_id) arrival order, same audit aggregates."""
+    secs = minutes * 60
+    return f"""
+    WITH b AS (
+      SELECT {user_col},
+             to_timestamp((epoch({ts_col})::BIGINT // {secs}) * {secs})
+               AS w_start,
+             row_number() OVER (
+               PARTITION BY {user_col},
+                            (epoch({ts_col})::BIGINT // {secs})
+               ORDER BY {ts_col} ASC, event_id ASC) AS rk
+      FROM {table}
+    ),
+    pw AS (
+      SELECT {user_col}, w_start, count(*) AS n_w,
+             sum(CASE WHEN rk <= {limit} THEN 1 ELSE 0 END)::BIGINT AS k_w
+      FROM b GROUP BY {user_col}, w_start
+    )
+    SELECT {user_col},
+           sum(n_w)::BIGINT AS n_total,
+           sum(k_w)::BIGINT AS n_kept,
+           sum(CASE WHEN n_w > {limit} THEN 1 ELSE 0 END)::BIGINT
+             AS n_saturated_windows
+    FROM pw GROUP BY {user_col}
+    HAVING sum(n_w) > sum(k_w)
+    ORDER BY {user_col}
+    """

@@ -403,3 +403,20 @@ def test_ewma_matches_oracle_at_alpha_half(registry, duck):
     assert_matches_oracle(
         df, duck, orc.ewma_sql(minutes=30, alpha=0.5)
     )
+
+
+def test_throttle_caps_per_window_and_keeps_arrival_order(spark):
+    """7 events in one hour for one user, limit 5: exactly 5 kept, one
+    saturated window; a quiet user never appears in the audit."""
+    import datetime as dt
+
+    from project_cortex_spark.operators.events import throttle
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [(i, base + dt.timedelta(minutes=i), 1) for i in range(7)]
+    rows += [(100, base, 2)]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint")
+    out = throttle(df, minutes=60, limit=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.user_id, r.n_total, r.n_kept, r.n_saturated_windows) == (1, 7, 5, 1)
