@@ -6107,6 +6107,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_throttle"] = lambda s, d: ev.throttle(
         _events(s, d), minutes=1440, limit=5
     )
+
+    def _q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # streaming twin of events_throttle's audit: the per-(user,
+        # window) counts are a SUM monoid maintained by the stream; the
+        # audit (kept = least(n, limit)) is merge-on-read — ranks only
+        # matter for selecting WHICH rows survive, not how many. Same
+        # oracle as the batch query.
+        with stream_source.scoped_state_partitions(
+            spark, _STREAM_STATE_PARTITIONS
+        ):
+            stream = stream_source.stream_table(spark, sf_dir, "events")
+            counts = stream_source.run_to_memory(
+                ev.throttle_counts(stream, minutes=1440),
+                query_name="q_stream_throttle",
+                output_mode="complete",
+            )
+            return ev.throttle_audit_on_counts(counts, limit=5)
+
+    out["stream_throttle"] = _q_stream_throttle
     return _prioritize(out)
 
 
@@ -6147,7 +6166,8 @@ _GATE_FIRST = [
     # join_bloom_prefilter, corpus_temperature_mix,
     # text_source_divergence, stream_source_divergence,
     # text_dsir_importance, stream_kmv_overlap, events_throttle,
-    # graph_communities_lpa, dedup_keep_best — every one
+    # stream_throttle, graph_communities_lpa, dedup_keep_best — every
+    # one
     # oracle-gated green at sf0.01, sf0.1 AND the sf1 replica harness
     # on registration day), then the new media gates
     # (media_ulaw_roundtrip, media_alaw_roundtrip,
@@ -6787,6 +6807,9 @@ def oracle_sql() -> dict[str, str]:
     # == the one-shot batch membership
     out["stream_kmv_overlap"] = oracle.kmv_pair_overlap_sql()
     out["events_throttle"] = oracle.throttle_sql(minutes=1440, limit=5)
+    # stream-maintained (user, window) counts merged across micro-
+    # batches == the one-shot batch counts
+    out["stream_throttle"] = oracle.throttle_sql(minutes=1440, limit=5)
     # the bloom prefilter never drops a matching row (no false
     # negatives), so the oracle is the join WITHOUT the bloom stage
     out["join_bloom_prefilter"] = """

@@ -690,3 +690,41 @@ def throttle(
         .filter(F.col("n_total") > F.col("n_kept"))
         .orderBy(user_col)
     )
+
+
+def throttle_counts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    minutes: int = 60,
+) -> DataFrame:
+    """The state behind :func:`throttle`'s audit view: per-(user,
+    window) event counts — a SUM monoid, so the identical expression is
+    a streaming aggregate in complete mode (the twin's gate)."""
+    return (
+        events.groupBy(
+            user_col, F.window(ts_col, f"{minutes} minutes")["start"].alias("w_start")
+        )
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+
+
+def throttle_audit_on_counts(
+    counts: DataFrame, *, user_col: str = "user_id", limit: int = 5
+) -> DataFrame:
+    """Merge-on-read finisher: the saturated-producer audit from the
+    count state alone — kept-per-window is least(n, limit), no rank
+    needed (ranks matter only for selecting WHICH rows survive)."""
+    return (
+        counts.groupBy(user_col)
+        .agg(
+            F.sum("n_w").alias("n_total"),
+            F.sum(F.least(F.col("n_w"), F.lit(limit))).alias("n_kept"),
+            F.sum((F.col("n_w") > limit).cast("bigint")).alias(
+                "n_saturated_windows"
+            ),
+        )
+        .filter(F.col("n_total") > F.col("n_kept"))
+        .orderBy(user_col)
+    )
