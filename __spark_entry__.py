@@ -6200,64 +6200,83 @@ _GATE_FIRST = [
     # dsl_revenue_by_nation, dsl_tpch_q5) plus fts_term — then rotate
     # the oldest r4 greens.
     #
-    # -- (a) r5 spillover streaming twins --
-    "stream_fts",
-    "stream_histogram",
-    "stream_heatmap",
-    "stream_sliding_window",
-    # -- (b) r2-stale text/media refreshes --
-    "text_redact_pii",
-    "text_repetition",
-    "text_tfidf_terms",
-    "text_top_terms",
-    "text_fingerprints",
-    "media_decode_meta",
-    "media_features",
-    # -- (c) new r5 registrations --
-    "sql_ansi_recursive",
-    "media_bmp_roundtrip",
-    "graph_bfs_multi",
-    "fts_batch_topk",
-    # -- (g) r6 oracle conversions + never/pre-r3 evidence --
-    "knn_recall_ivf",
-    "knn_recall_pq",
-    "knn_recall_pq_refined",
-    "knn_join_ivf",
-    "dedup_embedding_ivf",
-    "graph_pattern_ast_multilang",
-    "graph_pattern_cst",
-    "graph_pattern_search",
-    "pipeline_parse_entities",
-    "search_semantic_lexical",
-    # -- (d) r3-evidence re-gates: fts / search / knn / joins --
-    "fts_bool_and",
-    "fts_bool_or_not",
-    "fts_phrase",
-    "fts_filtered",
-    "knn_topk",
-    "knn_join",
-    "join_hydrate_nested",
-    # -- (e) r3-evidence re-gates: graph traversals --
-    "graph_callers_d2",
-    "graph_dependencies",
-    "graph_implements",
-    "graph_shortest_path",
-    "graph_impact",
-    # -- (f) r3-evidence re-gates: dedup / corpus / text / events --
-    "dedup_exact_groups",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "corpus_split",
-    "corpus_decontaminate",
-    "text_token_stats",
-    "text_quality",
-    "text_language_id",
-    "events_windowed_agg",
-    "events_sessionize",
-    "events_props_extract",
-    # -- (h) r3-evidence re-gates: streaming --
-    "stream_rollup",
-    "stream_sessionize",
+    # R7 gate head (VERDICT r6 item 1): burn down the never-gated
+    # ledger. 68 of 243 registered queries had no driver row entering
+    # r7 (all r6 additions; the driver gates the first 50). This head
+    # is the 50 highest-risk never-gated entries — most-novel machinery
+    # first (media codecs, binary ANN tier, hybrid retrieval,
+    # BPE/logreg/DSIR trainers, sketches, winnowing, LPA, z-order,
+    # bloom prefilter, throttle/EWMA + their streaming twins). The 18
+    # deferred to the r8 head (lowest risk: same-family compiler/text
+    # machinery already driver-gated through siblings):
+    #   agg_tpch_q2/q7/q8/q9/q11/q12/q14/q16/q20/q21/q22_shape (the
+    #   dsl compiler family has r3-r6 driver rows across 20+ shapes),
+    #   text_gopher_quality, text_gopher_repetition (textstats family
+    #   gated r6 ×7), graph_pattern_signature (pattern family gated r6
+    #   ×2), source_gzip_roundtrip (text_formats family gated r5 ×4),
+    #   embed_covariance (embedstats sibling of gated embed queries),
+    #   stream_source_divergence, stream_kmv_overlap (exact monoid
+    #   twins of batch queries gated in THIS head).
+    #
+    # -- (a) media codecs: the most novel machinery, 13 queries --
+    "media_jpeg_roundtrip",
+    "media_png_roundtrip",
+    "media_gif_roundtrip",
+    "media_wav_roundtrip",
+    "media_ulaw_roundtrip",
+    "media_alaw_roundtrip",
+    "media_adpcm_roundtrip",
+    "media_flac_roundtrip",
+    "media_video_frames",
+    "media_audio_features",
+    "media_resize_real",
+    "media_multimodal_shards",
+    "media_tar_roundtrip",
+    "source_tar_roundtrip",
+    # -- (b) binary ANN tier ×4 --
+    "knn_topk_binary",
+    "knn_binary_rerank",
+    "knn_recall_binary",
+    "knn_join_binary",
+    # -- (c) hybrid retrieval ×4 (batch + streaming twins) --
+    "search_hybrid_rrf",
+    "search_hybrid_weighted",
+    "stream_hybrid_rrf",
+    "stream_hybrid_compacted",
+    # -- (d) distributed trainers + data selection ×6 --
+    "text_bpe_train",
+    "text_bpe_segment",
+    "text_lr_train",
+    "text_lr_score",
+    "text_dsir_importance",
+    "text_source_divergence",
+    # -- (e) sketches / robust stats ×8 --
+    "stats_hll_distinct",
+    "stream_hll_distinct",
+    "events_heavy_hitters",
+    "stream_heavy_hitters",
+    "stats_kmv_overlap",
+    "stats_exact_quantiles",
+    "stats_equidepth_histogram",
+    "events_winsorized",
+    # -- (f) dedup wave ×3 --
+    "dedup_winnowing",
+    "dedup_unicode_nfc",
+    "dedup_keep_best",
+    # -- (g) layout / join / corpus / graph ×4 --
+    "layout_zorder",
+    "join_bloom_prefilter",
+    "corpus_temperature_mix",
+    "graph_communities_lpa",
+    # -- (h) EWMA + throttle with streaming twins ×4 --
+    "events_ewma",
+    "stream_ewma",
+    "events_throttle",
+    "stream_throttle",
+    # -- (i) text extraction ×3 --
+    "text_html_extract",
+    "text_pdf_extract",
+    "text_fix_mojibake",
 ]
 
 

@@ -632,11 +632,18 @@ def temperature_mix(
     kept = ranked.join(F.broadcast(quotas), group_col).filter(
         F.col("rk") <= F.col("quota")
     )
+    # Audit checksum over the kept ids: a 32-bit md5-prefix hash summed
+    # as BIGINT (the shared sketches idiom), NOT sum(id) — sum() on a
+    # string id column silently returns NULL and voids the exact-id
+    # audit (ADVICE r6). Works for numeric and string ids alike.
+    id_h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
     return (
         kept.groupBy(group_col, "n_docs", "quota")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
-            F.sum(id_col).alias("sum_kept_ids"),
+            F.sum(id_h).alias("sum_kept_id_hash"),
         )
         .orderBy(group_col)
     )

@@ -653,13 +653,14 @@ def throttle(
     *,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    id_col: str = "event_id",
     minutes: int = 60,
     limit: int = 5,
 ) -> DataFrame:
     """Fixed-window rate limiting: keep at most ``limit`` events per
-    (user, window), in arrival order (ties by event_id) — the ingestion
-    guard that bounds any single producer's share of a pipeline before
-    the expensive stages.
+    (user, window), in arrival order (ties by ``id_col``) — the
+    ingestion guard that bounds any single producer's share of a
+    pipeline before the expensive stages.
 
     Output is the per-user audit: total events, kept events, and the
     number of saturated windows — collectable at any scale; the kept
@@ -669,7 +670,7 @@ def throttle(
     cardinality, arrival order is a per-window sort, nothing global.
     """
     win = Window.partitionBy(user_col, "w_start").orderBy(
-        F.col(ts_col).asc(), F.col("event_id").asc()
+        F.col(ts_col).asc(), F.col(id_col).asc()
     )
     bucketed = events.withColumn(
         "w_start", F.window(ts_col, f"{minutes} minutes")["start"]

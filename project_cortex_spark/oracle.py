@@ -3664,7 +3664,8 @@ def temperature_mix_sql(
     )
     SELECT r.{group_col}, q.n_docs, q.quota,
            count(*) AS n_kept,
-           CAST(sum(r.{id_col}) AS BIGINT) AS sum_kept_ids
+           CAST(sum(('0x' || substr(md5(r.{id_col}::VARCHAR), 1, 8))::BIGINT)
+                AS BIGINT) AS sum_kept_id_hash
     FROM ranked r
     JOIN quotas q ON r.{group_col} = q.{group_col}
     WHERE r.rk <= q.quota
@@ -3984,21 +3985,30 @@ def throttle_sql(
     table: str = "events",
     user_col: str = "user_id",
     ts_col: str = "ts",
+    id_col: str = "event_id",
     minutes: int = 60,
     limit: int = 5,
 ) -> str:
     """Mirror of events.throttle: same epoch-truncated window start,
-    same (ts, event_id) arrival order, same audit aggregates."""
+    same (ts, event_id) arrival order, same audit aggregates.
+
+    Window bucketing uses epoch_us // (secs*1e6) — the sessionize_sql
+    idiom — NOT epoch()::BIGINT: DuckDB's epoch() returns DOUBLE and
+    the BIGINT cast rounds half away from zero, so an event at
+    23:59:59.7 would land in the NEXT day's window while Spark's
+    F.window floors (ADVICE r6, medium). Integer-microsecond division
+    floors on both engines for any sub-second timestamp.
+    """
     secs = minutes * 60
+    us = secs * 1_000_000
     return f"""
     WITH b AS (
       SELECT {user_col},
-             to_timestamp((epoch({ts_col})::BIGINT // {secs}) * {secs})
-               AS w_start,
+             to_timestamp((epoch_us({ts_col}) // {us}) * {secs}) AS w_start,
              row_number() OVER (
                PARTITION BY {user_col},
-                            (epoch({ts_col})::BIGINT // {secs})
-               ORDER BY {ts_col} ASC, event_id ASC) AS rk
+                            (epoch_us({ts_col}) // {us})
+               ORDER BY {ts_col} ASC, {id_col} ASC) AS rk
       FROM {table}
     ),
     pw AS (
