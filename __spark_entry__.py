@@ -1780,16 +1780,25 @@ def _q_dedup_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5).withColumn(
-        "jaccard", F.round("jaccard", 6)
-    )
+    # max_bucket=2 is the band hot-bucket guard (VERDICT r6 item 2 —
+    # the embedding-LSH sf1 fix ported to MinHash banding), deliberately
+    # BINDING at sf0.01 (largest band bucket there is 3) so the oracle's
+    # replay of the cap is proven non-vacuous, not just syntactically
+    # present. At corpus scale the cap would be O(100s); binding it on
+    # the fixture's duplicate clusters exercises the honest recall
+    # tradeoff on both engines identically.
+    return dd.minhash_near_duplicates(
+        _docs(spark, sf_dir), threshold=0.5, max_bucket=2
+    ).withColumn("jaccard", F.round("jaccard", 6))
 
 
 def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # max_df: the document-frequency cut that kills quadratic hot keys at
-    # corpus scale; the oracle applies the identical cut
+    # fractional df cut (the winnowing sf1 saturation fix): effective
+    # cap = max(100, floor(0.2 * n_docs)) — kills quadratic hot keys at
+    # any corpus size without the fixed-cap collapse; oracle replays
+    # the identical expression
     return dd.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), threshold=0.5, max_df=100
+        _docs(spark, sf_dir), threshold=0.5, max_df=100, max_df_frac=0.2
     ).withColumn("jaccard", F.round("jaccard", 6))
 
 
@@ -6408,9 +6417,11 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_winnowing"] = oracle.winnowing_pairs_sql(
         k=8, w=4, threshold=0.5, max_df=50
     )
-    out["dedup_minhash_lsh"] = oracle.minhash_near_duplicates_sql(threshold=0.5)
+    out["dedup_minhash_lsh"] = oracle.minhash_near_duplicates_sql(
+        threshold=0.5, max_bucket=2
+    )
     out["dedup_ngram_jaccard"] = oracle.ngram_jaccard_pairs_sql(
-        threshold=0.5, max_df=100
+        threshold=0.5, max_df=100, max_df_frac=0.2
     )
     out["dedup_simhash"] = oracle.simhash_near_duplicates_sql(max_hamming=2)
     out["dedup_ngram_spans"] = oracle.duplicated_ngram_stats_sql(shingle_n=8)

@@ -156,12 +156,27 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, *, num_hashes: int = 8, bands: int = 4
+    sigs: DataFrame,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(a, b) doc pairs agreeing on at least one LSH band (a < b).
 
     Bands of r = K/bands consecutive signature components; each band is
     an equi-join key. Probability of candidacy ≈ 1-(1-j^r)^bands.
+
+    ``max_bucket`` is the hot-bucket guard (the embedding-LSH fix,
+    :func:`embedding_near_duplicates_lsh`, ported here per VERDICT r6):
+    the band self-join is quadratic WITHIN a bucket, so one boilerplate
+    band key shared by 1M docs contributes 10^12 candidate pairs from a
+    single shuffle key. Buckets with more than ``max_bucket`` members
+    are dropped from BOTH join sides before any pair is generated —
+    occupancy is one map-side-partial aggregate. Honest recall
+    tradeoff: a pair meeting ONLY in dropped buckets is missed; with
+    multiple bands a true near-dup pair usually still meets in another
+    band's bucket. The DuckDB oracle replays the identical cap.
     """
     r = num_hashes // bands
     assert r * bands == num_hashes, "bands must divide num_hashes"
@@ -176,6 +191,14 @@ def lsh_candidate_pairs(
     banded = parts[0]
     for p in parts[1:]:
         banded = banded.unionByName(p)
+    if max_bucket is not None:
+        keep = (
+            banded.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", "bkey")
+        )
+        banded = banded.join(keep, ["band", "bkey"])
     left = banded.alias("x")
     right = banded.alias("y")
     return (
@@ -243,6 +266,7 @@ def minhash_near_duplicates(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full pipeline: signatures -> LSH candidates -> exact-Jaccard verify
     -> (a, b, jaccard) pairs above threshold.
@@ -250,6 +274,9 @@ def minhash_near_duplicates(
     The distinct shingle frame is computed ONCE and cached — it feeds
     both the signature aggregation and the verification joins (at 100 TB:
     persist to MEMORY_AND_DISK; the explode dominates the pipeline cost).
+    ``max_bucket`` caps band-bucket occupancy before the pair fan-out
+    (see :func:`lsh_candidate_pairs`) — the guard that keeps
+    boilerplate-heavy corpora from going quadratic on one band key.
     """
     sh = shingle_frame(
         docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
@@ -260,7 +287,9 @@ def minhash_near_duplicates(
     sigs = minhash_signatures(
         docs, num_hashes=num_hashes, shingles_df=sh
     ).cache()
-    cand = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands)
+    cand = lsh_candidate_pairs(
+        sigs, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket
+    )
     j = jaccard_for_pairs(cand, docs, shingles_df=sh)
     return j.filter(F.col("jaccard") >= threshold)
 
@@ -278,6 +307,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """(a, b, jaccard >= threshold) exact over all pairs sharing >=1
     shingle. The shared-shingle join prunes the quadratic pair space to
@@ -289,7 +319,15 @@ def ngram_jaccard_pairs(
     key). Shingles appearing in more than ``max_df`` docs are dropped
     from the universe — candidates, intersections, AND set sizes — so
     the jaccard stays a true set similarity over the capped vocabulary.
-    The DuckDB oracle applies the identical cut."""
+    The DuckDB oracle applies the identical cut.
+
+    An ABSOLUTE cap silently saturates as the corpus grows (the sf1
+    winnowing finding: 10x replication lifted every shared shingle over
+    the fixed cap and the pair set collapsed). ``max_df_frac`` scales
+    it: effective cap = max(max_df or 0, floor(frac * n_docs)) — one
+    bounded count() aggregate, replayed identically in the oracle."""
+    if max_df_frac is not None:
+        max_df = max(max_df or 0, int(max_df_frac * docs.count()))
     sh = shingle_frame(
         docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
     )
@@ -528,7 +566,11 @@ def simhash_near_duplicates(
 
 
 def simhash_band_pairs(
-    fps: DataFrame, *, bits: int = 16, max_hamming: int = 2
+    fps: DataFrame,
+    *,
+    bits: int = 16,
+    max_hamming: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(a, b, fa, fb) candidate pairs via fingerprint banding.
 
@@ -538,7 +580,17 @@ def simhash_band_pairs(
     agrees EXACTLY on at least one band. Candidates meet in an equi-join
     on (band, band_value): shuffle keyed on band values instead of the
     all-pairs nested loop, with zero recall loss (this is exact, unlike
-    probabilistic LSH)."""
+    probabilistic LSH).
+
+    ``max_bucket`` (optional) trades that exactness for boundedness:
+    (band, bval) buckets above the cap are dropped from both join sides
+    before pair generation — same hot-bucket guard as
+    :func:`lsh_candidate_pairs`. With the cap, a pair agreeing ONLY on
+    dropped bands is missed, so the pigeonhole guarantee narrows to
+    pairs meeting in at least one surviving band; boilerplate corpora
+    (one band value shared by 1M docs = 10^12 pairs from one shuffle
+    key) need it at scale.
+    """
     nb = max_hamming + 1
     assert nb <= bits
     widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
@@ -555,6 +607,14 @@ def simhash_band_pairs(
     banded = parts[0]
     for p in parts[1:]:
         banded = banded.unionByName(p)
+    if max_bucket is not None:
+        keep = (
+            banded.groupBy("band", "bval")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", "bval")
+        )
+        banded = banded.join(keep, ["band", "bval"])
     x, y = banded.alias("x"), banded.alias("y")
     return (
         x.join(
@@ -580,14 +640,19 @@ def simhash_near_duplicates_banded(
     text_col: str = "text",
     bits: int = 16,
     max_hamming: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Scale path for SimHash near-dup: identical output to
     :func:`simhash_near_duplicates` (same oracle gates both), but the
-    pair space is pruned by exact banding instead of an O(n^2) join."""
+    pair space is pruned by exact banding instead of an O(n^2) join.
+    ``max_bucket`` enables the hot-bucket guard (see
+    :func:`simhash_band_pairs`); leave None for the exact contract."""
     fps = simhash_fingerprints(
         docs, id_col=id_col, text_col=text_col, bits=bits
     ).cache()  # one row per doc; referenced max_hamming+1 times
-    cand = simhash_band_pairs(fps, bits=bits, max_hamming=max_hamming)
+    cand = simhash_band_pairs(
+        fps, bits=bits, max_hamming=max_hamming, max_bucket=max_bucket
+    )
     return cand.select(
         "a",
         "b",

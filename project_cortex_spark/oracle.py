@@ -282,7 +282,9 @@ def exact_duplicate_groups_sql(
     """
 
 
-def _minhash_ctes(num_hashes: int, bands: int) -> str:
+def _minhash_ctes(
+    num_hashes: int, bands: int, max_bucket: int | None = None
+) -> str:
     r = num_hashes // bands
     sig_cols = ", ".join(
         f"min(md5('{i}:' || sh)) AS h{i}" for i in range(num_hashes)
@@ -293,12 +295,25 @@ def _minhash_ctes(num_hashes: int, bands: int) -> str:
         )
         for b in range(bands)
     )
+    # replay the engine's hot-bucket guard: (band, bkey) buckets above
+    # the cap leave BOTH sides of the pair join (dedup.lsh_candidate_pairs)
+    src = "bands"
+    cap_cte = ""
+    if max_bucket is not None:
+        cap_cte = f"""
+      bands_kept AS (
+        SELECT b.* FROM bands b
+        JOIN (SELECT band, bkey FROM bands
+              GROUP BY band, bkey HAVING count(*) <= {max_bucket}) k
+          ON b.band = k.band AND b.bkey = k.bkey
+      ),"""
+        src = "bands_kept"
     return f"""
       sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
-      bands AS ({band_selects}),
+      bands AS ({band_selects}),{cap_cte}
       cand AS (
         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        FROM bands x JOIN bands y
+        FROM {src} x JOIN {src} y
           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
       )"""
 
@@ -332,10 +347,11 @@ def minhash_near_duplicates_sql(
     shingle_n: int = 3,
     threshold: float = 0.5,
     round_digits: int = 6,
+    max_bucket: int | None = None,
 ) -> str:
     return (
         f"WITH {shingles_cte(table, id_col, text_col, shingle_n)},"
-        f"{_minhash_ctes(num_hashes, bands)},"
+        f"{_minhash_ctes(num_hashes, bands, max_bucket)},"
         + _JACCARD_TAIL.format(digits=round_digits, threshold=threshold)
     )
 
@@ -413,19 +429,30 @@ def ngram_jaccard_pairs_sql(
     threshold: float = 0.5,
     round_digits: int = 6,
     max_df: int | None = None,
+    max_df_frac: float | None = None,
 ) -> str:
     # mirror dedup.ngram_jaccard_pairs' document-frequency cut: shingles
     # in more than max_df docs leave the universe entirely (candidates,
-    # intersections, and set sizes), so the capped jaccard matches
+    # intersections, and set sizes), so the capped jaccard matches.
+    # max_df_frac replays the fractional cap: effective cap =
+    # greatest(max_df, floor(frac * n_docs)) — int() on the engine side
+    # truncates toward zero, which equals floor for non-negative counts.
+    cap_expr = str(max_df) if max_df is not None else None
+    if max_df_frac is not None:
+        base = max_df or 0
+        cap_expr = (
+            f"greatest({base}, CAST(floor({max_df_frac!r} * "
+            f"(SELECT count(*) FROM {table})) AS BIGINT))"
+        )
     df_cut = ""
-    if max_df is not None:
+    if cap_expr is not None:
         df_cut = f"""
       kept AS (
         SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sh)
-        GROUP BY sh HAVING count(*) <= {max_df}
+        GROUP BY sh HAVING count(*) <= {cap_expr}
       ),
       sh2 AS (SELECT s.doc_id, s.sh FROM sh s JOIN kept k ON s.sh = k.sh),"""
-    src = "sh2" if max_df is not None else "sh"
+    src = "sh2" if cap_expr is not None else "sh"
     cand = f"""
       cand AS (
         SELECT DISTINCT p.doc_id AS a, q.doc_id AS b
@@ -434,7 +461,7 @@ def ngram_jaccard_pairs_sql(
           ON p.sh = q.sh AND p.doc_id < q.doc_id
       )"""
     tail = _JACCARD_TAIL.format(digits=round_digits, threshold=threshold)
-    if max_df is not None:
+    if cap_expr is not None:
         tail = tail.replace("FROM sh)", "FROM sh2)")
     return (
         f"WITH {shingles_cte(table, id_col, text_col, shingle_n)},{df_cut}{cand},"

@@ -68,6 +68,71 @@ def test_ngram_jaccard_max_df(registry, duck):
     assert_matches_oracle(df, duck, sql)
 
 
+def test_minhash_max_bucket_matches_oracle(registry, duck):
+    # the hot-bucket guard must be replayed by the oracle; max_bucket=2
+    # BINDS on the fixture (largest band bucket = 3), so this equality
+    # is non-vacuous
+    df = minhash_near_duplicates(
+        registry.table("documents"), threshold=0.5, max_bucket=2
+    ).withColumn("jaccard", F.round("jaccard", 6))
+    sql = oracle.minhash_near_duplicates_sql(threshold=0.5, max_bucket=2)
+    assert_matches_oracle(df, duck, sql)
+
+
+def test_minhash_max_bucket_drops_hot_band(spark):
+    # 4 identical docs -> all 4 signature components equal -> every band
+    # bucket has 4 members; one distinct pair (5,6) sits in buckets of 2.
+    # cap=3 removes all identical-doc pairs, keeps the small bucket.
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(1, 5)]
+        + [(5, "one two three four five six"), (6, "one two three four five seven")],
+        ["doc_id", "text"],
+    )
+    from project_cortex_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs)
+    uncapped = {(r["a"], r["b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    capped = {
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(sigs, max_bucket=3).collect()
+    }
+    assert (1, 2) in uncapped and (5, 6) in uncapped
+    assert capped == {(5, 6)}
+
+
+def test_simhash_banded_max_bucket_bounds_pairs(spark):
+    # 5 identical docs share every band value (buckets of 5); a cap of 4
+    # drops those buckets entirely -> no candidate pairs survive, while
+    # the uncapped run returns all 10 identical-doc pairs.
+    docs = spark.createDataFrame(
+        [(i, "repeated boilerplate text body here") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    from project_cortex_spark.operators.dedup import (
+        simhash_band_pairs,
+        simhash_fingerprints,
+    )
+
+    fps = simhash_fingerprints(docs)
+    assert simhash_band_pairs(fps).count() == 10
+    assert simhash_band_pairs(fps, max_bucket=4).count() == 0
+
+
+def test_ngram_jaccard_max_df_frac_matches_oracle(registry, duck):
+    # fractional cap: effective max_df = max(2, floor(0.05 * n_docs)) —
+    # both engines compute it from the same corpus count
+    df = ngram_jaccard_pairs(
+        registry.table("documents"), threshold=0.5, max_df=2, max_df_frac=0.05
+    ).withColumn("jaccard", F.round("jaccard", 6))
+    sql = oracle.ngram_jaccard_pairs_sql(
+        threshold=0.5, max_df=2, max_df_frac=0.05
+    )
+    assert_matches_oracle(df, duck, sql)
+
+
 def test_ngram_jaccard_max_df_drops_hot_shingle(spark):
     # 3 docs share one stop-shingle; docs 1/2 also share a rare one.
     # With max_df=2 the stop-shingle leaves the universe: the 1-3/2-3
