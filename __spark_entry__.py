@@ -10,10 +10,11 @@ oracle entry (rows-only check by design):
     (gaussian token directions are not SQL-expressible; semantics
     unit-tested in tests/test_search.py and oracle-graded through
     search_lexical_recall).
-  * pipeline_parse_entities / graph_pattern_search — parse output over
-    the LIVE source tree (a golden oracle would break on every repo
-    change); extraction is gated via pipeline_parse_multilang's golden
-    corpus and unit-tested in tests/test_parse.py.
+(R7 conversions out of this list: pipeline_parse_entities and
+graph_pattern_search — formerly rows-only live-source-tree probes, now
+golden-oracled over the FROZEN snapshot corpus written by
+scripts/freeze_snapshot_corpus.py, the same trick as
+pipeline_parse_multilang.)
 
 Late-r4 conversions out of this list: search_semantic (md5 token hash
 makes the whole composite SQL-replayable), knn_join_lsh and
@@ -2206,16 +2207,34 @@ def _q_source_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     return _source_stats(back)
 
 
+def _snapshot_entities(spark: SparkSession) -> DataFrame:
+    # FROZEN snapshot of 9 representative repo modules (1,326 lines of
+    # real-world PySpark code), copied at freeze time by
+    # scripts/freeze_snapshot_corpus.py — later edits to the live tree
+    # don't move the goldens (VERDICT r6 item 4, the multilang trick)
+    from project_cortex_spark.pipeline.snapshot_corpus import SNAPSHOT_FILES
+
+    files = spark.createDataFrame(
+        [(p, bytearray(s.encode())) for p, s in SNAPSHOT_FILES],
+        "file_path string, content binary",
+    )
+    return parse_mod.parse_entities(files)
+
+
 def _q_parse_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # python-ast parse UDF over this package's sources (D3/G9); no SQL
-    # parser exists in DuckDB, so this is a rows-only (weak) check —
-    # exact entity extraction is unit-tested (tests/test_parse.py)
-    files = files_src.discover_files(spark, _SRC_DIR, glob="*.py", recursive=True)
-    ents = parse_mod.parse_entities(files)
+    # python-ast parse UDF (D3/G9) over the frozen snapshot corpus; the
+    # extraction is deterministic, so the oracle is a golden VALUES
+    # table — formerly a rows-only live-tree probe (VERDICT r6 item 4)
     return (
-        ents.groupBy("kind")
-        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("file_path").alias("n_files"))
-        .orderBy("kind")
+        _snapshot_entities(spark)
+        .groupBy("file_path", "kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("start_line").alias("first_line"),
+            F.max("end_line").alias("last_line"),
+            F.sum("n_params").alias("sum_params"),
+            F.sum("complexity").alias("sum_complexity"),
+        )
     )
 
 
@@ -2248,11 +2267,10 @@ def _q_parse_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pattern_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cortex_pattern's SIGNATURE strictness tier hash-gated (the live-
-    # source probe graph_pattern_search stays rows-only by design; this
-    # twin runs the same operator over the FIXED corpus so the filter
-    # semantics — kind, name glob, arity bounds, methods_only — are
-    # golden-pinned like the other four tiers)
+    # cortex_pattern's SIGNATURE strictness tier hash-gated over the
+    # multilang corpus — kind, name glob, arity bounds, methods_only
+    # golden-pinned like the other four tiers (graph_pattern_search
+    # exercises the same operator over the Python snapshot corpus)
     from project_cortex_spark.operators import graph as graph_mod
 
     ents = _multilang_entities(spark)
@@ -2576,13 +2594,15 @@ def _q_pattern_cst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cortex_pattern's signature-strictness tier over parsed entities
-    # (rows-only check; extraction itself is unit-tested)
-    files = files_src.discover_files(spark, _SRC_DIR, glob="*.py", recursive=True)
-    ents = parse_mod.parse_entities(files)
+    # cortex_pattern's signature-strictness tier over the frozen
+    # snapshot corpus; pattern_search orders by (file_path, start_line)
+    # before the limit, so the output is fully deterministic and the
+    # oracle is a golden VALUES table (VERDICT r6 item 4 — formerly a
+    # rows-only live-tree probe)
+    ents = _snapshot_entities(spark)
     return graph_mod.pattern_search(
         ents, kind="function", name_like="%search%", limit=50
-    )
+    ).select("file_path", "kind", "name", "start_line", "end_line", "n_params")
 
 
 def _q_agg_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6577,6 +6597,70 @@ def oracle_sql() -> dict[str, str]:
     # golden oracles for the fixed-corpus parse contracts: the extraction
     # is fully deterministic, so the expected output is a VALUES literal —
     # any drift in spans/params/complexity/receivers breaks the hash
+    out["pipeline_parse_entities"] = """
+        SELECT file_path, kind, CAST(n AS BIGINT) AS n,
+               first_line, last_line,
+               CAST(sum_params AS BIGINT) AS sum_params,
+               CAST(sum_complexity AS BIGINT) AS sum_complexity
+        FROM (VALUES
+          ('project_cortex_spark/dsl/validator.py','call',55,31,176,74,0),
+          ('project_cortex_spark/dsl/validator.py','const',1,31,31,0,0),
+          ('project_cortex_spark/dsl/validator.py','function',7,38,176,16,65),
+          ('project_cortex_spark/dsl/validator.py','import',15,11,29,0,0),
+          ('project_cortex_spark/dsl/validator.py','param',22,38,128,0,0),
+          ('project_cortex_spark/dsl/validator.py','type',2,34,92,0,0),
+          ('project_cortex_spark/functions/text.py','call',32,29,68,45,0),
+          ('project_cortex_spark/functions/text.py','const',3,18,23,0,0),
+          ('project_cortex_spark/functions/text.py','function',5,26,68,7,5),
+          ('project_cortex_spark/functions/text.py','import',3,12,15,0,0),
+          ('project_cortex_spark/functions/text.py','param',12,26,61,0,0),
+          ('project_cortex_spark/functions/vector.py','call',61,23,129,83,0),
+          ('project_cortex_spark/functions/vector.py','function',10,21,129,20,10),
+          ('project_cortex_spark/functions/vector.py','import',3,15,18,0,0),
+          ('project_cortex_spark/functions/vector.py','param',30,21,120,0,0),
+          ('project_cortex_spark/operators/search.py','call',128,44,339,166,0),
+          ('project_cortex_spark/operators/search.py','function',9,33,340,18,15),
+          ('project_cortex_spark/operators/search.py','import',18,22,295,0,0),
+          ('project_cortex_spark/operators/search.py','param',62,33,314,0,0),
+          ('project_cortex_spark/pipeline/change_detection.py','call',126,53,177,154,0),
+          ('project_cortex_spark/pipeline/change_detection.py','const',1,35,35,0,0),
+          ('project_cortex_spark/pipeline/change_detection.py','function',6,38,177,10,6),
+          ('project_cortex_spark/pipeline/change_detection.py','import',4,28,33,0,0),
+          ('project_cortex_spark/pipeline/change_detection.py','param',24,38,160,0,0),
+          ('project_cortex_spark/pipeline/embed.py','call',42,64,196,37,0),
+          ('project_cortex_spark/pipeline/embed.py','const',5,38,164,0,0),
+          ('project_cortex_spark/pipeline/embed.py','function',8,41,196,9,23),
+          ('project_cortex_spark/pipeline/embed.py','import',11,27,124,0,0),
+          ('project_cortex_spark/pipeline/embed.py','param',30,41,184,0,0),
+          ('project_cortex_spark/session.py','call',27,16,61,43,0),
+          ('project_cortex_spark/session.py','const',1,16,16,0,0),
+          ('project_cortex_spark/session.py','function',1,19,62,4,5),
+          ('project_cortex_spark/session.py','import',3,10,14,0,0),
+          ('project_cortex_spark/session.py','param',5,19,19,0,0),
+          ('project_cortex_spark/sources/files.py','call',45,43,77,67,0),
+          ('project_cortex_spark/sources/files.py','function',2,26,77,3,2),
+          ('project_cortex_spark/sources/files.py','import',4,20,23,0,0),
+          ('project_cortex_spark/sources/files.py','param',7,26,56,0,0),
+          ('project_cortex_spark/streaming/branch_watcher.py','call',16,35,97,15,0),
+          ('project_cortex_spark/streaming/branch_watcher.py','function',4,32,101,8,9),
+          ('project_cortex_spark/streaming/branch_watcher.py','import',7,21,29,0,0),
+          ('project_cortex_spark/streaming/branch_watcher.py','param',14,32,78,0,0),
+          ('project_cortex_spark/streaming/branch_watcher.py','type',1,44,101,0,0)
+        ) AS t(file_path, kind, n, first_line, last_line, sum_params,
+               sum_complexity)
+    """
+    out["graph_pattern_search"] = """
+        SELECT * FROM (VALUES
+          ('project_cortex_spark/operators/search.py','function',
+           'build_search_index',33,49,1),
+          ('project_cortex_spark/operators/search.py','function',
+           'hybrid_search_rrf',174,263,4),
+          ('project_cortex_spark/operators/search.py','function',
+           'hybrid_search_weighted',266,340,4),
+          ('project_cortex_spark/operators/search.py','function',
+           'semantic_search',119,151,2)
+        ) AS t(file_path, kind, name, start_line, end_line, n_params)
+    """
     out["pipeline_parse_multilang"] = """
         SELECT * FROM (VALUES
           ('cache.rs','call',5,15,24,0,0), ('cache.rs','const',1,3,3,0,0),

@@ -75,15 +75,16 @@ def test_no_oracle_emits_hugeint_or_list_columns(duck_views):
 
 
 _ROWS_ONLY_BY_DESIGN = {
-    # structurally un-oracle-able, each with an oracle-gated twin or a
-    # driver-graded contract (see COVERAGE.md)
-    "graph_pattern_search",
-    "pipeline_parse_entities",
+    # structurally un-oracle-able (gaussian random-indexing composite),
+    # with a driver-graded recall contract (see COVERAGE.md). r7
+    # converted graph_pattern_search + pipeline_parse_entities to
+    # golden-oracled fixed-corpus queries via the frozen snapshot
+    # corpus (VERDICT r6 item 4).
     "search_semantic_lexical",
 }
 
 
-def test_rows_only_set_is_exactly_the_documented_three():
+def test_rows_only_set_is_exactly_the_documented_one():
     """A query silently missing its oracle downgrades to a weak
     rows-only check — every such downgrade must be a documented
     design decision, not a registration typo."""
