@@ -320,13 +320,21 @@ def kmv_pair_overlap(
     tolerance-compare. The exact Jaccard is emitted as the audit
     column.
 
-    Scale shape: one distinct per (group, key), one collect_set of
-    group memberships per key (bounded by the group COUNT, not data),
-    a broadcast pair frame (p*(p-1)/2 rows), and a bottom-k window per
-    pair — state per pair is k rows. The union explode multiplies
-    distinct keys by the number of pairs each key's groups touch:
-    bounded by p^2, the documented envelope (prune the pair frame
-    first when p is large).
+    Scale shape (r7 restructure, VERDICT r6 item 5): one distinct per
+    (group, key), then a PER-GROUP bottom-k sketch (one window, G*k
+    rows total) BEFORE any pair logic — the pair stage's input is the
+    sketch frame joined twice against the broadcast pair frame, k*G^2
+    rows at most, never |keys|*G^2 (the old membership-x-pairs fan-out
+    that expanded every corpus key by every group pair). The merged
+    bottom-k of two group sketches IS the bottom-k of the true union
+    (bottom-k(A∪B) ⊆ sketch(A) ∪ sketch(B)), and a merged-sample key
+    that belongs to group B is necessarily in sketch(B) (its hash is
+    among the union's k smallest, hence among B's k smallest) — so the
+    output is bit-identical to sampling the union directly and the
+    DuckDB oracle is unchanged. The exact-Jaccard audit column runs as
+    a sparse key self-join (the intersection multiset itself — the
+    information floor for an exact answer) instead of riding the dense
+    fan-out.
     """
     du = events.select(group_col, key_col).distinct()
     return kmv_overlap_on_distinct(
@@ -363,8 +371,18 @@ def kmv_overlap_on_distinct(
     """Merge-on-read finisher over an already-built (possibly stream-
     maintained) distinct (group, key) frame; see
     :func:`kmv_pair_overlap` for the estimator contract."""
-    membership = du.groupBy(key_col).agg(
-        F.collect_set(group_col).alias("gs")
+    h = _h60(f"{salt}:", F.col(key_col))
+    # per-group bottom-k sketch: ONE window over the distinct frame,
+    # G*k rows out — everything pairwise happens on this, not the corpus
+    gwin = Window.partitionBy(group_col).orderBy(
+        F.col("h").asc(), F.col(key_col).asc()
+    )
+    sketch = (
+        du.select(group_col, key_col)
+        .withColumn("h", h)
+        .withColumn("_grk", F.row_number().over(gwin))
+        .filter(F.col("_grk") <= k)
+        .drop("_grk")
     )
     groups = du.select(group_col).distinct()
     pairs = (
@@ -376,37 +394,56 @@ def kmv_overlap_on_distinct(
             F.col(f"r.{group_col}").alias("gb"),
         )
     )
-    h = _h60(f"{salt}:", F.col(key_col))
-    tagged = membership.crossJoin(F.broadcast(pairs)).filter(
-        F.array_contains("gs", F.col("ga")) | F.array_contains("gs", F.col("gb"))
-    )
-    scored = tagged.select(
-        "ga",
-        "gb",
-        F.col(key_col),
-        h.alias("h"),
-        (
-            F.array_contains("gs", F.col("ga"))
-            & F.array_contains("gs", F.col("gb"))
-        )
-        .cast("int")
-        .alias("in_both"),
+    # pair-stage input: sketch (G*k rows) equi-joined twice against the
+    # broadcast pair frame — at most k*G^2 rows, independent of |keys|
+    t_a = sketch.join(F.broadcast(pairs), F.col(group_col) == F.col("ga"))
+    t_b = sketch.join(F.broadcast(pairs), F.col(group_col) == F.col("gb"))
+    tagged = t_a.unionByName(t_b).select("ga", "gb", key_col, "h")
+    # a merged-sample key present in both groups is in BOTH sketches
+    # (see docstring), so count==2 is exact within the merged bottom-k
+    per_key = tagged.groupBy("ga", "gb", key_col).agg(
+        F.min("h").alias("h"),
+        (F.count(F.lit(1)) == 2).cast("int").alias("in_both"),
     )
     win = Window.partitionBy("ga", "gb").orderBy(
         F.col("h").asc(), F.col(key_col).asc()
     )
-    sample = scored.withColumn("rk", F.row_number().over(win)).filter(
+    sample = per_key.withColumn("rk", F.row_number().over(win)).filter(
         F.col("rk") <= k
     )
     est = sample.groupBy("ga", "gb").agg(
         F.count(F.lit(1)).alias("n_sample"),
         F.sum("in_both").alias("n_both"),
     )
+    # exact audit: sparse — only ACTUAL co-memberships materialize
+    sizes = du.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        du.select(F.col(group_col).alias("ga"), F.col(key_col).alias("_k"))
+        .join(
+            du.select(F.col(group_col).alias("gb"), F.col(key_col).alias("_k")),
+            "_k",
+        )
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
     exact = (
-        scored.groupBy("ga", "gb")
-        .agg(
-            F.count(F.lit(1)).alias("n_union"),
-            F.sum("in_both").alias("n_inter"),
+        pairs.join(
+            F.broadcast(sizes.select(F.col(group_col).alias("ga"), F.col("n").alias("na"))),
+            "ga",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col(group_col).alias("gb"), F.col("n").alias("nb"))),
+            "gb",
+        )
+        .join(inter, ["ga", "gb"], "left")
+        .select(
+            "ga",
+            "gb",
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+            (F.col("na") + F.col("nb") - F.coalesce("n_inter", F.lit(0))).alias(
+                "n_union"
+            ),
         )
     )
     return (

@@ -145,6 +145,36 @@ def test_kmv_estimate_near_exact_on_synthetic_overlap(spark):
     assert abs(r.est_jaccard - r.exact_jaccard) < 0.12
 
 
+def test_kmv_fifty_groups_sketch_bounded_plan(spark):
+    """VERDICT r6 item 5: the pair stage must consume per-group
+    bottom-k sketches (k*G^2 rows), never the |keys| x pairs fan-out.
+    Pinned two ways: (a) the plan no longer contains the collect_set
+    membership aggregate and reaches the broadcast pair frame through
+    equi-joins (BroadcastHashJoin), not a filtered nested-loop over
+    every key; (b) a 50-group corpus with a known ring-overlap
+    structure comes back exact when k >= every union."""
+    G, per, ov = 50, 120, 40  # group g = keys in [g*(per-ov), g*(per-ov)+per)
+    data = [
+        (f"g{g:02d}", g * (per - ov) + i) for g in range(G) for i in range(per)
+    ]
+    df = spark.createDataFrame(data, "event_type string, user_id bigint")
+    out = sk.kmv_pair_overlap(df, k=512)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_set" not in plan
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    # the G x G pair build is the only sanctioned nested-loop join
+    assert physical.count("BroadcastNestedLoopJoin") <= 1
+    rows = {(r.ga, r.gb): r for r in out.collect()}
+    assert len(rows) == G * (G - 1) // 2
+    # adjacent groups share `ov` keys; union = 2*per - ov; others share 0
+    for g in range(G - 1):
+        r = rows[(f"g{g:02d}", f"g{g + 1:02d}")]
+        assert r.exact_jaccard == round(ov / (2 * per - ov), 6)
+        assert r.est_jaccard == r.exact_jaccard  # k=512 >= union=200
+    r = rows[("g00", "g05")]
+    assert r.exact_jaccard == 0.0 and r.est_jaccard == 0.0
+
+
 def test_equidepth_matches_oracle(events, duck):
     assert_matches_oracle(
         sk.equidepth_histogram(events), duck, oracle.equidepth_histogram_sql()
