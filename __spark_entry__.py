@@ -5490,6 +5490,113 @@ def _q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _build_persisted_ivf(spark, sf_dir, base):
+    # shared harness for the persisted-IVF gates: train the REPLAYABLE
+    # ordered centroids, PERSIST them (write_centroids), then deliver
+    # the embeddings in two increments to a stream job that loads the
+    # centroids from the index directory (centroids=None) — no
+    # in-memory handoff between trainer and assigner.
+    from project_cortex_spark.streaming import vec_index as stream_vec
+
+    emb = _registry(spark, sf_dir).table("embeddings")
+    cent = knn_mod.train_centroids_ordered(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=16, iters=8
+    )
+    in_dir = os.path.join(base, "incoming")
+    idx = os.path.join(base, "index")
+    ckpt = os.path.join(base, "ckpt")
+    stream_vec.write_centroids(spark, cent, idx)
+    for parity in (0, 1):
+        emb.filter(F.col("vec_id") % 2 == parity).write.mode(
+            "append"
+        ).parquet(in_dir)
+        with stream_source.scoped_state_partitions(
+            spark, _STREAM_STATE_PARTITIONS
+        ):
+            q = stream_vec.continuous_vec_index(
+                spark,
+                in_dir,
+                emb.schema,
+                index_dir=idx,
+                checkpoint_dir=ckpt,
+            )
+            q.awaitTermination()
+    return idx
+
+
+def _q_stream_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persisted-IVF streaming twin (VERDICT r6 item 6): centroids
+    # written to the index ONCE, each delivery assigns its vectors
+    # against the PERSISTED matrix, and the PARTIAL-probe (nprobe=4)
+    # query over the merged store + disk-loaded centroids must
+    # hash-match oracle.knn_ivf_join_oracle_sql — which re-derives the
+    # same centroids from the same parquet (replayable trainer), so the
+    # whole persisted lifecycle is output-gated, not just row-counted.
+    import shutil
+    import tempfile
+
+    from project_cortex_spark.streaming import vec_index as stream_vec
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="ivfidx_", dir=scratch)
+    try:
+        idx = _build_persisted_ivf(spark, sf_dir, base)
+        out = knn_mod.knn_join_ivf(
+            _knn_queries(spark, sf_dir),
+            _registry(spark, sf_dir).table("embeddings"),
+            k=5,
+            n_centroids=16,
+            nprobe=4,
+            centroids=stream_vec.read_centroids(spark, idx),
+            assigned=stream_vec.read_vec_index(spark, idx),
+        ).withColumn("score", F.round("score", 6))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _q_knn_ivf_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the MAINTENANCE path gated end-to-end: build the persisted index
+    # over two deliveries, then retrain_and_swap — re-train on the
+    # ACCUMULATED store (same vector set, ordered replayable trainer ⇒
+    # bit-identical centroids), re-assign, atomic two-rename swap that
+    # also compacts per-batch files — and the same partial-probe query
+    # must still hash-match the replayed-trainer oracle. Proves the
+    # rebuild preserves gate-level correctness, not just file counts
+    # (the stream_hybrid_compacted contract, ported to the ANN store).
+    import shutil
+    import tempfile
+
+    from project_cortex_spark.streaming import vec_index as stream_vec
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="ivfcompact_", dir=scratch)
+    try:
+        idx = _build_persisted_ivf(spark, sf_dir, base)
+        stats = stream_vec.retrain_and_swap(
+            spark, idx, n_centroids=16, iters=8, target_files=1
+        )
+        assert stats["files_after"] < stats["files_before"], stats
+        out = knn_mod.knn_join_ivf(
+            _knn_queries(spark, sf_dir),
+            _registry(spark, sf_dir).table("embeddings"),
+            k=5,
+            n_centroids=16,
+            nprobe=4,
+            centroids=stream_vec.read_centroids(spark, idx),
+            assigned=stream_vec.read_vec_index(spark, idx),
+        ).withColumn("score", F.round("score", 6))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream-static as-of: the events STREAM resolved against the static
     # checkpoint table (same ckpt/payload definition as join_asof, same
@@ -5908,6 +6015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_hybrid_rrf"] = _q_stream_hybrid_rrf
     out["stream_hybrid_compacted"] = _q_stream_hybrid_compacted
     out["stream_knn"] = _q_stream_knn
+    out["stream_knn_ivf"] = _q_stream_knn_ivf
+    out["knn_ivf_compacted"] = _q_knn_ivf_compacted
     out["stream_ohlc"] = _q_stream_ohlc
     out["stream_histogram"] = _q_stream_histogram
     _media = lambda s, d: mm.synthesize_media(_docs(s, d))  # noqa: E731
@@ -6374,6 +6483,17 @@ def oracle_sql() -> dict[str, str]:
         # gated the same way — deterministic centroids make the whole
         # approximation replayable, not just its recall number
         out["knn_join_ivf"] = oracle.knn_ivf_join_oracle_sql(
+            n_centroids=16, nprobe=4, k=5, n_queries=5, iters=8
+        )
+        # r7 (VERDICT r6 item 6): the persisted-index lifecycle gates
+        # against the SAME replayed-trainer oracle — incremental
+        # assignment against disk-loaded centroids (stream_knn_ivf) and
+        # the retrain/re-assign/atomic-swap rebuild (knn_ivf_compacted)
+        # both reproduce the one-shot partial-probe output exactly
+        out["stream_knn_ivf"] = oracle.knn_ivf_join_oracle_sql(
+            n_centroids=16, nprobe=4, k=5, n_queries=5, iters=8
+        )
+        out["knn_ivf_compacted"] = oracle.knn_ivf_join_oracle_sql(
             n_centroids=16, nprobe=4, k=5, n_queries=5, iters=8
         )
         out["dedup_embedding_ivf"] = oracle.dedup_embedding_ivf_oracle_sql(

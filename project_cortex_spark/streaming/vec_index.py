@@ -1,32 +1,75 @@
-"""Incremental vector index — IVF assignments maintained from an
-embedding stream, completing the incremental triptych with
-fts_index.py (postings) and neardup.py (MinHash signatures): the
-reference's three search surfaces (FTS, dedup, vector) all maintained
-by streams, probed merge-on-read.
+"""Incremental PERSISTED vector index — IVF centroids + assignments as
+a durable on-disk artifact, maintained from an embedding stream. This
+completes the incremental triptych with fts_index.py (postings) and
+neardup.py (MinHash signatures): the reference's three search surfaces
+(FTS, dedup, vector) all maintained by streams, probed merge-on-read.
 
-Centroids are TRAINED ONCE and frozen (the standard IVF deployment:
-retraining moves every assignment, so it is a scheduled rebuild, not a
-streaming concern); each batch then assigns only ITS vectors — one
-Arrow matmul per batch — and appends (vec_id, cluster_id, embedding)
-to the store. Probes read the store and equi-join on cluster_id
-exactly like the batch path; assignments are deterministic given the
-centroids, so an incrementally built store probes identically to a
-one-shot assignment (unit-tested, and the full-probe form is gated
-against the EXACT join oracle).
+Index layout (same store-family contract as ``store_fts_index``,
+operators/fts.py):
 
-At 100 TB: write the store partitioned BY cluster_id (layout.py) so a
-probe's nprobe clusters prune file listings; compaction folds small
-per-batch files — posting-table maintenance, same as fts_index.py.
+    <index_dir>/centroids/            one small parquet: (cluster_id,
+                                      centroid array<double>)
+    <index_dir>/assigned/batch=N/     per-delivery (vec_id, embedding,
+                                      cluster_id) appends
+
+Centroids are trained once, PERSISTED, and frozen (the standard IVF
+deployment: retraining moves every assignment, so it is a scheduled
+rebuild, not a streaming concern); each batch loads them from the
+index — no in-memory handoff between the trainer and the stream job —
+and assigns only ITS vectors (one Arrow matmul per batch). Probes read
+the store and equi-join on cluster_id exactly like the batch path;
+assignments are deterministic given the centroids, so an incrementally
+built store probes identically to a one-shot assignment.
+
+``retrain_and_swap`` is the scheduled rebuild: re-train on the
+accumulated store (the REPLAYABLE ordered trainer — same vector set ⇒
+bit-identical centroids, so the DuckDB oracle re-derives them from the
+same parquet), re-assign everything, and swap the whole index with the
+two-rename discipline of ``layout.compact_store`` (write sibling temp,
+live → __bak, temp → live, drop __bak; ``layout.recover_store`` heals
+a crash). The rebuild doubles as compaction: per-batch small files
+collapse to ``target_files``.
+
+At 100 TB: write ``assigned`` partitioned BY cluster_id so a probe's
+nprobe clusters prune file listings; the rebuild is a full-corpus
+re-shuffle and belongs in the maintenance window, exactly like posting
+compaction.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 from project_cortex_spark.operators import knn as knn_mod
 from project_cortex_spark.streaming.incremental import watch_and_index
+
+
+def write_centroids(spark: SparkSession, centroids, index_dir: str) -> None:
+    """Persist the trained centroid matrix as the index's ``centroids``
+    substore (one tiny parquet — it is read whole by every assigner)."""
+    rows = [
+        (int(i), [float(x) for x in row]) for i, row in enumerate(centroids)
+    ]
+    spark.createDataFrame(
+        rows, "cluster_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids")
+    )
+
+
+def read_centroids(spark: SparkSession, index_dir: str) -> np.ndarray:
+    """Load the persisted centroid matrix (cluster_id order == row
+    order, the contract every assigner and prober shares)."""
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "centroids"))
+        .orderBy("cluster_id")
+        .collect()
+    )
+    return np.array([list(r.centroid) for r in rows], dtype=np.float64)
 
 
 def continuous_vec_index(
@@ -36,16 +79,20 @@ def continuous_vec_index(
     *,
     index_dir: str,
     checkpoint_dir: str,
-    centroids,
+    centroids=None,
     vec_col: str = "embedding",
 ):
-    """Assign each batch's vectors to the frozen centroids and append
-    them to the store. Returns the StreamingQuery (AvailableNow)."""
+    """Assign each batch's vectors to the index's centroids and append
+    them to the ``assigned`` substore. ``centroids=None`` loads the
+    PERSISTED matrix from the index — the normal deployment, where the
+    stream job and the trainer share nothing but the index directory.
+    Returns the StreamingQuery (AvailableNow)."""
+    cent = read_centroids(spark, index_dir) if centroids is None else centroids
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        knn_mod.assign_clusters(batch, centroids, vec_col=vec_col).write.mode(
+        knn_mod.assign_clusters(batch, cent, vec_col=vec_col).write.mode(
             "append"
-        ).parquet(os.path.join(index_dir, f"batch={batch_id}"))
+        ).parquet(os.path.join(index_dir, "assigned", f"batch={batch_id}"))
 
     return watch_and_index(
         spark, input_glob, schema, upsert, checkpoint_dir=checkpoint_dir
@@ -54,4 +101,62 @@ def continuous_vec_index(
 
 def read_vec_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """The accumulated (vec_id, embedding, cluster_id) store."""
-    return spark.read.option("recursiveFileLookup", "true").parquet(index_dir)
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(index_dir, "assigned")
+    )
+
+
+def _count_files(path: str) -> int:
+    import glob
+
+    return sum(
+        1
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    )
+
+
+def retrain_and_swap(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    n_centroids: int = 16,
+    iters: int = 8,
+    sample_rows: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_files: int = 1,
+) -> dict[str, int]:
+    """Scheduled rebuild: re-train centroids on the accumulated store
+    (ordered replayable trainer — same vector set ⇒ same centroids as
+    training on the source table, so oracle replays still hold),
+    re-assign every vector, write a complete new index to a sibling
+    temp dir, then swap with compact_store's two-rename discipline.
+    Doubles as compaction (per-batch files → ``target_files``).
+    Returns {"files_before": n, "files_after": m}.
+    """
+    from project_cortex_spark.sources.layout import recover_store
+
+    recover_store(index_dir)
+    store = read_vec_index(spark, index_dir).drop("cluster_id")
+    cent = knn_mod.train_centroids_ordered(
+        store,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        sample_rows=sample_rows,
+        iters=iters,
+    )
+    tmp = index_dir.rstrip("/") + "__new"
+    shutil.rmtree(tmp, ignore_errors=True)
+    knn_mod.assign_clusters(store, cent, vec_col=vec_col).coalesce(
+        target_files
+    ).write.parquet(os.path.join(tmp, "assigned", "batch=rebuild"))
+    write_centroids(spark, cent, tmp)
+    files_before, files_after = _count_files(index_dir), _count_files(tmp)
+    bak = index_dir.rstrip("/") + "__bak"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(index_dir, bak)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(bak)
+    return {"files_before": files_before, "files_after": files_after}
