@@ -5839,6 +5839,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         iters=5,
     )
+    # the >BROADCAST_NODE_LIMIT fallback plan (shuffle join against
+    # src-partitioned stationary edges) gated against the SAME oracle —
+    # results are identical by construction, only the physical plan
+    # differs (VERDICT r6 item 7; A/B in scripts/ab_graph_broadcast.py)
+    out["graph_pagerank_shuffle"] = lambda s, d: graph_mod.pagerank(
+        graph_mod.cooccurrence_edges(
+            _registry(s, d).table("lineitem"),
+            group_col="l_orderkey",
+            item_col="l_partkey",
+            max_df=50,
+        ),
+        iters=5,
+        broadcast_ranks=False,
+    )
     # k-core peeling over the same co-purchase edge list — the fixpoint
     # family (neither traversal nor linear algebra): fixed unrolled
     # rounds keep it oracle-matchable
@@ -6355,6 +6369,11 @@ _GATE_FIRST = [
     #   embed_covariance (embedstats sibling of gated embed queries),
     #   stream_source_divergence, stream_kmv_overlap (exact monoid
     #   twins of batch queries gated in THIS head).
+    # R7 registrations (kept <= the gate's absorption rate, VERDICT r6
+    # item 1 throttle) join the r8 head: stream_knn_ivf,
+    # knn_ivf_compacted (persisted-IVF lifecycle, item 6),
+    # graph_pagerank_shuffle (the >50M-node fallback plan, item 7) —
+    # r8 never-gated ledger = those 18 + these 3 = 21, all enumerated.
     #
     # -- (a) media codecs: the most novel machinery, 13 queries --
     "media_jpeg_roundtrip",
@@ -6613,6 +6632,8 @@ def oracle_sql() -> dict[str, str]:
     out["graph_degree_distribution"] = oracle.degree_distribution_sql(max_df=50)
     out["graph_node_similarity"] = oracle.node_similarity_sql(max_df=50, k=50)
     out["graph_pagerank"] = oracle.pagerank_sql(max_df=50, iters=5)
+    # identical semantics, shuffle-join physical plan (r7)
+    out["graph_pagerank_shuffle"] = oracle.pagerank_sql(max_df=50, iters=5)
     out["text_entropy"] = oracle.char_entropy_sql()
     out["text_token_stats"] = oracle.token_stats_sql()
     out["text_quality"] = oracle.quality_scores_sql()

@@ -625,6 +625,17 @@ def triangles_per_node(edges: DataFrame) -> DataFrame:
     )
 
 
+# Above this node count the per-iteration node frame (ranks / labels /
+# keep set) stops being broadcastable and the iterative ops switch to
+# the shuffle-join fallback: the stationary edge list is hash-partitioned
+# on the join key ONCE (localCheckpoint preserves the partitioning), so
+# each round's join exchanges only the |V|-row frame. The A/B at sf1
+# (scripts/ab_graph_broadcast.py, recorded in SCALE.md) measures both
+# paths; the default favors broadcast far past any local scale and is
+# sized for ~16-byte (id, double) rows against executor memory.
+BROADCAST_NODE_LIMIT = 50_000_000
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -632,6 +643,7 @@ def pagerank(
     damping: float = 0.85,
     a: str = "a",
     b: str = "b",
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected edge list (both
     directions materialized internally) — the iterative-linear-algebra
@@ -651,11 +663,16 @@ def pagerank(
     (id, double)) gets an explicit broadcast hint — the classic
     small-ranks/big-edges shape, so the edge list NEVER shuffles and
     each step costs one broadcast + one partial-aggregated exchange of
-    |V| rows. When |V| outgrows broadcast range (~100M+ nodes), drop
-    the hint and pre-partition edges by src instead. Skew = hub
-    in-degree, which a degree-capped edge list (cooccurrence_edges
-    max_df) already bounds; on a raw power-law graph the aggregate's
-    map-side partials absorb the hot key.
+    |V| rows. When |V| outgrows broadcast range (``broadcast_ranks``,
+    auto-switched at BROADCAST_NODE_LIMIT using the node count the
+    algorithm already takes), the fallback hash-partitions the
+    stationary edge list on src ONCE (the partitioning survives the
+    localCheckpoint) so each step's shuffle join exchanges only the
+    |V|-row rank frame — A/B-measured at sf1 in
+    scripts/ab_graph_broadcast.py / SCALE.md. Skew = hub in-degree,
+    which a degree-capped edge list (cooccurrence_edges max_df) already
+    bounds; on a raw power-law graph the aggregate's map-side partials
+    absorb the hot key.
     """
     dir_edges = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -665,15 +682,19 @@ def pagerank(
     deg = dir_edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("node")).cache()
     n = nodes.count()  # driver scalar: node count (one small aggregate)
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= BROADCAST_NODE_LIMIT
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
-    out_edges = dir_edges.join(deg, "src").select(
-        "src", "dst", "deg"
-    ).localCheckpoint(eager=False)
+    out_edges = dir_edges.join(deg, "src").select("src", "dst", "deg")
+    if not broadcast_ranks:
+        out_edges = out_edges.repartition("src")
+    out_edges = out_edges.localCheckpoint(eager=False)
     base = (1.0 - damping) / n
     for _ in range(iters):
+        rside = ranks.withColumnRenamed("node", "src")
         contrib = (
             out_edges.join(
-                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+                F.broadcast(rside) if broadcast_ranks else rside, "src"
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("_in"))
@@ -688,7 +709,13 @@ def pagerank(
     return ranks.select("node", F.round("pr", 9).alias("pr"))
 
 
-def kcore(edges: DataFrame, *, k: int = 3, rounds: int = 8) -> DataFrame:
+def kcore(
+    edges: DataFrame,
+    *,
+    k: int = 3,
+    rounds: int = 8,
+    broadcast_keep: bool | None = None,
+) -> DataFrame:
     """k-core decomposition by iterative peeling over an undirected a<b
     edge list: drop every node with degree < k, recompute degrees over
     the surviving subgraph, repeat. Returns the surviving nodes with
@@ -707,11 +734,24 @@ def kcore(edges: DataFrame, *, k: int = 3, rounds: int = 8) -> DataFrame:
     two semi joins against the (shrinking) keep set — the keep frame is
     node-sized and broadcastable; `localCheckpoint(eager=False)`
     truncates the 3-ops-per-round lineage like the PageRank loop.
+    Past BROADCAST_NODE_LIMIT nodes (``broadcast_keep``, auto-switched
+    with one upfront distinct-count) the semi joins run as shuffle
+    joins — the edge list cannot be pre-partitioned for BOTH endpoint
+    keys, so the fallback honestly pays two exchanges per round
+    (A/B at sf1: scripts/ab_graph_broadcast.py, SCALE.md).
     """
     # round 1 reads the input THREE times (two degree arms + the join
     # base); without a cache each read recomputes the upstream edge
     # pipeline (for cooccurrence_edges: several shuffles) from scratch
     surv = edges.select("a", "b").cache()
+    if broadcast_keep is None:
+        n = (
+            surv.select(F.col("a").alias("node"))
+            .union(surv.select(F.col("b").alias("node")))
+            .distinct()
+            .count()
+        )
+        broadcast_keep = n <= BROADCAST_NODE_LIMIT
     for _ in range(rounds):
         deg = (
             surv.select(F.col("a").alias("node"))
@@ -720,13 +760,11 @@ def kcore(edges: DataFrame, *, k: int = 3, rounds: int = 8) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         keep = deg.filter(F.col("deg") >= k).select("node")
+        ka = keep.withColumnRenamed("node", "a")
+        kb = keep.withColumnRenamed("node", "b")
         surv = (
-            surv.join(
-                F.broadcast(keep.withColumnRenamed("node", "a")), "a", "left_semi"
-            )
-            .join(
-                F.broadcast(keep.withColumnRenamed("node", "b")), "b", "left_semi"
-            )
+            surv.join(F.broadcast(ka) if broadcast_keep else ka, "a", "left_semi")
+            .join(F.broadcast(kb) if broadcast_keep else kb, "b", "left_semi")
             .select("a", "b")
             .localCheckpoint(eager=False)
         )
@@ -817,6 +855,7 @@ def communities_lpa(
     min_size: int = 2,
     a: str = "a",
     b: str = "b",
+    broadcast_labels: bool | None = None,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007) over an undirected edge list: every node starts as its
@@ -841,13 +880,24 @@ def communities_lpa(
     same small-frame-vs-stationary-edges shape as :func:`pagerank`,
     lineage cut per round with localCheckpoint. The argmax window
     partitions on high-cardinality node ids, so no skew; hub fan-in is
-    bounded upstream by cooccurrence_edges' max_df cap.
+    bounded upstream by cooccurrence_edges' max_df cap. Past
+    BROADCAST_NODE_LIMIT nodes (``broadcast_labels``, auto-switched
+    with one upfront distinct-count) the fallback
+    hash-partitions the stationary edges on src once, same as
+    :func:`pagerank` (A/B at sf1: scripts/ab_graph_broadcast.py,
+    SCALE.md).
     """
     dir_edges = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
-        .localCheckpoint(eager=False)
     )
+    if broadcast_labels is None:
+        broadcast_labels = (
+            dir_edges.select("src").distinct().count() <= BROADCAST_NODE_LIMIT
+        )
+    if not broadcast_labels:
+        dir_edges = dir_edges.repartition("src")
+    dir_edges = dir_edges.localCheckpoint(eager=False)
     labels = dir_edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

