@@ -172,8 +172,12 @@ def lsh_candidate_pairs(
     the band self-join is quadratic WITHIN a bucket, so one boilerplate
     band key shared by 1M docs contributes 10^12 candidate pairs from a
     single shuffle key. Buckets with more than ``max_bucket`` members
-    are dropped from BOTH join sides before any pair is generated —
-    occupancy is one map-side-partial aggregate. Honest recall
+    leave BOTH join sides before any pair is generated. Occupancy is a
+    WINDOW count over (band, bkey) — the same key the self-join
+    shuffles on, so the guard rides the join's own exchange (one
+    shuffle total, ReuseExchange dedupes the two sides); the first cut
+    (aggregate keep-list + join) added two plan arms per consumer and
+    measured +1.5 s at sf0.1 on pure plan overhead. Honest recall
     tradeoff: a pair meeting ONLY in dropped buckets is missed; with
     multiple bands a true near-dup pair usually still meets in another
     band's bucket. The DuckDB oracle replays the identical cap.
@@ -192,13 +196,12 @@ def lsh_candidate_pairs(
     for p in parts[1:]:
         banded = banded.unionByName(p)
     if max_bucket is not None:
-        keep = (
-            banded.groupBy("band", "bkey")
-            .agg(F.count(F.lit(1)).alias("_n"))
+        occ = Window.partitionBy("band", "bkey")
+        banded = (
+            banded.withColumn("_n", F.count(F.lit(1)).over(occ))
             .filter(F.col("_n") <= max_bucket)
-            .select("band", "bkey")
+            .drop("_n")
         )
-        banded = banded.join(keep, ["band", "bkey"])
     left = banded.alias("x")
     right = banded.alias("y")
     return (
@@ -608,13 +611,15 @@ def simhash_band_pairs(
     for p in parts[1:]:
         banded = banded.unionByName(p)
     if max_bucket is not None:
-        keep = (
-            banded.groupBy("band", "bval")
-            .agg(F.count(F.lit(1)).alias("_n"))
+        # window count on the self-join's own shuffle key — see
+        # lsh_candidate_pairs: the aggregate+join form of this guard
+        # tripled the plan and cost +1.5 s at sf0.1 in pure overhead
+        occ = Window.partitionBy("band", "bval")
+        banded = (
+            banded.withColumn("_n", F.count(F.lit(1)).over(occ))
             .filter(F.col("_n") <= max_bucket)
-            .select("band", "bval")
+            .drop("_n")
         )
-        banded = banded.join(keep, ["band", "bval"])
     x, y = banded.alias("x"), banded.alias("y")
     return (
         x.join(

@@ -63,7 +63,7 @@ PICKS = {
     "stats_exact_quantiles": "exact quantiles: one count aggregate + one per-group ranked window + a BROADCAST of the tiny (group x q) target frame — no percentile_approx, no collect",
     "layout_zorder": "Morton envelopes: 1-row min/max aggregate broadcast into a codegen interleave projection, then a <= 2^bucket_bits-key aggregate — shuffle width is the bucket count",
     "join_bloom_prefilter": "runtime bloom prefilter: three BROADCAST left-semi joins ahead of the join — the probe side never shuffles until after it is pruned",
-    "stats_kmv_overlap": "KMV overlap: distinct (group, key) -> per-key membership sets -> broadcast pair frame; per-pair state is the bottom-k window, k rows",
+    "stats_kmv_overlap": "KMV overlap (r7 sketch-bounded): per-group bottom-k window FIRST, pair stage consumes only the G*k sketch frame equi-joined twice against the broadcast pair frame (<= k*G^2 rows, never |keys|*G^2); exact audit is a sparse key self-join",
     "corpus_temperature_mix": "temperature mix: one count aggregate broadcast back as integer quotas + one window shuffle on the group — selection is a rank filter",
     "graph_communities_lpa": "label propagation: per round the |V|-row label frame BROADCASTS onto stationary edges; the argmax window reuses the (node,label) count aggregate's partitioning (A/B-measured vs an aggregate-only rewrite: 45 s vs 75 s at sf1)",
     "text_source_divergence": "source KL: two map-side-partial postings aggregates + a natural-key term join; contributions are scaled BIGINTs so the final sum is an integer fold",
