@@ -399,21 +399,23 @@ def kmv_overlap_on_distinct(
     t_a = sketch.join(F.broadcast(pairs), F.col(group_col) == F.col("ga"))
     t_b = sketch.join(F.broadcast(pairs), F.col(group_col) == F.col("gb"))
     tagged = t_a.unionByName(t_b).select("ga", "gb", key_col, "h")
-    # a merged-sample key present in both groups is in BOTH sketches
-    # (see docstring), so count==2 is exact within the merged bottom-k
-    per_key = tagged.groupBy("ga", "gb", key_col).agg(
-        F.min("h").alias("h"),
-        (F.count(F.lit(1)) == 2).cast("int").alias("in_both"),
-    )
+    # ONE window + ONE aggregate, both on (ga, gb): a key present in
+    # both sketches contributes two rows with the IDENTICAL (h, key),
+    # so dense_rank gives both rows the same rank — dr <= k selects
+    # exactly the merged bottom-k distinct keys, countDistinct(key) is
+    # the sample size, and count(*) - countDistinct(key) counts the
+    # duplicated keys = keys in BOTH groups (a merged-sample key in
+    # group B is necessarily in sketch B, see docstring). The aggregate
+    # reuses the window's partitioning — no extra exchange.
     win = Window.partitionBy("ga", "gb").orderBy(
         F.col("h").asc(), F.col(key_col).asc()
     )
-    sample = per_key.withColumn("rk", F.row_number().over(win)).filter(
-        F.col("rk") <= k
+    sample = tagged.withColumn("dr", F.dense_rank().over(win)).filter(
+        F.col("dr") <= k
     )
     est = sample.groupBy("ga", "gb").agg(
-        F.count(F.lit(1)).alias("n_sample"),
-        F.sum("in_both").alias("n_both"),
+        F.countDistinct(key_col).alias("n_sample"),
+        (F.count(F.lit(1)) - F.countDistinct(key_col)).alias("n_both"),
     )
     # exact audit: sparse — only ACTUAL co-memberships materialize
     sizes = du.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
