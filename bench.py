@@ -138,7 +138,10 @@ def main() -> None:
     # The r6 BENCH-of-record manufactured phantom regressions that took
     # pinned-binary forensics to dismiss; now the record adjudicates
     # itself via noisy=true.
-    CANARY = "corpus_shuffle"
+    # ~1.3 s at sf0.1: heavy enough that a GC pause or scheduler blip
+    # (~50 ms) reads as ~4%, not the 50% it reads on a 0.1 s query —
+    # sub-second canaries false-alarmed every quiet run
+    CANARY = "text_lm_score"
 
     def canary_run() -> tuple[float, float]:
         # 8 warm-ups (not 1): measured at sf0.1, the canary's cold curve
@@ -153,7 +156,13 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
-        return min(samples), (max(samples) - min(samples)) / min(samples)
+        # dispersion over the batch TAIL (last 3): by then the JVM's
+        # residual warm-up slope has flattened (a monotone-descending
+        # batch reads ~0, measured 5%), while steal/IO contention shows
+        # as scatter wherever it lands; a spike in the early samples
+        # cannot corrupt the min-of-N estimator anyway
+        tail = samples[-3:]
+        return min(samples), (max(tail) - min(tail)) / min(tail)
 
     canary_before, disp_before = canary_run()
     times = run_set(HEADLINE)
@@ -348,8 +357,9 @@ def main() -> None:
         # the measured form of BASELINE.md's 2x throughput gate
         "throughput": throughput,
         # self-adjudication: same cheap query batched before and after
-        # the suite. dispersion = worst (max-min)/min within a batch
-        # (steal/IO contention on a warmed canary); slowdown = how much
+        # the suite. dispersion = worst (max-min)/min over a batch's
+        # last-3 tail (steal/IO scatter on a warmed canary, insensitive
+        # to the residual JIT slope); slowdown = how much
         # the batch minimum ROSE across the suite (growth of contention;
         # speedups are JVM warm-up and ignored). Either signal past its
         # threshold marks the window contended — treat per-query deltas
@@ -362,7 +372,7 @@ def main() -> None:
             "slowdown": round(canary_slowdown, 3),
             "runs": max(n_runs, 5),
         },
-        "noisy": canary_dispersion > 0.3 or canary_slowdown > 0.15,
+        "noisy": canary_dispersion > 0.25 or canary_slowdown > 0.15,
     }
     print(json.dumps(out))
 
