@@ -639,6 +639,33 @@ def test_persisted_ivf_index_lifecycle(spark, registry, tmp_path):
     assert after == before and len(after) == n_vecs
 
 
+def test_persisted_ivf_rebuild_heals_crashed_swap(spark, registry, tmp_path):
+    """A crash inside retrain_and_swap's two-rename window leaves only
+    <idx>__bak; the next rebuild must heal it (recover_store) and
+    proceed — the same crash contract as layout.compact_store."""
+    import os
+
+    from project_cortex_spark.operators import knn as knn_mod
+    from project_cortex_spark.streaming import vec_index
+
+    emb = registry.table("embeddings").limit(64)
+    cent = knn_mod.train_centroids_ordered(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=4, iters=2
+    )
+    idx = str(tmp_path / "idx")
+    vec_index.write_centroids(spark, cent, idx)
+    knn_mod.assign_clusters(emb, cent).write.parquet(
+        os.path.join(idx, "assigned", "batch=0")
+    )
+    n = vec_index.read_vec_index(spark, idx).count()
+    # simulate the crash: live dir renamed away, __bak holds the data
+    os.rename(idx, idx + "__bak")
+    stats = vec_index.retrain_and_swap(spark, idx, n_centroids=4, iters=2)
+    assert stats["files_after"] >= 1
+    assert vec_index.read_vec_index(spark, idx).count() == n
+    assert not os.path.exists(idx + "__bak")
+
+
 def test_stream_ohlc_matches_batch(spark, registry):
     """min_by/max_by streaming aggregate equals the batch row_number
     form (rn=1 under (ts, event_id) ASC == arg-min of that key)."""
