@@ -27,21 +27,32 @@ from pyspark.sql import functions as F
 
 def windowed_agg(events: DataFrame, minutes: int = 60) -> DataFrame:
     """Tumbling event-time windows (epoch-aligned, like streaming
-    ``F.window``): per (window, event_type) count / sum / avg."""
+    ``F.window``): per (window, event_type) count / sum / avg.
+
+    The sum is accumulated as an EXACT e4-scaled BIGINT (the sessionize
+    idiom) and sum/avg are derived from that one integer: a plain
+    float sum's last ulp depends on accumulation order, and at sf0.1 a
+    window landed on a round-half boundary where Spark's and DuckDB's
+    float sums rounded to different 6th decimals. Integer-in,
+    identical-double-arithmetic-out makes both engines bit-equal at
+    any scale (values are generated with <= 4 decimals, so the scaling
+    is lossless)."""
     w = F.window("ts", f"{minutes} minutes")
+    sum_e4 = F.sum(F.round(F.col("value") * 10000).cast("long"))
     return (
         events.groupBy(w.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            sum_e4.alias("_sum_e4"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
-            "sum_value",
-            "avg_value",
+            F.round(F.col("_sum_e4") / 10000.0, 6).alias("sum_value"),
+            F.round(
+                F.col("_sum_e4") / 10000.0 / F.col("n_events"), 6
+            ).alias("avg_value"),
         )
     )
 

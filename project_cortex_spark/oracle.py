@@ -1092,8 +1092,12 @@ def windowed_agg_sql(table: str = "events", minutes: int = 60) -> str:
     SELECT time_bucket(INTERVAL '{minutes} minutes', ts) AS window_start,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 6) AS sum_value,
-           round(avg(value), 6) AS avg_value
+           -- exact e4-scaled integer sum, then ONE double division:
+           -- identical integers in, identical doubles out on both
+           -- engines (a float sum's last ulp is order-dependent and
+           -- split a round-half boundary at sf0.1)
+           round(CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0, 6) AS sum_value,
+           round(CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 / count(*), 6) AS avg_value
     FROM {table}
     GROUP BY 1, 2
     """
