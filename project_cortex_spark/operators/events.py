@@ -25,6 +25,31 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _sum6(col: str = "value"):
+    """round(sum(col), 6) with an EXACT e4-scaled BIGINT accumulator.
+
+    A plain float sum's last ulp depends on accumulation order; at
+    sf0.1 a windowed avg landed on a round-half boundary where Spark
+    and DuckDB rounded to different 6th decimals. The fixture's value
+    columns carry <= 4 decimals, so summing round(value*1e4)::long is
+    lossless and both engines derive the rounded double from the SAME
+    integer. Oracle twin: oracle._SUM6_SQL."""
+    return F.round(
+        F.sum(F.round(F.col(col) * 10000).cast("long")) / 10000.0, 6
+    )
+
+
+def _avg6(col: str = "value"):
+    """round(avg(col), 6) from the exact e4 integer sum (see _sum6);
+    count(col) mirrors avg's NULL semantics."""
+    return F.round(
+        F.sum(F.round(F.col(col) * 10000).cast("long"))
+        / 10000.0
+        / F.count(col),
+        6,
+    )
+
+
 def windowed_agg(events: DataFrame, minutes: int = 60) -> DataFrame:
     """Tumbling event-time windows (epoch-aligned, like streaming
     ``F.window``): per (window, event_type) count / sum / avg.
@@ -38,21 +63,19 @@ def windowed_agg(events: DataFrame, minutes: int = 60) -> DataFrame:
     any scale (values are generated with <= 4 decimals, so the scaling
     is lossless)."""
     w = F.window("ts", f"{minutes} minutes")
-    sum_e4 = F.sum(F.round(F.col("value") * 10000).cast("long"))
     return (
         events.groupBy(w.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            sum_e4.alias("_sum_e4"),
+            _sum6().alias("sum_value"),
+            _avg6().alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
-            F.round(F.col("_sum_e4") / 10000.0, 6).alias("sum_value"),
-            F.round(
-                F.col("_sum_e4") / 10000.0 / F.col("n_events"), 6
-            ).alias("avg_value"),
+            "sum_value",
+            "avg_value",
         )
     )
 
@@ -107,7 +130,7 @@ def props_extract(events: DataFrame) -> DataFrame:
         .groupBy((F.floor(F.col("k") / 10) * 10).alias("k_bucket"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            _avg6().alias("avg_value"),
         )
     )
 
@@ -375,7 +398,7 @@ def user_totals(events: DataFrame) -> DataFrame:
     :func:`top_users_per_type`, factored so the streaming twin can
     maintain it as watermarked state and rank merge-on-read."""
     return events.groupBy("event_type", "user_id").agg(
-        F.round(F.sum("value"), 6).alias("total_value"),
+        _sum6().alias("total_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -474,7 +497,7 @@ def gapfill_resample(events: DataFrame, *, bucket_minutes: int = 60) -> DataFram
         ).alias("_b"),
     ).agg(
         F.count(F.lit(1)).alias("_n"),
-        F.round(F.sum("value"), 6).alias("_sum"),
+        _sum6().alias("_sum"),
     )
     bounds = agg.groupBy("event_type").agg(
         F.min("_b").alias("_b0"), F.max("_b").alias("_b1")
@@ -516,7 +539,7 @@ def value_histogram(events: DataFrame, *, width: float = 25.0) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.min("value"), 6).alias("min_value"),
             F.round(F.max("value"), 6).alias("max_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            _avg6().alias("avg_value"),
         )
         .withColumn("bin_lo", F.round(F.col("bin") * F.lit(float(width)), 6))
     )
@@ -552,7 +575,7 @@ def twap(events: DataFrame) -> DataFrame:
             / F.nullif(F.sum("_dt"), F.lit(0)),
             6,
         ).alias("twap"),
-        F.round(F.avg("value"), 6).alias("plain_avg"),
+        _avg6().alias("plain_avg"),
     )
 
 
@@ -577,7 +600,7 @@ def activity_heatmap(events: DataFrame) -> DataFrame:
         dow.alias("dow"), hour.alias("hour")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        _sum6().alias("sum_value"),
     )
 
 
@@ -598,7 +621,7 @@ def sliding_window_agg(
         events.groupBy(w.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            _sum6().alias("sum_value"),
         )
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),

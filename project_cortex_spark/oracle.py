@@ -1097,7 +1097,7 @@ def windowed_agg_sql(table: str = "events", minutes: int = 60) -> str:
            -- engines (a float sum's last ulp is order-dependent and
            -- split a round-half boundary at sf0.1)
            round(CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0, 6) AS sum_value,
-           round(CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 / count(*), 6) AS avg_value
+           round(CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 / count(value), 6) AS avg_value
     FROM {table}
     GROUP BY 1, 2
     """
@@ -1440,7 +1440,7 @@ def props_extract_sql(table: str = "events") -> str:
     )
     SELECT (k // 10) * 10 AS k_bucket, event_type,
            count(*) AS n_events,
-           round(avg(value), 6) AS avg_value
+           round(CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 / count(value), 6) AS avg_value
     FROM extracted WHERE k IS NOT NULL
     GROUP BY 1, 2
     """
@@ -1450,7 +1450,7 @@ def top_users_per_type_sql(table: str = "events", k: int = 3) -> str:
     return f"""
     WITH totals AS (
       SELECT event_type, user_id,
-             round(sum(value), 6) AS total_value,
+             round(CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0, 6) AS total_value,
              count(*) AS n_events
       FROM {table} GROUP BY 1, 2
     )
@@ -1500,7 +1500,7 @@ def gapfill_sql(table: str = "events", *, bucket_minutes: int = 60) -> str:
     return f"""
     WITH agg AS (
       SELECT event_type, {_floor_div("epoch_us(ts)", bucket_us)} AS b,
-             count(*) AS n, round(sum(value), 6) AS s
+             count(*) AS n, round(CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0, 6) AS s
       FROM {table} GROUP BY 1, 2
     ), bounds AS (
       SELECT event_type, min(b) AS b0, max(b) AS b1 FROM agg GROUP BY 1
@@ -1527,7 +1527,7 @@ def value_histogram_sql(table: str = "events", width: float = 25.0) -> str:
            count(*) AS n_events,
            round(min(value), 6) AS min_value,
            round(max(value), 6) AS max_value,
-           round(avg(value), 6) AS avg_value,
+           round(CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 / count(value), 6) AS avg_value,
            round(CAST(floor(value / {width}) AS BIGINT) * {width}, 6) AS bin_lo
     FROM {table}
     GROUP BY 1, 2
@@ -2357,7 +2357,7 @@ def twap_sql(table: str = "events") -> str:
     )
     SELECT event_type, count(*) AS n_intervals,
            round(sum(value * dt) / nullif(sum(dt), 0), 6) AS twap,
-           round(avg(value), 6) AS plain_avg
+           round(CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 / count(value), 6) AS plain_avg
     FROM iv WHERE dt IS NOT NULL
     GROUP BY event_type
     """
@@ -2400,7 +2400,7 @@ def activity_heatmap_sql(table: str = "events") -> str:
            ((epoch_us(ts) % {day_us} + {day_us}) % {day_us})
              // {3_600 * 1_000_000} AS hour,
            count(*) AS n_events,
-           round(sum(value), 6) AS sum_value
+           round(CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0, 6) AS sum_value
     FROM {table}
     GROUP BY 1, 2
     """
@@ -2428,7 +2428,7 @@ def sliding_window_sql(
                             + {size_us}
     )
     SELECT ws AS window_start_us, event_type,
-           count(*) AS n_events, round(sum(value), 6) AS sum_value
+           count(*) AS n_events, round(CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0, 6) AS sum_value
     FROM expanded GROUP BY 1, 2
     """
 
