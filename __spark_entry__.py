@@ -5723,6 +5723,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_simhash"] = _q_dedup_simhash
     out["dedup_simhash_banded"] = _q_dedup_simhash_banded
     out["dedup_clusters"] = _q_dedup_clusters
+    # the same component problem solved with the O(log^2 n)-round
+    # large-star/small-star alternation (Kiveris et al. 2014) — the
+    # topology-independent form a 100 TB dedup graph needs; gated
+    # against the SAME oracle as dedup_clusters (results identical by
+    # definition, only the convergence schedule differs)
+    out["graph_connected_components"] = lambda s, d: graph_mod.connected_components(
+        dd.minhash_near_duplicates(_docs(s, d), threshold=0.5).select("a", "b")
+    )
     out["dedup_prune"] = _q_dedup_prune
     # char-level exact-substring duplication coverage (precise form)
     out["dedup_char_spans"] = lambda s, d: dd.duplicated_char_spans(
@@ -6595,6 +6603,10 @@ def oracle_sql() -> dict[str, str]:
     )
     # (exact twin dedup_embedding_cosine is gated)
     out["dedup_clusters"] = oracle.duplicate_clusters_sql(
+        oracle.minhash_near_duplicates_sql(threshold=0.5)
+    )
+    # star-alternation CC: identical component definition, same oracle
+    out["graph_connected_components"] = oracle.duplicate_clusters_sql(
         oracle.minhash_near_duplicates_sql(threshold=0.5)
     )
     out["dedup_prune"] = _DEDUP_PRUNE_ORACLE_TMPL.format(

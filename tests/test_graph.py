@@ -605,3 +605,68 @@ def test_communities_lpa_matches_oracle(registry, duck):
         )
     )
     assert_matches_oracle(out, duck, ora.communities_lpa_sql())
+
+
+# ---------------------------------------------------------------------------
+# connected components (large-star / small-star alternation)
+# ---------------------------------------------------------------------------
+
+
+class TestConnectedComponents:
+    def _cc(self, spark, pairs):
+        df = graph.connected_components(
+            spark.createDataFrame(pairs, ["a", "b"])
+        )
+        return {
+            (r["doc_id"], r["cluster_id"], r["keep"]) for r in df.collect()
+        }
+
+    def test_path_graph(self, spark):
+        # a 64-node chain: the adversarial shape for min-label
+        # propagation (diameter 63); star alternation must still label
+        # every node with the chain minimum
+        pairs = [(i, i + 1) for i in range(64)]
+        got = self._cc(spark, pairs)
+        assert got == {(i, 0, i == 0) for i in range(65)}
+
+    def test_two_components_and_cycle(self, spark):
+        pairs = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12)]
+        got = self._cc(spark, pairs)
+        assert got == {
+            (1, 1, True), (2, 1, False), (3, 1, False),
+            (10, 10, True), (11, 10, False), (12, 10, False),
+        }
+
+    def test_matches_min_label_on_random_graph(self, spark):
+        import random
+
+        rng = random.Random(7)
+        pairs = [
+            (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+        ]
+        pairs = [(x, y) for x, y in pairs if x != y]
+        from project_cortex_spark.operators import dedup as dd
+
+        star = self._cc(spark, pairs)
+        label = {
+            (r["doc_id"], r["cluster_id"], r["keep"])
+            for r in dd.duplicate_clusters(
+                spark.createDataFrame(pairs, ["a", "b"])
+            ).collect()
+        }
+        assert star == label
+
+    def test_empty_pairs(self, spark):
+        df = graph.connected_components(
+            spark.createDataFrame([], "a bigint, b bigint")
+        )
+        assert df.count() == 0
+        assert df.columns == ["doc_id", "cluster_id", "keep"]
+
+    def test_self_pairs_only(self, spark):
+        # self loops carry no connectivity; the node set is empty too
+        # (contract: only nodes participating in a real pair appear)
+        df = graph.connected_components(
+            spark.createDataFrame([(5, 5)], ["a", "b"])
+        )
+        assert df.count() == 0
