@@ -5740,6 +5740,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_ngram_spans"] = lambda s, d: dd.duplicated_ngram_stats(
         _docs(s, d), shingle_n=8
     )
+    # the Lee et al. exact-substring dedup as a REWRITE: cut every
+    # cross-document duplicated 32-char span except its canonical
+    # (minimum-doc) copy, reassemble the survivors
+    out["dedup_substring_rewrite"] = lambda s, d: dd.exact_substring_rewrite(
+        _docs(s, d), k=32
+    )
     out["dedup_embedding_cosine"] = _q_dedup_embedding
     out["dedup_embedding_lsh"] = _q_dedup_embedding_lsh
     out["dedup_embedding_ivf"] = _q_dedup_embedding_ivf
@@ -6593,6 +6599,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_simhash"] = oracle.simhash_near_duplicates_sql(max_hamming=2)
     out["dedup_ngram_spans"] = oracle.duplicated_ngram_stats_sql(shingle_n=8)
     out["dedup_char_spans"] = oracle.duplicated_char_spans_sql(k=32)
+    out["dedup_substring_rewrite"] = oracle.exact_substring_rewrite_sql(k=32)
     # banded form computes the IDENTICAL result — same exact oracle
     out["dedup_simhash_banded"] = oracle.simhash_near_duplicates_sql(max_hamming=2)
     # dedup_embedding_lsh: gated as of late r4 — same replay trick (the

@@ -1265,3 +1265,116 @@ def dedup_keep_best(
         )
         .orderBy("kept_id")
     )
+
+
+def exact_substring_rewrite(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+) -> DataFrame:
+    """Exact-substring deduplication as a REWRITE (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    k-char window that also occurs in another document is CUT from all
+    documents except the canonical copy (the minimum doc id that
+    contains the window); overlapping cut windows merge into spans, and
+    each document is reassembled from its surviving segments. One row
+    per input document: (doc_id, n_chars, removed_chars, n_cut_spans,
+    cleaned_text) — docs shorter than k, and docs with no cross-doc
+    duplication, pass through whole.
+
+    :func:`duplicated_char_spans` is the MEASUREMENT form (coverage
+    fraction, with a stride knob for screening); this is the rewrite a
+    training-data pipeline actually applies. Single-pass semantics: the
+    chars adjoining a cut are not re-scanned for new duplication (the
+    reference algorithm's behavior as published).
+
+    Scale notes: the position explode (one row per character) is the
+    honest cost of exact-substring dedup — embarrassingly parallel and
+    linear in corpus bytes. Cross-document detection is min(doc) !=
+    max(doc) on the gram aggregate (no countDistinct two-phase expand);
+    the dup-gram join lands on the aggregate's own hash key. Interval
+    merge is the standard cummax window per doc; reassembly is an
+    array_sort + aggregate() fold over each doc's merged spans — pure
+    codegen expressions, no Python in the path. The cleaned text is
+    rebuilt with substring() on the doc's own row, so full texts are
+    never shuffled as join payloads: the only wide exchanges carry
+    (md5, doc_id, position) triples.
+    """
+    docs = ensure_parallelism(docs)
+    L = F.length(F.col(text_col))
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"), L.alias("_len")
+    )
+    positions = F.when(
+        F.col("_len") >= k,
+        F.sequence(F.lit(1), F.col("_len") - k + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = d.select(
+        "doc_id", F.explode(positions).alias("p"),
+        F.md5(F.expr(f"substring(_t, p, {k})")).alias("g"),
+    )
+    # cross-document duplicated grams + their canonical (minimum) doc:
+    # min != max over doc ids IS the "occurs in >= 2 docs" predicate
+    dupg = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("_mind"), F.max("doc_id").alias("_maxd"))
+        .filter(F.col("_mind") != F.col("_maxd"))
+        .select("g", "_mind")
+    )
+    cuts = (
+        grams.join(dupg, "g")
+        .filter(F.col("doc_id") != F.col("_mind"))
+        .select("doc_id", "p")
+        .distinct()  # several dup grams can share a position
+    )
+    # merge overlapping/adjacent cut windows [p, p+k-1] per doc: a new
+    # span starts where p exceeds the running max end of everything
+    # before it (+1 merges exact adjacency)
+    w = Window.partitionBy("doc_id").orderBy("p")
+    prev_end = F.max(F.col("p") + k - 1).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        cuts.withColumn(
+            "_new", (prev_end.isNull() | (F.col("p") > prev_end + 1)).cast("int")
+        )
+        .withColumn("_grp", F.sum("_new").over(w))
+        .groupBy("doc_id", "_grp")
+        .agg(F.min("p").alias("s"), (F.max("p") + k - 1).alias("e"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_ivs")
+        )
+    )
+    # fold the sorted spans into (kept-text, previous-end) state; the
+    # finisher appends the tail after the last cut
+    cleaned = F.when(F.col("_ivs").isNull(), F.col("_t")).otherwise(
+        F.aggregate(
+            F.col("_ivs"),
+            F.struct(
+                F.lit("").alias("acc"), F.lit(0).cast("int").alias("prev")
+            ),
+            lambda st, iv: F.struct(
+                F.concat(
+                    st.acc,
+                    F.expr("_t").substr(st.prev + 1, iv.s - st.prev - 1),
+                ).alias("acc"),
+                iv.e.alias("prev"),
+            ),
+            lambda st: F.concat(
+                st.acc, F.expr("_t").substr(st.prev + 1, F.col("_len") - st.prev)
+            ),
+        )
+    )
+    return (
+        d.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("_len").alias("n_chars"),
+            (F.col("_len") - F.length(cleaned)).alias("removed_chars"),
+            F.coalesce(F.size("_ivs"), F.lit(0)).alias("n_cut_spans"),
+            cleaned.alias("cleaned_text"),
+        )
+    )

@@ -4056,3 +4056,75 @@ def throttle_sql(
     HAVING sum(n_w) > sum(k_w)
     ORDER BY {user_col}
     """
+
+
+def exact_substring_rewrite_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+) -> str:
+    """Noiseless twin of dedup.exact_substring_rewrite: cross-document
+    duplicated k-char windows are cut everywhere except the minimum doc
+    id holding them; overlapping windows merge (cummax interval merge),
+    and each doc is rebuilt by string_agg over its kept segments."""
+    return f"""
+    WITH pos AS (
+      SELECT {id_col} AS doc_id, {text_col} AS t,
+             unnest(generate_series(1, length({text_col}) - {k} + 1)) AS p
+      FROM {table}
+      WHERE length({text_col}) >= {k}
+    ), grams AS (
+      SELECT doc_id, p, md5(substr(t, p, {k})) AS g FROM pos
+    ), dupg AS (
+      SELECT g, min(doc_id) AS mind FROM grams
+      GROUP BY g HAVING min(doc_id) <> max(doc_id)
+    ), cuts AS (
+      SELECT DISTINCT doc_id, p FROM grams JOIN dupg USING (g)
+      WHERE doc_id <> mind
+    ), marked AS (
+      SELECT doc_id, p,
+             CASE WHEN p > coalesce(
+               max(p + {k} - 1) OVER (
+                 PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), -{k}) + 1 THEN 1 ELSE 0 END AS newgrp
+      FROM cuts
+    ), grp AS (
+      SELECT doc_id, p,
+             sum(newgrp) OVER (PARTITION BY doc_id ORDER BY p) AS gid
+      FROM marked
+    ), spans AS (
+      SELECT doc_id, gid, min(p) AS s, max(p) + {k} - 1 AS e
+      FROM grp GROUP BY doc_id, gid
+    ), segs AS (
+      SELECT doc_id,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS gs,
+             s - 1 AS ge
+      FROM spans
+      UNION ALL
+      SELECT doc_id, max(e) + 1 AS gs, NULL AS ge
+      FROM spans GROUP BY doc_id
+    ), rebuilt AS (
+      SELECT sg.doc_id,
+             string_agg(
+               CASE WHEN sg.ge IS NULL THEN substr(d.{text_col}, sg.gs)
+                    ELSE substr(d.{text_col}, sg.gs, sg.ge - sg.gs + 1) END,
+               '' ORDER BY sg.gs
+             ) AS ct
+      FROM segs sg JOIN {table} d ON d.{id_col} = sg.doc_id
+      GROUP BY sg.doc_id
+    ), nsp AS (
+      SELECT doc_id, count(*) AS nspans FROM spans GROUP BY doc_id
+    )
+    SELECT d.{id_col} AS doc_id,
+           length(d.{text_col}) AS n_chars,
+           length(d.{text_col}) - length(coalesce(r.ct, d.{text_col}))
+             AS removed_chars,
+           coalesce(n.nspans, 0) AS n_cut_spans,
+           coalesce(r.ct, d.{text_col}) AS cleaned_text
+    FROM {table} d
+    LEFT JOIN rebuilt r ON r.doc_id = d.{id_col}
+    LEFT JOIN nsp n ON n.doc_id = d.{id_col}
+    """

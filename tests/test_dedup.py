@@ -589,3 +589,60 @@ def test_dedup_keep_best_prefers_priority_over_min_id(spark):
     assert out[0].kept_id == 9
     assert out[0].kept_priority == 1
     assert out[0].n_dups == 3
+
+
+def test_substring_rewrite_cuts_duplicate_keeps_canonical(spark):
+    from project_cortex_spark.operators.dedup import exact_substring_rewrite
+
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAABBBBCCCCDDDD and some unique tail one"),
+            (2, "xxxx AAAABBBBCCCCDDDD yyyy unique middle"),
+            (3, "short"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in exact_substring_rewrite(docs, k=16).collect()}
+    assert len(out) == 3
+    # canonical (minimum doc) copy is untouched
+    assert out[1].removed_chars == 0
+    assert out[1].cleaned_text == "AAAABBBBCCCCDDDD and some unique tail one"
+    # doc 2 loses the shared block; the two matching 16-grams (at the
+    # block and one char later, absorbing the trailing space) merge to
+    # one 17-char span
+    assert out[2].cleaned_text == "xxxx yyyy unique middle"
+    assert out[2].removed_chars == 17
+    assert out[2].n_cut_spans == 1
+    # shorter than k: passes through whole
+    assert out[3].cleaned_text == "short"
+    assert out[3].removed_chars == 0
+
+
+def test_substring_rewrite_merges_disjoint_spans(spark):
+    from project_cortex_spark.operators.dedup import exact_substring_rewrite
+
+    shared1 = "0123456789abcdef"
+    shared2 = "ghijklmnopqrstuv"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared1} |unrelated| {shared2}"),
+            (2, f"A {shared1} BBB {shared2} C"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in exact_substring_rewrite(docs, k=16).collect()}
+    assert out[1].removed_chars == 0
+    assert out[2].n_cut_spans == 2
+    # each shared block's boundary windows also match (both docs have
+    # "...def " and " ghi..." with the same adjoining space), so the
+    # cuts absorb one space on the shared side of each block
+    assert out[2].cleaned_text == "A BBB C"
+    assert out[2].removed_chars == 34
+
+
+def test_substring_rewrite_matches_oracle(registry, duck):
+    from project_cortex_spark import oracle
+    from project_cortex_spark.operators.dedup import exact_substring_rewrite
+
+    df = exact_substring_rewrite(registry.table("documents"), k=32)
+    assert_matches_oracle(df, duck, oracle.exact_substring_rewrite_sql(k=32))
