@@ -6131,6 +6131,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corpus_temperature_mix"] = lambda s, d: corpus_mod.temperature_mix(
         _registry(s, d).table("documents")
     )
+    # SemDeDup-style topic balancing: replayable k-means topics over
+    # the embedding column + md5-ranked per-cluster quota
+    out["corpus_cluster_balance"] = lambda s, d: corpus_mod.cluster_balance(
+        _registry(s, d).table("embeddings"), n_clusters=16, per_cluster=25
+    )
 
     def _q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # streaming twin of events_heavy_hitters: the CMS cell counts
@@ -7061,6 +7066,9 @@ def oracle_sql() -> dict[str, str]:
     out["stats_exact_quantiles"] = oracle.exact_quantiles_sql()
     out["layout_zorder"] = oracle.zorder_bucket_stats_sql()
     out["corpus_temperature_mix"] = oracle.temperature_mix_sql()
+    out["corpus_cluster_balance"] = oracle.cluster_balance_sql(
+        n_clusters=16, per_cluster=25
+    )
     # stream-maintained CMS cells merged across micro-batches == the
     # one-shot batch sketch
     out["stream_heavy_hitters"] = oracle.cms_heavy_hitters_sql()

@@ -647,3 +647,55 @@ def temperature_mix(
         )
         .orderBy(group_col)
     )
+
+
+def cluster_balance(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    per_cluster: int = 25,
+    salt: str = "cluster",
+    sample_rows: int = 10_000,
+    iters: int = 8,
+) -> DataFrame:
+    """Semantic cluster-balanced selection — the SemDeDup / topic-
+    balancing curation step: k-means topics over the embedding column,
+    then a deterministic per-cluster quota sample, so no topic dominates
+    the selected corpus no matter how skewed the raw crawl is.
+
+    Composition of two already-gated pieces: the replayable ordered
+    trainer + argmax-cosine assignment (the IVF machinery,
+    operators/knn.py — deterministic centroids from the id-ordered
+    sample, lowest-centroid tiebreak) and :func:`sample_per_key`'s
+    md5-ranked per-stratum quota. Output: (vec_id, cluster_id,
+    sample_rank) for the selected rows — exactly
+    min(per_cluster, |cluster|) rows per cluster.
+
+    Scale notes: training touches a bounded id-ordered sample
+    (standard 100 TB practice); assignment is one Arrow-batched matmul
+    map; selection is one window shuffle keyed on cluster_id. Nothing
+    global except the tiny centroid matrix riding in the UDF closure.
+    """
+    from .knn import assign_clusters, train_centroids_ordered
+
+    cent = train_centroids_ordered(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_clusters,
+        sample_rows=sample_rows,
+        iters=iters,
+    )
+    assigned = assign_clusters(emb, cent, vec_col=vec_col).select(
+        F.col(id_col).alias("vec_id"), "cluster_id"
+    )
+    picked = sample_per_key(
+        assigned,
+        key_col="cluster_id",
+        id_col="vec_id",
+        k=per_cluster,
+        salt=salt,
+    )
+    return picked.select("vec_id", "cluster_id", "sample_rank")

@@ -4128,3 +4128,48 @@ def exact_substring_rewrite_sql(
     LEFT JOIN rebuilt r ON r.doc_id = d.{id_col}
     LEFT JOIN nsp n ON n.doc_id = d.{id_col}
     """
+
+
+def cluster_balance_sql(
+    *,
+    n_clusters: int = 16,
+    per_cluster: int = 25,
+    salt: str = "cluster",
+    sample_rows: int = 10_000,
+    iters: int = 8,
+) -> str:
+    """END-TO-END oracle for corpus.cluster_balance: trains the
+    IDENTICAL centroids from the same parquet (ordered-sample
+    deterministic k-means, the knn_recall_ivf trick), inlines them as
+    literals, replays assignment (argmax dot, centroid-id tiebreak)
+    and the md5-ranked per-cluster quota in SQL."""
+    from .operators.knn import _kmeans_deterministic
+
+    vecs = _load_embeddings_ordered()
+    cent = _kmeans_deterministic(vecs[:sample_rows], n_clusters, iters)
+    cent_values = ",\n      ".join(
+        f"({cid}, {_plane_literal(list(row))})"
+        for cid, row in enumerate(cent)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent(cid, cv) AS (VALUES
+      {cent_values}
+    ), assign AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY list_dot_product(v, cv) DESC, cid) AS rn
+      FROM e CROSS JOIN cent
+    ), a AS (
+      SELECT vec_id, cid AS cluster_id FROM assign WHERE rn = 1
+    ), ranked AS (
+      SELECT vec_id, cluster_id,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY md5('{salt}:' || CAST(vec_id AS VARCHAR)), vec_id
+             ) AS sample_rank
+      FROM a
+    )
+    SELECT vec_id, cluster_id, sample_rank
+    FROM ranked WHERE sample_rank <= {per_cluster}
+    """

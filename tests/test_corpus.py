@@ -299,3 +299,40 @@ def test_temperature_mix_upweights_low_resource_groups(registry, duck):
     assert kept <= 0.31 * total  # quotas never overshoot the target
     assert all(r.n_kept == r.quota for r in rows)  # quota <= n_docs held
     assert_matches_oracle(out, duck, ora.temperature_mix_sql())
+
+
+def test_cluster_balance_quota_and_determinism(registry):
+    from project_cortex_spark.operators.corpus import cluster_balance
+
+    emb = registry.table("embeddings")
+    out = cluster_balance(emb, n_clusters=8, per_cluster=10).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    # quota respected everywhere; ranks are 1..n within each cluster
+    for cid, rows in by_cluster.items():
+        assert len(rows) <= 10
+        assert sorted(r.sample_rank for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+    # deterministic: a second run picks the identical rows
+    again = cluster_balance(emb, n_clusters=8, per_cluster=10).collect()
+    key = lambda rows: sorted((r.vec_id, r.cluster_id, r.sample_rank) for r in rows)
+    assert key(out) == key(again)
+
+
+def test_cluster_balance_matches_oracle(registry, duck, monkeypatch):
+    from project_cortex_spark import oracle
+    from project_cortex_spark.operators.corpus import cluster_balance
+
+    from .conftest import SF_DIR
+
+    # the oracle's trainer loads embeddings itself — point it at the
+    # test fixture's scale factor (check_entry does the same per sweep)
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
+    df = cluster_balance(
+        registry.table("embeddings"), n_clusters=16, per_cluster=25
+    )
+    assert_matches_oracle(
+        df, duck, oracle.cluster_balance_sql(n_clusters=16, per_cluster=25)
+    )
