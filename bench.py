@@ -75,6 +75,10 @@ EXTENDED = [
     "layout_zorder",  # morton interleave + bucket envelope agg
     "join_bloom_prefilter",  # 3 broadcast semi-joins ahead of the join
     "corpus_temperature_mix",  # sqrt-quota window selection
+    # r7 additions: the new non-trivial plans
+    "dedup_substring_rewrite",  # per-char explode + interval merge + fold
+    "graph_connected_components",  # large-star/small-star alternation
+    "corpus_cluster_balance",  # replayable k-means + quota window
 ]
 
 HEADLINE = [

@@ -646,3 +646,24 @@ def test_substring_rewrite_matches_oracle(registry, duck):
 
     df = exact_substring_rewrite(registry.table("documents"), k=32)
     assert_matches_oracle(df, duck, oracle.exact_substring_rewrite_sql(k=32))
+
+
+def test_substring_rewrite_null_empty_and_identical_docs(spark):
+    from project_cortex_spark.operators.dedup import exact_substring_rewrite
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "AAAABBBBCCCCDDDDEEEE"),
+            (4, "AAAABBBBCCCCDDDDEEEE"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in exact_substring_rewrite(docs, k=16).collect()}
+    # null text passes through as null (no crash, no span)
+    assert out[1].cleaned_text is None and out[1].n_cut_spans == 0
+    assert out[2].cleaned_text == "" and out[2].removed_chars == 0
+    # identical docs: canonical (min id) kept whole, the other fully cut
+    assert out[3].cleaned_text == "AAAABBBBCCCCDDDDEEEE"
+    assert out[4].cleaned_text == "" and out[4].removed_chars == 20
