@@ -19,8 +19,18 @@ subqueries (the SQLite shape): both collapse at corpus scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _time_us(col: Column, dtype) -> Column:
+    """Numeric form of a time column: integer micros for timestamps,
+    the column's own units for numerics (pandas tolerance semantics)."""
+    from pyspark.sql.types import TimestampType
+
+    if isinstance(dtype, TimestampType):
+        return F.unix_micros(col)
+    return col.cast("long")
 
 
 def as_of_join(
@@ -38,18 +48,29 @@ def as_of_join(
     """left columns + right_payload of the as-of match (NULL if none).
     ``direction="backward"`` (default) matches the latest right row
     at-or-before the left time; ``"forward"`` matches the earliest right
-    row at-or-after it. ``strict=True`` excludes the equal-time match.
+    row at-or-after it; ``"nearest"`` matches whichever of the two is
+    closer in absolute time, ties to backward (pandas ``merge_asof``
+    semantics). ``strict=True`` excludes the equal-time match.
     ``tolerance_us`` bounds the match's staleness (pandas
     ``merge_asof(tolerance=...)`` semantics): a match further away than
     that is nulled, not dropped — microseconds for timestamp time
     columns, the column's own units for numeric ones.
 
+    ``nearest`` costs the same single shuffle as the directional forms:
+    both candidate fills are RANGE-frame window functions over one sort
+    on (key, numeric time) — the frames (strictly-before / strictly- or
+    at-or-after) make the side-tag tie ordering irrelevant, so one
+    ordering serves both directions and strictness is a frame bound,
+    not a sort flip.
+
     Right rows must be unique per (key, time) — enforce upstream (the
     deterministic snapshot contract); duplicate right timestamps make
     every engine's as-of pick arbitrary.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     lt, rt = F.col(left_time), F.col(right_time)
     # The right payload rides as ONE struct column, so a single
     # last(ignorenulls) propagates the whole matched row atomically — a
@@ -63,9 +84,12 @@ def as_of_join(
         rt.alias("_rt"),
     )
     r_struct_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
+    l_dtype = left.schema[left_time].dataType
+    r_dtype = right.schema[right_time].dataType
     l_tag = left.select(
         F.col(on).alias("_k"),
         lt.alias("_t"),
+        _time_us(lt, l_dtype).alias("_tm"),
         F.lit(1).alias("_side"),
         F.struct(*left.columns).alias("_lrow"),
         F.lit(None).cast(r_struct_type).alias("_r"),
@@ -73,10 +97,41 @@ def as_of_join(
     r_tag = right.select(
         F.col(on).alias("_k"),
         rt.alias("_t"),
+        _time_us(rt, r_dtype).alias("_tm"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
         r_struct.alias("_r"),
     )
+    if direction == "nearest":
+        base = Window.partitionBy("_k").orderBy(F.col("_tm").asc())
+        wb = base.rangeBetween(
+            Window.unboundedPreceding, -1 if strict else 0
+        )
+        wf = base.rangeBetween(
+            1 if strict else 0, Window.unboundedFollowing
+        )
+        bf = F.last("_r", ignorenulls=True).over(wb)
+        ff = F.first("_r", ignorenulls=True).over(wf)
+        gap_b = F.col("_tm") - _time_us(bf["_rt"], r_dtype)
+        gap_f = _time_us(ff["_rt"], r_dtype) - F.col("_tm")
+        chosen = (
+            F.when(bf.isNull(), ff)
+            .when(ff.isNull(), bf)
+            .when(gap_f < gap_b, ff)  # tie -> backward, pandas semantics
+            .otherwise(bf)
+        )
+        filled = l_tag.unionByName(r_tag).select("*", chosen.alias("_f"))
+        if tolerance_us is not None:
+            near_gap = F.abs(
+                F.col("_tm") - _time_us(F.col("_f")["_rt"], r_dtype)
+            )
+            filled = filled.withColumn(
+                "_f", F.when(near_gap <= F.lit(tolerance_us), F.col("_f"))
+            )
+        return filled.filter(F.col("_side") == 1).select(
+            *[F.col("_lrow")[c].alias(c) for c in left.columns],
+            *[F.col("_f")[c].alias(f"right_{c}") for c in right_payload],
+        )
     # Walk order: backward walks time ascending (a left row sees the
     # latest earlier right); forward walks time DESCENDING (a left row
     # sees the earliest later right). At equal time, side 0 (right)
@@ -93,17 +148,7 @@ def as_of_join(
         "*", F.last("_r", ignorenulls=True).over(w).alias("_f")
     )
     if tolerance_us is not None:
-        from pyspark.sql.types import TimestampType
-
-        # micros for timestamp time columns; raw units for numeric ones
-        def _us(col, dtype):
-            if isinstance(dtype, TimestampType):
-                return F.unix_micros(col)
-            return col.cast("long")
-
-        l_dtype = left.schema[left_time].dataType
-        r_dtype = right.schema[right_time].dataType
-        gap = _us(F.col("_t"), l_dtype) - _us(F.col("_f")["_rt"], r_dtype)
+        gap = F.col("_tm") - _time_us(F.col("_f")["_rt"], r_dtype)
         if direction == "forward":
             gap = -gap
         filled = filled.withColumn(

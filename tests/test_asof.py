@@ -218,3 +218,46 @@ def test_asof_rejects_bad_direction(spark):
             df, df, on="k", left_time="t", right_time="t",
             right_payload=["id"], direction="sideways",
         )
+
+
+def test_asof_nearest_picks_closer_side_ties_backward(spark):
+    # key 1: left t=10 with right at 7 (gap 3) and 12 (gap 2) -> forward
+    # key 2: left t=10 with right at 8 and 12 (both gap 2) -> tie: backward
+    # key 3: left t=10 with only an earlier right -> backward fallback
+    # key 4: left t=10 with only a later right -> forward fallback
+    left = spark.createDataFrame(
+        [(1, 1, 10), (2, 2, 10), (3, 3, 10), (4, 4, 10)],
+        ["id", "k", "t"],
+    )
+    right = spark.createDataFrame(
+        [(1, 7, "b1"), (1, 12, "f1"),
+         (2, 8, "b2"), (2, 12, "f2"),
+         (3, 5, "b3"),
+         (4, 30, "f4")],
+        ["k", "t", "v"],
+    )
+    got = {
+        r["id"]: r["right_v"]
+        for r in as_of_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_payload=["v"], direction="nearest",
+        ).collect()
+    }
+    assert got == {1: "f1", 2: "b2", 3: "b3", 4: "f4"}
+
+
+def test_asof_nearest_strict_and_tolerance(spark):
+    # equal-time right exists; strict must skip it on BOTH sides
+    left = spark.createDataFrame([(1, 1, 10)], ["id", "k", "t"])
+    right = spark.createDataFrame(
+        [(1, 10, "eq"), (1, 6, "b"), (1, 13, "f")], ["k", "t", "v"]
+    )
+    pick = lambda **kw: as_of_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_payload=["v"], direction="nearest", **kw
+    ).collect()[0]["right_v"]
+    assert pick() == "eq"  # non-strict: distance 0 wins
+    assert pick(strict=True) == "f"  # 13 is closer than 6
+    # tolerance in the time column's own units: 2 excludes both
+    assert pick(strict=True, tolerance_us=2) is None
+    assert pick(strict=True, tolerance_us=3) == "f"

@@ -141,7 +141,7 @@ def test_asof_matches_bruteforce(spark, left_ts, right_ts):
 @given(
     st.lists(st.integers(0, 1000), min_size=1, max_size=30, unique=True),
     st.lists(st.integers(0, 1000), min_size=1, max_size=12, unique=True),
-    st.sampled_from(["backward", "forward"]),
+    st.sampled_from(["backward", "forward", "nearest"]),
     st.booleans(),
     st.one_of(st.none(), st.integers(0, 200)),
 )
@@ -1133,3 +1133,94 @@ def test_binary_code_query_side_matches_column_side(vec):
     assert lo == sum(1 << j for j in range(32) if vec[j] > 0)
     assert hi == sum(1 << j for j in range(32) if vec[32 + j] > 0)
     assert 0 <= lo < (1 << 32) and 0 <= hi < (1 << 32)
+
+
+# ---------------------------------------------------------------------------
+# connected components: star alternation vs a union-find model
+# ---------------------------------------------------------------------------
+
+
+@COMMON
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(spark, raw_edges):
+    from project_cortex_spark.operators.graph import connected_components
+
+    pairs = [(a, b) for a, b in raw_edges if a != b]
+    if not pairs:
+        return
+    got = {
+        (r["doc_id"], r["cluster_id"], r["keep"])
+        for r in connected_components(
+            spark.createDataFrame(pairs, ["a", "b"])
+        ).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for p in pairs for n in p}
+    want = {(n, find(n), n == find(n)) for n in nodes}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# exact-substring rewrite vs a direct python model of the spec
+# ---------------------------------------------------------------------------
+
+
+@COMMON
+@given(
+    st.lists(
+        st.text(alphabet="abAB ", min_size=0, max_size=24),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(3, 6),
+)
+def test_substring_rewrite_matches_python_model(spark, texts, k):
+    from project_cortex_spark.operators.dedup import exact_substring_rewrite
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    got = {
+        r["doc_id"]: (r["removed_chars"], r["n_cut_spans"], r["cleaned_text"])
+        for r in exact_substring_rewrite(
+            spark.createDataFrame(docs, "doc_id bigint, text string"), k=k
+        ).collect()
+    }
+
+    # model: gram -> min doc containing it; cut every non-canonical
+    # occurrence's window; merge; rebuild
+    owner: dict[str, int] = {}
+    seen_docs: dict[str, set] = {}
+    for i, t in docs:
+        for p in range(len(t) - k + 1):
+            g = t[p : p + k]
+            owner[g] = min(owner.get(g, i), i)
+            seen_docs.setdefault(g, set()).add(i)
+    for i, t in docs:
+        cut = [False] * len(t)
+        for p in range(len(t) - k + 1):
+            g = t[p : p + k]
+            if len(seen_docs[g]) >= 2 and owner[g] != i:
+                for j in range(p, p + k):
+                    cut[j] = True
+        cleaned = "".join(c for c, x in zip(t, cut) if not x)
+        spans = sum(
+            1 for j in range(len(t)) if cut[j] and (j == 0 or not cut[j - 1])
+        )
+        assert got[i] == (len(t) - len(cleaned), spans, cleaned), (i, t, k)
