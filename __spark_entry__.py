@@ -5202,6 +5202,51 @@ def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_stream_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental union-find: the near-dup PAIRS delivered in two
+    # hash-split increments; each batch contracts its pairs through the
+    # persisted roots and star-CCs only the contracted root graph
+    # (history's edges are never stored or re-scanned). Min-rooting is
+    # associative, so the final map must hash-match the one-shot batch
+    # component oracle over the full pair set.
+    import shutil
+    import tempfile
+
+    from project_cortex_spark.streaming import components as stream_cc
+
+    pairs = dd.minhash_near_duplicates(
+        _docs(spark, sf_dir), threshold=0.5
+    ).select("a", "b").localCheckpoint(eager=True)
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="streamcc_", dir=scratch)
+    in_dir = os.path.join(base, "incoming")
+    store = os.path.join(base, "components")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        split = F.xxhash64("a", "b") % 2 == 0
+        for part in (pairs.filter(split), pairs.filter(~split)):
+            part.write.mode("append").parquet(in_dir)
+            with stream_source.scoped_state_partitions(
+                spark, _STREAM_STATE_PARTITIONS
+            ):
+                q = stream_cc.continuous_components(
+                    spark,
+                    in_dir,
+                    pairs.schema,
+                    store_dir=store,
+                    checkpoint_dir=ckpt,
+                )
+                q.awaitTermination()
+        return stream_cc.read_components(spark, store).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_stream_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the streaming C4 step: documents delivered in TWO id-ordered
     # increments, the seen-paragraph store appended per batch (history
@@ -6085,6 +6130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_anomaly"] = _q_stream_anomaly
     out["stream_topk"] = _q_stream_topk
     out["stream_neardup"] = _q_stream_neardup
+    out["stream_connected_components"] = _q_stream_connected_components
     out["stream_paragraph_dedup"] = _q_stream_paragraph_dedup
     out["stream_debounce"] = _q_stream_debounce
     out["stream_twap"] = _q_stream_twap
@@ -7060,6 +7106,11 @@ def oracle_sql() -> dict[str, str]:
     out["stream_topk"] = oracle.top_users_per_type_sql()
     # incremental signature store merged == one-shot batch minhash
     out["stream_neardup"] = oracle.minhash_near_duplicates_sql(threshold=0.5)
+    # incremental union-find == one-shot batch CC (min-rooting is
+    # associative); same oracle as dedup_clusters
+    out["stream_connected_components"] = oracle.duplicate_clusters_sql(
+        oracle.minhash_near_duplicates_sql(threshold=0.5)
+    )
     out["stream_paragraph_dedup"] = oracle.dedup_paragraphs_sql()
     out["stream_debounce"] = oracle.debounce_sql()
     out["stream_twap"] = oracle.twap_sql()

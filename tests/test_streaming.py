@@ -962,3 +962,47 @@ def test_continuous_doc_vectors_matches_batch_embedding(spark, registry, tmp_pat
         for r in build_doc_vectors(docs, dim=16).collect()
     }
     assert got == want
+
+
+def test_incremental_components_cross_batch_merges(spark, tmp_path):
+    """merge_pairs_batch folds batches into the map; a chain delivered
+    one link per batch (worst case: every batch merges two existing
+    components) must end identical to one-shot CC."""
+    from project_cortex_spark.operators.graph import connected_components
+    from project_cortex_spark.streaming.components import (
+        merge_pairs_batch,
+        read_components,
+    )
+
+    store = str(tmp_path / "cc_store")
+    # batch 1: two separate components {1,2} {10,11}
+    # batch 2: a new component {20,21} plus a bridge 2-10 (merges the
+    #          first two; new root must be 1 for old nodes 10,11)
+    # batch 3: bridge 11-20 (merges everything into root 1) plus a
+    #          self-loop and a duplicate pair (no-ops)
+    batches = [
+        [(1, 2), (10, 11)],
+        [(20, 21), (2, 10)],
+        [(11, 20), (5, 5), (1, 2)],
+    ]
+    all_pairs = [p for b in batches for p in b]
+    for b in batches:
+        merge_pairs_batch(
+            spark, spark.createDataFrame(b, ["a", "b"]), store
+        )
+    got = {
+        (r["doc_id"], r["cluster_id"], r["keep"])
+        for r in read_components(spark, store).collect()
+    }
+    want = {
+        (r["doc_id"], r["cluster_id"], r["keep"])
+        for r in connected_components(
+            spark.createDataFrame(all_pairs, ["a", "b"])
+        ).collect()
+    }
+    # the batch operator drops self-loop-only nodes; the stream map
+    # includes every node it has seen a pair row for — node 5 is the
+    # only difference and maps to itself
+    assert got - want == {(5, 5, True)}
+    assert want - got == set()
+    assert (1, 1, True) in got and (21, 1, False) in got
