@@ -6495,11 +6495,12 @@ _GATE_FIRST = [
     # plus the late-r7 wave — graph_connected_components (star CC),
     # dedup_substring_rewrite (Lee et al. rewrite),
     # corpus_cluster_balance (topic balancing), join_asof_nearest
-    # (pandas nearest semantics) — each oracle-gated green at
-    # sf0.001/sf0.01 on registration day, the first three also
-    # hash-exact on the sf1 replica harness.
-    # r8 never-gated ledger = 18 deferred + 3 early-r7 + 4 late-r7
-    # = 25, all enumerated, within the 50-slot gate's absorption.
+    # (pandas nearest semantics), stream_connected_components
+    # (incremental union-find twin, same component oracle) — each
+    # oracle-gated green at sf0.001/sf0.01 on registration day, the
+    # first three also hash-exact on the sf1 replica harness.
+    # r8 never-gated ledger = 18 deferred + 3 early-r7 + 5 late-r7
+    # = 26, all enumerated, within the 50-slot gate's absorption.
     #
     # -- (a) media codecs: the most novel machinery, 13 queries --
     "media_jpeg_roundtrip",

@@ -1224,3 +1224,44 @@ def test_substring_rewrite_matches_python_model(spark, texts, k):
             1 for j in range(len(t)) if cut[j] and (j == 0 or not cut[j - 1])
         )
         assert got[i] == (len(t) - len(cleaned), spans, cleaned), (i, t, k)
+
+
+@COMMON
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(st.integers(0, 2), min_size=1, max_size=40),
+)
+def test_incremental_components_match_batch(spark, tmp_path_factory, raw_edges, split):
+    """Any partition of any pair stream into batches yields the same
+    component map as one-shot CC (self-loop-only nodes excepted: the
+    stream keeps them, the batch operator drops them)."""
+    from project_cortex_spark.operators.graph import connected_components
+    from project_cortex_spark.streaming.components import (
+        merge_pairs_batch,
+        read_components,
+    )
+
+    pairs = [(a, b) for a, b in raw_edges if a != b]
+    if not pairs:
+        return
+    store = str(tmp_path_factory.mktemp("ccprop") / "store")
+    batches: dict[int, list] = {}
+    for i, p in enumerate(pairs):
+        batches.setdefault(split[i % len(split)], []).append(p)
+    for _, b in sorted(batches.items()):
+        merge_pairs_batch(spark, spark.createDataFrame(b, ["a", "b"]), store)
+    got = {
+        (r["doc_id"], r["cluster_id"], r["keep"])
+        for r in read_components(spark, store).collect()
+    }
+    want = {
+        (r["doc_id"], r["cluster_id"], r["keep"])
+        for r in connected_components(
+            spark.createDataFrame(pairs, ["a", "b"])
+        ).collect()
+    }
+    assert got == want

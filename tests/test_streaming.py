@@ -1006,3 +1006,25 @@ def test_incremental_components_cross_batch_merges(spark, tmp_path):
     assert got - want == {(5, 5, True)}
     assert want - got == set()
     assert (1, 1, True) in got and (21, 1, False) in got
+
+
+def test_incremental_components_store_swap_crash_recovery(spark, tmp_path):
+    """A crash inside the two-rename swap window leaves only __bak;
+    the next merge must heal it and lose nothing."""
+    import os
+
+    from project_cortex_spark.streaming.components import (
+        merge_pairs_batch,
+        read_components,
+    )
+
+    store = str(tmp_path / "cc_store")
+    merge_pairs_batch(spark, spark.createDataFrame([(1, 2)], ["a", "b"]), store)
+    # simulate the mid-swap crash: live renamed away, __bak left behind
+    os.rename(store, store + "__bak")
+    merge_pairs_batch(spark, spark.createDataFrame([(2, 3)], ["a", "b"]), store)
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in read_components(spark, store).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1)}
