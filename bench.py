@@ -116,18 +116,30 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("BENCH_RUNS", "5")))
     qs = entrymod.queries()
 
+    # Per-query dispersion record: the window canary below catches
+    # suite-level contention, but a TRANSIENT (GC storm, one noisy
+    # neighbor burst) can inflate a single query's whole min-of-N batch
+    # and read as a plan regression (the r7 forensics case:
+    # join_bloom_prefilter 4.9 s in-suite vs 2.1 s isolated). Recording
+    # each query's (max-min)/min lets a reader see WHICH numbers were
+    # measured under scatter without re-running anything.
+    unstable: dict[str, float] = {}
+
     def run_set(names: list[str]) -> dict[str, float]:
         times: dict[str, float] = {}
         for name in names:
             fn = qs[name]
             # warm-up: build + run once (JIT/codegen, file listing)
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = float("inf")
+            samples = []
             for _ in range(n_runs):
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            times[name] = round(best, 3)
+                samples.append(time.time() - t0)
+            times[name] = round(min(samples), 3)
+            disp = (max(samples) - min(samples)) / max(min(samples), 1e-9)
+            if disp > 0.5 and len(samples) >= 3:
+                unstable[name] = round(disp, 2)
         return times
 
     # Host-noise canary (VERDICT r6 item 3): the same fixed cheap query
@@ -377,6 +389,10 @@ def main() -> None:
             "runs": max(n_runs, 5),
         },
         "noisy": canary_dispersion > 0.25 or canary_slowdown > 0.15,
+        # queries whose min-of-N batch saw >50% run-to-run scatter:
+        # their headline numbers were measured under a transient —
+        # re-measure in isolation before calling them regressions
+        "unstable_queries": unstable,
     }
     print(json.dumps(out))
 
