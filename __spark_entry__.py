@@ -1033,6 +1033,24 @@ def _q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("score", F.round("score", 6))
 
 
+def _q_knn_join_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FILTERED ANN under partial probe: predicate on the corpus side
+    # only, full-corpus centroids (filtering commutes with assignment,
+    # and the oracle trains the identical centroids from the full
+    # parquet) — the interaction the exact filtered path can't exercise
+    emb = _registry(spark, sf_dir).table("embeddings")
+    cents = knn_mod.train_centroids_ordered(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=16, iters=8
+    )
+    return knn_mod.knn_join_ivf(
+        _knn_queries(spark, sf_dir),
+        emb.filter(F.col("label").isin(1, 2, 3)),
+        k=5,
+        nprobe=4,
+        centroids=cents,
+    ).withColumn("score", F.round("score", 6))
+
+
 def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _registry(spark, sf_dir).table("embeddings")
     return knn_mod.quantize_embeddings(emb)
@@ -5784,6 +5802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["knn_join"] = _q_knn_join
     out["knn_join_lsh"] = _q_knn_join_lsh
     out["knn_join_ivf"] = _q_knn_join_ivf
+    out["knn_join_ivf_filtered"] = _q_knn_join_ivf_filtered
     out["knn_mmr"] = _q_knn_mmr
     out["knn_topk_int8"] = _q_knn_topk_int8
     out["knn_recall_int8"] = _q_knn_recall_int8
@@ -6630,6 +6649,10 @@ def oracle_sql() -> dict[str, str]:
         # approximation replayable, not just its recall number
         out["knn_join_ivf"] = oracle.knn_ivf_join_oracle_sql(
             n_centroids=16, nprobe=4, k=5, n_queries=5, iters=8
+        )
+        out["knn_join_ivf_filtered"] = oracle.knn_ivf_join_oracle_sql(
+            n_centroids=16, nprobe=4, k=5, n_queries=5, iters=8,
+            where_sql="label IN (1, 2, 3)",
         )
         # r7 (VERDICT r6 item 6): the persisted-index lifecycle gates
         # against the SAME replayed-trainer oracle — incremental

@@ -2582,6 +2582,7 @@ def knn_ivf_join_oracle_sql(
     n_queries: int = 5,
     iters: int = 8,
     sample_rows: int = 10_000,
+    where_sql: str | None = None,
 ) -> str:
     """Oracle for the IVF ANN join ITSELF (not just its recall): same
     replayable-centroid trick as :func:`knn_ivf_recall_oracle_sql` —
@@ -2605,18 +2606,23 @@ def knn_ivf_join_oracle_sql(
         " / (sqrt(list_dot_product(c.v, c.v))"
         " * sqrt(list_dot_product(q.qv, q.qv)))"
     )
+    # filtered ANN: the predicate restricts the CORPUS side only (the
+    # query side stays whole) — filtering commutes with assignment, so
+    # the engine trains/assigns with full-corpus centroids and filters
+    # the corpus frame it hands to the probe join
+    corpus_pred = f" AND ({where_sql})" if where_sql else ""
     return f"""
     WITH e AS (
-      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v, label FROM embeddings
     ), cent(cid, cv) AS (VALUES
       {cent_values}
     ), assign AS (
-      SELECT doc_id, v, cid,
+      SELECT doc_id, v, label, cid,
              row_number() OVER (PARTITION BY doc_id
                ORDER BY list_dot_product(v, cv) DESC, cid) AS rn
       FROM e CROSS JOIN cent
     ), c AS (
-      SELECT doc_id, v, cid FROM assign WHERE rn = 1
+      SELECT doc_id, v, cid FROM assign WHERE rn = 1{corpus_pred}
     ), q AS (
       SELECT doc_id AS query_id, v AS qv, cid
       FROM assign WHERE doc_id < {n_queries} AND rn <= {nprobe}
