@@ -528,3 +528,21 @@ def test_knn_join_binary_self_is_nearest(registry):
     )
     rows = knn.knn_join_binary(queries, registry.table("embeddings"), k=1).collect()
     assert all(r.hamming == 0 for r in rows)
+
+
+def test_ivf_filtered_full_probe_equals_exact_on_filtered_corpus(registry):
+    """Corpus-side predicate + nprobe == n_centroids degrades to the
+    exact join over the FILTERED corpus — the commuting property the
+    filtered-ANN gate rests on."""
+    emb = registry.table("embeddings")
+    q = _queries_frame(registry)
+    filtered = emb.filter(F.col("label").isin(1, 2, 3))
+    exact = knn.knn_join(q, filtered, k=5)
+    cents = knn.train_centroids_ordered(emb, n_centroids=8, iters=4)
+    ivf = knn.knn_join_ivf(
+        q, filtered, k=5, n_centroids=8, nprobe=8, centroids=cents
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    e = {key(r): (r["vec_id"], round(r["score"], 9)) for r in exact.collect()}
+    i = {key(r): (r["vec_id"], round(r["score"], 9)) for r in ivf.collect()}
+    assert e == i
