@@ -6012,7 +6012,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_df=50,
         ),
         k=3,
-        rounds=4,  # fixpoint here by round 2; 4 leaves cascade headroom
+        # fixpoint here by round 2; the engine's keep-count early exit
+        # stops there while the oracle's 4 unrolled rounds are no-ops
+        rounds=4,
     )
     # char-distribution Shannon entropy (zero-shuffle quality signal)
     out["text_entropy"] = lambda s, d: ts.char_entropy(_docs(s, d))
