@@ -71,6 +71,23 @@ def as_of_join(
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
+    if direction == "nearest":
+        from pyspark.sql.types import FractionalType
+
+        # nearest orders its RANGE frames on the integer time (_tm);
+        # a float time column would silently truncate and make same-
+        # integer-part rows frame peers (arbitrary pick, broken strict).
+        # The directional forms sort by the exact value and stay fine.
+        for side, col_name, df in (
+            ("left", left_time, left), ("right", right_time, right)
+        ):
+            if isinstance(df.schema[col_name].dataType, FractionalType):
+                raise ValueError(
+                    "direction='nearest' needs an integer or timestamp "
+                    f"time column; {side} time {col_name!r} is "
+                    f"{df.schema[col_name].dataType.simpleString()} — "
+                    "scale it to integer units first"
+                )
     lt, rt = F.col(left_time), F.col(right_time)
     # The right payload rides as ONE struct column, so a single
     # last(ignorenulls) propagates the whole matched row atomically — a

@@ -71,11 +71,13 @@ def merge_pairs_batch(
 
     recover_store(store_dir)
     prev = _read_map(spark, store_dir)
-    p = (
-        batch.select(F.col(a).alias("pa"), F.col(b).alias("pb"))
-        .filter(F.col("pa") != F.col("pb"))
-        .localCheckpoint(eager=True)
+    # ONE eager materialization of the micro-batch: every later
+    # reference (pair frame, endpoint node set) reads the checkpoint
+    # instead of re-scanning the batch's source files
+    base = batch.select(F.col(a).alias("pa"), F.col(b).alias("pb")).localCheckpoint(
+        eager=True
     )
+    p = base.filter(F.col("pa") != F.col("pb"))
     # find: map endpoints through the existing roots
     if prev is not None:
         ra = prev.select(
@@ -105,8 +107,8 @@ def merge_pairs_batch(
             F.col("node").alias("bnode"), F.col("root").alias("_r")
         )
         new_rows = (
-            batch.select(F.col(a).alias("bnode"))
-            .unionByName(batch.select(F.col(b).alias("bnode")))
+            base.select(F.col("pa").alias("bnode"))
+            .unionByName(base.select(F.col("pb").alias("bnode")))
             .distinct()
             .join(self_map, "bnode", "left")
             .select(
@@ -116,8 +118,8 @@ def merge_pairs_batch(
         )
     else:
         new_rows = (
-            batch.select(F.col(a).alias("node"))
-            .unionByName(batch.select(F.col(b).alias("node")))
+            base.select(F.col("pa").alias("node"))
+            .unionByName(base.select(F.col("pb").alias("node")))
             .distinct()
             .withColumn("cid", F.col("node"))
         )

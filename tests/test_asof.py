@@ -261,3 +261,19 @@ def test_asof_nearest_strict_and_tolerance(spark):
     # tolerance in the time column's own units: 2 excludes both
     assert pick(strict=True, tolerance_us=2) is None
     assert pick(strict=True, tolerance_us=3) == "f"
+
+
+def test_asof_nearest_rejects_fractional_time(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1, 1.5)], ["id", "k", "t"])
+    with pytest.raises(ValueError, match="integer or timestamp"):
+        as_of_join(
+            df, df, on="k", left_time="t", right_time="t",
+            right_payload=["id"], direction="nearest",
+        )
+    # directional forms still accept float time (exact-value ordering)
+    assert as_of_join(
+        df, df, on="k", left_time="t", right_time="t",
+        right_payload=["id"],
+    ).count() == 1
