@@ -1688,7 +1688,170 @@ _TYPE_USAGES_ORACLE = """
 """
 
 
+# --- cortex_analysis (canopy spec overview.md:16): circular_dependencies,
+# unused_symbols, hotspots, type_hierarchy — the reference's announced
+# next graph surface (spec exists, Go implementation does not), covered
+# here over the same derived edge fixtures the rest of the family uses.
+
+# per-customer order RINGS: the chain edges plus a closing edge from the
+# last order back to the first — every customer is a directed cycle of
+# length = their order count (single-order customers are self-loops), so
+# cycle detection has a rich, deterministic answer at every SF
+_RING_EDGES_SQL = """
+    SELECT o_orderkey AS src,
+           coalesce(
+               lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey),
+               min(o_orderkey) OVER (PARTITION BY o_custkey)
+           ) AS dst
+    FROM orders
+"""
+
+
+def _ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        _registry(spark, sf_dir)
+        .table("orders")
+        .select(
+            F.col("o_orderkey").alias("src"),
+            F.coalesce(
+                F.lead("o_orderkey").over(w),
+                F.min("o_orderkey").over(Window.partitionBy("o_custkey")),
+            ).alias("dst"),
+        )
+    )
+
+
+def _q_graph_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # circular-dependency detection: which orders lie on a dependency
+    # cycle of length <= 8, and how tight is the tightest such cycle
+    return graph_mod.cycle_members(_ring_edges(spark, sf_dir), max_len=8)
+
+
+_CYCLES_ORACLE = f"""
+    WITH RECURSIVE e AS ({_RING_EDGES_SQL}),
+    walk(origin, node, len) AS (
+        SELECT src, dst, 1 FROM e
+        UNION
+        SELECT w.origin, e.dst, w.len + 1
+        FROM walk w JOIN e ON e.src = w.node
+        WHERE w.len < 8 AND w.node <> w.origin
+    )
+    SELECT origin AS node, min(len) AS cycle_len FROM walk
+    WHERE node = origin GROUP BY origin
+"""
+
+
+def _q_graph_unused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unused_symbols: orders nothing points at (chain heads), minus the
+    # "entry point" exclusion (urgent-priority orders, the stand-in for
+    # canopy's exported/main exclusion list)
+    orders = _registry(spark, sf_dir).table("orders")
+    nodes = orders.select(F.col("o_orderkey").alias("node"))
+    exclude = orders.filter(F.col("o_orderpriority").like("1%")).select(
+        F.col("o_orderkey").alias("node")
+    )
+    return graph_mod.unused_symbols(
+        nodes, _order_edges(spark, sf_dir), exclude=exclude
+    )
+
+
+_UNUSED_ORACLE = f"""
+    SELECT o_orderkey AS node FROM orders
+    WHERE o_orderkey NOT IN (SELECT dst FROM ({_EDGES_SQL}))
+      AND o_orderpriority NOT LIKE '1%'
+"""
+
+# part-to-part transitions within an order (by line number): a multi-
+# edge reference graph with a heavy-tailed degree distribution — the
+# right shape for a hotspot ranking. The fixture's l_linenumber is NOT
+# unique per order (11,785 ties at sf0.01), so the window orders by the
+# full unique key (linenumber, partkey, suppkey) to keep lead()
+# deterministic across engines.
+_PART_EDGES_SQL = """
+    SELECT src, dst FROM (
+        SELECT l_partkey AS src,
+               lead(l_partkey) OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_suppkey) AS dst
+        FROM lineitem
+    ) WHERE dst IS NOT NULL
+"""
+
+
+def _part_transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return (
+        _registry(spark, sf_dir)
+        .table("lineitem")
+        .select(
+            F.col("l_partkey").alias("src"),
+            F.lead("l_partkey").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+
+
+def _q_graph_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_mod.hotspots(_part_transition_edges(spark, sf_dir), top_n=100)
+
+
+_HOTSPOTS_ORACLE = f"""
+    WITH e AS ({_PART_EDGES_SQL}),
+    ind AS (
+        SELECT src AS node, 0 AS i, 1 AS o FROM e
+        UNION ALL
+        SELECT dst AS node, 1 AS i, 0 AS o FROM e
+    ),
+    agg AS (SELECT node, sum(i) AS fan_in, sum(o) AS fan_out
+            FROM ind GROUP BY node)
+    SELECT node, fan_in, fan_out, fan_in + fan_out AS degree FROM agg
+    ORDER BY degree DESC, node ASC LIMIT 100
+"""
+
+
+def _q_graph_type_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # type_hierarchy: the customer -> nation -> region containment tree
+    # as a namespaced parent-edge set; closure reports every ancestor
+    # with its minimum hop distance
+    reg = _registry(spark, sf_dir)
+    cust = reg.table("customer").select(
+        F.concat_ws(":", F.lit("c"), F.col("c_custkey")).alias("child"),
+        F.concat_ws(":", F.lit("n"), F.col("c_nationkey")).alias("parent"),
+    )
+    nat = reg.table("nation").select(
+        F.concat_ws(":", F.lit("n"), F.col("n_nationkey")).alias("child"),
+        F.concat_ws(":", F.lit("r"), F.col("n_regionkey")).alias("parent"),
+    )
+    return graph_mod.hierarchy_closure(cust.unionByName(nat), max_depth=3)
+
+
+_TYPE_HIERARCHY_ORACLE = """
+    WITH e AS (
+        SELECT DISTINCT 'c:' || CAST(c_custkey AS VARCHAR) AS child,
+                        'n:' || CAST(c_nationkey AS VARCHAR) AS parent
+        FROM customer
+        UNION ALL
+        SELECT DISTINCT 'n:' || CAST(n_nationkey AS VARCHAR),
+                        'r:' || CAST(n_regionkey AS VARCHAR)
+        FROM nation
+    ),
+    l1 AS (SELECT child AS node, parent AS ancestor, 1 AS depth FROM e),
+    l2 AS (SELECT a.node, b.ancestor, 2 AS depth
+           FROM l1 a JOIN l1 b ON a.ancestor = b.node)
+    SELECT node, ancestor, depth FROM l1
+    UNION ALL
+    SELECT node, ancestor, depth FROM l2
+"""
+
+
 _GRAPH_ORACLES = {
+    "graph_cycles": _CYCLES_ORACLE,
+    "graph_unused_symbols": _UNUSED_ORACLE,
+    "graph_hotspots": _HOTSPOTS_ORACLE,
+    "graph_type_hierarchy": _TYPE_HIERARCHY_ORACLE,
     "graph_implements": _IMPLEMENTS_ORACLE,
     "graph_impact": _IMPACT_ORACLE,
     "graph_dependencies": _DEPENDENCIES_ORACLE,
@@ -5827,6 +5990,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["graph_dependencies"] = _q_graph_dependencies
     out["graph_dependents"] = _q_graph_dependents
     out["graph_type_usages"] = _q_graph_type_usages
+    # cortex_analysis surface (canopy spec overview.md:16 — announced,
+    # not yet built in the reference): cycles / unused / hotspots /
+    # hierarchy, each oracle-gated over the family's derived edge sets
+    out["graph_cycles"] = _q_graph_cycles
+    out["graph_unused_symbols"] = _q_graph_unused
+    out["graph_hotspots"] = _q_graph_hotspots
+    out["graph_type_hierarchy"] = _q_graph_type_hierarchy
     out["dedup_exact_groups"] = _q_dedup_exact
     out["dedup_unicode_nfc"] = _q_dedup_unicode_nfc
     # MOSS winnowing (Schleimer et al. 2003): window-min fingerprint

@@ -1099,3 +1099,206 @@ def connected_components(
         )
         .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# cortex_analysis parity (the reference's announced-but-unbuilt canopy
+# integration surface: specs/2026-02-16_canopy-graph-integration/
+# overview.md:16 lists circular_dependencies, unused_symbols, hotspots,
+# type_hierarchy, dependency_graph under a new `cortex_analysis` MCP
+# tool; the spec is not yet implemented in the reference's Go tree, so
+# these ship AHEAD of the reference on its own roadmap).
+# ---------------------------------------------------------------------------
+
+
+def cycle_members(
+    edges: DataFrame,
+    *,
+    max_len: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Circular-dependency detection (canopy spec overview.md:16
+    `circular_dependencies`): (node, cycle_len) for every node that lies
+    on a directed cycle of length <= ``max_len``, with cycle_len = the
+    LENGTH OF THE SHORTEST cycle through that node.
+
+    Multi-origin level-synchronous BFS: the frontier carries (origin,
+    node) pairs; an origin is "closed" the first time its frontier
+    returns to it, and the level at which that happens is the minimal
+    cycle length (BFS levels = walk lengths; min over back-edges of
+    dist+1 is exactly what level-order discovery yields). Closed origins
+    are anti-joined out of the frontier so finished work leaves the
+    loop, and a per-origin visited set both dedupes and stops
+    re-expansion (revisits can only witness LONGER cycles, so pruning
+    them is lossless for the min).
+
+    Scale notes: the frontier is bounded by sum over origins of the
+    origin's level-ball — linear for the module/import graphs this
+    operator targets (out-degree is small and most origins close or
+    exhaust early); each level is one shuffle join + one distinct. For
+    dense general graphs prefer an SCC pass first; circular-dependency
+    graphs in code (the reference's use) are import DAGs plus a few
+    back-edges, the regime this plan is shaped for.
+    """
+    max_len = _clamp_depth(max_len)
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    spark = e.sparkSession
+    # level 1: every edge is a 1-walk; a self-loop closes immediately
+    frontier = e.select(
+        F.col("_s").alias("origin"), F.col("_d").alias("node")
+    ).distinct()
+    found = frontier.filter(F.col("node") == F.col("origin")).select(
+        "origin", F.lit(1).alias("cycle_len")
+    )
+    frontier = frontier.filter(F.col("node") != F.col("origin"))
+    visited = frontier
+    out = [found]
+    for lvl in range(2, max_len + 1):
+        frontier = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select("origin", F.col("_d").alias("node"))
+            .distinct()
+        )
+        closed = frontier.filter(F.col("node") == F.col("origin")).select(
+            "origin", F.lit(lvl).alias("cycle_len")
+        )
+        out.append(closed)
+        if lvl == max_len:
+            break
+        frontier = (
+            frontier.filter(F.col("node") != F.col("origin"))
+            # drop origins that just closed (their min is recorded) and
+            # pairs already expanded at an earlier (shorter) level
+            .join(closed.select("origin"), "origin", "left_anti")
+            .join(visited, ["origin", "node"], "left_anti")
+        ).localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    res = out[0]
+    for part in out[1:]:
+        res = res.unionByName(part)
+    # an origin can appear once per level only via distinct frontiers,
+    # and never after it closes — but the last level skips the
+    # anti-join, so collapse defensively to the min
+    return (
+        res.groupBy(F.col("origin").alias("node"))
+        .agg(F.min("cycle_len").alias("cycle_len"))
+    )
+
+
+def unused_symbols(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "node",
+    dst: str = "dst",
+    exclude: DataFrame = None,
+) -> DataFrame:
+    """Symbols with no incoming reference (canopy spec overview.md:16
+    `unused_symbols`): nodes that are never an edge destination, minus
+    an optional ``exclude`` frame (entry points / exported symbols —
+    canopy's analysis excludes mains and test functions the same way).
+
+    One left_anti join against the distinct destination set, then one
+    against the exclusion frame: no aggregation, no window — at 100 TB
+    this is two shuffle-free broadcast anti-joins when the reference
+    sets are small, or two shuffled anti-joins otherwise, either way
+    linear.
+    """
+    used = edges.select(F.col(dst).alias(node_col)).distinct()
+    out = nodes.select(node_col).distinct().join(used, node_col, "left_anti")
+    if exclude is not None:
+        out = out.join(
+            exclude.select(F.col(exclude.columns[0]).alias(node_col)),
+            node_col,
+            "left_anti",
+        )
+    return out
+
+
+def hotspots(
+    edges: DataFrame,
+    *,
+    top_n: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Most-connected symbols (canopy spec overview.md:16 `hotspots`):
+    (node, fan_in, fan_out, degree) for the ``top_n`` nodes by total
+    degree, ties broken by node ascending.
+
+    ONE shuffle: both directions are unioned as (node, in, out)
+    indicator rows and summed in a single hash aggregate (map-side
+    partial combine makes the exchange carry at most one row per (node,
+    partition)); the top-N is a TakeOrderedAndProject on the aggregate,
+    not a full sort.
+    """
+    ind = edges.select(
+        F.col(src).alias("node"), F.lit(0).alias("i"), F.lit(1).alias("o")
+    ).unionByName(
+        edges.select(F.col(dst).alias("node"), F.lit(1).alias("i"), F.lit(0).alias("o"))
+    )
+    agg = ind.groupBy("node").agg(
+        F.sum("i").alias("fan_in"), F.sum("o").alias("fan_out")
+    )
+    return (
+        agg.withColumn("degree", F.col("fan_in") + F.col("fan_out"))
+        .orderBy(F.col("degree").desc(), F.col("node").asc())
+        .limit(top_n)
+    )
+
+
+def hierarchy_closure(
+    parent_edges: DataFrame,
+    *,
+    max_depth: int = DEFAULT_DEPTH,
+    child: str = "child",
+    parent: str = "parent",
+) -> DataFrame:
+    """Transitive ancestor closure (canopy spec overview.md:16
+    `type_hierarchy` / `dependency_graph`): (node, ancestor, depth) for
+    every ancestor reachable in <= ``max_depth`` parent hops, depth =
+    the MINIMUM hop count (a diamond hierarchy reports the shorter
+    path).
+
+    Level-synchronous pair expansion: level k+1 joins the level-k
+    closure's ancestor side against the parent edges — the edge frame is
+    scanned once per level and the per-level distinct bounds the pair
+    frame at |closure|. Type hierarchies are shallow (the reference
+    clamps traversals at 10, searcher_sql.go:43-50), so the loop is a
+    handful of joins over a frame that is linear in the entity count.
+    """
+    max_depth = _clamp_depth(max_depth)
+    e = parent_edges.select(
+        F.col(child).alias("node"), F.col(parent).alias("ancestor")
+    ).distinct()
+    if max_depth == 1:
+        return e.withColumn("depth", F.lit(1))
+    # each level is checkpointed: the level-k plan references the FULL
+    # closure (the min-depth anti-join), so without a lineage cut the
+    # analyzed plan doubles per level and stalls Catalyst around depth
+    # 6-8; the eager cut also makes the empty-level early exit free
+    # (isEmpty on a materialized frame is a metadata probe, not a job)
+    level = e.withColumn("depth", F.lit(1)).localCheckpoint(eager=True)
+    parts = [level]
+    up_edges = e.select(
+        F.col("node").alias("ancestor"), F.col("ancestor").alias("up")
+    )
+    closure = level.select("node", "ancestor")
+    for lvl in range(2, max_depth + 1):
+        nxt = (
+            level.join(up_edges, "ancestor")
+            .select("node", F.col("up").alias("ancestor"))
+            .distinct()
+            .join(closure, ["node", "ancestor"], "left_anti")
+            .withColumn("depth", F.lit(lvl))
+        ).localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        parts.append(nxt)
+        level = nxt
+        closure = closure.unionByName(nxt.select("node", "ancestor"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -698,3 +698,117 @@ def test_cooccurrence_hot_fallback_matches_literal_path(spark, monkeypatch):
     flat = {n for p in lit_path for n in p}
     assert 100 not in flat and 101 not in flat  # the cap bound
     assert lit_path  # cold pairs survive
+
+
+# --- cortex_analysis surface (canopy spec overview.md:16) ---
+
+
+def test_cycle_members_topologies(spark):
+    """Self-loop, 3-ring, branch into a ring, and a pure DAG tail."""
+    edges = spark.createDataFrame(
+        [
+            (1, 1),            # self-loop: cycle_len 1
+            (2, 3), (3, 4), (4, 2),   # 3-ring
+            (5, 2),            # feeds the ring but is NOT on a cycle
+            (6, 7),            # DAG tail
+        ],
+        ["src", "dst"],
+    )
+    got = {
+        r["node"]: r["cycle_len"]
+        for r in graph.cycle_members(edges, max_len=6).collect()
+    }
+    assert got == {1: 1, 2: 3, 3: 3, 4: 3}
+
+
+def test_cycle_members_min_length_and_cap(spark):
+    """A node on both a 2-cycle and a 4-cycle reports 2; a cycle longer
+    than max_len is not reported."""
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 1),                 # 2-cycle through 1,2
+            (2, 3), (3, 4), (4, 1),         # plus a 4-cycle through 1..4
+            (10, 11), (11, 12), (12, 10),   # 3-ring, below the cap
+        ],
+        ["src", "dst"],
+    )
+    got = {
+        r["node"]: r["cycle_len"]
+        for r in graph.cycle_members(edges, max_len=2).collect()
+    }
+    assert got == {1: 2, 2: 2}  # the 3-ring exceeds max_len=2
+    got6 = {
+        r["node"]: r["cycle_len"]
+        for r in graph.cycle_members(edges, max_len=6).collect()
+    }
+    # 3 and 4 lie on the 4-cycle (1->2->3->4->1); 1 and 2 keep the 2-cycle
+    assert got6 == {1: 2, 2: 2, 3: 4, 4: 4, 10: 3, 11: 3, 12: 3}
+
+
+def test_cycle_members_dag_empty(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"]
+    )
+    assert graph.cycle_members(edges, max_len=6).count() == 0
+
+
+def test_unused_symbols_anti_join_and_exclusion(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["node"])
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 3)], ["src", "dst"])
+    # unreferenced: 1, 4, 5, 6; exclude entry points {5}
+    exclude = spark.createDataFrame([(5,)], ["node"])
+    got = {
+        r["node"]
+        for r in graph.unused_symbols(nodes, edges, exclude=exclude).collect()
+    }
+    assert got == {1, 4, 6}
+
+
+def test_hotspots_degrees_and_tie_order(spark):
+    edges = spark.createDataFrame(
+        # node 3: fan_in 2, fan_out 1; nodes 1 and 2 tie on degree 2
+        [(1, 3), (2, 3), (3, 1), (2, 4)],
+        ["src", "dst"],
+    )
+    rows = graph.hotspots(edges, top_n=3).collect()
+    assert [(r["node"], r["fan_in"], r["fan_out"], r["degree"]) for r in rows] == [
+        (3, 2, 1, 3),
+        (1, 1, 1, 2),   # degree tie with 2 -> node asc
+        (2, 0, 2, 2),
+    ]
+
+
+def test_hierarchy_closure_diamond_min_depth(spark):
+    # diamond: 1 -> {2, 3} -> 4, plus a direct 1 -> 4 edge: depth(1,4)=1
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (1, 4)], ["child", "parent"]
+    )
+    got = {
+        (r["node"], r["ancestor"]): r["depth"]
+        for r in graph.hierarchy_closure(edges, max_depth=5).collect()
+    }
+    assert got == {
+        (1, 2): 1, (1, 3): 1, (1, 4): 1,
+        (2, 4): 1, (3, 4): 1,
+    }
+
+
+def test_hierarchy_closure_chain_depths(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["child", "parent"]
+    )
+    got = {
+        (r["node"], r["ancestor"]): r["depth"]
+        for r in graph.hierarchy_closure(edges, max_depth=10).collect()
+    }
+    assert got == {
+        (1, 2): 1, (2, 3): 1, (3, 4): 1,
+        (1, 3): 2, (2, 4): 2,
+        (1, 4): 3,
+    }
+    # depth clamp respected
+    got2 = {
+        (r["node"], r["ancestor"]): r["depth"]
+        for r in graph.hierarchy_closure(edges, max_depth=2).collect()
+    }
+    assert (1, 4) not in got2 and (1, 3) in got2
