@@ -5997,6 +5997,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["graph_unused_symbols"] = _q_graph_unused
     out["graph_hotspots"] = _q_graph_hotspots
     out["graph_type_hierarchy"] = _q_graph_type_hierarchy
+    # canopy discovery op package_summary over the frozen snapshot
+    # corpus: deterministic extraction -> golden VALUES oracle (the
+    # pipeline_parse_entities trick)
+    out["graph_package_summary"] = lambda s, d: graph_mod.package_summary(
+        _snapshot_entities(s)
+    )
     out["dedup_exact_groups"] = _q_dedup_exact
     out["dedup_unicode_nfc"] = _q_dedup_unicode_nfc
     # MOSS winnowing (Schleimer et al. 2003): window-min fingerprint
@@ -7065,6 +7071,52 @@ def oracle_sql() -> dict[str, str]:
     # golden oracles for the fixed-corpus parse contracts: the extraction
     # is fully deterministic, so the expected output is a VALUES literal —
     # any drift in spans/params/complexity/receivers breaks the hash
+    # canopy package_summary over the frozen snapshot corpus — the
+    # extraction is deterministic, so the oracle is a golden VALUES
+    # table (regenerate with the snippet in scripts/gen_parse_goldens.py
+    # after a deliberate re-freeze)
+    out["graph_package_summary"] = """
+        SELECT package, kind, CAST(n_files AS BIGINT) AS n_files,
+               CAST(n AS BIGINT) AS n,
+               CAST(sum_params AS BIGINT) AS sum_params,
+               CAST(sum_complexity AS BIGINT) AS sum_complexity
+        FROM (VALUES
+          ('project_cortex_spark','call',1,27,43,0),
+          ('project_cortex_spark','const',1,1,0,0),
+          ('project_cortex_spark','function',1,1,4,5),
+          ('project_cortex_spark','import',1,3,0,0),
+          ('project_cortex_spark','param',1,5,0,0),
+          ('project_cortex_spark/dsl','call',1,55,74,0),
+          ('project_cortex_spark/dsl','const',1,1,0,0),
+          ('project_cortex_spark/dsl','function',1,7,16,65),
+          ('project_cortex_spark/dsl','import',1,15,0,0),
+          ('project_cortex_spark/dsl','param',1,22,0,0),
+          ('project_cortex_spark/dsl','type',1,2,0,0),
+          ('project_cortex_spark/functions','call',2,93,128,0),
+          ('project_cortex_spark/functions','const',1,3,0,0),
+          ('project_cortex_spark/functions','function',2,15,27,15),
+          ('project_cortex_spark/functions','import',2,6,0,0),
+          ('project_cortex_spark/functions','param',2,42,0,0),
+          ('project_cortex_spark/operators','call',1,128,166,0),
+          ('project_cortex_spark/operators','function',1,9,18,15),
+          ('project_cortex_spark/operators','import',1,18,0,0),
+          ('project_cortex_spark/operators','param',1,62,0,0),
+          ('project_cortex_spark/pipeline','call',2,168,191,0),
+          ('project_cortex_spark/pipeline','const',2,6,0,0),
+          ('project_cortex_spark/pipeline','function',2,14,19,29),
+          ('project_cortex_spark/pipeline','import',2,15,0,0),
+          ('project_cortex_spark/pipeline','param',2,54,0,0),
+          ('project_cortex_spark/sources','call',1,45,67,0),
+          ('project_cortex_spark/sources','function',1,2,3,2),
+          ('project_cortex_spark/sources','import',1,4,0,0),
+          ('project_cortex_spark/sources','param',1,7,0,0),
+          ('project_cortex_spark/streaming','call',1,16,15,0),
+          ('project_cortex_spark/streaming','function',1,4,8,9),
+          ('project_cortex_spark/streaming','import',1,7,0,0),
+          ('project_cortex_spark/streaming','param',1,14,0,0),
+          ('project_cortex_spark/streaming','type',1,1,0,0)
+        ) AS t(package, kind, n_files, n, sum_params, sum_complexity)
+    """
     out["pipeline_parse_entities"] = """
         SELECT file_path, kind, CAST(n AS BIGINT) AS n,
                first_line, last_line,

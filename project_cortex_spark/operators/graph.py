@@ -1302,3 +1302,30 @@ def hierarchy_closure(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def package_summary(entities: DataFrame) -> DataFrame:
+    """Per-package symbol summary (canopy spec overview.md:16
+    `package_summary` / `summary` under the discovery ops): one row per
+    (package, kind) with file count, entity count, and aggregate
+    params/complexity. Package = the file's directory, the same
+    convention as Go packages / Python modules.
+
+    Pure single-aggregate plan: derive the package key map-side from
+    file_path, one hash aggregate with map-side partial combine — at
+    100 TB this is a scan plus one exchange keyed on (package, kind).
+    """
+    pkg = F.when(
+        F.instr(F.col("file_path"), "/") > 0,
+        F.expr("substring(file_path, 1, length(file_path) - instr(reverse(file_path), '/'))"),
+    ).otherwise(F.lit("."))
+    return (
+        entities.withColumn("package", pkg)
+        .groupBy("package", "kind")
+        .agg(
+            F.countDistinct("file_path").alias("n_files"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_params").alias("sum_params"),
+            F.sum("complexity").alias("sum_complexity"),
+        )
+    )
