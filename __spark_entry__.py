@@ -6013,6 +6013,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     out["dedup_minhash_lsh"] = _q_dedup_minhash
     out["dedup_ngram_jaccard"] = _q_dedup_ngram
+    # prefix-filtering all-pairs join (Bayardo/PPJoin): the CAP-FREE
+    # exact-Jaccard scale path — gated against the algorithm-independent
+    # uncapped exact oracle, so the prefix pruning is proven lossless
+    out["dedup_ppjoin"] = lambda s, d: dd.ppjoin_pairs(
+        _docs(s, d), shingle_n=3, threshold=0.5
+    ).withColumn("jaccard", F.round("jaccard", 6))
     out["dedup_simhash"] = _q_dedup_simhash
     out["dedup_simhash_banded"] = _q_dedup_simhash_banded
     out["dedup_clusters"] = _q_dedup_clusters
@@ -6906,6 +6912,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["dedup_minhash_lsh"] = oracle.minhash_near_duplicates_sql(
         threshold=0.5, max_bucket=2
+    )
+    # the uncapped exact form IS the ppjoin contract (lossless pruning)
+    out["dedup_ppjoin"] = oracle.ngram_jaccard_pairs_sql(
+        threshold=0.5
     )
     out["dedup_ngram_jaccard"] = oracle.ngram_jaccard_pairs_sql(
         threshold=0.5, max_df=100, max_df_frac=0.2

@@ -1378,3 +1378,87 @@ def exact_substring_rewrite(
             cleaned.alias("cleaned_text"),
         )
     )
+
+
+def ppjoin_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(a, b, jaccard >= threshold) EXACT — the same answer as
+    :func:`ngram_jaccard_pairs` with no df cap — via prefix filtering
+    (Bayardo et al. 2007 "Scaling Up All Pairs Similarity Search";
+    Xiao et al. 2008 PPJoin). This is the cap-free scale path: where
+    the shared-shingle join needs a document-frequency cut to survive
+    stop-shingles (a shingle in 1M docs is a 10^12-pair hot key),
+    prefix filtering joins only each document's RAREST
+    ``|d| - ceil(t*|d|) + 1`` shingles under a global
+    (ascending-df, shingle) order.
+
+    Why no pair escapes: if J(A,B) >= t then the overlap o satisfies
+    o >= ceil(t*|A|) (since |union| >= |A|); let w be the smallest
+    common shingle in the global order — at least o-1 common shingles
+    sort after w in A, so w sits within A's first |A|-o+1 <=
+    |A|-ceil(t*|A|)+1 positions, and symmetrically within B's prefix.
+    The prefix equi-join therefore meets every qualifying pair at w (at
+    least), candidates are verified with an exact intersection count,
+    and the output is provably identical to the unfiltered join — the
+    oracle gates it against the algorithm-independent exact form.
+
+    Scale shape: one shingle explode (cached), a df aggregate joined
+    back ON ITS OWN KEY (no new exchange), one per-doc window for
+    prefix positions, the prefix-only equi-join (plus the size filter
+    least(na,nb) >= t*greatest(na,nb), also implied by J >= t), and a
+    verification join whose fan-out is candidates x set size. Hot keys
+    die by construction: a shingle's join weight is the number of docs
+    holding it IN THEIR PREFIX, and high-df shingles sort last, out of
+    every prefix.
+    """
+    sh = shingle_frame(
+        docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    ).cache()
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    wpos = Window.partitionBy("doc_id").orderBy("_df", "sh")
+    wdoc = Window.partitionBy("doc_id")
+    pos = (
+        sh.join(dfreq, "sh")
+        .withColumn("pos", F.row_number().over(wpos))
+        .withColumn("n", F.count(F.lit(1)).over(wdoc))
+    )
+    pref = pos.filter(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("doc_id", "sh", "n")
+    cand = (
+        pref.select(F.col("doc_id").alias("a"), "sh", F.col("n").alias("na"))
+        .join(
+            pref.select(F.col("doc_id").alias("b"), "sh", F.col("n").alias("nb")),
+            "sh",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            F.least("na", "nb")
+            >= F.lit(threshold) * F.greatest("na", "nb")
+        )
+        .select("a", "b", "na", "nb")
+        .distinct()
+    )
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("a"), "sh"), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), "sh"), ["b", "sh"])
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.select(
+            "a",
+            "b",
+            (
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

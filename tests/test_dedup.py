@@ -667,3 +667,74 @@ def test_substring_rewrite_null_empty_and_identical_docs(spark):
     # identical docs: canonical (min id) kept whole, the other fully cut
     assert out[3].cleaned_text == "AAAABBBBCCCCDDDDEEEE"
     assert out[4].cleaned_text == "" and out[4].removed_chars == 20
+
+
+# --- prefix-filtering all-pairs (PPJoin) ---
+
+
+def test_ppjoin_matches_unfiltered_exact_join(spark):
+    """Lossless pruning: ppjoin == the uncapped shared-shingle exact
+    join on a corpus with near-dups, disjoint docs, and a stop-shingle
+    shared by everything (the prefix filter's worst enemy)."""
+    base = "the quick brown fox jumps over the lazy dog "
+    rows = []
+    for i in range(30):
+        # pairs 2i/2i+1 share most text; every doc shares `base`
+        rows.append((2 * i, base + f"uniq{i} alpha beta gamma delta"))
+        rows.append((2 * i + 1, base + f"uniq{i} alpha beta gamma epsilon"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = {
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    got = {
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in dedup.ppjoin_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == want
+    assert got  # the fixture really produces pairs
+
+
+def test_ppjoin_threshold_boundary_and_empty(spark):
+    # identical docs -> jaccard exactly 1.0 at threshold 1.0
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+        ["doc_id", "text"],
+    )
+    rows = dedup.ppjoin_pairs(docs, threshold=1.0).collect()
+    assert [(r["a"], r["b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
+    # no qualifying pair -> empty
+    assert dedup.ppjoin_pairs(docs, threshold=0.9).count() == 1  # only the dup
+    docs2 = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "p q r s t")], ["doc_id", "text"]
+    )
+    assert dedup.ppjoin_pairs(docs2, threshold=0.3).count() == 0
+
+
+def test_ppjoin_prefix_excludes_hot_shingles(spark):
+    """The join key weight of a stop-shingle must be ZERO: it sorts
+    last in every doc's (df, sh) order and never enters a prefix when
+    docs have enough rare shingles."""
+    # every doc: 6 unique shingle-producing words + the same hot tail
+    rows = [
+        (i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f common common common")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = dedup.shingle_frame(docs, shingle_n=3).cache()
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    from pyspark.sql import Window
+
+    wpos = Window.partitionBy("doc_id").orderBy("_df", "sh")
+    wdoc = Window.partitionBy("doc_id")
+    pos = (
+        sh.join(dfreq, "sh")
+        .withColumn("pos", F.row_number().over(wpos))
+        .withColumn("n", F.count(F.lit(1)).over(wdoc))
+    )
+    pref = pos.filter(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(0.5) * F.col("n")) + 1
+    )
+    hot = pref.join(dfreq.filter(F.col("_df") >= 10).select("sh"), "sh")
+    assert hot.count() == 0  # the shared shingle is in no prefix
+    assert dedup.ppjoin_pairs(docs, threshold=0.5).count() == 0
