@@ -6492,6 +6492,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_winsorized"] = lambda s, d: sk.winsorized_stats(
         _registry(s, d).table("events")
     )
+    # single-pass higher moments (skew/kurtosis drift monitoring):
+    # exact e4-integer power sums, both engines finalize identically
+    out["events_moments"] = lambda s, d: sk.moment_stats(
+        _registry(s, d).table("events")
+    )
+
+    def _q_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # streaming twin: the power sums are a pure algebraic aggregate
+        # (monoid — micro-batches merge by summing), finalize on read;
+        # same oracle as the batch query
+        with stream_source.scoped_state_partitions(
+            spark, _STREAM_STATE_PARTITIONS
+        ):
+            stream = stream_source.stream_table(spark, sf_dir, "events")
+            partials = stream_source.run_to_memory(
+                sk.moment_partials(stream),
+                query_name="q_stream_moments",
+                output_mode="complete",
+            )
+            return sk.moment_stats_on_partials(partials)
+
+    out["stream_moments"] = _q_stream_moments
     # per-source unigram KL divergence vs the whole corpus
     out["text_source_divergence"] = lambda s, d: ts.source_divergence(
         _registry(s, d).table("documents")
@@ -7449,6 +7471,9 @@ def oracle_sql() -> dict[str, str]:
     out["stream_hll_distinct"] = oracle.hll_distinct_sql()
     out["stats_equidepth_histogram"] = oracle.equidepth_histogram_sql()
     out["events_winsorized"] = oracle.winsorized_stats_sql()
+    out["events_moments"] = oracle.moment_stats_sql()
+    # the stream maintains the identical power-sum monoid
+    out["stream_moments"] = oracle.moment_stats_sql()
     out["text_source_divergence"] = oracle.source_divergence_sql()
     out["graph_communities_lpa"] = oracle.communities_lpa_sql()
     out["dedup_keep_best"] = oracle.dedup_keep_best_sql()

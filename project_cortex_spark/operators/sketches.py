@@ -556,3 +556,75 @@ def winsorized_stats(
         )
         .orderBy(group_col)
     )
+
+
+def moment_partials(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Raw power sums per group — the single-pass distributed state for
+    mean/variance/skewness/kurtosis. SUM/COUNT are algebraic, so the
+    identical expression is a streaming aggregate in complete mode and
+    partials from any partitioning merge losslessly (the same monoid
+    contract as :func:`hll_registers` / :func:`cms_cells`).
+
+    Exactness: the fixture's value column carries <= 4 decimals, so
+    v = round(value*1e4) is a lossless integer and the power sums are
+    EXACT decimal(38,0) integers (v^4 <= ~1e27 per row; DuckDB mirrors
+    with HUGEINT) — both engines then derive the float moments from
+    identical integers, the _sum6 discipline extended to 4th powers.
+    """
+    v = F.round(F.col(value_col) * 10000).cast("decimal(38,0)")
+    src = events.select(F.col(group_col).alias("grp"), v.alias("v"))
+    v2 = (F.col("v") * F.col("v")).alias("v2")
+    src = src.select("grp", "v", v2)
+    return src.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum("v2").alias("s2"),
+        F.sum(F.col("v2") * F.col("v")).alias("s3"),
+        F.sum(F.col("v2") * F.col("v2")).alias("s4"),
+    )
+
+
+def moment_stats_on_partials(partials: DataFrame, *, group_col: str = "event_type") -> DataFrame:
+    """Finalize (n, s1..s4) into population mean/variance/skewness/
+    kurtosis. Skew and kurtosis are scale-invariant, so the e4 scaling
+    cancels; mean and variance are descaled. Expression structure is
+    mirrored verbatim by the SQL oracle (m2*sqrt(m2) instead of
+    pow(m2,1.5): sqrt is correctly rounded IEEE in both engines, pow's
+    last ulp is library-dependent)."""
+    n = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / n
+    q2 = F.col("s2").cast("double") / n
+    q3 = F.col("s3").cast("double") / n
+    q4 = F.col("s4").cast("double") / n
+    m2 = q2 - m * m
+    m3 = q3 - 3 * m * q2 + 2 * m * m * m
+    m4 = q4 - 4 * m * q3 + 6 * m * m * q2 - 3 * m * m * m * m
+    return partials.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.round(m / 10000.0, 6).alias("mean"),
+        F.round(m2 / 100000000.0, 6).alias("variance"),
+        F.when(m2 > 0, F.round(m3 / (m2 * F.sqrt(m2)), 6)).alias("skewness"),
+        F.when(m2 > 0, F.round(m4 / (m2 * m2), 6)).alias("kurtosis"),
+    )
+
+
+def moment_stats(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group higher moments in ONE pass (one hash aggregate with
+    map-side partial combine — at 100 TB this is a scan plus a single
+    exchange keyed on the group): distribution-shape monitoring
+    (drifting skew/kurtosis) without a second variance pass."""
+    return moment_stats_on_partials(
+        moment_partials(events, group_col=group_col, value_col=value_col),
+        group_col=group_col,
+    )

@@ -4179,3 +4179,46 @@ def cluster_balance_sql(
     SELECT vec_id, cluster_id, sample_rank
     FROM ranked WHERE sample_rank <= {per_cluster}
     """
+
+
+def moment_stats_sql(
+    *,
+    table: str = "events",
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    """Mirror of sketches.moment_stats: EXACT HUGEINT power sums of the
+    e4-scaled values, then the identical double expression tree
+    (m2*sqrt(m2), never pow — pow's last ulp is library-dependent)."""
+    return f"""
+    WITH p AS (
+      SELECT {group_col}, count(*) AS n,
+             sum(v) AS s1, sum(v*v) AS s2,
+             sum(v*v*v) AS s3, sum((v*v)*(v*v)) AS s4
+      FROM (SELECT {group_col},
+                   CAST(round({value_col} * 10000) AS HUGEINT) AS v
+            FROM {table})
+      GROUP BY {group_col}
+    ),
+    d AS (
+      SELECT {group_col}, n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS q2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS q3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS q4
+      FROM p
+    ),
+    c AS (
+      SELECT {group_col}, n, m,
+             q2 - m*m AS m2,
+             q3 - 3*m*q2 + 2*m*m*m AS m3,
+             q4 - 4*m*q3 + 6*m*m*q2 - 3*m*m*m*m AS m4
+      FROM d
+    )
+    SELECT {group_col}, n,
+           round(m / 10000.0, 6) AS mean,
+           round(m2 / 100000000.0, 6) AS variance,
+           CASE WHEN m2 > 0 THEN round(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
+           CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2), 6) END AS kurtosis
+    FROM c
+    """

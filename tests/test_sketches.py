@@ -269,3 +269,63 @@ def test_new_operators_tolerate_empty_and_degenerate_inputs(spark):
     assert dedup_keep_best(empty_docs).count() == 0
     assert source_divergence(empty_docs).count() == 0
     assert dsir_importance(empty_docs).count() == 0
+
+
+# --- single-pass higher moments ---
+
+
+def test_moment_stats_known_values(spark):
+    # symmetric {1,2,3}: mean 2, var 2/3, skew 0, kurtosis 1.5
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", 5.0)],
+        ["event_type", "value"],
+    )
+    rows = {r["event_type"]: r for r in sk.moment_stats(df).collect()}
+    a = rows["a"]
+    assert a["n"] == 3 and a["mean"] == 2.0
+    assert abs(a["variance"] - 2.0 / 3.0) < 1e-6
+    assert a["skewness"] == 0.0 and a["kurtosis"] == 1.5
+    # constant group: variance 0, shape moments undefined -> NULL
+    b = rows["b"]
+    assert b["variance"] == 0.0
+    assert b["skewness"] is None and b["kurtosis"] is None
+
+
+def test_moment_partials_merge_monoid(spark):
+    """Partials from disjoint splits must sum to the whole frame's
+    partials — the merge property the streaming twin relies on."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [("t", round(rnd.uniform(0, 500), 4)) for _ in range(200)]
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+    lo = df.filter(F.col("value") < 250)
+    hi = df.filter(F.col("value") >= 250)
+    whole = sk.moment_partials(df).collect()[0]
+    parts = (
+        sk.moment_partials(lo)
+        .unionByName(sk.moment_partials(hi))
+        .groupBy("grp")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s1").alias("s1"),
+            F.sum("s2").alias("s2"),
+            F.sum("s3").alias("s3"),
+            F.sum("s4").alias("s4"),
+        )
+        .collect()[0]
+    )
+    assert (whole["n"], whole["s1"], whole["s2"], whole["s3"], whole["s4"]) == (
+        parts["n"], parts["s1"], parts["s2"], parts["s3"], parts["s4"]
+    )
+
+
+def test_moment_stats_skew_sign(spark):
+    # right-skewed data has positive skewness, > 'a' kurtosis sanity
+    df = spark.createDataFrame(
+        [("t", v) for v in [1.0, 1.0, 1.0, 1.0, 10.0]],
+        ["event_type", "value"],
+    )
+    r = sk.moment_stats(df).collect()[0]
+    assert r["skewness"] > 1.0
+    assert r["kurtosis"] > 1.0
