@@ -6434,6 +6434,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corpus_temperature_mix"] = lambda s, d: corpus_mod.temperature_mix(
         _registry(s, d).table("documents")
     )
+    # power-of-two sequence-length buckets with padding-waste accounting
+    # (training batch-scheduling layout); integer bit arithmetic so the
+    # capacities are exact in both engines
+    out["corpus_length_buckets"] = lambda s, d: corpus_mod.length_buckets(
+        ts.token_stats(_docs(s, d)).select("doc_id", "n_tokens")
+    )
     # SemDeDup-style topic balancing: replayable k-means topics over
     # the embedding column + md5-ranked per-cluster quota
     out["corpus_cluster_balance"] = lambda s, d: corpus_mod.cluster_balance(
@@ -7459,6 +7465,7 @@ def oracle_sql() -> dict[str, str]:
     out["stats_exact_quantiles"] = oracle.exact_quantiles_sql()
     out["layout_zorder"] = oracle.zorder_bucket_stats_sql()
     out["corpus_temperature_mix"] = oracle.temperature_mix_sql()
+    out["corpus_length_buckets"] = oracle.length_buckets_sql()
     out["corpus_cluster_balance"] = oracle.cluster_balance_sql(
         n_clusters=16, per_cluster=25
     )

@@ -699,3 +699,56 @@ def cluster_balance(
         salt=salt,
     )
     return picked.select("vec_id", "cluster_id", "sample_rank")
+
+
+def length_buckets(
+    lengths: DataFrame, *, length_col: str = "n_tokens"
+) -> DataFrame:
+    """Power-of-two sequence-length bucketing — the batch-scheduling
+    layout step of a training pipeline (pad each document to its
+    bucket's capacity; buckets keep padding waste bounded below 50%).
+    One row per bucket: capacity, document count, real token count,
+    padding waste, and fill ratio.
+
+    The bucket capacity is derived with INTEGER bit arithmetic
+    (1 << bitlength(n-1), i.e. the smallest power of two >= n) rather
+    than ceil(log2(n)) — float log2 lands on exact powers of two only
+    up to rounding, the bit form is exact in both engines. One hash
+    aggregate after a map-side capacity projection: a scan plus a
+    single tiny exchange (there are only ~log2(max_len) groups).
+    """
+    n = F.col(length_col).cast("long")
+    # pyspark's F.shiftleft only takes a LITERAL bit count, so the
+    # column-valued shift goes through expr
+    cap = (
+        F.when(n <= 1, F.lit(1).cast("long"))
+        .otherwise(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(length(bin(CAST({length_col} AS BIGINT) - 1)) AS INT))"
+            )
+        )
+        .alias("bucket_cap")
+    )
+    return (
+        lengths.filter(n > 0)
+        .select(cap, n.alias("_n"))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("sum_tokens"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "sum_tokens",
+            (F.col("n_docs") * F.col("bucket_cap") - F.col("sum_tokens")).alias(
+                "padding_waste"
+            ),
+            F.round(
+                F.col("sum_tokens").cast("double")
+                / (F.col("n_docs") * F.col("bucket_cap")).cast("double"),
+                6,
+            ).alias("fill_ratio"),
+        )
+    )

@@ -4222,3 +4222,28 @@ def moment_stats_sql(
            CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2), 6) END AS kurtosis
     FROM c
     """
+
+
+def length_buckets_sql(
+    *, table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """Mirror of corpus.length_buckets over token_stats' n_tokens:
+    identical integer bit arithmetic for the power-of-two capacity."""
+    return f"""
+    WITH t AS ({token_stats_sql(table, id_col, text_col)}),
+    b AS (
+      SELECT CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) << length(bin(n_tokens - 1))
+             END AS bucket_cap,
+             n_tokens
+      FROM t WHERE n_tokens > 0
+    ),
+    a AS (SELECT bucket_cap, count(*) AS n_docs,
+                 sum(n_tokens) AS sum_tokens
+          FROM b GROUP BY bucket_cap)
+    SELECT bucket_cap, n_docs, sum_tokens,
+           n_docs * bucket_cap - sum_tokens AS padding_waste,
+           round(CAST(sum_tokens AS DOUBLE)
+                 / CAST(n_docs * bucket_cap AS DOUBLE), 6) AS fill_ratio
+    FROM a
+    """

@@ -336,3 +336,22 @@ def test_cluster_balance_matches_oracle(registry, duck, monkeypatch):
     assert_matches_oracle(
         df, duck, oracle.cluster_balance_sql(n_clusters=16, per_cluster=25)
     )
+
+
+def test_length_buckets_capacities_and_waste(spark):
+    from project_cortex_spark.operators.corpus import length_buckets
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (6, 8), (7, 9), (8, 0)],
+        ["doc_id", "n_tokens"],
+    )
+    rows = {r["bucket_cap"]: r for r in length_buckets(df).collect()}
+    # n=1 -> cap 1; n=2 -> 2; n in {3,4} -> 4; n in {5,8} -> 8; n=9 -> 16
+    assert set(rows) == {1, 2, 4, 8, 16}
+    assert rows[4]["n_docs"] == 2 and rows[4]["sum_tokens"] == 7
+    assert rows[4]["padding_waste"] == 1  # 2*4 - 7
+    assert rows[8]["n_docs"] == 2 and rows[8]["padding_waste"] == 3
+    assert rows[16]["padding_waste"] == 7
+    assert abs(rows[16]["fill_ratio"] - 9 / 16) < 1e-9
+    # zero-length docs are dropped, not bucketed
+    assert sum(r["n_docs"] for r in rows.values()) == 7
