@@ -76,6 +76,7 @@ EXTENDED = [
     "join_bloom_prefilter",  # 3 broadcast semi-joins ahead of the join
     "corpus_temperature_mix",  # sqrt-quota window selection
     # r7 additions: the new non-trivial plans
+    "dedup_ppjoin",  # prefix-filter all-pairs: cap-free exact jaccard
     "dedup_substring_rewrite",  # per-char explode + interval merge + fold
     "graph_connected_components",  # large-star/small-star alternation
     "corpus_cluster_balance",  # replayable k-means + quota window
