@@ -6732,6 +6732,18 @@ _GATE_FIRST = [
     # first three also hash-exact on the sf1 replica harness.
     # r8 never-gated ledger = 18 deferred + 3 early-r7 + 5 late-r7
     # = 26, all enumerated, within the 50-slot gate's absorption.
+    # Continuation wave (+9, ledger = 35, still within 50): the
+    # cortex_analysis surface from the reference's canopy spec —
+    # graph_cycles, graph_unused_symbols, graph_hotspots,
+    # graph_type_hierarchy, graph_package_summary — plus dedup_ppjoin
+    # (prefix-filter exact Jaccard, algorithm-independent oracle),
+    # events_moments + stream_moments (exact power-sum monoid), and
+    # corpus_length_buckets. Each gated green at sf0.001/sf0.01/sf0.1
+    # on registration day; cycles/unused/hotspots/hierarchy/moments/
+    # buckets also hash-exact on the sf1 replica harness, ppjoin
+    # pair-set-exact vs the plain join at sf1 (its uncapped oracle is
+    # the quadratic plain join itself, which DuckDB cannot run at sf1 —
+    # the engine-side cross-algorithm parity stands in).
     #
     # -- (a) media codecs: the most novel machinery, 13 queries --
     "media_jpeg_roundtrip",

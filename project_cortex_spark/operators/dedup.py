@@ -1416,6 +1416,15 @@ def ppjoin_pairs(
     die by construction: a shingle's join weight is the number of docs
     holding it IN THEIR PREFIX, and high-df shingles sort last, out of
     every prefix.
+
+    When to use which (measured, SCALE.md r7): prefix filtering wins
+    when stop-shingle mass makes the co-occurrence join quadratic over
+    a SPARSE answer (adversarial A/B: plain DNF at 40k docs, ppjoin
+    4.9 s at 50k); the plain :func:`ngram_jaccard_pairs` is ~10x
+    cheaper when df is bounded and the near-dup answer is DENSE (sf1
+    documents corpus: 26 s vs 286 s, identical 250,600 pairs) — there
+    the candidate set cannot shrink below the answer and ppjoin's
+    df-join + prefix window + verify re-join are pure overhead.
     """
     sh = shingle_frame(
         docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
