@@ -1227,17 +1227,29 @@ def hotspots(
     (node, fan_in, fan_out, degree) for the ``top_n`` nodes by total
     degree, ties broken by node ascending.
 
-    ONE shuffle: both directions are unioned as (node, in, out)
-    indicator rows and summed in a single hash aggregate (map-side
-    partial combine makes the exchange carry at most one row per (node,
-    partition)); the top-N is a TakeOrderedAndProject on the aggregate,
-    not a full sort.
+    ONE shuffle and ONE pass: each edge explodes into its two (node,
+    in, out) indicator rows map-side (a Union of two selects would
+    re-derive the edge frame's lineage once per branch — measured as a
+    doubled window+exchange on the transition-edge fixture), then a
+    single hash aggregate with map-side partial combine; the top-N is
+    a TakeOrderedAndProject on the aggregate, not a full sort.
     """
     ind = edges.select(
-        F.col(src).alias("node"), F.lit(0).alias("i"), F.lit(1).alias("o")
-    ).unionByName(
-        edges.select(F.col(dst).alias("node"), F.lit(1).alias("i"), F.lit(0).alias("o"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src).alias("node"),
+                    F.lit(0).alias("i"),
+                    F.lit(1).alias("o"),
+                ),
+                F.struct(
+                    F.col(dst).alias("node"),
+                    F.lit(1).alias("i"),
+                    F.lit(0).alias("o"),
+                ),
+            )
+        ).alias("_x")
+    ).select("_x.*")
     agg = ind.groupBy("node").agg(
         F.sum("i").alias("fan_in"), F.sum("o").alias("fan_out")
     )

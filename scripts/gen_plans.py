@@ -38,6 +38,9 @@ PICKS = {
     "graph_triangles": "wedge closure: cached edge list feeding three join inputs; the wedge frame (quadratic in degree, not linear in edges) is repartitioned to ~5M rows/partition from the EXACT wedge count when that exceeds the session default, and the closure join is SHUFFLE-HASH (edge list builds, wedges STREAM — a sort-merge plan would sort the wedge frame, the dominant cost at sf1)",
     "graph_pagerank": "power iteration: plan shows only the final checkpointed RDD (localCheckpoint truncates lineage per step BY DESIGN — an un-truncated 5-step plan would be a 5-deep join tower); per step: |V|-row rank frame joins the stationary edges + one hash aggregate",
     "dedup_ngram_spans": "duplicated-span fraction: shingle-df join lands back on the SAME shuffle key, 1:1 fan-out (no hot-key blowup)",
+    "graph_hotspots": "degree hotspots: ONE scan (edge pair exploded map-side, not a twice-derived Union), ONE aggregate exchange, TakeOrderedAndProject top-N",
+    "events_moments": "single-pass higher moments: exact decimal power sums in one hash aggregate with map-side partials — a scan plus one tiny exchange",
+    "dedup_ppjoin": "prefix-filter all-pairs: df agg joins back on its OWN key, per-doc prefix window, candidates join only each doc's rarest shingles — hot keys carry zero join weight without any cap",
     "events_anomaly": "rolling z-score: events collapse to |buckets| rows in one hash aggregate BEFORE the bounded rows-window",
     "dsl_tpch_q4": "EXISTS as a native left_semi hash join from the JSON DSL — no subquery, no distinct",
     "source_jsonl_roundtrip": "JSONL ingest: line-splittable scan with explicit schema, per-source hash aggregate",
