@@ -6440,6 +6440,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corpus_length_buckets"] = lambda s, d: corpus_mod.length_buckets(
         ts.token_stats(_docs(s, d)).select("doc_id", "n_tokens")
     )
+
+    def _q_stream_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # streaming twin: token_stats is a stateless projection and the
+        # bucket rollup a pure (count, sum) monoid, so the WHOLE op runs
+        # as one complete-mode streaming aggregate; same oracle
+        with stream_source.scoped_state_partitions(
+            spark, _STREAM_STATE_PARTITIONS
+        ):
+            stream = stream_source.stream_table(spark, sf_dir, "documents")
+            lens = ts.token_stats(stream).select("doc_id", "n_tokens")
+            return stream_source.run_to_memory(
+                corpus_mod.length_buckets(lens),
+                query_name="q_stream_length_buckets",
+                output_mode="complete",
+            )
+
+    out["stream_length_buckets"] = _q_stream_length_buckets
     # SemDeDup-style topic balancing: replayable k-means topics over
     # the embedding column + md5-ranked per-cluster quota
     out["corpus_cluster_balance"] = lambda s, d: corpus_mod.cluster_balance(
@@ -7478,6 +7495,7 @@ def oracle_sql() -> dict[str, str]:
     out["layout_zorder"] = oracle.zorder_bucket_stats_sql()
     out["corpus_temperature_mix"] = oracle.temperature_mix_sql()
     out["corpus_length_buckets"] = oracle.length_buckets_sql()
+    out["stream_length_buckets"] = oracle.length_buckets_sql()
     out["corpus_cluster_balance"] = oracle.cluster_balance_sql(
         n_clusters=16, per_cluster=25
     )
