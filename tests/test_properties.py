@@ -1265,3 +1265,129 @@ def test_incremental_components_match_batch(spark, tmp_path_factory, raw_edges, 
         ).collect()
     }
     assert got == want
+
+
+# --- cortex_analysis ops vs pure-python oracles ---
+
+
+def _brute_min_cycles(edges: list[tuple[int, int]], max_len: int) -> dict:
+    """BFS from every node over the exact edge set; min length of a
+    walk returning to the origin, capped."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    out = {}
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    for o in nodes:
+        frontier = set(adj.get(o, ()))
+        seen = set(frontier)
+        for lvl in range(1, max_len + 1):
+            if o in frontier:
+                out[o] = lvl
+                break
+            frontier = {
+                d for n in frontier for d in adj.get(n, ())
+            } - (seen - {o})
+            seen |= frontier
+            if not frontier:
+                break
+    return out
+
+
+@COMMON
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    st.integers(1, 6),
+)
+def test_cycle_members_matches_bruteforce(spark, edges, max_len):
+    from project_cortex_spark.operators.graph import cycle_members
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["cycle_len"]
+        for r in cycle_members(df, max_len=max_len).collect()
+    }
+    assert got == _brute_min_cycles(edges, max_len)
+
+
+@COMMON
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10), st.integers(11, 20)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_hierarchy_closure_matches_bruteforce(spark, edges):
+    """Parent edges always point low->high ids, so the hierarchy is a
+    DAG; closure must equal python BFS min-depths."""
+    from project_cortex_spark.operators.graph import hierarchy_closure
+
+    df = spark.createDataFrame(edges, ["child", "parent"])
+    got = {
+        (r["node"], r["ancestor"]): r["depth"]
+        for r in hierarchy_closure(df, max_depth=10).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for c, p in edges:
+        adj.setdefault(c, set()).add(p)
+    want = {}
+    for o in {c for c, _ in edges}:
+        frontier = set(adj.get(o, ()))
+        depth = 1
+        seen = set()
+        while frontier:
+            for n in frontier:
+                want.setdefault((o, n), depth)
+            seen |= frontier
+            frontier = {
+                p for n in frontier for p in adj.get(n, ())
+            } - seen
+            depth += 1
+    assert got == want
+
+
+@COMMON
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=6, max_size=30),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+)
+def test_ppjoin_matches_bruteforce_jaccard(spark, texts, threshold):
+    """PPJoin vs python set Jaccard over tiny-alphabet corpora (maximal
+    shingle sharing — the regime where a buggy prefix would lose
+    pairs)."""
+    from project_cortex_spark.operators.dedup import ppjoin_pairs
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["a"], r["b"]): round(r["jaccard"], 9)
+        for r in ppjoin_pairs(df, shingle_n=2, threshold=threshold).collect()
+    }
+
+    def sh2(t: str) -> set:
+        toks = t.split()
+        return {tuple(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    want = {}
+    for i, ti in docs:
+        for j, tj in docs:
+            if i >= j:
+                continue
+            a, b = sh2(ti), sh2(tj)
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= threshold:
+                want[(i, j)] = round(jac, 9)
+    assert got == want
