@@ -1142,7 +1142,14 @@ def cycle_members(
     back-edges, the regime this plan is shaped for.
     """
     max_len = _clamp_depth(max_len)
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    # materialize the (possibly expensively derived) edge frame ONCE:
+    # every level joins it, and without the cut a window-derived edge
+    # set re-runs its lineage per level (wall on the sf0.1 ring fixture
+    # is driver-round-trip-bound, so the win there is small — the cut
+    # matters when the edge derivation is the expensive part)
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).localCheckpoint(eager=True)
     spark = e.sparkSession
     # level 1: every edge is a 1-walk; a self-loop closes immediately
     frontier = e.select(
