@@ -1805,7 +1805,8 @@ _HOTSPOTS_ORACLE = f"""
         UNION ALL
         SELECT dst AS node, 1 AS i, 0 AS o FROM e
     ),
-    agg AS (SELECT node, sum(i) AS fan_in, sum(o) AS fan_out
+    agg AS (SELECT node, CAST(sum(i) AS BIGINT) AS fan_in,
+                   CAST(sum(o) AS BIGINT) AS fan_out
             FROM ind GROUP BY node)
     SELECT node, fan_in, fan_out, fan_in + fan_out AS degree FROM agg
     ORDER BY degree DESC, node ASC LIMIT 100

@@ -4239,10 +4239,10 @@ def length_buckets_sql(
       FROM t WHERE n_tokens > 0
     ),
     a AS (SELECT bucket_cap, count(*) AS n_docs,
-                 sum(n_tokens) AS sum_tokens
+                 CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
           FROM b GROUP BY bucket_cap)
     SELECT bucket_cap, n_docs, sum_tokens,
-           n_docs * bucket_cap - sum_tokens AS padding_waste,
+           CAST(n_docs * bucket_cap - sum_tokens AS BIGINT) AS padding_waste,
            round(CAST(sum_tokens AS DOUBLE)
                  / CAST(n_docs * bucket_cap AS DOUBLE), 6) AS fill_ratio
     FROM a
