@@ -738,3 +738,15 @@ def test_ppjoin_prefix_excludes_hot_shingles(spark):
     hot = pref.join(dfreq.filter(F.col("_df") >= 10).select("sh"), "sh")
     assert hot.count() == 0  # the shared shingle is in no prefix
     assert dedup.ppjoin_pairs(docs, threshold=0.5).count() == 0
+
+
+def test_ppjoin_degenerate_inputs(spark):
+    from project_cortex_spark.operators.dedup import ppjoin_pairs
+
+    # single doc: no pairs; empty corpus: no pairs; doc below shingle_n
+    one = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    assert ppjoin_pairs(one, threshold=0.5).count() == 0
+    short = spark.createDataFrame(
+        [(1, "a"), (2, "a")], ["doc_id", "text"]
+    )  # < shingle_n tokens -> no shingles -> absent (minhash contract)
+    assert ppjoin_pairs(short, threshold=0.5).count() == 0

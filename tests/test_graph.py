@@ -812,3 +812,31 @@ def test_hierarchy_closure_chain_depths(spark):
         for r in graph.hierarchy_closure(edges, max_depth=2).collect()
     }
     assert (1, 4) not in got2 and (1, 3) in got2
+
+
+def test_analysis_ops_degenerate_inputs(spark):
+    """Empty / single-row frames must produce well-formed empties, not
+    errors — the same battery the r6 operators got."""
+    from project_cortex_spark.operators.graph import (
+        cycle_members,
+        hierarchy_closure,
+        hotspots,
+        unused_symbols,
+    )
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    assert cycle_members(empty, max_len=4).count() == 0
+    assert hotspots(empty).count() == 0
+    one = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    assert cycle_members(one, max_len=4).count() == 0
+    rows = hotspots(one, top_n=10).collect()
+    assert {(r["node"], r["degree"]) for r in rows} == {(1, 1), (2, 1)}
+    nodes = spark.createDataFrame([(1,), (2,)], ["node"])
+    assert {
+        r["node"] for r in unused_symbols(nodes, empty).collect()
+    } == {1, 2}
+    h_empty = spark.createDataFrame([], "child bigint, parent bigint")
+    assert hierarchy_closure(h_empty).count() == 0
+    h_one = spark.createDataFrame([(1, 2)], ["child", "parent"])
+    got = hierarchy_closure(h_one, max_depth=10).collect()
+    assert [(r["node"], r["ancestor"], r["depth"]) for r in got] == [(1, 2, 1)]

@@ -329,3 +329,10 @@ def test_moment_stats_skew_sign(spark):
     r = sk.moment_stats(df).collect()[0]
     assert r["skewness"] > 1.0
     assert r["kurtosis"] > 1.0
+
+
+def test_moment_stats_single_row_group(spark):
+    df = spark.createDataFrame([("t", 7.5)], ["event_type", "value"])
+    r = sk.moment_stats(df).collect()[0]
+    assert r["n"] == 1 and r["mean"] == 7.5 and r["variance"] == 0.0
+    assert r["skewness"] is None and r["kurtosis"] is None
