@@ -1742,6 +1742,21 @@ _CYCLES_ORACLE = f"""
 """
 
 
+def _q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UNBOUNDED circular-dependency form: SCCs of the ring graph. The
+    # rings are reach-closed per customer, so the exact answer has a
+    # closed form the oracle states directly (scc_id = the customer's
+    # min order) — an algorithm-independent gate for the FW-BW peel.
+    return graph_mod.strongly_connected_components(_ring_edges(spark, sf_dir))
+
+
+_SCC_ORACLE = """
+    SELECT o_orderkey AS node,
+           min(o_orderkey) OVER (PARTITION BY o_custkey) AS scc_id
+    FROM orders
+"""
+
+
 def _q_graph_unused(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unused_symbols: orders nothing points at (chain heads), minus the
     # "entry point" exclusion (urgent-priority orders, the stand-in for
@@ -1850,6 +1865,7 @@ _TYPE_HIERARCHY_ORACLE = """
 
 _GRAPH_ORACLES = {
     "graph_cycles": _CYCLES_ORACLE,
+    "graph_scc": _SCC_ORACLE,
     "graph_unused_symbols": _UNUSED_ORACLE,
     "graph_hotspots": _HOTSPOTS_ORACLE,
     "graph_type_hierarchy": _TYPE_HIERARCHY_ORACLE,
@@ -5995,6 +6011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # not yet built in the reference): cycles / unused / hotspots /
     # hierarchy, each oracle-gated over the family's derived edge sets
     out["graph_cycles"] = _q_graph_cycles
+    out["graph_scc"] = _q_graph_scc
     out["graph_unused_symbols"] = _q_graph_unused
     out["graph_hotspots"] = _q_graph_hotspots
     out["graph_type_hierarchy"] = _q_graph_type_hierarchy

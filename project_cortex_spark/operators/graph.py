@@ -1348,3 +1348,143 @@ def package_summary(entities: DataFrame) -> DataFrame:
             F.sum("complexity").alias("sum_complexity"),
         )
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+    label_rounds: int = 200,
+) -> DataFrame:
+    """Strongly connected components: (node, scc_id) with scc_id = the
+    component's minimum node id — the UNBOUNDED form of
+    :func:`cycle_members` (a node lies on some directed cycle iff its
+    SCC has size >= 2, or it has a self-loop). Canopy-spec
+    circular_dependencies (overview.md:16) without the depth clamp.
+
+    Algorithm (FW-BW min-label peeling): per round, propagate the
+    minimum node id FORWARD to fixpoint (F(v) = min id that reaches v,
+    seeded with v) and BACKWARD (B(v) = min id v reaches); F and B are
+    CONSTANT across an SCC (its members share reacher/reachable sets),
+    so an SCC either settles whole — F == B == its min, which happens
+    exactly when no strictly-outside smaller node is one-directionally
+    attached — or defers whole to the next round, after settled nodes
+    and their edges leave the frame. The globally smallest live node's
+    SCC always settles, so the peel terminates in <= #SCC rounds.
+
+    Honest bounds: dependency graphs (local cycles hanging off a
+    mostly-DAG skeleton) settle in a handful of waves — the ring
+    fixture settles in ONE (every ring is reach-closed). The known
+    FW-BW pathology is a long id-increasing chain: each round settles
+    only its head (O(V) rounds); for such shapes use the bounded
+    :func:`cycle_members` or condense first. max_rounds guards the
+    loop and raises rather than silently truncating.
+
+    Each propagation step is one join + one aggregate over the live
+    edge frame with lineage cut per step — the same physical shape as
+    :func:`pagerank`. Nodes are the edge endpoints (an isolated node
+    has no edges to define it; callers union extras if needed).
+    """
+    e0 = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _min_labels(nodes_df: DataFrame, e: DataFrame, forward: bool) -> DataFrame:
+        """Fixpoint of label(v) = min(v, min over edges into v of
+        label(u)) — forward=True propagates along s->d (F = min id that
+        REACHES v, seeded at v), forward=False along d->s. Plain
+        one-hop relaxation with a lineage cut per step: O(diameter)
+        rounds of ~constant cost (measured flat at 28 rounds / 8.9 s on
+        the 15k-node ring fixture). A pointer-jumping variant was tried
+        and REVERTED: the lab(lab(v)) shortcut only telescopes where
+        labels already run below the node id (it did nothing for
+        id-increasing rings) and its self-join made iteration cost grow
+        20x by round 20. Convergence is detected by an exact scalar
+        checksum: labels are monotone non-increasing, so an unchanged
+        sum(lab) IS the fixpoint — one tiny aggregate instead of a
+        per-round comparison join.
+        """
+        a, b = ("s", "d") if forward else ("d", "s")
+        lab = nodes_df.select("node", F.col("node").alias("lab")).localCheckpoint(
+            eager=True
+        )
+
+        def _sum(df: DataFrame):
+            return df.agg(
+                F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+
+        sig = _sum(lab)
+        for _ in range(label_rounds):
+            prop = (
+                e.join(lab, lab["node"] == e[a])
+                .select(F.col(b).alias("node"), "lab")
+                .groupBy("node")
+                .agg(F.min("lab").alias("lab2"))
+            )
+            lab = (
+                lab.join(prop, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("lab"), F.coalesce(F.col("lab2"), F.col("lab"))
+                    ).alias("lab"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            new_sig = _sum(lab)
+            if new_sig == sig:
+                return lab
+            sig = new_sig
+        raise RuntimeError("scc: label fixpoint not reached")
+
+    out_parts = []
+    live_nodes, live_edges = nodes, e0
+    for _ in range(max_rounds):
+        if live_nodes.isEmpty():
+            break
+        fwd = _min_labels(live_nodes, live_edges, forward=True)
+        bwd = _min_labels(live_nodes, live_edges, forward=False).withColumnRenamed(
+            "lab", "blab"
+        )
+        both = fwd.join(bwd, "node")
+        settled = both.filter(F.col("lab") == F.col("blab")).select(
+            "node", F.col("lab").alias("scc_id")
+        ).localCheckpoint(eager=True)
+        # F(v) == B(v) == m: m reaches v along the reversed label path
+        # and v reaches m — v is in m's SCC. The minimum remaining node
+        # always settles (F = B = itself), so progress is guaranteed.
+        out_parts.append(settled)
+        live_nodes = both.filter(F.col("lab") != F.col("blab")).select(
+            "node"
+        ).localCheckpoint(eager=True)
+        if live_nodes.isEmpty():
+            break
+        live_edges = (
+            live_edges.join(
+                live_nodes.withColumnRenamed("node", "s"), "s", "left_semi"
+            )
+            .join(live_nodes.withColumnRenamed("node", "d"), "d", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError("scc: peel did not terminate")
+    if not out_parts:
+        return nodes.select(
+            "node", F.col("node").alias("scc_id")
+        ).filter(F.lit(False))
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out

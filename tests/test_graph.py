@@ -840,3 +840,45 @@ def test_analysis_ops_degenerate_inputs(spark):
     h_one = spark.createDataFrame([(1, 2)], ["child", "parent"])
     got = hierarchy_closure(h_one, max_depth=10).collect()
     assert [(r["node"], r["ancestor"], r["depth"]) for r in got] == [(1, 2, 1)]
+
+
+def test_scc_topologies(spark):
+    from project_cortex_spark.operators.graph import (
+        strongly_connected_components as scc,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            # ring A: 1-2-3; ring B: 10-11; bridge A->B (one-way)
+            (1, 2), (2, 3), (3, 1),
+            (10, 11), (11, 10),
+            (3, 10),
+            # DAG tail: singletons
+            (20, 21), (21, 22),
+            # figure-eight: 30-31-30 and 31-32-31 share node 31 -> ONE scc
+            (30, 31), (31, 30), (31, 32), (32, 31),
+            # self-loop
+            (40, 40),
+        ],
+        ["src", "dst"],
+    )
+    got = {r["node"]: r["scc_id"] for r in scc(edges).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 21, 22: 22,
+        30: 30, 31: 30, 32: 30,
+        40: 40,
+    }
+
+
+def test_scc_empty_and_pure_dag(spark):
+    from project_cortex_spark.operators.graph import (
+        strongly_connected_components as scc,
+    )
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    assert scc(empty).count() == 0
+    dag = spark.createDataFrame([(3, 2), (2, 1), (3, 1)], ["src", "dst"])
+    got = {r["node"]: r["scc_id"] for r in scc(dag).collect()}
+    assert got == {1: 1, 2: 2, 3: 3}

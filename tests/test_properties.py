@@ -1391,3 +1391,80 @@ def test_ppjoin_matches_bruteforce_jaccard(spark, texts, threshold):
             if jac >= threshold:
                 want[(i, j)] = round(jac, 9)
     assert got == want
+
+
+def _tarjan_scc(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Iterative Tarjan; returns node -> min-node-of-its-SCC."""
+    adj: dict[int, list[int]] = {}
+    nodes = set()
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        nodes |= {s, d}
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    out: dict[int, int] = {}
+    counter = [0]
+
+    def strongconnect(root: int) -> None:
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            succs = adj.get(v, [])
+            for i in range(pi, len(succs)):
+                w = succs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+    return out
+
+
+@COMMON
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=1,
+        max_size=35,
+        unique=True,
+    )
+)
+def test_scc_matches_tarjan(spark, edges):
+    from project_cortex_spark.operators.graph import (
+        strongly_connected_components as scc,
+    )
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["scc_id"] for r in scc(df, max_rounds=60).collect()}
+    assert got == _tarjan_scc(edges)
