@@ -6778,7 +6778,11 @@ _GATE_FIRST = [
     # buckets also hash-exact on the sf1 replica harness, ppjoin
     # pair-set-exact vs the plain join at sf1 (its uncapped oracle is
     # the quadratic plain join itself, which DuckDB cannot run at sf1 —
-    # the engine-side cross-algorithm parity stands in).
+    # the engine-side cross-algorithm parity stands in). Late additions
+    # (+2, ledger = 37): stream_length_buckets (complete-mode monoid
+    # twin, same oracle) and graph_scc (FW-BW peeling vs the ring
+    # fixture's closed-form oracle; Tarjan-fuzzed; hash-exact at
+    # sf0.001/0.01/0.1 AND sf1).
     #
     # -- (a) media codecs: the most novel machinery, 13 queries --
     "media_jpeg_roundtrip",
