@@ -882,3 +882,33 @@ def test_scc_empty_and_pure_dag(spark):
     dag = spark.createDataFrame([(3, 2), (2, 1), (3, 1)], ["src", "dst"])
     got = {r["node"]: r["scc_id"] for r in scc(dag).collect()}
     assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_cycles_and_scc_agree(spark):
+    """Cross-operator invariant: nodes with a bounded cycle (len <= L)
+    are exactly the nodes whose SCC is non-trivial (size >= 2 or
+    self-loop) whenever all cycles fit under L."""
+    from project_cortex_spark.operators.graph import (
+        cycle_members,
+        strongly_connected_components as scc,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 1),        # 3-ring
+            (4, 4),                        # self-loop
+            (5, 6), (6, 7),                # DAG tail
+            (8, 9), (9, 8),                # 2-ring
+        ],
+        ["src", "dst"],
+    )
+    cyc = {r["node"] for r in cycle_members(edges, max_len=8).collect()}
+    comp = scc(edges).collect()
+    sizes: dict[int, int] = {}
+    for r in comp:
+        sizes[r["scc_id"]] = sizes.get(r["scc_id"], 0) + 1
+    loops = {r["src"] for r in edges.filter("src = dst").collect()}
+    nontrivial = {
+        r["node"] for r in comp if sizes[r["scc_id"]] >= 2
+    } | loops
+    assert cyc == nontrivial
