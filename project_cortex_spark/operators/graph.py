@@ -492,9 +492,6 @@ def pattern_search(
     return df.orderBy("file_path", "start_line").limit(limit)
 
 
-_HOT_ITEM_LITERAL_LIMIT = 10_000  # df-cap literal vs semi-join switch
-
-
 def cooccurrence_edges(
     items: DataFrame,
     *,
@@ -509,53 +506,36 @@ def cooccurrence_edges(
     every downstream wedge join) bounded; without it one ubiquitous item
     turns the edge list quadratic.
 
-    Scale notes: ONE shuffle builds the per-group sorted-distinct item
-    arrays (array_distinct inside the aggregate replaces the former
-    separate (group, item) distinct — one exchange instead of two); the
-    checkpointed array frame then serves BOTH the df aggregate (map-side
-    explode) and pair generation. The df cap is applied as an
-    array_except against the driver-collected HOT item list — bounded by
-    total item occurrences / max_df, and adaptive: past
-    ``_HOT_ITEM_LITERAL_LIMIT`` entries it falls back to the broadcast
-    semi-join form instead of an oversized literal. Pair fan-out is a
-    JVM-side HOF (no self-join) + the final pair distinct. Measured at
-    sf0.1: 1.66 s vs 2.39 s for the distinct+semi-join plan, exact
-    parity — and every iterative graph operator downstream (kcore,
-    pagerank, LPA, triangles) pays this construction per query.
+    Scale notes: one aggregate for the document frequencies (broadcast
+    back as a semi-join), then ONE groupBy-the-group whose sorted
+    item array fans out to its a<b pairs with a JVM-side HOF — no
+    self-join, so pair generation costs a single shuffle keyed on the
+    group (bounded fan-out after the cap), plus the final pair
+    distinct.
+
+    Plan history (SCALE.md r7): a replan folded the distinct into the
+    group aggregate (array_distinct), checkpointed the array frame,
+    and applied the df cap as a driver-collected literal array_except.
+    Its COMPONENT A/B (edge-count action) measured faster — 1.66 s vs
+    2.39 s at sf0.1 — but the END-TO-END interleaved A/B through
+    pagerank showed a 1.6x REGRESSION (3.8 s -> 6.0 s): the eager
+    checkpoint and the hot-list collect are driver-synchronized
+    materializations that block before the iterative loop can even
+    populate its cache, while this fully LAZY plan pipelines straight
+    into it. Reverted; both measurements recorded. Moral: A/B the
+    consumer, not the component.
     """
-    grouped = (
-        items.select(group_col, item_col)
-        .groupBy(group_col)
-        .agg(
-            F.array_sort(
-                F.array_distinct(F.collect_list(item_col))
-            ).alias("_items")
-        )
-        .localCheckpoint(eager=True)
-    )
-    dfreq = (
-        grouped.select(F.explode("_items").alias(item_col))
-        .groupBy(item_col)
+    pres = items.select(group_col, item_col).distinct()
+    keep = (
+        pres.groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") > max_df)
+        .filter(F.col("_df") <= max_df)
+        .select(item_col)
     )
-    hot = [r[item_col] for r in dfreq.limit(_HOT_ITEM_LITERAL_LIMIT + 1).collect()]
-    if len(hot) > _HOT_ITEM_LITERAL_LIMIT:
-        # too many hot items for a plan literal: broadcast anti-join
-        # the exploded presence rows and regroup (the pre-r7 shape)
-        pres = grouped.select(
-            group_col, F.explode("_items").alias(item_col)
-        ).join(F.broadcast(dfreq.select(item_col)), item_col, "left_anti")
-        grouped = pres.groupBy(group_col).agg(
-            F.array_sort(F.collect_list(item_col)).alias("_items")
-        )
-    elif hot:
-        grouped = grouped.select(
-            group_col,
-            F.array_except("_items", F.array(*[F.lit(h) for h in hot])).alias(
-                "_items"
-            ),
-        )
+    pres = pres.join(F.broadcast(keep), item_col, "left_semi")
+    grouped = pres.groupBy(group_col).agg(
+        F.array_sort(F.collect_list(item_col)).alias("_items")
+    )
     # all a<b pairs of the sorted array: for each position i, pair the
     # element with everything after it; flatten and explode
     pair = F.explode(
@@ -576,7 +556,6 @@ def cooccurrence_edges(
         .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
         .distinct()
     )
-
 
 _WEDGE_ROWS_PER_PARTITION = 5_000_000
 _WEDGE_MAX_PARTITIONS = 2048

@@ -671,33 +671,24 @@ class TestConnectedComponents:
         )
         assert df.count() == 0
 
-
-def test_cooccurrence_hot_fallback_matches_literal_path(spark, monkeypatch):
-    """Past _HOT_ITEM_LITERAL_LIMIT hot items the df cap switches from
-    an array_except literal to a broadcast anti-join; both paths must
-    produce the identical edge set."""
+def test_cooccurrence_df_cap_drops_hot_items(spark):
+    """The df cap must remove hot items from the edge universe while
+    keeping cold co-occurrences (the contract the reverted literal-path
+    variant also satisfied - see cooccurrence_edges plan history)."""
     rows = []
-    # items 100/101 are hot (appear in 4 groups); the rest are cold
     for g in range(4):
         rows += [(g, 100), (g, 101), (g, g * 2 + 1), (g, g * 2 + 2)]
     df = spark.createDataFrame(rows, ["grp", "item"])
-    lit_path = {
+    pairs = {
         (r["a"], r["b"])
         for r in graph.cooccurrence_edges(
             df, group_col="grp", item_col="item", max_df=3
         ).collect()
     }
-    monkeypatch.setattr(graph, "_HOT_ITEM_LITERAL_LIMIT", 0)
-    anti_path = {
-        (r["a"], r["b"])
-        for r in graph.cooccurrence_edges(
-            df, group_col="grp", item_col="item", max_df=3
-        ).collect()
-    }
-    assert lit_path == anti_path
-    flat = {n for p in lit_path for n in p}
+    flat = {n for p in pairs for n in p}
     assert 100 not in flat and 101 not in flat  # the cap bound
-    assert lit_path  # cold pairs survive
+    assert pairs  # cold pairs survive
+
 
 
 # --- cortex_analysis surface (canopy spec overview.md:16) ---
