@@ -526,13 +526,19 @@ def cooccurrence_edges(
     consumer, not the component.
     """
     pres = items.select(group_col, item_col).distinct()
-    keep = (
+    # broadcast the HOT set (df > max_df, bounded by total_occurrences /
+    # max_df) and anti-join, NOT the cold keep set — the keep side is
+    # the near-entire item vocabulary and force-broadcasting it is a
+    # driver/executor OOM hazard at corpus scale; the anti-join is
+    # semantically identical and stays fully lazy (the pipelining
+    # property the plan-history note below is about)
+    hot = (
         pres.groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= max_df)
+        .filter(F.col("_df") > max_df)
         .select(item_col)
     )
-    pres = pres.join(F.broadcast(keep), item_col, "left_semi")
+    pres = pres.join(F.broadcast(hot), item_col, "left_anti")
     grouped = pres.groupBy(group_col).agg(
         F.array_sort(F.collect_list(item_col)).alias("_items")
     )
@@ -1129,7 +1135,6 @@ def cycle_members(
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
     ).localCheckpoint(eager=True)
-    spark = e.sparkSession
     # level 1: every edge is a 1-walk; a self-loop closes immediately
     frontier = e.select(
         F.col("_s").alias("origin"), F.col("_d").alias("node")

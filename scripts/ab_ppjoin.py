@@ -37,7 +37,6 @@ from project_cortex_spark.session import get_spark
 
 
 def corpus(spark, n):
-    uniq = " ".join("u%d_" + f"w{j}" for j in range(20))
     return (
         spark.range(n)
         .select(
