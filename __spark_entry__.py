@@ -6784,65 +6784,82 @@ _GATE_FIRST = [
     # fixture's closed-form oracle; Tarjan-fuzzed; hash-exact at
     # sf0.001/0.01/0.1 AND sf1).
     #
-    # -- (a) media codecs: the most novel machinery, 13 queries --
-    "media_jpeg_roundtrip",
-    "media_png_roundtrip",
-    "media_gif_roundtrip",
-    "media_wav_roundtrip",
-    "media_ulaw_roundtrip",
-    "media_alaw_roundtrip",
-    "media_adpcm_roundtrip",
-    "media_flac_roundtrip",
-    "media_video_frames",
-    "media_audio_features",
-    "media_resize_real",
-    "media_multimodal_shards",
-    "media_tar_roundtrip",
-    "source_tar_roundtrip",
-    # -- (b) binary ANN tier ×4 --
-    "knn_topk_binary",
-    "knn_binary_rerank",
-    "knn_recall_binary",
-    "knn_join_binary",
-    # -- (c) hybrid retrieval ×4 (batch + streaming twins) --
-    "search_hybrid_rrf",
-    "search_hybrid_weighted",
-    "stream_hybrid_rrf",
-    "stream_hybrid_compacted",
-    # -- (d) distributed trainers + data selection ×6 --
-    "text_bpe_train",
-    "text_bpe_segment",
-    "text_lr_train",
-    "text_lr_score",
-    "text_dsir_importance",
-    "text_source_divergence",
-    # -- (e) sketches / robust stats ×8 --
-    "stats_hll_distinct",
-    "stream_hll_distinct",
-    "events_heavy_hitters",
-    "stream_heavy_hitters",
-    "stats_kmv_overlap",
-    "stats_exact_quantiles",
-    "stats_equidepth_histogram",
-    "events_winsorized",
-    # -- (f) dedup wave ×3 --
-    "dedup_winnowing",
-    "dedup_unicode_nfc",
-    "dedup_keep_best",
-    # -- (g) layout / join / corpus / graph ×4 --
-    "layout_zorder",
-    "join_bloom_prefilter",
-    "corpus_temperature_mix",
-    "graph_communities_lpa",
-    # -- (h) EWMA + throttle with streaming twins ×4 --
-    "events_ewma",
-    "stream_ewma",
-    "events_throttle",
-    "stream_throttle",
-    # -- (i) text extraction ×3 --
-    "text_html_extract",
-    "text_pdf_extract",
-    "text_fix_mojibake",
+    # R8 gate head (VERDICT r7 item 1): ZERO the driver-evidence
+    # ledger. Exactly the 38 queries with no driver row in any of
+    # CORRECTNESS_r01..r07 (computed as registry minus the union of
+    # all driver records — matches the verdict's enumeration), plus
+    # re-rows for the two queries whose oracles were converted from
+    # rows-only to hash-gated mid-r7 (pipeline_parse_entities,
+    # graph_pattern_search — their only driver rows predate the
+    # conversion and read no_oracle). That fills 40 of 50 slots; the
+    # remaining 10 are this round's new registrations (kept ≤10 per
+    # the verdict's throttle): the cost-based dedup dispatcher
+    # (dedup_pairs_auto), the persisted-PQ lifecycle (stream_knn_pq,
+    # knn_pq_compacted), cycle path reconstruction (graph_cycle_paths)
+    # — each oracle-gated green at sf0.001/sf0.01 on registration day
+    # — and re-gates of the oldest driver evidence otherwise. After
+    # this round every registered query has a driver row and the
+    # pass*/pass(rN) distinction collapses.
+    #
+    # -- (a) the 11 TPC-H completions (dsl compiler family) --
+    "agg_tpch_q2_shape",
+    "agg_tpch_q7_shape",
+    "agg_tpch_q8_shape",
+    "agg_tpch_q9_shape",
+    "agg_tpch_q11_shape",
+    "agg_tpch_q12_shape",
+    "agg_tpch_q14_shape",
+    "agg_tpch_q16_shape",
+    "agg_tpch_q20_shape",
+    "agg_tpch_q21_shape",
+    "agg_tpch_q22_shape",
+    # -- (b) graph analysis surface + CC/SCC + fallback plan ×9 --
+    "graph_cycles",
+    "graph_scc",
+    "graph_hotspots",
+    "graph_package_summary",
+    "graph_type_hierarchy",
+    "graph_unused_symbols",
+    "graph_connected_components",
+    "graph_pagerank_shuffle",
+    "graph_pattern_signature",
+    # -- (c) dedup / corpus ×4 --
+    "dedup_ppjoin",
+    "dedup_substring_rewrite",
+    "corpus_cluster_balance",
+    "corpus_length_buckets",
+    # -- (d) streaming twins ×6 --
+    "stream_connected_components",
+    "stream_knn_ivf",
+    "stream_kmv_overlap",
+    "stream_length_buckets",
+    "stream_moments",
+    "stream_source_divergence",
+    # -- (e) ANN lifecycle + joins + stats ×5 --
+    "knn_ivf_compacted",
+    "knn_join_ivf_filtered",
+    "join_asof_nearest",
+    "events_moments",
+    "embed_covariance",
+    # -- (f) text / source roundtrips ×3 --
+    "source_gzip_roundtrip",
+    "text_gopher_quality",
+    "text_gopher_repetition",
+    # -- (g) snapshot-corpus oracle conversions: re-row ×2 --
+    "pipeline_parse_entities",
+    "graph_pattern_search",
+    # -- (h) r8 registrations (≤10 new) --
+    "dedup_pairs_auto",
+    "stream_knn_pq",
+    "knn_pq_compacted",
+    "graph_cycle_paths",
+    # -- (i) oldest-evidence re-gates to fill the 50 --
+    "dsl_tpch_q1",
+    "dsl_tpch_q3",
+    "dsl_tpch_q6",
+    "knn_topk",
+    "fts_filtered",
+    "graph_callers_d2",
 ]
 
 

@@ -1,7 +1,16 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO
+JSON lines: first the full record {"metric": ..., "value": N, "unit":
+"sec", "queries": {...}, "sf": ...}, then a compact (<1 KB) summary as
+the LAST line — the driver's tail capture truncates the full record's
+head (BENCH_r5-r7 all landed "parsed": null), so the parseable line must
+be small and last (VERDICT r7 item 3).
+
+When the host-noise canary would mark the window noisy, the whole suite
+re-runs (up to 2 retries), per-query minima are kept across windows, and
+every window's canary reading is recorded (VERDICT r7 item 2) — noise
+only ever ADDS time, so cross-window minima are always at least as good
+as the quietest single window.
 
 Each query runs once as warm-up (JVM/codegen warmup, file listing —
 costs a long-lived cluster amortizes), then ``BENCH_RUNS`` timed runs;
@@ -129,32 +138,6 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("BENCH_RUNS", "5")))
     qs = entrymod.queries()
 
-    # Per-query dispersion record: the window canary below catches
-    # suite-level contention, but a TRANSIENT (GC storm, one noisy
-    # neighbor burst) can inflate a single query's whole min-of-N batch
-    # and read as a plan regression (the r7 forensics case:
-    # join_bloom_prefilter 4.9 s in-suite vs 2.1 s isolated). Recording
-    # each query's (max-min)/min lets a reader see WHICH numbers were
-    # measured under scatter without re-running anything.
-    unstable: dict[str, float] = {}
-
-    def run_set(names: list[str]) -> dict[str, float]:
-        times: dict[str, float] = {}
-        for name in names:
-            fn = qs[name]
-            # warm-up: build + run once (JIT/codegen, file listing)
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples = []
-            for _ in range(n_runs):
-                t0 = time.time()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples.append(time.time() - t0)
-            times[name] = round(min(samples), 3)
-            disp = (max(samples) - min(samples)) / max(min(samples), 1e-9)
-            if disp > 0.5 and len(samples) >= 3:
-                unstable[name] = round(disp, 2)
-        return times
-
     # Host-noise canary (VERDICT r6 item 3): the same fixed cheap query
     # timed in a batch before and after the whole suite. Two signals,
     # chosen so JVM warm-up (which only ever SPEEDS the canary up across
@@ -193,10 +176,6 @@ def main() -> None:
         tail = samples[-3:]
         return min(samples), (max(tail) - min(tail)) / min(tail)
 
-    canary_before, disp_before = canary_run()
-    times = run_set(HEADLINE)
-    extended = run_set(EXTENDED)
-
     # End-to-end indexing throughput — the reference's headline number
     # (~1,000 files/s: parse -> chunk -> embed -> store,
     # BASELINE.md "Initial indexing throughput"). Same composite here:
@@ -213,24 +192,26 @@ def main() -> None:
     reg = load_tables(spark, sf_dir)
     docs = reg.table("documents")
     n_docs = docs.count()
-    idx_dir = tempfile.mkdtemp(prefix="bench_index_")
-    try:
-        best_idx = float("inf")
-        n_chunks = 0
-        for _ in range(max(2, n_runs // 2)):
-            t0 = time.time()
-            idx = build_search_index(docs, dim=64)
-            idx.write.mode("overwrite").parquet(os.path.join(idx_dir, "idx"))
-            best_idx = min(best_idx, time.time() - t0)
-        n_chunks = spark.read.parquet(os.path.join(idx_dir, "idx")).count()
-    finally:
-        shutil.rmtree(idx_dir, ignore_errors=True)
-    indexing = {
-        "docs": n_docs,
-        "chunks": n_chunks,
-        "sec": round(best_idx, 3),
-        "docs_per_sec": round(n_docs / best_idx, 1),
-    }
+
+    def measure_indexing() -> dict:
+        idx_dir = tempfile.mkdtemp(prefix="bench_index_")
+        try:
+            best_idx = float("inf")
+            n_chunks = 0
+            for _ in range(max(2, n_runs // 2)):
+                t0 = time.time()
+                idx = build_search_index(docs, dim=64)
+                idx.write.mode("overwrite").parquet(os.path.join(idx_dir, "idx"))
+                best_idx = min(best_idx, time.time() - t0)
+            n_chunks = spark.read.parquet(os.path.join(idx_dir, "idx")).count()
+        finally:
+            shutil.rmtree(idx_dir, ignore_errors=True)
+        return {
+            "docs": n_docs,
+            "chunks": n_chunks,
+            "sec": round(best_idx, 3),
+            "docs_per_sec": round(n_docs / best_idx, 1),
+        }
 
     # Batched-throughput section (VERDICT r4 item 2): the reference's
     # per-query numbers (BASELINE.md rows: DSL <10 ms agg, KNN 10-20 ms,
@@ -342,30 +323,129 @@ def main() -> None:
     def graph_batch():
         return graph_mod.bfs_multi(edges, roots, depth=3)
 
-    throughput: dict[str, dict] = {}
-    for fam, fn, ref_ms, ref_src in [
+    _FAMILIES = [
         ("dsl", dsl_batch, 10.0, "Files DSL aggregation <10 ms (CLAUDE.md:493-496)"),
         ("knn", knn_batch, 20.0, "vector KNN 10-20 ms (CLAUDE.md:1098)"),
         ("fts", fts_batch, 8.0, "FTS5 keyword 2-8 ms (CLAUDE.md:1099)"),
         ("graph", graph_batch, 20.0, "graph query 1-20 ms (CLAUDE.md:1100)"),
-    ]:
-        n = N_Q if fam != "fts" else len(fts_queries)
-        best = timed(fn)
-        per_ms = best / n * 1000.0
-        throughput[fam] = {
-            "batch_sec": round(best, 3),
-            "n_queries": n,
-            "per_query_ms": round(per_ms, 3),
-            "ref_ms": ref_ms,
-            "ratio_vs_ref": round(per_ms / ref_ms, 3),
-            "ref": ref_src,
+    ]
+
+    def measure_throughput() -> dict[str, dict]:
+        throughput: dict[str, dict] = {}
+        for fam, fn, ref_ms, ref_src in _FAMILIES:
+            n = N_Q if fam != "fts" else len(fts_queries)
+            best = timed(fn)
+            per_ms = best / n * 1000.0
+            throughput[fam] = {
+                "batch_sec": round(best, 3),
+                "n_queries": n,
+                "per_query_ms": round(per_ms, 3),
+                "ref_ms": ref_ms,
+                "ratio_vs_ref": round(per_ms / ref_ms, 3),
+                "ref": ref_src,
+            }
+        return throughput
+
+    # One measurement window = canary / headline / extended / indexing /
+    # throughput / canary. Per-query dispersion record: the window
+    # canary catches suite-level contention, but a TRANSIENT (GC storm,
+    # one noisy neighbor burst) can inflate a single query's whole
+    # min-of-N batch and read as a plan regression (the r7 forensics
+    # case: join_bloom_prefilter 4.9 s in-suite vs 2.1 s isolated).
+    def run_window() -> dict:
+        unstable: dict[str, float] = {}
+
+        def run_set(names: list[str]) -> dict[str, float]:
+            times: dict[str, float] = {}
+            for name in names:
+                fn = qs[name]
+                # warm-up: build + run once (JIT/codegen, file listing)
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples = []
+                for _ in range(n_runs):
+                    t0 = time.time()
+                    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    samples.append(time.time() - t0)
+                times[name] = round(min(samples), 3)
+                disp = (max(samples) - min(samples)) / max(min(samples), 1e-9)
+                if disp > 0.5 and len(samples) >= 3:
+                    unstable[name] = round(disp, 2)
+            return times
+
+        canary_before, disp_before = canary_run()
+        times = run_set(HEADLINE)
+        extended = run_set(EXTENDED)
+        indexing = measure_indexing()
+        throughput = measure_throughput()
+        canary_after, disp_after = canary_run()
+        # slowdown only: contention grew during the window; a speedup
+        # is JVM/page-cache warm-up and expected
+        canary_slowdown = max(
+            0.0, (canary_after - canary_before) / canary_before
+        )
+        canary_dispersion = max(disp_before, disp_after)
+        noisy = (
+            canary_dispersion > 0.25
+            or canary_slowdown > 0.15
+            or _big_unstable_frac({**times, **extended}, unstable) > 0.3
+        )
+        return {
+            "times": times,
+            "extended": extended,
+            "indexing": indexing,
+            "throughput": throughput,
+            "canary": {
+                "query": CANARY,
+                "before_sec": round(canary_before, 3),
+                "after_sec": round(canary_after, 3),
+                "dispersion": round(canary_dispersion, 3),
+                "slowdown": round(canary_slowdown, 3),
+                "runs": max(n_runs, 5),
+            },
+            "noisy": noisy,
+            "unstable": unstable,
         }
 
-    canary_after, disp_after = canary_run()
-    # slowdown only: contention grew during the window; a speedup is
-    # JVM/page-cache warm-up and expected
-    canary_slowdown = max(0.0, (canary_after - canary_before) / canary_before)
-    canary_dispersion = max(disp_before, disp_after)
+    # Noisy-window auto-retry (VERDICT r7 item 2): when a window's
+    # canary trips, re-run the whole suite (up to 2 retries). Noise only
+    # ever ADDS wall-clock, so keeping per-query minima ACROSS windows
+    # is always at least as good as the quietest single window; every
+    # window's canary reading is recorded so a still-noisy record shows
+    # the host never quieted rather than that we never looked.
+    max_attempts = max(1, int(os.environ.get("BENCH_MAX_ATTEMPTS", "3")))
+    windows: list[dict] = []
+    for _attempt in range(max_attempts):
+        windows.append(run_window())
+        if not windows[-1]["noisy"]:
+            break
+
+    def _merge_min(key: str) -> dict[str, float]:
+        merged: dict[str, float] = {}
+        for w in windows:
+            for name, t in w[key].items():
+                merged[name] = min(t, merged.get(name, t))
+        return merged
+
+    times = _merge_min("times")
+    extended = _merge_min("extended")
+    indexing = min(windows, key=lambda w: w["indexing"]["sec"])["indexing"]
+    throughput = {}
+    for fam, _fn, ref_ms, ref_src in _FAMILIES:
+        best_w = min(
+            (w["throughput"][fam] for w in windows),
+            key=lambda t: t["batch_sec"],
+        )
+        throughput[fam] = best_w
+    # a query's merged number is its min across windows; flag it only if
+    # EVERY window scattered (one quiet window = a clean measurement)
+    unstable = {
+        name: min(w["unstable"][name] for w in windows)
+        for name in set.intersection(*(set(w["unstable"]) for w in windows))
+    }
+    # the merged record is noisy only if every attempt was — one quiet
+    # window means every merged min is at least that window's value
+    noisy = all(w["noisy"] for w in windows)
+    canary = windows[-1]["canary"]
 
     out = {
         "metric": "headline-query wall time at sf (min of N warm runs, noop sink)",
@@ -392,32 +472,49 @@ def main() -> None:
         # the batch minimum ROSE across the suite (growth of contention;
         # speedups are JVM warm-up and ignored). Either signal past its
         # threshold marks the window contended — treat per-query deltas
-        # in a noisy record as unattributable.
-        "canary": {
-            "query": CANARY,
-            "before_sec": round(canary_before, 3),
-            "after_sec": round(canary_after, 3),
-            "dispersion": round(canary_dispersion, 3),
-            "slowdown": round(canary_slowdown, 3),
-            "runs": max(n_runs, 5),
-        },
-        # third noisy signal: fraction of SUBSTANTIAL queries (min >
-        # 0.5 s — small ones legitimately scatter 50% on a single GC
-        # pause) whose batch saw >50% scatter. A window can sit between
-        # the canary's two batches and still pollute half the suite —
-        # measured in r7: canary quiet, 15 queries scattered, headline
-        # +30% vs the genuinely quiet run.
-        "noisy": (
-            canary_dispersion > 0.25
-            or canary_slowdown > 0.15
-            or _big_unstable_frac({**times, **extended}, unstable) > 0.3
-        ),
-        # queries whose min-of-N batch saw >50% run-to-run scatter:
-        # their headline numbers were measured under a transient —
+        # in a noisy record as unattributable. This is the LAST window's
+        # reading; every window's is under "attempts".
+        "canary": canary,
+        # one entry per measurement window (1 unless the canary tripped;
+        # then up to BENCH_MAX_ATTEMPTS) — a still-noisy record carries
+        # the full evidence that the host never quieted
+        "attempts": [
+            {"canary": w["canary"], "noisy": w["noisy"]} for w in windows
+        ],
+        # merged-record noise flag: per-query values are minima across
+        # all windows, so one quiet window makes the record quiet. The
+        # per-window flag combines three signals: canary dispersion >
+        # 0.25, canary slowdown > 0.15, or >30% of substantial (>0.5 s)
+        # queries scattering >50% within their run batch (a transient
+        # can sit between the canary's two batches and still pollute
+        # half the suite — observed in r7).
+        "noisy": noisy,
+        # queries whose min-of-N batch saw >50% run-to-run scatter in
+        # EVERY window: their numbers were measured under a transient —
         # re-measure in isolation before calling them regressions
         "unstable_queries": unstable,
     }
     print(json.dumps(out))
+
+    # Compact (<1 KB) summary as the LAST line (VERDICT r7 item 3): the
+    # driver's tail capture truncates the full record's head, leaving
+    # "parsed": null three rounds running — this line is what it parses.
+    compact = {
+        "metric": "bench_summary",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "sf": sf,
+        "headline_s": round(sum(times.values()), 3),
+        "dsl_ratio": throughput["dsl"]["ratio_vs_ref"],
+        "knn_ratio": throughput["knn"]["ratio_vs_ref"],
+        "fts_ratio": throughput["fts"]["ratio_vs_ref"],
+        "graph_ratio": throughput["graph"]["ratio_vs_ref"],
+        "docs_per_sec": indexing["docs_per_sec"],
+        "canary_dispersion": canary["dispersion"],
+        "noisy": noisy,
+        "attempts": len(windows),
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

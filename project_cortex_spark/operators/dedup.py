@@ -1437,8 +1437,23 @@ def ppjoin_pairs(
         .withColumn("pos", F.row_number().over(wpos))
         .withColumn("n", F.count(F.lit(1)).over(wdoc))
     )
+    # Prefix length n - ceil(t*n) + 1, with the product deflated by a
+    # relative 1e-12 before the ceil: double rounding can push t*n just
+    # ABOVE the exact rational (t=0.55, n=100 -> 55.000000000000007,
+    # ceil 56 not 55), silently shortening the prefix by one and
+    # breaking the exactness proof below. The deflation slack (4 orders
+    # beyond double's 2^-52 relative error for any realistic n) can only
+    # LENGTHEN a prefix by one position at an exact-integer boundary —
+    # extra candidates that exact verification removes. Same treatment
+    # on the size filter: t*greatest rounding up would reject a
+    # boundary subset pair (least == t*greatest exactly) that the
+    # verification filter's own double compare accepts.
+    _DEFL = 1.0 - 1e-12
     pref = pos.filter(
-        F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        F.col("pos")
+        <= F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n") * F.lit(_DEFL))
+        + 1
     ).select("doc_id", "sh", "n")
     cand = (
         pref.select(F.col("doc_id").alias("a"), "sh", F.col("n").alias("na"))
@@ -1449,7 +1464,7 @@ def ppjoin_pairs(
         .filter(F.col("a") < F.col("b"))
         .filter(
             F.least("na", "nb")
-            >= F.lit(threshold) * F.greatest("na", "nb")
+            >= F.lit(threshold) * F.greatest("na", "nb") * F.lit(_DEFL)
         )
         .select("a", "b", "na", "nb")
         .distinct()

@@ -563,6 +563,7 @@ def cooccurrence_edges(
         .distinct()
     )
 
+
 _WEDGE_ROWS_PER_PARTITION = 5_000_000
 _WEDGE_MAX_PARTITIONS = 2048
 
@@ -1405,8 +1406,20 @@ def strongly_connected_components(
         )
 
         def _sum(df: DataFrame):
+            # Checksum via xxhash64, NOT a numeric cast of the label:
+            # node ids need not be numeric (hierarchy_closure's
+            # namespaced 'c:123' strings), and cast-to-decimal maps
+            # those to NULL, whose sum compares NULL == NULL after one
+            # round — phantom convergence and a silently wrong answer.
+            # Labels are monotone non-increasing per node, so any round
+            # that changes a label changes the hash multiset; an
+            # unchanged sum misreads only if distinct 64-bit hash
+            # deltas cancel exactly — the same accepted odds as the CC
+            # edge checksum in connected_components above.
             return df.agg(
-                F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
+                F.sum(F.xxhash64(F.col("lab")).cast("decimal(38,0)")).alias(
+                    "s"
+                )
             ).collect()[0]["s"]
 
         sig = _sum(lab)

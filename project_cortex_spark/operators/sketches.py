@@ -563,6 +563,7 @@ def moment_partials(
     *,
     group_col: str = "event_type",
     value_col: str = "value",
+    max_abs_value: float = 3.1e5,
 ) -> DataFrame:
     """Raw power sums per group — the single-pass distributed state for
     mean/variance/skewness/kurtosis. SUM/COUNT are algebraic, so the
@@ -575,8 +576,37 @@ def moment_partials(
     EXACT decimal(38,0) integers (v^4 <= ~1e27 per row; DuckDB mirrors
     with HUGEINT) — both engines then derive the float moments from
     identical integers, the _sum6 discipline extended to 4th powers.
+
+    Operator-level exactness bound (not just the fixture's property):
+    each row's v^4 = (round(value*1e4))^4 must itself fit
+    decimal(38,0), i.e. |value| <= ~3.16e5 — beyond that, non-ANSI
+    decimal multiplication yields NULL and the s4 sum silently drops
+    rows. A per-row guard RAISES on |value| > ``max_abs_value``
+    (default just under the hard per-row bound) rather than returning
+    garbled moments. The SUM additionally stays exact while
+    n * (max|v|*1e4)^4 < 1e38 — at the fixture's |value| <= ~1e3 that
+    is exact past 1e10 rows; callers with wider ranges should rescale
+    or pass a tighter ``max_abs_value`` sized to their row count.
     """
+    ok = F.abs(F.col(value_col).cast("double")) <= F.lit(
+        float(max_abs_value)
+    )
+    guard = F.assert_true(
+        ok,
+        F.concat(
+            F.lit(
+                "moment_partials: |value| exceeds the exact decimal(38,0)"
+                " range (max_abs_value="
+            ),
+            F.lit(str(max_abs_value)),
+            F.lit("): "),
+            F.col(value_col).cast("string"),
+        ),
+    )
     v = F.round(F.col(value_col) * 10000).cast("decimal(38,0)")
+    # assert_true is NULL whenever it does not raise; routing v through
+    # the when() forces the per-row check into the same projection
+    v = F.when(guard.isNull(), v)
     src = events.select(F.col(group_col).alias("grp"), v.alias("v"))
     v2 = (F.col("v") * F.col("v")).alias("v2")
     src = src.select("grp", "v", v2)

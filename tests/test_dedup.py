@@ -750,3 +750,23 @@ def test_ppjoin_degenerate_inputs(spark):
         [(1, "a"), (2, "a")], ["doc_id", "text"]
     )  # < shingle_n tokens -> no shingles -> absent (minhash contract)
     assert ppjoin_pairs(short, threshold=0.5).count() == 0
+
+
+def test_ppjoin_float_ceil_boundary_threshold(spark):
+    """ADVICE r7: thresholds whose double repr exceeds the rational
+    (0.55*100 -> 55.000000000000007) used to (a) ceil the prefix bound
+    one too high, hiding the only common shingle from the larger doc's
+    prefix, and (b) reject the exact-boundary subset pair in the size
+    filter (55 >= 55.000000000000007 is false). Fixture: A (55
+    shingles) is a word-prefix of B (100 shingles), so jaccard is
+    exactly 55/100 = 0.55 at threshold 0.55."""
+    words_a = [f"w{i:03d}" for i in range(57)]  # 55 shingles
+    words_b = words_a + [f"x{i:03d}" for i in range(45)]  # 100 shingles
+    docs = spark.createDataFrame(
+        [(1, " ".join(words_a)), (2, " ".join(words_b))],
+        ["doc_id", "text"],
+    )
+    rows = dedup.ppjoin_pairs(docs, threshold=0.55).collect()
+    assert [(r["a"], r["b"], round(r["jaccard"], 9)) for r in rows] == [
+        (1, 2, 0.55)
+    ]

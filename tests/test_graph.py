@@ -903,3 +903,34 @@ def test_cycles_and_scc_agree(spark):
         r["node"] for r in comp if sizes[r["scc_id"]] >= 2
     } | loops
     assert cyc == nontrivial
+
+
+def test_scc_string_node_ids(spark):
+    """ADVICE r7: the convergence checksum cast labels to
+    decimal(38,0); non-numeric ids (the namespaced 'c:123' style the
+    hierarchy closure uses) became NULL, sum(NULL) == sum(NULL) read
+    as instant convergence, and the peel returned silently wrong SCCs.
+    Min-label propagation is valid for any orderable id type — string
+    rings must resolve exactly like numeric ones (scc_id = the
+    lexicographically smallest member)."""
+    from project_cortex_spark.operators.graph import (
+        strongly_connected_components as scc,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            # 3-ring, 2-ring reachable from it, DAG tail, self-loop
+            ("c:1", "c:2"), ("c:2", "c:3"), ("c:3", "c:1"),
+            ("c:3", "c:10"), ("c:10", "c:11"), ("c:11", "c:10"),
+            ("c:20", "c:21"),
+            ("c:40", "c:40"),
+        ],
+        ["src", "dst"],
+    )
+    got = {r["node"]: r["scc_id"] for r in scc(edges).collect()}
+    assert got == {
+        "c:1": "c:1", "c:2": "c:1", "c:3": "c:1",
+        "c:10": "c:10", "c:11": "c:10",
+        "c:20": "c:20", "c:21": "c:21",
+        "c:40": "c:40",
+    }

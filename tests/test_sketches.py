@@ -336,3 +336,21 @@ def test_moment_stats_single_row_group(spark):
     r = sk.moment_stats(df).collect()[0]
     assert r["n"] == 1 and r["mean"] == 7.5 and r["variance"] == 0.0
     assert r["skewness"] is None and r["kurtosis"] is None
+
+
+def test_moment_partials_out_of_range_raises(spark):
+    """ADVICE r7: per-row v^4 beyond decimal(38,0) used to overflow to
+    NULL under non-ANSI mode and silently drop rows from s4; the guard
+    must raise instead of garbling the moments."""
+    import pytest
+
+    ok = spark.createDataFrame(
+        [("a", 1.0e5), ("a", -1.0e5)], ["event_type", "value"]
+    )
+    rows = sk.moment_partials(ok).collect()  # inside the bound: exact
+    assert rows[0]["n"] == 2 and rows[0]["s1"] == 0
+    bad = spark.createDataFrame(
+        [("a", 1.0), ("a", 4.0e5)], ["event_type", "value"]
+    )
+    with pytest.raises(Exception, match="moment_partials"):
+        sk.moment_partials(bad).collect()
