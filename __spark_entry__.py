@@ -6037,6 +6037,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_ppjoin"] = lambda s, d: dd.ppjoin_pairs(
         _docs(s, d), shingle_n=3, threshold=0.5
     ).withColumn("jaccard", F.round("jaccard", 6))
+    # cost-based dispatcher between the two arms above (VERDICT r7 item
+    # 4): one df-histogram aggregate picks ppjoin (stop-shingle mass) or
+    # the fractional-cap join (bounded df); the oracle replays the
+    # statistic AND the chosen arm, so the dispatch itself is gated
+    out["dedup_pairs_auto"] = lambda s, d: dd.similar_pairs_auto(
+        _docs(s, d), shingle_n=3, threshold=0.5
+    ).withColumn("jaccard", F.round("jaccard", 6))
     out["dedup_simhash"] = _q_dedup_simhash
     out["dedup_simhash_banded"] = _q_dedup_simhash_banded
     out["dedup_clusters"] = _q_dedup_clusters
@@ -7016,6 +7023,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_ngram_jaccard"] = oracle.ngram_jaccard_pairs_sql(
         threshold=0.5, max_df=100, max_df_frac=0.2
     )
+    out["dedup_pairs_auto"] = oracle.similar_pairs_auto_sql(threshold=0.5)
     out["dedup_simhash"] = oracle.simhash_near_duplicates_sql(max_hamming=2)
     out["dedup_ngram_spans"] = oracle.duplicated_ngram_stats_sql(shingle_n=8)
     out["dedup_char_spans"] = oracle.duplicated_char_spans_sql(k=32)

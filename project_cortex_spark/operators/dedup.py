@@ -1486,3 +1486,105 @@ def ppjoin_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def similar_pairs_choice(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_df: int | None = 100,
+    max_df_frac: float | None = 0.2,
+    stop_mass_frac: float = 0.05,
+) -> str:
+    """Cost-based arm selection for :func:`similar_pairs_auto` —
+    ``"ppjoin"`` or ``"capped"`` — from ONE document-frequency
+    aggregate over the shingle frame (VERDICT r7 item 4; the regimes
+    were measured both ways in SCALE.md r7: 10x either direction).
+
+    The decision statistic is the STOP-SHINGLE MASS: the fraction of
+    posting rows (doc, shingle) whose shingle's df exceeds the plain
+    arm's own cap (``max(max_df, floor(max_df_frac * n_docs))`` — the
+    same fractional-cap convention as :func:`ngram_jaccard_pairs`).
+    High mass means (a) the uncapped co-occurrence join is quadratic on
+    those keys and (b) the capped join would delete a material slice of
+    the universe — exactly the regime prefix filtering exists for, so
+    dispatch to :func:`ppjoin_pairs`. Low mass means the cap never (or
+    barely) binds and the co-occurrence join's hot keys are bounded —
+    there the capped join was measured ~10x cheaper than ppjoin's
+    df-join + prefix window + verify re-join on a dense answer, so
+    dispatch to :func:`ngram_jaccard_pairs`.
+
+    Cost of deciding: one count() over docs plus one aggregate over the
+    per-shingle df frame — the same aggregate both arms compute anyway;
+    at 100 TB this is one scan-shaped job, paid once, that avoids a
+    measured 10x mistake in either direction. The DuckDB oracle replays
+    the identical statistic, so the dispatch itself is gated.
+    """
+    n_docs = docs.count()
+    cap = max(max_df or 0, int((max_df_frac or 0.0) * n_docs))
+    sh = shingle_frame(
+        docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    )
+    row = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .agg(
+            F.sum("_df").alias("postings"),
+            F.sum(
+                F.when(F.col("_df") > cap, F.col("_df")).otherwise(F.lit(0))
+            ).alias("heavy"),
+        )
+        .collect()[0]
+    )
+    postings = row["postings"] or 0
+    heavy = row["heavy"] or 0
+    stop_mass = (heavy / postings) if postings else 0.0
+    return "ppjoin" if stop_mass > stop_mass_frac else "capped"
+
+
+def similar_pairs_auto(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 100,
+    max_df_frac: float | None = 0.2,
+    stop_mass_frac: float = 0.05,
+) -> DataFrame:
+    """(a, b, jaccard >= threshold) via whichever exact-Jaccard pair
+    join the corpus shape favors — :func:`ppjoin_pairs` (cap-free,
+    stop-shingle-proof) when stop-shingle mass is high,
+    :func:`ngram_jaccard_pairs` with the fractional df cap when df is
+    bounded. See :func:`similar_pairs_choice` for the one-aggregate
+    decision rule and its measured justification. On low-mass corpora
+    the two arms' outputs coincide wherever the cap does not bind."""
+    choice = similar_pairs_choice(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        max_df=max_df,
+        max_df_frac=max_df_frac,
+        stop_mass_frac=stop_mass_frac,
+    )
+    if choice == "ppjoin":
+        return ppjoin_pairs(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+            threshold=threshold,
+        )
+    return ngram_jaccard_pairs(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        max_df=max_df,
+        max_df_frac=max_df_frac,
+    )

@@ -469,6 +469,62 @@ def ngram_jaccard_pairs_sql(
     )
 
 
+def similar_pairs_auto_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    round_digits: int = 6,
+    max_df: int | None = 100,
+    max_df_frac: float | None = 0.2,
+    stop_mass_frac: float = 0.05,
+) -> str:
+    """Mirror of dedup.similar_pairs_auto INCLUDING the dispatch: the
+    stop-shingle-mass statistic is replayed in SQL (same fractional cap,
+    same distinct posting frame), and the two arms — the uncapped exact
+    join (= the ppjoin contract) and the df-capped join — are each
+    guarded by the scalar decision, so the oracle follows the engine's
+    arm choice on ANY dataset rather than pinning one."""
+    cap_expr = (
+        f"greatest({max_df or 0}, CAST(floor({(max_df_frac or 0.0)!r} * "
+        f"(SELECT count(*) FROM {table})) AS BIGINT))"
+    )
+    stat = f"""(
+      WITH {shingles_cte(table, id_col, text_col, shingle_n)},
+      dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+      dfreq AS (SELECT sh, count(*) AS df FROM dsh GROUP BY sh)
+      SELECT CASE WHEN coalesce(sum(df), 0) = 0 THEN 0.0
+             ELSE sum(CASE WHEN df > {cap_expr} THEN df ELSE 0 END)::DOUBLE
+                  / sum(df) END
+      FROM dfreq
+    )"""
+    exact = ngram_jaccard_pairs_sql(
+        table=table,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        round_digits=round_digits,
+    )
+    capped = ngram_jaccard_pairs_sql(
+        table=table,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        round_digits=round_digits,
+        max_df=max_df,
+        max_df_frac=max_df_frac,
+    )
+    return f"""
+    SELECT a, b, jaccard FROM ({exact}) WHERE {stat} > {stop_mass_frac!r}
+    UNION ALL
+    SELECT a, b, jaccard FROM ({capped}) WHERE {stat} <= {stop_mass_frac!r}
+    """
+
+
 def simhash_fingerprints_sql(
     *,
     table: str = "documents",

@@ -770,3 +770,48 @@ def test_ppjoin_float_ceil_boundary_threshold(spark):
     assert [(r["a"], r["b"], round(r["jaccard"], 9)) for r in rows] == [
         (1, 2, 0.55)
     ]
+
+
+def test_similar_pairs_auto_dispatch_both_shapes(spark):
+    """The cost-based dispatcher (one df-histogram aggregate) picks the
+    capped co-occurrence join on bounded-df corpora and ppjoin when
+    stop-shingle mass exceeds the plain arm's cap, and the returned
+    pairs equal the chosen arm's output in both regimes."""
+    base = "the quick brown fox jumps over the lazy dog "
+    rows = []
+    for i in range(30):
+        rows.append((2 * i, base + f"uniq{i} alpha beta gamma delta"))
+        rows.append((2 * i + 1, base + f"uniq{i} alpha beta gamma epsilon"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # bounded df: cap = max(100, 0.2*60) = 100 > every df -> capped arm
+    assert dedup.similar_pairs_choice(docs) == "capped"
+    got = {
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in dedup.similar_pairs_auto(docs, threshold=0.5).collect()
+    }
+    want = {
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_df=100, max_df_frac=0.2
+        ).collect()
+    }
+    assert got == want and got
+
+    # stop-shingle regime: cap 5 puts every base shingle (df=60) into
+    # the heavy mass -> ppjoin arm, output = the uncapped exact join
+    assert (
+        dedup.similar_pairs_choice(docs, max_df=5, max_df_frac=0.05)
+        == "ppjoin"
+    )
+    got2 = {
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in dedup.similar_pairs_auto(
+            docs, threshold=0.5, max_df=5, max_df_frac=0.05
+        ).collect()
+    }
+    want2 = {
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in dedup.ppjoin_pairs(docs, threshold=0.5).collect()
+    }
+    assert got2 == want2 and got2
