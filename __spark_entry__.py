@@ -5893,6 +5893,114 @@ def _q_knn_ivf_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _build_persisted_pq(spark, sf_dir, base):
+    # shared harness for the persisted-PQ gates (VERDICT r7 item 5 —
+    # store parity with IVF): train the REPLAYABLE ordered codebooks,
+    # PERSIST them (write_codebooks), then deliver the embeddings in
+    # two increments to a stream job that loads the books from the
+    # index directory (codebooks=None) — no in-memory handoff between
+    # trainer and encoder.
+    from project_cortex_spark.streaming import vec_index as stream_vec
+
+    emb = _registry(spark, sf_dir).table("embeddings")
+    books = knn_mod.train_pq_codebooks_ordered(
+        emb, id_col="vec_id", vec_col="embedding", n_subspaces=8,
+        n_codes=16, iters=8,
+    )
+    in_dir = os.path.join(base, "incoming")
+    idx = os.path.join(base, "index")
+    ckpt = os.path.join(base, "ckpt")
+    stream_vec.write_codebooks(spark, books, idx)
+    for parity in (0, 1):
+        emb.filter(F.col("vec_id") % 2 == parity).write.mode(
+            "append"
+        ).parquet(in_dir)
+        with stream_source.scoped_state_partitions(
+            spark, _STREAM_STATE_PARTITIONS
+        ):
+            q = stream_vec.continuous_pq_index(
+                spark,
+                in_dir,
+                emb.schema,
+                index_dir=idx,
+                checkpoint_dir=ckpt,
+            )
+            q.awaitTermination()
+    return idx
+
+
+def _q_stream_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persisted-PQ streaming twin: codebooks written to the index ONCE,
+    # each delivery encodes its vectors against the PERSISTED tensor,
+    # and the ADC top-k over the merged code store + disk-loaded books
+    # must hash-match oracle.knn_pq_join_oracle_sql — which re-derives
+    # the same codebooks from the same parquet (replayable trainer) and
+    # replays normalize/encode/distance-table/gather/top-k in SQL, so
+    # the whole persisted lifecycle is output-gated.
+    import shutil
+    import tempfile
+
+    from project_cortex_spark.streaming import vec_index as stream_vec
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="pqidx_", dir=scratch)
+    try:
+        idx = _build_persisted_pq(spark, sf_dir, base)
+        out = knn_mod.knn_join_pq(
+            _knn_queries(spark, sf_dir),
+            _registry(spark, sf_dir).table("embeddings"),
+            k=5,
+            n_subspaces=8,
+            n_codes=16,
+            codebooks=stream_vec.read_codebooks(spark, idx),
+            coded=stream_vec.read_pq_index(spark, idx),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _q_knn_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the PQ MAINTENANCE path gated end-to-end: build the persisted
+    # index over two deliveries, then retrain_pq_and_swap — re-train on
+    # the ACCUMULATED store (same vector set, ordered replayable
+    # trainer ⇒ bit-identical codebooks), re-encode, atomic two-rename
+    # swap that also compacts per-batch files — and the same ADC top-k
+    # must still hash-match the replayed-trainer oracle (the
+    # knn_ivf_compacted contract, ported to the PQ store).
+    import shutil
+    import tempfile
+
+    from project_cortex_spark.streaming import vec_index as stream_vec
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="pqcompact_", dir=scratch)
+    try:
+        idx = _build_persisted_pq(spark, sf_dir, base)
+        stats = stream_vec.retrain_pq_and_swap(
+            spark, idx, n_subspaces=8, n_codes=16, iters=8, target_files=1
+        )
+        assert stats["files_after"] < stats["files_before"], stats
+        out = knn_mod.knn_join_pq(
+            _knn_queries(spark, sf_dir),
+            _registry(spark, sf_dir).table("embeddings"),
+            k=5,
+            n_subspaces=8,
+            n_codes=16,
+            codebooks=stream_vec.read_codebooks(spark, idx),
+            coded=stream_vec.read_pq_index(spark, idx),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream-static as-of: the events STREAM resolved against the static
     # checkpoint table (same ckpt/payload definition as join_asof, same
@@ -6373,6 +6481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_knn"] = _q_stream_knn
     out["stream_knn_ivf"] = _q_stream_knn_ivf
     out["knn_ivf_compacted"] = _q_knn_ivf_compacted
+    out["stream_knn_pq"] = _q_stream_knn_pq
+    out["knn_pq_compacted"] = _q_knn_pq_compacted
     out["stream_ohlc"] = _q_stream_ohlc
     out["stream_histogram"] = _q_stream_histogram
     _media = lambda s, d: mm.synthesize_media(_docs(s, d))  # noqa: E731
@@ -6954,6 +7064,17 @@ def oracle_sql() -> dict[str, str]:
         )
         out["dedup_embedding_ivf"] = oracle.dedup_embedding_ivf_oracle_sql(
             threshold=0.7, n_centroids=16, iters=8
+        )
+        # r8 (VERDICT r7 item 5): persisted-PQ lifecycle, same contract
+        # as the IVF pair above — incremental encode against
+        # disk-loaded codebooks (stream_knn_pq) and the
+        # retrain/re-encode/atomic-swap rebuild (knn_pq_compacted) both
+        # reproduce the one-shot ADC top-k replay exactly
+        out["stream_knn_pq"] = oracle.knn_pq_join_oracle_sql(
+            n_subspaces=8, n_codes=16, k=5, n_queries=5, iters=8
+        )
+        out["knn_pq_compacted"] = oracle.knn_pq_join_oracle_sql(
+            n_subspaces=8, n_codes=16, k=5, n_queries=5, iters=8
         )
         out["knn_recall_pq"] = oracle.knn_pq_recall_oracle_sql(
             n_subspaces=8, n_codes=64, k=5, n_queries=5, iters=8

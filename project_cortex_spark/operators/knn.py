@@ -648,11 +648,19 @@ def knn_join_pq(
     n_codes: int = 16,
     seed: int = 42,
     codebooks=None,
+    coded: DataFrame | None = None,
 ) -> DataFrame:
     """ADC (asymmetric distance computation) top-k: corpus vectors are
     PQ codes, queries stay full-precision; each query precomputes an
     (n_subspaces × n_codes) distance table and a document's approximate
     distance is the table-gather sum over its codes.
+
+    ``coded`` supplies a PRE-ENCODED (corpus_id, pq_codes) projection —
+    the persisted-index path (streaming/vec_index.py): codes encoded
+    incrementally against the stored codebooks scan identically to a
+    one-shot encode because the encoder is deterministic given the
+    books. When provided, ``codebooks`` must be the matrix those codes
+    were encoded with.
 
     Plan shape: the query→distance-table frame (tiny) broadcasts into a
     cross join against the code projection — the same broadcast-scan
@@ -675,9 +683,12 @@ def knn_join_pq(
     books = codebooks
     m, n_codes, dsub = books.shape
 
-    coded = pq_encode(corpus, books, vec_col=corpus_vec).select(
-        corpus_id, "pq_codes"
-    )
+    if coded is None:
+        coded = pq_encode(corpus, books, vec_col=corpus_vec).select(
+            corpus_id, "pq_codes"
+        )
+    else:
+        coded = coded.select(corpus_id, "pq_codes")
 
     @pandas_udf("array<double>")
     def dist_table(vecs: pd.Series) -> pd.Series:

@@ -2746,6 +2746,82 @@ def dedup_embedding_ivf_oracle_sql(
     """
 
 
+def knn_pq_join_oracle_sql(
+    *,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    n_queries: int = 5,
+    iters: int = 8,
+    sample_rows: int = 10_000,
+) -> str:
+    """(query_id, vec_id, adc_dist, rank) — the PQ/ADC top-k JOIN form
+    of :func:`knn_pq_recall_oracle_sql` (same replayable codebooks
+    inlined as literals, same normalize/encode/distance-table/gather
+    CTEs), gating the persisted-PQ store lifecycle: incremental encode
+    against disk-loaded codebooks must scan identically to this
+    one-shot replay because the encoder is deterministic given the
+    books."""
+    from .operators.knn import _pq_lloyd_deterministic
+
+    vecs = _load_embeddings_ordered()
+    books = _pq_lloyd_deterministic(
+        vecs[:sample_rows], n_subspaces, n_codes, iters
+    )
+    dsub = books.shape[2]
+    cb_values = ",\n      ".join(
+        f"({j}, {c}, {_plane_literal(list(books[j, c]))})"
+        for j in range(n_subspaces)
+        for c in range(n_codes)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), nrm AS (
+      SELECT doc_id,
+             list_transform(v, x -> x
+               / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS nv
+      FROM e
+    ), cb(sub, code, cv) AS (VALUES
+      {cb_values}
+    ), subs AS (
+      SELECT CAST(range AS INT) AS sub FROM range({n_subspaces})
+    ), docsub AS (
+      SELECT doc_id, sub,
+             nv[sub * {dsub} + 1 : sub * {dsub} + {dsub}] AS b
+      FROM nrm CROSS JOIN subs
+    ), encd AS (
+      SELECT doc_id, sub, code FROM (
+        SELECT d.doc_id, d.sub, cb.code,
+               row_number() OVER (PARTITION BY d.doc_id, d.sub
+                 ORDER BY -2 * list_dot_product(d.b, cb.cv)
+                          + list_dot_product(cb.cv, cb.cv) ASC,
+                          cb.code) AS rn
+        FROM docsub d JOIN cb ON cb.sub = d.sub
+      ) WHERE rn = 1
+    ), qtab AS (
+      SELECT q.doc_id AS query_id, q.sub, cb.code,
+             list_dot_product(q.b, q.b)
+             - 2 * list_dot_product(q.b, cb.cv)
+             + list_dot_product(cb.cv, cb.cv) AS qd2
+      FROM docsub q JOIN cb ON cb.sub = q.sub
+      WHERE q.doc_id < {n_queries}
+    ), adc AS (
+      SELECT t.query_id, enc.doc_id AS vec_id, sum(t.qd2) AS adc_dist
+      FROM encd enc JOIN qtab t ON t.sub = enc.sub AND t.code = enc.code
+      GROUP BY t.query_id, enc.doc_id
+    ), ar AS (
+      SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_dist ASC, vec_id) AS rank
+      FROM adc
+    )
+    SELECT query_id, vec_id, round(adc_dist, 6) AS adc_dist,
+           CAST(rank AS INT) AS rank
+    FROM ar WHERE rank <= {k}
+    """
+
+
 def knn_pq_recall_oracle_sql(
     *,
     n_subspaces: int = 8,

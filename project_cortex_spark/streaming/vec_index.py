@@ -160,3 +160,140 @@ def retrain_and_swap(
     os.rename(tmp, index_dir)
     shutil.rmtree(bak)
     return {"files_before": files_before, "files_after": files_after}
+
+
+# --------------------------------------------------------------------------
+# PQ store — codebook/code parity with the IVF store above (VERDICT r7
+# item 5). Same layout contract:
+#
+#     <index_dir>/codebooks/        one small parquet: (sub, code,
+#                                   codeword array<double>)
+#     <index_dir>/codes/batch=N/    per-delivery (vec_id, embedding,
+#                                   pq_codes) appends
+#
+# Codebooks are trained once (the REPLAYABLE ordered trainer,
+# knn.train_pq_codebooks_ordered), persisted, and frozen; each batch
+# loads them from the index and encodes only ITS vectors (one Arrow
+# distance-matrix per subspace per batch). The raw embedding rides
+# along in the codes substore exactly like the IVF `assigned` store
+# keeps it: the scheduled rebuild needs the full vectors to re-train,
+# and at 100 TB the store is the parquet home of the vectors anyway —
+# ADC probes project only (vec_id, pq_codes), so the scan stays
+# m bytes/row wide.
+
+
+def write_codebooks(spark: SparkSession, codebooks, index_dir: str) -> None:
+    """Persist the (n_subspaces, n_codes, dsub) codebook tensor as rows
+    (sub, code, codeword) — tiny, read whole by every encoder."""
+    m, n_codes, _dsub = codebooks.shape
+    rows = [
+        (int(j), int(c), [float(x) for x in codebooks[j, c]])
+        for j in range(m)
+        for c in range(n_codes)
+    ]
+    spark.createDataFrame(
+        rows, "sub int, code int, codeword array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "codebooks")
+    )
+
+
+def read_codebooks(spark: SparkSession, index_dir: str) -> np.ndarray:
+    """Load the persisted codebook tensor ((sub, code) order == tensor
+    order — the contract every encoder and ADC prober shares)."""
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "codebooks"))
+        .orderBy("sub", "code")
+        .collect()
+    )
+    m = 1 + max(r["sub"] for r in rows)
+    n_codes = 1 + max(r["code"] for r in rows)
+    dsub = len(rows[0]["codeword"])
+    books = np.empty((m, n_codes, dsub), dtype=np.float64)
+    for r in rows:
+        books[r["sub"], r["code"]] = list(r["codeword"])
+    return books
+
+
+def continuous_pq_index(
+    spark: SparkSession,
+    input_glob: str,
+    schema,
+    *,
+    index_dir: str,
+    checkpoint_dir: str,
+    codebooks=None,
+    vec_col: str = "embedding",
+):
+    """Encode each batch's vectors against the index's codebooks and
+    append them to the ``codes`` substore. ``codebooks=None`` loads the
+    PERSISTED tensor from the index — the normal deployment, where the
+    stream job and the trainer share nothing but the index directory.
+    Returns the StreamingQuery (AvailableNow)."""
+    books = (
+        read_codebooks(spark, index_dir) if codebooks is None else codebooks
+    )
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        knn_mod.pq_encode(batch, books, vec_col=vec_col).write.mode(
+            "append"
+        ).parquet(os.path.join(index_dir, "codes", f"batch={batch_id}"))
+
+    return watch_and_index(
+        spark, input_glob, schema, upsert, checkpoint_dir=checkpoint_dir
+    )
+
+
+def read_pq_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The accumulated (vec_id, embedding, pq_codes) store."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(index_dir, "codes")
+    )
+
+
+def retrain_pq_and_swap(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    iters: int = 8,
+    sample_rows: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_files: int = 1,
+) -> dict[str, int]:
+    """Scheduled PQ rebuild: re-train codebooks on the accumulated
+    store (ordered replayable trainer — same vector set ⇒ bit-identical
+    books, so oracle replays still hold), re-encode every vector, write
+    a complete new index to a sibling temp dir, then swap with
+    compact_store's two-rename discipline (recover_store heals a
+    crash). Doubles as compaction (per-batch files → ``target_files``).
+    Returns {"files_before": n, "files_after": m}.
+    """
+    from project_cortex_spark.sources.layout import recover_store
+
+    recover_store(index_dir)
+    store = read_pq_index(spark, index_dir).drop("pq_codes")
+    books = knn_mod.train_pq_codebooks_ordered(
+        store,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_subspaces=n_subspaces,
+        n_codes=n_codes,
+        sample_rows=sample_rows,
+        iters=iters,
+    )
+    tmp = index_dir.rstrip("/") + "__new"
+    shutil.rmtree(tmp, ignore_errors=True)
+    knn_mod.pq_encode(store, books, vec_col=vec_col).coalesce(
+        target_files
+    ).write.parquet(os.path.join(tmp, "codes", "batch=rebuild"))
+    write_codebooks(spark, books, tmp)
+    files_before, files_after = _count_files(index_dir), _count_files(tmp)
+    bak = index_dir.rstrip("/") + "__bak"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(index_dir, bak)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(bak)
+    return {"files_before": files_before, "files_after": files_after}

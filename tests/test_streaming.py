@@ -1028,3 +1028,95 @@ def test_incremental_components_store_swap_crash_recovery(spark, tmp_path):
         for r in read_components(spark, store).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_persisted_pq_index_lifecycle(spark, registry, tmp_path):
+    """The persisted-PQ contract (VERDICT r7 item 5 — store parity with
+    IVF): codebooks round-trip through the index directory bit-exactly;
+    a stream job given codebooks=None encodes against the PERSISTED
+    tensor and the incremental store equals a one-shot encode; and
+    retrain_pq_and_swap (retrain on the accumulated store, re-encode,
+    two-rename swap) compacts per-batch files while reproducing the
+    same codebooks from the same vector set."""
+    import numpy as np
+
+    from project_cortex_spark.operators import knn as knn_mod
+    from project_cortex_spark.streaming import vec_index
+
+    emb = registry.table("embeddings")
+    books = knn_mod.train_pq_codebooks_ordered(
+        emb, id_col="vec_id", vec_col="embedding", n_subspaces=8,
+        n_codes=8, iters=4,
+    )
+    idx = str(tmp_path / "idx")
+    vec_index.write_codebooks(spark, books, idx)
+    assert np.array_equal(vec_index.read_codebooks(spark, idx), books)
+    in_dir = str(tmp_path / "in")
+    for parity in (0, 1):
+        emb.filter(F.col("vec_id") % 2 == parity).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q = vec_index.continuous_pq_index(
+            spark, in_dir, emb.schema,
+            index_dir=idx, checkpoint_dir=str(tmp_path / "ckpt"),
+        )  # codebooks=None -> loaded from the index
+        q.awaitTermination()
+    store = vec_index.read_pq_index(spark, idx)
+    n_vecs = emb.count()
+    assert store.count() == n_vecs
+    before = {
+        (r.vec_id, tuple(r.pq_codes))
+        for r in store.select("vec_id", "pq_codes").collect()
+    }
+    # incremental encode == one-shot encode (deterministic given books)
+    oneshot = {
+        (r.vec_id, tuple(r.pq_codes))
+        for r in knn_mod.pq_encode(emb, books)
+        .select("vec_id", "pq_codes")
+        .collect()
+    }
+    assert before == oneshot
+    stats = vec_index.retrain_pq_and_swap(
+        spark, idx, n_subspaces=8, n_codes=8, iters=4, target_files=1
+    )
+    assert stats["files_after"] < stats["files_before"]
+    # same vector set + ordered replayable trainer => same codebooks,
+    # hence identical codes after the rebuild
+    assert np.array_equal(vec_index.read_codebooks(spark, idx), books)
+    after = {
+        (r.vec_id, tuple(r.pq_codes))
+        for r in vec_index.read_pq_index(spark, idx)
+        .select("vec_id", "pq_codes")
+        .collect()
+    }
+    assert after == before and len(after) == n_vecs
+
+
+def test_persisted_pq_rebuild_heals_crashed_swap(spark, registry, tmp_path):
+    """A crash inside retrain_pq_and_swap's two-rename window leaves
+    only <idx>__bak; the next rebuild must heal it (recover_store) and
+    proceed — the same crash contract as the IVF store."""
+    import os
+
+    from project_cortex_spark.operators import knn as knn_mod
+    from project_cortex_spark.streaming import vec_index
+
+    emb = registry.table("embeddings").limit(64)
+    books = knn_mod.train_pq_codebooks_ordered(
+        emb, id_col="vec_id", vec_col="embedding", n_subspaces=4,
+        n_codes=4, iters=2,
+    )
+    idx = str(tmp_path / "idx")
+    vec_index.write_codebooks(spark, books, idx)
+    knn_mod.pq_encode(emb, books).write.parquet(
+        os.path.join(idx, "codes", "batch=0")
+    )
+    n = vec_index.read_pq_index(spark, idx).count()
+    # simulate the crash: live dir renamed away, __bak holds the data
+    os.rename(idx, idx + "__bak")
+    stats = vec_index.retrain_pq_and_swap(
+        spark, idx, n_subspaces=4, n_codes=4, iters=2
+    )
+    assert stats["files_after"] >= 1
+    assert vec_index.read_pq_index(spark, idx).count() == n
+    assert not os.path.exists(idx + "__bak")
