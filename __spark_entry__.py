@@ -1742,6 +1742,36 @@ _CYCLES_ORACLE = f"""
 """
 
 
+def _q_graph_cycle_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VERDICT r7 item 6: the actionable circular-dependency report —
+    # every order on a cycle of length <= 8 plus ONE canonical shortest
+    # cycle through it (lexicographically smallest '>'-joined walk
+    # string; the oracle replays the same canon with a path-carrying
+    # recursive CTE, so the reconstruction is hash-gated, not golden)
+    return graph_mod.cycle_paths(_ring_edges(spark, sf_dir), max_len=8)
+
+
+_CYCLE_PATHS_ORACLE = f"""
+    WITH RECURSIVE e AS ({_RING_EDGES_SQL}),
+    walk(origin, node, len, path) AS (
+        SELECT src, dst, 1,
+               CAST(src AS VARCHAR) || '>' || CAST(dst AS VARCHAR)
+        FROM e
+        UNION ALL
+        SELECT w.origin, e.dst, w.len + 1,
+               w.path || '>' || CAST(e.dst AS VARCHAR)
+        FROM walk w JOIN e ON e.src = w.node
+        WHERE w.len < 8 AND w.node <> w.origin
+    ),
+    closed AS (SELECT origin, len, path FROM walk WHERE node = origin),
+    m AS (SELECT origin, min(len) AS cycle_len FROM closed GROUP BY origin)
+    SELECT m.origin AS node, CAST(m.cycle_len AS INT) AS cycle_len,
+           min(c.path) AS path
+    FROM m JOIN closed c ON c.origin = m.origin AND c.len = m.cycle_len
+    GROUP BY m.origin, m.cycle_len
+"""
+
+
 def _q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UNBOUNDED circular-dependency form: SCCs of the ring graph. The
     # rings are reach-closed per customer, so the exact answer has a
@@ -1865,6 +1895,7 @@ _TYPE_HIERARCHY_ORACLE = """
 
 _GRAPH_ORACLES = {
     "graph_cycles": _CYCLES_ORACLE,
+    "graph_cycle_paths": _CYCLE_PATHS_ORACLE,
     "graph_scc": _SCC_ORACLE,
     "graph_unused_symbols": _UNUSED_ORACLE,
     "graph_hotspots": _HOTSPOTS_ORACLE,
@@ -6119,6 +6150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # not yet built in the reference): cycles / unused / hotspots /
     # hierarchy, each oracle-gated over the family's derived edge sets
     out["graph_cycles"] = _q_graph_cycles
+    out["graph_cycle_paths"] = _q_graph_cycle_paths
     out["graph_scc"] = _q_graph_scc
     out["graph_unused_symbols"] = _q_graph_unused
     out["graph_hotspots"] = _q_graph_hotspots

@@ -1178,6 +1178,103 @@ def cycle_members(
     )
 
 
+def cycle_paths(
+    edges: DataFrame,
+    *,
+    max_len: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, cycle_len, path) — :func:`cycle_members` plus ONE
+    canonical shortest cycle through each node, as the '>'-joined node
+    string ``node>...>node`` (VERDICT r7 item 6: a circular-dependency
+    report needs the cycle's members to be actionable, canopy spec
+    overview.md:16). Deterministic canon: among all minimal-length
+    closed walks through the origin, the lexicographically smallest
+    path string.
+
+    Same multi-origin level-synchronous BFS as :func:`cycle_members`,
+    with the frontier's per-(origin, node) ``distinct()`` replaced by
+    ``min(path)`` — the same shuffle shape, one aggregate per level.
+    Why per-level min composes to the global min: two same-level
+    prefixes ending at the same node encode the same number of ids and
+    end with the same id, so neither can be a strict string-prefix of
+    the other, hence ``min(p) + suffix == min(p + suffix)`` for every
+    shared continuation; induction over levels gives the minimal
+    closed-walk string. Visited pruning stays lossless: an intermediate
+    node of a MINIMAL cycle walk is necessarily first-visited at its
+    position's level (an earlier visit would splice a shorter cycle).
+    The oracle replays the same canon with a recursive CTE carrying the
+    path string.
+
+    Scale: identical frontier bounds to cycle_members; rows widen by a
+    path string of <= max_len ids. Same 100 TB posture — import-DAG
+    graphs with small out-degree; SCC-condense first for dense ones.
+    """
+    max_len = _clamp_depth(max_len)
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).localCheckpoint(eager=True)
+    frontier = (
+        e.select(
+            F.col("_s").alias("origin"),
+            F.col("_d").alias("node"),
+            F.concat_ws(
+                ">", F.col("_s").cast("string"), F.col("_d").cast("string")
+            ).alias("path"),
+        )
+        .groupBy("origin", "node")
+        .agg(F.min("path").alias("path"))
+    )
+    found = frontier.filter(F.col("node") == F.col("origin")).select(
+        "origin", F.lit(1).alias("cycle_len"), "path"
+    )
+    frontier = frontier.filter(F.col("node") != F.col("origin"))
+    visited = frontier.select("origin", "node")
+    out = [found]
+    for lvl in range(2, max_len + 1):
+        frontier = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(
+                "origin",
+                F.col("_d").alias("node"),
+                F.concat(
+                    F.col("path"), F.lit(">"), F.col("_d").cast("string")
+                ).alias("path"),
+            )
+            .groupBy("origin", "node")
+            .agg(F.min("path").alias("path"))
+        )
+        closed = frontier.filter(F.col("node") == F.col("origin")).select(
+            "origin", F.lit(lvl).alias("cycle_len"), "path"
+        )
+        out.append(closed)
+        if lvl == max_len:
+            break
+        frontier = (
+            frontier.filter(F.col("node") != F.col("origin"))
+            .join(closed.select("origin"), "origin", "left_anti")
+            .join(visited, ["origin", "node"], "left_anti")
+        ).localCheckpoint(eager=True)
+        visited = visited.unionByName(
+            frontier.select("origin", "node")
+        ).localCheckpoint(eager=True)
+    res = out[0]
+    for part in out[1:]:
+        res = res.unionByName(part)
+    # defensive collapse mirroring cycle_members: min (cycle_len, path)
+    # struct per origin — levels after a close are anti-joined out, but
+    # the last level skips that filter
+    agg = res.groupBy(F.col("origin").alias("node")).agg(
+        F.min(F.struct(F.col("cycle_len"), F.col("path"))).alias("m")
+    )
+    return agg.select(
+        "node",
+        F.col("m.cycle_len").alias("cycle_len"),
+        F.col("m.path").alias("path"),
+    )
+
+
 def unused_symbols(
     nodes: DataFrame,
     edges: DataFrame,

@@ -934,3 +934,68 @@ def test_scc_string_node_ids(spark):
         "c:20": "c:20", "c:21": "c:21",
         "c:40": "c:40",
     }
+
+
+def test_cycle_paths_canonical_selection(spark):
+    """Branching fixtures (which the out-degree-1 ring gate cannot
+    exercise): among multiple minimal cycles the lexicographically
+    smallest '>'-joined walk string wins, including when two prefixes
+    meet at the same node mid-walk and when string order differs from
+    numeric order."""
+    from project_cortex_spark.operators.graph import cycle_members, cycle_paths
+
+    edges = spark.createDataFrame(
+        [
+            # node 1 on TWO 2-cycles: canon picks 1>2>1 over 1>3>1
+            (1, 2), (2, 1), (1, 3), (3, 1),
+            # 3-cycle with a dead-end branch off node 5
+            (5, 6), (6, 7), (7, 5), (5, 8),
+            # two len-3 cycles through 10 merging at node 13:
+            # 10>11>13>10 beats 10>12>13>10 (prefix min composes)
+            (10, 11), (10, 12), (11, 13), (12, 13), (13, 10),
+            # string order, not numeric: 9>100>9 beats 9>20>9
+            (9, 100), (100, 9), (9, 20), (20, 9),
+        ],
+        ["src", "dst"],
+    )
+    got = {
+        r["node"]: (r["cycle_len"], r["path"])
+        for r in cycle_paths(edges, max_len=6).collect()
+    }
+    assert got[1] == (2, "1>2>1")
+    assert got[2] == (2, "2>1>2")
+    assert got[3] == (2, "3>1>3")
+    assert got[5] == (3, "5>6>7>5")
+    assert got[6] == (3, "6>7>5>6")
+    assert got[7] == (3, "7>5>6>7")
+    assert 8 not in got  # dead-end: not on any cycle
+    assert got[10] == (3, "10>11>13>10")
+    assert got[13] == (3, "13>10>11>13")
+    assert got[9] == (2, "9>100>9")
+    assert got[100] == (2, "100>9>100")
+    assert got[20] == (2, "20>9>20")
+    # every path's length and endpoints agree with its row, and the
+    # (node, cycle_len) projection equals cycle_members exactly
+    for node, (ln, path) in got.items():
+        parts = path.split(">")
+        assert len(parts) == ln + 1
+        assert parts[0] == parts[-1] == str(node)
+    members = {
+        r["node"]: r["cycle_len"]
+        for r in cycle_members(edges, max_len=6).collect()
+    }
+    assert members == {n: ln for n, (ln, _p) in got.items()}
+
+
+def test_cycle_paths_self_loop_and_max_len(spark):
+    from project_cortex_spark.operators.graph import cycle_paths
+
+    edges = spark.createDataFrame(
+        [(4, 4), (1, 2), (2, 3), (3, 1)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: (r["cycle_len"], r["path"])
+        for r in cycle_paths(edges, max_len=2).collect()
+    }
+    # self-loop closes at level 1; the 3-ring exceeds max_len=2
+    assert got == {4: (1, "4>4")}
