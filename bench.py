@@ -89,6 +89,9 @@ EXTENDED = [
     "dedup_substring_rewrite",  # per-char explode + interval merge + fold
     "graph_connected_components",  # large-star/small-star alternation
     "corpus_cluster_balance",  # replayable k-means + quota window
+    # r8 additions
+    "dedup_pairs_auto",  # df-histogram dispatch + the chosen pair join
+    "graph_cycle_paths",  # path-carrying BFS with per-level min canon
 ]
 
 HEADLINE = [
