@@ -6184,6 +6184,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_pairs_auto"] = lambda s, d: dd.similar_pairs_auto(
         _docs(s, d), shingle_n=3, threshold=0.5
     ).withColumn("jaccard", F.round("jaccard", 6))
+    # DIRECTED duplication (quote/subset class): containment(a in b),
+    # the asymmetric measure Jaccard structurally misses when |A|<<|B|
+    out["dedup_containment"] = lambda s, d: dd.containment_pairs(
+        _docs(s, d), shingle_n=3, threshold=0.6, max_df=100, max_df_frac=0.2
+    ).withColumn("containment", F.round("containment", 6))
     out["dedup_simhash"] = _q_dedup_simhash
     out["dedup_simhash_banded"] = _q_dedup_simhash_banded
     out["dedup_clusters"] = _q_dedup_clusters
@@ -6315,6 +6320,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             item_col="l_partkey",
             max_df=50,
         ),
+        iters=5,
+    )
+    # personalized PageRank: teleport concentrated on a seed set — the
+    # relevance-to-a-query-set ranking global pagerank can't express;
+    # seeds here are the % 10 == 0 items (the oracle replays the same
+    # predicate over the graph's node set)
+    out["graph_ppr"] = lambda s, d: graph_mod.pagerank_personalized(
+        graph_mod.cooccurrence_edges(
+            _registry(s, d).table("lineitem"),
+            group_col="l_orderkey",
+            item_col="l_partkey",
+            max_df=50,
+        ),
+        _registry(s, d)
+        .table("lineitem")
+        .select(F.col("l_partkey").alias("node"))
+        .filter(F.col("node") % 10 == 0)
+        .distinct(),
         iters=5,
     )
     # the >BROADCAST_NODE_LIMIT fallback plan (shuffle join against
@@ -7002,13 +7025,13 @@ _GATE_FIRST = [
     "stream_knn_pq",
     "knn_pq_compacted",
     "graph_cycle_paths",
+    "dedup_containment",
+    "graph_ppr",
     # -- (i) oldest-evidence re-gates to fill the 50 --
     "dsl_tpch_q1",
     "dsl_tpch_q3",
-    "dsl_tpch_q6",
     "knn_topk",
     "fts_filtered",
-    "graph_callers_d2",
 ]
 
 
@@ -7177,6 +7200,9 @@ def oracle_sql() -> dict[str, str]:
         threshold=0.5, max_df=100, max_df_frac=0.2
     )
     out["dedup_pairs_auto"] = oracle.similar_pairs_auto_sql(threshold=0.5)
+    out["dedup_containment"] = oracle.containment_pairs_sql(
+        threshold=0.6, max_df=100, max_df_frac=0.2
+    )
     out["dedup_simhash"] = oracle.simhash_near_duplicates_sql(max_hamming=2)
     out["dedup_ngram_spans"] = oracle.duplicated_ngram_stats_sql(shingle_n=8)
     out["dedup_char_spans"] = oracle.duplicated_char_spans_sql(k=32)
@@ -7232,6 +7258,9 @@ def oracle_sql() -> dict[str, str]:
     out["graph_degree_distribution"] = oracle.degree_distribution_sql(max_df=50)
     out["graph_node_similarity"] = oracle.node_similarity_sql(max_df=50, k=50)
     out["graph_pagerank"] = oracle.pagerank_sql(max_df=50, iters=5)
+    out["graph_ppr"] = oracle.pagerank_personalized_sql(
+        seed_pred="node % 10 = 0", max_df=50, iters=5
+    )
     # identical semantics, shuffle-join physical plan (r7)
     out["graph_pagerank_shuffle"] = oracle.pagerank_sql(max_df=50, iters=5)
     out["text_entropy"] = oracle.char_entropy_sql()

@@ -387,9 +387,14 @@ def main() -> None:
             0.0, (canary_after - canary_before) / canary_before
         )
         canary_dispersion = max(disp_before, disp_after)
+        # threshold overrides exist for testing the retry path (force a
+        # noisy window with BENCH_NOISY_DISPERSION=0) and for hosts
+        # whose baseline scatter differs from this one's measured 0.25
+        disp_thresh = float(os.environ.get("BENCH_NOISY_DISPERSION", "0.25"))
+        slow_thresh = float(os.environ.get("BENCH_NOISY_SLOWDOWN", "0.15"))
         noisy = (
-            canary_dispersion > 0.25
-            or canary_slowdown > 0.15
+            canary_dispersion > disp_thresh
+            or canary_slowdown > slow_thresh
             or _big_unstable_frac({**times, **extended}, unstable) > 0.3
         )
         return {

@@ -1588,3 +1588,73 @@ def similar_pairs_auto(
         max_df=max_df,
         max_df_frac=max_df_frac,
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """DIRECTED near-duplication: (a, b, containment) for every ordered
+    pair with containment(a in b) = |shingles(a) ∩ shingles(b)| /
+    |shingles(a)| >= threshold, a != b. The asymmetric complement of
+    :func:`ngram_jaccard_pairs`: a short document quoted whole inside a
+    long one has containment ~1.0 but Jaccard ~|A|/|B| — the
+    subset/quote duplication class Lee et al. 2021 flag that symmetric
+    document-level measures structurally miss. Broder's containment
+    sketch (1997) is the classical form; this is its exact join twin.
+
+    Same capped shingle universe and co-occurrence join shape as the
+    Jaccard form (``max_df``/``max_df_frac`` replayed identically by
+    the oracle): ONE unordered co-occurrence aggregate computes
+    |A ∩ B|, then both directed scores are emitted from the same row —
+    the directed answer costs exactly the undirected join plus a 2x
+    projection, never a second shuffle.
+    """
+    if max_df_frac is not None:
+        max_df = max(max_df or 0, int(max_df_frac * docs.count()))
+    sh = shingle_frame(
+        docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh")
+    sh = sh.cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("x"), "sh")
+    b = sh.select(F.col("doc_id").alias("y"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(
+            sizes.select(F.col("doc_id").alias("x"), F.col("n").alias("nx")),
+            "x",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("y"), F.col("n").alias("ny")),
+            "y",
+        )
+    )
+    fwd = common.select(
+        F.col("x").alias("a"),
+        F.col("y").alias("b"),
+        (F.col("common").cast("double") / F.col("nx")).alias("containment"),
+    )
+    rev = common.select(
+        F.col("y").alias("a"),
+        F.col("x").alias("b"),
+        (F.col("common").cast("double") / F.col("ny")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)

@@ -727,6 +727,90 @@ def pagerank(
     return ranks.select("node", F.round("pr", 9).alias("pr"))
 
 
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    iters: int = 5,
+    damping: float = 0.85,
+    a: str = "a",
+    b: str = "b",
+    seed_col: str = "node",
+    broadcast_ranks: bool | None = None,
+) -> DataFrame:
+    """Personalized PageRank: :func:`pagerank` with the uniform
+    teleport replaced by a distribution concentrated on ``seeds`` —
+    pr_{t+1}(v) = (1-d)·tele(v) + d·Σ_{u~v} pr_t(u)/deg(u), with
+    tele = 1/|S| on the seed set and 0 elsewhere. The relevance-to-a-
+    query-set ranking (similar-items, "related code to this module")
+    that global PageRank cannot express; seeds are intersected with the
+    graph's node set first, so ns counts only seeds that exist.
+
+    Same physical shape as :func:`pagerank` (stationary edge list,
+    |V|-row rank frame broadcast per step or the shuffle fallback past
+    BROADCAST_NODE_LIMIT, lineage cut per step); the static teleport
+    frame replaces the scalar base term via one |V|-row left join per
+    step — at 100 TB that join rides the aggregate's own partitioning.
+    The oracle unrolls the identical CTE chain with a CASE teleport.
+    """
+    dir_edges = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .cache()
+    )
+    deg = dir_edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node")).cache()
+    n = nodes.count()
+    seed_nodes = nodes.join(
+        seeds.select(F.col(seed_col).alias("node")).distinct(),
+        "node",
+        "left_semi",
+    ).cache()
+    ns = seed_nodes.count()
+    if ns == 0:
+        raise ValueError("pagerank_personalized: no seed is a graph node")
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= BROADCAST_NODE_LIMIT
+    tele = (
+        nodes.join(
+            seed_nodes.withColumn("_s", F.lit(1)), "node", "left"
+        )
+        .select(
+            "node",
+            F.when(F.col("_s").isNotNull(), F.lit(1.0 / ns))
+            .otherwise(F.lit(0.0))
+            .alias("tele"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = tele.select("node", F.col("tele").alias("pr"))
+    out_edges = dir_edges.join(deg, "src").select("src", "dst", "deg")
+    if not broadcast_ranks:
+        out_edges = out_edges.repartition("src")
+    out_edges = out_edges.localCheckpoint(eager=False)
+    for _ in range(iters):
+        rside = ranks.withColumnRenamed("node", "src")
+        contrib = (
+            out_edges.join(
+                F.broadcast(rside) if broadcast_ranks else rside, "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("_in"))
+        )
+        ranks = (
+            tele.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("tele")
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.round("pr", 9).alias("pr"))
+
+
 def kcore(
     edges: DataFrame,
     *,

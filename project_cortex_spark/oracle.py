@@ -469,6 +469,63 @@ def ngram_jaccard_pairs_sql(
     )
 
 
+def containment_pairs_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    round_digits: int = 6,
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
+) -> str:
+    """Mirror of dedup.containment_pairs: the same capped universe and
+    unordered co-occurrence count, both directed scores emitted from
+    the one row."""
+    cap_expr = str(max_df) if max_df is not None else None
+    if max_df_frac is not None:
+        base = max_df or 0
+        cap_expr = (
+            f"greatest({base}, CAST(floor({max_df_frac!r} * "
+            f"(SELECT count(*) FROM {table})) AS BIGINT))"
+        )
+    df_cut = ""
+    src = "dsh"
+    if cap_expr is not None:
+        df_cut = f"""
+      kept AS (
+        SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sh)
+        GROUP BY sh HAVING count(*) <= {cap_expr}
+      ),
+      sh2 AS (SELECT s.doc_id, s.sh FROM sh s JOIN kept k ON s.sh = k.sh),"""
+        src = "dsh2"
+    return f"""
+    WITH {shingles_cte(table, id_col, text_col, shingle_n)},{df_cut}
+    {src} AS (SELECT DISTINCT doc_id, sh
+              FROM {"sh2" if cap_expr is not None else "sh"}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM {src} GROUP BY doc_id),
+    common AS (
+      SELECT p.doc_id AS x, q.doc_id AS y, count(*) AS common
+      FROM {src} p JOIN {src} q ON p.sh = q.sh AND p.doc_id < q.doc_id
+      GROUP BY p.doc_id, q.doc_id
+    ),
+    sized AS (
+      SELECT c.x, c.y, c.common, sx.n AS nx, sy.n AS ny
+      FROM common c
+      JOIN sizes sx ON sx.doc_id = c.x
+      JOIN sizes sy ON sy.doc_id = c.y
+    ),
+    directed AS (
+      SELECT x AS a, y AS b, common::DOUBLE / nx AS containment FROM sized
+      UNION ALL
+      SELECT y AS a, x AS b, common::DOUBLE / ny AS containment FROM sized
+    )
+    SELECT a, b, round(containment, {round_digits}) AS containment
+    FROM directed WHERE containment >= {threshold}
+    """
+
+
 def similar_pairs_auto_sql(
     *,
     table: str = "documents",
@@ -1453,6 +1510,73 @@ def pagerank_sql(
       SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
     ), pr0 AS (
       SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes
+    ),
+    {chain}
+    SELECT node, round(pr{iters}.pr, 9) AS pr FROM pr{iters}
+    """
+
+
+def pagerank_personalized_sql(
+    table: str = "lineitem",
+    group_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    seed_pred: str = "node % 10 = 0",
+    max_df: int = 50,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """Noiseless twin of graph.pagerank_personalized over the same
+    degree-capped co-occurrence edges: identical unrolled CTE chain as
+    pagerank_sql, with the uniform teleport replaced by a CASE over
+    ``seed_pred`` (1/|seeds in graph| on seeds, 0 elsewhere)."""
+    d = damping
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""pr{i} AS (
+      SELECT nodes.node,
+             (1.0 - {d}) * (CASE WHEN sd.node IS NOT NULL
+                            THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END)
+               + {d} * coalesce(s.contrib, 0.0) AS pr
+      FROM nodes
+      LEFT JOIN seeds sd ON sd.node = nodes.node
+      LEFT JOIN (
+        SELECT de.dst AS node, sum(p.pr / deg.deg) AS contrib
+        FROM de
+        JOIN pr{i - 1} p ON p.node = de.src
+        JOIN deg ON deg.src = de.src
+        GROUP BY de.dst
+      ) s ON s.node = nodes.node
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH pres0 AS (
+      SELECT DISTINCT {group_col} AS g, {item_col} AS itm FROM {table}
+    ), keep AS (
+      SELECT itm FROM pres0 GROUP BY itm HAVING count(*) <= {max_df}
+    ), pres AS (
+      SELECT g, itm FROM pres0 JOIN keep USING (itm)
+    ), e AS (
+      SELECT DISTINCT p1.itm AS a, p2.itm AS b
+      FROM pres p1 JOIN pres p2 ON p1.g = p2.g AND p1.itm < p2.itm
+    ), de AS (
+      SELECT a AS src, b AS dst FROM e
+      UNION ALL
+      SELECT b AS src, a AS dst FROM e
+    ), deg AS (
+      SELECT src, count(*) AS deg FROM de GROUP BY src
+    ), nodes AS (
+      SELECT src AS node FROM deg
+    ), seeds AS (
+      SELECT node FROM nodes WHERE {seed_pred}
+    ), ns AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds
+    ), pr0 AS (
+      SELECT nodes.node,
+             CASE WHEN sd.node IS NOT NULL
+                  THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS pr
+      FROM nodes LEFT JOIN seeds sd ON sd.node = nodes.node
     ),
     {chain}
     SELECT node, round(pr{iters}.pr, 9) AS pr FROM pr{iters}

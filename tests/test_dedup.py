@@ -815,3 +815,30 @@ def test_similar_pairs_auto_dispatch_both_shapes(spark):
         for r in dedup.ppjoin_pairs(docs, threshold=0.5).collect()
     }
     assert got2 == want2 and got2
+
+
+def test_containment_pairs_detects_quotes_jaccard_misses(spark):
+    """A short doc quoted whole inside a long one: containment(a in b)
+    is exactly 1.0 while jaccard is |A|/|B| — below any useful
+    symmetric threshold. Both directions come from one co-occurrence
+    row; scores are exact fractions."""
+    words_a = [f"w{i}" for i in range(10)]  # 8 shingles
+    words_b = words_a + [f"x{i}" for i in range(40)]  # 48 shingles
+    docs = spark.createDataFrame(
+        [(1, " ".join(words_a)), (2, " ".join(words_b)),
+         (3, " ".join(words_a))],  # 3 == 1 exactly
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["a"], r["b"]): round(r["containment"], 9)
+        for r in dedup.containment_pairs(docs, threshold=0.6).collect()
+    }
+    assert got[(1, 2)] == 1.0 and got[(3, 2)] == 1.0
+    assert got[(1, 3)] == 1.0 and got[(3, 1)] == 1.0
+    assert (2, 1) not in got  # 8/48 back-containment, below threshold
+    # the symmetric measure misses the quote pair entirely
+    jac = {
+        (r["a"], r["b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac and (1, 3) in jac

@@ -999,3 +999,43 @@ def test_cycle_paths_self_loop_and_max_len(spark):
     }
     # self-loop closes at level 1; the 3-ring exceeds max_len=2
     assert got == {4: (1, "4>4")}
+
+
+def test_pagerank_personalized_properties(spark):
+    """(a) with seeds == all nodes, PPR is exactly global pagerank
+    (identical teleport); (b) probability mass stays 1 at every fixed
+    iteration (undirected contract: no dangling loss); (c) the seed
+    concentrates mass relative to a symmetric non-seed."""
+    from project_cortex_spark.operators.graph import (
+        pagerank,
+        pagerank_personalized,
+    )
+
+    # symmetric 4-ring: 1-2-3-4-1 (undirected a<b list)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], ["a", "b"]
+    )
+    all_nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], ["node"])
+    ppr_all = {
+        r["node"]: r["pr"]
+        for r in pagerank_personalized(edges, all_nodes, iters=4).collect()
+    }
+    pr = {r["node"]: r["pr"] for r in pagerank(edges, iters=4).collect()}
+    assert ppr_all == pr
+    one = spark.createDataFrame([(1,)], ["node"])
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank_personalized(edges, one, iters=4).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    # the 4-ring is BIPARTITE: after an even number of power steps the
+    # walk's mass sits on the seed's parity class, so the ANTIPODE
+    # outranks the neighbors — seed > antipode > neighbor at iters=4
+    assert got[1] > got[3] > got[2]
+    assert got[2] == got[4]  # ring symmetry around the seed
+    # seeds that are not graph nodes raise rather than divide by zero
+    import pytest as _pytest
+
+    ghost = spark.createDataFrame([(99,)], ["node"])
+    with _pytest.raises(ValueError, match="no seed"):
+        pagerank_personalized(edges, ghost, iters=2)
