@@ -6265,6 +6265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bit-identical to DuckDB list_reduce, so the "stateful" smoother
     # is hash-gated (oracle.ewma_sql)
     out["events_ewma"] = lambda s, d: ev.ewma_series(_events(s, d))
+    # two-sample KS drift per type between the time-span halves — the
+    # exact distribution-shift monitor (sup over every distinct value)
+    out["events_ks_drift"] = lambda s, d: ev.ks_drift(_events(s, d))
     # contract form: integer epoch-micros bounds + exact scaled-int sum —
     # hash-deterministic by construction (round-1's one red driver row was
     # this query's float-sum rounding drift)
@@ -7027,11 +7030,11 @@ _GATE_FIRST = [
     "graph_cycle_paths",
     "dedup_containment",
     "graph_ppr",
+    "events_ks_drift",
     # -- (i) oldest-evidence re-gates to fill the 50 --
     "dsl_tpch_q1",
     "dsl_tpch_q3",
     "knn_topk",
-    "fts_filtered",
 ]
 
 
@@ -7236,6 +7239,7 @@ def oracle_sql() -> dict[str, str]:
     )
     out["events_windowed_agg"] = oracle.windowed_agg_sql()
     out["events_ewma"] = oracle.ewma_sql()
+    out["events_ks_drift"] = oracle.ks_drift_sql()
     out["events_sessionize"] = oracle.sessionize_contract_sql()
     out["events_props_extract"] = oracle.props_extract_sql()
     out["events_top_users"] = oracle.top_users_per_type_sql()

@@ -763,3 +763,86 @@ def throttle_audit_on_counts(
         .filter(F.col("n_total") > F.col("n_kept"))
         .orderBy(user_col)
     )
+
+
+def ks_drift(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift per group: split each
+    group's events at the midpoint of its time span (integer
+    microseconds, exact both engines) into EARLY and LATE samples and
+    report D = max over x of |F_early(x) - F_late(x)| — the standard
+    distribution-shift monitor for a training-data pipeline (has the
+    value column's distribution moved between ingestion windows?).
+
+    Exact, not sketched: the sup runs over every distinct value. Plan
+    shape: one per-group min/max aggregate broadcast back, then ONE
+    window pass over (group, value) with RANGE frames — running counts
+    include ties on both sides (F(x) counts <= x, the right-continuous
+    empirical CDF), so tied values cannot split a step. The CDF
+    fractions are divisions of identical integers in both engines, so
+    the round-6 contract is safe. At 100 TB the window is the only
+    data-sized shuffle and it rides the group key; groups are
+    independent so skew is bounded by the largest group.
+
+    Returns (group, n_early, n_late, ks_stat); groups with an empty
+    side report NULL ks_stat rather than a misleading 0.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    src = events.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("v"),
+        us.alias("us"),
+    )
+    bounds = src.groupBy("grp").agg(
+        F.min("us").alias("lo"), F.max("us").alias("hi")
+    )
+    # integer midpoint: lo + (hi - lo) DIV 2 — pure BIGINT arithmetic,
+    # replayed with // in the oracle
+    mid = F.col("lo") + F.floor(
+        (F.col("hi") - F.col("lo")) / F.lit(2)
+    ).cast("long")
+    tagged = src.join(F.broadcast(bounds), "grp").select(
+        "grp",
+        "v",
+        (F.col("us") <= mid).cast("int").alias("early"),
+    )
+    w_run = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("grp")
+    stepped = tagged.select(
+        "grp",
+        F.sum("early").over(w_run).alias("c1"),
+        F.sum(1 - F.col("early")).over(w_run).alias("c2"),
+        F.sum("early").over(w_all).alias("n1"),
+        F.sum(1 - F.col("early")).over(w_all).alias("n2"),
+    )
+    return (
+        stepped.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.max("n1").alias("n_early"),
+            F.max("n2").alias("n_late"),
+            # try_divide: an empty side yields NULL (matching DuckDB's
+            # NULL on float division by zero) instead of an ANSI raise —
+            # the honest answer for a one-sided group is "no statistic"
+            F.max(
+                F.abs(
+                    F.try_divide(F.col("c1"), F.col("n1"))
+                    - F.try_divide(F.col("c2"), F.col("n2"))
+                )
+            ).alias("_ks"),
+        )
+        .select(
+            group_col,
+            "n_early",
+            "n_late",
+            F.round("_ks", 6).alias("ks_stat"),
+        )
+    )

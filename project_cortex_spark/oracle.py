@@ -1583,6 +1583,43 @@ def pagerank_personalized_sql(
     """
 
 
+def ks_drift_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    """Noiseless twin of events.ks_drift: the same integer time-span
+    midpoint split, RANGE-frame running counts (ties included on both
+    sides), and sup of the CDF gap."""
+    return f"""
+    WITH src AS (
+      SELECT {group_col} AS grp, {value_col} AS v, epoch_us(ts) AS us
+      FROM {table}
+    ), bounds AS (
+      SELECT grp, min(us) AS lo, max(us) AS hi FROM src GROUP BY grp
+    ), tagged AS (
+      SELECT s.grp, s.v,
+             CASE WHEN s.us <= b.lo + (b.hi - b.lo) // 2
+                  THEN 1 ELSE 0 END AS early
+      FROM src s JOIN bounds b ON b.grp = s.grp
+    ), stepped AS (
+      SELECT grp,
+             sum(early) OVER (PARTITION BY grp ORDER BY v
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+             sum(1 - early) OVER (PARTITION BY grp ORDER BY v
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+             sum(early) OVER (PARTITION BY grp) AS n1,
+             sum(1 - early) OVER (PARTITION BY grp) AS n2
+      FROM tagged
+    )
+    SELECT grp AS {group_col},
+           CAST(max(n1) AS BIGINT) AS n_early,
+           CAST(max(n2) AS BIGINT) AS n_late,
+           round(max(abs(c1 * 1.0 / n1 - c2 * 1.0 / n2)), 6) AS ks_stat
+    FROM stepped GROUP BY grp
+    """
+
+
 def char_entropy_sql(table: str = "documents") -> str:
     """Noiseless twin of textstats.char_entropy (documents with empty
     text keep a zero row via the left join)."""

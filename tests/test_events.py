@@ -420,3 +420,34 @@ def test_throttle_caps_per_window_and_keeps_arrival_order(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.user_id, r.n_total, r.n_kept, r.n_saturated_windows) == (1, 7, 5, 1)
+
+
+def test_ks_drift_known_values(spark):
+    """Hand-computed two-sample KS: shifted uniform halves give
+    D = 0.5; identical halves give exactly 0 (RANGE frames absorb the
+    cross-half ties); a group with everything in one half reports NULL
+    rather than a fake 0."""
+    from datetime import datetime, timedelta
+
+    from project_cortex_spark.operators.events import ks_drift
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    # group a: early [1,2,3,4] (hours 0-3), late [3,4,5,6] (hours 20-23)
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0]):
+        rows.append(("a", v, t0 + timedelta(hours=i)))
+    for i, v in enumerate([3.0, 4.0, 5.0, 6.0]):
+        rows.append(("a", v, t0 + timedelta(hours=20 + i)))
+    # group b: identical halves -> D = 0
+    for i, v in enumerate([1.0, 5.0, 9.0]):
+        rows.append(("b", v, t0 + timedelta(hours=i)))
+        rows.append(("b", v, t0 + timedelta(hours=20 + i)))
+    # group c: single event -> late side empty -> NULL stat
+    rows.append(("c", 7.0, t0))
+    df = spark.createDataFrame(rows, "event_type string, value double, ts timestamp")
+    got = {r["event_type"]: r for r in ks_drift(df).collect()}
+    assert (got["a"]["n_early"], got["a"]["n_late"]) == (4, 4)
+    assert got["a"]["ks_stat"] == 0.5
+    assert got["b"]["ks_stat"] == 0.0
+    assert got["c"]["n_early"] == 1 and got["c"]["n_late"] == 0
+    assert got["c"]["ks_stat"] is None
