@@ -6268,6 +6268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # two-sample KS drift per type between the time-span halves — the
     # exact distribution-shift monitor (sup over every distinct value)
     out["events_ks_drift"] = lambda s, d: ev.ks_drift(_events(s, d))
+    # PSI over the same split: the bucketed log-ratio drift score (KS
+    # is sup-norm and tail-insensitive; PSI weights every bucket)
+    out["events_psi_drift"] = lambda s, d: ev.psi_drift(_events(s, d))
     # contract form: integer epoch-micros bounds + exact scaled-int sum —
     # hash-deterministic by construction (round-1's one red driver row was
     # this query's float-sum rounding drift)
@@ -7031,10 +7034,10 @@ _GATE_FIRST = [
     "dedup_containment",
     "graph_ppr",
     "events_ks_drift",
+    "events_psi_drift",
     # -- (i) oldest-evidence re-gates to fill the 50 --
     "dsl_tpch_q1",
     "dsl_tpch_q3",
-    "knn_topk",
 ]
 
 
@@ -7240,6 +7243,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_windowed_agg"] = oracle.windowed_agg_sql()
     out["events_ewma"] = oracle.ewma_sql()
     out["events_ks_drift"] = oracle.ks_drift_sql()
+    out["events_psi_drift"] = oracle.psi_drift_sql()
     out["events_sessionize"] = oracle.sessionize_contract_sql()
     out["events_props_extract"] = oracle.props_extract_sql()
     out["events_top_users"] = oracle.top_users_per_type_sql()

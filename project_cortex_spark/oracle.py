@@ -1620,6 +1620,54 @@ def ks_drift_sql(
     """
 
 
+def psi_drift_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    n_buckets: int = 10,
+) -> str:
+    """Noiseless twin of events.psi_drift: same midpoint split,
+    fixed-width bucket arithmetic, Laplace smoothing over OBSERVED
+    buckets, and log-ratio fold."""
+    k = n_buckets
+    return f"""
+    WITH src AS (
+      SELECT {group_col} AS grp, {value_col} AS v, epoch_us(ts) AS us
+      FROM {table}
+    ), bounds AS (
+      SELECT grp, min(us) AS lo, max(us) AS hi,
+             min(v) AS vlo, max(v) AS vhi
+      FROM src GROUP BY grp
+    ), tagged AS (
+      SELECT s.grp,
+             CASE WHEN b.vhi = b.vlo THEN 0
+                  ELSE least({k - 1}, CAST(floor(
+                    (s.v - b.vlo) / ((b.vhi - b.vlo) / {float(k)})
+                  ) AS INT)) END AS b,
+             CASE WHEN s.us <= b.lo + (b.hi - b.lo) // 2
+                  THEN 1 ELSE 0 END AS early
+      FROM src s JOIN bounds b ON b.grp = s.grp
+    ), cells AS (
+      SELECT grp, b, sum(early) AS ce, sum(1 - early) AS cl
+      FROM tagged GROUP BY grp, b
+    ), smoothed AS (
+      SELECT grp,
+             sum(ce) OVER (PARTITION BY grp) AS n1,
+             sum(cl) OVER (PARTITION BY grp) AS n2,
+             (ce + 0.5) AS se, (cl + 0.5) AS sl
+      FROM cells
+    )
+    SELECT grp AS {group_col},
+           CAST(max(n1) AS BIGINT) AS n_early,
+           CAST(max(n2) AS BIGINT) AS n_late,
+           round(sum(CASE WHEN n1 > 0 AND n2 > 0 THEN
+             (se / (n1 + {0.5 * k}) - sl / (n2 + {0.5 * k}))
+             * ln((se / (n1 + {0.5 * k})) / (sl / (n2 + {0.5 * k})))
+           END), 6) AS psi
+    FROM smoothed GROUP BY grp
+    """
+
+
 def char_entropy_sql(table: str = "documents") -> str:
     """Noiseless twin of textstats.char_entropy (documents with empty
     text keep a zero row via the left join)."""

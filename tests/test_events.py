@@ -451,3 +451,41 @@ def test_ks_drift_known_values(spark):
     assert got["b"]["ks_stat"] == 0.0
     assert got["c"]["n_early"] == 1 and got["c"]["n_late"] == 0
     assert got["c"]["ks_stat"] is None
+
+
+def test_psi_drift_known_values(spark):
+    """PSI conventions pinned: identical halves give exactly 0 (every
+    observed bucket's smoothed fractions match when n1 == n2); a gross
+    shift scores far above the 0.25 'shifted' rule of thumb; a
+    degenerate constant-value group collapses to bucket 0 and scores 0;
+    one-sided groups report NULL."""
+    import math
+    from datetime import datetime, timedelta
+
+    from project_cortex_spark.operators.events import psi_drift
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    # group a: early uniform low [0..9], late uniform high [90..99]
+    for i in range(10):
+        rows.append(("a", float(i), t0 + timedelta(hours=i % 4)))
+        rows.append(("a", 90.0 + i, t0 + timedelta(hours=20 + i % 4)))
+    # group b: identical halves
+    for i, v in enumerate([1.0, 2.0, 3.0]):
+        rows.append(("b", v, t0 + timedelta(hours=i)))
+        rows.append(("b", v, t0 + timedelta(hours=20 + i)))
+    # group c: constant value both halves
+    rows.append(("c", 5.0, t0))
+    rows.append(("c", 5.0, t0 + timedelta(hours=20)))
+    # group d: one-sided
+    rows.append(("d", 1.0, t0))
+    df = spark.createDataFrame(rows, "event_type string, value double, ts timestamp")
+    got = {r["event_type"]: r for r in psi_drift(df).collect()}
+    assert got["b"]["psi"] == 0.0
+    assert got["c"]["psi"] == 0.0
+    assert got["a"]["psi"] > 0.25  # gross shift
+    # hand-check group a: observed buckets 0 and 9, (10 vs 0) each way;
+    # pe0 = 10.5/15, pl0 = 0.5/15 and symmetric for bucket 9
+    expect = 2 * (10.5 / 15 - 0.5 / 15) * math.log(10.5 / 0.5)
+    assert abs(got["a"]["psi"] - round(expect, 6)) < 1e-9
+    assert got["d"]["psi"] is None
