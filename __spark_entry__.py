@@ -5960,6 +5960,22 @@ def _build_persisted_pq(spark, sf_dir, base):
     return idx
 
 
+def _pq_probe(spark, sf_dir, idx) -> DataFrame:
+    # shared ADC top-k over a persisted PQ index: disk-loaded codebooks
+    # + the accumulated code store — the one probe both PQ gates run
+    from project_cortex_spark.streaming import vec_index as stream_vec
+
+    return knn_mod.knn_join_pq(
+        _knn_queries(spark, sf_dir),
+        _registry(spark, sf_dir).table("embeddings"),
+        k=5,
+        n_subspaces=8,
+        n_codes=16,
+        codebooks=stream_vec.read_codebooks(spark, idx),
+        coded=stream_vec.read_pq_index(spark, idx),
+    )
+
+
 def _q_stream_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted-PQ streaming twin: codebooks written to the index ONCE,
     # each delivery encodes its vectors against the PERSISTED tensor,
@@ -5971,8 +5987,6 @@ def _q_stream_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from project_cortex_spark.streaming import vec_index as stream_vec
-
     scratch = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
     )
@@ -5980,16 +5994,7 @@ def _q_stream_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="pqidx_", dir=scratch)
     try:
         idx = _build_persisted_pq(spark, sf_dir, base)
-        out = knn_mod.knn_join_pq(
-            _knn_queries(spark, sf_dir),
-            _registry(spark, sf_dir).table("embeddings"),
-            k=5,
-            n_subspaces=8,
-            n_codes=16,
-            codebooks=stream_vec.read_codebooks(spark, idx),
-            coded=stream_vec.read_pq_index(spark, idx),
-        )
-        return out.localCheckpoint(eager=True)
+        return _pq_probe(spark, sf_dir, idx).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -6018,16 +6023,7 @@ def _q_knn_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, idx, n_subspaces=8, n_codes=16, iters=8, target_files=1
         )
         assert stats["files_after"] < stats["files_before"], stats
-        out = knn_mod.knn_join_pq(
-            _knn_queries(spark, sf_dir),
-            _registry(spark, sf_dir).table("embeddings"),
-            k=5,
-            n_subspaces=8,
-            n_codes=16,
-            codebooks=stream_vec.read_codebooks(spark, idx),
-            coded=stream_vec.read_pq_index(spark, idx),
-        )
-        return out.localCheckpoint(eager=True)
+        return _pq_probe(spark, sf_dir, idx).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

@@ -302,6 +302,71 @@ def minhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
+def _capped_shingles(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    max_df: int | None,
+    max_df_frac: float | None,
+    shingles_df: DataFrame | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """The shared front half of every exact pair join: resolve the
+    fractional df cap (effective cap = max(max_df, floor(frac *
+    n_docs)), the convention every oracle replays), apply the keep
+    filter to the (doc_id, sh) frame, and cache the capped universe.
+    ``shingles_df`` short-circuits the dominant explode when the caller
+    already holds it."""
+    if max_df_frac is not None:
+        if n_docs is None:
+            n_docs = docs.count()
+        max_df = max(max_df or 0, int(max_df_frac * n_docs))
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingle_frame(
+            docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+        )
+    )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh")
+    return sh.cache()
+
+
+def _cooccurrence_counts(sh: DataFrame) -> DataFrame:
+    """The shared back half: (x, y, common, nx, ny) for every unordered
+    pair x < y sharing >= 1 shingle in the (already capped, cached)
+    universe — one co-occurrence aggregate on the shingle key plus two
+    size joins. Jaccard, containment, and the dispatcher all project
+    their measure off this one frame, so a fix to the cap convention or
+    the join shape lands everywhere at once."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("x"), "sh")
+    b = sh.select(F.col("doc_id").alias("y"), "sh")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(
+            sizes.select(F.col("doc_id").alias("x"), F.col("n").alias("nx")),
+            "x",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("y"), F.col("n").alias("ny")),
+            "y",
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     *,
@@ -311,6 +376,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     max_df_frac: float | None = None,
+    shingles_df: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """(a, b, jaccard >= threshold) exact over all pairs sharing >=1
     shingle. The shared-shingle join prunes the quadratic pair space to
@@ -328,39 +395,29 @@ def ngram_jaccard_pairs(
     winnowing finding: 10x replication lifted every shared shingle over
     the fixed cap and the pair set collapsed). ``max_df_frac`` scales
     it: effective cap = max(max_df or 0, floor(frac * n_docs)) — one
-    bounded count() aggregate, replayed identically in the oracle."""
-    if max_df_frac is not None:
-        max_df = max(max_df or 0, int(max_df_frac * docs.count()))
-    sh = shingle_frame(
-        docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    bounded count() aggregate, replayed identically in the oracle.
+
+    ``shingles_df``/``n_docs`` let a caller (the auto dispatcher) hand
+    in the already-exploded shingle frame and corpus count so the
+    dominant explode is computed once, not per arm."""
+    sh = _capped_shingles(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        max_df=max_df,
+        max_df_frac=max_df_frac,
+        shingles_df=shingles_df,
+        n_docs=n_docs,
     )
-    if max_df is not None:
-        keep = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("sh")
-        )
-        sh = sh.join(keep, "sh")
-    sh = sh.cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("a"), "sh")
-    b = sh.select(F.col("doc_id").alias("b"), "sh")
-    common = (
-        a.join(b, "sh")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    common = _cooccurrence_counts(sh)
     return (
-        common.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
-        .select(
-            "a",
-            "b",
+        common.select(
+            F.col("x").alias("a"),
+            F.col("y").alias("b"),
             (
                 F.col("common").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("common"))
+                / (F.col("nx") + F.col("ny") - F.col("common"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -1387,6 +1444,7 @@ def ppjoin_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(a, b, jaccard >= threshold) EXACT — the same answer as
     :func:`ngram_jaccard_pairs` with no df cap — via prefix filtering
@@ -1426,8 +1484,12 @@ def ppjoin_pairs(
     the candidate set cannot shrink below the answer and ppjoin's
     df-join + prefix window + verify re-join are pure overhead.
     """
-    sh = shingle_frame(
-        docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingle_frame(
+            docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+        )
     ).cache()
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     wpos = Window.partitionBy("doc_id").orderBy("_df", "sh")
@@ -1497,6 +1559,8 @@ def similar_pairs_choice(
     max_df: int | None = 100,
     max_df_frac: float | None = 0.2,
     stop_mass_frac: float = 0.05,
+    shingles_df: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> str:
     """Cost-based arm selection for :func:`similar_pairs_auto` —
     ``"ppjoin"`` or ``"capped"`` — from ONE document-frequency
@@ -1522,10 +1586,15 @@ def similar_pairs_choice(
     measured 10x mistake in either direction. The DuckDB oracle replays
     the identical statistic, so the dispatch itself is gated.
     """
-    n_docs = docs.count()
+    if n_docs is None:
+        n_docs = docs.count()
     cap = max(max_df or 0, int((max_df_frac or 0.0) * n_docs))
-    sh = shingle_frame(
-        docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingle_frame(
+            docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+        )
     )
     row = (
         sh.groupBy("sh")
@@ -1561,7 +1630,16 @@ def similar_pairs_auto(
     :func:`ngram_jaccard_pairs` with the fractional df cap when df is
     bounded. See :func:`similar_pairs_choice` for the one-aggregate
     decision rule and its measured justification. On low-mass corpora
-    the two arms' outputs coincide wherever the cap does not bind."""
+    the two arms' outputs coincide wherever the cap does not bind.
+
+    The dominant shingle explode and the corpus count are computed ONCE
+    (cached) and threaded into both the decision and the chosen arm —
+    the dispatch adds one df aggregate over the shared frame, nothing
+    else."""
+    n_docs = docs.count()
+    sh = shingle_frame(
+        docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    ).cache()
     choice = similar_pairs_choice(
         docs,
         id_col=id_col,
@@ -1570,6 +1648,8 @@ def similar_pairs_auto(
         max_df=max_df,
         max_df_frac=max_df_frac,
         stop_mass_frac=stop_mass_frac,
+        shingles_df=sh,
+        n_docs=n_docs,
     )
     if choice == "ppjoin":
         return ppjoin_pairs(
@@ -1578,6 +1658,7 @@ def similar_pairs_auto(
             text_col=text_col,
             shingle_n=shingle_n,
             threshold=threshold,
+            shingles_df=sh,
         )
     return ngram_jaccard_pairs(
         docs,
@@ -1587,6 +1668,8 @@ def similar_pairs_auto(
         threshold=threshold,
         max_df=max_df,
         max_df_frac=max_df_frac,
+        shingles_df=sh,
+        n_docs=n_docs,
     )
 
 
@@ -1616,37 +1699,15 @@ def containment_pairs(
     the directed answer costs exactly the undirected join plus a 2x
     projection, never a second shuffle.
     """
-    if max_df_frac is not None:
-        max_df = max(max_df or 0, int(max_df_frac * docs.count()))
-    sh = shingle_frame(
-        docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    sh = _capped_shingles(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        max_df=max_df,
+        max_df_frac=max_df_frac,
     )
-    if max_df is not None:
-        keep = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("sh")
-        )
-        sh = sh.join(keep, "sh")
-    sh = sh.cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("x"), "sh")
-    b = sh.select(F.col("doc_id").alias("y"), "sh")
-    common = (
-        a.join(b, "sh")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("common"))
-        .join(
-            sizes.select(F.col("doc_id").alias("x"), F.col("n").alias("nx")),
-            "x",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("y"), F.col("n").alias("ny")),
-            "y",
-        )
-    )
+    common = _cooccurrence_counts(sh)
     fwd = common.select(
         F.col("x").alias("a"),
         F.col("y").alias("b"),

@@ -793,7 +793,10 @@ def ks_drift(
     side report NULL ks_stat rather than a misleading 0.
     """
     us = F.unix_micros(F.col(ts_col))
-    src = events.select(
+    # NULL values carry no CDF information and Spark/DuckDB disagree on
+    # their window sort position (NULLS FIRST vs LAST) — exclude them
+    # from the empirical CDF on both sides
+    src = events.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("grp"),
         F.col(value_col).alias("v"),
         us.alias("us"),
@@ -878,7 +881,8 @@ def psi_drift(
     NULL psi (no distribution to compare).
     """
     us = F.unix_micros(F.col(ts_col))
-    src = events.select(
+    # same NULL exclusion as ks_drift: a NULL value has no bucket
+    src = events.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("grp"),
         F.col(value_col).alias("v"),
         us.alias("us"),

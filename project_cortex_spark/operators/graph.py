@@ -1227,7 +1227,12 @@ def cycle_members(
     found = frontier.filter(F.col("node") == F.col("origin")).select(
         "origin", F.lit(1).alias("cycle_len")
     )
-    frontier = frontier.filter(F.col("node") != F.col("origin"))
+    # same close-out discipline as every later level: a self-loop
+    # origin's min is recorded — its other out-edges must not keep it
+    # expanding for max_len more rounds
+    frontier = frontier.filter(F.col("node") != F.col("origin")).join(
+        found.select("origin"), "origin", "left_anti"
+    )
     visited = frontier
     out = [found]
     for lvl in range(2, max_len + 1):
@@ -1313,7 +1318,12 @@ def cycle_paths(
     found = frontier.filter(F.col("node") == F.col("origin")).select(
         "origin", F.lit(1).alias("cycle_len"), "path"
     )
-    frontier = frontier.filter(F.col("node") != F.col("origin"))
+    # close level-1 origins out of the frontier like every later level
+    # does — a self-loop node with other out-edges must not keep
+    # expanding (its min is already recorded)
+    frontier = frontier.filter(F.col("node") != F.col("origin")).join(
+        found.select("origin"), "origin", "left_anti"
+    )
     visited = frontier.select("origin", "node")
     out = [found]
     for lvl in range(2, max_len + 1):

@@ -588,8 +588,14 @@ def moment_partials(
     is exact past 1e10 rows; callers with wider ranges should rescale
     or pass a tighter ``max_abs_value`` sized to their row count.
     """
-    ok = F.abs(F.col(value_col).cast("double")) <= F.lit(
-        float(max_abs_value)
+    # NULL values are transparent to the guard (coalesce -> true): SUM
+    # skips them exactly as the oracle's HUGEINT SUM does, and
+    # assert_true(NULL) would otherwise RAISE (with a NULL message)
+    # where both engines previously just excluded the row
+    ok = F.coalesce(
+        F.abs(F.col(value_col).cast("double"))
+        <= F.lit(float(max_abs_value)),
+        F.lit(True),
     )
     guard = F.assert_true(
         ok,

@@ -489,3 +489,23 @@ def test_psi_drift_known_values(spark):
     expect = 2 * (10.5 / 15 - 0.5 / 15) * math.log(10.5 / 0.5)
     assert abs(got["a"]["psi"] - round(expect, 6)) < 1e-9
     assert got["d"]["psi"] is None
+
+
+def test_ks_drift_ignores_null_values(spark):
+    """NULL values are excluded from the empirical CDF (Spark and
+    DuckDB disagree on NULL sort position, and a NULL carries no
+    distribution information)."""
+    from datetime import datetime, timedelta
+
+    from project_cortex_spark.operators.events import ks_drift
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    for i, v in enumerate([1.0, 2.0, None, 3.0, 4.0]):
+        rows.append(("a", v, t0 + timedelta(hours=i % 4)))
+    for i, v in enumerate([None, 3.0, 4.0, 5.0, 6.0]):
+        rows.append(("a", v, t0 + timedelta(hours=20 + i % 4)))
+    df = spark.createDataFrame(rows, "event_type string, value double, ts timestamp")
+    got = ks_drift(df).collect()[0]
+    assert (got["n_early"], got["n_late"]) == (4, 4)
+    assert got["ks_stat"] == 0.5  # same halves as the known-values test

@@ -1039,3 +1039,24 @@ def test_pagerank_personalized_properties(spark):
     ghost = spark.createDataFrame([(99,)], ["node"])
     with _pytest.raises(ValueError, match="no seed"):
         pagerank_personalized(edges, ghost, iters=2)
+
+
+def test_cycle_selfloop_with_out_edges_closes_at_level_one(spark):
+    """A self-loop origin that also has other out-edges closes at
+    level 1 and leaves the frontier (the same anti-join discipline as
+    every later level) — its longer walks must not resurface."""
+    from project_cortex_spark.operators.graph import cycle_members, cycle_paths
+
+    edges = spark.createDataFrame(
+        [("x", "x"), ("x", "y"), ("y", "x")], ["src", "dst"]
+    )
+    members = {
+        r["node"]: r["cycle_len"]
+        for r in cycle_members(edges, max_len=6).collect()
+    }
+    assert members == {"x": 1, "y": 2}
+    paths = {
+        r["node"]: (r["cycle_len"], r["path"])
+        for r in cycle_paths(edges, max_len=6).collect()
+    }
+    assert paths == {"x": (1, "x>x"), "y": (2, "y>x>y")}

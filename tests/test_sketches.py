@@ -354,3 +354,14 @@ def test_moment_partials_out_of_range_raises(spark):
     )
     with pytest.raises(Exception, match="moment_partials"):
         sk.moment_partials(bad).collect()
+
+
+def test_moment_partials_null_values_skipped(spark):
+    """NULL values stay transparent (SUM semantics, matching the
+    oracle) — the out-of-range guard must not fire on them."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0)], "event_type string, value double"
+    )
+    row = sk.moment_partials(df).collect()[0]
+    assert row["n"] == 3  # count(1) counts the row; sums skip the NULL
+    assert row["s1"] == 40000  # (1.0 + 3.0) * 1e4
