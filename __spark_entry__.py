@@ -6975,6 +6975,12 @@ _GATE_FIRST = [
     # this round every registered query has a driver row and the
     # pass*/pass(rN) distinction collapses.
     #
+    # R9 ledger note: after the r8 gate runs, the never-gated ledger is
+    # EMPTY — all 271 registered queries have a driver row (the 8 r8
+    # registrations sit inside this head). The r9 head is therefore
+    # pure rotation: new r9 registrations first (keep ≤ the gate's
+    # absorption), then re-gate the oldest driver evidence.
+    #
     # -- (a) the 11 TPC-H completions (dsl compiler family) --
     "agg_tpch_q2_shape",
     "agg_tpch_q7_shape",
