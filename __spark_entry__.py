@@ -2225,6 +2225,16 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_clusters(pairs.select("a", "b"))
 
 
+def _q_corpus_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LEAKAGE-SAFE split: near-dup clusters (the gated minhash pair +
+    # component machinery) assign as a unit — twins can never straddle
+    # train/val. The oracle replays the closure + rep hash end-to-end.
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_near_duplicates(docs, threshold=0.5)
+    clusters = dd.duplicate_clusters(pairs.select("a", "b"))
+    return corpus_mod.cluster_split(docs, clusters)
+
+
 def _q_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the end-user dedup API composed end-to-end: near-dup pairs ->
     # connected components -> drop every non-canonical member; output
@@ -6215,6 +6225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_embedding_lsh"] = _q_dedup_embedding_lsh
     out["dedup_embedding_ivf"] = _q_dedup_embedding_ivf
     out["corpus_split"] = _q_corpus_split
+    out["corpus_cluster_split"] = _q_corpus_cluster_split
     out["corpus_mix"] = _q_corpus_mix
     out["corpus_decontaminate"] = _q_corpus_decontaminate
     # end-to-end curation composite: every stage is an existing gated
@@ -7037,9 +7048,9 @@ _GATE_FIRST = [
     "graph_ppr",
     "events_ks_drift",
     "events_psi_drift",
-    # -- (i) oldest-evidence re-gates to fill the 50 --
+    "corpus_cluster_split",
+    # -- (i) oldest-evidence re-gate to fill the 50 --
     "dsl_tpch_q1",
-    "dsl_tpch_q3",
 ]
 
 
@@ -7238,6 +7249,9 @@ def oracle_sql() -> dict[str, str]:
     )
     out["dedup_embedding_cosine"] = oracle.embedding_near_duplicates_sql(threshold=0.7)
     out["corpus_split"] = oracle.hash_split_sql()
+    out["corpus_cluster_split"] = oracle.cluster_split_sql(
+        oracle.minhash_near_duplicates_sql(threshold=0.5)
+    )
     out["corpus_mix"] = oracle.weighted_mix_sql(_MIX_KEEP)
     out["corpus_decontaminate"] = oracle.decontaminate_sql(
         bench_filter="doc_id % 97 = 0", ngram=8

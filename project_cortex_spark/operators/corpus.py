@@ -55,8 +55,17 @@ def hash_split(
     added or removed.
     """
     fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    return docs.withColumn(
+        "split", _split_expr(F.col(id_col), fractions, salt)
+    )
+
+
+def _split_expr(key: Column, fractions: dict[str, float], salt: str) -> Column:
+    """The shared bucket→split CASE: hash the key, walk the cumulative
+    fraction bounds. hash_split applies it to the document id,
+    cluster_split to the cluster representative."""
     total = sum(fractions.values())
-    bucket = _hash_bucket(F.col(id_col), salt=salt)
+    bucket = _hash_bucket(key, salt=salt)
     expr = None
     acc = 0.0
     for name, frac in fractions.items():
@@ -64,7 +73,50 @@ def hash_split(
         bound = int(round(acc / total * 10_000))
         cond = bucket < bound
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    return docs.withColumn("split", expr)
+    return expr
+
+
+def cluster_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: every member of a
+    near-duplicate cluster lands in the SAME split, because the split
+    hashes the cluster REPRESENTATIVE (the component's minimum doc id;
+    a singleton represents itself) instead of the document. Per-doc
+    :func:`hash_split` lets near-dup twins straddle train and val — the
+    classic eval-contamination channel exact decontamination misses
+    (the duplicate is near, not exact); splitting by cluster closes it.
+
+    ``clusters`` is (doc_id, cluster_id) from
+    ``dedup.duplicate_clusters`` (or the star-alternation CC — same
+    contract). Returns (doc_id, rep, split). Assignment is stable
+    under corpus growth exactly when cluster membership is: a new
+    near-dup joins its twin's split; unrelated additions change
+    nothing. One broadcast-able left join (the cluster frame is the
+    near-dup subset, small relative to the corpus) plus the same
+    per-row hash CASE as hash_split — no extra shuffle at 100 TB.
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    rep = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(
+            clusters.select("doc_id", "cluster_id"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("rep"),
+        )
+    )
+    return rep.select(
+        "doc_id", "rep", _split_expr(F.col("rep"), fractions, salt).alias("split")
+    )
 
 
 def weighted_mix(

@@ -2096,6 +2096,38 @@ def hash_split_sql(
     """
 
 
+def cluster_split_sql(
+    pairs_sql: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.98), ("val", 0.01), ("test", 0.01),
+    ),
+    salt: str = "split",
+) -> str:
+    """Mirror of corpus.cluster_split: the duplicate_clusters closure
+    over ``pairs_sql``, representative = coalesce(cluster_id, doc_id),
+    then the same bucket CASE as hash_split_sql applied to the rep."""
+    total = sum(f for _, f in fractions)
+    acc, cases = 0.0, []
+    for name, frac in fractions:
+        acc += frac
+        cases.append(
+            f"WHEN bkt < {int(round(acc / total * 10_000))} THEN '{name}'"
+        )
+    clusters = duplicate_clusters_sql(pairs_sql)
+    return f"""
+    WITH clusters AS ({clusters}),
+    rep AS (
+      SELECT d.{id_col} AS doc_id,
+             coalesce(c.cluster_id, d.{id_col}) AS rep
+      FROM {table} d LEFT JOIN clusters c ON c.doc_id = d.{id_col}
+    )
+    SELECT doc_id, rep, CASE {' '.join(cases)} END AS split
+    FROM (SELECT doc_id, rep, {_bucket_sql('rep', salt)} AS bkt FROM rep)
+    """
+
+
 def weighted_mix_sql(
     keep_fractions: tuple[tuple[str, float], ...],
     table: str = "documents",

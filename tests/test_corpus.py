@@ -355,3 +355,40 @@ def test_length_buckets_capacities_and_waste(spark):
     assert abs(rows[16]["fill_ratio"] - 9 / 16) < 1e-9
     # zero-length docs are dropped, not bucketed
     assert sum(r["n_docs"] for r in rows.values()) == 7
+
+
+def test_cluster_split_no_leakage_and_singleton_parity(spark):
+    """The leakage contract: every near-dup pair's two docs land in the
+    SAME split; singletons get exactly the split hash_split would give
+    them (rep == own id, same salt)."""
+    from project_cortex_spark.operators import corpus as corpus_mod
+    from project_cortex_spark.operators import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog "
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, base + f"uniq{i} alpha beta gamma delta"))
+        rows.append((2 * i + 1, base + f"uniq{i} alpha beta gamma epsilon"))
+    for i in range(80, 120):  # singletons: all-unique text
+        rows.append((i + 1000, " ".join(f"s{i}w{j}" for j in range(12))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    clusters = dd.duplicate_clusters(pairs.select("a", "b"))
+    out = corpus_mod.cluster_split(docs, clusters)
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(split_of) == docs.count()
+    for p in pairs.collect():
+        assert split_of[p["a"]] == split_of[p["b"]], (p["a"], p["b"])
+    singles = {r["doc_id"]: r["split"] for r in out.filter(
+        F.col("doc_id") == F.col("rep")).collect()}
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in corpus_mod.hash_split(docs).collect()
+    }
+    for d, s in singles.items():
+        # a doc that represents itself hashes identically either way
+        assert plain[d] == s
+    # the per-doc split DOES leak on this corpus (sanity that the
+    # operator exists for a reason): some near-dup pair straddles
+    leaks = [p for p in pairs.collect() if plain[p["a"]] != plain[p["b"]]]
+    assert leaks or len(set(plain.values())) == 1
