@@ -89,7 +89,12 @@ PICKS = {
     "graph_connected_components": "large-star/small-star CC: each half-round is ONE window over the edge frame's own shuffle key (no agg+join), frame CONTRACTS per round, lineage cut per round; converges in O(log^2 n) rounds on any topology (chain A/B in SCALE.md)",
     "corpus_cluster_balance": "topic balancing: bounded-sample trainer, Arrow-batched argmax assignment (tiny centroid matrix in the UDF closure), ONE window shuffle on cluster_id for the quota",
     "graph_cycle_paths": "cycle paths: same level-synchronous BFS shape as cycle_members with distinct() replaced by a min(path) aggregate on the frontier's own (origin, node) key — per level one join + one aggregate, rows widened only by a <= max_len-id string; plan shows the final checkpointed level (lineage cut per level by design)",
-    "dedup_pairs_auto": "cost-based pair-join dispatch: the df-histogram decision (one scan-shaped aggregate) runs at plan-build time; the physical plan IS the chosen arm's — on this corpus the fractional-cap co-occurrence join (kept-shingle semi-join, co-occurrence agg on the shingle key, size join)",
+    "dedup_pairs_auto": "cost-based pair-join dispatch: the df-histogram decision (one scan-shaped aggregate) runs at plan-build time; the physical plan IS the chosen arm's — on this corpus the fractional-cap co-occurrence join (kept-shingle semi-join, co-occurrence agg on the shingle key, size join) over ONE cached shingle explode shared with the decision",
+    "dedup_containment": "directed containment: the SAME capped co-occurrence core as the jaccard join (shared _cooccurrence_counts), both directions projected from one unordered pair row — the directed answer adds a 2x projection, never a second shuffle",
+    "graph_ppr": "personalized pagerank: pagerank's stationary-edge/broadcast-rank shape with a static |V|-row teleport frame left-joined per step; plan shows the final checkpointed step (lineage cut per step by design)",
+    "events_ks_drift": "exact two-sample KS: one bounds aggregate broadcast back, ONE window pass with RANGE frames (ties step both CDFs together), sup in the same aggregate — the window's (group) key is the only data-sized exchange",
+    "events_psi_drift": "PSI drift: bucket index is pure per-row arithmetic off a broadcast bounds row — one count aggregate on (group, bucket, side), then a k-rows-per-group fold; nothing after the scan is data-sized",
+    "corpus_cluster_split": "leakage-safe split: near-dup cluster frame (small) broadcast-left-joined onto the corpus ids, split = per-row hash CASE on the representative — no extra shuffle vs the per-doc split",
 }
 
 
