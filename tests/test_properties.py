@@ -1468,3 +1468,132 @@ def test_scc_matches_tarjan(spark, edges):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["node"]: r["scc_id"] for r in scc(df, max_rounds=60).collect()}
     assert got == _tarjan_scc(edges)
+
+
+def _brute_min_cycle_paths(
+    edges: list[tuple[int, int]], max_len: int
+) -> dict:
+    """Full walk enumeration: for each origin with a cycle of length
+    L <= max_len (L from _brute_min_cycles), the lexicographically
+    smallest '>'-joined closed walk string of length exactly L —
+    the operator's documented canon, computed with zero pruning."""
+    mins = _brute_min_cycles(edges, max_len)
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    out = {}
+    for o, L in mins.items():
+        best = None
+
+        def walk(node, depth, path):
+            nonlocal best
+            if depth == L:
+                if node == o:
+                    s = ">".join(str(x) for x in path)
+                    if best is None or s < best:
+                        best = s
+                return
+            for nxt in adj.get(node, ()):
+                walk(nxt, depth + 1, path + [nxt])
+
+        walk(o, 0, [o])
+        out[o] = (L, best)
+    return out
+
+
+@COMMON
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    st.integers(1, 4),
+)
+def test_cycle_paths_matches_bruteforce(spark, edges, max_len):
+    """cycle_paths' per-level min(path) + visited pruning must equal
+    the unpruned full-enumeration canon (smallest minimal-length closed
+    walk string) on arbitrary small digraphs — the composition argument
+    in the docstring, checked mechanically."""
+    from project_cortex_spark.operators.graph import cycle_paths
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: (r["cycle_len"], r["path"])
+        for r in cycle_paths(df, max_len=max_len).collect()
+    }
+    assert got == _brute_min_cycle_paths(edges, max_len)
+
+
+@COMMON
+@given(
+    st.lists(st.floats(-100, 100, allow_nan=False), min_size=2, max_size=20),
+    st.lists(st.floats(-100, 100, allow_nan=False), min_size=2, max_size=20),
+)
+def test_ks_drift_matches_bruteforce(spark, early, late):
+    """ks_drift's RANGE-frame sup equals the textbook two-sample KS
+    computed in python over the same halves (ties included on both
+    sides)."""
+    from datetime import datetime, timedelta
+
+    from project_cortex_spark.operators.events import ks_drift
+
+    t0 = datetime(2026, 1, 1)
+    rows = [("g", float(v), t0 + timedelta(seconds=i)) for i, v in enumerate(early)]
+    rows += [
+        ("g", float(v), t0 + timedelta(hours=10, seconds=i))
+        for i, v in enumerate(late)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, value double, ts timestamp"
+    )
+    got = ks_drift(df).collect()[0]
+    n1, n2 = len(early), len(late)
+    xs = sorted(set(early) | set(late))
+    want = max(
+        abs(
+            sum(1 for v in early if v <= x) / n1
+            - sum(1 for v in late if v <= x) / n2
+        )
+        for x in xs
+    )
+    assert (got["n_early"], got["n_late"]) == (n1, n2)
+    assert got["ks_stat"] == round(want, 6)
+
+
+@COMMON
+@given(
+    st.lists(
+        st.lists(st.integers(0, 15), min_size=5, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_containment_matches_bruteforce(spark, word_lists):
+    """containment_pairs equals exact set containment over the same
+    3-shingle universe (no df cap) on random small corpora."""
+    from project_cortex_spark.operators.dedup import containment_pairs
+
+    docs = [(i, " ".join(f"w{w}" for w in ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["a"], r["b"]): round(r["containment"], 9)
+        for r in containment_pairs(df, threshold=0.3).collect()
+    }
+    shingles = {
+        i: {
+            tuple(f"w{w}" for w in ws[j : j + 3])
+            for j in range(len(ws) - 2)
+        }
+        for i, ws in enumerate(word_lists)
+    }
+    want = {}
+    for a, sa in shingles.items():
+        for b, sb in shingles.items():
+            if a == b or not sa:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= 0.3:
+                want[(a, b)] = round(c, 9)
+    assert got == want
