@@ -795,8 +795,13 @@ def ks_drift(
     us = F.unix_micros(F.col(ts_col))
     # NULL values carry no CDF information and Spark/DuckDB disagree on
     # their window sort position (NULLS FIRST vs LAST) — exclude them
-    # from the empirical CDF on both sides
-    src = events.filter(F.col(value_col).isNotNull()).select(
+    # from the empirical CDF on both sides. NULL timestamps get the
+    # same treatment: (us <= mid) is NULL in Spark (row silently
+    # dropped from both halves) but the oracle's CASE sends it LATE —
+    # the only consistent convention is exclusion on both engines.
+    src = events.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
         F.col(group_col).alias("grp"),
         F.col(value_col).alias("v"),
         us.alias("us"),
@@ -804,11 +809,10 @@ def ks_drift(
     bounds = src.groupBy("grp").agg(
         F.min("us").alias("lo"), F.max("us").alias("hi")
     )
-    # integer midpoint: lo + (hi - lo) DIV 2 — pure BIGINT arithmetic,
-    # replayed with // in the oracle
-    mid = F.col("lo") + F.floor(
-        (F.col("hi") - F.col("lo")) / F.lit(2)
-    ).cast("long")
+    # integer midpoint: lo + (hi - lo) DIV 2 — true BIGINT division
+    # (not float-divide-then-floor, which only matches // while the
+    # span is < 2^53 us), literally replaying the oracle's //
+    mid = F.col("lo") + F.expr("(hi - lo) div 2")
     tagged = src.join(F.broadcast(bounds), "grp").select(
         "grp",
         "v",
@@ -881,8 +885,11 @@ def psi_drift(
     NULL psi (no distribution to compare).
     """
     us = F.unix_micros(F.col(ts_col))
-    # same NULL exclusion as ks_drift: a NULL value has no bucket
-    src = events.filter(F.col(value_col).isNotNull()).select(
+    # same NULL exclusion as ks_drift: a NULL value has no bucket and
+    # a NULL timestamp has no side
+    src = events.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
         F.col(group_col).alias("grp"),
         F.col(value_col).alias("v"),
         us.alias("us"),
@@ -893,9 +900,7 @@ def psi_drift(
         F.min("v").alias("vlo"),
         F.max("v").alias("vhi"),
     )
-    mid = F.col("lo") + F.floor(
-        (F.col("hi") - F.col("lo")) / F.lit(2)
-    ).cast("long")
+    mid = F.col("lo") + F.expr("(hi - lo) div 2")
     # bucket = min(k-1, floor((v - vlo) / width)); degenerate ranges
     # (vhi == vlo) collapse to bucket 0
     width = (F.col("vhi") - F.col("vlo")) / F.lit(float(n_buckets))

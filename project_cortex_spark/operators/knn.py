@@ -672,6 +672,15 @@ def knn_join_pq(
     """
     from pyspark.sql.functions import pandas_udf
 
+    if coded is not None and codebooks is None:
+        # pre-encoded codes are only meaningful against the books they
+        # were encoded with; training fresh books here would gather ADC
+        # distances from a table the codes never saw — plausible but
+        # wrong top-k, so refuse instead
+        raise ValueError(
+            "knn_join_pq: `coded` requires the `codebooks` those codes "
+            "were encoded with"
+        )
     if codebooks is None:
         codebooks = train_pq_codebooks(
             corpus,

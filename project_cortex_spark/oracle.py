@@ -1594,7 +1594,7 @@ def ks_drift_sql(
     return f"""
     WITH src AS (
       SELECT {group_col} AS grp, {value_col} AS v, epoch_us(ts) AS us
-      FROM {table} WHERE {value_col} IS NOT NULL
+      FROM {table} WHERE {value_col} IS NOT NULL AND ts IS NOT NULL
     ), bounds AS (
       SELECT grp, min(us) AS lo, max(us) AS hi FROM src GROUP BY grp
     ), tagged AS (
@@ -1633,7 +1633,7 @@ def psi_drift_sql(
     return f"""
     WITH src AS (
       SELECT {group_col} AS grp, {value_col} AS v, epoch_us(ts) AS us
-      FROM {table} WHERE {value_col} IS NOT NULL
+      FROM {table} WHERE {value_col} IS NOT NULL AND ts IS NOT NULL
     ), bounds AS (
       SELECT grp, min(us) AS lo, max(us) AS hi,
              min(v) AS vlo, max(v) AS vhi

@@ -235,13 +235,29 @@ def continuous_pq_index(
     )
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        knn_mod.pq_encode(batch, books, vec_col=vec_col).write.mode(
-            "append"
-        ).parquet(os.path.join(index_dir, "codes", f"batch={batch_id}"))
+        pq_encode_batch(batch, books, index_dir, batch_id, vec_col=vec_col)
 
     return watch_and_index(
         spark, input_glob, schema, upsert, checkpoint_dir=checkpoint_dir
     )
+
+
+def pq_encode_batch(
+    batch: DataFrame,
+    books,
+    index_dir: str,
+    batch_id: int,
+    *,
+    vec_col: str = "embedding",
+) -> None:
+    """One delivery's encode-and-write. Overwrite, not append: a batch
+    retried after a partial failure replays into the SAME
+    batch_id-keyed directory, so overwrite makes the sink idempotent
+    (append would duplicate vec_ids, skewing both the ADC probe and
+    the retrain sample)."""
+    knn_mod.pq_encode(batch, books, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "codes", f"batch={batch_id}"))
 
 
 def read_pq_index(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -509,3 +509,56 @@ def test_ks_drift_ignores_null_values(spark):
     got = ks_drift(df).collect()[0]
     assert (got["n_early"], got["n_late"]) == (4, 4)
     assert got["ks_stat"] == 0.5  # same halves as the known-values test
+
+
+def test_drift_ignores_null_timestamps(spark):
+    """ADVICE r8 (medium): a NULL timestamp has no side — Spark's
+    (us <= mid) is NULL (row silently dropped from both halves) while
+    a CASE WHEN oracle would send it LATE. Both drift monitors must
+    EXCLUDE NULL-ts rows, matching their oracles' explicit
+    ts IS NOT NULL filter: output with NULL-ts rows present equals
+    output with them absent, on every column including the counts."""
+    from datetime import datetime, timedelta
+
+    from project_cortex_spark.operators.events import ks_drift, psi_drift
+
+    t0 = datetime(2026, 1, 1)
+    clean = []
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0]):
+        clean.append(("a", v, t0 + timedelta(hours=i)))
+    for i, v in enumerate([3.0, 4.0, 5.0, 6.0]):
+        clean.append(("a", v, t0 + timedelta(hours=20 + i)))
+    noisy = clean + [("a", 100.0, None), ("a", -100.0, None)]
+    schema = "event_type string, value double, ts timestamp"
+    df_clean = spark.createDataFrame(clean, schema)
+    df_noisy = spark.createDataFrame(noisy, schema)
+    for op in (ks_drift, psi_drift):
+        a = [tuple(r) for r in op(df_clean).collect()]
+        b = [tuple(r) for r in op(df_noisy).collect()]
+        assert a == b, op.__name__
+    got = ks_drift(df_noisy).collect()[0]
+    assert (got["n_early"], got["n_late"]) == (4, 4)
+
+
+def test_drift_midpoint_is_integer_division(spark):
+    """ADVICE r8 (low): the midpoint must be true BIGINT division
+    (replaying the oracle's //), not float-divide-then-floor. With an
+    odd 3-microsecond span, mid = lo + 1: the row AT lo+1 is EARLY.
+    (Float division also lands early here; this pins the semantics so
+    a regression to float arithmetic at >2^53-us spans has a guard to
+    trip when the expression changes.)"""
+    from datetime import datetime, timedelta
+
+    from project_cortex_spark.operators.events import ks_drift
+
+    t0 = datetime(2026, 1, 1)
+    us = timedelta(microseconds=1)
+    rows = [
+        ("a", 1.0, t0),
+        ("a", 2.0, t0 + 1 * us),  # == mid -> early
+        ("a", 3.0, t0 + 2 * us),
+        ("a", 4.0, t0 + 3 * us),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double, ts timestamp")
+    got = ks_drift(df).collect()[0]
+    assert (got["n_early"], got["n_late"]) == (2, 2)

@@ -187,6 +187,26 @@ def test_pq_codeword_vectors_rank_exactly(spark):
     assert all(r["adc_dist"] == 0.0 for r in got)
 
 
+def test_knn_join_pq_rejects_coded_without_codebooks(spark, registry):
+    """ADVICE r8 (low): pre-encoded codes are only meaningful against
+    the books they were encoded with; passing coded without codebooks
+    would train FRESH books and gather ADC distances from a table the
+    codes never saw — plausible but wrong top-k. The API must refuse."""
+    import pytest
+
+    emb = registry.table("embeddings").limit(32)
+    books = knn.train_pq_codebooks(emb, n_subspaces=4, n_codes=4)
+    coded = knn.pq_encode(emb, books).select("vec_id", "pq_codes")
+    q = spark.createDataFrame(
+        emb.limit(1).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ).collect()
+    )
+    with pytest.raises(ValueError, match="codebooks"):
+        knn.knn_join_pq(q, emb, k=1, coded=coded)
+
+
 def test_pq_recall_floor(registry):
     """Measured contract: m=8/64-code PQ on the (near-random, worst-case)
     synthetic embeddings keeps recall@5 well above chance (5/500 = 1%)."""

@@ -1092,6 +1092,39 @@ def test_persisted_pq_index_lifecycle(spark, registry, tmp_path):
     assert after == before and len(after) == n_vecs
 
 
+def test_pq_batch_replay_is_idempotent(spark, registry, tmp_path):
+    """ADVICE r8 (low): a delivery retried after a partial failure
+    (crash after the store write, before checkpoint commit) re-runs
+    with the SAME batch_id; the batch_id-keyed overwrite must leave the
+    store byte-identical instead of duplicating vec_ids (which would
+    skew both the ADC probe and the retrain sample)."""
+    from project_cortex_spark.operators import knn as knn_mod
+    from project_cortex_spark.streaming import vec_index
+
+    emb = registry.table("embeddings").limit(64)
+    books = knn_mod.train_pq_codebooks_ordered(
+        emb, id_col="vec_id", vec_col="embedding", n_subspaces=4,
+        n_codes=4, iters=2,
+    )
+    idx = str(tmp_path / "idx")
+    vec_index.write_codebooks(spark, books, idx)
+    vec_index.pq_encode_batch(emb, books, idx, 0)
+    first = sorted(
+        (r.vec_id, tuple(r.pq_codes))
+        for r in vec_index.read_pq_index(spark, idx)
+        .select("vec_id", "pq_codes")
+        .collect()
+    )
+    vec_index.pq_encode_batch(emb, books, idx, 0)  # the replay
+    second = sorted(
+        (r.vec_id, tuple(r.pq_codes))
+        for r in vec_index.read_pq_index(spark, idx)
+        .select("vec_id", "pq_codes")
+        .collect()
+    )
+    assert first == second and len(first) == 64
+
+
 def test_persisted_pq_rebuild_heals_crashed_swap(spark, registry, tmp_path):
     """A crash inside retrain_pq_and_swap's two-rename window leaves
     only <idx>__bak; the next rebuild must heal it (recover_store) and
