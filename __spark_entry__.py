@@ -2077,6 +2077,24 @@ def _q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("score", F.round("score", 6))
 
 
+def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup (Abbas et al. 2023): cluster-then-PRUNE — unlike the
+    # pair-emitting dedup_embedding_ivf this returns the per-document
+    # decision frame (keep = not duplicated by a lower-centroid-sim
+    # member of the same salt cell). Replayable-trainer centroids make
+    # rank, salt split, and prune set deterministic, so the whole frame
+    # hash-gates via oracle.semdedup_oracle_sql (threshold=0.7,
+    # n_centroids=16, iters=8, max_cluster=20 pinned THERE; the 20-cap
+    # exercises the oversize-cluster salting on the 500-row fixture).
+    emb = _registry(spark, sf_dir).table("embeddings")
+    cents = knn_mod.train_centroids_ordered(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=16, iters=8
+    )
+    return dd.semdedup(
+        emb, threshold=0.7, centroids=cents, max_cluster=20
+    )
+
+
 _MIX_KEEP = (("src0", 0.5), ("src1", 0.25))
 
 
@@ -6224,6 +6242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_embedding_cosine"] = _q_dedup_embedding
     out["dedup_embedding_lsh"] = _q_dedup_embedding_lsh
     out["dedup_embedding_ivf"] = _q_dedup_embedding_ivf
+    out["dedup_semantic"] = _q_dedup_semantic
     out["corpus_split"] = _q_corpus_split
     out["corpus_cluster_split"] = _q_corpus_cluster_split
     out["corpus_mix"] = _q_corpus_mix
@@ -7138,6 +7157,12 @@ def oracle_sql() -> dict[str, str]:
         )
         out["dedup_embedding_ivf"] = oracle.dedup_embedding_ivf_oracle_sql(
             threshold=0.7, n_centroids=16, iters=8
+        )
+        # r9 (VERDICT r8 item 2): SemDeDup — the full per-document
+        # keep/prune decision frame, replayed from the same
+        # deterministic centroids
+        out["dedup_semantic"] = oracle.semdedup_oracle_sql(
+            threshold=0.7, n_centroids=16, iters=8, max_cluster=20
         )
         # r8 (VERDICT r7 item 5): persisted-PQ lifecycle, same contract
         # as the IVF pair above — incremental encode against

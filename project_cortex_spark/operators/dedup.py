@@ -946,6 +946,138 @@ def embedding_near_duplicates_ivf(
     )
 
 
+def semdedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    seed: int = 42,
+    centroids=None,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: data-efficient learning
+    at web-scale through semantic deduplication"): k-means-cluster the
+    embeddings, then within each cluster prune every document that is
+    semantically duplicated by a HIGHER-PRIORITY one, where priority is
+    distance from the centroid — the kept representative of each
+    duplicate group is the example with the LOWEST cosine similarity to
+    its cluster centroid (the paper's keep rule: boundary examples
+    carry more training signal than the cluster's dense core).
+
+    Concretely: rank each cluster's members by (centroid_sim ASC,
+    doc_id ASC); a document is pruned iff some LOWER-RANKED member of
+    its cell scores ``>= threshold`` against it under the reference
+    similarity ``1 - (1 - cos)/2``. Rank 1 (the farthest-out member)
+    can never be pruned.
+
+    Scale posture — bucketed, never all-pairs: pairs are generated only
+    within a cluster via a self-equi-join keyed on cluster_id, and
+    ``max_cluster`` SALTS oversized clusters into ceil(n/max_cluster)
+    hash cells (``doc_id % n_sub``) so no cell exceeds ~``max_cluster``
+    members in expectation — the same hot-bucket discipline as the
+    banded LSH joins. Honest recall tradeoff: a duplicate pair split
+    across salt cells is missed; the split is deterministic, so the
+    oracle replays it and the output is hash-gated, not rows-only.
+    Grow ``n_centroids`` linearly with corpus size (the paper uses 50k
+    clusters at web scale) and keep the salt as the guard rail.
+
+    Returns one row PER DOCUMENT: (doc_id, cluster_id, centroid_sim,
+    rank, keep) — the decision frame a corpus pipeline joins back to
+    the documents (keep=true survivors feed training; the pruned rows
+    carry their cluster for audit).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from .knn import train_centroids
+
+    cent = (
+        centroids
+        if centroids is not None
+        else train_centroids(
+            emb, vec_col=vec_col, n_centroids=n_centroids, seed=seed
+        )
+    )
+
+    @pandas_udf("struct<cluster_id:int, centroid_sim:double>")
+    def nearest(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.array(list(vecs), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.clip(norms, 1e-12, None)
+        sims = mat @ cent.T  # centroids are unit-norm: dot == cosine
+        cid = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                "cluster_id": cid.astype("int32"),
+                "centroid_sim": sims[np.arange(len(cid)), cid],
+            }
+        )
+
+    assigned = emb.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("v"),
+        nearest(F.col(vec_col)).alias("_a"),
+    ).select(
+        "doc_id",
+        "v",
+        F.col("_a.cluster_id").alias("cluster_id"),
+        F.col("_a.centroid_sim").alias("csim"),
+    )
+    if max_cluster is not None:
+        # ceil(n_c / cap) salt cells per cluster; BIGINT/INT division is
+        # true float division on both engines, so ceil replays exactly
+        n_sub = F.ceil(
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+            / F.lit(max_cluster)
+        )
+        assigned = assigned.withColumn(
+            "salt", F.pmod(F.col("doc_id"), n_sub).cast("int")
+        )
+    else:
+        assigned = assigned.withColumn("salt", F.lit(0))
+    w = Window.partitionBy("cluster_id", "salt").orderBy(
+        F.col("csim").asc(), F.col("doc_id").asc()
+    )
+    # cached: the prune self-join references it on both sides
+    ranked = assigned.withColumn("rank", F.row_number().over(w)).cache()
+
+    @pandas_udf("double")
+    def pair_scores(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma = np.array(list(va), dtype=np.float64)
+        mb = np.array(list(vb), dtype=np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        cos = dots / np.clip(na * nb, 1e-300, None)
+        return pd.Series(1.0 - (1.0 - cos) / 2.0)
+
+    x, y = ranked.alias("x"), ranked.alias("y")
+    pruned = (
+        x.join(
+            y,
+            (F.col("x.cluster_id") == F.col("y.cluster_id"))
+            & (F.col("x.salt") == F.col("y.salt"))
+            & (F.col("x.rank") < F.col("y.rank")),
+        )
+        .select(
+            F.col("y.doc_id").alias("doc_id"),
+            pair_scores(F.col("x.v"), F.col("y.v")).alias("s"),
+        )
+        .filter(F.col("s") >= threshold)
+        .select("doc_id")
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return ranked.join(pruned, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        F.round("csim", 6).alias("centroid_sim"),
+        "rank",
+        F.col("_pruned").isNull().alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # duplicate clustering: pairs -> groups -> canonical selection
 # ---------------------------------------------------------------------------

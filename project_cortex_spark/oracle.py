@@ -2987,6 +2987,77 @@ def dedup_embedding_ivf_oracle_sql(
     """
 
 
+def semdedup_oracle_sql(
+    *,
+    threshold: float = 0.7,
+    n_centroids: int = 16,
+    iters: int = 8,
+    sample_rows: int = 10_000,
+    max_cluster: int | None = None,
+) -> str:
+    """Oracle for dedup.semdedup: replays the deterministic centroids
+    (same trick as :func:`dedup_embedding_ivf_oracle_sql`), the argmax
+    assignment with centroid-id tiebreak, the centroid-similarity rank
+    (ASC — SemDeDup keeps the member FARTHEST from the centroid), the
+    doc_id-modulo salt split of oversized clusters, and the
+    prune-if-duplicated-by-a-lower-rank rule. The whole decision frame
+    is deterministic given the centroids, so it hash-gates."""
+    from .operators.knn import _kmeans_deterministic
+
+    vecs = _load_embeddings_ordered()
+    cent = _kmeans_deterministic(vecs[:sample_rows], n_centroids, iters)
+    cent_values = ",\n      ".join(
+        f"({cid}, {_plane_literal(list(row))})"
+        for cid, row in enumerate(cent)
+    )
+    if max_cluster is not None:
+        salt = (
+            "doc_id % CAST(ceil("
+            f"count(*) OVER (PARTITION BY cid) / {max_cluster}"
+            ") AS BIGINT)"
+        )
+    else:
+        salt = "0"
+    cos = (
+        "list_dot_product(x.v, y.v)"
+        " / (sqrt(list_dot_product(x.v, x.v))"
+        " * sqrt(list_dot_product(y.v, y.v)))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent(cid, cv) AS (VALUES
+      {cent_values}
+    ), assign AS (
+      SELECT doc_id, v, cid,
+             list_dot_product(v, cv) / sqrt(list_dot_product(v, v)) AS csim,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY list_dot_product(v, cv) DESC, cid) AS rn
+      FROM e CROSS JOIN cent
+    ), a AS (
+      SELECT doc_id, v, cid, csim FROM assign WHERE rn = 1
+    ), salted AS (
+      SELECT doc_id, v, cid, csim, {salt} AS salt FROM a
+    ), r AS (
+      SELECT doc_id, v, cid, csim, salt,
+             row_number() OVER (PARTITION BY cid, salt
+               ORDER BY csim ASC, doc_id ASC) AS rank
+      FROM salted
+    ), pruned AS (
+      SELECT DISTINCT y.doc_id
+      FROM r x JOIN r y
+        ON x.cid = y.cid AND x.salt = y.salt AND x.rank < y.rank
+      WHERE 1.0 - (1.0 - ({cos})) / 2.0 >= {threshold}
+    )
+    SELECT r.doc_id,
+           CAST(r.cid AS INT) AS cluster_id,
+           round(r.csim, 6) AS centroid_sim,
+           CAST(r.rank AS INT) AS rank,
+           (p.doc_id IS NULL) AS keep
+    FROM r LEFT JOIN pruned p ON p.doc_id = r.doc_id
+    """
+
+
 def knn_pq_join_oracle_sql(
     *,
     n_subspaces: int = 8,

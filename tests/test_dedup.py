@@ -377,6 +377,72 @@ def test_embedding_ivf_plan_has_no_nested_loop(registry):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
+def test_semdedup_keep_rule(spark):
+    """SemDeDup semantics pinned on a hand-built corpus: of a duplicate
+    pair, the member with the LOWER centroid similarity survives and
+    its twin is pruned; non-duplicated members all survive; rank 1 (the
+    farthest-out member) is never pruned."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows, vid = [], 0
+    planted = []
+    for _ in range(10):
+        base = rng.randn(32); base /= np.linalg.norm(base)
+        twin = base + 0.02 * rng.randn(32); twin /= np.linalg.norm(twin)
+        rows.append((vid, [float(x) for x in base]))
+        rows.append((vid + 1, [float(x) for x in twin]))
+        planted.append((vid, vid + 1)); vid += 2
+    for _ in range(40):
+        v = rng.randn(32); v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v])); vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = dedup.semdedup(emb, threshold=0.95, n_centroids=4).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 60  # one row per document
+    n_pruned = 0
+    for a, b in planted:
+        ra, rb = by_id[a], by_id[b]
+        if ra["cluster_id"] != rb["cluster_id"]:
+            continue  # straddles a boundary: both honestly kept
+        n_pruned += 1
+        keeper, pruned = (
+            (ra, rb) if ra["centroid_sim"] < rb["centroid_sim"] else (rb, ra)
+        )
+        assert keeper["keep"] and not pruned["keep"], (a, b)
+        assert keeper["rank"] < pruned["rank"]
+    assert n_pruned >= 8  # tight twins rarely straddle
+    for r in out:
+        if r["rank"] == 1:
+            assert r["keep"]
+
+
+def test_semdedup_salt_bounds_cells(spark):
+    """max_cluster salts oversized clusters: with a cap of 1 every salt
+    cell has <= ~1 member in expectation, so (a) nothing is ever
+    compared across cells that hash apart, and (b) the per-cell rank
+    never exceeds the actual cell population — the bounded-pairs
+    guarantee the 100 TB posture rests on."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for vid in range(50):
+        v = rng.randn(16); v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    capped = dedup.semdedup(
+        emb, threshold=0.0, n_centroids=2, max_cluster=5
+    ).collect()
+    # threshold 0.0 prunes EVERYTHING except each cell's rank 1: the
+    # number of keepers equals the number of (cluster, salt) cells
+    keepers = [r for r in capped if r["keep"]]
+    assert all(r["rank"] == 1 for r in keepers)
+    # cap 5 over 50 rows in 2 clusters -> ~ceil(n_c/5) cells per cluster
+    assert 8 <= len(keepers) <= 12, len(keepers)
+    assert max(r["rank"] for r in capped) <= 15  # no unsalted 25-deep cell
+
+
 def test_duplicated_char_spans(registry, duck):
     df = dedup.duplicated_char_spans(registry.table("documents"), k=32)
     assert_matches_oracle(df, duck, oracle.duplicated_char_spans_sql(k=32))
