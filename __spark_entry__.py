@@ -6297,6 +6297,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # PSI over the same split: the bucketed log-ratio drift score (KS
     # is sup-norm and tail-insensitive; PSI weights every bucket)
     out["events_psi_drift"] = lambda s, d: ev.psi_drift(_events(s, d))
+
+    def _q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # streaming twin (VERDICT r8 item 4): the (group, bucket, side)
+        # counts are a pure (sum, sum) monoid with <= n_buckets rows
+        # per group — bounded state by construction; the bucket grid +
+        # midpoint come from a FROZEN reference bounds frame broadcast
+        # into each micro-batch (here derived from the batch table, so
+        # the replayed stream reproduces the batch query and shares its
+        # oracle). Finisher (smoothing + log-ratio fold) merge-on-read.
+        with stream_source.scoped_state_partitions(
+            spark, _STREAM_STATE_PARTITIONS
+        ):
+            stream = stream_source.stream_table(spark, sf_dir, "events")
+            bounds = ev.drift_bounds(_events(spark, sf_dir))
+            cells = stream_source.run_to_memory(
+                ev.psi_drift_cells(stream, bounds),
+                query_name="q_stream_psi_drift",
+                output_mode="complete",
+            )
+            return ev.psi_drift_on_cells(cells)
+
+    out["stream_psi_drift"] = _q_stream_psi_drift
+
+    def _q_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # streaming twin: per-(group, distinct value) early/late counts
+        # are the monoid (state bounded by value cardinality, not row
+        # count — quantize upstream for unbounded domains); the ECDF
+        # window runs merge-on-read over the cells. Same frozen-bounds
+        # contract and same oracle as the batch query.
+        with stream_source.scoped_state_partitions(
+            spark, _STREAM_STATE_PARTITIONS
+        ):
+            stream = stream_source.stream_table(spark, sf_dir, "events")
+            bounds = ev.drift_bounds(_events(spark, sf_dir))
+            cells = stream_source.run_to_memory(
+                ev.ks_drift_cells(stream, bounds),
+                query_name="q_stream_ks_drift",
+                output_mode="complete",
+            )
+            return ev.ks_drift_on_cells(cells)
+
+    out["stream_ks_drift"] = _q_stream_ks_drift
     # contract form: integer epoch-micros bounds + exact scaled-int sum —
     # hash-deterministic by construction (round-1's one red driver row was
     # this query's float-sum rounding drift)
@@ -7285,6 +7327,9 @@ def oracle_sql() -> dict[str, str]:
     out["events_ewma"] = oracle.ewma_sql()
     out["events_ks_drift"] = oracle.ks_drift_sql()
     out["events_psi_drift"] = oracle.psi_drift_sql()
+    # streaming twins replay the identical monoid + finisher (r9)
+    out["stream_ks_drift"] = oracle.ks_drift_sql()
+    out["stream_psi_drift"] = oracle.psi_drift_sql()
     out["events_sessionize"] = oracle.sessionize_contract_sql()
     out["events_props_extract"] = oracle.props_extract_sql()
     out["events_top_users"] = oracle.top_users_per_type_sql()

@@ -765,34 +765,54 @@ def throttle_audit_on_counts(
     )
 
 
-def ks_drift(
+def drift_bounds(
     events: DataFrame,
     *,
     group_col: str = "event_type",
     value_col: str = "value",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Two-sample Kolmogorov–Smirnov drift per group: split each
-    group's events at the midpoint of its time span (integer
-    microseconds, exact both engines) into EARLY and LATE samples and
-    report D = max over x of |F_early(x) - F_late(x)| — the standard
-    distribution-shift monitor for a training-data pipeline (has the
-    value column's distribution moved between ingestion windows?).
+    """Per-group bounds frame (grp, lo, hi, vlo, vhi) both drift
+    monitors key off: the time-span midpoint split and PSI's bucket
+    grid. In a streaming deployment this is the FROZEN reference — one
+    tiny frame computed once from the reference window, broadcast into
+    every micro-batch; the batch forms compute it from the input
+    itself. Same NULL exclusion as the monitors (a NULL value has no
+    bucket/CDF step, a NULL timestamp has no side)."""
+    return (
+        events.filter(
+            F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.min(F.unix_micros(F.col(ts_col))).alias("lo"),
+            F.max(F.unix_micros(F.col(ts_col))).alias("hi"),
+            F.min(value_col).alias("vlo"),
+            F.max(value_col).alias("vhi"),
+        )
+    )
 
-    Exact, not sketched: the sup runs over every distinct value. Plan
-    shape: one per-group min/max aggregate broadcast back, then ONE
-    window pass over (group, value) with RANGE frames — running counts
-    include ties on both sides (F(x) counts <= x, the right-continuous
-    empirical CDF), so tied values cannot split a step. The CDF
-    fractions are divisions of identical integers in both engines, so
-    the round-6 contract is safe. At 100 TB the window is the only
-    data-sized shuffle and it rides the group key; groups are
-    independent so skew is bounded by the largest group.
 
-    Returns (group, n_early, n_late, ks_stat); groups with an empty
-    side report NULL ks_stat rather than a misleading 0.
-    """
-    us = F.unix_micros(F.col(ts_col))
+# integer midpoint: lo + (hi - lo) DIV 2 — true BIGINT division (not
+# float-divide-then-floor, which only matches // while the span is
+# < 2^53 us), literally replaying the oracle's //
+_MID = "lo + (hi - lo) div 2"
+
+
+def ks_drift_cells(
+    events: DataFrame,
+    bounds: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """KS state cells: per-(group, distinct value) early/late counts —
+    a pure (sum, sum) monoid, so this IS the streaming form (complete-
+    mode aggregate; micro-batches merge by summing). State size is the
+    distinct-value cardinality per group, not the row count — quantize
+    the value upstream if its domain is unbounded. ``bounds`` supplies
+    the frozen (grp, lo, hi) frame (:func:`drift_bounds`)."""
     # NULL values carry no CDF information and Spark/DuckDB disagree on
     # their window sort position (NULLS FIRST vs LAST) — exclude them
     # from the empirical CDF on both sides. NULL timestamps get the
@@ -804,32 +824,39 @@ def ks_drift(
     ).select(
         F.col(group_col).alias("grp"),
         F.col(value_col).alias("v"),
-        us.alias("us"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
     )
-    bounds = src.groupBy("grp").agg(
-        F.min("us").alias("lo"), F.max("us").alias("hi")
+    early = (F.col("us") <= F.expr(_MID)).cast("int")
+    return (
+        src.join(F.broadcast(bounds.select("grp", "lo", "hi")), "grp")
+        .select("grp", "v", early.alias("early"))
+        .groupBy("grp", "v")
+        .agg(
+            F.sum("early").alias("c1w"),
+            F.sum(1 - F.col("early")).alias("c2w"),
+        )
     )
-    # integer midpoint: lo + (hi - lo) DIV 2 — true BIGINT division
-    # (not float-divide-then-floor, which only matches // while the
-    # span is < 2^53 us), literally replaying the oracle's //
-    mid = F.col("lo") + F.expr("(hi - lo) div 2")
-    tagged = src.join(F.broadcast(bounds), "grp").select(
-        "grp",
-        "v",
-        (F.col("us") <= mid).cast("int").alias("early"),
-    )
+
+
+def ks_drift_on_cells(
+    cells: DataFrame, *, group_col: str = "event_type"
+) -> DataFrame:
+    """Merge-on-read KS finisher over the (grp, v, c1w, c2w) cells:
+    running sums over distinct values reproduce the per-row RANGE-frame
+    running counts exactly (ties are already merged into one cell), so
+    batch and streaming twins share this finisher AND the oracle."""
     w_run = (
         Window.partitionBy("grp")
         .orderBy("v")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy("grp")
-    stepped = tagged.select(
+    stepped = cells.select(
         "grp",
-        F.sum("early").over(w_run).alias("c1"),
-        F.sum(1 - F.col("early")).over(w_run).alias("c2"),
-        F.sum("early").over(w_all).alias("n1"),
-        F.sum(1 - F.col("early")).over(w_all).alias("n2"),
+        F.sum("c1w").over(w_run).alias("c1"),
+        F.sum("c2w").over(w_run).alias("c2"),
+        F.sum("c1w").over(w_all).alias("n1"),
+        F.sum("c2w").over(w_all).alias("n2"),
     )
     return (
         stepped.groupBy(F.col("grp").alias(group_col))
@@ -853,6 +880,47 @@ def ks_drift(
             F.round("_ks", 6).alias("ks_stat"),
         )
     )
+
+
+def ks_drift(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift per group: split each
+    group's events at the midpoint of its time span (integer
+    microseconds, exact both engines) into EARLY and LATE samples and
+    report D = max over x of |F_early(x) - F_late(x)| — the standard
+    distribution-shift monitor for a training-data pipeline (has the
+    value column's distribution moved between ingestion windows?).
+
+    Exact, not sketched: the sup runs over every distinct value. Plan
+    shape: one per-group min/max aggregate broadcast back, one
+    (group, value) count aggregate (:func:`ks_drift_cells` — the
+    streaming monoid), then ONE window pass over the distinct-value
+    cells with RANGE frames — running counts include ties on both
+    sides (F(x) counts <= x, the right-continuous empirical CDF), so
+    tied values cannot split a step. The CDF fractions are divisions
+    of identical integers in both engines, so the round-6 contract is
+    safe. At 100 TB the cells aggregate is the only data-sized shuffle
+    and it rides the group key; the window then sorts cells, not rows.
+
+    Returns (group, n_early, n_late, ks_stat); groups with an empty
+    side report NULL ks_stat rather than a misleading 0.
+    """
+    bounds = drift_bounds(
+        events, group_col=group_col, value_col=value_col, ts_col=ts_col
+    )
+    cells = ks_drift_cells(
+        events,
+        bounds,
+        group_col=group_col,
+        value_col=value_col,
+        ts_col=ts_col,
+    )
+    return ks_drift_on_cells(cells, group_col=group_col)
 
 
 def psi_drift(
@@ -884,7 +952,36 @@ def psi_drift(
     Returns (group, n_early, n_late, psi); one-sided groups report
     NULL psi (no distribution to compare).
     """
-    us = F.unix_micros(F.col(ts_col))
+    bounds = drift_bounds(
+        events, group_col=group_col, value_col=value_col, ts_col=ts_col
+    )
+    cells = psi_drift_cells(
+        events,
+        bounds,
+        group_col=group_col,
+        value_col=value_col,
+        ts_col=ts_col,
+        n_buckets=n_buckets,
+    )
+    return psi_drift_on_cells(
+        cells, group_col=group_col, n_buckets=n_buckets
+    )
+
+
+def psi_drift_cells(
+    events: DataFrame,
+    bounds: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """PSI state cells: per-(group, bucket) early/late counts — a pure
+    (sum, sum) monoid with at most ``n_buckets`` rows per group, so
+    this IS the streaming form (complete-mode aggregate) and the state
+    is bounded by construction. ``bounds`` supplies the frozen
+    (grp, lo, hi, vlo, vhi) frame (:func:`drift_bounds`)."""
     # same NULL exclusion as ks_drift: a NULL value has no bucket and
     # a NULL timestamp has no side
     src = events.filter(
@@ -892,15 +989,8 @@ def psi_drift(
     ).select(
         F.col(group_col).alias("grp"),
         F.col(value_col).alias("v"),
-        us.alias("us"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
     )
-    bounds = src.groupBy("grp").agg(
-        F.min("us").alias("lo"),
-        F.max("us").alias("hi"),
-        F.min("v").alias("vlo"),
-        F.max("v").alias("vhi"),
-    )
-    mid = F.col("lo") + F.expr("(hi - lo) div 2")
     # bucket = min(k-1, floor((v - vlo) / width)); degenerate ranges
     # (vhi == vlo) collapse to bucket 0
     width = (F.col("vhi") - F.col("vlo")) / F.lit(float(n_buckets))
@@ -910,15 +1000,27 @@ def psi_drift(
             F.floor((F.col("v") - F.col("vlo")) / width).cast("int"),
         )
     )
-    tagged = src.join(F.broadcast(bounds), "grp").select(
-        "grp",
-        bucket.alias("b"),
-        (F.col("us") <= mid).cast("int").alias("early"),
+    early = (F.col("us") <= F.expr(_MID)).cast("int")
+    return (
+        src.join(F.broadcast(bounds), "grp")
+        .select("grp", bucket.alias("b"), early.alias("early"))
+        .groupBy("grp", "b")
+        .agg(
+            F.sum("early").alias("ce"),
+            F.sum(1 - F.col("early")).alias("cl"),
+        )
     )
-    cells = tagged.groupBy("grp", "b").agg(
-        F.sum("early").alias("ce"),
-        F.sum(1 - F.col("early")).alias("cl"),
-    )
+
+
+def psi_drift_on_cells(
+    cells: DataFrame,
+    *,
+    group_col: str = "event_type",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Merge-on-read PSI finisher over the (grp, b, ce, cl) cells:
+    Laplace smoothing over OBSERVED buckets + the log-ratio fold —
+    shared by the batch and streaming twins, and by the oracle."""
     w_all = Window.partitionBy("grp")
     smoothed = cells.select(
         "grp",

@@ -540,6 +540,53 @@ def test_drift_ignores_null_timestamps(spark):
     assert (got["n_early"], got["n_late"]) == (4, 4)
 
 
+def test_drift_cells_merge_monoid(spark):
+    """The streaming-twin contract: cells computed on disjoint
+    micro-batch splits against ONE frozen bounds frame, merged by
+    summing, finish to the exact batch answer — for both monitors."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from project_cortex_spark.operators import events as ev
+
+    rnd = random.Random(11)
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        (
+            "a" if i % 3 else "b",
+            round(rnd.uniform(0, 100), 4),
+            t0 + timedelta(minutes=i),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double, ts timestamp")
+    bounds = ev.drift_bounds(df)
+    lo = df.filter(F.col("value") < 50)
+    hi = df.filter(F.col("value") >= 50)
+
+    ks_merged = (
+        ev.ks_drift_cells(lo, bounds)
+        .unionByName(ev.ks_drift_cells(hi, bounds))
+        .groupBy("grp", "v")
+        .agg(F.sum("c1w").alias("c1w"), F.sum("c2w").alias("c2w"))
+    )
+    want = sorted(map(tuple, ev.ks_drift(df).collect()))
+    got = sorted(map(tuple, ev.ks_drift_on_cells(ks_merged).collect()))
+    assert got == want
+
+    psi_merged = (
+        ev.psi_drift_cells(lo, bounds)
+        .unionByName(ev.psi_drift_cells(hi, bounds))
+        .groupBy("grp", "b")
+        .agg(F.sum("ce").alias("ce"), F.sum("cl").alias("cl"))
+    )
+    want = sorted(map(tuple, ev.psi_drift(df).collect()))
+    got = sorted(map(tuple, ev.psi_drift_on_cells(psi_merged).collect()))
+    assert got == want
+
+
 def test_drift_midpoint_is_integer_division(spark):
     """ADVICE r8 (low): the midpoint must be true BIGINT division
     (replaying the oracle's //), not float-divide-then-floor. With an
