@@ -883,6 +883,106 @@ _DSL_QUERIES: dict[str, tuple[dict, str]] = {
            ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey
            LIMIT 50 OFFSET 10""",
     ),
+    # windows clause (beyond parity, r9): top-N per group — the first
+    # thing every analytics user asks of a 100 TB engine. ROW_NUMBER
+    # with a unique tie-break key + RANK sharing the partition (Catalyst
+    # fuses same-(partition, order-prefix) windows; one shuffle total),
+    # QUALIFY as the post-window filter.
+    "dsl_window_topn": (
+        {
+            "from": "orders",
+            "windows": [
+                {
+                    "function": "ROW_NUMBER",
+                    "alias": "rn",
+                    "partitionBy": ["o_custkey"],
+                    "orderBy": [
+                        {"field": "o_totalprice", "direction": "DESC"},
+                        {"field": "o_orderkey", "direction": "ASC"},
+                    ],
+                },
+                {
+                    "function": "RANK",
+                    "alias": "price_rank",
+                    "partitionBy": ["o_custkey"],
+                    "orderBy": [
+                        {"field": "o_totalprice", "direction": "DESC"}
+                    ],
+                },
+            ],
+            "qualify": {"field": "rn", "operator": "<=", "value": 3},
+            "fields": [
+                "o_custkey",
+                "o_orderkey",
+                "o_totalprice",
+                "rn",
+                "price_rank",
+            ],
+            "orderBy": [{"field": "o_custkey"}, {"field": "rn"}],
+        },
+        """SELECT o_custkey, o_orderkey, o_totalprice,
+                  CAST(rn AS INT) AS rn,
+                  CAST(price_rank AS INT) AS price_rank
+           FROM (
+             SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+                    rank() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC) AS price_rank
+             FROM orders)
+           WHERE rn <= 3
+           ORDER BY o_custkey, rn""",
+    ),
+    # windows clause: running/offset functions. RUNNING_SUM over an
+    # INTEGER column (cumulative integer sums are exact on both engines
+    # — the float-running-sum form would be reassociation-hazardous, the
+    # same reason the agg family uses the e4-scaled-int idiom); LAG/LEAD
+    # are pure value picks over a UNIQUE total order (p_partkey).
+    "dsl_window_running": (
+        {
+            "from": "part",
+            "windows": [
+                {
+                    "function": "RUNNING_SUM",
+                    "alias": "size_running",
+                    "field": "p_size",
+                    "partitionBy": ["p_brand"],
+                    "orderBy": [{"field": "p_partkey"}],
+                },
+                {
+                    "function": "LAG",
+                    "alias": "prev_size",
+                    "field": "p_size",
+                    "partitionBy": ["p_brand"],
+                    "orderBy": [{"field": "p_partkey"}],
+                },
+                {
+                    "function": "LEAD",
+                    "alias": "next2_size",
+                    "field": "p_size",
+                    "offset": 2,
+                    "partitionBy": ["p_brand"],
+                    "orderBy": [{"field": "p_partkey"}],
+                },
+            ],
+            "fields": [
+                "p_brand",
+                "p_partkey",
+                "p_size",
+                "size_running",
+                "prev_size",
+                "next2_size",
+            ],
+        },
+        """SELECT p_brand, p_partkey, p_size,
+                  CAST(sum(p_size) OVER (PARTITION BY p_brand
+                    ORDER BY p_partkey) AS BIGINT) AS size_running,
+                  lag(p_size, 1) OVER (PARTITION BY p_brand
+                    ORDER BY p_partkey) AS prev_size,
+                  lead(p_size, 2) OVER (PARTITION BY p_brand
+                    ORDER BY p_partkey) AS next2_size
+           FROM part""",
+    ),
 }
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .model import (
@@ -34,6 +34,7 @@ from .model import (
     NotFilter,
     OrFilter,
     QueryDefinition,
+    WindowSpec,
     parse_query,
 )
 from .validator import _Scope, validate_query
@@ -126,11 +127,45 @@ def _agg_expr(a: Aggregation) -> Column:
     return expr.alias(a.alias)
 
 
+def _window_expr(w: WindowSpec) -> Column:
+    """WindowSpec -> Column. Default cumulative frames only (RANGE
+    UNBOUNDED PRECEDING..CURRENT ROW with ORDER BY — identical in Spark
+    and ANSI SQL, peers included), so RUNNING_* replay exactly in the
+    oracle; rank/offset functions ignore frames entirely."""
+    ordering = [
+        F.col(o.field).asc() if o.direction == "ASC" else F.col(o.field).desc()
+        for o in w.order_by
+    ]
+    if w.partition_by:
+        spec = Window.partitionBy(
+            *[F.col(c) for c in w.partition_by]
+        ).orderBy(*ordering)
+    else:
+        spec = Window.orderBy(*ordering)
+    if w.function == "ROW_NUMBER":
+        expr = F.row_number()
+    elif w.function == "RANK":
+        expr = F.rank()
+    elif w.function == "DENSE_RANK":
+        expr = F.dense_rank()
+    elif w.function == "LAG":
+        expr = F.lag(F.col(w.field), w.offset or 1)
+    elif w.function == "LEAD":
+        expr = F.lead(F.col(w.field), w.offset or 1)
+    elif w.function == "RUNNING_SUM":
+        expr = F.sum(F.col(w.field))
+    elif w.function == "RUNNING_AVG":
+        expr = F.avg(F.col(w.field))
+    else:  # pragma: no cover
+        raise ValueError(f"unknown window function: {w.function!r}")
+    return expr.over(spec)
+
+
 def compile_query(registry, query: dict[str, Any] | QueryDefinition) -> DataFrame:
     """Compile a cortex_files JSON query into a (lazy) DataFrame plan.
 
     SQL clause ordering is honored: FROM/JOIN -> WHERE -> GROUP BY/agg ->
-    HAVING -> SELECT -> ORDER BY -> OFFSET/LIMIT.
+    HAVING -> windows -> QUALIFY -> SELECT -> ORDER BY -> OFFSET/LIMIT.
     """
     qd = query if isinstance(query, QueryDefinition) else parse_query(query)
     validate_query(registry, qd)
@@ -162,6 +197,21 @@ def compile_query(registry, query: dict[str, Any] | QueryDefinition) -> DataFram
             a.alias for a in qd.aggregations
         ]
         df = df.select(*out_cols)
+    elif qd.windows:
+        # windows append named columns (SQL SELECT-clause computation);
+        # qualify is the post-window filter (SQL QUALIFY, or the
+        # subquery-then-filter shape in ANSI engines). Catalyst fuses
+        # same-(partition, order) windows into one Window node, so
+        # top-N-per-group costs exactly one shuffle on the partition key
+        # at 100 TB — never a self-join.
+        for w in qd.windows:
+            df = df.withColumn(w.alias, _window_expr(w))
+        if qd.qualify is not None:
+            df = df.filter(
+                _filter_to_column(qd.qualify, scope, in_join_on=False)
+            )
+        if qd.fields:
+            df = df.select(*[F.col(f) for f in qd.fields])
     elif qd.fields:
         df = df.select(*[F.col(f) for f in qd.fields])
 

@@ -40,6 +40,24 @@ JOIN_TYPES = {"INNER", "LEFT", "RIGHT", "FULL", "SEMI", "ANTI"}
 AGG_FUNCTIONS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
 SORT_DIRECTIONS = {"ASC", "DESC"}
 
+# Window surface (beyond parity — the reference has no window functions,
+# types.go has no such clause; every analytics user of a 100 TB engine
+# hits "top-N per group" immediately). RUNNING_* use each engine's
+# DEFAULT cumulative frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW —
+# peers included), so ties cannot diverge between engines.
+WINDOW_FUNCTIONS = {
+    "ROW_NUMBER",
+    "RANK",
+    "DENSE_RANK",
+    "LAG",
+    "LEAD",
+    "RUNNING_SUM",
+    "RUNNING_AVG",
+}
+# These take a value field (and LAG/LEAD an optional offset >= 1).
+VALUE_WINDOW_FUNCTIONS = {"LAG", "LEAD", "RUNNING_SUM", "RUNNING_AVG"}
+OFFSET_WINDOW_FUNCTIONS = {"LAG", "LEAD"}
+
 # Limits from the reference validator (internal/files/validator.go:159-160).
 MAX_LIMIT = 1000
 MIN_LIMIT = 1
@@ -92,6 +110,18 @@ class OrderBy:
 
 
 @dataclass
+class WindowSpec:
+    """One entry of the ``windows:`` clause: a named window column."""
+
+    function: str
+    alias: str
+    partition_by: list[str] = field(default_factory=list)
+    order_by: list[OrderBy] = field(default_factory=list)
+    field: Optional[str] = None
+    offset: Optional[int] = None
+
+
+@dataclass
 class QueryDefinition:
     from_: str
     fields: list[str] = field(default_factory=list)
@@ -103,6 +133,10 @@ class QueryDefinition:
     limit: Optional[int] = None
     offset: Optional[int] = None
     aggregations: list[Aggregation] = field(default_factory=list)
+    windows: list[WindowSpec] = field(default_factory=list)
+    # post-window filter (SQL QUALIFY / the top-N-per-group subquery):
+    # may reference window aliases; only valid alongside ``windows``
+    qualify: Optional[Filter] = None
 
 
 def parse_filter(obj: Any) -> Filter:
@@ -155,4 +189,23 @@ def parse_query(obj: dict[str, Any]) -> QueryDefinition:
             )
             for a in (obj.get("aggregations") or [])
         ],
+        windows=[
+            WindowSpec(
+                function=w["function"],
+                alias=w["alias"],
+                partition_by=list(w.get("partitionBy") or []),
+                order_by=[
+                    OrderBy(field=o["field"], direction=o.get("direction", "ASC"))
+                    for o in (w.get("orderBy") or [])
+                ],
+                field=w.get("field"),
+                offset=w.get("offset"),
+            )
+            for w in (obj.get("windows") or [])
+        ],
+        qualify=(
+            parse_filter(obj["qualify"])
+            if obj.get("qualify") is not None
+            else None
+        ),
     )

@@ -19,7 +19,10 @@ from .model import (
     MAX_LIMIT,
     MIN_LIMIT,
     NO_VALUE_OPERATORS,
+    OFFSET_WINDOW_FUNCTIONS,
     SORT_DIRECTIONS,
+    VALUE_WINDOW_FUNCTIONS,
+    WINDOW_FUNCTIONS,
     AndFilter,
     FieldFilter,
     Filter,
@@ -55,12 +58,17 @@ class _Scope:
         self.tables: list[str] = [qd.from_] + [j.table for j in qd.joins]
         # aliases introduced by aggregations are valid in having/orderBy
         self.agg_aliases = {a.alias for a in qd.aggregations}
+        # window aliases are valid in qualify/fields/orderBy (they only
+        # exist once the windows clause has been validated)
+        self.window_aliases = {w.alias for w in qd.windows}
 
     def check_column(self, name: str, allow_alias: bool = False) -> None:
         table, column = _split_qualified(name)
         if not _is_identifier(column) or (table is not None and not _is_identifier(table)):
             raise QueryValidationError(f"invalid identifier: {name!r}")
-        if allow_alias and table is None and name in self.agg_aliases:
+        if allow_alias and table is None and name in (
+            self.agg_aliases | self.window_aliases
+        ):
             return
         if table is not None:
             if table not in self.tables:
@@ -138,7 +146,12 @@ def validate_query(registry, qd: QueryDefinition) -> None:
     scope = _Scope(registry, qd)
 
     for f in qd.fields:
-        scope.check_column(f)
+        # window aliases are selectable once declared (bool(qd.windows)
+        # keeps the pre-windows behavior bit-identical: agg aliases were
+        # never valid in fields and still are not — check_column only
+        # admits names in the union when they exist, and window_aliases
+        # is empty without a windows clause)
+        scope.check_column(f, allow_alias=bool(qd.windows))
     for g in qd.group_by:
         scope.check_column(g)
     if qd.where is not None:
@@ -167,6 +180,55 @@ def validate_query(registry, qd: QueryDefinition) -> None:
     if qd.aggregations and qd.fields:
         # reference replaces the field list with groupBy+aggs (translator.go:26-35)
         pass
+
+    if qd.windows and qd.aggregations:
+        # window-over-aggregate needs alias scoping the JSON surface
+        # does not define; keep the clauses orthogonal (run the
+        # aggregate query, feed its result to a windowed query)
+        raise QueryValidationError(
+            "windows cannot be combined with aggregations"
+        )
+    seen_aliases: set[str] = set()
+    for w in qd.windows:
+        if w.function not in WINDOW_FUNCTIONS:
+            raise QueryValidationError(
+                f"unknown window function: {w.function!r}"
+            )
+        if not _is_identifier(w.alias):
+            raise QueryValidationError(f"invalid window alias: {w.alias!r}")
+        if w.alias in seen_aliases:
+            raise QueryValidationError(f"duplicate window alias: {w.alias!r}")
+        seen_aliases.add(w.alias)
+        for c in w.partition_by:
+            scope.check_column(c)
+        if not w.order_by:
+            raise QueryValidationError(
+                f"window {w.alias!r} requires orderBy (every supported "
+                "function is order-sensitive)"
+            )
+        for o in w.order_by:
+            if o.direction not in SORT_DIRECTIONS:
+                raise QueryValidationError(
+                    f"invalid sort direction: {o.direction!r}"
+                )
+            scope.check_column(o.field)
+        if w.function in VALUE_WINDOW_FUNCTIONS:
+            if w.field is None:
+                raise QueryValidationError(f"{w.function} requires a field")
+            scope.check_column(w.field)
+        elif w.field is not None:
+            raise QueryValidationError(f"{w.function} takes no field")
+        if w.offset is not None:
+            if w.function not in OFFSET_WINDOW_FUNCTIONS:
+                raise QueryValidationError(f"{w.function} takes no offset")
+            if not isinstance(w.offset, int) or w.offset < 1:
+                raise QueryValidationError(
+                    f"window offset must be an integer >= 1, got {w.offset!r}"
+                )
+    if qd.qualify is not None:
+        if not qd.windows:
+            raise QueryValidationError("qualify requires windows")
+        _validate_filter(qd.qualify, scope, allow_alias=True, in_join_on=False)
 
     if qd.limit is not None and not (MIN_LIMIT <= qd.limit <= MAX_LIMIT):
         raise QueryValidationError(

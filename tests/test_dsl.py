@@ -475,3 +475,97 @@ class TestValidation:
                 registry,
                 {"from": "orders", "having": {"field": "o_orderkey", "operator": ">", "value": 1}},
             )
+
+
+_WIN_OK = {
+    "function": "ROW_NUMBER",
+    "alias": "rn",
+    "partitionBy": ["o_custkey"],
+    "orderBy": [{"field": "o_orderkey"}],
+}
+
+
+class TestWindowValidation:
+    """P11-style pre-plan rejection for the windows/qualify clauses."""
+
+    def _q(self, registry, **over):
+        q = {"from": "orders", "windows": [dict(_WIN_OK, **over)]}
+        return compile_query(registry, q)
+
+    def test_unknown_function(self, registry):
+        with pytest.raises(QueryValidationError, match="window function"):
+            self._q(registry, function="NTILE")
+
+    def test_requires_order_by(self, registry):
+        with pytest.raises(QueryValidationError, match="orderBy"):
+            self._q(registry, orderBy=[])
+
+    def test_unknown_partition_column(self, registry):
+        with pytest.raises(QueryValidationError):
+            self._q(registry, partitionBy=["bogus"])
+
+    def test_unknown_order_column(self, registry):
+        with pytest.raises(QueryValidationError):
+            self._q(registry, orderBy=[{"field": "bogus"}])
+
+    def test_injection_alias(self, registry):
+        with pytest.raises(QueryValidationError, match="alias"):
+            self._q(registry, alias="x; DROP TABLE orders")
+
+    def test_duplicate_alias(self, registry):
+        with pytest.raises(QueryValidationError, match="duplicate"):
+            compile_query(
+                registry,
+                {"from": "orders", "windows": [_WIN_OK, dict(_WIN_OK)]},
+            )
+
+    def test_rank_takes_no_field(self, registry):
+        with pytest.raises(QueryValidationError, match="takes no field"):
+            self._q(registry, function="RANK", field="o_totalprice")
+
+    def test_lag_requires_field(self, registry):
+        with pytest.raises(QueryValidationError, match="requires a field"):
+            self._q(registry, function="LAG")
+
+    def test_offset_only_for_lag_lead(self, registry):
+        with pytest.raises(QueryValidationError, match="takes no offset"):
+            self._q(registry, offset=2)
+
+    def test_offset_must_be_positive_int(self, registry):
+        with pytest.raises(QueryValidationError, match="offset"):
+            self._q(registry, function="LAG", field="o_totalprice", offset=0)
+
+    def test_qualify_requires_windows(self, registry):
+        with pytest.raises(QueryValidationError, match="qualify"):
+            compile_query(
+                registry,
+                {
+                    "from": "orders",
+                    "qualify": {"field": "o_orderkey", "operator": "<=", "value": 3},
+                },
+            )
+
+    def test_windows_exclusive_with_aggregations(self, registry):
+        with pytest.raises(QueryValidationError, match="aggregations"):
+            compile_query(
+                registry,
+                {
+                    "from": "orders",
+                    "windows": [_WIN_OK],
+                    "aggregations": [{"function": "COUNT", "alias": "n"}],
+                },
+            )
+
+    def test_qualify_sees_window_alias(self, registry):
+        df = compile_query(
+            registry,
+            {
+                "from": "orders",
+                "windows": [_WIN_OK],
+                "qualify": {"field": "rn", "operator": "<=", "value": 2},
+                "fields": ["o_custkey", "o_orderkey", "rn"],
+            },
+        )
+        rows = df.collect()
+        assert rows and all(r["rn"] <= 2 for r in rows)
+        assert set(df.columns) == {"o_custkey", "o_orderkey", "rn"}
