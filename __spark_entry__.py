@@ -7147,71 +7147,75 @@ _GATE_FIRST = [
     # this round every registered query has a driver row and the
     # pass*/pass(rN) distinction collapses.
     #
-    # R9 ledger note: after the r8 gate runs, the never-gated ledger is
-    # EMPTY — all 271 registered queries have a driver row (the 8 r8
-    # registrations sit inside this head). The r9 head is therefore
-    # pure rotation: new r9 registrations first (keep ≤ the gate's
-    # absorption), then re-gate the oldest driver evidence.
+    # R9 gate head (VERDICT r8 item 1: oldest-evidence-first rotation).
+    # The never-gated ledger entered r9 EMPTY (all 272 r8-registry
+    # queries have a driver row; r8 went 50/50 green), so this head is
+    # pure rotation: (a) the 5 r9 registrations (no driver row yet —
+    # keeping the never-gated ledger at zero outranks re-gating), then
+    # (b) ALL 25 queries whose newest driver row is r3 (four engine
+    # generations old), then (c) 20 of the 49 r4-stale queries —
+    # chosen for machinery risk: the full pipeline_* build family +
+    # source_file_stats + search_lexical_recall (the parse/chunk/embed
+    # path the r8 tree touched), the 4 r4-era streaming twins, the
+    # asof/salted join pair, two graph ops with no sibling re-row this
+    # round, and one text + one events op. After this round the
+    # registry's maximum evidence age drops from r3 to r4 (29 r4 rows
+    # remain; 5 new registrations claimed the other slots — the r10
+    # head should finish those 29 plus its own registrations).
     #
-    # -- (a) the 11 TPC-H completions (dsl compiler family) --
-    "agg_tpch_q2_shape",
-    "agg_tpch_q7_shape",
-    "agg_tpch_q8_shape",
-    "agg_tpch_q9_shape",
-    "agg_tpch_q11_shape",
-    "agg_tpch_q12_shape",
-    "agg_tpch_q14_shape",
-    "agg_tpch_q16_shape",
-    "agg_tpch_q20_shape",
-    "agg_tpch_q21_shape",
-    "agg_tpch_q22_shape",
-    # -- (b) graph analysis surface + CC/SCC + fallback plan ×9 --
-    "graph_cycles",
-    "graph_scc",
-    "graph_hotspots",
-    "graph_package_summary",
-    "graph_type_hierarchy",
-    "graph_unused_symbols",
-    "graph_connected_components",
-    "graph_pagerank_shuffle",
-    "graph_pattern_signature",
-    # -- (c) dedup / corpus ×4 --
-    "dedup_ppjoin",
-    "dedup_substring_rewrite",
-    "corpus_cluster_balance",
-    "corpus_length_buckets",
-    # -- (d) streaming twins ×6 --
-    "stream_connected_components",
-    "stream_knn_ivf",
-    "stream_kmv_overlap",
-    "stream_length_buckets",
-    "stream_moments",
-    "stream_source_divergence",
-    # -- (e) ANN lifecycle + joins + stats ×5 --
-    "knn_ivf_compacted",
-    "knn_join_ivf_filtered",
-    "join_asof_nearest",
-    "events_moments",
-    "embed_covariance",
-    # -- (f) text / source roundtrips ×3 --
-    "source_gzip_roundtrip",
-    "text_gopher_quality",
-    "text_gopher_repetition",
-    # -- (g) snapshot-corpus oracle conversions: re-row ×2 --
-    "pipeline_parse_entities",
-    "graph_pattern_search",
-    # -- (h) r8 registrations (≤10 new) --
-    "dedup_pairs_auto",
-    "stream_knn_pq",
-    "knn_pq_compacted",
-    "graph_cycle_paths",
-    "dedup_containment",
-    "graph_ppr",
-    "events_ks_drift",
-    "events_psi_drift",
-    "corpus_cluster_split",
-    # -- (i) oldest-evidence re-gate to fill the 50 --
-    "dsl_tpch_q1",
+    # -- (a) r9 registrations ×5 --
+    "dedup_semantic",
+    "stream_ks_drift",
+    "stream_psi_drift",
+    "dsl_window_topn",
+    "dsl_window_running",
+    # -- (b) every r3-stale query ×25 --
+    "corpus_mix",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "dsl_agg_full",
+    "dsl_agg_having",
+    "dsl_between_dates",
+    "dsl_filter_bool_tree",
+    "dsl_in",
+    "dsl_join_full",
+    "dsl_join_inner",
+    "dsl_join_left",
+    "dsl_join_right",
+    "dsl_like",
+    "dsl_null_checks",
+    "dsl_order_limit_offset",
+    "dsl_revenue_by_nation",
+    "dsl_tpch_q5",
+    "events_top_users",
+    "fts_prefix",
+    "fts_term",
+    "graph_callees_d3",
+    "graph_dependents",
+    "graph_type_usages",
+    "join_range",
+    "knn_topk_filtered",
+    # -- (c) highest-risk r4-stale ×20 --
+    "pipeline_apply_changeset",
+    "pipeline_branch_fork",
+    "pipeline_change_detection",
+    "pipeline_chunk_assembly",
+    "pipeline_chunk_docs",
+    "pipeline_chunk_markdown",
+    "pipeline_embed_stub",
+    "pipeline_parse_multilang",
+    "source_file_stats",
+    "search_lexical_recall",
+    "stream_asof_join",
+    "stream_dedup",
+    "stream_interval_join",
+    "stream_windowed_agg",
+    "join_asof",
+    "join_salted",
+    "graph_triangles",
+    "graph_context_snippets",
+    "text_c4_clean",
+    "events_funnel",
 ]
 
 

@@ -389,8 +389,14 @@ def main() -> None:
         canary_dispersion = max(disp_before, disp_after)
         # threshold overrides exist for testing the retry path (force a
         # noisy window with BENCH_NOISY_DISPERSION=0) and for hosts
-        # whose baseline scatter differs from this one's measured 0.25
-        disp_thresh = float(os.environ.get("BENCH_NOISY_DISPERSION", "0.25"))
+        # whose baseline scatter differs from this one's. Default 0.12
+        # (r9, VERDICT r8 item 7): quiet windows on this host measure
+        # dispersion ~0.086; the old 0.25 accepted windows up to ~1.9x
+        # that (BENCH_r08 recorded one at 0.165), where sub-second
+        # per-query deltas are noise-dominated. Retries are cheap
+        # (3 max, cross-window minima merge), so the artifact-of-record
+        # should be near-quiet by default.
+        disp_thresh = float(os.environ.get("BENCH_NOISY_DISPERSION", "0.12"))
         slow_thresh = float(os.environ.get("BENCH_NOISY_SLOWDOWN", "0.15"))
         noisy = (
             canary_dispersion > disp_thresh
