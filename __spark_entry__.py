@@ -2195,6 +2195,62 @@ def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental SemDeDup (r9): embeddings delivered in TWO id-ordered
+    # increments against a FROZEN centroid tensor; each delivery runs
+    # the within-batch keep rule, then prunes new keepers that
+    # duplicate a STORED keeper of their cluster (arrival priority —
+    # admitted docs are irreversible). The accumulated decision frame
+    # must hash-match oracle.semdedup_stream_oracle_sql, which replays
+    # both rules plus the id-split from the same replayed centroids.
+    import shutil
+    import tempfile
+
+    from project_cortex_spark.streaming import semdedup as stream_sd
+
+    emb = _registry(spark, sf_dir).table("embeddings")
+    cents = knn_mod.train_centroids_ordered(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=16, iters=8
+    )
+    mid = emb.agg(F.max("vec_id")).first()[0] // 2
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="semdd_", dir=scratch)
+    in_dir = os.path.join(base, "incoming")
+    store = os.path.join(base, "keepers")
+    dec = os.path.join(base, "decisions")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        for lo, hi in ((None, mid), (mid, None)):  # id-ordered deliveries
+            part = emb
+            if lo is not None:
+                part = part.filter(F.col("vec_id") >= lo)
+            if hi is not None:
+                part = part.filter(F.col("vec_id") < hi)
+            part.coalesce(1).write.mode("append").parquet(in_dir)
+            with stream_source.scoped_state_partitions(
+                spark, _STREAM_STATE_PARTITIONS
+            ):
+                q = stream_sd.continuous_semdedup(
+                    spark,
+                    in_dir,
+                    emb.schema,
+                    store_dir=store,
+                    decisions_dir=dec,
+                    checkpoint_dir=ckpt,
+                    centroids=cents,
+                    threshold=0.7,
+                )
+                q.awaitTermination()
+        return stream_sd.read_decisions(spark, dec).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _MIX_KEEP = (("src0", 0.5), ("src1", 0.25))
 
 
@@ -6343,6 +6399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_embedding_lsh"] = _q_dedup_embedding_lsh
     out["dedup_embedding_ivf"] = _q_dedup_embedding_ivf
     out["dedup_semantic"] = _q_dedup_semantic
+    out["stream_dedup_semantic"] = _q_stream_dedup_semantic
     out["corpus_split"] = _q_corpus_split
     out["corpus_cluster_split"] = _q_corpus_cluster_split
     out["corpus_mix"] = _q_corpus_mix
@@ -7150,21 +7207,22 @@ _GATE_FIRST = [
     # R9 gate head (VERDICT r8 item 1: oldest-evidence-first rotation).
     # The never-gated ledger entered r9 EMPTY (all 272 r8-registry
     # queries have a driver row; r8 went 50/50 green), so this head is
-    # pure rotation: (a) the 5 r9 registrations (no driver row yet —
+    # pure rotation: (a) the 6 r9 registrations (no driver row yet —
     # keeping the never-gated ledger at zero outranks re-gating), then
     # (b) ALL 25 queries whose newest driver row is r3 (four engine
-    # generations old), then (c) 20 of the 49 r4-stale queries —
+    # generations old), then (c) 19 of the 49 r4-stale queries —
     # chosen for machinery risk: the full pipeline_* build family +
     # source_file_stats + search_lexical_recall (the parse/chunk/embed
     # path the r8 tree touched), the 4 r4-era streaming twins, the
     # asof/salted join pair, two graph ops with no sibling re-row this
-    # round, and one text + one events op. After this round the
-    # registry's maximum evidence age drops from r3 to r4 (29 r4 rows
-    # remain; 5 new registrations claimed the other slots — the r10
-    # head should finish those 29 plus its own registrations).
+    # round, and one text op. After this round the registry's maximum
+    # evidence age drops from r3 to r4 (30 r4 rows remain; 6 new
+    # registrations claimed the other slots — the r10 head should
+    # finish those 30 plus its own registrations).
     #
-    # -- (a) r9 registrations ×5 --
+    # -- (a) r9 registrations ×6 --
     "dedup_semantic",
+    "stream_dedup_semantic",
     "stream_ks_drift",
     "stream_psi_drift",
     "dsl_window_topn",
@@ -7195,7 +7253,7 @@ _GATE_FIRST = [
     "graph_type_usages",
     "join_range",
     "knn_topk_filtered",
-    # -- (c) highest-risk r4-stale ×20 --
+    # -- (c) highest-risk r4-stale ×19 --
     "pipeline_apply_changeset",
     "pipeline_branch_fork",
     "pipeline_change_detection",
@@ -7215,7 +7273,6 @@ _GATE_FIRST = [
     "graph_triangles",
     "graph_context_snippets",
     "text_c4_clean",
-    "events_funnel",
 ]
 
 
@@ -7309,6 +7366,9 @@ def oracle_sql() -> dict[str, str]:
         # deterministic centroids
         out["dedup_semantic"] = oracle.semdedup_oracle_sql(
             threshold=0.7, n_centroids=16, iters=8, max_cluster=20
+        )
+        out["stream_dedup_semantic"] = oracle.semdedup_stream_oracle_sql(
+            threshold=0.7, n_centroids=16, iters=8
         )
         # r8 (VERDICT r7 item 5): persisted-PQ lifecycle, same contract
         # as the IVF pair above — incremental encode against

@@ -946,6 +946,66 @@ def embedding_near_duplicates_ivf(
     )
 
 
+def assign_with_centroid_sim(
+    emb: DataFrame,
+    centroids,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(doc_id, v, cluster_id, csim): argmax-cosine cluster assignment
+    carrying the winning similarity — the shared front half of
+    :func:`semdedup` and its streaming twin. Arrow-batched matmul;
+    centroids are unit-norm so dot == cosine after row normalization."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = centroids
+
+    @pandas_udf("struct<cluster_id:int, centroid_sim:double>")
+    def nearest(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.array(list(vecs), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.clip(norms, 1e-12, None)
+        sims = mat @ cent.T
+        cid = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                "cluster_id": cid.astype("int32"),
+                "centroid_sim": sims[np.arange(len(cid)), cid],
+            }
+        )
+
+    return emb.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("v"),
+        nearest(F.col(vec_col)).alias("_a"),
+    ).select(
+        "doc_id",
+        "v",
+        F.col("_a.cluster_id").alias("cluster_id"),
+        F.col("_a.centroid_sim").alias("csim"),
+    )
+
+
+def pair_scores_udf():
+    """Vectorized reference-similarity scorer for (va, vb) vector pairs:
+    ``1 - (1 - cos)/2`` per row, one Arrow matvec per batch — shared by
+    the LSH/IVF/SemDeDup verify stages."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_scores(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma = np.array(list(va), dtype=np.float64)
+        mb = np.array(list(vb), dtype=np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        cos = dots / np.clip(na * nb, 1e-300, None)
+        return pd.Series(1.0 - (1.0 - cos) / 2.0)
+
+    return pair_scores
+
+
 def semdedup(
     emb: DataFrame,
     *,
@@ -988,8 +1048,6 @@ def semdedup(
     the documents (keep=true survivors feed training; the pruned rows
     carry their cluster for audit).
     """
-    from pyspark.sql.functions import pandas_udf
-
     from .knn import train_centroids
 
     cent = (
@@ -999,30 +1057,8 @@ def semdedup(
             emb, vec_col=vec_col, n_centroids=n_centroids, seed=seed
         )
     )
-
-    @pandas_udf("struct<cluster_id:int, centroid_sim:double>")
-    def nearest(vecs: pd.Series) -> pd.DataFrame:
-        mat = np.array(list(vecs), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat = mat / np.clip(norms, 1e-12, None)
-        sims = mat @ cent.T  # centroids are unit-norm: dot == cosine
-        cid = np.argmax(sims, axis=1)
-        return pd.DataFrame(
-            {
-                "cluster_id": cid.astype("int32"),
-                "centroid_sim": sims[np.arange(len(cid)), cid],
-            }
-        )
-
-    assigned = emb.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(vec_col).alias("v"),
-        nearest(F.col(vec_col)).alias("_a"),
-    ).select(
-        "doc_id",
-        "v",
-        F.col("_a.cluster_id").alias("cluster_id"),
-        F.col("_a.centroid_sim").alias("csim"),
+    assigned = assign_with_centroid_sim(
+        emb, cent, id_col=id_col, vec_col=vec_col
     )
     if max_cluster is not None:
         # ceil(n_c / cap) salt cells per cluster; BIGINT/INT division is
@@ -1041,17 +1077,7 @@ def semdedup(
     )
     # cached: the prune self-join references it on both sides
     ranked = assigned.withColumn("rank", F.row_number().over(w)).cache()
-
-    @pandas_udf("double")
-    def pair_scores(va: pd.Series, vb: pd.Series) -> pd.Series:
-        ma = np.array(list(va), dtype=np.float64)
-        mb = np.array(list(vb), dtype=np.float64)
-        dots = np.einsum("ij,ij->i", ma, mb)
-        na = np.linalg.norm(ma, axis=1)
-        nb = np.linalg.norm(mb, axis=1)
-        cos = dots / np.clip(na * nb, 1e-300, None)
-        return pd.Series(1.0 - (1.0 - cos) / 2.0)
-
+    pair_scores = pair_scores_udf()
     x, y = ranked.alias("x"), ranked.alias("y")
     pruned = (
         x.join(

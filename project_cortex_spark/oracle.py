@@ -3058,6 +3058,82 @@ def semdedup_oracle_sql(
     """
 
 
+def semdedup_stream_oracle_sql(
+    *,
+    threshold: float = 0.7,
+    n_centroids: int = 16,
+    iters: int = 8,
+    sample_rows: int = 10_000,
+) -> str:
+    """Oracle for the INCREMENTAL SemDeDup (streaming/semdedup.py) over
+    two id-ordered deliveries split at max(vec_id) // 2: same replayed
+    centroids and within-batch keep rule as :func:`semdedup_oracle_sql`
+    (rank within (batch, cluster)), plus the arrival-priority rule —
+    a second-delivery keeper is additionally pruned if it scores
+    ``>= threshold`` against ANY first-delivery FINAL keeper of its
+    cluster (stored keepers outrank new arrivals)."""
+    from .operators.knn import _kmeans_deterministic
+
+    vecs = _load_embeddings_ordered()
+    cent = _kmeans_deterministic(vecs[:sample_rows], n_centroids, iters)
+    cent_values = ",\n      ".join(
+        f"({cid}, {_plane_literal(list(row))})"
+        for cid, row in enumerate(cent)
+    )
+    cos = (
+        "list_dot_product(x.v, y.v)"
+        " / (sqrt(list_dot_product(x.v, x.v))"
+        " * sqrt(list_dot_product(y.v, y.v)))"
+    )
+    score = f"1.0 - (1.0 - ({cos})) / 2.0"
+    return f"""
+    WITH e AS (
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v,
+             CASE WHEN vec_id < (SELECT max(vec_id) // 2 FROM embeddings)
+                  THEN 0 ELSE 1 END AS batch
+      FROM embeddings
+    ), cent(cid, cv) AS (VALUES
+      {cent_values}
+    ), assign AS (
+      SELECT doc_id, v, batch, cid,
+             list_dot_product(v, cv) / sqrt(list_dot_product(v, v)) AS csim,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY list_dot_product(v, cv) DESC, cid) AS rn
+      FROM e CROSS JOIN cent
+    ), a AS (
+      SELECT doc_id, v, batch, cid, csim FROM assign WHERE rn = 1
+    ), r AS (
+      SELECT doc_id, v, batch, cid, csim,
+             row_number() OVER (PARTITION BY batch, cid
+               ORDER BY csim ASC, doc_id ASC) AS rank
+      FROM a
+    ), wpruned AS (
+      SELECT DISTINCT y.doc_id
+      FROM r x JOIN r y
+        ON x.batch = y.batch AND x.cid = y.cid AND x.rank < y.rank
+      WHERE {score} >= {threshold}
+    ), wk AS (
+      SELECT r.* FROM r
+      LEFT JOIN wpruned p ON p.doc_id = r.doc_id
+      WHERE p.doc_id IS NULL
+    ), xpruned AS (
+      SELECT DISTINCT y.doc_id
+      FROM wk x JOIN wk y
+        ON x.batch = 0 AND y.batch = 1 AND x.cid = y.cid
+      WHERE {score} >= {threshold}
+    )
+    SELECT r.doc_id,
+           CAST(r.cid AS INT) AS cluster_id,
+           round(r.csim, 6) AS centroid_sim,
+           CAST(r.rank AS INT) AS rank,
+           (w.doc_id IS NULL AND x.doc_id IS NULL) AS keep,
+           CAST(r.batch AS INT) AS batch
+    FROM r
+    LEFT JOIN wpruned w ON w.doc_id = r.doc_id
+    LEFT JOIN xpruned x ON x.doc_id = r.doc_id
+    """
+
+
 def knn_pq_join_oracle_sql(
     *,
     n_subspaces: int = 8,

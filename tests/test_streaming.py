@@ -1092,6 +1092,54 @@ def test_persisted_pq_index_lifecycle(spark, registry, tmp_path):
     assert after == before and len(after) == n_vecs
 
 
+def test_semdedup_batch_replay_is_idempotent(spark, registry, tmp_path):
+    """A replayed delivery (crash between store write and checkpoint
+    commit) must re-derive the SAME decisions and keepers: the batch
+    excludes its OWN store partition, so it cannot prune itself as
+    already-stored duplicates."""
+    import os
+
+    from project_cortex_spark.operators import knn as knn_mod
+    from project_cortex_spark.streaming import semdedup as stream_sd
+
+    emb = registry.table("embeddings")
+    cents = knn_mod.train_centroids_ordered(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8, iters=4
+    )
+    store = str(tmp_path / "keepers")
+    b0 = emb.filter(F.col("vec_id") < 250)
+    b1 = emb.filter(F.col("vec_id") >= 250)
+
+    def run(batch, batch_id):
+        decisions, keepers = stream_sd.dedup_batch(
+            spark, batch, store, cents, threshold=0.7,
+            exclude_batch=batch_id,
+        )
+        got = sorted(map(tuple, decisions.collect()))
+        keepers.write.mode("overwrite").parquet(
+            os.path.join(store, f"batch={batch_id}")
+        )
+        return got
+
+    run(b0, 0)
+    first = run(b1, 1)
+    second = run(b1, 1)  # replay after its store write landed
+    assert first == second
+    # arrival priority: at least one batch-1 doc must be pruned by a
+    # stored batch-0 keeper on the near-dup fixture (threshold 0.7
+    # emits cross pairs, see dedup_embedding_ivf), i.e. the store path
+    # is actually exercised
+    d1 = {r[0]: r[4] for r in first}
+    within_only = {
+        r["doc_id"]: r["keep"]
+        for r in __import__(
+            "project_cortex_spark.operators.dedup", fromlist=["dedup"]
+        ).semdedup(b1, threshold=0.7, centroids=cents).collect()
+    }
+    store_pruned = [d for d, k in within_only.items() if k and not d1[d]]
+    assert store_pruned, "no batch-1 keeper was pruned by the store"
+
+
 def test_pq_batch_replay_is_idempotent(spark, registry, tmp_path):
     """ADVICE r8 (low): a delivery retried after a partial failure
     (crash after the store write, before checkpoint commit) re-runs
