@@ -92,6 +92,10 @@ EXTENDED = [
     # r8 additions
     "dedup_pairs_auto",  # df-histogram dispatch + the chosen pair join
     "graph_cycle_paths",  # path-carrying BFS with per-level min canon
+    # r9 additions
+    "dedup_semantic",  # assign + salted within-cluster prune rule
+    "dsl_window_topn",  # DSL windows clause: fused rank pair + qualify
+    "events_ks_drift",  # bounds broadcast + cells monoid + ECDF window
 ]
 
 HEADLINE = [

@@ -92,9 +92,12 @@ PICKS = {
     "dedup_pairs_auto": "cost-based pair-join dispatch: the df-histogram decision (one scan-shaped aggregate) runs at plan-build time; the physical plan IS the chosen arm's — on this corpus the fractional-cap co-occurrence join (kept-shingle semi-join, co-occurrence agg on the shingle key, size join) over ONE cached shingle explode shared with the decision",
     "dedup_containment": "directed containment: the SAME capped co-occurrence core as the jaccard join (shared _cooccurrence_counts), both directions projected from one unordered pair row — the directed answer adds a 2x projection, never a second shuffle",
     "graph_ppr": "personalized pagerank: pagerank's stationary-edge/broadcast-rank shape with a static |V|-row teleport frame left-joined per step; plan shows the final checkpointed step (lineage cut per step by design)",
-    "events_ks_drift": "exact two-sample KS: one bounds aggregate broadcast back, ONE window pass with RANGE frames (ties step both CDFs together), sup in the same aggregate — the window's (group) key is the only data-sized exchange",
-    "events_psi_drift": "PSI drift: bucket index is pure per-row arithmetic off a broadcast bounds row — one count aggregate on (group, bucket, side), then a k-rows-per-group fold; nothing after the scan is data-sized",
+    "events_ks_drift": "exact two-sample KS: one bounds aggregate broadcast back, the (group, value) cells monoid (r9 — the streaming state form; the only data-sized exchange, map-side partial), then the RANGE-frame ECDF window over CELLS not rows",
+    "events_psi_drift": "PSI drift: bucket index is pure per-row arithmetic off a broadcast bounds row — one count aggregate on (group, bucket, side) (the r9 streaming monoid), then a k-rows-per-group fold; nothing after the scan is data-sized",
     "corpus_cluster_split": "leakage-safe split: near-dup cluster frame (small) broadcast-left-joined onto the corpus ids, split = per-row hash CASE on the representative — no extra shuffle vs the per-doc split",
+    "dedup_semantic": "SemDeDup decision frame: Arrow assign UDF, salt from a count-over-cluster window, rank window on (cluster, salt), prune self-join keyed on (cluster, salt) over the CACHED ranked frame — bounded pairs by the salt cap, never a cross product",
+    "dsl_window_topn": "DSL windows clause: two rank functions sharing the o_custkey partition fuse into consecutive Window nodes over ONE Exchange; qualify (rn <= 3) filters before the projection — top-N per group at one shuffle, no self-join",
+    "dsl_window_running": "DSL running/offset functions: RUNNING_SUM + LAG + LEAD over the same (p_brand, p_partkey) spec share one Exchange+Sort; default cumulative frame (RANGE..CURRENT ROW) — the oracle-replayable tie behavior",
 }
 
 
