@@ -6448,6 +6448,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bit-identical to DuckDB list_reduce, so the "stateful" smoother
     # is hash-gated (oracle.ewma_sql)
     out["events_ewma"] = lambda s, d: ev.ewma_series(_events(s, d))
+    # CUSUM change-point localizer (Page 1954): WHERE the level shifted,
+    # complementing ks/psi drift's WHETHER; seed-0 fold hash-gated via
+    # the list_prepend list_reduce replay
+    out["events_cusum"] = lambda s, d: ev.cusum_series(_events(s, d))
     # two-sample KS drift per type between the time-span halves — the
     # exact distribution-shift monitor (sup over every distinct value)
     out["events_ks_drift"] = lambda s, d: ev.ks_drift(_events(s, d))
@@ -7207,26 +7211,27 @@ _GATE_FIRST = [
     # R9 gate head (VERDICT r8 item 1: oldest-evidence-first rotation).
     # The never-gated ledger entered r9 EMPTY (all 272 r8-registry
     # queries have a driver row; r8 went 50/50 green), so this head is
-    # pure rotation: (a) the 6 r9 registrations (no driver row yet —
+    # pure rotation: (a) the 7 r9 registrations (no driver row yet —
     # keeping the never-gated ledger at zero outranks re-gating), then
     # (b) ALL 25 queries whose newest driver row is r3 (four engine
-    # generations old), then (c) 19 of the 49 r4-stale queries —
+    # generations old), then (c) 18 of the 49 r4-stale queries —
     # chosen for machinery risk: the full pipeline_* build family +
     # source_file_stats + search_lexical_recall (the parse/chunk/embed
     # path the r8 tree touched), the 4 r4-era streaming twins, the
-    # asof/salted join pair, two graph ops with no sibling re-row this
-    # round, and one text op. After this round the registry's maximum
-    # evidence age drops from r3 to r4 (30 r4 rows remain; 6 new
-    # registrations claimed the other slots — the r10 head should
-    # finish those 30 plus its own registrations).
+    # asof/salted join pair, and two graph ops with no sibling re-row
+    # this round. After this round the registry's maximum evidence age
+    # drops from r3 to r4 (31 r4 rows remain; 7 new registrations
+    # claimed the other slots — the r10 head should finish those 31
+    # plus its own registrations).
     #
-    # -- (a) r9 registrations ×6 --
+    # -- (a) r9 registrations ×7 --
     "dedup_semantic",
     "stream_dedup_semantic",
     "stream_ks_drift",
     "stream_psi_drift",
     "dsl_window_topn",
     "dsl_window_running",
+    "events_cusum",
     # -- (b) every r3-stale query ×25 --
     "corpus_mix",
     "dedup_embedding_cosine",
@@ -7253,7 +7258,7 @@ _GATE_FIRST = [
     "graph_type_usages",
     "join_range",
     "knn_topk_filtered",
-    # -- (c) highest-risk r4-stale ×19 --
+    # -- (c) highest-risk r4-stale ×18 --
     "pipeline_apply_changeset",
     "pipeline_branch_fork",
     "pipeline_change_detection",
@@ -7272,7 +7277,6 @@ _GATE_FIRST = [
     "join_salted",
     "graph_triangles",
     "graph_context_snippets",
-    "text_c4_clean",
 ]
 
 
@@ -7489,6 +7493,8 @@ def oracle_sql() -> dict[str, str]:
     )
     out["events_windowed_agg"] = oracle.windowed_agg_sql()
     out["events_ewma"] = oracle.ewma_sql()
+    # r9: CUSUM change-point — same seed-0 fold replay (list_prepend)
+    out["events_cusum"] = oracle.cusum_sql()
     out["events_ks_drift"] = oracle.ks_drift_sql()
     out["events_psi_drift"] = oracle.psi_drift_sql()
     # streaming twins replay the identical monoid + finisher (r9)

@@ -682,6 +682,106 @@ def ewma_series(
     )
 
 
+def cusum_series(
+    events: DataFrame,
+    *,
+    minutes: int = 60,
+    slack_sigmas: float = 0.5,
+    alarm_sigmas: float = 4.0,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection on per-group event volume
+    (Page 1954): S⁺_t = max(0, S⁺_{t-1} + (x_t − μ − k)) and
+    S⁻_t = max(0, S⁻_{t-1} − (x_t − μ + k)) over the ordered hourly
+    buckets, with reference slack k = ``slack_sigmas``·σ and alarm
+    threshold h = ``alarm_sigmas``·σ — the classical sequential drift
+    localizer that complements :func:`ks_drift`/:func:`psi_drift`
+    (those score WHETHER the distribution moved between halves; CUSUM
+    reports the bucket WHERE the level shifted).
+
+    μ and σ derive from exact integer power sums of the bucket counts
+    over the WHOLE series (identical in both engines) — the
+    self-referential form, which flags BOTH segments of a level shift
+    (the low segment drives S⁻, the high segment S⁺); a production
+    deployment would freeze μ/σ from an in-control reference window
+    (the drift_bounds pattern) so only new deviation alarms. The
+    recursion is the same explicit
+    left fold as :func:`ewma_series` — seeded 0.0 via Spark's
+    ``aggregate`` initial value, replayed in DuckDB as ``list_reduce``
+    over ``list_prepend(0.0, xs)`` — so the "stateful" detector is
+    fully hash-gateable. Same scale envelope as ewma: the shuffle key
+    is the group, per-key series length is buckets-of-history.
+
+    Returns (group, window_start, n_events, cusum_pos, cusum_neg,
+    alarm).
+    """
+    base = (
+        events.groupBy(
+            F.window(ts_col, f"{minutes} minutes").alias("w"), group_col
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), group_col, "n_events"
+        )
+    )
+    wg = Window.partitionBy(group_col)
+    wrun = (
+        Window.partitionBy(group_col)
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mu = F.col("s1") / F.col("cnt")
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("s2") / F.col("cnt") - mu * mu,
+            F.lit(0.0),
+        )
+    )
+    staged = base.select(
+        group_col,
+        "window_start",
+        "n_events",
+        F.count(F.lit(1)).over(wg).alias("cnt"),
+        F.sum("n_events").over(wg).alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(wg).alias("s2"),
+        F.collect_list(F.col("n_events").cast("double"))
+        .over(wrun)
+        .alias("xs"),
+    ).select(
+        group_col,
+        "window_start",
+        "n_events",
+        "xs",
+        mu.alias("mu"),
+        sigma.alias("sigma"),
+    )
+    slack = F.lit(slack_sigmas) * F.col("sigma")
+    pos = F.aggregate(
+        F.col("xs"),
+        F.lit(0.0),
+        lambda y, x: F.greatest(
+            F.lit(0.0), y + (x - F.col("mu") - slack)
+        ),
+    )
+    neg = F.aggregate(
+        F.col("xs"),
+        F.lit(0.0),
+        lambda y, x: F.greatest(
+            F.lit(0.0), y - (x - F.col("mu") + slack)
+        ),
+    )
+    h = F.lit(alarm_sigmas) * F.col("sigma")
+    return staged.select(
+        group_col,
+        "window_start",
+        "n_events",
+        F.round(pos, 6).alias("cusum_pos"),
+        F.round(neg, 6).alias("cusum_neg"),
+        ((pos > h) | (neg > h)).alias("alarm"),
+    )
+
+
 def throttle(
     events: DataFrame,
     *,

@@ -3831,6 +3831,56 @@ def ewma_sql(
     """
 
 
+def cusum_sql(
+    table: str = "events",
+    *,
+    minutes: int = 60,
+    slack_sigmas: float = 0.5,
+    alarm_sigmas: float = 4.0,
+) -> str:
+    """SQL mirror of operators.events.cusum_series: the same exact-
+    integer μ/σ derivation and the identical seed-0 left fold —
+    ``list_reduce`` over ``list_prepend(0.0, xs)`` replays Spark's
+    ``aggregate(xs, 0.0, fold)`` step for step."""
+    pos = (
+        "list_reduce(list_prepend(0.0, xs),"
+        f" (y, x) -> greatest(0.0, y + (x - mu - {slack_sigmas!r} * sigma)))"
+    )
+    neg = (
+        "list_reduce(list_prepend(0.0, xs),"
+        f" (y, x) -> greatest(0.0, y - (x - mu + {slack_sigmas!r} * sigma)))"
+    )
+    return f"""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '{minutes} minutes', ts) AS window_start,
+             event_type, count(*) AS n_events
+      FROM {table} GROUP BY 1, 2
+    ), st AS (
+      SELECT event_type, window_start, n_events,
+             count(*) OVER (PARTITION BY event_type) AS cnt,
+             sum(n_events) OVER (PARTITION BY event_type) AS s1,
+             sum(n_events * n_events) OVER (PARTITION BY event_type) AS s2,
+             array_agg(CAST(n_events AS DOUBLE)) OVER (
+               PARTITION BY event_type ORDER BY window_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+      FROM b
+    ), p AS (
+      SELECT event_type, window_start, n_events, xs,
+             s1 * 1.0 / cnt AS mu,
+             sqrt(greatest(
+               s2 * 1.0 / cnt - (s1 * 1.0 / cnt) * (s1 * 1.0 / cnt),
+               0.0)) AS sigma
+      FROM st
+    )
+    SELECT event_type, window_start, n_events,
+           round({pos}, 6) AS cusum_pos,
+           round({neg}, 6) AS cusum_neg,
+           ({pos} > {alarm_sigmas!r} * sigma
+            OR {neg} > {alarm_sigmas!r} * sigma) AS alarm
+    FROM p
+    """
+
+
 def winnowing_pairs_sql(
     *,
     table: str = "documents",

@@ -199,6 +199,14 @@ def main() -> None:
     ce = _load_check_entry()
     spark = get_spark(app_name="sf1-ledger")
     con = duckdb.connect()
+    # bound the oracle side: without a cap DuckDB happily allocates the
+    # host's entire RAM on a super-linear plan BEFORE the interrupt
+    # timer can matter (observed: the sf1 ppjoin oracle OOM-killed the
+    # whole process at 75 GB RSS). With a cap it spills or raises an
+    # OOM error, which gate_one records as engine-only-timed.
+    con.execute("SET memory_limit='16GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_sf1_spill'")
+    con.execute("SET max_temp_directory_size='40GB'")
     for t in DEFAULT_TABLES:
         p = os.path.join(SF1_DIR, f"{t}.parquet")
         if os.path.isdir(p):

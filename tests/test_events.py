@@ -540,6 +540,49 @@ def test_drift_ignores_null_timestamps(spark):
     assert (got["n_early"], got["n_late"]) == (4, 4)
 
 
+def test_cusum_localizes_planted_level_shift(spark):
+    """A flat 10-per-hour series that jumps to 30 at hour 24, with the
+    default self-derived reference (global mu=20, sigma=10): the LOW
+    half is a negative deviation (S- climbs from bucket 0, alarms once
+    it crosses 4 sigma, then decays to 0 after the shift) and the HIGH
+    half a positive one (S+ is exactly 0 before the shift, climbs from
+    bucket 24, alarms a few buckets later). A steady group never
+    alarms."""
+    from datetime import datetime, timedelta
+
+    from project_cortex_spark.operators.events import cusum_series
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    for h in range(48):
+        n = 10 if h < 24 else 30
+        for i in range(n):
+            rows.append(("shifted", 1.0, t0 + timedelta(hours=h, seconds=i)))
+        for i in range(10):
+            rows.append(("steady", 1.0, t0 + timedelta(hours=h, seconds=i)))
+    df = spark.createDataFrame(rows, "event_type string, value double, ts timestamp")
+    out = {
+        (r["event_type"], r["window_start"].hour + 24 * (r["window_start"].day - 1)): r
+        for r in cusum_series(df).collect()
+    }
+    assert all(not out[("steady", h)]["alarm"] for h in range(48))
+    # S+ exactly 0 through the low half, first positive at the shift
+    assert all(out[("shifted", h)]["cusum_pos"] == 0.0 for h in range(24))
+    assert out[("shifted", 24)]["cusum_pos"] > 0.0
+    # mu=20, sigma=10, k=5, h=40: S+ climbs 5/bucket from h=24 -> first
+    # S+ alarm at h=24+8=32; S- climbs 5/bucket from h=0 -> alarm at 8
+    pos_alarms = [
+        h for h in range(48) if out[("shifted", h)]["cusum_pos"] > 40.0
+    ]
+    neg_alarms = [
+        h for h in range(48) if out[("shifted", h)]["cusum_neg"] > 40.0
+    ]
+    assert min(pos_alarms) == 32 and min(neg_alarms) == 8
+    assert all(out[("shifted", h)]["alarm"] for h in (8, 32))
+    # S- decays 15/bucket after the shift: zero again by hour 24+8
+    assert out[("shifted", 47)]["cusum_neg"] == 0.0
+
+
 def test_drift_cells_merge_monoid(spark):
     """The streaming-twin contract: cells computed on disjoint
     micro-batch splits against ONE frozen bounds frame, merged by
