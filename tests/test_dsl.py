@@ -477,6 +477,48 @@ class TestValidation:
             )
 
 
+def test_window_running_avg_and_dense_rank_match_oracle(registry, duck):
+    """The two window functions with no gated query of their own:
+    RUNNING_AVG over an integer column (exact int sum / int count ->
+    identical doubles) and DENSE_RANK (tie-collapsing rank)."""
+    from pyspark.sql import functions as F
+
+    from .conftest import assert_matches_oracle
+
+    df = compile_query(
+        registry,
+        {
+            "from": "part",
+            "windows": [
+                {
+                    "function": "RUNNING_AVG",
+                    "alias": "size_avg",
+                    "field": "p_size",
+                    "partitionBy": ["p_brand"],
+                    "orderBy": [{"field": "p_partkey"}],
+                },
+                {
+                    "function": "DENSE_RANK",
+                    "alias": "size_drank",
+                    "partitionBy": ["p_brand"],
+                    "orderBy": [{"field": "p_size"}],
+                },
+            ],
+            "fields": ["p_brand", "p_partkey", "size_avg", "size_drank"],
+        },
+    )
+    assert_matches_oracle(
+        df.withColumn("size_avg", F.round("size_avg", 6)),
+        duck,
+        """SELECT p_brand, p_partkey,
+                  round(avg(p_size) OVER (PARTITION BY p_brand
+                    ORDER BY p_partkey), 6) AS size_avg,
+                  CAST(dense_rank() OVER (PARTITION BY p_brand
+                    ORDER BY p_size) AS INT) AS size_drank
+           FROM part""",
+    )
+
+
 _WIN_OK = {
     "function": "ROW_NUMBER",
     "alias": "rn",
