@@ -1267,9 +1267,15 @@ def _fts_index(spark: SparkSession, sf_dir: str):
 
 
 def _fts_query(q: str, limit: int = 15):
+    # rank_digits=9 (r9): at sf1 the replica corpus carries 10-deep
+    # EXACT BM25 ties whose computed scores differ at +/-1 ulp between
+    # engines/partitionings; quantizing before the cut collapses the
+    # packs onto the doc_id tie-break (the r6 hybrid fix, now on the
+    # plain search path too). The projected score IS the 9-rounded rank
+    # key — no second rounding, so no double-round divergence.
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return fts_mod.fts_search(_fts_index(spark, sf_dir), q, limit=limit).withColumn(
-            "score", F.round("score", 6)
+        return fts_mod.fts_search(
+            _fts_index(spark, sf_dir), q, limit=limit, rank_digits=9
         )
 
     return run
@@ -1294,7 +1300,8 @@ def _q_fts_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         limit=20,
         where=(F.col("lang") == "en") & F.col("source").like("src1%"),
         payload_cols=["lang", "source"],
-    ).withColumn("score", F.round("score", 6))
+        rank_digits=9,
+    )
 
 
 def _q_search_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4655,8 +4662,8 @@ def _q_fts_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit-tested, and the oracle replays the whole batch."""
     idx = _fts_index(spark, sf_dir)
     return fts_mod.fts_search_batch(
-        idx, _FTS_BATCH_QUERIES, limit=15
-    ).withColumn("score", F.round("score", 6))
+        idx, _FTS_BATCH_QUERIES, limit=15, rank_digits=9
+    )
 
 
 def _q_media_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5751,8 +5758,9 @@ def _q_stream_fts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.awaitTermination()
         index = stream_fts.read_fts_index(spark, idx, docs)
         out = fts_mod.fts_search(
-            index, '(merge OR stream) "fast sort" NOT error', limit=25
-        ).withColumn("score", F.round("score", 6))
+            index, '(merge OR stream) "fast sort" NOT error', limit=25,
+            rank_digits=9,
+        )
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -5873,8 +5881,9 @@ def _q_stream_fts_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), stats
         index = stream_fts.read_fts_index(spark, idx, docs)
         out = fts_mod.fts_search(
-            index, '(merge OR stream) "fast sort" NOT error', limit=25
-        ).withColumn("score", F.round("score", 6))
+            index, '(merge OR stream) "fast sort" NOT error', limit=25,
+            rank_digits=9,
+        )
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -7398,12 +7407,13 @@ def oracle_sql() -> dict[str, str]:
         dim=64, n_planes=4, seed=42, k=5, n_queries=5
     )
     for name, (q, limit) in _FTS_QUERIES.items():
-        out[name] = oracle.fts_oracle_sql(q, limit=limit)
+        out[name] = oracle.fts_oracle_sql(q, limit=limit, rank_digits=9)
     out["fts_filtered"] = oracle.fts_oracle_sql(
         "table OR merge",
         limit=20,
         where_sql="lang = 'en' AND source LIKE 'src1%'",
         payload_cols=("lang", "source"),
+        rank_digits=9,
     )
     # search_semantic is FULLY oracle-gated as of late r4: the hash
     # provider's token hash is md5, so the whole chunk→embed→score→
@@ -7948,13 +7958,15 @@ def oracle_sql() -> dict[str, str]:
     out["text_fix_mojibake"] = _TEXT_MOJIBAKE_ORACLE
     out["media_resize_real"] = _MEDIA_RESIZE_ORACLE
     out["graph_bfs_multi"] = _BFS_MULTI_ORACLE
-    out["fts_batch_topk"] = oracle.fts_batch_oracle_sql(_FTS_BATCH_QUERIES, limit=15)
+    out["fts_batch_topk"] = oracle.fts_batch_oracle_sql(
+        _FTS_BATCH_QUERIES, limit=15, rank_digits=9
+    )
     # incremental FTS store merged == one-shot batch index (fts_composite)
     out["stream_fts"] = oracle.fts_oracle_sql(
-        '(merge OR stream) "fast sort" NOT error', limit=25
+        '(merge OR stream) "fast sort" NOT error', limit=25, rank_digits=9
     )
     out["stream_fts_compacted"] = oracle.fts_oracle_sql(
-        '(merge OR stream) "fast sort" NOT error', limit=25
+        '(merge OR stream) "fast sort" NOT error', limit=25, rank_digits=9
     )
     # BOTH incremental stores merged == the one-shot batch hybrid oracle
     out["stream_hybrid_rrf"] = oracle.hybrid_rrf_oracle_sql(

@@ -40,13 +40,24 @@ def _sum6(col: str = "value"):
 
 
 def _avg6(col: str = "value"):
-    """round(avg(col), 6) from the exact e4 integer sum (see _sum6);
-    count(col) mirrors avg's NULL semantics."""
-    return F.round(
-        F.sum(F.round(F.col(col) * 10000).cast("long"))
-        / 10000.0
-        / F.count(col),
-        6,
+    """round(avg(col), 6) derived ENTIRELY in integer arithmetic from
+    the exact e4 sum (see _sum6): q = half-away-round(100·s / n) as
+    (200·|s| + n) DIV (2·n) on BIGINTs, then ONE exact double division
+    by 1e6. The previous double form — round((s/1e4)/n, 6) — can land
+    exactly on a 6-decimal half boundary (first seen at sf1:
+    13911.3/320 = 43.4728125) where Spark's and DuckDB's round() of
+    1-ulp-apart doubles disagree; integer rounding makes the boundary
+    decision exact on both engines. The (num − pmod)/den division is
+    exact in doubles because the quotient is an integer ≪ 2^53.
+    count(col) mirrors avg's NULL semantics (all-NULL group → NULL).
+    Oracle twin: oracle._AVG6_SQL."""
+    s = F.sum(F.round(F.col(col) * 10000).cast("long"))
+    n = F.count(col)
+    num = F.lit(200) * F.abs(s) + n
+    den = F.lit(2) * F.greatest(n, F.lit(1))
+    q = ((num - F.pmod(num, den)) / den).cast("long")
+    return F.when(n == 0, F.lit(None).cast("double")).otherwise(
+        F.signum(s) * q / F.lit(1000000.0)
     )
 
 

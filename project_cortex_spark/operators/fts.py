@@ -527,11 +527,13 @@ def fts_search_batch(
     queries: list[tuple],
     *,
     limit: int = 15,
+    rank_digits: int | None = None,
 ) -> DataFrame:
     """Batched conjunctive keyword search: N (query_id, query) pairs
     answered in ONE job — (query_id, doc_id, score, rank), top ``limit``
     docs per query by BM25 (score desc, doc_id asc tie-break, same
-    ordering contract as :func:`fts_search`).
+    ordering contract as :func:`fts_search`, including the optional
+    ``rank_digits`` quantization before the rank window).
 
     This is the throughput form of the reference's per-request FTS5
     lookup (2-8 ms each, CLAUDE.md:1099): N queries amortize scheduling
@@ -639,6 +641,8 @@ def fts_search_batch(
         )
         .filter(F.col("_matched") == F.col("_need"))
     )
+    if rank_digits is not None:
+        scored = scored.withColumn("score", F.round("score", rank_digits))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )

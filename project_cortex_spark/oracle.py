@@ -105,11 +105,15 @@ def fts_batch_oracle_sql(
     text_col: str = "text",
     limit: int = 15,
     round_digits: int = 6,
+    rank_digits: int | None = None,
 ) -> str:
     """SQL mirroring operators.fts.fts_search_batch: N conjunctive
     term queries, AND-match via matched-term count, BM25 sum, rank per
-    query_id (score desc, doc_id asc). Scores are rounded AFTER ranking
-    on the raw doubles, same as the Spark side."""
+    query_id (score desc, doc_id asc). Without ``rank_digits``, scores
+    are rounded AFTER ranking on the raw doubles, same as the Spark
+    side; with it, the score is quantized BEFORE the rank window (and
+    projected as-is), collapsing 1-ulp replica ties onto the doc_id
+    tie-break — the fts_search rank_digits contract."""
     from .operators.fts import And, Term, parse_fts_query
 
     def conj_words(n) -> list[str]:
@@ -149,14 +153,17 @@ def fts_batch_oracle_sql(
         GROUP BY q.query_id, p.doc_id
       ),
       ranked AS (
-        SELECT sc.query_id, sc.doc_id, sc.score,
+        SELECT sc.query_id, sc.doc_id,
+               {f"round(sc.score, {rank_digits})" if rank_digits is not None else "sc.score"} AS score,
                row_number() OVER (PARTITION BY sc.query_id
-                                  ORDER BY sc.score DESC, sc.doc_id)
+                                  ORDER BY {f"round(sc.score, {rank_digits})" if rank_digits is not None else "sc.score"} DESC, sc.doc_id)
                  AS rank
         FROM scored sc JOIN qn USING (query_id)
         WHERE sc.matched = qn.n_terms
       )
-    SELECT query_id, doc_id, round(score, {round_digits}) AS score, rank
+    SELECT query_id, doc_id,
+           {"score" if rank_digits is not None else f"round(score, {round_digits})"} AS score,
+           rank
     FROM ranked WHERE rank <= {limit}
     """
 
@@ -1197,6 +1204,19 @@ def mmr_oracle_sql(
 # Event analytics oracles (operators/events.py)
 # ---------------------------------------------------------------------------
 
+# Mirror of events._avg6: round(avg(value), 6) with BOTH the sum and
+# the half-away rounding decision in exact integer arithmetic —
+# q = (200·|s| + n) // (2·n) on BIGINTs, one double division by 1e6.
+# The previous double form round((s/1e4)/n, 6) split a 6-decimal
+# round-half boundary between the engines at sf1 (13911.3/320).
+_AVG6_SQL = """CASE WHEN count(value) = 0 THEN NULL ELSE
+             (CASE WHEN sum(CAST(round(value * 10000, 0) AS BIGINT)) >= 0
+               THEN (200 * sum(CAST(round(value * 10000, 0) AS BIGINT))
+                     + count(value)) // (2 * count(value))
+               ELSE -((200 * -sum(CAST(round(value * 10000, 0) AS BIGINT))
+                     + count(value)) // (2 * count(value))) END)
+             / 1000000.0 END"""
+
 
 def windowed_agg_sql(table: str = "events", minutes: int = 60) -> str:
     """time_bucket is epoch-aligned for divisors of a day, matching
@@ -1210,7 +1230,7 @@ def windowed_agg_sql(table: str = "events", minutes: int = 60) -> str:
            -- engines (a float sum's last ulp is order-dependent and
            -- split a round-half boundary at sf0.1)
            round(CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0, 6) AS sum_value,
-           round(CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 / count(value), 6) AS avg_value
+           {_AVG6_SQL} AS avg_value
     FROM {table}
     GROUP BY 1, 2
     """
@@ -1705,7 +1725,7 @@ def props_extract_sql(table: str = "events") -> str:
     )
     SELECT (k // 10) * 10 AS k_bucket, event_type,
            count(*) AS n_events,
-           round(CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 / count(value), 6) AS avg_value
+           {_AVG6_SQL} AS avg_value
     FROM extracted WHERE k IS NOT NULL
     GROUP BY 1, 2
     """
@@ -1792,7 +1812,7 @@ def value_histogram_sql(table: str = "events", width: float = 25.0) -> str:
            count(*) AS n_events,
            round(min(value), 6) AS min_value,
            round(max(value), 6) AS max_value,
-           round(CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 / count(value), 6) AS avg_value,
+           {_AVG6_SQL} AS avg_value,
            round(CAST(floor(value / {width}) AS BIGINT) * {width}, 6) AS bin_lo
     FROM {table}
     GROUP BY 1, 2
@@ -2654,7 +2674,7 @@ def twap_sql(table: str = "events") -> str:
     )
     SELECT event_type, count(*) AS n_intervals,
            round(sum(value * dt) / nullif(sum(dt), 0), 6) AS twap,
-           round(CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 / count(value), 6) AS plain_avg
+           {_AVG6_SQL} AS plain_avg
     FROM iv WHERE dt IS NOT NULL
     GROUP BY event_type
     """
