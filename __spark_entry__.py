@@ -6461,6 +6461,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # complementing ks/psi drift's WHETHER; seed-0 fold hash-gated via
     # the list_prepend list_reduce replay
     out["events_cusum"] = lambda s, d: ev.cusum_series(_events(s, d))
+
+    def _q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # streaming twin: the per-(group, bucket) counts are a pure
+        # count monoid (complete-mode aggregate, state bounded by
+        # active buckets per group); mu/sigma/fold run merge-on-read
+        # over the cells. Same oracle as the batch query.
+        with stream_source.scoped_state_partitions(
+            spark, _STREAM_STATE_PARTITIONS
+        ):
+            stream = stream_source.stream_table(spark, sf_dir, "events")
+            cells = stream_source.run_to_memory(
+                ev.cusum_cells(stream),
+                query_name="q_stream_cusum",
+                output_mode="complete",
+            )
+            return ev.cusum_on_cells(cells)
+
+    out["stream_cusum"] = _q_stream_cusum
     # two-sample KS drift per type between the time-span halves — the
     # exact distribution-shift monitor (sup over every distinct value)
     out["events_ks_drift"] = lambda s, d: ev.ks_drift(_events(s, d))
@@ -7220,20 +7238,20 @@ _GATE_FIRST = [
     # R9 gate head (VERDICT r8 item 1: oldest-evidence-first rotation).
     # The never-gated ledger entered r9 EMPTY (all 272 r8-registry
     # queries have a driver row; r8 went 50/50 green), so this head is
-    # pure rotation: (a) the 7 r9 registrations (no driver row yet —
+    # pure rotation: (a) the 8 r9 registrations (no driver row yet —
     # keeping the never-gated ledger at zero outranks re-gating), then
     # (b) ALL 25 queries whose newest driver row is r3 (four engine
-    # generations old), then (c) 18 of the 49 r4-stale queries —
+    # generations old), then (c) 17 of the 49 r4-stale queries —
     # chosen for machinery risk: the full pipeline_* build family +
     # source_file_stats + search_lexical_recall (the parse/chunk/embed
     # path the r8 tree touched), the 4 r4-era streaming twins, the
     # asof/salted join pair, and two graph ops with no sibling re-row
     # this round. After this round the registry's maximum evidence age
-    # drops from r3 to r4 (31 r4 rows remain; 7 new registrations
-    # claimed the other slots — the r10 head should finish those 31
+    # drops from r3 to r4 (32 r4 rows remain; 8 new registrations
+    # claimed the other slots — the r10 head should finish those 32
     # plus its own registrations).
     #
-    # -- (a) r9 registrations ×7 --
+    # -- (a) r9 registrations ×8 --
     "dedup_semantic",
     "stream_dedup_semantic",
     "stream_ks_drift",
@@ -7241,6 +7259,7 @@ _GATE_FIRST = [
     "dsl_window_topn",
     "dsl_window_running",
     "events_cusum",
+    "stream_cusum",
     # -- (b) every r3-stale query ×25 --
     "corpus_mix",
     "dedup_embedding_cosine",
@@ -7267,7 +7286,7 @@ _GATE_FIRST = [
     "graph_type_usages",
     "join_range",
     "knn_topk_filtered",
-    # -- (c) highest-risk r4-stale ×18 --
+    # -- (c) highest-risk r4-stale ×17 --
     "pipeline_apply_changeset",
     "pipeline_branch_fork",
     "pipeline_change_detection",
@@ -7285,7 +7304,6 @@ _GATE_FIRST = [
     "join_asof",
     "join_salted",
     "graph_triangles",
-    "graph_context_snippets",
 ]
 
 
@@ -7505,6 +7523,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_ewma"] = oracle.ewma_sql()
     # r9: CUSUM change-point — same seed-0 fold replay (list_prepend)
     out["events_cusum"] = oracle.cusum_sql()
+    out["stream_cusum"] = oracle.cusum_sql()
     out["events_ks_drift"] = oracle.ks_drift_sql()
     out["events_psi_drift"] = oracle.psi_drift_sql()
     # streaming twins replay the identical monoid + finisher (r9)

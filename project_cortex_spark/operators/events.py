@@ -727,7 +727,29 @@ def cusum_series(
     Returns (group, window_start, n_events, cusum_pos, cusum_neg,
     alarm).
     """
-    base = (
+    base = cusum_cells(
+        events, minutes=minutes, group_col=group_col, ts_col=ts_col
+    )
+    return cusum_on_cells(
+        base,
+        slack_sigmas=slack_sigmas,
+        alarm_sigmas=alarm_sigmas,
+        group_col=group_col,
+    )
+
+
+def cusum_cells(
+    events: DataFrame,
+    *,
+    minutes: int = 60,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CUSUM state cells: per-(group, bucket) event counts — a pure
+    count monoid (micro-batches merge by summing), so this IS the
+    streaming form; state is bounded by active buckets per group. The
+    detector's μ/σ/fold all derive from these counts merge-on-read."""
+    return (
         events.groupBy(
             F.window(ts_col, f"{minutes} minutes").alias("w"), group_col
         )
@@ -736,6 +758,19 @@ def cusum_series(
             F.col("w.start").alias("window_start"), group_col, "n_events"
         )
     )
+
+
+def cusum_on_cells(
+    base: DataFrame,
+    *,
+    slack_sigmas: float = 0.5,
+    alarm_sigmas: float = 4.0,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Merge-on-read CUSUM finisher over the (group, window_start,
+    n_events) cells: exact-integer μ/σ power sums plus the seed-0
+    fold — shared by the batch and streaming twins, and by the
+    oracle."""
     wg = Window.partitionBy(group_col)
     wrun = (
         Window.partitionBy(group_col)
