@@ -219,6 +219,12 @@ def main() -> None:
 
     for i, name in enumerate(todo):
         rec = gate_one(name, qs[name], oracles, spark, con, ce.norm)
+        # merge with the on-disk state at every write: a concurrent
+        # run (e.g. a targeted re-gate while a full sweep grinds) must
+        # not be clobbered by this process's stale in-memory copy
+        ledger = load_ledger()
+        for n in qs:
+            ledger.setdefault(n, {"status": "not-run"})
         ledger[name] = rec
         save_ledger(ledger)
         print(
