@@ -727,8 +727,17 @@ def knn_join_pq(
             np.take_along_axis(dmat, cmat + offs[None, :], axis=1).sum(axis=1)
         )
 
+    # rank quantization (r9): adc_dist is rounded to 12 digits BEFORE
+    # the ranking — exact-duplicate corpus vectors (the sf1 replica
+    # harness) produce bit-identical gather sums within ONE engine, but
+    # the oracle's SQL SUM accumulates the m terms in arbitrary
+    # aggregate order, so cross-engine the tied pack differs at 1 ulp
+    # and the top-k cut lands on different replicas. 12 digits is ~1e3x
+    # above the ulp noise and ~1e9 below any real ADC gap; ties then
+    # fall to the deterministic id tie-break on both engines (the BM25
+    # rank_digits idiom).
     cand = coded.crossJoin(F.broadcast(q)).withColumn(
-        "adc_dist", adc(F.col("pq_codes"), F.col("_dtab"))
+        "adc_dist", F.round(adc(F.col("pq_codes"), F.col("_dtab")), 12)
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("adc_dist").asc(), F.col(corpus_id).asc()

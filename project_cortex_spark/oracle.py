@@ -3219,9 +3219,13 @@ def knn_pq_join_oracle_sql(
       FROM encd enc JOIN qtab t ON t.sub = enc.sub AND t.code = enc.code
       GROUP BY t.query_id, enc.doc_id
     ), ar AS (
-      SELECT query_id, vec_id, adc_dist,
+      SELECT query_id, vec_id,
+             -- rank quantization (r9): SQL SUM accumulates the m gather
+             -- terms in arbitrary order, so exact-duplicate vectors tie
+             -- only after rounding; mirrors knn_join_pq
+             round(adc_dist, 12) AS adc_dist,
              row_number() OVER (PARTITION BY query_id
-               ORDER BY adc_dist ASC, vec_id) AS rank
+               ORDER BY round(adc_dist, 12) ASC, vec_id) AS rank
       FROM adc
     )
     SELECT query_id, vec_id, round(adc_dist, 6) AS adc_dist,
@@ -3325,8 +3329,9 @@ def knn_pq_recall_oracle_sql(
       GROUP BY t.query_id, enc.doc_id
     ), ar AS (
       SELECT query_id, vec_id,
+             -- same r9 rank quantization as knn_join_pq
              row_number() OVER (PARTITION BY query_id
-               ORDER BY adc_dist ASC, vec_id) AS rank
+               ORDER BY round(adc_dist, 12) ASC, vec_id) AS rank
       FROM adc
     ){approx_ctes}, xs AS (
       SELECT q0.doc_id AS query_id, c0.doc_id AS vec_id,
