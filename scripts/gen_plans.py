@@ -98,6 +98,7 @@ PICKS = {
     "dedup_semantic": "SemDeDup decision frame: Arrow assign UDF, salt from a count-over-cluster window, rank window on (cluster, salt), prune self-join keyed on (cluster, salt) over the CACHED ranked frame — bounded pairs by the salt cap, never a cross product",
     "dsl_window_topn": "DSL windows clause: two rank functions sharing the o_custkey partition fuse into consecutive Window nodes over ONE Exchange; qualify (rn <= 3) filters before the projection — top-N per group at one shuffle, no self-join",
     "dsl_window_running": "DSL running/offset functions: RUNNING_SUM + LAG + LEAD over the same (p_brand, p_partkey) spec share one Exchange+Sort; default cumulative frame (RANGE..CURRENT ROW) — the oracle-replayable tie behavior",
+    "events_cusum": "CUSUM change-point: one bucket count aggregate, group-window power sums (exact ints), collect_list + seed-0 aggregate fold per row — the 'stateful' detector as pure expressions, no Python in the loop",
 }
 
 
