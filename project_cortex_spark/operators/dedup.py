@@ -1072,8 +1072,14 @@ def semdedup(
         )
     else:
         assigned = assigned.withColumn("salt", F.lit(0))
+    # rank quantization (the BM25/ADC idiom): csim is computed per
+    # Arrow batch, and a 1-row batch's BLAS path differs from a
+    # many-row matmul at the ~1 ulp level, so near-tied members can
+    # rank differently across partition layouts (and vs the oracle's
+    # SQL expression). Rounding to 12 digits before the rank collapses
+    # ulp noise onto the deterministic doc_id tie-break.
     w = Window.partitionBy("cluster_id", "salt").orderBy(
-        F.col("csim").asc(), F.col("doc_id").asc()
+        F.round(F.col("csim"), 12).asc(), F.col("doc_id").asc()
     )
     # cached: the prune self-join references it on both sides
     ranked = assigned.withColumn("rank", F.row_number().over(w)).cache()

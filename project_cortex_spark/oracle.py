@@ -3060,8 +3060,10 @@ def semdedup_oracle_sql(
       SELECT doc_id, v, cid, csim, {salt} AS salt FROM a
     ), r AS (
       SELECT doc_id, v, cid, csim, salt,
+             -- rank quantization mirrors dedup.semdedup (ulp-tied
+             -- members fall to the doc_id tie-break on both engines)
              row_number() OVER (PARTITION BY cid, salt
-               ORDER BY csim ASC, doc_id ASC) AS rank
+               ORDER BY round(csim, 12) ASC, doc_id ASC) AS rank
       FROM salted
     ), pruned AS (
       SELECT DISTINCT y.doc_id
@@ -3125,7 +3127,7 @@ def semdedup_stream_oracle_sql(
     ), r AS (
       SELECT doc_id, v, batch, cid, csim,
              row_number() OVER (PARTITION BY batch, cid
-               ORDER BY csim ASC, doc_id ASC) AS rank
+               ORDER BY round(csim, 12) ASC, doc_id ASC) AS rank
       FROM a
     ), wpruned AS (
       SELECT DISTINCT y.doc_id

@@ -1597,3 +1597,133 @@ def test_containment_matches_bruteforce(spark, word_lists):
             if c >= 0.3:
                 want[(a, b)] = round(c, 9)
     assert got == want
+
+
+@COMMON
+@given(
+    st.lists(st.integers(1, 30), min_size=2, max_size=12),
+)
+def test_cusum_matches_bruteforce(spark, counts):
+    """cusum_series's seed-0 fold equals the textbook two-sided Page
+    CUSUM computed in python over the same bucket counts with the same
+    self-derived mu/sigma (k = 0.5 sigma). Engine values are rounded to
+    6 dp; compare within that contract."""
+    import math
+    from datetime import datetime, timedelta
+
+    from project_cortex_spark.operators.events import cusum_series
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    for h, n in enumerate(counts):
+        for i in range(n):
+            rows.append(("g", 1.0, t0 + timedelta(hours=h, seconds=i)))
+    df = spark.createDataFrame(
+        rows, "event_type string, value double, ts timestamp"
+    )
+    got = {
+        r["window_start"]: r for r in cusum_series(df).collect()
+    }
+    assert len(got) == len(counts)
+    n = len(counts)
+    s1 = sum(counts)
+    s2 = sum(c * c for c in counts)
+    mu = s1 / n
+    sigma = math.sqrt(max(s2 / n - mu * mu, 0.0))
+    k = 0.5 * sigma
+    sp = sn = 0.0
+    for h, c in enumerate(counts):
+        x = float(c)
+        sp = max(0.0, sp + (x - mu - k))
+        sn = max(0.0, sn - (x - mu + k))
+        r = got[t0 + timedelta(hours=h)]
+        assert r["n_events"] == c
+        assert abs(r["cusum_pos"] - sp) <= 5.01e-7, (h, r["cusum_pos"], sp)
+        assert abs(r["cusum_neg"] - sn) <= 5.01e-7, (h, r["cusum_neg"], sn)
+        # alarm compared away from the threshold boundary only (the
+        # fold values are bit-mirrored but the boundary itself is a
+        # float equality)
+        h4 = 4.0 * sigma
+        if abs(sp - h4) > 1e-9 and abs(sn - h4) > 1e-9:
+            assert r["alarm"] == (sp > h4 or sn > h4)
+
+
+@COMMON
+@given(
+    st.lists(
+        st.lists(st.integers(-3, 3), min_size=7, max_size=7),
+        min_size=6,
+        max_size=24,
+    ),
+    st.sampled_from([None, 4]),
+)
+def test_semdedup_matches_bruteforce(spark, raw_vecs, max_cluster):
+    """semdedup's decision frame equals a direct python replay of the
+    paper's rule: argmax-cosine assignment, (csim asc, id asc) rank
+    within the (cluster, salt) cell, prune anything scoring >=
+    threshold against a lower-ranked member. The brute force mirrors
+    the engine's float64 numpy expressions, so the compare is exact."""
+    import math
+
+    import numpy as np
+
+    from project_cortex_spark.operators import dedup as dd
+    from project_cortex_spark.operators.knn import _kmeans_deterministic
+
+    # append a constant component so no vector is all-zero
+    vecs = [list(map(float, v)) + [1.0] for v in raw_vecs]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    cent = _kmeans_deterministic(vecs, n_centroids=3, iters=4)
+    threshold = 0.9
+    got = {
+        r["doc_id"]: (
+            r["cluster_id"],
+            r["centroid_sim"],
+            r["rank"],
+            r["keep"],
+        )
+        for r in dd.semdedup(
+            emb, threshold=threshold, centroids=cent, max_cluster=max_cluster
+        ).collect()
+    }
+    # brute force with the same numpy ops as the engine's UDFs
+    mat = np.array(vecs, dtype=np.float64)
+    mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    sims = mat @ cent.T
+    cid = np.argmax(sims, axis=1)
+    csim = sims[np.arange(len(cid)), cid]
+    raw = np.array(vecs, dtype=np.float64)
+    from collections import Counter
+
+    sizes = Counter(int(c) for c in cid)
+    cells: dict[tuple, list[int]] = {}
+    for i in range(len(vecs)):
+        if max_cluster is not None:
+            n_sub = math.ceil(sizes[int(cid[i])] / max_cluster)
+            salt = i % n_sub
+        else:
+            salt = 0
+        cells.setdefault((int(cid[i]), salt), []).append(i)
+
+    def score(a: int, b: int) -> float:
+        dot = np.einsum("ij,ij->i", raw[a : a + 1], raw[b : b + 1])[0]
+        na = np.linalg.norm(raw[a : a + 1], axis=1)[0]
+        nb = np.linalg.norm(raw[b : b + 1], axis=1)[0]
+        return 1.0 - (1.0 - dot / max(na * nb, 1e-300)) / 2.0
+
+    for (c, _salt), members in cells.items():
+        # rank on the quantized csim, mirroring the engine (csim is
+        # batch-layout-dependent at the ulp level; the quantization IS
+        # part of the contract)
+        order = sorted(members, key=lambda i: (round(float(csim[i]), 12), i))
+        for pos, i in enumerate(order):
+            keep = not any(
+                score(order[j], i) >= threshold for j in range(pos)
+            )
+            g = got[i]
+            assert g[0] == c
+            assert g[1] == round(float(csim[i]), 6)
+            assert g[2] == pos + 1
+            assert g[3] == keep, (i, c, keep)
