@@ -6479,6 +6479,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return ev.cusum_on_cells(cells)
 
     out["stream_cusum"] = _q_stream_cusum
+    # robust per-type outliers on VALUES: modified z-score (Iglewicz &
+    # Hoaglin 1993) from exact interpolating medians — the heavy-tail-
+    # safe twin of rolling_anomaly's mean/std on volume
+    out["events_mad_outliers"] = lambda s, d: ev.mad_outliers(_events(s, d))
+    # lag-k ACF of per-type volume from exact BIGINT power sums —
+    # seasonality/periodicity diagnostic; time lags, so gaps drop pairs
+    out["events_autocorr"] = lambda s, d: ev.autocorr_series(_events(s, d))
+    # Holt's linear (level+trend) smoothing with one-step forecast and
+    # residual — the trend-aware upgrade of events_ewma; struct-
+    # accumulator fold replayed in DuckDB as a 2-list list_reduce
+    out["events_holt"] = lambda s, d: ev.holt_series(_events(s, d))
+
+    def _q_stream_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # streaming twin: same bucket-count monoid as stream_cusum
+        # (complete-mode aggregate, state bounded by active buckets per
+        # group); the lag-join + power-sum finisher runs merge-on-read.
+        # Same oracle as the batch query.
+        with stream_source.scoped_state_partitions(
+            spark, _STREAM_STATE_PARTITIONS
+        ):
+            stream = stream_source.stream_table(spark, sf_dir, "events")
+            cells = stream_source.run_to_memory(
+                ev.bucket_count_cells(stream),
+                query_name="q_stream_autocorr",
+                output_mode="complete",
+            )
+            return ev.autocorr_on_cells(cells)
+
+    out["stream_autocorr"] = _q_stream_autocorr
+
+    def _q_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # streaming twin: bucket-count monoid + merge-on-read Holt fold
+        # (the same shape as stream_cusum — the 'stateful' smoother's
+        # state is just the count cells). Same oracle as the batch.
+        with stream_source.scoped_state_partitions(
+            spark, _STREAM_STATE_PARTITIONS
+        ):
+            stream = stream_source.stream_table(spark, sf_dir, "events")
+            cells = stream_source.run_to_memory(
+                ev.bucket_count_cells(stream),
+                query_name="q_stream_holt",
+                output_mode="complete",
+            )
+            return ev.holt_on_cells(cells)
+
+    out["stream_holt"] = _q_stream_holt
     # two-sample KS drift per type between the time-span halves — the
     # exact distribution-shift monitor (sup over every distinct value)
     out["events_ks_drift"] = lambda s, d: ev.ks_drift(_events(s, d))
@@ -6627,6 +6673,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_df=50,
         ),
         k=50,
+    )
+    # seed-sampled bounded-radius closeness/harmonic centrality — the
+    # distance-based ranking (bridges score before they accumulate
+    # pagerank); deterministic % seed slice, recursive-CTE oracle
+    out["graph_closeness"] = lambda s, d: graph_mod.closeness_centrality(
+        graph_mod.cooccurrence_edges(
+            _registry(s, d).table("lineitem"),
+            group_col="l_orderkey",
+            item_col="l_partkey",
+            max_df=50,
+        )
     )
     out["graph_degree_distribution"] = lambda s, d: graph_mod.degree_distribution(
         graph_mod.cooccurrence_edges(
@@ -7251,7 +7308,10 @@ _GATE_FIRST = [
     # claimed the other slots — the r10 head should finish those 32
     # plus its own registrations).
     #
-    # -- (a) r9 registrations ×8 --
+    # -- (a) r9 registrations ×14 (the +6 second-wave additions --
+    # mad/acf/holt, the acf/holt twins, and closeness -- claimed the
+    # last five r4-stale slots plus stream_dedup; those six rotate in
+    # the r10 head instead) --
     "dedup_semantic",
     "stream_dedup_semantic",
     "stream_ks_drift",
@@ -7260,6 +7320,12 @@ _GATE_FIRST = [
     "dsl_window_running",
     "events_cusum",
     "stream_cusum",
+    "events_mad_outliers",
+    "events_autocorr",
+    "events_holt",
+    "stream_autocorr",
+    "stream_holt",
+    "graph_closeness",
     # -- (b) every r3-stale query ×25 --
     "corpus_mix",
     "dedup_embedding_cosine",
@@ -7298,12 +7364,6 @@ _GATE_FIRST = [
     "source_file_stats",
     "search_lexical_recall",
     "stream_asof_join",
-    "stream_dedup",
-    "stream_interval_join",
-    "stream_windowed_agg",
-    "join_asof",
-    "join_salted",
-    "graph_triangles",
 ]
 
 
@@ -7524,6 +7584,13 @@ def oracle_sql() -> dict[str, str]:
     # r9: CUSUM change-point — same seed-0 fold replay (list_prepend)
     out["events_cusum"] = oracle.cusum_sql()
     out["stream_cusum"] = oracle.cusum_sql()
+    # r9b: robust outliers / ACF / Holt smoothing (+ twins) — exact
+    # medians, BIGINT power sums, and the 2-list list_reduce fold
+    out["events_mad_outliers"] = oracle.mad_outliers_sql()
+    out["events_autocorr"] = oracle.autocorr_sql()
+    out["events_holt"] = oracle.holt_sql()
+    out["stream_autocorr"] = oracle.autocorr_sql()
+    out["stream_holt"] = oracle.holt_sql()
     out["events_ks_drift"] = oracle.ks_drift_sql()
     out["events_psi_drift"] = oracle.psi_drift_sql()
     # streaming twins replay the identical monoid + finisher (r9)
@@ -7548,6 +7615,8 @@ def oracle_sql() -> dict[str, str]:
     out["corpus_token_budget"] = oracle.token_budget_mix_sql(budget_tokens=600)
     out["graph_triangles"] = oracle.triangles_sql(max_df=50)
     out["graph_kcore"] = oracle.kcore_sql(max_df=50, k=3, rounds=4)
+    # r9b: seed-sampled closeness — recursive-CTE min-dist replay
+    out["graph_closeness"] = oracle.closeness_sql(max_df=50)
     out["graph_degree_distribution"] = oracle.degree_distribution_sql(max_df=50)
     out["graph_node_similarity"] = oracle.node_similarity_sql(max_df=50, k=50)
     out["graph_pagerank"] = oracle.pagerank_sql(max_df=50, iters=5)

@@ -738,17 +738,19 @@ def cusum_series(
     )
 
 
-def cusum_cells(
+def bucket_count_cells(
     events: DataFrame,
     *,
     minutes: int = 60,
     group_col: str = "event_type",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """CUSUM state cells: per-(group, bucket) event counts — a pure
-    count monoid (micro-batches merge by summing), so this IS the
-    streaming form; state is bounded by active buckets per group. The
-    detector's μ/σ/fold all derive from these counts merge-on-read."""
+    """Per-(group, time bucket) event counts — a pure count monoid
+    (micro-batches merge by summing), so this frame IS the streaming
+    state for every per-bucket-volume detector built on it (CUSUM,
+    Holt smoothing, autocorrelation); state is bounded by active
+    buckets per group. Detectors derive their statistics from these
+    counts merge-on-read."""
     return (
         events.groupBy(
             F.window(ts_col, f"{minutes} minutes").alias("w"), group_col
@@ -757,6 +759,21 @@ def cusum_cells(
         .select(
             F.col("w.start").alias("window_start"), group_col, "n_events"
         )
+    )
+
+
+def cusum_cells(
+    events: DataFrame,
+    *,
+    minutes: int = 60,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CUSUM state cells: the shared :func:`bucket_count_cells` monoid
+    (kept as a named twin so the streaming registration reads as the
+    detector it feeds)."""
+    return bucket_count_cells(
+        events, minutes=minutes, group_col=group_col, ts_col=ts_col
     )
 
 
@@ -1203,5 +1220,265 @@ def psi_drift_on_cells(
             "n_early",
             "n_late",
             F.round("_psi", 6).alias("psi"),
+        )
+    )
+
+
+def mad_outliers(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier detection via the modified z-score
+    (Iglewicz & Hoaglin 1993): M = 0.6745·(x − median)/MAD with
+    MAD = median(|x − median|), flagging |M| > ``threshold`` (their
+    published 3.5). Complements :func:`rolling_anomaly` (mean/std on
+    VOLUME over time) with a distribution-shape detector on VALUES —
+    the robust pair survives the heavy tails that wreck a plain
+    z-score, the classic first-pass filter on training-metric columns.
+
+    Both medians are EXACT interpolating percentiles (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``): order-insensitive per
+    group, so the only floats downstream are scalar expressions on
+    identical inputs — hash-gateable. NULL values are excluded up
+    front (both engines). Zero MAD (>50% of a group at one value)
+    yields NULL M via ``try_divide`` → never flagged; same in SQL.
+
+    Scale notes: exact medians need the per-group value multiset —
+    two aggregate passes shuffled on the group key, with the tiny
+    per-group stat frames broadcast back into codegen projections (no
+    second shuffle of the fact side; the rows were already
+    type-partitioned for pass 2). Per-group state is the sorted
+    buffer, the same envelope as any exact quantile; at 100 TB swap
+    the inner percentile for the equidepth-histogram sketch
+    (stats_equidepth_histogram) and keep this exact form for
+    bounded-cardinality groups.
+    """
+    base = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).alias("v"),
+    )
+    med = base.groupBy("grp").agg(
+        F.expr("percentile(v, 0.5)").alias("med")
+    )
+    devs = base.join(F.broadcast(med), "grp").withColumn(
+        "dev", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = devs.groupBy("grp").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    m = F.lit(0.6745) * F.try_divide(
+        F.col("v") - F.col("med"), F.col("mad")
+    )
+    return (
+        devs.join(F.broadcast(mad), "grp")
+        .filter(F.abs(m) > F.lit(threshold))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("_id").alias(id_col),
+            F.col("v").alias(value_col),
+            F.round("med", 6).alias("median"),
+            F.round("mad", 6).alias("mad"),
+            F.round(m, 4).alias("m_score"),
+        )
+    )
+
+
+def autocorr_series(
+    events: DataFrame,
+    *,
+    minutes: int = 60,
+    max_lag: int = 6,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Lag-k autocorrelation of per-group event volume, k = 1..
+    ``max_lag`` — the ACF diagnostic behind seasonality detection and
+    forecast-model selection (a daily-periodic signal shows a peak at
+    its period's lag; white noise shows none)."""
+    cells = bucket_count_cells(
+        events, minutes=minutes, group_col=group_col, ts_col=ts_col
+    )
+    return autocorr_on_cells(
+        cells, minutes=minutes, max_lag=max_lag, group_col=group_col
+    )
+
+
+def autocorr_on_cells(
+    cells: DataFrame,
+    *,
+    minutes: int = 60,
+    max_lag: int = 6,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Merge-on-read ACF finisher over (group, window_start, n_events)
+    cells — shared by the batch and streaming twins and replayed by
+    the oracle.
+
+    Lags are TIME lags (bucket-index deltas), not row positions: a
+    pair exists for (t, t+k·bucket) only where both buckets were
+    observed, so gaps contribute no pairs rather than misaligning the
+    series. Pearson r per (group, lag) is assembled from exact BIGINT
+    power sums of the integer counts (n, Σx, Σy, Σxy, Σx², Σy²), so
+    both engines feed the identical integers into the same scalar
+    float expression — bit-identical before the 6-dp round.
+    Degenerate lags (constant series → zero variance, or <2 pairs)
+    yield NULL acf via ``try_divide``.
+
+    Scale notes: the lagged side fans each cell out ``max_lag`` ways
+    BEFORE the equi-join on (group, bucket) — one shuffle of
+    max_lag·|buckets| rows, then a map-side-combined aggregate down to
+    |groups|·max_lag rows. Power-sum envelope: Σxy ≤ |buckets|·max²,
+    and n·Σxy must stay inside BIGINT — at 10⁹-count buckets switch
+    the accumulators to DECIMAL(38) before this overflows; the
+    integer-exactness contract is what the gate replays.
+    """
+    bucket_us = minutes * 60 * 1_000_000
+    base = cells.select(
+        F.col(group_col).alias("grp"),
+        F.expr(f"unix_micros(window_start) div {bucket_us}").alias("b"),
+        F.col("n_events").cast("long").alias("x"),
+    )
+    lagged = base.select(
+        "grp",
+        F.col("x").alias("y"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(max_lag))
+        ).alias("lag"),
+        "b",
+    ).select("grp", "lag", (F.col("b") - F.col("lag")).alias("b"), "y")
+    pairs = base.join(lagged, ["grp", "b"])
+    sums = pairs.groupBy("grp", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return sums.select(
+        F.col("grp").alias(group_col),
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.round(
+            F.try_divide(num, F.sqrt(vx) * F.sqrt(vy)), 6
+        ).alias("acf"),
+    )
+
+
+def holt_series(
+    events: DataFrame,
+    *,
+    minutes: int = 60,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing of per-group event
+    volume: level l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}), trend
+    b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, with the one-step-ahead
+    forecast l_{t−1} + b_{t−1} and its residual — the trend-aware
+    upgrade of :func:`ewma_series` (a ramping series shows a constant
+    EWMA lag but a near-zero Holt residual), and the standard
+    forecasting baseline whose residuals feed anomaly thresholds."""
+    cells = bucket_count_cells(
+        events, minutes=minutes, group_col=group_col, ts_col=ts_col
+    )
+    return holt_on_cells(
+        cells, alpha=alpha, beta=beta, group_col=group_col
+    )
+
+
+def holt_on_cells(
+    cells: DataFrame,
+    *,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Merge-on-read Holt finisher over (group, window_start, n_events)
+    cells — shared by the batch and streaming twins and replayed by
+    the oracle.
+
+    The coupled (level, trend) recursion is evaluated as an explicit
+    LEFT FOLD with a STRUCT accumulator: Spark ``aggregate`` folds the
+    ordered cumulative bucket array seeded {l: x₁, b: 0}, and DuckDB
+    replays it with ``list_reduce`` over a struct-typed list (its
+    accumulator must share the element type, so the oracle lifts each
+    x into {l: x, b: 0} and prepends the seed — same ops, same
+    order). l_t appears in both update equations and is recomputed
+    textually in each, identically in both engines, so the fold is
+    bit-identical before the 6-dp round. Defaults α=1/2, β=1/4 are
+    binary-exact. The forecast at t folds the one-shorter prefix
+    (NULL at t=1, where no prior state exists).
+
+    Same scale envelope as :func:`ewma_series`/CUSUM: shuffle key is
+    the group; per-row state is the cumulative array, fine for
+    buckets-of-history series lengths (the fold is O(t) per row →
+    O(T²) per group — for month-long hourly series T≈720, trivial;
+    for unbounded history window the series first).
+    """
+    wrun = (
+        Window.partitionBy(group_col)
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    a, b1 = float(alpha), float(beta)
+
+    def step(acc, x):
+        l_new = F.lit(a) * x + F.lit(1.0 - a) * (acc.l + acc.b)
+        return F.struct(
+            l_new.alias("l"),
+            (
+                F.lit(b1)
+                * (
+                    F.lit(a) * x
+                    + F.lit(1.0 - a) * (acc.l + acc.b)
+                    - acc.l
+                )
+                + F.lit(1.0 - b1) * acc.b
+            ).alias("b"),
+        )
+
+    def fold(xs_slice):
+        seed = F.struct(
+            F.element_at(F.col("xs"), 1).alias("l"),
+            F.lit(0.0).alias("b"),
+        )
+        return F.aggregate(xs_slice, seed, step)
+
+    n = F.size("xs")
+    cur = fold(F.slice(F.col("xs"), F.lit(2), F.greatest(n - 1, F.lit(0))))
+    prev = fold(F.slice(F.col("xs"), F.lit(2), F.greatest(n - 2, F.lit(0))))
+    forecast = F.when(n >= 2, prev["l"] + prev["b"])
+    return (
+        cells.withColumn(
+            "xs",
+            F.collect_list(F.col("n_events").cast("double")).over(wrun),
+        )
+        .select(
+            group_col,
+            "window_start",
+            "n_events",
+            F.round(cur["l"], 6).alias("level"),
+            F.round(cur["b"], 6).alias("trend"),
+            F.round(forecast, 6).alias("forecast"),
+            F.round(
+                F.col("n_events").cast("double") - forecast, 6
+            ).alias("residual"),
         )
     )

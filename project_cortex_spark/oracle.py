@@ -4844,3 +4844,187 @@ def length_buckets_sql(
                  / CAST(n_docs * bucket_cap AS DOUBLE), 6) AS fill_ratio
     FROM a
     """
+
+
+def mad_outliers_sql(
+    table: str = "events", *, threshold: float = 3.5
+) -> str:
+    """SQL mirror of operators.events.mad_outliers: the same exact
+    interpolating medians (``quantile_cont`` ≡ Spark ``percentile``),
+    the identical modified-z scalar expression, and NULLIF replaying
+    ``try_divide`` on a zero MAD."""
+    m = "0.6745e0 * ((d.v - d.med) / nullif(a.mad, 0))"
+    return f"""
+    WITH base AS (
+      SELECT event_type AS grp, event_id, value AS v
+      FROM {table} WHERE value IS NOT NULL
+    ), med AS (
+      SELECT grp, quantile_cont(v, 0.5) AS med FROM base GROUP BY grp
+    ), devs AS (
+      SELECT b.grp, b.event_id, b.v, m.med, abs(b.v - m.med) AS dev
+      FROM base b JOIN med m USING (grp)
+    ), mad AS (
+      SELECT grp, quantile_cont(dev, 0.5) AS mad FROM devs GROUP BY grp
+    )
+    SELECT d.grp AS event_type, d.event_id, d.v AS value,
+           round(d.med, 6) AS median, round(a.mad, 6) AS mad,
+           round({m}, 4) AS m_score
+    FROM devs d JOIN mad a USING (grp)
+    WHERE abs({m}) > {threshold!r}
+    """
+
+
+def autocorr_sql(
+    table: str = "events", *, minutes: int = 60, max_lag: int = 6
+) -> str:
+    """SQL mirror of operators.events.autocorr_series: identical
+    epoch bucketing, time-lag pairing (gaps yield no pairs), exact
+    BIGINT power sums, and the same scalar Pearson expression."""
+    bucket_us = minutes * 60 * 1_000_000
+    return f"""
+    WITH cells AS (
+      SELECT event_type AS grp, epoch_us(ts) // {bucket_us} AS b,
+             count(*) AS x
+      FROM {table} GROUP BY 1, 2
+    ), lagged AS (
+      SELECT grp, lg, b - lg AS b, x AS y
+      FROM cells, range(1, {max_lag + 1}) t(lg)
+    ), p AS (
+      SELECT c.grp, l.lg, c.x, l.y
+      FROM cells c JOIN lagged l ON c.grp = l.grp AND c.b = l.b
+    ), s AS (
+      SELECT grp, lg, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM p GROUP BY grp, lg
+    )
+    SELECT grp AS event_type, CAST(lg AS INTEGER) AS lag,
+           n AS n_pairs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                 nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0),
+                 6) AS acf
+    FROM s
+    """
+
+
+def holt_sql(
+    table: str = "events",
+    *,
+    minutes: int = 60,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> str:
+    """SQL mirror of operators.events.holt_series: the same (level,
+    trend) left fold. DuckDB's ``list_reduce`` accumulator must share
+    the element type, so each x is lifted into ``[x, 0]`` and the seed
+    ``[x₁, 0]`` prepended — the lambda then runs the identical float
+    ops in the identical order as Spark's ``aggregate``, including the
+    textual recomputation of l_t inside the trend update.
+
+    A 2-LIST accumulator, NOT a struct one: DuckDB 1.0's list_reduce
+    mis-evaluates a struct accumulator whose fields share a common
+    subexpression (the repeated l_t) once the fold exceeds two steps —
+    [1,1,2] folds to trend 0.0625 instead of 0.125 (the list form and
+    Spark both give 0.125, as does hand arithmetic). The list
+    accumulator sidesteps whatever CSE state leaks between fold
+    iterations."""
+    a, b = float(alpha), float(beta)
+    l_new = f"{a!r} * e[1] + {1.0 - a!r} * (acc[1] + acc[2])"
+    lam = (
+        f"(acc, e) -> [{l_new}, "
+        f"{b!r} * ({l_new} - acc[1]) + {1.0 - b!r} * acc[2]]"
+    )
+
+    def fold(hi: str) -> str:
+        return (
+            "list_reduce(list_prepend("
+            "[xs[1], CAST(0.0 AS DOUBLE)], "
+            f"list_transform(list_slice(xs, 2, {hi}), "
+            "x -> [x, CAST(0.0 AS DOUBLE)])), "
+            f"{lam})"
+        )
+
+    cur = fold("len(xs)")
+    prev = fold("len(xs) - 1")
+    fc = f"CASE WHEN len(xs) >= 2 THEN ({prev})[1] + ({prev})[2] END"
+    return f"""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '{minutes} minutes', ts)
+               AS window_start,
+             event_type, count(*) AS n_events
+      FROM {table} GROUP BY 1, 2
+    ), st AS (
+      SELECT event_type, window_start, n_events,
+             array_agg(CAST(n_events AS DOUBLE)) OVER (
+               PARTITION BY event_type ORDER BY window_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+      FROM b
+    )
+    SELECT event_type, window_start, n_events,
+           round(({cur})[1], 6) AS level,
+           round(({cur})[2], 6) AS trend,
+           round({fc}, 6) AS forecast,
+           round(CAST(n_events AS DOUBLE) - ({fc}), 6) AS residual
+    FROM st
+    """
+
+
+def closeness_sql(
+    table: str = "lineitem",
+    group_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    max_df: int = 50,
+    *,
+    seed_mod: int = 20,
+    max_depth: int = 3,
+) -> str:
+    """SQL mirror of cooccurrence_edges + graph.closeness_centrality:
+    the same degree-capped a<b edge list made bidirectional, the same
+    ``node % seed_mod`` seed slice, a recursive-CTE closure whose
+    min(d) GROUP BY replays the anti-join BFS's minimal distances, and
+    the identical fixed-order harmonic/closeness scalar expressions."""
+    harmonic = " + ".join(
+        ["CAST(c1 AS DOUBLE)"]
+        + [f"c{d} / {float(d)!r}" for d in range(2, max_depth + 1)]
+    )
+    per_level = ",\n             ".join(
+        f"sum(CASE WHEN d = {d} THEN 1 ELSE 0 END) AS c{d}"
+        for d in range(1, max_depth + 1)
+    )
+    return f"""
+    WITH RECURSIVE pres0 AS (
+      SELECT DISTINCT {group_col} AS g, {item_col} AS itm FROM {table}
+    ), keep AS (
+      SELECT itm FROM pres0 GROUP BY itm HAVING count(*) <= {max_df}
+    ), pres AS (
+      SELECT g, itm FROM pres0 JOIN keep USING (itm)
+    ), e0 AS MATERIALIZED (
+      SELECT DISTINCT p1.itm AS a, p2.itm AS b
+      FROM pres p1 JOIN pres p2 ON p1.g = p2.g AND p1.itm < p2.itm
+    ), e AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM e0
+      UNION ALL SELECT b, a FROM e0
+    ), seeds AS (
+      SELECT DISTINCT src AS node FROM e WHERE src % {seed_mod} = 0
+    ), bfs AS (
+      SELECT node AS seed, node, 0 AS d FROM seeds
+      UNION
+      SELECT b.seed, e.dst AS node, b.d + 1 AS d
+      FROM bfs b JOIN e ON b.node = e.src
+      WHERE b.d < {max_depth}
+    ), vis AS (
+      SELECT seed, node, min(d) AS d FROM bfs GROUP BY seed, node
+    ), counts AS (
+      SELECT seed, count(*) AS n_reached, sum(d) AS sum_dist,
+             {per_level}
+      FROM vis WHERE d >= 1 GROUP BY seed
+    )
+    SELECT s.node,
+           coalesce(c.n_reached, 0) AS n_reached,
+           coalesce(c.sum_dist, 0) AS sum_dist,
+           round(coalesce({harmonic}, 0.0), 6) AS harmonic,
+           round(CAST(c.n_reached AS DOUBLE)
+                 / nullif(CAST(c.sum_dist AS DOUBLE), 0), 6) AS closeness
+    FROM seeds s LEFT JOIN counts c ON s.node = c.seed
+    """

@@ -652,3 +652,143 @@ def test_drift_midpoint_is_integer_division(spark):
     df = spark.createDataFrame(rows, "event_type string, value double, ts timestamp")
     got = ks_drift(df).collect()[0]
     assert (got["n_early"], got["n_late"]) == (2, 2)
+
+
+def test_mad_outliers_oracle(registry, duck):
+    from project_cortex_spark.operators.events import mad_outliers
+
+    df = mad_outliers(registry.table("events"))
+    assert_matches_oracle(df, duck, oracle.mad_outliers_sql())
+
+
+def test_mad_outliers_semantics(spark):
+    """A planted far point is flagged with the Iglewicz-Hoaglin score;
+    a >50%-constant group has MAD 0 and NEVER flags (try_divide ->
+    NULL, not inf); NULL values are ignored."""
+    from project_cortex_spark.operators.events import mad_outliers
+
+    rows = [("a", i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 100])]
+    rows += [("z", 10 + i, 7.0) for i in range(5)] + [("z", 20, 1e9)]
+    rows += [("a", 99, None)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    got = mad_outliers(df, threshold=3.5).collect()
+    assert [(r["event_type"], r["event_id"]) for r in got] == [("a", 5)]
+    r = got[0]
+    # a-group: median 3.5, MAD 1.5, M = .6745*(100-3.5)/1.5
+    assert r["median"] == 3.5 and r["mad"] == 1.5
+    assert r["m_score"] == round(0.6745 * (100 - 3.5) / 1.5, 4)
+
+
+def test_autocorr_oracle(registry, duck):
+    from project_cortex_spark.operators.events import autocorr_series
+
+    df = autocorr_series(registry.table("events"))
+    assert_matches_oracle(df, duck, oracle.autocorr_sql())
+
+
+def test_autocorr_alternating_series(spark):
+    """x = 1,3,1,3,... : lag-1 pairs are perfectly anti-correlated
+    (acf -1), lag-2 perfectly correlated (acf 1) — exact from the
+    integer power sums. A missing bucket removes exactly its pairs
+    (time lags, not row lags)."""
+    from datetime import datetime, timedelta
+
+    from project_cortex_spark.operators.events import autocorr_series
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    for h in range(12):
+        n = 1 if h % 2 == 0 else 3
+        for i in range(n):
+            rows.append(("alt", 1.0, t0 + timedelta(hours=h, seconds=i)))
+    df = spark.createDataFrame(rows, "event_type string, value double, ts timestamp")
+    out = {r["lag"]: r for r in autocorr_series(df, max_lag=3).collect()}
+    assert out[1]["acf"] == -1.0 and out[1]["n_pairs"] == 11
+    assert out[2]["acf"] == 1.0 and out[2]["n_pairs"] == 10
+    # drop hour 5 entirely: lag-1 loses the (4,5) and (5,6) pairs
+    rows2 = [r for r in rows if r[2].hour != 5]
+    df2 = spark.createDataFrame(rows2, "event_type string, value double, ts timestamp")
+    out2 = {r["lag"]: r for r in autocorr_series(df2, max_lag=3).collect()}
+    assert out2[1]["n_pairs"] == 9
+
+
+def test_holt_oracle(registry, duck):
+    from project_cortex_spark.operators.events import holt_series
+
+    df = holt_series(registry.table("events"))
+    assert_matches_oracle(df, duck, oracle.holt_sql())
+
+
+def test_holt_linear_trend_semantics(spark):
+    """Hand-checked two-step recursion (alpha=1/2, beta=1/4 exact
+    binary): x=[2,4] -> level 3, trend 0.25, forecast x1=2, residual
+    2; and on a long pure ramp the one-step residual shrinks toward 0
+    while EWMA's lag would stay constant — the trend term earns its
+    keep."""
+    from datetime import datetime, timedelta
+
+    from project_cortex_spark.operators.events import holt_series
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    for h, n in enumerate([2, 4]):
+        for i in range(n):
+            rows.append(("two", 1.0, t0 + timedelta(hours=h, seconds=i)))
+    for h in range(40):
+        for i in range(h + 1):
+            rows.append(("ramp", 1.0, t0 + timedelta(hours=h, seconds=i)))
+    df = spark.createDataFrame(rows, "event_type string, value double, ts timestamp")
+    out = holt_series(df).collect()
+    two = sorted(
+        [r for r in out if r["event_type"] == "two"],
+        key=lambda r: r["window_start"],
+    )
+    assert two[0]["level"] == 2.0 and two[0]["trend"] == 0.0
+    assert two[0]["forecast"] is None and two[0]["residual"] is None
+    assert two[1]["level"] == 3.0 and two[1]["trend"] == 0.25
+    assert two[1]["forecast"] == 2.0 and two[1]["residual"] == 2.0
+    ramp = sorted(
+        [r for r in out if r["event_type"] == "ramp"],
+        key=lambda r: r["window_start"],
+    )
+    assert abs(ramp[-1]["residual"]) < 0.05
+
+
+def test_bucket_cells_finishers_merge_monoid(spark):
+    """Streaming-twin contract for the autocorr/holt finishers: cells
+    computed on disjoint micro-batch splits, merged by summing counts,
+    finish to the exact batch answer."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from project_cortex_spark.operators import events as ev
+
+    rnd = random.Random(13)
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        (
+            rnd.choice(["a", "b"]),
+            1.0,
+            t0 + timedelta(hours=rnd.randrange(48), seconds=rnd.randrange(600)),
+        )
+        for _ in range(600)
+    ]
+    schema = "event_type string, value double, ts timestamp"
+    df = spark.createDataFrame(rows, schema)
+    half1 = spark.createDataFrame(rows[:300], schema)
+    half2 = spark.createDataFrame(rows[300:], schema)
+    merged = (
+        ev.bucket_count_cells(half1)
+        .unionByName(ev.bucket_count_cells(half2))
+        .groupBy("window_start", "event_type")
+        .agg(F.sum("n_events").alias("n_events"))
+    )
+    for fin in (ev.autocorr_on_cells, ev.holt_on_cells):
+        batch = {
+            tuple(r)[:2]: tuple(r)
+            for r in fin(ev.bucket_count_cells(df)).collect()
+        }
+        twin = {tuple(r)[:2]: tuple(r) for r in fin(merged).collect()}
+        assert batch == twin, fin.__name__

@@ -1060,3 +1060,40 @@ def test_cycle_selfloop_with_out_edges_closes_at_level_one(spark):
         for r in cycle_paths(edges, max_len=6).collect()
     }
     assert paths == {"x": (1, "x>x"), "y": (2, "y>x>y")}
+
+
+def test_closeness_path_graph(spark):
+    """Hand graph: path 0-1-2-3-4 (a<b edges). Seeds % 20 == 0 -> {0,
+    20}; 20 is isolated-from-the-path via its own edge to 21. From 0
+    with radius 3: dists 1,2,3 -> n_reached 3, sum 6, harmonic
+    1 + 1/2 + 1/3, closeness 0.5. From 20: one neighbor at dist 1."""
+    from project_cortex_spark.operators.graph import closeness_centrality
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (20, 21)], ["a", "b"]
+    )
+    got = {r["node"]: r for r in closeness_centrality(edges).collect()}
+    assert set(got) == {0, 20}
+    r0 = got[0]
+    assert (r0["n_reached"], r0["sum_dist"]) == (3, 6)
+    assert r0["harmonic"] == round(1 + 1 / 2 + 1 / 3, 6)
+    assert r0["closeness"] == 0.5
+    assert (got[20]["n_reached"], got[20]["closeness"]) == (1, 1.0)
+
+
+def test_closeness_matches_recursive_oracle(registry, duck):
+    from project_cortex_spark import oracle
+    from project_cortex_spark.operators.graph import (
+        closeness_centrality,
+        cooccurrence_edges,
+    )
+
+    df = closeness_centrality(
+        cooccurrence_edges(
+            registry.table("lineitem"),
+            group_col="l_orderkey",
+            item_col="l_partkey",
+            max_df=50,
+        )
+    )
+    assert_matches_oracle(df, duck, oracle.closeness_sql(max_df=50))
