@@ -6378,6 +6378,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_containment"] = lambda s, d: dd.containment_pairs(
         _docs(s, d), shingle_n=3, threshold=0.6, max_df=100, max_df_frac=0.2
     ).withColumn("containment", F.round("containment", 6))
+    # edit-distance sibling (PassJoin, Li et al. 2011): ORDER-aware
+    # near-dup over the fixed-width key prefix — lossless segment
+    # filter gated against the brute-force all-pairs oracle
+    out["dedup_edit_distance"] = lambda s, d: dd.edit_distance_pairs(
+        _docs(s, d), k=2, key_len=32
+    )
     out["dedup_simhash"] = _q_dedup_simhash
     out["dedup_simhash_banded"] = _q_dedup_simhash_banded
     out["dedup_clusters"] = _q_dedup_clusters
@@ -6490,6 +6496,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # residual — the trend-aware upgrade of events_ewma; struct-
     # accumulator fold replayed in DuckDB as a 2-list list_reduce
     out["events_holt"] = lambda s, d: ev.holt_series(_events(s, d))
+    # classical additive decomposition (trend + daily seasonal +
+    # residual): integer-exact centered MA, e6-quantized phase means
+    out["events_seasonal"] = lambda s, d: ev.seasonal_decompose(
+        _events(s, d)
+    )
 
     def _q_stream_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         # streaming twin: same bucket-count monoid as stream_cusum
@@ -6573,6 +6584,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return ev.ks_drift_on_cells(cells)
 
     out["stream_ks_drift"] = _q_stream_ks_drift
+
+    # Welch two-sample t-test drift: the parametric complement of the
+    # KS/PSI monitors — has the MEAN moved between the early/late
+    # halves, in standard errors? Exact decimal power sums, <= 2 cells
+    # per group, scalar-only finisher (replayed verbatim in SQL)
+    out["events_ttest_drift"] = lambda s, d: ev.ttest_drift(_events(s, d))
+
+    def _q_stream_ttest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # streaming twin: the (group, side) power-sum cells are the
+        # smallest monoid in the drift family (2 rows/group); frozen
+        # bounds broadcast per micro-batch, finisher merge-on-read
+        with stream_source.scoped_state_partitions(
+            spark, _STREAM_STATE_PARTITIONS
+        ):
+            stream = stream_source.stream_table(spark, sf_dir, "events")
+            bounds = ev.drift_bounds(_events(spark, sf_dir))
+            cells = stream_source.run_to_memory(
+                ev.ttest_cells(stream, bounds),
+                query_name="q_stream_ttest_drift",
+                output_mode="complete",
+            )
+            return ev.ttest_on_cells(cells)
+
+    out["stream_ttest_drift"] = _q_stream_ttest_drift
     # contract form: integer epoch-micros bounds + exact scaled-int sum —
     # hash-deterministic by construction (round-1's one red driver row was
     # this query's float-sum rounding drift)
@@ -7542,6 +7577,9 @@ def oracle_sql() -> dict[str, str]:
         threshold=0.5, max_df=100, max_df_frac=0.2
     )
     out["dedup_pairs_auto"] = oracle.similar_pairs_auto_sql(threshold=0.5)
+    out["dedup_edit_distance"] = oracle.edit_distance_pairs_sql(
+        k=2, key_len=32
+    )
     out["dedup_containment"] = oracle.containment_pairs_sql(
         threshold=0.6, max_df=100, max_df_frac=0.2
     )
@@ -7591,7 +7629,10 @@ def oracle_sql() -> dict[str, str]:
     out["events_holt"] = oracle.holt_sql()
     out["stream_autocorr"] = oracle.autocorr_sql()
     out["stream_holt"] = oracle.holt_sql()
+    out["events_seasonal"] = oracle.seasonal_decompose_sql()
     out["events_ks_drift"] = oracle.ks_drift_sql()
+    out["events_ttest_drift"] = oracle.ttest_drift_sql()
+    out["stream_ttest_drift"] = oracle.ttest_drift_sql()
     out["events_psi_drift"] = oracle.psi_drift_sql()
     # streaming twins replay the identical monoid + finisher (r9)
     out["stream_ks_drift"] = oracle.ks_drift_sql()

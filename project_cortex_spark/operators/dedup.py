@@ -1883,3 +1883,126 @@ def containment_pairs(
         (F.col("common").cast("double") / F.col("ny")).alias("containment"),
     )
     return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance similarity join (PassJoin)
+# ---------------------------------------------------------------------------
+
+
+def _passjoin_layout(key_len: int, k: int) -> list[tuple[int, int, int]]:
+    """Even (k+1)-way partition of a fixed-width key: (seg_id, start0,
+    length), first ``key_len % (k+1)`` segments one char longer."""
+    parts = k + 1
+    base, rem = divmod(key_len, parts)
+    out, pos = [], 0
+    for i in range(parts):
+        ln = base + (1 if i < rem else 0)
+        out.append((i, pos, ln))
+        pos += ln
+    return out
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    *,
+    k: int = 2,
+    key_len: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs of documents whose fixed-width text key (the lowered
+    ``key_len``-char prefix) is within Levenshtein distance ``k`` — the
+    edit-distance sibling of the Jaccard/cosine near-dup joins, the
+    natural tool for templated or lightly-mutated text (titles, URLs,
+    boilerplate headers) where token-set measures are blind to order.
+
+    Candidate generation is PassJoin (Li, Deng, Jiang, Feng 2011,
+    "PASS-JOIN: a partition-based method for similarity joins"): each
+    DISTINCT key is split into k+1 disjoint segments; by pigeonhole, any
+    key within k edits contains at least one segment verbatim, starting
+    within +/-k of its home position. So candidates come from an
+    equi-join on (seg_id, substring) — (k+1) segment rows vs at most
+    (k+1)(2k+1) probe substrings per key — never an all-pairs product,
+    and the filter is LOSSLESS: the gate compares against a brute-force
+    oracle, so a dropped pair hash-mismatches.
+
+    Scale notes: the join runs on DISTINCT keys, so exact-duplicate
+    template prefixes (the worst skew source) collapse before the
+    candidate join and re-expand only in the output, which is
+    output-bound by definition. Segment selectivity grows with
+    key_len/(k+1); at 100 TB raise key_len (or k) together so segments
+    stay >= ~8 chars. Verification is one JVM ``levenshtein`` per
+    surviving candidate. NULL ids and texts shorter than ``key_len``
+    are excluded (mirrored by the oracle).
+    """
+    if key_len < k + 1:
+        raise ValueError("key_len must be >= k+1 for k+1 segments")
+    keyed = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.lower(F.substring(F.col(text_col), 1, key_len)).alias("key"),
+        )
+        .filter(F.length(F.col(text_col)) >= key_len)
+        .filter(F.col("id").isNotNull())
+    )
+    keys = keyed.select("key").distinct()
+    layout = _passjoin_layout(key_len, k)
+    seg_structs = [
+        F.struct(
+            F.lit(i).alias("seg_id"),
+            F.substring("key", start + 1, ln).alias("seg"),
+        )
+        for i, start, ln in layout
+    ]
+    segs = keys.select(
+        "key", F.explode(F.array(*seg_structs)).alias("s")
+    ).select("key", "s.seg_id", "s.seg")
+    probe_structs = []
+    seen: set[tuple[int, int]] = set()
+    for i, start, ln in layout:
+        for off in range(start - k, start + k + 1):
+            off = min(max(off, 0), key_len - ln)
+            if (i, off) in seen:
+                continue
+            seen.add((i, off))
+            probe_structs.append(
+                F.struct(
+                    F.lit(i).alias("seg_id"),
+                    F.substring("key", off + 1, ln).alias("seg"),
+                )
+            )
+    probes = keys.select(
+        F.col("key").alias("pkey"),
+        F.explode(F.array(*probe_structs)).alias("p"),
+    ).select("pkey", "p.seg_id", "p.seg")
+    key_pairs = (
+        segs.join(probes, ["seg_id", "seg"])
+        .filter(F.col("key") < F.col("pkey"))
+        .select("key", "pkey")
+        .distinct()
+        .withColumn("ed", F.levenshtein("key", "pkey"))
+        .filter(F.col("ed") <= k)
+    )
+    ia = keyed.withColumnRenamed("id", "id_a")
+    ib = keyed.select(F.col("key").alias("pkey"), F.col("id").alias("id_b"))
+    cross = (
+        ia.join(F.broadcast(key_pairs), "key")
+        .join(ib, "pkey")
+        .select(
+            F.least("id_a", "id_b").alias("doc_id_a"),
+            F.greatest("id_a", "id_b").alias("doc_id_b"),
+            F.col("ed").cast("long").alias("edit_distance"),
+        )
+    )
+    same = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), "key")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("doc_id_a"),
+            F.col("y.id").alias("doc_id_b"),
+            F.lit(0).cast("long").alias("edit_distance"),
+        )
+    )
+    return cross.unionByName(same)

@@ -1482,3 +1482,281 @@ def holt_on_cells(
             ).alias("residual"),
         )
     )
+
+
+def seasonal_decompose(
+    events: DataFrame,
+    *,
+    minutes: int = 60,
+    period: int = 24,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Additive seasonal decomposition of per-group event volume:
+    x_t = trend + seasonal(phase) + residual, the classical-
+    decomposition workhorse behind "is Monday 9am always like this or
+    is something wrong" — trend is a centered (period+1)-row moving
+    average, seasonal the per-phase mean of the detrended series,
+    residual the rest. ``period`` = 24 on hourly buckets = daily
+    seasonality.
+
+    Determinism: the trend MA sums INTEGER counts over a rows-window
+    (exact, associative), so trend is identical across engines; the
+    detrended value is then quantized to an e6-scaled BIGINT before
+    the per-phase mean (the ``_sum6`` idiom) — phase sums are exact
+    integers and seasonal/residual derive from them with the same
+    scalar expressions on both engines. Only interior rows (full
+    centered window) are emitted — the classical convention, and it
+    keeps every emitted trend exact.
+
+    Scale notes: one bucket-count aggregate (map-side partial), one
+    rows-window per group over the CELL frame (|buckets| rows, not
+    events), one tiny (group, phase) aggregate broadcast back. Row-
+    based MA assumes a dense series (the streaming gapfill op exists
+    for sparse ones); phase count is bounded by ``period``.
+    """
+    bucket_us = minutes * 60 * 1_000_000
+    cells = bucket_count_cells(
+        events, minutes=minutes, group_col=group_col, ts_col=ts_col
+    )
+    half = period // 2
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("window_start")
+        .rowsBetween(-half, half)
+    )
+    base = cells.select(
+        group_col,
+        "window_start",
+        "n_events",
+        F.expr(f"unix_micros(window_start) div {bucket_us} % {period}")
+        .alias("phase"),
+        F.sum("n_events").over(w).alias("_ws"),
+        F.count(F.lit(1)).over(w).alias("_wn"),
+    ).filter(F.col("_wn") == 2 * half + 1)
+    trend = F.col("_ws").cast("double") / F.col("_wn")
+    detr = base.select(
+        group_col,
+        "window_start",
+        "n_events",
+        "phase",
+        trend.alias("trend"),
+        F.round((F.col("n_events") - trend) * 1_000_000)
+        .cast("long")
+        .alias("_d_e6"),
+    )
+    phase_means = detr.groupBy(group_col, "phase").agg(
+        (
+            F.sum("_d_e6").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1_000_000.0)
+        ).alias("seasonal")
+    )
+    return detr.join(
+        F.broadcast(phase_means), [group_col, "phase"]
+    ).select(
+        group_col,
+        "window_start",
+        "n_events",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(
+            F.col("_d_e6") / F.lit(1_000_000.0) - F.col("seasonal"), 6
+        ).alias("residual"),
+    )
+
+
+def ttest_cells(
+    events: DataFrame,
+    bounds: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    max_abs_value: float = 1e9,
+) -> DataFrame:
+    """Welch t-test state cells: per-(group, side) exact power sums
+    (n, s1, s2) of the e4-quantized value — a pure sum monoid with at
+    most TWO rows per group, so this is simultaneously the streaming
+    state form (complete-mode aggregate, micro-batches merge by
+    summing) and the smallest possible shuffle for the batch form.
+    ``bounds`` supplies the frozen (grp, lo, hi) frame
+    (:func:`drift_bounds`); NULL values/timestamps are excluded on
+    both engines (same convention as the KS/PSI cells).
+
+    Exactness: v = round(value*1e4) is lossless on the fixture's
+    <= 4-decimal values and the sums are exact decimal(38,0) integers
+    (DuckDB mirrors with HUGEINT). Per-row v^2 fits while
+    |value| <= ~1e15; the guard RAISES beyond ``max_abs_value``
+    (default 1e9 — sums then stay exact past 1e12 rows) instead of
+    letting non-ANSI decimal multiplication NULL rows silently (the
+    :func:`~project_cortex_spark.operators.sketches.moment_partials`
+    discipline).
+    """
+    src = events.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("val"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+    )
+    ok = F.coalesce(
+        F.abs(F.col("val").cast("double")) <= F.lit(float(max_abs_value)),
+        F.lit(True),
+    )
+    guard = F.assert_true(
+        ok,
+        F.concat(
+            F.lit(
+                "ttest_cells: |value| exceeds the exact decimal(38,0)"
+                " range (max_abs_value="
+            ),
+            F.lit(str(max_abs_value)),
+            F.lit("): "),
+            F.col("val").cast("string"),
+        ),
+    )
+    v = F.round(F.col("val") * 10000).cast("decimal(38,0)")
+    v = F.when(guard.isNull(), v)
+    early = (F.col("us") <= F.expr(_MID)).cast("int")
+    return (
+        src.join(F.broadcast(bounds.select("grp", "lo", "hi")), "grp")
+        .select("grp", early.alias("early"), v.alias("v"))
+        .groupBy("grp", "early")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).alias("s2"),
+        )
+    )
+
+
+def ttest_on_cells(
+    cells: DataFrame, *, group_col: str = "event_type"
+) -> DataFrame:
+    """Finalize (grp, early, n, s1, s2) cells into the Welch unequal-
+    variance t statistic + Welch–Satterthwaite df per group. Merge-on-
+    read: duplicate cells (one per micro-batch delivery) sum first, so
+    batch and streaming twins share this finisher AND the oracle.
+
+    Every float derivation runs the SAME expression order on both
+    engines over identical exact integers; ``try_divide`` yields NULL
+    (DuckDB's float-division-by-zero convention) for degenerate
+    groups — a one-sided group, n <= 1 on a side, or zero pooled
+    variance reports "no statistic", never a misleading number.
+    """
+    merged = cells.groupBy("grp", "early").agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+    )
+
+    def _side(col: str, side: int):
+        return F.sum(F.when(F.col("early") == side, F.col(col)))
+
+    piv = merged.groupBy("grp").agg(
+        F.coalesce(_side("n", 1), F.lit(0)).alias("n1"),
+        F.coalesce(_side("n", 0), F.lit(0)).alias("n2"),
+        _side("s1", 1).cast("double").alias("a1"),
+        _side("s2", 1).cast("double").alias("b1"),
+        _side("s1", 0).cast("double").alias("a2"),
+        _side("s2", 0).cast("double").alias("b2"),
+    )
+    stats = piv.select(
+        "grp",
+        "n1",
+        "n2",
+        F.try_divide(F.col("a1"), F.col("n1")).alias("m1"),
+        F.try_divide(F.col("a2"), F.col("n2")).alias("m2"),
+        F.try_divide(
+            F.try_divide(
+                F.col("b1") - F.col("a1") * F.col("a1") / F.col("n1"),
+                F.col("n1") - 1,
+            ),
+            F.lit(1e8),
+        ).alias("v1"),
+        F.try_divide(
+            F.try_divide(
+                F.col("b2") - F.col("a2") * F.col("a2") / F.col("n2"),
+                F.col("n2") - 1,
+            ),
+            F.lit(1e8),
+        ).alias("v2"),
+    ).select(
+        "grp",
+        "n1",
+        "n2",
+        "m1",
+        "m2",
+        "v1",
+        "v2",
+        (F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")).alias("se2"),
+    )
+    return stats.select(
+        F.col("grp").alias(group_col),
+        F.col("n1").alias("n_early"),
+        F.col("n2").alias("n_late"),
+        F.round(F.col("m1") / 10000.0, 6).alias("mean_early"),
+        F.round(F.col("m2") / 10000.0, 6).alias("mean_late"),
+        F.round(
+            F.try_divide(
+                F.col("m1") / 10000.0 - F.col("m2") / 10000.0,
+                F.sqrt("se2"),
+            ),
+            6,
+        ).alias("t_stat"),
+        F.round(
+            F.try_divide(
+                F.col("se2") * F.col("se2"),
+                F.col("v1")
+                * F.col("v1")
+                / F.col("n1")
+                / F.col("n1")
+                / (F.col("n1") - 1)
+                + F.col("v2")
+                * F.col("v2")
+                / F.col("n2")
+                / F.col("n2")
+                / (F.col("n2") - 1),
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+def ttest_drift(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Welch two-sample t-test per group between the EARLY and LATE
+    halves of each group's time span (same integer-microsecond
+    midpoint split as :func:`ks_drift`): has the value column's MEAN
+    moved, and by how many standard errors? The parametric complement
+    of KS (any distributional change) and PSI (binned mass shift) —
+    the t statistic localizes level shifts and scales to arbitrarily
+    many groups as pure aggregation.
+
+    Plan shape: one min/max bounds aggregate broadcast back, one
+    (group, side) power-sum aggregate (:func:`ttest_cells` — exact
+    decimal integers, at most 2 cells per group), then scalar-only
+    derivations. At 100 TB the cells aggregate is the only data-sized
+    shuffle and it is map-side combinable on the group key.
+
+    Returns (group, n_early, n_late, mean_early, mean_late, t_stat,
+    welch_df); degenerate groups (one-sided, n <= 1 per side, zero
+    variance) report NULL statistics.
+    """
+    bounds = drift_bounds(
+        events, group_col=group_col, value_col=value_col, ts_col=ts_col
+    )
+    cells = ttest_cells(
+        events,
+        bounds,
+        group_col=group_col,
+        value_col=value_col,
+        ts_col=ts_col,
+    )
+    return ttest_on_cells(cells, group_col=group_col)

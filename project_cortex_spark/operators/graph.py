@@ -1683,6 +1683,7 @@ def closeness_centrality(
     *,
     seed_mod: int = 20,
     max_depth: int = 3,
+    max_seeds: int = 64,
 ) -> DataFrame:
     """Bounded-radius closeness + harmonic centrality from a
     deterministic seed sample, over an undirected a<b edge list — the
@@ -1690,9 +1691,17 @@ def closeness_centrality(
     pagerank's endorsement flow (a node bridging two clusters scores
     high here long before it accumulates rank). Exact all-sources
     closeness is O(V·E); the standard large-graph practice is a
-    seed-sampled, radius-bounded estimate — seeds here are the
-    ``node % seed_mod == 0`` slice (replayable by the oracle), radius
-    ``max_depth``.
+    seed-sampled, radius-bounded estimate — seeds here are the FIRST
+    ``max_seeds`` ids of the ``node % seed_mod == 0`` slice (ORDER BY
+    node LIMIT, replayable by the oracle), radius ``max_depth``.
+
+    The seed count is a hard BOUND, not a density: a ``% seed_mod``
+    slice alone scales |seeds| with |V|, making the BFS state
+    |seeds|·|V| ~ V² — measured wedging the 10x replica (~10k seeds x
+    200k nodes ~ 2B frontier rows). With ``max_seeds`` fixed the state
+    is max_seeds·|V| — a constant number of pagerank-vector
+    equivalents at any scale; raise seed_mod to DECORRELATE the sample
+    (spread seeds across the id space) rather than to shrink it.
 
     Per seed: n_reached (nodes at 1..max_depth), sum_dist (Σ min-dist,
     exact integer), harmonic = Σ 1/dist assembled as c₁/1 + c₂/2 + …
@@ -1711,9 +1720,8 @@ def closeness_centrality(
     and visited frames ride broadcast joins (the stationary edge list
     never shuffles at all); past it both joins fall back to shuffles
     partitioned on the node key — the same size switch as pagerank.
-    State is bounded by |seeds|·|reach_radius|, the sampling knob a
-    100 TB deployment turns (lower seed density, not radius, as V
-    grows); the final aggregate is |seeds|-wide.
+    State is bounded by max_seeds·|V| by construction; the final
+    aggregate is |seeds|-wide.
     """
     e = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -1726,6 +1734,8 @@ def closeness_centrality(
         e.select(F.col("src").alias("node"))
         .filter(F.col("node") % seed_mod == 0)
         .distinct()
+        .orderBy("node")
+        .limit(max_seeds)
     )
     frontier = seeds.select(
         F.col("node").alias("seed"), "node"

@@ -4978,10 +4978,12 @@ def closeness_sql(
     *,
     seed_mod: int = 20,
     max_depth: int = 3,
+    max_seeds: int = 64,
 ) -> str:
     """SQL mirror of cooccurrence_edges + graph.closeness_centrality:
     the same degree-capped a<b edge list made bidirectional, the same
-    ``node % seed_mod`` seed slice, a recursive-CTE closure whose
+    bounded ``node % seed_mod`` ORDER-BY-LIMIT seed slice, a
+    recursive-CTE closure whose
     min(d) GROUP BY replays the anti-join BFS's minimal distances, and
     the identical fixed-order harmonic/closeness scalar expressions."""
     harmonic = " + ".join(
@@ -5007,6 +5009,7 @@ def closeness_sql(
       UNION ALL SELECT b, a FROM e0
     ), seeds AS (
       SELECT DISTINCT src AS node FROM e WHERE src % {seed_mod} = 0
+      ORDER BY node LIMIT {max_seeds}
     ), bfs AS (
       SELECT node AS seed, node, 0 AS d FROM seeds
       UNION
@@ -5027,4 +5030,114 @@ def closeness_sql(
            round(CAST(c.n_reached AS DOUBLE)
                  / nullif(CAST(c.sum_dist AS DOUBLE), 0), 6) AS closeness
     FROM seeds s LEFT JOIN counts c ON s.node = c.seed
+    """
+
+
+def seasonal_decompose_sql(
+    table: str = "events", *, minutes: int = 60, period: int = 24
+) -> str:
+    """SQL mirror of operators.events.seasonal_decompose: identical
+    integer-exact centered MA, e6-quantized detrend, per-phase integer
+    sums, and the same scalar derivations."""
+    bucket_us = minutes * 60 * 1_000_000
+    half = period // 2
+    return f"""
+    WITH c AS (
+      SELECT time_bucket(INTERVAL '{minutes} minutes', ts)
+               AS window_start,
+             event_type, count(*) AS n_events
+      FROM {table} GROUP BY 1, 2
+    ), wnd AS (
+      SELECT event_type, window_start, n_events,
+             epoch_us(window_start) // {bucket_us} % {period} AS phase,
+             sum(n_events) OVER w AS ws,
+             count(*) OVER w AS wn
+      FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)
+    ), detr AS (
+      SELECT event_type, window_start, n_events, phase,
+             CAST(ws AS DOUBLE) / wn AS trend,
+             CAST(round((n_events - CAST(ws AS DOUBLE) / wn)
+                        * 1000000) AS BIGINT) AS d_e6
+      FROM wnd WHERE wn = {2 * half + 1}
+    ), pm AS (
+      SELECT event_type, phase,
+             CAST(sum(d_e6) AS DOUBLE) / count(*) / 1000000.0
+               AS seasonal
+      FROM detr GROUP BY event_type, phase
+    )
+    SELECT d.event_type, d.window_start, d.n_events,
+           round(d.trend, 6) AS trend,
+           round(p.seasonal, 6) AS seasonal,
+           round(d.d_e6 / 1000000.0 - p.seasonal, 6) AS residual
+    FROM detr d JOIN pm p USING (event_type, phase)
+    """
+
+
+def edit_distance_pairs_sql(
+    table: str = "documents", *, k: int = 2, key_len: int = 32
+) -> str:
+    """Brute-force mirror of operators.dedup.edit_distance_pairs: the
+    engine's PassJoin segment filter is lossless, so the algorithm-
+    independent all-pairs form must match it exactly."""
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lower(substr(text, 1, {key_len})) AS key
+      FROM {table}
+      WHERE length(text) >= {key_len} AND doc_id IS NOT NULL
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           levenshtein(a.key, b.key) AS edit_distance
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.key, b.key) <= {k}
+    """
+
+
+def ttest_drift_sql(table: str = "events") -> str:
+    """SQL mirror of operators.events.ttest_drift: identical integer
+    midpoint split, exact HUGEINT power sums of the e4-quantized value,
+    and the same double expression order for every float derivation
+    (plain / mirrors try_divide — DuckDB float division by zero/NULL is
+    NULL, the engine's degenerate-group convention)."""
+    return f"""
+    WITH src AS (
+      SELECT event_type AS grp, epoch_us(ts) AS us,
+             CAST(round(value * 10000) AS HUGEINT) AS v
+      FROM {table}
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), b AS (
+      SELECT grp, min(us) + (max(us) - min(us)) // 2 AS mid
+      FROM src GROUP BY grp
+    ), cells AS (
+      SELECT s.grp,
+             CASE WHEN s.us <= b.mid THEN 1 ELSE 0 END AS early,
+             count(*) AS n, sum(s.v) AS s1, sum(s.v * s.v) AS s2
+      FROM src s JOIN b USING (grp) GROUP BY 1, 2
+    ), piv AS (
+      SELECT grp,
+             coalesce(sum(CASE WHEN early = 1 THEN n END), 0) AS n1,
+             coalesce(sum(CASE WHEN early = 0 THEN n END), 0) AS n2,
+             CAST(sum(CASE WHEN early = 1 THEN s1 END) AS DOUBLE) AS a1,
+             CAST(sum(CASE WHEN early = 1 THEN s2 END) AS DOUBLE) AS b1,
+             CAST(sum(CASE WHEN early = 0 THEN s1 END) AS DOUBLE) AS a2,
+             CAST(sum(CASE WHEN early = 0 THEN s2 END) AS DOUBLE) AS b2
+      FROM cells GROUP BY grp
+    ), st AS (
+      SELECT grp, n1, n2,
+             a1 / n1 AS m1, a2 / n2 AS m2,
+             (b1 - a1 * a1 / n1) / (n1 - 1) / 1e8 AS v1,
+             (b2 - a2 * a2 / n2) / (n2 - 1) / 1e8 AS v2
+      FROM piv
+    ), se AS (
+      SELECT *, v1 / n1 + v2 / n2 AS se2 FROM st
+    )
+    SELECT grp AS event_type, n1 AS n_early, n2 AS n_late,
+           round(m1 / 10000.0, 6) AS mean_early,
+           round(m2 / 10000.0, 6) AS mean_late,
+           round((m1 / 10000.0 - m2 / 10000.0) / sqrt(se2), 6) AS t_stat,
+           round(se2 * se2
+                 / (v1 * v1 / n1 / n1 / (n1 - 1)
+                    + v2 * v2 / n2 / n2 / (n2 - 1)), 6) AS welch_df
+    FROM se
     """

@@ -99,6 +99,13 @@ PICKS = {
     "dsl_window_topn": "DSL windows clause: two rank functions sharing the o_custkey partition fuse into consecutive Window nodes over ONE Exchange; qualify (rn <= 3) filters before the projection — top-N per group at one shuffle, no self-join",
     "dsl_window_running": "DSL running/offset functions: RUNNING_SUM + LAG + LEAD over the same (p_brand, p_partkey) spec share one Exchange+Sort; default cumulative frame (RANGE..CURRENT ROW) — the oracle-replayable tie behavior",
     "events_cusum": "CUSUM change-point: one bucket count aggregate, group-window power sums (exact ints), collect_list + seed-0 aggregate fold per row — the 'stateful' detector as pure expressions, no Python in the loop",
+    "events_mad_outliers": "robust MAD outliers: two exact-median aggregate passes shuffled on the group key, both tiny per-group stat frames BROADCAST back into codegen projections — the fact side shuffles once per median pass and the flag filter is pure scalar expressions",
+    "events_autocorr": "lag-k ACF: bucket-count cells (map-side partial), max_lag-way explode of the CELL frame (not raw events), one equi-join on (group, bucket), then BIGINT power sums map-side-combined to |groups|*max_lag rows — nothing event-sized past the first aggregate",
+    "events_holt": "Holt level+trend: the cusum/ewma fold family — one bucket aggregate, collect_list window, struct-accumulator aggregate() fold per row; all codegen expressions, no Python",
+    "graph_closeness": "seed-sampled BFS closeness: per level ONE broadcast equi-join on node==src plus a broadcast anti-join vs visited (frontier under BROADCAST_NODE_LIMIT — the stationary edge list never shuffles), lineage cut per level; plan shows the final checkpointed level + the |seeds|-wide conditional aggregate",
+    "events_seasonal": "classical decomposition: one bucket-count aggregate (map-side partial), a rows-window centered MA over the CELL frame, then the tiny (group, phase) mean frame BROADCAST back — two cell-sized exchanges total, nothing event-sized past the first aggregate",
+    "events_ttest_drift": "Welch t drift: one bounds aggregate broadcast back, ONE (group, side) decimal power-sum aggregate (<= 2 cells/group, map-side combinable) — the smallest monoid in the drift family; everything after is scalar codegen",
+    "dedup_edit_distance": "PassJoin ED join: candidate generation is an equi-join on (seg_id, substring) over DISTINCT keys (template skew collapses pre-join), exploded segment/probe frames are key-count-sized; verify = one JVM levenshtein per candidate; id expansion broadcasts the tiny key-pair frame",
 }
 
 

@@ -908,3 +908,124 @@ def test_containment_pairs_detects_quotes_jaccard_misses(spark):
         for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
     }
     assert (1, 2) not in jac and (1, 3) in jac
+
+
+def test_edit_distance_pairs_oracle(registry, duck):
+    df = dedup.edit_distance_pairs(
+        registry.table("documents"), k=2, key_len=32
+    )
+    assert_matches_oracle(
+        df, duck, oracle.edit_distance_pairs_sql(k=2, key_len=32)
+    )
+
+
+def _brute_ed_pairs(texts, k, key_len):
+    """Reference banded-DP Levenshtein over all pairs."""
+
+    def ed(a, b):
+        prev = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            cur = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[-1]
+
+    keys = {
+        i: t[:key_len].lower() for i, t in texts.items() if len(t) >= key_len
+    }
+    out = {}
+    ids = sorted(keys)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            d = ed(keys[ids[x]], keys[ids[y]])
+            if d <= k:
+                out[(ids[x], ids[y])] = d
+    return out
+
+
+def test_edit_distance_pairs_planted_vs_brute(spark):
+    """Planted mutations around every PassJoin blind spot candidate:
+    edits ON segment boundaries, k edits in one segment (shift the
+    rest), edits spread one-per-segment, pure inserts/deletes (offset
+    drift), and beyond-k controls — engine must equal brute force."""
+    base = "the quick brown fox jumps over x"  # exactly 32 chars
+    assert len(base) == 32
+    texts = {
+        1: base,
+        2: base,  # exact dup
+        3: "The quick brown fox jumps over x",  # case-only => ed 0
+        4: "xhe quick brown fox jumps over x",  # sub at pos 0
+        5: "the quick brown fix jumps over x",  # sub mid
+        6: "the quick brown fox jumps over Z",  # sub at last pos
+        # on a fixed-width key an indel also shifts the tail across the
+        # key boundary, so a within-k indel case needs text BEYOND the
+        # key to absorb the shift: insert 't' at head -> key drops the
+        # trailing 'x' (ed 2); delete 't' at head -> key gains a ' '
+        7: "tthe quick brown fox jumps over xx",  # 1 insert + shift
+        8: "he quick brown fox jumps over x and",  # 1 delete + shift
+        9: "the quick brawn fox jamps over x",  # 2 subs, 2 segments
+        10: "thequick brown foxjumps over xAB",  # 2 deletes interior
+        11: "the quack brewn fax jomps ever x",  # ed 5 control
+        12: "completely unrelated text here!!",  # far control
+        13: "short",  # below key_len: excluded
+    }
+    docs = spark.createDataFrame(
+        sorted(texts.items()), ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["edit_distance"]
+        for r in dedup.edit_distance_pairs(
+            docs, k=2, key_len=32
+        ).collect()
+    }
+    want = _brute_ed_pairs(texts, 2, 32)
+    assert got == want
+    assert want[(1, 4)] == 1 and want[(1, 7)] == 2 and want[(1, 8)] == 2
+    assert want[(1, 9)] == 2 and (1, 2) in want and (1, 3) in want
+    assert (1, 10) not in want  # 2 interior deletes + shifted tail: ed 4
+    assert (1, 11) not in want and (1, 12) not in want
+    assert not any(13 in p for p in want)  # below key_len: excluded
+
+
+def test_edit_distance_pairs_fuzz_vs_brute(spark):
+    """Random small-alphabet fuzz: mutated copies at random positions
+    (subs/inserts/deletes), engine pair set == brute force each time."""
+    import random
+
+    rng = random.Random(0xED9)
+    alpha = "abcd"
+    for trial in range(3):
+        originals = [
+            "".join(rng.choice(alpha) for _ in range(40)) for _ in range(6)
+        ]
+        texts = {}
+        nid = 0
+        for o in originals:
+            for _ in range(3):
+                s = list(o)
+                for _ in range(rng.randrange(0, 4)):
+                    op = rng.choice("sid")
+                    p = rng.randrange(len(s))
+                    if op == "s":
+                        s[p] = rng.choice(alpha)
+                    elif op == "i":
+                        s.insert(p, rng.choice(alpha))
+                    elif len(s) > 33:
+                        del s[p]
+                texts[nid] = "".join(s)
+                nid += 1
+        docs = spark.createDataFrame(
+            sorted(texts.items()), ["doc_id", "text"]
+        )
+        got = {
+            (r["doc_id_a"], r["doc_id_b"]): r["edit_distance"]
+            for r in dedup.edit_distance_pairs(
+                docs, k=2, key_len=32
+            ).collect()
+        }
+        assert got == _brute_ed_pairs(texts, 2, 32), trial

@@ -792,3 +792,155 @@ def test_bucket_cells_finishers_merge_monoid(spark):
         }
         twin = {tuple(r)[:2]: tuple(r) for r in fin(merged).collect()}
         assert batch == twin, fin.__name__
+
+
+def test_seasonal_oracle(registry, duck):
+    from project_cortex_spark.operators.events import seasonal_decompose
+
+    df = seasonal_decompose(registry.table("events"))
+    assert_matches_oracle(df, duck, oracle.seasonal_decompose_sql())
+
+
+def test_seasonal_recovers_planted_daily_pattern(spark):
+    """A series that is base 10 + phase bump (5 extra events at hour
+    14 of every day) + a linear ramp: the decomposition's seasonal
+    component concentrates the bump at phase 14, the trend follows
+    the ramp, and residuals are near zero — interior rows only."""
+    from datetime import datetime, timedelta
+
+    from project_cortex_spark.operators.events import seasonal_decompose
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    for h in range(24 * 8):
+        n = 10 + (5 if h % 24 == 14 else 0) + h // 48
+        for i in range(n):
+            rows.append(("s", 1.0, t0 + timedelta(hours=h, seconds=i)))
+    df = spark.createDataFrame(
+        rows, "event_type string, value double, ts timestamp"
+    )
+    out = seasonal_decompose(df).collect()
+    # interior rows only: 192 buckets - 2*12 edge rows
+    assert len(out) == 24 * 8 - 24
+    by_phase = {}
+    for r in out:
+        ph = (r["window_start"].hour) % 24
+        by_phase.setdefault(ph, []).append(r)
+    mean_seasonal = {
+        ph: sum(x["seasonal"] for x in rs) / len(rs)
+        for ph, rs in by_phase.items()
+    }
+    # the bump phase carries ~+5 (minus the small mean shift); every
+    # other phase stays within the ramp's step noise
+    assert mean_seasonal[14] > 4.0
+    assert all(abs(v) < 0.5 for ph, v in mean_seasonal.items() if ph != 14)
+    assert max(abs(r["residual"]) for r in out) < 1.0
+
+
+def test_ttest_drift_oracle(registry, duck):
+    from project_cortex_spark.operators.events import ttest_drift
+
+    df = ttest_drift(registry.table("events"))
+    assert_matches_oracle(df, duck, oracle.ttest_drift_sql())
+
+
+def test_ttest_drift_planted_shift(spark):
+    """Planted mean shift: group 'a' steps 10.0 -> 13.0 at the halfway
+    point (tight noise), group 'b' stays flat. Welch t on a's halves
+    must be hugely negative (early < late) with df ~ n-2; b's |t|
+    small. Hand-check the exact t for a tiny third group."""
+    from datetime import datetime, timedelta
+
+    from project_cortex_spark.operators.events import ttest_drift
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    for i in range(400):
+        noise = 0.01 * (i % 7)
+        rows.append(
+            ("a", (10.0 if i < 200 else 13.0) + noise,
+             t0 + timedelta(minutes=i))
+        )
+        rows.append(("b", 5.0 + noise, t0 + timedelta(minutes=i)))
+    # tiny group: early {1, 2}, late {3, 5} -> m1=1.5 m2=4, v1=.5 v2=2
+    # se2 = .25 + 1 = 1.25, t = -2.5/sqrt(1.25), df = 1.25^2/(.03125+.5)
+    for j, (v, mins) in enumerate(
+        [(1.0, 0), (2.0, 10), (3.0, 30), (5.0, 40)]
+    ):
+        rows.append(("c", v, t0 + timedelta(minutes=mins)))
+    df = spark.createDataFrame(rows, "event_type string, value double, ts timestamp")
+    got = {r["event_type"]: r for r in ttest_drift(df).collect()}
+    assert got["a"]["t_stat"] < -100
+    assert abs(got["b"]["t_stat"]) < 3
+    import math
+
+    assert got["c"]["n_early"] == 2 and got["c"]["n_late"] == 2
+    assert got["c"]["mean_early"] == 1.5 and got["c"]["mean_late"] == 4.0
+    assert got["c"]["t_stat"] == round(-2.5 / math.sqrt(1.25), 6)
+    assert got["c"]["welch_df"] == round(1.25**2 / (0.5**2 / 2 / 2 / 1 + 2.0**2 / 2 / 2 / 1), 6)
+
+
+def test_ttest_degenerate_groups_null(spark):
+    """One-sided and n=1-per-side groups report NULL statistics, and
+    NULL values/timestamps are excluded like the KS/PSI monitors."""
+    from datetime import datetime
+
+    from project_cortex_spark.operators.events import ttest_drift
+
+    ts = lambda m: datetime(2026, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        ("one_sided", 1.0, ts(0)),
+        ("one_sided", 2.0, ts(1)),  # both land early of their midpoint?
+        ("n1_each", 1.0, ts(0)),
+        ("n1_each", 9.0, ts(40)),
+        ("nulls", None, ts(0)),
+        ("nulls", 4.0, None),
+        ("nulls", 1.0, ts(0)),
+        ("nulls", 2.0, ts(40)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, value double, ts timestamp"
+    )
+    got = {r["event_type"]: r for r in ttest_drift(df).collect()}
+    # midpoint of [0,1min] splits 1 early / 1 late -> n<=1 per side
+    assert got["one_sided"]["t_stat"] is None
+    assert got["n1_each"]["t_stat"] is None and got["n1_each"]["welch_df"] is None
+    # NULL value + NULL ts rows excluded -> 1 early, 1 late
+    assert (got["nulls"]["n_early"], got["nulls"]["n_late"]) == (1, 1)
+    assert got["nulls"]["t_stat"] is None
+
+
+def test_ttest_cells_merge_monoid(spark):
+    """Splitting events into two arbitrary deliveries and summing the
+    cells reproduces the single-batch statistics — the streaming twin
+    contract (merge-on-read in ttest_on_cells)."""
+    from project_cortex_spark.operators.events import (
+        drift_bounds,
+        ttest_cells,
+        ttest_on_cells,
+    )
+
+    import random
+    from datetime import datetime, timedelta
+
+    rnd = random.Random(29)
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        (
+            rnd.choice(["a", "b", "c"]),
+            round(rnd.uniform(-50, 50), 4),
+            t0 + timedelta(minutes=rnd.randrange(2000)),
+        )
+        for _ in range(600)
+    ]
+    schema = "event_type string, value double, ts timestamp"
+    events = spark.createDataFrame(rows, schema)
+    h1 = spark.createDataFrame(rows[:250], schema)
+    h2 = spark.createDataFrame(rows[250:], schema)
+    bounds = drift_bounds(events)
+    whole = ttest_on_cells(ttest_cells(events, bounds))
+    merged = ttest_cells(h1, bounds).unionByName(ttest_cells(h2, bounds))
+    twin = ttest_on_cells(merged)
+    a = {tuple(r) for r in whole.collect()}
+    b = {tuple(r) for r in twin.collect()}
+    assert a == b

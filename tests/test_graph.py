@@ -1097,3 +1097,18 @@ def test_closeness_matches_recursive_oracle(registry, duck):
         )
     )
     assert_matches_oracle(df, duck, oracle.closeness_sql(max_df=50))
+
+
+def test_closeness_seed_cap_bounds_state(spark):
+    """max_seeds is a hard bound: with 4 qualifying seed ids and
+    max_seeds=2, only the first two (ORDER BY node) get BFS'd — the
+    property that keeps frontier state max_seeds*|V| at any scale."""
+    from project_cortex_spark.operators.graph import closeness_centrality
+
+    edges = spark.createDataFrame(
+        [(0, 1), (20, 21), (40, 41), (60, 61)], ["a", "b"]
+    )
+    got = {r["node"] for r in closeness_centrality(
+        edges, max_seeds=2
+    ).collect()}
+    assert got == {0, 20}
