@@ -6720,6 +6720,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_df=50,
         )
     )
+    # seed-sampled radius-bounded Brandes betweenness — the "traffic
+    # MUST route through here" ranking; integer path counts +
+    # e6-quantized dependency terms make the fold order-free, so the
+    # unrolled per-level SQL oracle hash-gates it exactly
+    out["graph_betweenness"] = lambda s, d: graph_mod.betweenness_centrality(
+        graph_mod.cooccurrence_edges(
+            _registry(s, d).table("lineitem"),
+            group_col="l_orderkey",
+            item_col="l_partkey",
+            max_df=50,
+        )
+    )
     out["graph_degree_distribution"] = lambda s, d: graph_mod.degree_distribution(
         graph_mod.cooccurrence_edges(
             _registry(s, d).table("lineitem"),
@@ -6936,6 +6948,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stats_exact_quantiles"] = lambda s, d: sk.exact_quantiles(
         _registry(s, d).table("events")
     )
+
+    def _q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # streaming twin: (group, distinct value) count cells are the
+        # monoid (state bounded by value cardinality — quantize
+        # upstream for unbounded domains); finisher picks percentile
+        # ranks off the cumulative step merge-on-read. Shares the
+        # batch brute-force row_number oracle.
+        with stream_source.scoped_state_partitions(
+            spark, _STREAM_STATE_PARTITIONS
+        ):
+            stream = stream_source.stream_table(spark, sf_dir, "events")
+            cells = stream_source.run_to_memory(
+                sk.value_count_cells(stream),
+                query_name="q_stream_quantiles",
+                output_mode="complete",
+            )
+            return sk.quantiles_on_cells(cells)
+
+    out["stream_quantiles"] = _q_stream_quantiles
 
     # --- physical-layout techniques (sources/layout.py): z-order file
     # envelopes replayed bit-for-bit; the bloom prefilter is result-
@@ -7658,6 +7689,7 @@ def oracle_sql() -> dict[str, str]:
     out["graph_kcore"] = oracle.kcore_sql(max_df=50, k=3, rounds=4)
     # r9b: seed-sampled closeness — recursive-CTE min-dist replay
     out["graph_closeness"] = oracle.closeness_sql(max_df=50)
+    out["graph_betweenness"] = oracle.betweenness_sql(max_df=50)
     out["graph_degree_distribution"] = oracle.degree_distribution_sql(max_df=50)
     out["graph_node_similarity"] = oracle.node_similarity_sql(max_df=50, k=50)
     out["graph_pagerank"] = oracle.pagerank_sql(max_df=50, iters=5)
@@ -8126,6 +8158,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_heavy_hitters"] = oracle.cms_heavy_hitters_sql()
     out["stats_hll_distinct"] = oracle.hll_distinct_sql()
     out["stats_exact_quantiles"] = oracle.exact_quantiles_sql()
+    out["stream_quantiles"] = oracle.exact_quantiles_sql()
     out["layout_zorder"] = oracle.zorder_bucket_stats_sql()
     out["corpus_temperature_mix"] = oracle.temperature_mix_sql()
     out["corpus_length_buckets"] = oracle.length_buckets_sql()

@@ -1795,3 +1795,145 @@ def closeness_centrality(
             ).alias("closeness"),
         )
     )
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    *,
+    seed_mod: int = 20,
+    max_depth: int = 3,
+    max_seeds: int = 64,
+) -> DataFrame:
+    """Seed-sampled, radius-bounded Brandes betweenness (Brandes 2001,
+    "A faster algorithm for betweenness centrality") over an
+    undirected a<b edge list — the "how much traffic MUST route
+    through this node" ranking, the classic complement of closeness
+    (nearness) and pagerank (endorsement). Exact betweenness is
+    O(V·E); the standard large-graph estimate runs Brandes's
+    forward-count/backward-accumulate passes from a bounded seed
+    sample within a bounded radius, summing partial dependencies.
+    Seeds are the same bounded ``% seed_mod`` ORDER-BY-LIMIT slice as
+    :func:`closeness_centrality`.
+
+    Determinism: forward path counts (sigma) are INTEGER sums —
+    exact, order-free. The backward dependency fold is rational
+    (sigma_u/sigma_v), so each TERM is quantized to an e6 BIGINT
+    before the per-node sum (the _sum6 idiom): partial-dependency
+    sums are exact integers at every level, the nested fold sees only
+    already-quantized deltas, and the oracle (an UNROLLED per-level
+    SQL mirror — forward levels as anti-joined CTEs, backward levels
+    replaying the identical term expression) matches hash-exactly.
+
+    Scale notes: level-synchronous multi-source BFS carrying
+    (seed, node, sigma) — state hard-bounded at max_seeds·|V| (the
+    closeness discipline), one equi-join + one anti-join per forward
+    level, one join per backward level, ``localCheckpoint`` lineage
+    cuts throughout; the same broadcast-vs-shuffle size switch as
+    pagerank. Scores are raw partial sums over the seed sample (each
+    unordered pair contributes from both endpoints when both are
+    seeds); n_seeds records how many seed BFS trees saw the node.
+    """
+    e = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .cache()
+    )
+    seeds = (
+        e.select(F.col("src").alias("node"))
+        .filter(F.col("node") % seed_mod == 0)
+        .distinct()
+        .orderBy("node")
+        .limit(max_seeds)
+    )
+    lv0 = seeds.select(
+        F.col("node").alias("seed"), "node", F.lit(1).cast("long").alias("sigma")
+    ).localCheckpoint(eager=True)
+    n_seeds = lv0.count()
+    n_nodes = e.select("src").distinct().count()
+    small = n_seeds * n_nodes <= BROADCAST_NODE_LIMIT
+    bcast = F.broadcast if small else (lambda df: df)
+    levels = [lv0]
+    try:
+        for d in range(1, max_depth + 1):
+            seen = levels[0].select("seed", "node")
+            for v in levels[1:]:
+                seen = seen.unionByName(v.select("seed", "node"))
+            prev = levels[-1]
+            nxt = (
+                e.join(bcast(prev), prev["node"] == e["src"])
+                .groupBy("seed", F.col("dst").alias("node"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(bcast(seen), ["seed", "node"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            levels.append(nxt)
+    finally:
+        e.unpersist()
+    reached = len(levels) - 1  # deepest populated level
+    # backward accumulation: delta6[d] over levels reached..1, each an
+    # exact BIGINT e6 partial-dependency sum
+    deltas: dict[int, DataFrame] = {
+        reached: levels[reached].withColumn(
+            "delta6", F.lit(0).cast("long")
+        )
+    }
+    e2 = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    )
+    for d in range(reached - 1, 0, -1):
+        u = levels[d]
+        v = deltas[d + 1].select(
+            "seed",
+            F.col("node").alias("vnode"),
+            F.col("sigma").alias("vsigma"),
+            F.col("delta6").alias("vdelta6"),
+        )
+        term = (
+            F.col("sigma").cast("double")
+            / F.col("vsigma").cast("double")
+            * (F.lit(1.0) + F.col("vdelta6").cast("double") / 1000000.0)
+        )
+        contrib = (
+            u.join(e2, u["node"] == e2["src"])
+            .join(
+                bcast(v),
+                (F.col("dst") == F.col("vnode"))
+                & (u["seed"] == v["seed"]),
+            )
+            .select(
+                u["seed"].alias("seed"),
+                u["node"].alias("node"),
+                F.round(term * 1000000.0).cast("long").alias("term6"),
+            )
+            .groupBy("seed", "node")
+            .agg(F.sum("term6").alias("delta6"))
+        )
+        deltas[d] = (
+            u.join(contrib, ["seed", "node"], "left")
+            .select(
+                "seed",
+                "node",
+                "sigma",
+                F.coalesce("delta6", F.lit(0)).cast("long").alias("delta6"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = deltas[reached].select("node", "delta6")
+    for d in range(reached - 1, 0, -1):
+        out = out.unionByName(deltas[d].select("node", "delta6"))
+    return (
+        out.groupBy("node")
+        .agg(
+            F.round(
+                F.sum("delta6").cast("double") / 1000000.0, 6
+            ).alias("betweenness"),
+            F.count(F.lit(1)).alias("n_seeds"),
+        )
+    )

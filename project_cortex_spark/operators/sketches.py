@@ -258,6 +258,84 @@ def hll_distinct(
     )
 
 
+def value_count_cells(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(group, distinct value) -> count cells: the streaming state
+    monoid for exact quantiles (complete-mode aggregate; micro-batches
+    merge by summing) and the batch form's first stage. State size is
+    the distinct-value cardinality per group, not the row count —
+    quantize the value upstream if its domain is unbounded (the
+    :func:`~project_cortex_spark.operators.events.ks_drift_cells`
+    contract). NULL values carry no rank (SQL percentile semantics)
+    and the engines disagree on their sort position (NULLS FIRST vs
+    LAST), so they are excluded on both sides."""
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, F.col(value_col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantiles_on_cells(
+    cells: DataFrame,
+    *,
+    group_col: str = "event_type",
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99),
+) -> DataFrame:
+    """Finalize (group, value, cnt) cells into exact percentile_disc
+    quantiles: the value at 1-indexed rank ceil(q*n) of the ascending
+    sort is the SMALLEST value whose cumulative count reaches the
+    rank — ties are already merged into one cell, so the cumulative
+    step function is exactly the sorted row ranks. Merge-on-read
+    (duplicate cells sum first), so batch and streaming twins share
+    this finisher AND the brute-force row_number oracle.
+
+    Both engines evaluate ceil(q*n) from the SAME double literal, so
+    the rank — and therefore the picked value — is identical even
+    where q*n rounds surprisingly (0.95*20 = 19.000000000000004).
+    """
+    merged = cells.groupBy(group_col, "value").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    spark = cells.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    counts = merged.groupBy(group_col).agg(F.sum("cnt").alias("n"))
+    # the targets side re-reads the same cells lineage as `stepped`;
+    # rename its group key so the self-join resolves unambiguously
+    # (the memory-sink view of the streaming twin otherwise trips
+    # "Conflicting attributes" in analysis)
+    targets = counts.crossJoin(F.broadcast(qdf)).select(
+        F.col(group_col).alias("_tgrp"),
+        "n",
+        "q",
+        F.ceil(F.col("q") * F.col("n").cast("double"))
+        .cast("bigint")
+        .alias("rn"),
+    )
+    w_run = (
+        Window.partitionBy(group_col)
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = merged.select(
+        group_col, "value", F.sum("cnt").over(w_run).alias("cum")
+    )
+    return (
+        stepped.join(
+            F.broadcast(targets), stepped[group_col] == targets["_tgrp"]
+        )
+        .filter(F.col("cum") >= F.col("rn"))
+        .groupBy(group_col, "q", "n")
+        .agg(F.min("value").alias("value"))
+        .select(group_col, "q", "n", "value")
+        .orderBy(group_col, "q")
+    )
+
+
 def exact_quantiles(
     events: DataFrame,
     *,
@@ -266,37 +344,23 @@ def exact_quantiles(
     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99),
 ) -> DataFrame:
     """EXACT per-group quantiles (percentile_disc semantics: the value
-    at 1-indexed rank ceil(q*n) of the ascending sort) — the two-pass
-    distributed selection that replaces a driver-side sort: one count
-    aggregate, one ranked window, one broadcast join of the tiny
-    (group x q) target frame.
+    at 1-indexed rank ceil(q*n) of the ascending sort), composed from
+    the (group, distinct value) count cells (:func:`value_count_cells`)
+    and the cumulative-step finisher (:func:`quantiles_on_cells`).
 
-    Both engines evaluate ceil(q*n) from the SAME double literal, so
-    the rank — and therefore the picked value — is identical even where
-    q*n rounds surprisingly (0.95*20 = 19.000000000000004).
-
-    Scale: the window sort is per-group range-partitioned — Spark's
-    canonical strength; no collect, no percentile_approx error bars.
-    The skew note from sample_per_key applies to giant groups.
+    This shape sorts DISTINCT-VALUE CELLS, not rows — on a 100 TB
+    value column with bounded precision the window input collapses by
+    the tie multiplicity (the r9 restructure; the previous form ranked
+    every raw row). The oracle stays the algorithm-independent
+    brute-force row_number pick, so the collapse is proven lossless.
+    NULL values are excluded on both engines (SQL percentile
+    semantics); the skew note from sample_per_key applies to giant
+    all-distinct groups.
     """
-    counts = events.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
-    spark = events.sparkSession
-    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
-    targets = counts.crossJoin(F.broadcast(qdf)).select(
-        group_col,
-        "n",
-        "q",
-        F.ceil(F.col("q") * F.col("n").cast("double")).cast("bigint").alias("rn"),
+    cells = value_count_cells(
+        events, group_col=group_col, value_col=value_col
     )
-    win = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
-    ranked = events.select(
-        group_col, F.col(value_col).alias("value")
-    ).withColumn("rn", F.row_number().over(win).cast("bigint"))
-    return (
-        ranked.join(F.broadcast(targets), [group_col, "rn"])
-        .select(group_col, "q", "n", "value")
-        .orderBy(group_col, "q")
-    )
+    return quantiles_on_cells(cells, group_col=group_col, qs=qs)
 
 
 def kmv_pair_overlap(

@@ -4196,7 +4196,8 @@ def exact_quantiles_sql(
     qlist = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
     return f"""
     WITH counts AS (
-      SELECT {group_col}, count(*) AS n FROM {table} GROUP BY {group_col}
+      SELECT {group_col}, count(*) AS n FROM {table}
+      WHERE {value_col} IS NOT NULL GROUP BY {group_col}
     ),
     targets AS (
       SELECT {group_col}, n, qv.q,
@@ -4207,7 +4208,7 @@ def exact_quantiles_sql(
       SELECT {group_col}, {value_col} AS value,
              row_number() OVER (PARTITION BY {group_col}
                                 ORDER BY {value_col} ASC) AS rn
-      FROM {table}
+      FROM {table} WHERE {value_col} IS NOT NULL
     )
     SELECT r.{group_col}, t.q, t.n, r.value
     FROM ranked r
@@ -5140,4 +5141,93 @@ def ttest_drift_sql(table: str = "events") -> str:
                  / (v1 * v1 / n1 / n1 / (n1 - 1)
                     + v2 * v2 / n2 / n2 / (n2 - 1)), 6) AS welch_df
     FROM se
+    """
+
+
+def betweenness_sql(
+    table: str = "lineitem",
+    group_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    max_df: int = 50,
+    *,
+    seed_mod: int = 20,
+    max_depth: int = 3,
+    max_seeds: int = 64,
+) -> str:
+    """SQL mirror of cooccurrence_edges + graph.betweenness_centrality:
+    the same degree-capped bidirectional edge list and bounded seed
+    slice, forward BFS levels UNROLLED as anti-joined CTEs carrying
+    exact integer path counts, and the backward Brandes accumulation
+    replaying the engine's term expression verbatim — each partial
+    dependency quantized to an e6 BIGINT before summation, so the fold
+    is order-free on both engines."""
+    fwd = []
+    for d in range(1, max_depth + 1):
+        excl = " AND ".join(
+            f"NOT EXISTS (SELECT 1 FROM l{p} q"
+            f" WHERE q.seed = x.seed AND q.node = x.node)"
+            for p in range(d)
+        )
+        fwd.append(
+            f"""l{d} AS (
+      SELECT seed, node, sum(sigma) AS sigma FROM (
+        SELECT p.seed, e.dst AS node, p.sigma
+        FROM l{d - 1} p JOIN e ON p.node = e.src
+      ) x
+      WHERE {excl}
+      GROUP BY seed, node
+    )"""
+        )
+    term = (
+        "CAST(round(CAST(u.sigma AS DOUBLE) / CAST(v.sigma AS DOUBLE)"
+        " * (1.0 + CAST(v.delta6 AS DOUBLE) / 1000000.0)"
+        " * 1000000.0) AS BIGINT)"
+    )
+    bwd = [
+        f"""d{max_depth} AS (
+      SELECT seed, node, sigma, CAST(0 AS BIGINT) AS delta6
+      FROM l{max_depth}
+    )"""
+    ]
+    for d in range(max_depth - 1, 0, -1):
+        bwd.append(
+            f"""d{d} AS (
+      SELECT u.seed, u.node, u.sigma,
+             coalesce(CAST(sum({term}) AS BIGINT), 0) AS delta6
+      FROM l{d} u
+      LEFT JOIN e ON u.node = e.src
+      LEFT JOIN d{d + 1} v ON v.seed = u.seed AND v.node = e.dst
+      GROUP BY u.seed, u.node, u.sigma
+    )"""
+        )
+    alld = " UNION ALL ".join(
+        f"SELECT seed, node, delta6 FROM d{d}"
+        for d in range(1, max_depth + 1)
+    )
+    cte = ",\n    ".join(fwd + bwd)
+    return f"""
+    WITH pres0 AS (
+      SELECT DISTINCT {group_col} AS g, {item_col} AS itm FROM {table}
+    ), keep AS (
+      SELECT itm FROM pres0 GROUP BY itm HAVING count(*) <= {max_df}
+    ), pres AS (
+      SELECT g, itm FROM pres0 JOIN keep USING (itm)
+    ), e0 AS MATERIALIZED (
+      SELECT DISTINCT p1.itm AS a, p2.itm AS b
+      FROM pres p1 JOIN pres p2 ON p1.g = p2.g AND p1.itm < p2.itm
+    ), e AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM e0
+      UNION ALL SELECT b, a FROM e0
+    ), seeds AS (
+      SELECT DISTINCT src AS node FROM e WHERE src % {seed_mod} = 0
+      ORDER BY node LIMIT {max_seeds}
+    ), l0 AS (
+      SELECT node AS seed, node, CAST(1 AS BIGINT) AS sigma FROM seeds
+    ),
+    {cte}
+    SELECT node,
+           round(CAST(sum(delta6) AS DOUBLE) / 1000000.0, 6)
+             AS betweenness,
+           count(*) AS n_seeds
+    FROM ({alld}) GROUP BY node
     """

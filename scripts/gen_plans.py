@@ -106,6 +106,8 @@ PICKS = {
     "events_seasonal": "classical decomposition: one bucket-count aggregate (map-side partial), a rows-window centered MA over the CELL frame, then the tiny (group, phase) mean frame BROADCAST back — two cell-sized exchanges total, nothing event-sized past the first aggregate",
     "events_ttest_drift": "Welch t drift: one bounds aggregate broadcast back, ONE (group, side) decimal power-sum aggregate (<= 2 cells/group, map-side combinable) — the smallest monoid in the drift family; everything after is scalar codegen",
     "dedup_edit_distance": "PassJoin ED join: candidate generation is an equi-join on (seg_id, substring) over DISTINCT keys (template skew collapses pre-join), exploded segment/probe frames are key-count-sized; verify = one JVM levenshtein per candidate; id expansion broadcasts the tiny key-pair frame",
+    "graph_betweenness": "sampled Brandes: forward BFS carries (seed, node, sigma) with integer map-side-combined path-count sums, backward pass one join per level folding e6-quantized dependency terms (order-free BIGINT sums); state hard-bounded at max_seeds*|V|, lineage cut per level; plan shows the final score aggregate",
+    "stream_quantiles": "exact quantiles twin: (group, distinct value) count cells monoid, cumulative RANGE window over CELLS (tie multiplicity collapsed), percentile ranks picked by a broadcast target join + min aggregate — the sort input is value cardinality, never row count",
 }
 
 

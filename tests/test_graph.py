@@ -1112,3 +1112,60 @@ def test_closeness_seed_cap_bounds_state(spark):
         edges, max_seeds=2
     ).collect()}
     assert got == {0, 20}
+
+
+def test_betweenness_path_graph(spark):
+    """P4 path 1-2-3-4, every node a seed: raw Brandes betweenness of
+    an interior node is 2x its interior-pair count — node 2 sits
+    inside {1,3} and {1,4} -> 4.0; endpoints 0. (Hand-derived: from
+    s=1 the backward fold gives delta(2)=2, from s=3 and s=4 one
+    each.)"""
+    from project_cortex_spark.operators.graph import betweenness_centrality
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["a", "b"])
+    got = {
+        r["node"]: (r["betweenness"], r["n_seeds"])
+        for r in betweenness_centrality(
+            edges, seed_mod=1, max_seeds=99
+        ).collect()
+    }
+    assert got[2] == (4.0, 3) and got[3] == (4.0, 3)
+    assert got[1][0] == 0.0 and got[4][0] == 0.0
+
+
+def test_betweenness_diamond_fractional_sigma(spark):
+    """Diamond 1-2, 1-3, 2-4, 3-4: two equal shortest paths 1<->4, so
+    each middle node carries sigma-fraction 1/2 per direction ->
+    betweenness 1.0 — exercises the rational term + e6 quantization
+    path (path counts > 1)."""
+    from project_cortex_spark.operators.graph import betweenness_centrality
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], ["a", "b"]
+    )
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(
+            edges, seed_mod=1, max_seeds=99
+        ).collect()
+    }
+    assert got[2] == 1.0 and got[3] == 1.0
+    assert got[1] == 1.0 and got[4] == 1.0  # 1 bridges 2-3, 4 bridges 2-3
+
+
+def test_betweenness_matches_unrolled_oracle(registry, duck):
+    from project_cortex_spark import oracle
+    from project_cortex_spark.operators.graph import (
+        betweenness_centrality,
+        cooccurrence_edges,
+    )
+
+    df = betweenness_centrality(
+        cooccurrence_edges(
+            registry.table("lineitem"),
+            group_col="l_orderkey",
+            item_col="l_partkey",
+            max_df=50,
+        )
+    )
+    assert_matches_oracle(df, duck, oracle.betweenness_sql(max_df=50))

@@ -365,3 +365,44 @@ def test_moment_partials_null_values_skipped(spark):
     row = sk.moment_partials(df).collect()[0]
     assert row["n"] == 3  # count(1) counts the row; sums skip the NULL
     assert row["s1"] == 40000  # (1.0 + 3.0) * 1e4
+
+
+def test_quantiles_cells_merge_monoid(spark):
+    """Streaming-twin contract: cells from two disjoint deliveries,
+    merged by summing, finish to the exact batch answer — including
+    heavy ties (the case the cell collapse exists for)."""
+    import random
+
+    rnd = random.Random(41)
+    rows = [
+        (rnd.choice(["a", "b"]), float(rnd.choice([1, 2, 2, 2, 3, 7, 9])))
+        for _ in range(500)
+    ]
+    schema = "event_type string, value double"
+    df = spark.createDataFrame(rows, schema)
+    h1 = spark.createDataFrame(rows[:200], schema)
+    h2 = spark.createDataFrame(rows[200:], schema)
+    whole = {tuple(r) for r in sk.exact_quantiles(df).collect()}
+    merged = (
+        sk.value_count_cells(h1)
+        .unionByName(sk.value_count_cells(h2))
+    )
+    twin = {tuple(r) for r in sk.quantiles_on_cells(merged).collect()}
+    assert whole == twin
+
+
+def test_quantiles_exclude_null_values(spark):
+    """NULL values carry no rank (SQL percentile semantics): n counts
+    only non-NULL rows and the picked values ignore them — the
+    convention both engines replay (Spark sorts NULLS FIRST, DuckDB
+    LAST, so inclusion could never hash-gate)."""
+    df = spark.createDataFrame(
+        [("g", None), ("g", None), ("g", 1.0), ("g", 2.0), ("g", 3.0),
+         ("g", 4.0)],
+        "event_type string, value double",
+    )
+    got = {
+        r.q: (r.n, r.value)
+        for r in sk.exact_quantiles(df, qs=(0.25, 1.0)).collect()
+    }
+    assert got == {0.25: (4, 1.0), 1.0: (4, 4.0)}
