@@ -5622,6 +5622,49 @@ def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_stream_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental ED index contract (the neardup split): deliver the
+    # documents in TWO increments, maintain the (doc_id, key) store
+    # incrementally (each batch projects only ITS documents, overwrite
+    # into its batch partition — replay-idempotent), and require the
+    # merge-on-read PassJoin pairs to hash-match the one-shot batch
+    # operator's brute-force oracle over the full corpus.
+    import shutil
+    import tempfile
+
+    from project_cortex_spark.streaming import editdist as stream_ed
+
+    docs = _docs(spark, sf_dir)
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="edjoin_", dir=scratch)
+    in_dir = os.path.join(base, "incoming")
+    keys = os.path.join(base, "keys")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        for parity in (0, 1):  # two deliveries, one stream run each
+            docs.filter(F.col("doc_id") % 2 == parity).write.mode(
+                "append"
+            ).parquet(in_dir)
+            with stream_source.scoped_state_partitions(
+                spark, _STREAM_STATE_PARTITIONS
+            ):
+                q = stream_ed.continuous_keys(
+                    spark,
+                    in_dir,
+                    docs.schema,
+                    keys_dir=keys,
+                    checkpoint_dir=ckpt,
+                )
+                q.awaitTermination()
+        out = stream_ed.read_pairs(spark, keys, k=2, key_len=32)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_stream_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental union-find: the near-dup PAIRS delivered in two
     # hash-split increments; each batch contracts its pairs through the
@@ -6501,6 +6544,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_seasonal"] = lambda s, d: ev.seasonal_decompose(
         _events(s, d)
     )
+    # seasonality-adjusted anomalies: the decomposition's residual fed
+    # through the mad_outliers robust rule — composition gated end to
+    # end (the oracle nests the decomposition SQL verbatim)
+    out["events_seasonal_outliers"] = lambda s, d: ev.seasonal_outliers(
+        _events(s, d)
+    )
 
     def _q_stream_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         # streaming twin: same bucket-count monoid as stream_cusum
@@ -6519,6 +6568,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return ev.autocorr_on_cells(cells)
 
     out["stream_autocorr"] = _q_stream_autocorr
+
+    def _q_stream_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # streaming twin: the same bucket-count monoid; the centered-MA
+        # + phase-mean finisher runs merge-on-read. Same oracle.
+        with stream_source.scoped_state_partitions(
+            spark, _STREAM_STATE_PARTITIONS
+        ):
+            stream = stream_source.stream_table(spark, sf_dir, "events")
+            cells = stream_source.run_to_memory(
+                ev.bucket_count_cells(stream),
+                query_name="q_stream_seasonal",
+                output_mode="complete",
+            )
+            return ev.seasonal_on_cells(cells)
+
+    out["stream_seasonal"] = _q_stream_seasonal
 
     def _q_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         # streaming twin: bucket-count monoid + merge-on-read Holt fold
@@ -6887,6 +6952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_anomaly"] = _q_stream_anomaly
     out["stream_topk"] = _q_stream_topk
     out["stream_neardup"] = _q_stream_neardup
+    out["stream_edit_distance"] = _q_stream_edit_distance
     out["stream_connected_components"] = _q_stream_connected_components
     out["stream_paragraph_dedup"] = _q_stream_paragraph_dedup
     out["stream_debounce"] = _q_stream_debounce
@@ -7418,18 +7484,24 @@ _GATE_FIRST = [
     "graph_type_usages",
     "join_range",
     "knn_topk_filtered",
-    # -- (c) highest-risk r4-stale ×17 --
-    "pipeline_apply_changeset",
-    "pipeline_branch_fork",
-    "pipeline_change_detection",
-    "pipeline_chunk_assembly",
-    "pipeline_chunk_docs",
-    "pipeline_chunk_markdown",
-    "pipeline_embed_stub",
+    # -- (a') third-wave r9 registrations ×8 (new registrations keep
+    # the never-gated ledger at zero, so they outrank re-gates; the 8
+    # displaced r4-stale re-gates — branch_fork, change_detection, the
+    # three chunk queries, embed_stub, source_file_stats,
+    # stream_asof_join — rotate into the r10 head instead) --
+    "events_seasonal",
+    "events_seasonal_outliers",
+    "dedup_edit_distance",
+    "stream_edit_distance",
+    "events_ttest_drift",
+    "stream_ttest_drift",
+    "graph_betweenness",
+    "stream_quantiles",
+    "stream_seasonal",
+    # -- (c) highest-risk r4-stale ×2 (machinery risk: the 9-language
+    # parser path, the embed/retrieval path) --
     "pipeline_parse_multilang",
-    "source_file_stats",
     "search_lexical_recall",
-    "stream_asof_join",
 ]
 
 
@@ -7661,6 +7733,8 @@ def oracle_sql() -> dict[str, str]:
     out["stream_autocorr"] = oracle.autocorr_sql()
     out["stream_holt"] = oracle.holt_sql()
     out["events_seasonal"] = oracle.seasonal_decompose_sql()
+    out["events_seasonal_outliers"] = oracle.seasonal_outliers_sql()
+    out["stream_seasonal"] = oracle.seasonal_decompose_sql()
     out["events_ks_drift"] = oracle.ks_drift_sql()
     out["events_ttest_drift"] = oracle.ttest_drift_sql()
     out["stream_ttest_drift"] = oracle.ttest_drift_sql()
@@ -8085,6 +8159,9 @@ def oracle_sql() -> dict[str, str]:
     out["stream_topk"] = oracle.top_users_per_type_sql()
     # incremental signature store merged == one-shot batch minhash
     out["stream_neardup"] = oracle.minhash_near_duplicates_sql(threshold=0.5)
+    out["stream_edit_distance"] = oracle.edit_distance_pairs_sql(
+        k=2, key_len=32
+    )
     # incremental union-find == one-shot batch CC (min-rooting is
     # associative); same oracle as dedup_clusters
     out["stream_connected_components"] = oracle.duplicate_clusters_sql(

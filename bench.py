@@ -96,6 +96,10 @@ EXTENDED = [
     "dedup_semantic",  # assign + salted within-cluster prune rule
     "dsl_window_topn",  # DSL windows clause: fused rank pair + qualify
     "events_ks_drift",  # bounds broadcast + cells monoid + ECDF window
+    # r9 continuation additions
+    "graph_betweenness",  # Brandes fwd sigma BFS + e6-quantized bwd fold
+    "dedup_edit_distance",  # PassJoin segment equi-join + lev verify
+    "events_seasonal",  # cell-frame centered MA + broadcast phase means
 ]
 
 HEADLINE = [

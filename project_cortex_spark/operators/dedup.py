@@ -1936,9 +1936,23 @@ def edit_distance_pairs(
     surviving candidate. NULL ids and texts shorter than ``key_len``
     are excluded (mirrored by the oracle).
     """
-    if key_len < k + 1:
-        raise ValueError("key_len must be >= k+1 for k+1 segments")
-    keyed = (
+    keyed = edit_distance_keys(
+        docs, key_len=key_len, id_col=id_col, text_col=text_col
+    )
+    return edit_distance_pairs_on_keys(keyed, k=k, key_len=key_len)
+
+
+def edit_distance_keys(
+    docs: DataFrame,
+    *,
+    key_len: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, key) fact rows for the ED join: the lowered fixed-width
+    prefix, texts shorter than ``key_len`` and NULL ids excluded —
+    the per-document projection an incremental store appends."""
+    return (
         docs.select(
             F.col(id_col).alias("id"),
             F.lower(F.substring(F.col(text_col), 1, key_len)).alias("key"),
@@ -1946,6 +1960,17 @@ def edit_distance_pairs(
         .filter(F.length(F.col(text_col)) >= key_len)
         .filter(F.col("id").isNotNull())
     )
+
+
+def edit_distance_pairs_on_keys(
+    keyed: DataFrame, *, k: int = 2, key_len: int = 32
+) -> DataFrame:
+    """The PassJoin core over an (id, key) frame — see
+    :func:`edit_distance_pairs`. Split out so the incremental key
+    store (streaming/editdist.py) shares the candidate join and
+    verification verbatim with the batch operator."""
+    if key_len < k + 1:
+        raise ValueError("key_len must be >= k+1 for k+1 segments")
     keys = keyed.select("key").distinct()
     layout = _passjoin_layout(key_len, k)
     seg_structs = [

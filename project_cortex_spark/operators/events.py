@@ -1515,9 +1515,28 @@ def seasonal_decompose(
     based MA assumes a dense series (the streaming gapfill op exists
     for sparse ones); phase count is bounded by ``period``.
     """
-    bucket_us = minutes * 60 * 1_000_000
     cells = bucket_count_cells(
         events, minutes=minutes, group_col=group_col, ts_col=ts_col
+    )
+    return seasonal_on_cells(
+        cells, minutes=minutes, period=period, group_col=group_col
+    )
+
+
+def seasonal_on_cells(
+    cells: DataFrame,
+    *,
+    minutes: int = 60,
+    period: int = 24,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Decomposition finisher over (group, window_start, n_events)
+    cells — merge-on-read (duplicate cells from micro-batch deliveries
+    sum first), so the streaming twin shares it AND the batch oracle
+    (the autocorr/holt/cusum bucket-count monoid contract)."""
+    bucket_us = minutes * 60 * 1_000_000
+    cells = cells.groupBy(group_col, "window_start").agg(
+        F.sum("n_events").alias("n_events")
     )
     half = period // 2
     w = (
@@ -1545,7 +1564,12 @@ def seasonal_decompose(
         .cast("long")
         .alias("_d_e6"),
     )
-    phase_means = detr.groupBy(group_col, "phase").agg(
+    # renamed join keys: the phase-mean side re-reads the same cell
+    # lineage as detr, and the streaming twin's memory-sink view trips
+    # "Conflicting attributes" on a same-name self-join otherwise
+    phase_means = detr.groupBy(
+        F.col(group_col).alias("_pgrp"), F.col("phase").alias("_pphase")
+    ).agg(
         (
             F.sum("_d_e6").cast("double")
             / F.count(F.lit(1))
@@ -1553,7 +1577,9 @@ def seasonal_decompose(
         ).alias("seasonal")
     )
     return detr.join(
-        F.broadcast(phase_means), [group_col, "phase"]
+        F.broadcast(phase_means),
+        (detr[group_col] == phase_means["_pgrp"])
+        & (detr["phase"] == phase_means["_pphase"]),
     ).select(
         group_col,
         "window_start",
@@ -1760,3 +1786,71 @@ def ttest_drift(
         ts_col=ts_col,
     )
     return ttest_on_cells(cells, group_col=group_col)
+
+
+def seasonal_outliers(
+    events: DataFrame,
+    *,
+    minutes: int = 60,
+    period: int = 24,
+    threshold: float = 3.5,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Seasonality-adjusted volume anomalies: flag buckets whose
+    DESEASONALIZED residual is a robust outlier — "is Monday 9am
+    unusually quiet GIVEN that 9am is always busy", the question both
+    :func:`rolling_anomaly` (raw volume) and :func:`mad_outliers`
+    (raw values) answer wrongly on cyclic series, where the daily
+    swing itself dwarfs real anomalies.
+
+    Pure composition: :func:`seasonal_decompose`'s residual column
+    (already round-6 quantized, hash-gated on its own) feeds the
+    Iglewicz–Hoaglin modified z-score rule of :func:`mad_outliers`
+    (exact interpolating medians, try_divide zero-MAD contract). The
+    oracle nests the decomposition SQL verbatim, so the composition is
+    gated end to end.
+
+    Scale notes: everything downstream of the decomposition operates
+    on the CELL frame (|buckets| rows); the two median passes shuffle
+    cells on the group key and broadcast tiny stat frames back —
+    nothing event-sized beyond the decomposition's first aggregate.
+    """
+    dec = seasonal_decompose(
+        events,
+        minutes=minutes,
+        period=period,
+        group_col=group_col,
+        ts_col=ts_col,
+    )
+    base = dec.select(
+        F.col(group_col).alias("grp"),
+        "window_start",
+        "n_events",
+        F.col("residual").alias("v"),
+    )
+    med = base.groupBy("grp").agg(
+        F.expr("percentile(v, 0.5)").alias("med")
+    )
+    devs = base.join(F.broadcast(med), "grp").withColumn(
+        "dev", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = devs.groupBy("grp").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    m = F.lit(0.6745) * F.try_divide(
+        F.col("v") - F.col("med"), F.col("mad")
+    )
+    return (
+        devs.join(F.broadcast(mad), "grp")
+        .filter(F.abs(m) > F.lit(threshold))
+        .select(
+            F.col("grp").alias(group_col),
+            "window_start",
+            "n_events",
+            F.col("v").alias("residual"),
+            F.round("med", 6).alias("median"),
+            F.round("mad", 6).alias("mad"),
+            F.round(m, 4).alias("m_score"),
+        )
+    )

@@ -5231,3 +5231,38 @@ def betweenness_sql(
            count(*) AS n_seeds
     FROM ({alld}) GROUP BY node
     """
+
+
+def seasonal_outliers_sql(
+    table: str = "events",
+    *,
+    minutes: int = 60,
+    period: int = 24,
+    threshold: float = 3.5,
+) -> str:
+    """SQL mirror of operators.events.seasonal_outliers: nests the
+    decomposition SQL verbatim, then replays the mad_outliers rule on
+    its residual column (quantile_cont medians, NULLIF zero-MAD)."""
+    inner = seasonal_decompose_sql(table, minutes=minutes, period=period)
+    m = "0.6745e0 * ((d.v - d.med) / nullif(a.mad, 0))"
+    return f"""
+    WITH dec AS ({inner}
+    ), base AS (
+      SELECT event_type AS grp, window_start, n_events, residual AS v
+      FROM dec
+    ), med AS (
+      SELECT grp, quantile_cont(v, 0.5) AS med FROM base GROUP BY grp
+    ), devs AS (
+      SELECT b.grp, b.window_start, b.n_events, b.v, m.med,
+             abs(b.v - m.med) AS dev
+      FROM base b JOIN med m USING (grp)
+    ), mad AS (
+      SELECT grp, quantile_cont(dev, 0.5) AS mad FROM devs GROUP BY grp
+    )
+    SELECT d.grp AS event_type, d.window_start, d.n_events,
+           d.v AS residual,
+           round(d.med, 6) AS median, round(a.mad, 6) AS mad,
+           round({m}, 4) AS m_score
+    FROM devs d JOIN mad a USING (grp)
+    WHERE abs({m}) > {threshold!r}
+    """

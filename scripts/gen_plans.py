@@ -108,6 +108,7 @@ PICKS = {
     "dedup_edit_distance": "PassJoin ED join: candidate generation is an equi-join on (seg_id, substring) over DISTINCT keys (template skew collapses pre-join), exploded segment/probe frames are key-count-sized; verify = one JVM levenshtein per candidate; id expansion broadcasts the tiny key-pair frame",
     "graph_betweenness": "sampled Brandes: forward BFS carries (seed, node, sigma) with integer map-side-combined path-count sums, backward pass one join per level folding e6-quantized dependency terms (order-free BIGINT sums); state hard-bounded at max_seeds*|V|, lineage cut per level; plan shows the final score aggregate",
     "stream_quantiles": "exact quantiles twin: (group, distinct value) count cells monoid, cumulative RANGE window over CELLS (tie multiplicity collapsed), percentile ranks picked by a broadcast target join + min aggregate — the sort input is value cardinality, never row count",
+    "events_seasonal_outliers": "seasonal residual + MAD rule: the decomposition's cell-frame plan feeding two cell-sized median passes with broadcast stat frames — nothing event-sized after the decomposition's first aggregate",
 }
 
 

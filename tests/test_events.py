@@ -785,7 +785,7 @@ def test_bucket_cells_finishers_merge_monoid(spark):
         .groupBy("window_start", "event_type")
         .agg(F.sum("n_events").alias("n_events"))
     )
-    for fin in (ev.autocorr_on_cells, ev.holt_on_cells):
+    for fin in (ev.autocorr_on_cells, ev.holt_on_cells, ev.seasonal_on_cells):
         batch = {
             tuple(r)[:2]: tuple(r)
             for r in fin(ev.bucket_count_cells(df)).collect()
@@ -944,3 +944,42 @@ def test_ttest_cells_merge_monoid(spark):
     a = {tuple(r) for r in whole.collect()}
     b = {tuple(r) for r in twin.collect()}
     assert a == b
+
+
+def test_seasonal_outliers_oracle(registry, duck):
+    from project_cortex_spark.operators.events import seasonal_outliers
+
+    df = seasonal_outliers(registry.table("events"))
+    assert_matches_oracle(df, duck, oracle.seasonal_outliers_sql())
+
+
+def test_seasonal_outliers_ignore_daily_cycle(spark):
+    """A strongly cyclic series (hour-14 bump every day) with ONE
+    planted anomaly (hour 14 of day 5 missing its bump): the raw
+    rolling/MAD detectors would flag every bump hour, but the
+    seasonality-adjusted rule flags exactly the anomalous bucket."""
+    from datetime import datetime, timedelta
+
+    from project_cortex_spark.operators.events import seasonal_outliers
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    for h in range(24 * 10):
+        # h*7 % 5 jitter: without it most residuals are EXACTLY zero,
+        # the median absolute deviation is zero, and the zero-MAD
+        # contract (NULL M, never flagged) correctly reports "no
+        # statistic" — the detector needs a live noise floor
+        n = 10 + (h * 7 % 5) + (15 if h % 24 == 14 else 0)
+        if h == 24 * 5 + 14:  # the planted anomaly: bump missing
+            n = 10 + (h * 7 % 5)
+        for i in range(n):
+            rows.append(("s", 1.0, t0 + timedelta(hours=h, seconds=i)))
+    df = spark.createDataFrame(
+        rows, "event_type string, value double, ts timestamp"
+    )
+    got = seasonal_outliers(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["window_start"] == t0 + timedelta(hours=24 * 5 + 14)
+    assert r["n_events"] == 10 + (24 * 5 + 14) * 7 % 5  # 13: base+jitter
+    assert r["m_score"] < -3.5

@@ -1201,3 +1201,66 @@ def test_persisted_pq_rebuild_heals_crashed_swap(spark, registry, tmp_path):
     assert stats["files_after"] >= 1
     assert vec_index.read_pq_index(spark, idx).count() == n
     assert not os.path.exists(idx + "__bak")
+
+
+def test_incremental_ed_index_equals_batch(spark, tmp_path):
+    """Two deliveries maintain the (doc_id, key) store; merge-on-read
+    PassJoin pairs equal the one-shot batch ED join over the union —
+    including a cross-delivery near pair (1 vs 4, one substitution)."""
+    from project_cortex_spark.operators import dedup as dd
+    from project_cortex_spark.streaming import editdist
+
+    base = "the quick brown fox jumps over x"  # 32 chars
+    batch1 = [(1, base), (2, base + " tail")]
+    batch2 = [
+        (3, "completely unrelated text here!!"),
+        (4, "the quick brown fix jumps over x"),
+    ]
+    schema = "doc_id LONG, text STRING"
+    in_dir = tmp_path / "in"
+    keys = str(tmp_path / "keys")
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+        q = editdist.continuous_keys(
+            spark,
+            str(in_dir),
+            schema,
+            keys_dir=keys,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+    all_docs = spark.createDataFrame(batch1 + batch2, ["doc_id", "text"])
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["edit_distance"]
+        for r in editdist.read_pairs(spark, keys).collect()
+    }
+    want = {
+        (r["doc_id_a"], r["doc_id_b"]): r["edit_distance"]
+        for r in dd.edit_distance_pairs(all_docs).collect()
+    }
+    assert got == want
+    assert got[(1, 2)] == 0 and got[(1, 4)] == 1 and got[(2, 4)] == 1
+
+
+def test_ed_store_replay_idempotent(spark, tmp_path):
+    """A replayed delivery overwrites its own batch partition: applying
+    the same upsert twice leaves no duplicate key rows (the paradedup
+    replay discipline)."""
+    import os
+
+    from project_cortex_spark.operators import dedup as dd
+
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over x")], ["doc_id", "text"]
+    )
+    keys_dir = str(tmp_path / "keys")
+    for _ in range(2):  # the retried delivery
+        dd.edit_distance_keys(batch).write.mode("overwrite").parquet(
+            os.path.join(keys_dir, "batch=0")
+        )
+    stored = spark.read.option("recursiveFileLookup", "true").parquet(
+        keys_dir
+    )
+    assert stored.count() == 1
