@@ -1871,60 +1871,58 @@ def betweenness_centrality(
             if nxt.isEmpty():
                 break
             levels.append(nxt)
+        reached = len(levels) - 1  # deepest populated level
+        # backward accumulation: delta6[d] over levels reached..1, each
+        # an exact BIGINT e6 partial-dependency sum; the CACHED edge
+        # frame is reused (the backward pass reads it once per level)
+        deltas: dict[int, DataFrame] = {
+            reached: levels[reached].withColumn(
+                "delta6", F.lit(0).cast("long")
+            )
+        }
+        e2 = e
+        for d in range(reached - 1, 0, -1):
+            u = levels[d]
+            v = deltas[d + 1].select(
+                "seed",
+                F.col("node").alias("vnode"),
+                F.col("sigma").alias("vsigma"),
+                F.col("delta6").alias("vdelta6"),
+            )
+            term = (
+                F.col("sigma").cast("double")
+                / F.col("vsigma").cast("double")
+                * (F.lit(1.0) + F.col("vdelta6").cast("double") / 1000000.0)
+            )
+            contrib = (
+                u.join(e2, u["node"] == e2["src"])
+                .join(
+                    bcast(v),
+                    (F.col("dst") == F.col("vnode"))
+                    & (u["seed"] == v["seed"]),
+                )
+                .select(
+                    u["seed"].alias("seed"),
+                    u["node"].alias("node"),
+                    F.round(term * 1000000.0).cast("long").alias("term6"),
+                )
+                .groupBy("seed", "node")
+                .agg(F.sum("term6").alias("delta6"))
+            )
+            deltas[d] = (
+                u.join(contrib, ["seed", "node"], "left")
+                .select(
+                    "seed",
+                    "node",
+                    "sigma",
+                    F.coalesce("delta6", F.lit(0))
+                    .cast("long")
+                    .alias("delta6"),
+                )
+                .localCheckpoint(eager=True)
+            )
     finally:
         e.unpersist()
-    reached = len(levels) - 1  # deepest populated level
-    # backward accumulation: delta6[d] over levels reached..1, each an
-    # exact BIGINT e6 partial-dependency sum
-    deltas: dict[int, DataFrame] = {
-        reached: levels[reached].withColumn(
-            "delta6", F.lit(0).cast("long")
-        )
-    }
-    e2 = (
-        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(
-            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-        )
-    )
-    for d in range(reached - 1, 0, -1):
-        u = levels[d]
-        v = deltas[d + 1].select(
-            "seed",
-            F.col("node").alias("vnode"),
-            F.col("sigma").alias("vsigma"),
-            F.col("delta6").alias("vdelta6"),
-        )
-        term = (
-            F.col("sigma").cast("double")
-            / F.col("vsigma").cast("double")
-            * (F.lit(1.0) + F.col("vdelta6").cast("double") / 1000000.0)
-        )
-        contrib = (
-            u.join(e2, u["node"] == e2["src"])
-            .join(
-                bcast(v),
-                (F.col("dst") == F.col("vnode"))
-                & (u["seed"] == v["seed"]),
-            )
-            .select(
-                u["seed"].alias("seed"),
-                u["node"].alias("node"),
-                F.round(term * 1000000.0).cast("long").alias("term6"),
-            )
-            .groupBy("seed", "node")
-            .agg(F.sum("term6").alias("delta6"))
-        )
-        deltas[d] = (
-            u.join(contrib, ["seed", "node"], "left")
-            .select(
-                "seed",
-                "node",
-                "sigma",
-                F.coalesce("delta6", F.lit(0)).cast("long").alias("delta6"),
-            )
-            .localCheckpoint(eager=True)
-        )
     out = deltas[reached].select("node", "delta6")
     for d in range(reached - 1, 0, -1):
         out = out.unionByName(deltas[d].select("node", "delta6"))
