@@ -5026,7 +5026,7 @@ def closeness_sql(
     )
     SELECT s.node,
            coalesce(c.n_reached, 0) AS n_reached,
-           coalesce(c.sum_dist, 0) AS sum_dist,
+           CAST(coalesce(c.sum_dist, 0) AS BIGINT) AS sum_dist,
            round(coalesce({harmonic}, 0.0), 6) AS harmonic,
            round(CAST(c.n_reached AS DOUBLE)
                  / nullif(CAST(c.sum_dist AS DOUBLE), 0), 6) AS closeness
@@ -5133,7 +5133,8 @@ def ttest_drift_sql(table: str = "events") -> str:
     ), se AS (
       SELECT *, v1 / n1 + v2 / n2 AS se2 FROM st
     )
-    SELECT grp AS event_type, n1 AS n_early, n2 AS n_late,
+    SELECT grp AS event_type,
+           CAST(n1 AS BIGINT) AS n_early, CAST(n2 AS BIGINT) AS n_late,
            round(m1 / 10000.0, 6) AS mean_early,
            round(m2 / 10000.0, 6) AS mean_late,
            round((m1 / 10000.0 - m2 / 10000.0) / sqrt(se2), 6) AS t_stat,

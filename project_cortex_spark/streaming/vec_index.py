@@ -90,8 +90,13 @@ def continuous_vec_index(
     cent = read_centroids(spark, index_dir) if centroids is None else centroids
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
+        # Overwrite, not append: a retried delivery re-runs with the SAME
+        # batch_id into its own keyed directory, so overwrite makes the
+        # sink idempotent (append would duplicate vec_ids on replay,
+        # skewing probes and the retrain sample — same contract as
+        # pq_encode_batch below).
         knn_mod.assign_clusters(batch, cent, vec_col=vec_col).write.mode(
-            "append"
+            "overwrite"
         ).parquet(os.path.join(index_dir, "assigned", f"batch={batch_id}"))
 
     return watch_and_index(
