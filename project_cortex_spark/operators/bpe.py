@@ -69,6 +69,33 @@ def _scan_merge(syms: list, lhs: str, rhs: str) -> list:
     return out
 
 
+_DRIVER_VOCAB_MAX = 65536
+
+
+def _train_merges_local(
+    vocab: list[tuple[list, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The merge loop over an already-collected bounded vocabulary —
+    the exact arithmetic of the distributed loop (integer freq-weighted
+    adjacent-pair counts, argmax tie-broken count desc / lhs asc /
+    rhs asc, leftmost-rescan merge via :func:`_scan_merge`)."""
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, n_merges + 1):
+        cnt: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                cnt[p] = cnt.get(p, 0) + freq
+        if not cnt:
+            break
+        (lhs, rhs), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rnd, lhs, rhs, c))
+        vocab = [(_scan_merge(syms, lhs, rhs), freq) for syms, freq in vocab]
+    return merges
+
+
 def _merge_udf(lhs: str, rhs: str):
     @pandas_udf("array<string>")
     def apply_merge(syms_s: pd.Series) -> pd.Series:
@@ -91,12 +118,35 @@ def bpe_train(
     ``top_words`` bounds the vocabulary the oracle must replay (the same
     bounded-trainer pattern as the IVF/PQ k-means samples); pass a large
     value to train on the full distinct-word table.
+
+    r9 optimization (guide §1.2 first-principles + §5 driver notes): the
+    corpus-sized work is exactly ONE distributed job — the word-frequency
+    aggregate + top-``top_words`` cut. The merge loop operates on that
+    bounded vocabulary (200 rows at the defaults), and running it as
+    2·n_merges distributed jobs was pure scheduling overhead (measured
+    3.33 s at sf0.1, ~95 % driver round-trips). While the vocabulary is
+    within the sanctioned bounded-collect size the loop now runs
+    driver-side over the collected rows — identical integer pair counts,
+    identical (count desc, lhs asc, rhs asc) tie-break (all symbols are
+    ASCII, so Python's code-point order equals Spark's UTF-8 byte
+    order), identical leftmost-rescan merge via the same ``_scan_merge``.
+    Vocabularies beyond the bound keep the distributed loop unchanged.
     """
     top = (
         word_frequencies(docs, text_col=text_col)
         .orderBy(F.col("freq").desc(), F.col("word").asc())
         .limit(top_words)
     )
+    if top_words <= _DRIVER_VOCAB_MAX:
+        rows = top.collect()  # bounded by top_words (<= _DRIVER_VOCAB_MAX)
+        vocab_py: list[tuple[list, int]] = [
+            (list(r["word"]) + [_END], int(r["freq"])) for r in rows
+        ]
+        merges = _train_merges_local(vocab_py, n_merges)
+        return docs.sparkSession.createDataFrame(
+            merges, "merge_round int, lhs string, rhs string, pair_count bigint"
+        )
+
     vocab = top.select(
         "word",
         "freq",
@@ -106,7 +156,7 @@ def bpe_train(
         ).alias("syms"),
     ).localCheckpoint(eager=True)
 
-    merges: list[tuple[int, str, str, int]] = []
+    merges = []
     for rnd in range(1, n_merges + 1):
         pairs = vocab.select(
             "freq",

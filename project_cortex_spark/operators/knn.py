@@ -267,10 +267,14 @@ def quantize_embeddings(
     parquet-scan bandwidth, which is the point: re-encoding 100 TB of
     float32 embeddings down to int8 is a single pass.
     """
-    from ..functions.vector import dequantize_error, quantize_int8
+    from ..functions.vector import dequantize_error, int8_max_abs, quantize_int8
 
-    scale, q = quantize_int8(F.col(vec_col))
-    return corpus.select(
+    # materialize max|a_i| as its own projection column: referenced
+    # inside the per-element quantize lambda, the inlined array_max
+    # re-evaluates per element (O(dim²) per row — guide §1.2 per-task
+    # work; see quantize_int8's max_abs note)
+    scale, q = quantize_int8(F.col(vec_col), max_abs=F.col("_amax"))
+    return corpus.withColumn("_amax", int8_max_abs(F.col(vec_col))).select(
         F.col(id_col).alias("vec_id"),
         F.size(F.col(vec_col)).alias("dim"),
         F.floor(scale * F.lit(1e9)).cast("bigint").alias("scale_e9"),
@@ -898,13 +902,17 @@ def knn_topk_int8(
     exactly: any Spark-side change to the quantizer or scorer breaks
     the hash.
     """
-    from ..functions.vector import quantize_int8
+    from ..functions.vector import int8_max_abs, quantize_int8
 
-    scale, qv = quantize_int8(F.col(vec_col))
+    # max|a_i| hoisted to a projection column — inlined it re-evaluates
+    # per element inside both quantize lambdas (O(dim²) per row; the
+    # r09 before-plan showed two array_max(transform(...)) per element)
+    scale, qv = quantize_int8(F.col(vec_col), max_abs=F.col("_amax"))
     deq = F.transform(qv, lambda qi: qi.cast("double") * scale)
     q = F.lit(query_vec).cast("array<double>")
     return (
-        corpus.withColumn("_deq", deq)
+        corpus.withColumn("_amax", int8_max_abs(F.col(vec_col)))
+        .withColumn("_deq", deq)
         .select(id_col, similarity_score(F.col("_deq"), q).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)

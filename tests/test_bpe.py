@@ -50,6 +50,21 @@ def test_bpe_merge_scan_overlap_semantics(spark):
     con.close()
 
 
+def test_bpe_driver_and_distributed_paths_agree(registry, monkeypatch):
+    """The r9 bounded driver-side merge loop must reproduce the
+    distributed loop row-for-row (same counts, same tie-breaks, same
+    scan-merge) — forcing _DRIVER_VOCAB_MAX to 0 exercises the
+    distributed arm on the same corpus."""
+    import project_cortex_spark.operators.bpe as bpe_mod
+
+    docs = registry.table("documents")
+    fast = bpe_train(docs, n_merges=6, top_words=80).collect()
+    monkeypatch.setattr(bpe_mod, "_DRIVER_VOCAB_MAX", 0)
+    slow = bpe_train(docs, n_merges=6, top_words=80).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+    assert len(fast) == 6
+
+
 def test_word_frequencies_filters_non_alpha(spark):
     docs = spark.createDataFrame(
         [(0, "The cat cat 42 c4t  sat!")], "doc_id long, text string"
