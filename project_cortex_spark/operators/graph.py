@@ -1971,14 +1971,21 @@ def betweenness_centrality(
             if packed:
                 # the successor join and both (seed, node) keyed steps
                 # run on the packed key: v is keyed by its own k, the
-                # probe side derives key(dst, slot) on the fly
+                # probe side derives key(dst, slot) on the fly.
+                # u rides the SAME broadcast-vs-shuffle switch as the
+                # forward expansion (r9: the backward pass shuffle-joined
+                # u against the cached edge frame while the forward pass
+                # broadcast the frontier — the u exchange + sort-merge
+                # over the |frontier|·degree fan-out was the single
+                # hottest phase, 11.9 s of the 25.5 s total at sf0.1;
+                # guide §3.1, broadcast replaces both exchanges)
                 v = deltas[d + 1].select(
                     "k",
                     F.col("sigma").alias("vsigma"),
                     F.col("delta6").alias("vdelta6"),
                 )
                 contrib = (
-                    u.join(e2, u["node"] == e2["src"])
+                    bcast(u).join(e2, u["node"] == e2["src"])
                     .select(
                         key(F.col("dst"), F.col("slot")),
                         u["k"].alias("uk"),
@@ -1993,7 +2000,7 @@ def betweenness_centrality(
                     .agg(F.sum("term6").alias("delta6"))
                 )
                 deltas[d] = (
-                    u.join(contrib, "k", "left")
+                    u.join(bcast(contrib), "k", "left")
                     .select(
                         "k",
                         "slot",
@@ -2013,7 +2020,7 @@ def betweenness_centrality(
                     F.col("delta6").alias("vdelta6"),
                 )
                 contrib = (
-                    u.join(e2, u["node"] == e2["src"])
+                    bcast(u).join(e2, u["node"] == e2["src"])
                     .join(
                         bcast(v),
                         (F.col("dst") == F.col("vnode"))
@@ -2028,7 +2035,7 @@ def betweenness_centrality(
                     .agg(F.sum("term6").alias("delta6"))
                 )
                 deltas[d] = (
-                    u.join(contrib, ["slot", "node"], "left")
+                    u.join(bcast(contrib), ["slot", "node"], "left")
                     .select(
                         "slot",
                         "node",
