@@ -1771,6 +1771,15 @@ def closeness_centrality(
     partitioned on the node key — the same size switch as pagerank.
     State is bounded by max_seeds·|V| by construction; the final
     aggregate is |seeds|-wide.
+
+    Keying (r9, same as :func:`betweenness_centrality`): every
+    per-(seed, node) distinct and anti-join runs on ONE packed BIGINT
+    key ``(node - min_node) * n_seeds + slot`` while the id span has
+    BIGINT headroom (composite-key fallback otherwise) — the dominant
+    frontier distinct probes an 8-byte key instead of a 16-byte
+    composite (guide §2.3 narrower types; measured 3.1x on the same
+    aggregate shape in betweenness). Output identical: the distinct /
+    anti-join semantics are key-representation-free.
     """
     e = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -1786,35 +1795,76 @@ def closeness_centrality(
         .orderBy("node")
         .limit(max_seeds)
     )
-    frontier = seeds.select(
-        F.col("node").alias("seed"), "node"
+    lv0 = seeds.select(
+        (F.row_number().over(Window.orderBy("node")) - 1).alias("slot"),
+        F.col("node").alias("seed"),
+        "node",
     ).localCheckpoint(eager=True)
-    n_seeds = frontier.count()
-    n_nodes = e.select("src").distinct().count()
+    n_seeds = lv0.count()
+    stats = e.agg(
+        F.countDistinct("src").alias("n"),
+        F.min("src").alias("mn"),
+        F.max("src").alias("mx"),
+    ).first()
+    n_nodes = stats["n"] or 0
     small = n_seeds * n_nodes <= BROADCAST_NODE_LIMIT
     bcast = F.broadcast if small else (lambda df: df)
+    S = max(n_seeds, 1)
+    mn = int(stats["mn"]) if stats["mn"] is not None else 0
+    mx = int(stats["mx"]) if stats["mx"] is not None else 0
+    packed = (mx - mn + 1) <= (2**62) // S
+    node_dt = dict(e.dtypes)["src"]
+
+    def key(node_col, slot_col):
+        return (
+            (node_col.cast("long") - F.lit(mn)) * S + slot_col
+        ).alias("k")
+
+    def decode_node(kcol):
+        return (F.expr(f"k div {S}") + mn).cast(node_dt).alias("node")
+
+    if packed:
+        frontier = lv0.select(
+            key(F.col("node"), F.col("slot")).alias("k"), "slot", "node"
+        ).localCheckpoint(eager=True)
+    else:
+        frontier = lv0.select("slot", "node").localCheckpoint(eager=True)
+    keycols = ["k"] if packed else ["slot", "node"]
     visited = [frontier.withColumn("dist", F.lit(0))]
     try:
         for d in range(1, max_depth + 1):
-            seen = visited[0].select("seed", "node")
+            seen = visited[0].select(*keycols)
             for v in visited[1:]:
-                seen = seen.unionByName(v.select("seed", "node"))
-            frontier = (
-                e.join(bcast(frontier), frontier["node"] == e["src"])
-                .select("seed", F.col("dst").alias("node"))
-                .distinct()
-                .join(bcast(seen), ["seed", "node"], "left_anti")
-                .localCheckpoint(eager=True)
-            )
+                seen = seen.unionByName(v.select(*keycols))
+            expanded = e.join(bcast(frontier), frontier["node"] == e["src"])
+            if packed:
+                frontier = (
+                    expanded.select(key(F.col("dst"), F.col("slot")))
+                    .distinct()
+                    .join(bcast(seen), "k", "left_anti")
+                    .select(
+                        "k",
+                        F.pmod(F.col("k"), F.lit(S)).cast("int").alias("slot"),
+                        decode_node(F.col("k")),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            else:
+                frontier = (
+                    expanded.select("slot", F.col("dst").alias("node"))
+                    .distinct()
+                    .join(bcast(seen), ["slot", "node"], "left_anti")
+                    .localCheckpoint(eager=True)
+                )
             if frontier.isEmpty():
                 break
             visited.append(frontier.withColumn("dist", F.lit(d)))
     finally:
         e.unpersist()
-    vis = visited[0]
+    vis = visited[0].select("slot", "dist")
     for v in visited[1:]:
-        vis = vis.unionByName(v)
-    counts = vis.filter(F.col("dist") >= 1).groupBy("seed").agg(
+        vis = vis.unionByName(v.select("slot", "dist"))
+    slot_counts = vis.filter(F.col("dist") >= 1).groupBy("slot").agg(
         F.count(F.lit(1)).alias("n_reached"),
         F.sum("dist").alias("sum_dist"),
         *[
@@ -1822,14 +1872,20 @@ def closeness_centrality(
             for d in range(1, max_depth + 1)
         ],
     )
+    counts = (
+        lv0.select("slot", "seed")
+        .join(slot_counts, "slot", "left")
+        .drop("slot")
+    )
     harmonic = F.col("c1").cast("double")
     for d in range(2, max_depth + 1):
         harmonic = harmonic + F.col(f"c{d}") / F.lit(float(d))
     # seeds with no reached neighbor still get a row (harmonic 0,
     # closeness NULL) — the isolated-seed contract the oracle replays
+    # (counts is built by a left join FROM the full seed frame, so the
+    # row survives with NULL aggregates)
     return (
-        seeds.select(F.col("node").alias("seed"))
-        .join(counts, "seed", "left")
+        counts
         .select(
             F.col("seed").alias("node"),
             F.coalesce("n_reached", F.lit(0)).alias("n_reached"),
