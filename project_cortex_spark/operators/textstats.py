@@ -445,36 +445,46 @@ def bigram_lm_score(
     avg_logprob) where avg_logprob = round(avg ln P, 6), 0.0 for docs
     with fewer than two tokens.
 
-    Scale: bigram explode → one hash aggregate for c(w1,w2) (map-side
+    Scale: bigram explode (cached — it feeds the count aggregate AND
+    the scoring join; at 100 TB persist MEMORY_AND_DISK, the shingle-
+    frame convention) → one hash aggregate for c(w1,w2) (map-side
     partials), a second over w1 for c(w1,·), V as a 1-row broadcast.
-    Scoring re-joins the doc bigrams to the count tables on their natural
-    keys — shuffles on (w1,w2) then w1, no collect, no UDF. At 100 TB,
-    df-cap the count tables (drop hapax bigrams) to shrink the join's
-    build side by ~half with no visible score shift.
+    The model is then FULLY assembled on the distinct-bigram table —
+    ln P per (w1, w2) — before touching the doc bigrams again, so the
+    occurrence-scale frame is shuffled ONCE for the scoring join and
+    once for the doc aggregate instead of riding a second bigram-scale
+    shuffle on w1 (guide §2.3: join the big side against the smallest
+    possible prepared table; the per-pair ln P is the same double the
+    per-occurrence expression produced, so the avg's addend multiset
+    is unchanged). At 100 TB, df-cap the count tables (drop hapax
+    bigrams) to shrink the join's build side by ~half with no visible
+    score shift.
     """
-    bg = _bigram_frame(docs, id_col=id_col, text_col=text_col)
+    bg = _bigram_frame(docs, id_col=id_col, text_col=text_col).cache()
     pair_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     prefix_counts = pair_counts.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("t"))
         .agg(F.countDistinct("t").alias("v"))
     )
-    scored = (
-        bg.join(pair_counts, ["w1", "w2"])
-        .join(prefix_counts, "w1")
+    logp = (
+        pair_counts.join(prefix_counts, "w1")
         .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("c2") + F.lit(1.0))
+                / (F.col("c1") + F.col("v").cast("double"))
+            ).alias("_lp"),
+        )
+    )
+    scored = (
+        bg.join(logp, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.avg(
-                    F.log(
-                        (F.col("c2") + F.lit(1.0))
-                        / (F.col("c1") + F.col("v").cast("double"))
-                    )
-                ),
-                6,
-            ).alias("avg_logprob"),
+            F.round(F.avg("_lp"), 6).alias("avg_logprob"),
         )
     )
     return (
