@@ -1181,12 +1181,27 @@ def connected_components(
 # ---------------------------------------------------------------------------
 
 
+def _max_out_degree(e: DataFrame) -> int:
+    """Max rows per ``_s`` in the prepared edge frame — the one-scalar
+    decision statistic for the functional-graph fast path below (same
+    contract-bounded-collect class as the dedup dispatcher's posting
+    mass and the span stats in closeness/betweenness)."""
+    row = (
+        e.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("m"))
+        .collect()
+    )
+    return int(row[0]["m"] or 0)
+
+
 def cycle_members(
     edges: DataFrame,
     *,
     max_len: int = 6,
     src: str = "src",
     dst: str = "dst",
+    functional: bool | None = None,
 ) -> DataFrame:
     """Circular-dependency detection (canopy spec overview.md:16
     `circular_dependencies`): (node, cycle_len) for every node that lies
@@ -1210,6 +1225,20 @@ def cycle_members(
     dense general graphs prefer an SCC pass first; circular-dependency
     graphs in code (the reference's use) are import DAGs plus a few
     back-edges, the regime this plan is shaped for.
+
+    Functional-graph fast path (r9, guide §2.1 — remove shuffles
+    outright): when max out-degree == 1 (``functional``, auto-detected
+    from one scalar aggregate over the prepared edge frame) every
+    origin has exactly ONE walk, so the frontier holds exactly one row
+    per live origin at every level BY CONSTRUCTION. The per-level
+    ``distinct()`` then collapses nothing and the visited anti-join
+    prunes nothing the frontier bound needs — both are pure overhead
+    (one exchange + one anti-join + one union-checkpoint per level) and
+    are skipped. Results are identical: distinct over already-unique
+    rows is the identity, and visited pruning only ever removes
+    redundant re-expansions (min-closure levels are unaffected — see
+    the pruning-losslessness argument above, which covers removing the
+    pruning as well as applying it).
     """
     max_len = _clamp_depth(max_len)
     # Checkpoint the (possibly expensively derived) edge frame ONCE —
@@ -1230,14 +1259,17 @@ def cycle_members(
         .repartition(P, "_s")
         .localCheckpoint(eager=False)
     )
+    if functional is None:
+        functional = _max_out_degree(e) <= 1
     # level 1: every edge is a 1-walk; a self-loop closes immediately
     # (checkpointed like every later level: `found` feeds the final
-    # union and must not replay the distinct at consumption)
-    frontier = (
-        e.select(F.col("_s").alias("origin"), F.col("_d").alias("node"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # union and must not replay the distinct at consumption). With
+    # out-degree 1 the edge rows are already unique per origin, so the
+    # distinct exchange is skipped.
+    frontier = e.select(F.col("_s").alias("origin"), F.col("_d").alias("node"))
+    if not functional:
+        frontier = frontier.distinct()
+    frontier = frontier.localCheckpoint(eager=False)
     found = frontier.filter(F.col("node") == F.col("origin")).select(
         "origin", F.lit(1).alias("cycle_len")
     )
@@ -1256,25 +1288,31 @@ def cycle_members(
         # second time when the result is consumed (the r9 plan showed
         # one join+aggregate pair per level under the final Union —
         # guide §2.4, duplicated subtrees are hidden re-shuffles)
-        frontier = (
-            frontier.join(e, frontier["node"] == e["_s"])
-            .select("origin", F.col("_d").alias("node"))
-            .distinct()
-        ).localCheckpoint(eager=False)
+        frontier = frontier.join(e, frontier["node"] == e["_s"]).select(
+            "origin", F.col("_d").alias("node")
+        )
+        if not functional:
+            frontier = frontier.distinct()
+        frontier = frontier.localCheckpoint(eager=False)
         closed = frontier.filter(F.col("node") == F.col("origin")).select(
             "origin", F.lit(lvl).alias("cycle_len")
         )
         out.append(closed)
         if lvl == max_len:
             break
-        frontier = (
-            frontier.filter(F.col("node") != F.col("origin"))
-            # drop origins that just closed (their min is recorded) and
-            # pairs already expanded at an earlier (shorter) level
-            .join(closed.select("origin"), "origin", "left_anti")
-            .join(visited, ["origin", "node"], "left_anti")
-        ).localCheckpoint(eager=False)
-        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
+        # drop origins that just closed (their min is recorded) and
+        # pairs already expanded at an earlier (shorter) level; on the
+        # functional path there is exactly one walk per origin, so the
+        # visited anti-join cannot shrink the frontier bound and is
+        # skipped along with the visited accumulation
+        frontier = frontier.filter(F.col("node") != F.col("origin")).join(
+            closed.select("origin"), "origin", "left_anti"
+        )
+        if not functional:
+            frontier = frontier.join(visited, ["origin", "node"], "left_anti")
+        frontier = frontier.localCheckpoint(eager=False)
+        if not functional:
+            visited = visited.unionByName(frontier).localCheckpoint(eager=False)
     res = out[0]
     for part in out[1:]:
         res = res.unionByName(part)
@@ -1293,6 +1331,7 @@ def cycle_paths(
     max_len: int = 6,
     src: str = "src",
     dst: str = "dst",
+    functional: bool | None = None,
 ) -> DataFrame:
     """(node, cycle_len, path) — :func:`cycle_members` plus ONE
     canonical shortest cycle through each node, as the '>'-joined node
@@ -1319,6 +1358,13 @@ def cycle_paths(
     Scale: identical frontier bounds to cycle_members; rows widen by a
     path string of <= max_len ids. Same 100 TB posture — import-DAG
     graphs with small out-degree; SCC-condense first for dense ones.
+
+    Functional-graph fast path (r9, guide §2.1): same auto-detected
+    max-out-degree==1 switch as :func:`cycle_members`. With one walk
+    per origin the per-level ``min(path)`` aggregates over singleton
+    groups (identity) and visited pruning cannot shrink the frontier,
+    so both are skipped — one exchange + one anti-join + one
+    union-checkpoint saved per level, rows identical.
     """
     max_len = _clamp_depth(max_len)
     # same r9 layout as cycle_members: edge frame pre-partitioned on the
@@ -1331,20 +1377,22 @@ def cycle_paths(
         .repartition(P, "_s")
         .localCheckpoint(eager=False)
     )
-    frontier = (
-        e.select(
-            F.col("_s").alias("origin"),
-            F.col("_d").alias("node"),
-            F.concat_ws(
-                ">", F.col("_s").cast("string"), F.col("_d").cast("string")
-            ).alias("path"),
-        )
-        .groupBy("origin", "node")
-        .agg(F.min("path").alias("path"))
-        # checkpointed like every later level: `found` feeds the final
-        # union and must not replay the aggregate at consumption
-        .localCheckpoint(eager=False)
+    if functional is None:
+        functional = _max_out_degree(e) <= 1
+    frontier = e.select(
+        F.col("_s").alias("origin"),
+        F.col("_d").alias("node"),
+        F.concat_ws(
+            ">", F.col("_s").cast("string"), F.col("_d").cast("string")
+        ).alias("path"),
     )
+    if not functional:
+        frontier = frontier.groupBy("origin", "node").agg(
+            F.min("path").alias("path")
+        )
+    # checkpointed like every later level: `found` feeds the final
+    # union and must not replay the aggregate at consumption
+    frontier = frontier.localCheckpoint(eager=False)
     found = frontier.filter(F.col("node") == F.col("origin")).select(
         "origin", F.lit(1).alias("cycle_len"), "path"
     )
@@ -1363,32 +1411,37 @@ def cycle_paths(
         # min(path) SortAggregate a second time at consumption — the r9
         # baseline plan showed one join+SortAggregate pair per level
         # under the final Union (guide §2.4)
-        frontier = (
-            frontier.join(e, frontier["node"] == e["_s"])
-            .select(
-                "origin",
-                F.col("_d").alias("node"),
-                F.concat(
-                    F.col("path"), F.lit(">"), F.col("_d").cast("string")
-                ).alias("path"),
+        frontier = frontier.join(e, frontier["node"] == e["_s"]).select(
+            "origin",
+            F.col("_d").alias("node"),
+            F.concat(
+                F.col("path"), F.lit(">"), F.col("_d").cast("string")
+            ).alias("path"),
+        )
+        if not functional:
+            frontier = frontier.groupBy("origin", "node").agg(
+                F.min("path").alias("path")
             )
-            .groupBy("origin", "node")
-            .agg(F.min("path").alias("path"))
-        ).localCheckpoint(eager=False)
+        frontier = frontier.localCheckpoint(eager=False)
         closed = frontier.filter(F.col("node") == F.col("origin")).select(
             "origin", F.lit(lvl).alias("cycle_len"), "path"
         )
         out.append(closed)
         if lvl == max_len:
             break
-        frontier = (
-            frontier.filter(F.col("node") != F.col("origin"))
-            .join(closed.select("origin"), "origin", "left_anti")
-            .join(visited, ["origin", "node"], "left_anti")
-        ).localCheckpoint(eager=False)
-        visited = visited.unionByName(
-            frontier.select("origin", "node")
-        ).localCheckpoint(eager=False)
+        # same close-out as cycle_members; on the functional path the
+        # visited anti-join and accumulation are skipped (one walk per
+        # origin — nothing to prune)
+        frontier = frontier.filter(F.col("node") != F.col("origin")).join(
+            closed.select("origin"), "origin", "left_anti"
+        )
+        if not functional:
+            frontier = frontier.join(visited, ["origin", "node"], "left_anti")
+        frontier = frontier.localCheckpoint(eager=False)
+        if not functional:
+            visited = visited.unionByName(
+                frontier.select("origin", "node")
+            ).localCheckpoint(eager=False)
     res = out[0]
     for part in out[1:]:
         res = res.unionByName(part)

@@ -743,6 +743,70 @@ def test_cycle_members_dag_empty(spark):
     assert graph.cycle_members(edges, max_len=6).count() == 0
 
 
+def test_cycle_functional_fast_path_equivalence(spark):
+    """The max-out-degree==1 fast path (skip per-level distinct /
+    min(path) and visited pruning) returns IDENTICAL rows to the
+    general path, including on a rho shape (9->8 tail into the 7<->8
+    2-cycle) where the pruned path would drop revisits: origin 9's
+    walk oscillates 8,7,8,7... and must report no cycle either way."""
+    edges = spark.createDataFrame(
+        [
+            (1, 1),                  # self-loop
+            (2, 3), (3, 4), (4, 2),  # 3-ring
+            (7, 8), (8, 7),          # 2-cycle
+            (9, 8),                  # rho tail: revisits without closing
+            (5, 6),                  # DAG tail
+        ],
+        ["src", "dst"],
+    )
+    fast = {
+        (r["node"], r["cycle_len"])
+        for r in graph.cycle_members(edges, max_len=6, functional=True).collect()
+    }
+    slow = {
+        (r["node"], r["cycle_len"])
+        for r in graph.cycle_members(edges, max_len=6, functional=False).collect()
+    }
+    auto = {
+        (r["node"], r["cycle_len"])
+        for r in graph.cycle_members(edges, max_len=6).collect()
+    }
+    assert fast == slow == auto
+    assert fast == {(1, 1), (2, 3), (3, 3), (4, 3), (7, 2), (8, 2)}
+
+    fast_p = {
+        (r["node"], r["cycle_len"], r["path"])
+        for r in graph.cycle_paths(edges, max_len=6, functional=True).collect()
+    }
+    slow_p = {
+        (r["node"], r["cycle_len"], r["path"])
+        for r in graph.cycle_paths(edges, max_len=6, functional=False).collect()
+    }
+    auto_p = {
+        (r["node"], r["cycle_len"], r["path"])
+        for r in graph.cycle_paths(edges, max_len=6).collect()
+    }
+    assert fast_p == slow_p == auto_p
+
+    # multi-out-degree graphs must auto-detect the general path and
+    # still agree with the forced general path (duplicate rows count)
+    multi = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (3, 1)], ["src", "dst"]
+    )
+    assert graph._max_out_degree(
+        multi.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
+    ) == 2
+    got_auto = {
+        (r["node"], r["cycle_len"])
+        for r in graph.cycle_members(multi, max_len=6).collect()
+    }
+    got_slow = {
+        (r["node"], r["cycle_len"])
+        for r in graph.cycle_members(multi, max_len=6, functional=False).collect()
+    }
+    assert got_auto == got_slow == {(1, 2), (2, 2), (3, 3)}
+
+
 def test_unused_symbols_anti_join_and_exclusion(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["node"])
     edges = spark.createDataFrame([(1, 2), (2, 3), (4, 3)], ["src", "dst"])
