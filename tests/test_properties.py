@@ -675,6 +675,18 @@ def test_twap_matches_python_model(spark, triples):
         for r in twap(df).collect()
     }
 
+    # Spark's F.round on a double is BigDecimal(exact binary value) with
+    # HALF_UP (matching DuckDB's round-half-away-from-zero in the
+    # oracle); Python's round() is banker's, so an exactly-representable
+    # half point (e.g. 3507/896 = 3.9140625) diverges in the last digit.
+    # The model must replay HALF_UP on the exact double, not round().
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def round6_half_up(x: float) -> float:
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
     want = {}
     by_type: dict[str, list[tuple[int, int, float]]] = {}
     for i, (ty, s, v) in enumerate(triples):
@@ -689,8 +701,8 @@ def test_twap_matches_python_model(spark, triples):
             sdt += dtu
             sv += v
         if n:
-            tw = round(svdt / sdt, 6) if sdt > 0 else None
-            want[ty] = (n, tw, round(sv / n, 6))
+            tw = round6_half_up(svdt / sdt) if sdt > 0 else None
+            want[ty] = (n, tw, round6_half_up(sv / n))
     assert got == want
 
 
