@@ -524,8 +524,27 @@ def cooccurrence_edges(
     populate its cache, while this fully LAZY plan pipelines straight
     into it. Reverted; both measurements recorded. Moral: A/B the
     consumer, not the component.
+
+    Exchange sharing (r9, guide §2.4 "two operations keyed the same way
+    share one exchange"): the occurrence frame is repartitioned on the
+    GROUP key before the distinct, so ``HashPartitioning(group)``
+    satisfies the clustering requirement of BOTH the (group, item)
+    distinct and the later ``groupBy(group)`` collect — one
+    occurrence-scale exchange instead of two (the old plan shuffled
+    once on (group, item) for the distinct and again on group for the
+    pair build). Measured in the in-process interleaved A/B: exchanges
+    6 -> 5, component 2.88 -> 2.38 s, THROUGH pagerank 4.36 -> 3.96 s
+    at sf0.1 — identical 1,194,754-edge output. Skew posture is
+    unchanged: the group-keyed exchange was always present at the
+    collect_list step, and pre-distinct occurrence multiplicity only
+    adds the (bounded) duplicate factor to a key that the downstream
+    aggregate had to absorb anyway.
     """
-    pres = items.select(group_col, item_col).distinct()
+    pres = (
+        items.select(group_col, item_col)
+        .repartition(F.col(group_col))
+        .distinct()
+    )
     # broadcast the HOT set (df > max_df, bounded by total_occurrences /
     # max_df) and anti-join, NOT the cold keep set — the keep side is
     # the near-entire item vocabulary and force-broadcasting it is a
