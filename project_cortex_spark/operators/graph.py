@@ -1904,10 +1904,11 @@ def closeness_centrality(
         )
         .cache()
     )
+    # shared distinct-nodes frame for seeds + span stats — same
+    # one-pass prologue as betweenness_centrality (r9 continuation)
+    nodes = e.select(F.col("src").alias("node")).distinct().cache()
     seeds = (
-        e.select(F.col("src").alias("node"))
-        .filter(F.col("node") % seed_mod == 0)
-        .distinct()
+        nodes.filter(F.col("node") % seed_mod == 0)
         .orderBy("node")
         .limit(max_seeds)
     )
@@ -1917,11 +1918,12 @@ def closeness_centrality(
         "node",
     ).localCheckpoint(eager=True)
     n_seeds = lv0.count()
-    stats = e.agg(
-        F.countDistinct("src").alias("n"),
-        F.min("src").alias("mn"),
-        F.max("src").alias("mx"),
+    stats = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("node").alias("mn"),
+        F.max("node").alias("mx"),
     ).first()
+    nodes.unpersist()
     n_nodes = stats["n"] or 0
     small = n_seeds * n_nodes <= BROADCAST_NODE_LIMIT
     bcast = F.broadcast if small else (lambda df: df)
@@ -2074,10 +2076,15 @@ def betweenness_centrality(
         )
         .cache()
     )
+    # ONE distinct-nodes frame serves both the seed slice and the
+    # span stats (r9 continuation, guide §1.2 — don't run the same
+    # pass twice): previously seeds ran their own distinct over the
+    # filtered edge frame AND stats ran a countDistinct (a second
+    # full-|e| aggregation); now stats is a plain count/min/max over
+    # the cached 1-column node frame. Semantically identical.
+    nodes = e.select(F.col("src").alias("node")).distinct().cache()
     seeds = (
-        e.select(F.col("src").alias("node"))
-        .filter(F.col("node") % seed_mod == 0)
-        .distinct()
+        nodes.filter(F.col("node") % seed_mod == 0)
         .orderBy("node")
         .limit(max_seeds)
     )
@@ -2090,11 +2097,12 @@ def betweenness_centrality(
         F.lit(1).cast("long").alias("sigma"),
     ).localCheckpoint(eager=True)
     n_seeds = lv0.count()
-    stats = e.agg(
-        F.countDistinct("src").alias("n"),
-        F.min("src").alias("mn"),
-        F.max("src").alias("mx"),
+    stats = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("node").alias("mn"),
+        F.max("node").alias("mx"),
     ).first()
+    nodes.unpersist()
     n_nodes = stats["n"] or 0
     small = n_seeds * n_nodes <= BROADCAST_NODE_LIMIT
     bcast = F.broadcast if small else (lambda df: df)
