@@ -1532,10 +1532,19 @@ def exact_substring_rewrite(
         F.col("_len") >= k,
         F.sequence(F.lit(1), F.col("_len") - k + 1),
     ).otherwise(F.array().cast("array<int>"))
+    # gram key is the md5 DIGEST BYTES (unhex), not the hex string: the
+    # key is internal (never output), unhex is injective on md5 hex, so
+    # grouping/joining on it is identical — at 16 bytes instead of a
+    # 32-char string the g-keyed exchange and aggregate carry half the
+    # key bytes (guide §2.3 narrower types; interleaved A/B at sf0.1:
+    # 1.67 -> 1.43 s). The frame is cached because BOTH the dup-gram
+    # aggregate and the cuts join consume it — uncached, the per-char
+    # explode + 10M md5s run twice (guide §5: reused AND expensive;
+    # A/B with cache: -> 1.13 s total).
     grams = d.select(
         "doc_id", F.explode(positions).alias("p"),
-        F.md5(F.expr(f"substring(_t, p, {k})")).alias("g"),
-    )
+        F.unhex(F.md5(F.expr(f"substring(_t, p, {k})"))).alias("g"),
+    ).cache()
     # cross-document duplicated grams + their canonical (minimum) doc:
     # min != max over doc ids IS the "occurs in >= 2 docs" predicate
     dupg = (

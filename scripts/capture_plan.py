@@ -1,7 +1,8 @@
-"""Capture .explain("formatted") for named queries into plans/r09/.
+"""Capture .explain("formatted") for named queries into plans/$PLANS_ROUND/.
 
 Usage: python scripts/capture_plan.py <suffix> <query> [query ...]
-Writes plans/r09/<query>_<suffix>.txt  (suffix = before|after).
+Writes plans/<round>/<query>_<suffix>.txt  (suffix = before|after);
+round from $PLANS_ROUND (default r10).
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r09",
+        os.environ.get("PLANS_ROUND", "r10"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture-plan")

@@ -446,6 +446,45 @@ def test_train_pq_codebooks_ordered_is_replayable(spark, registry):
     assert np.array_equal(spark_side, oracle_side)  # bit-exact, not allclose
 
 
+def test_pq_lloyd_blas_equivalence(registry):
+    """The r10 BLAS distance form (||c||^2 - 2 x.c) must pick the same
+    argmin as the naive (x - c)^2 broadcast on the gated fixture — same
+    assignments at every iteration means bit-identical codebooks (the
+    mean updates see identical member sets)."""
+    import numpy as np
+
+    from project_cortex_spark.operators.knn import _pq_lloyd_deterministic
+
+    emb = registry.table("embeddings")
+    rows = emb.orderBy("vec_id").limit(10000).select("embedding").collect()
+    sample = [list(r[0]) for r in rows]
+
+    def lloyd_naive(sample, n_subspaces, n_codes, iters):
+        s = np.asarray(sample, dtype=np.float64)
+        s = s / np.clip(np.linalg.norm(s, axis=1, keepdims=True), 1e-12, None)
+        dsub = s.shape[1] // n_subspaces
+        books = np.empty((n_subspaces, n_codes, dsub), dtype=np.float64)
+        for j in range(n_subspaces):
+            block = s[:, j * dsub : (j + 1) * dsub]
+            cent = block[: min(n_codes, len(block))].copy()
+            for _ in range(iters):
+                d2 = ((block[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d2, axis=1)
+                for c in range(len(cent)):
+                    members = block[assign == c]
+                    if len(members):
+                        cent[c] = members.mean(axis=0)
+            books[j, : len(cent)] = cent
+            if len(cent) < n_codes:
+                books[j, len(cent) :] = cent[0]
+        return books
+
+    for n_codes, iters in ((64, 8), (16, 4)):
+        fast = _pq_lloyd_deterministic(sample, 8, n_codes, iters)
+        naive = lloyd_naive(sample, 8, n_codes, iters)
+        assert np.array_equal(fast, naive)
+
+
 # ---------------------------------------------------------------------------
 # binary (sign-bit) quantization tier
 # ---------------------------------------------------------------------------
