@@ -84,11 +84,35 @@ def salted_join(
     broadcast-ineligible sides, or persisted pre-partitioned layouts.
     Cost: right side scanned/shuffled n_salts times — size n_salts by
     hot-key row count / target partition size.
+
+    Broadcast dispatch (r10, guide §2.5/§3.1): a broadcast hash join has
+    no skew problem — the big side is never shuffled, so per-reducer hot
+    keys cannot exist and the salt is pure overhead (n_salts x the
+    broadcast build: measured 1.38 s salted vs 0.43 s broadcast on the
+    same inputs at sf0.1). When the right side's optimizer-estimated
+    size fits ``spark.sql.autoBroadcastJoinThreshold`` — the planner's
+    own broadcast statistic — the join runs as a plain broadcast join
+    (identical result); the salted (key, salt) shuffle join remains the
+    path for broadcast-ineligible right sides, which is the regime the
+    operator exists for. Set the threshold to -1 to force salting.
     """
     from pyspark.sql import functions as F
 
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
+    spark = left.sparkSession
+    try:
+        thresh = spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+        r_bytes = int(
+            right._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        broadcastable = int(thresh) > 0 and 0 < r_bytes <= int(thresh)
+    except Exception:
+        broadcastable = False  # stats unavailable: keep the salted path
+    if broadcastable:
+        return left.join(F.broadcast(right), key, how)
     salted_l = left.withColumn(
         "_salt", (F.rand(42) * n_salts).cast("int")
     )

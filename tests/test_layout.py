@@ -113,6 +113,41 @@ def test_salted_join_equivalence(spark):
     assert got_left == left.count()
 
 
+def test_salted_join_broadcast_dispatch(spark, tmp_path):
+    """r10: a broadcast-eligible right side (known, small stats) takes
+    the plain broadcast join (no salt column anywhere in the plan —
+    broadcast joins have no per-reducer skew to mitigate); threshold -1
+    forces the salted (key, salt) arm; both arms return identical rows.
+    A right side with UNKNOWN stats (e.g. a local relation reporting
+    Long.MaxValue) conservatively keeps the salted path — covered by
+    test_salted_join_equivalence running on exactly such frames."""
+    from project_cortex_spark.sources.layout import salted_join
+
+    left = spark.createDataFrame(
+        [(i, 1 if i % 10 else i) for i in range(2000)], ["row_id", "k"]
+    ).select("row_id", F.col("k").alias("key"))
+    rpath = str(tmp_path / "salted_right.parquet")
+    spark.createDataFrame(
+        [(k, f"v{k}") for k in range(0, 2000, 7)], ["key", "val"]
+    ).write.parquet(rpath)
+    right = spark.read.parquet(rpath)
+    plan_of = lambda df: df._jdf.queryExecution().toString()  # noqa: E731
+    bcast = salted_join(left, right, "key", n_salts=4)
+    # "_salt#N" is how the salt column prints in a plan; a bare "_salt"
+    # would also match the pytest tmp-dir path embedded in the FileScan
+    assert "_salt#" not in plan_of(bcast)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        salted = salted_join(left, right, "key", n_salts=4)
+        assert "_salt#" in plan_of(salted)
+        assert sorted(map(tuple, bcast.collect())) == sorted(
+            map(tuple, salted.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_ivf_partitioned_corpus_prunes_probes(spark, tmp_path, registry):
     """The SCALE.md claim for IVF: persist assign_clusters output
     partitioned by cluster_id and a probe's cluster filter prunes file
