@@ -281,10 +281,49 @@ def _phrase_regex(words: list[str]) -> str:
     return rf"(^|{SEP_RE}){body}($|{SEP_RE})"
 
 
+def _flat_terms(node: Node, cls: type) -> list[str] | None:
+    """The plain-term word list of a pure ``cls``-chain (And/Or) of
+    non-prefix Terms, or None when the subtree contains anything else."""
+    if isinstance(node, Term) and not node.prefix:
+        return [node.text]
+    if isinstance(node, cls):
+        left = _flat_terms(node.left, cls)
+        right = _flat_terms(node.right, cls)
+        if left is not None and right is not None:
+            return left + right
+    return None
+
+
 def _match_node(index: FtsIndex, node: Node) -> DataFrame:
     """Set algebra over posting lists: every operation is an equi-join or
-    union on doc_id — no cross joins, shuffle keyed on doc_id."""
+    union on doc_id — no cross joins, shuffle keyed on doc_id.
+
+    Chain flattening (r10, guide §1.2 — don't run the same pass twice):
+    a pure AND/OR chain of plain terms evaluates in ONE postings pass
+    (``term.isin``) instead of one posting subtree per term — on a live
+    index each subtree re-tokenizes the corpus, so "a OR b OR c OR d"
+    paid 4 tokenize+aggregate passes. OR is the doc set of the union
+    filter (identical to union-distinct of the per-term sets); AND keeps
+    docs matching all n distinct terms (postings are unique on
+    (term, doc_id), so a plain count per doc equals the distinct-term
+    count — identical to the join chain). Mixed trees recurse exactly
+    as before, flattening any pure sub-chains they contain.
+    """
     p = index.postings
+    for cls in (And, Or):
+        if isinstance(node, cls):
+            words = _flat_terms(node, cls)
+            if words is not None:
+                uniq = sorted(set(words))
+                hits = p.filter(F.col("term").isin(uniq))
+                if cls is Or or len(uniq) == 1:
+                    return hits.select("doc_id").distinct()
+                return (
+                    hits.groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).alias("_m"))
+                    .filter(F.col("_m") == len(uniq))
+                    .select("doc_id")
+                )
     if isinstance(node, Term):
         if node.prefix:
             hits = p.filter(F.col("term").startswith(node.text))
