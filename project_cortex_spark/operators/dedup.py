@@ -184,17 +184,24 @@ def lsh_candidate_pairs(
     """
     r = num_hashes // bands
     assert r * bands == num_hashes, "bands must divide num_hashes"
-    parts = []
-    for b in range(bands):
-        key = F.concat(*[F.col(f"h{b * r + i}") for i in range(r)])
-        parts.append(
-            sigs.select(
-                F.col("doc_id"), F.lit(b).alias("band"), key.alias("bkey")
-            )
-        )
-    banded = parts[0]
-    for p in parts[1:]:
-        banded = banded.unionByName(p)
+    # ONE posexplode over the array of band keys instead of a
+    # `bands`-way union of per-band projections (r10): identical rows —
+    # pos IS the band index and each array element is that band's
+    # concatenated key — but the plan carries the signature subtree
+    # once instead of `bands` times. The union form re-analyzed the
+    # whole sigs subtree per band per consumer; with eager per-round
+    # checkpoints in the downstream CC/prune fixpoints that analysis
+    # cost was paid again every round (measured: dedup_minhash_lsh
+    # spends 0.65 s of its 1.4 s in plan construction alone).
+    keys = F.array(
+        *[
+            F.concat(*[F.col(f"h{b * r + i}") for i in range(r)])
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(keys).alias("band", "bkey")
+    )
     if max_bucket is not None:
         occ = Window.partitionBy("band", "bkey")
         banded = (
