@@ -1919,7 +1919,10 @@ def closeness_centrality(
     ).localCheckpoint(eager=True)
     n_seeds = lv0.count()
     stats = nodes.agg(
-        F.count(F.lit(1)).alias("n"),
+        # count("node"), not count(1): a NULL edge endpoint upstream
+        # must not inflate n_nodes (it would perturb the
+        # BROADCAST_NODE_LIMIT switch; min/max already ignore NULLs)
+        F.count("node").alias("n"),
         F.min("node").alias("mn"),
         F.max("node").alias("mx"),
     ).first()
@@ -2098,7 +2101,10 @@ def betweenness_centrality(
     ).localCheckpoint(eager=True)
     n_seeds = lv0.count()
     stats = nodes.agg(
-        F.count(F.lit(1)).alias("n"),
+        # count("node"), not count(1): a NULL edge endpoint upstream
+        # must not inflate n_nodes (it would perturb the
+        # BROADCAST_NODE_LIMIT switch; min/max already ignore NULLs)
+        F.count("node").alias("n"),
         F.min("node").alias("mn"),
         F.max("node").alias("mx"),
     ).first()

@@ -675,16 +675,22 @@ def test_twap_matches_python_model(spark, triples):
         for r in twap(df).collect()
     }
 
-    # Spark's F.round on a double is BigDecimal(exact binary value) with
-    # HALF_UP (matching DuckDB's round-half-away-from-zero in the
-    # oracle); Python's round() is banker's, so an exactly-representable
-    # half point (e.g. 3507/896 = 3.9140625) diverges in the last digit.
-    # The model must replay HALF_UP on the exact double, not round().
+    # Spark's F.round on a double is BigDecimal.valueOf(x) — i.e. the
+    # SHORTEST decimal repr (Double.toString), not the exact binary
+    # value — with HALF_UP (matching DuckDB's round-half-away-from-zero
+    # in the oracle); Python's round() is banker's, so an exactly-
+    # representable half point (e.g. 3507/896 = 3.9140625) diverges in
+    # the last digit. The model replays HALF_UP on Decimal(repr(x)),
+    # which mirrors BigDecimal.valueOf semantics exactly (ADVICE r9:
+    # Decimal(x) would replay the exact binary value instead, which can
+    # sit on the other side of a half point from the shortest repr).
     from decimal import ROUND_HALF_UP, Decimal
 
     def round6_half_up(x: float) -> float:
         return float(
-            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
         )
 
     want = {}
