@@ -871,14 +871,6 @@ def kcore(
     # base); without a cache each read recomputes the upstream edge
     # pipeline (for cooccurrence_edges: several shuffles) from scratch
     surv = edges.select("a", "b").cache()
-    if broadcast_keep is None:
-        n = (
-            surv.select(F.col("a").alias("node"))
-            .union(surv.select(F.col("b").alias("node")))
-            .distinct()
-            .count()
-        )
-        broadcast_keep = n <= BROADCAST_NODE_LIMIT
     prev_keep = None
     for _ in range(rounds):
         deg = (
@@ -887,6 +879,15 @@ def kcore(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
+        if broadcast_keep is None:
+            # the broadcast-vs-shuffle switch needs |V| of the ORIGINAL
+            # graph — which is exactly round 1's degree frame's row
+            # count. Checkpoint it and count THAT instead of running a
+            # separate full-2|E| distinct (r10, guide §1.2 — one fewer
+            # whole pass; interleaved A/B min 3.36 -> 2.46 s through
+            # the gated query).
+            deg = deg.localCheckpoint(eager=True)
+            broadcast_keep = deg.count() <= BROADCAST_NODE_LIMIT
         # eager node-sized checkpoint: the probe count below and the two
         # semi-join arms all reuse the materialized keep frame instead
         # of recomputing the degree aggregate
@@ -1029,16 +1030,22 @@ def communities_lpa(
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
     )
+    # ONE distinct-nodes pass serves both the broadcast switch and the
+    # label init (r10, guide §1.2): previously the switch ran its own
+    # distinct+count over the full upstream edge derivation and the
+    # init frame re-ran the identical distinct — two whole passes of an
+    # uncached pipeline for one |V|-row frame.
+    nodes = (
+        dir_edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     if broadcast_labels is None:
-        broadcast_labels = (
-            dir_edges.select("src").distinct().count() <= BROADCAST_NODE_LIMIT
-        )
+        broadcast_labels = nodes.count() <= BROADCAST_NODE_LIMIT
     if not broadcast_labels:
         dir_edges = dir_edges.repartition("src")
     dir_edges = dir_edges.localCheckpoint(eager=False)
-    labels = dir_edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
+    labels = nodes.select("node", F.col("node").alias("label"))
     # argmax form MEASURED at sf1: the row_number window over the
     # (node, label) count frame reuses that aggregate's hash
     # partitioning (no exchange, one sort: 45 s/round-chain); the
